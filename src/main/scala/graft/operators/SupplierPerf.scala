@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** Per-supplier performance KPIs + composite risk scoring.
+  *
+  * Re-expresses the reference's analytical core on the driver's star
+  * schema: a 3-way join (`suppliers ⋈ purchase_orders ⋈ deliveries`,
+  * reference compute_kpis.py:24-74) becomes `supplier ⋈ lineitem ⋈
+  * orders`; per-supplier rate/delay/fill aggregates become
+  * on-time/delay/return/revenue aggregates; min-max normalization into a
+  * weighted composite risk score follows compute_risk.py:36-113 (grand
+  * aggregate bounds + broadcast cross join + degenerate-range guards +
+  * `risk = 0.7·(1-performance) + 0.3·financial`).
+  *
+  * Scale notes (100 TB): `lineitem ⋈ orders` is the only big-big join and
+  * shuffles on the natural key; `supplier` and the 1-row `bounds` relation
+  * are broadcast. Aggregation is two-phase hash (partial map-side), and
+  * top-k queries lower to `TakeOrderedAndProject` — no full sorts.
+  */
+object SupplierPerf {
+
+  /** Days-late threshold for the on-time flag (reference semantics:
+    * `delivery_date <= promised_date`, compute_kpis.py:45; here promised =
+    * order date + 30 days).
+    */
+  val OnTimeDays = 30
+
+  /** Q4 analog — per-supplier KPI table (reference compute_kpis.py:24-74). */
+  def kpis(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val facts = s
+      .join(l, s("s_suppkey") === l("l_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        s("s_suppkey"), s("s_name"), s("s_nationkey"), s("s_acctbal"),
+        delay.as("ship_delay_days"),
+        when(delay <= OnTimeDays, 1).otherwise(0).as("on_time_flag"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("ret_flag"),
+        when(col("l_returnflag") === "R", col("l_quantity")).otherwise(lit(0.0)).as("ret_qty"),
+        col("l_quantity").as("qty"),
+        (money(col("l_extendedprice")) * (lit(1) - frac(col("l_discount")))).as("net_rev"))
+
+    facts
+      .groupBy("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .agg(
+        rate(col("on_time_flag")).as("on_time_rate"),
+        avgInt(col("ship_delay_days")).as("avg_ship_delay_days"),
+        rate(col("ret_flag")).as("return_rate"),
+        sum("qty").as("total_qty"), // integer-valued doubles: exact sum
+        (sum("ret_qty") / nullIfZero(sum("qty"))).as("returned_qty_ratio"),
+        sum("net_rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Shared SQL text for the KPI CTE (DuckDB oracle form of [[kpis]]). */
+  val kpisSql: String =
+    s"""WITH facts AS (
+       |  SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+       |         date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_delay_days,
+       |         CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= $OnTimeDays THEN 1 ELSE 0 END AS on_time_flag,
+       |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret_flag,
+       |         CASE WHEN l.l_returnflag = 'R' THEN l.l_quantity ELSE 0.0 END AS ret_qty,
+       |         l.l_quantity AS qty,
+       |         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS net_rev
+       |  FROM supplier s
+       |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), kpis AS (
+       |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+       |         CAST(SUM(on_time_flag) AS DOUBLE) / COUNT(*) AS on_time_rate,
+       |         CAST(SUM(ship_delay_days) AS DOUBLE) / COUNT(*) AS avg_ship_delay_days,
+       |         CAST(SUM(ret_flag) AS DOUBLE) / COUNT(*) AS return_rate,
+       |         SUM(qty) AS total_qty,
+       |         SUM(ret_qty) / NULLIF(SUM(qty), 0) AS returned_qty_ratio,
+       |         CAST(SUM(net_rev) AS DOUBLE) AS revenue,
+       |         COUNT(*) AS n_lines
+       |  FROM facts
+       |  GROUP BY s_suppkey, s_name, s_nationkey, s_acctbal
+       |)""".stripMargin
+
+  /** Q7 analog — risk summary (reference compute_risk.py:36-113):
+    * grand-aggregate bounds, broadcast cross join, min-max normalization
+    * with `max=min → 1.0` guards, inverted for bad-is-high metrics,
+    * composite performance (mean of 4 norms) and
+    * `risk = 0.7·(1-performance) + 0.3·(1-norm_acctbal)`.
+    */
+  def risk(spark: SparkSession, dir: String): DataFrame = {
+    val k = kpis(spark, dir)
+    val bounds = k.agg(
+      min("on_time_rate").as("min_ot"), max("on_time_rate").as("max_ot"),
+      min("avg_ship_delay_days").as("min_dl"), max("avg_ship_delay_days").as("max_dl"),
+      min("return_rate").as("min_rt"), max("return_rate").as("max_rt"),
+      min("revenue").as("min_rv"), max("revenue").as("max_rv"),
+      min("s_acctbal").as("min_ab"), max("s_acctbal").as("max_ab"))
+
+    // goodness normalization: 1.0 when the range degenerates
+    // (compute_risk.py:59-80), else (x-min)/(max-min), inverted when
+    // larger-is-worse.
+    def norm(c: String, mn: String, mx: String, invert: Boolean) = {
+      val scaled = (col(c) - col(mn)) / (col(mx) - col(mn))
+      when(col(mx) === col(mn), lit(1.0))
+        .otherwise(if (invert) lit(1.0) - scaled else scaled)
+    }
+
+    val kCols = k.columns.map(col)
+    val n = k.crossJoin(broadcast(bounds)).select(
+      kCols :+
+        norm("on_time_rate", "min_ot", "max_ot", invert = false).as("norm_on_time") :+
+        norm("avg_ship_delay_days", "min_dl", "max_dl", invert = true).as("norm_delay") :+
+        norm("return_rate", "min_rt", "max_rt", invert = true).as("norm_return") :+
+        norm("revenue", "min_rv", "max_rv", invert = false).as("norm_revenue") :+
+        norm("s_acctbal", "min_ab", "max_ab", invert = false).as("norm_acctbal"): _*)
+
+    n.withColumn(
+        "performance_score",
+        (col("norm_on_time") + col("norm_delay") + col("norm_return") + col("norm_revenue")) / 4.0)
+      .withColumn(
+        "risk_score",
+        lit(0.7) * (lit(1.0) - col("performance_score")) + lit(0.3) * (lit(1.0) - col("norm_acctbal")))
+      .orderBy(desc("risk_score"), asc("s_suppkey"))
+  }
+
+  /** DuckDB oracle form of [[risk]] (kpis CTE + bounds + norms + scores). */
+  val riskSql: String =
+    s"""$kpisSql, bounds AS (
+       |  SELECT min(on_time_rate) AS min_ot, max(on_time_rate) AS max_ot,
+       |         min(avg_ship_delay_days) AS min_dl, max(avg_ship_delay_days) AS max_dl,
+       |         min(return_rate) AS min_rt, max(return_rate) AS max_rt,
+       |         min(revenue) AS min_rv, max(revenue) AS max_rv,
+       |         min(s_acctbal) AS min_ab, max(s_acctbal) AS max_ab
+       |  FROM kpis
+       |), norms AS (
+       |  SELECT kpis.*,
+       |    CASE WHEN max_ot = min_ot THEN 1.0 ELSE (on_time_rate - min_ot) / (max_ot - min_ot) END AS norm_on_time,
+       |    CASE WHEN max_dl = min_dl THEN 1.0 ELSE 1.0 - (avg_ship_delay_days - min_dl) / (max_dl - min_dl) END AS norm_delay,
+       |    CASE WHEN max_rt = min_rt THEN 1.0 ELSE 1.0 - (return_rate - min_rt) / (max_rt - min_rt) END AS norm_return,
+       |    CASE WHEN max_rv = min_rv THEN 1.0 ELSE (revenue - min_rv) / (max_rv - min_rv) END AS norm_revenue,
+       |    CASE WHEN max_ab = min_ab THEN 1.0 ELSE (s_acctbal - min_ab) / (max_ab - min_ab) END AS norm_acctbal
+       |  FROM kpis CROSS JOIN bounds
+       |), perf AS (
+       |  SELECT norms.*,
+       |         (norm_on_time + norm_delay + norm_return + norm_revenue) / 4.0 AS performance_score
+       |  FROM norms
+       |), risk AS (
+       |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal, on_time_rate,
+       |         avg_ship_delay_days, return_rate, total_qty, returned_qty_ratio,
+       |         revenue, n_lines, norm_on_time, norm_delay, norm_return,
+       |         norm_revenue, norm_acctbal, performance_score,
+       |         0.7 * (1.0 - performance_score) + 0.3 * (1.0 - norm_acctbal) AS risk_score
+       |  FROM perf
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q04_supplier_kpis" -> (kpis _),
+    "q05_bottom5_on_time" -> ((spark, dir) =>
+      kpis(spark, dir)
+        .select("s_suppkey", "s_name", "on_time_rate", "avg_ship_delay_days")
+        .orderBy(asc("on_time_rate"), asc("s_suppkey"))
+        .limit(5)),
+    "q06_top5_delay" -> ((spark, dir) =>
+      kpis(spark, dir)
+        .select("s_suppkey", "s_name", "avg_ship_delay_days", "on_time_rate")
+        .orderBy(desc("avg_ship_delay_days"), asc("s_suppkey"))
+        .limit(5)),
+    "q07_supplier_risk" -> (risk _),
+    "q08_top10_risk" -> ((spark, dir) =>
+      risk(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "on_time_rate",
+          "avg_ship_delay_days", "return_rate", "revenue",
+          "performance_score", "risk_score")
+        .orderBy(desc("risk_score"), asc("s_suppkey"))
+        .limit(10)))
+
+  val oracle: Map[String, String] = Map(
+    "q04_supplier_kpis" ->
+      s"$kpisSql SELECT * FROM kpis ORDER BY s_suppkey",
+    "q05_bottom5_on_time" ->
+      s"""$kpisSql SELECT s_suppkey, s_name, on_time_rate, avg_ship_delay_days
+         |FROM kpis ORDER BY on_time_rate ASC, s_suppkey ASC LIMIT 5""".stripMargin,
+    "q06_top5_delay" ->
+      s"""$kpisSql SELECT s_suppkey, s_name, avg_ship_delay_days, on_time_rate
+         |FROM kpis ORDER BY avg_ship_delay_days DESC, s_suppkey ASC LIMIT 5""".stripMargin,
+    "q07_supplier_risk" ->
+      s"$riskSql SELECT * FROM risk ORDER BY risk_score DESC, s_suppkey ASC",
+    "q08_top10_risk" ->
+      s"""$riskSql SELECT s_suppkey, s_name, s_nationkey, on_time_rate,
+         |  avg_ship_delay_days, return_rate, revenue, performance_score, risk_score
+         |FROM risk ORDER BY risk_score DESC, s_suppkey ASC LIMIT 10""".stripMargin)
+}
