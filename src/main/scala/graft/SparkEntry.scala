@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dashboard, Integrity, SupplierPerf}
+import graft.operators.{Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,13 +17,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SupplierPerf.kpis(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.6
+    * extensions: text analysis, dedup, similarity, events, multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries
+    Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Events.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle
+    Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Events.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Batch analytics over the `events` stream table: tumbling-window
+  * aggregation, JSON-prop extraction stats, and per-user top-event
+  * ranking. The streaming twin of [[eventWindows]] lives in
+  * `graft.streaming.EventStream` (same window semantics under a
+  * watermark).
+  *
+  * Scale design (100 TB): the window aggregate groups on
+  * (window, event_type) — high cardinality, hash-partitioned, partial
+  * aggregation combines map-side. Per-user ranking shuffles once on
+  * user_id; no global windows anywhere. Sums of the 2-decimal `value`
+  * column go through an exact DECIMAL accumulator so results are
+  * order-independent (see graft.functions.Det).
+  */
+object Events {
+
+  /** q27 — tumbling 5-minute windows per event type. */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+    val sumVal = sum(col("value").cast(DecimalType(12, 2))).cast("double")
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumVal.as("sum_value"),
+        (sumVal / count(lit(1))).as("avg_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q28 — JSON props extraction (`{"k": <int>}`) + per-type stats.
+    * Extraction via regexp (shared dialect with the oracle); cast
+    * guarded for ANSI mode.
+    */
+  def propStats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val k = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), k.as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        (sum("k").cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** q29 — highest-value event per user (deterministic tie-break on
+    * ts, event_id).
+    */
+  def topEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val rn = row_number().over(Window.partitionBy("user_id")
+      .orderBy(desc("value"), asc("ts"), asc("event_id")))
+    Tables.events(spark, dir)
+      .withColumn("rn", rn).filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_event_windows" -> (eventWindows _),
+    "q28_prop_stats" -> (propStats _),
+    "q29_top_event_per_user" -> (topEventPerUser _))
+
+  val oracle: Map[String, String] = Map(
+    "q27_event_windows" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q28_prop_stats" ->
+      """WITH ext AS (
+        |  SELECT event_type, user_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM ext GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_top_event_per_user" ->
+      """WITH rk AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value, ts
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata extracted alongside.
+  *
+  * The `documents` fixture has no real media, so the payload is the
+  * UTF-8 text bytes and "decode" derives deterministic fake dimensions
+  * from the payload's SHA-256 — a STUB standing in for an image/audio
+  * codec. Everything around the stub is the real thing: binary column
+  * handling, metadata projection, per-partition batched decode with a
+  * typed schema, and partition-preserving plans (no shuffle until an
+  * aggregate asks for one).
+  */
+object Multimodal {
+
+  /** q30 — metadata projection over binary payloads: byte length,
+    * content hash, and decoded (stubbed) width/height/frame-count.
+    * Pure per-row map work — scales linearly, no shuffle.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    def hseg(start: Int) = conv(substring(col("sha"), start, 6), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+      .select(col("doc_id"), col("n_bytes"), col("sha"),
+        (lit(64) + hseg(1) % 1217).as("width"),
+        (lit(64) + hseg(7) % 961).as("height"),
+        (lit(1) + hseg(13) % 32).as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  /** A decoded media record produced by [[decodeFeatures]]. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      histogram: Array[Double])
+
+  /** Per-partition batched decode of binary payloads into typed feature
+    * records — the Scala analogue of an Arrow-batched decode UDF: one
+    * decoder instantiation per partition (the expensive part for a real
+    * codec), then a streamed per-record decode.
+    *
+    * STUB: a real deployment would replace `decodeOne`'s body with an
+    * actual codec call (JNI image decode, audio resample, frame
+    * sampling). The fake is deterministic: dimensions from SHA-256
+    * bytes, an 8-bin byte histogram (each bin count / total — a single
+    * exact division) as the "feature vector".
+    */
+  def decodeFeatures(payloads: DataFrame): Dataset[MediaFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "decoder" setup happens here, once
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val sha = digest.digest(bytes) // STUB decode: dims from hash
+          val w = 64 + (((sha(0) & 0xff) << 8 | (sha(1) & 0xff)) % 1217)
+          val h = 64 + (((sha(2) & 0xff) << 8 | (sha(3) & 0xff)) % 961)
+          val bins = new Array[Double](8)
+          bytes.foreach(b => bins((b & 0xff) >> 5) += 1.0)
+          val total = math.max(bytes.length, 1).toDouble
+          MediaFeatures(id, bytes.length, w, h, bins.map(_ / total))
+        }
+      }
+  }
+
+  /** Binary-payload view of the documents table (text bytes as media). */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_media_meta" -> (mediaMeta _))
+
+  val oracle: Map[String, String] = Map(
+    "q30_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(64 + CAST(('0x' || substring(sha256(text), 1, 6)) AS UBIGINT) % 1217 AS BIGINT) AS width,
+        |  CAST(64 + CAST(('0x' || substring(sha256(text), 7, 6)) AS UBIGINT) % 961 AS BIGINT) AS height,
+        |  CAST(1 + CAST(('0x' || substring(sha256(text), 13, 6)) AS UBIGINT) % 32 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.nullIfZero
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All four are narrow per-row map operators — no shuffle at all except
+  * the final presentation sort — so they scale linearly with input size
+  * and stay entirely inside whole-stage codegen (no UDFs). At 100 TB the
+  * plan is scan → project → (optional sort); column pruning reaches the
+  * parquet scan (`text` + projected columns only).
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "is", "in")
+
+  /** Language marker sets for the n-gram/stopword language-ID heuristic.
+    * Order = deterministic tie-break priority.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Word-or-punct token pattern (BPE-ish pre-tokenizer regex). */
+  private val RePat = "\\w+|[^\\w\\s]"
+
+  /** q17 — token counting: whitespace tokens, regex tokens, char stats. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val nonspace = length(regexp_replace(col("text"), "\\s", ""))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(w).as("n_tokens_ws"),
+        regexp_count(col("text"), lit(RePat)).as("n_tokens_re"),
+        length(col("text")).as("len_chars"),
+        round(nonspace.cast("double") / nullIfZero(size(w)), 6).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** q18 — quality scoring: length / stopword-ratio / word-length blend,
+    * each ratio a single exact-int division (deterministic doubles).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        size(TextFns.keepIn(col("w"), Stopwords)).as("stop_hits"),
+        col("nonspace"))
+    val stopRatio = col("stop_hits").cast("double") / nullIfZero(col("n_tokens"))
+    val meanTok = col("nonspace").cast("double") / nullIfZero(col("n_tokens"))
+    d.select(
+        col("doc_id"), col("n_tokens"), col("stop_hits"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(meanTok, 6).as("mean_token_len"),
+        round(
+          lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.25) * least(lit(1.0), meanTok / 8.0) +
+          lit(0.5) * (lit(1.0) - least(lit(1.0), stopRatio * 4.0)), 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** q19 — language ID: stopword-marker hit counts per candidate
+    * language, argmax with fixed priority tie-break.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang") +:
+        LangMarkers.map { case (l, ms) => size(TextFns.keepIn(w, ms)).as(s"s_$l") }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = LangMarkers.init.foldRight(lit(LangMarkers.last._1): Column) {
+      case ((l, _), els) => when(col(s"s_$l") === best, l).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  /** q20 — fingerprinting: normalized-text md5, a 60-bit numeric
+    * fingerprint, and a winnowing-style min rolling-hash over char
+    * 8-grams (the minimum salted hash across all 8-char windows — the
+    * scale-safe per-row piece of a winnowing index).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    val grams = when(length(col("norm")) < 8, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("norm")) - 7),
+        i => substring(col("norm"), i, lit(8))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fp_md5"),
+        conv(substring(md5(col("norm")), 1, 15), 16, 10).cast("long").as("fp60"),
+        array_min(transform(grams, g => TextFns.hash32(g))).as("min_gram_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_token_stats" -> (tokenStats _),
+    "q18_quality_score" -> (qualityScore _),
+    "q19_lang_id" -> (langId _),
+    "q20_fingerprint" -> (fingerprint _))
+
+  private val toksCte =
+    s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
+
+  val oracle: Map[String, String] = Map(
+    "q17_token_stats" ->
+      s"""$toksCte
+         |SELECT doc_id, len(w) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '$RePat')) AS n_tokens_re,
+         |  length(text) AS len_chars,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |        / NULLIF(len(w), 0), 6) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "q18_quality_score" ->
+      s"""$toksCte, feat AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |    len(${TextFns.sql.keepIn("w", Stopwords)}) AS stop_hits,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, stop_hits,
+         |  round(CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0), 6) AS stop_ratio,
+         |  round(CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0), 6) AS mean_token_len,
+         |  round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
+         |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
+         |      6) AS quality_score
+         |FROM feat ORDER BY doc_id""".stripMargin,
+    "q19_lang_id" -> {
+      val scores = LangMarkers.map { case (l, ms) =>
+        s"len(${TextFns.sql.keepIn("w", ms)}) AS s_$l" }.mkString(",\n    ")
+      val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pred = LangMarkers.init
+        .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", s" ELSE '${LangMarkers.last._1}' END")
+      s"""$toksCte, scored AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM toks)
+         |SELECT scored.*, $pred AS pred_lang FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q20_fingerprint" ->
+      s"""WITH normd AS (
+         |  SELECT doc_id, trim(regexp_replace(
+         |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS fp_md5,
+         |  CAST(('0x' || substring(md5(norm),1,15)) AS UBIGINT) AS fp60,
+         |  list_min(list_transform(range(length(norm) - 7),
+         |    i -> ${TextFns.sql.hash32("substring(norm, CAST(i AS INT) + 1, 8)")})) AS min_gram_hash
+         |FROM normd ORDER BY doc_id""".stripMargin)
+}

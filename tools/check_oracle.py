@@ -1,6 +1,7 @@
 import duckdb, glob, json, math, sys
-sf = "/root/testdata/sf0.01"
-out = "/root/repo/target/verify_local"
+import sys
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_local"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
