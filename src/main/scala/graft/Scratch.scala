@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.streaming.EventStream
 
 /** Dev-only probe harness (not part of the driver contract). */
 object Scratch {
@@ -12,17 +12,24 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val feats = Multimodal.decodeFeatures(
-      Multimodal.payloads(spark, "/root/testdata/sf0.001"))
-    val n = feats.count()
-    val f0 = feats.filter(_.doc_id == 0L).head()
-    println(s"[probe] decodeFeatures rows=$n doc0: bytes=${f0.n_bytes} w=${f0.width} h=${f0.height} hist=${f0.histogram.map(x => f"$x%.3f").mkString(",")}")
-    println(s"[probe] hist sums to ${f0.histogram.sum}")
-    // edge: empty payload through the same pipeline
-    val empty = Seq((99L, Array.emptyByteArray)).toDF("doc_id", "payload")
-    val fe = Multimodal.decodeFeatures(empty).head()
-    println(s"[probe] empty payload: bytes=${fe.n_bytes} w=${fe.width} h=${fe.height} hist=${fe.histogram.mkString(",")}")
+    val sf = "/root/testdata/sf0.001"
+
+    // drive the streaming surface end-to-end
+    val q = EventStream.runAvailableNow(spark, sf, "probe_stream")
+    println(s"[probe] stream status=${q.status.message} isActive=${q.isActive}")
+    val t = spark.table("probe_stream")
+    println(s"[probe] streamed rows=${t.count()}")
+    t.orderBy("window_start", "event_type").show(4, false)
+
+    // probe: run it twice into a fresh sink — same result? (restartability)
+    EventStream.runAvailableNow(spark, sf, "probe_stream2")
+    val again = spark.table("probe_stream2").count()
+    println(s"[probe] second run rows=$again (first=${t.count()})")
+
+    // refactored query surface still serves the driver contract
+    val e = SparkEntry.entry(spark)
+    println(s"[probe] entry rows=${e.count()}")
+    println(s"[probe] q24 via refactored core rows=${SparkEntry.queries("q24_ngram_jaccard")(spark, sf).count()}")
     spark.stop()
   }
 }

@@ -45,7 +45,10 @@ object Dedup {
 
   /** q21 — exact dedup summary: docs grouped by normalized-text md5. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exactDedupFrom(Tables.documents(spark, dir))
+
+  def exactDedupFrom(docs: DataFrame): DataFrame =
+    docs
       .select(md5(normText).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("c"))
       .agg(
@@ -57,9 +60,12 @@ object Dedup {
   /** Per-doc (band_id, band_key) rows: minhash signature split into
     * bands, each band keyed by the md5 of its concatenated minhashes.
     */
-  private def bands(spark: SparkSession, dir: String): DataFrame = {
+  private def bands(spark: SparkSession, dir: String): DataFrame =
+    bandsFrom(Tables.documents(spark, dir))
+
+  def bandsFrom(docs: DataFrame): DataFrame = {
     val sh = TextFns.shingles2(TextFns.toks(col("text")))
-    val mh = Tables.documents(spark, dir)
+    val mh = docs
       .select(col("doc_id"), sh.as("shingles"))
       .select(col("doc_id") +:
         (0 until NumHashes).map(j => TextFns.minhash(col("shingles"), j).as(s"mh$j")): _*)
@@ -91,8 +97,10 @@ object Dedup {
   }
 
   /** Distinct candidate pairs sharing at least one LSH band bucket. */
-  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(spark, dir)
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairsFrom(bands(spark, dir))
+
+  def candidatePairsFrom(b: DataFrame): DataFrame = {
     b.alias("a")
       .join(b.alias("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -117,8 +125,11 @@ object Dedup {
     * token hashes (+1 when the bit is set, −1 when clear; bit b of the
     * signature is 1 iff the vote is positive).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrom(Tables.documents(spark, dir))
+
+  def simhashFrom(docs: DataFrame): DataFrame = {
+    val th = docs
       .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("tok"))
       .select(col("doc_id"), TextFns.hash32(col("tok")).as("h"))
     val votes = (0 until SimBits).map(b =>
@@ -134,11 +145,14 @@ object Dedup {
   /** q24 — n-gram Jaccard verification of the LSH candidates: exact
     * similarity on distinct word-bigram sets, thresholded.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrom(Tables.documents(spark, dir))
+
+  def ngramJaccardFrom(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"),
         array_distinct(TextFns.shingles2(TextFns.toks(col("text")))).as("sh"))
-    candidatePairs(spark, dir)
+    candidatePairsFrom(bandsFrom(docs))
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -23,9 +23,12 @@ import graft.sources.Tables
 object Events {
 
   /** q27 — tumbling 5-minute windows per event type. */
-  def eventWindows(spark: SparkSession, dir: String): DataFrame = {
+  def eventWindows(spark: SparkSession, dir: String): DataFrame =
+    eventWindowsFrom(Tables.events(spark, dir))
+
+  def eventWindowsFrom(events: DataFrame): DataFrame = {
     val sumVal = sum(col("value").cast(DecimalType(12, 2))).cast("double")
-    Tables.events(spark, dir)
+    events
       .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sumVal.as("sum_value"),
         (sumVal / count(lit(1))).as("avg_value"))
@@ -38,10 +41,13 @@ object Events {
     * Extraction via regexp (shared dialect with the oracle); cast
     * guarded for ANSI mode.
     */
-  def propStats(spark: SparkSession, dir: String): DataFrame = {
+  def propStats(spark: SparkSession, dir: String): DataFrame =
+    propStatsFrom(Tables.events(spark, dir))
+
+  def propStatsFrom(events: DataFrame): DataFrame = {
     val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
     val k = when(raw === "", lit(null)).otherwise(raw).cast("int")
-    Tables.events(spark, dir)
+    events
       .select(col("event_type"), col("user_id"), k.as("k"))
       .groupBy("event_type")
       .agg(
@@ -55,10 +61,13 @@ object Events {
   /** q29 — highest-value event per user (deterministic tie-break on
     * ts, event_id).
     */
-  def topEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+  def topEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    topEventPerUserFrom(Tables.events(spark, dir))
+
+  def topEventPerUserFrom(events: DataFrame): DataFrame = {
     val rn = row_number().over(Window.partitionBy("user_id")
       .orderBy(desc("value"), asc("ts"), asc("event_id")))
-    Tables.events(spark, dir)
+    events
       .withColumn("rn", rn).filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type", "value", "ts")
       .orderBy("user_id")

@@ -62,8 +62,11 @@ object Similarity {
   }
 
   /** q25 — exact brute-force cosine top-k per query vector. */
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    knnBruteFrom(Tables.embeddings(spark, dir))
+
+  def knnBruteFrom(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
     val scored = e.crossJoin(broadcast(queriesOf(e)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -82,11 +85,14 @@ object Similarity {
   /** q26 — SRP-LSH bucketed ANN: bucket by hyperplane sign bits, exact
     * cosine re-rank within the bucket.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshFrom(Tables.embeddings(spark, dir))
+
+  def annLshFrom(embeddings: DataFrame): DataFrame = {
     val bucket = (0 until NumPlanes)
       .map(p => when(dotSeq(col("emb"), planeVec(p)) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
-    val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", bucket)
+    val e = withNorm(embeddings).withColumn("bucket", bucket)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))

@@ -31,10 +31,19 @@ object SupplierPerf {
   val OnTimeDays = 30
 
   /** Q4 analog — per-supplier KPI table (reference compute_kpis.py:24-74). */
-  def kpis(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.supplier(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+  def kpis(spark: SparkSession, dir: String): DataFrame =
+    kpisFrom(
+      Tables.supplier(spark, dir),
+      Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir))
+
+  /** DataFrame-core of [[kpis]] — the library API for caller-supplied
+    * relations (and the unit-test seam).
+    */
+  def kpisFrom(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val s = supplier
+    val l = lineitem
+    val o = orders.select("o_orderkey", "o_orderdate")
 
     val delay = datediff(col("l_shipdate"), col("o_orderdate"))
     val facts = s
@@ -94,8 +103,13 @@ object SupplierPerf {
     * composite performance (mean of 4 norms) and
     * `risk = 0.7·(1-performance) + 0.3·(1-norm_acctbal)`.
     */
-  def risk(spark: SparkSession, dir: String): DataFrame = {
-    val k = kpis(spark, dir)
+  def risk(spark: SparkSession, dir: String): DataFrame =
+    riskFrom(kpis(spark, dir))
+
+  /** DataFrame-core of [[risk]]: normalize + score a KPI relation
+    * (computed by [[kpisFrom]] or read back from a materialized table).
+    */
+  def riskFrom(k: DataFrame): DataFrame = {
     val bounds = k.agg(
       min("on_time_rate").as("min_ot"), max("on_time_rate").as("max_ot"),
       min("avg_ship_delay_days").as("min_dl"), max("avg_ship_delay_days").as("max_dl"),

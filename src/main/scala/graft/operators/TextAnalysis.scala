@@ -34,10 +34,13 @@ object TextAnalysis {
   private val RePat = "\\w+|[^\\w\\s]"
 
   /** q17 — token counting: whitespace tokens, regex tokens, char stats. */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsFrom(Tables.documents(spark, dir))
+
+  def tokenStatsFrom(docs: DataFrame): DataFrame = {
     val w = TextFns.toks(col("text"))
     val nonspace = length(regexp_replace(col("text"), "\\s", ""))
-    Tables.documents(spark, dir).select(
+    docs.select(
         col("doc_id"),
         size(w).as("n_tokens_ws"),
         regexp_count(col("text"), lit(RePat)).as("n_tokens_re"),
@@ -49,8 +52,11 @@ object TextAnalysis {
   /** q18 — quality scoring: length / stopword-ratio / word-length blend,
     * each ratio a single exact-int division (deterministic doubles).
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreFrom(Tables.documents(spark, dir))
+
+  def qualityScoreFrom(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
         length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
@@ -72,9 +78,12 @@ object TextAnalysis {
   /** q19 — language ID: stopword-marker hit counts per candidate
     * language, argmax with fixed priority tie-break.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdFrom(Tables.documents(spark, dir))
+
+  def langIdFrom(docs: DataFrame): DataFrame = {
     val w = TextFns.toks(col("text"))
-    val scored = Tables.documents(spark, dir).select(
+    val scored = docs.select(
       col("doc_id") +: col("lang") +:
         LangMarkers.map { case (l, ms) => size(TextFns.keepIn(w, ms)).as(s"s_$l") }: _*)
     val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
@@ -89,13 +98,16 @@ object TextAnalysis {
     * 8-grams (the minimum salted hash across all 8-char windows — the
     * scale-safe per-row piece of a winnowing index).
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintFrom(Tables.documents(spark, dir))
+
+  def fingerprintFrom(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
     val grams = when(length(col("norm")) < 8, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), length(col("norm")) - 7),
         i => substring(col("norm"), i, lit(8))))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), norm.as("norm"))
       .select(
         col("doc_id"),

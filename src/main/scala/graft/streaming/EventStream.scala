@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table: the streaming
+  * twin of the batch operators in `graft.operators.Events`.
+  *
+  * Design:
+  *  - event-time = `ts` with a 10-minute watermark: late rows beyond the
+  *    watermark are dropped, state for closed windows is reclaimed — the
+  *    requirement for unbounded runs at scale;
+  *  - tumbling 5-minute windows keyed (window, event_type) — identical
+  *    semantics to the batch q27, so the batch oracle doubles as the
+  *    streaming correctness reference under Trigger.AvailableNow;
+  *  - `dropDuplicatesWithinWatermark` on event_id bounds dedup state the
+  *    same way (exactly-once per event id within the lateness horizon);
+  *  - sinks append mode: only finalized windows emit, so downstream
+  *    consumers never see retractions.
+  *
+  * The parquet fixture stores `ts` as TIMESTAMP(NANOS); streaming reads
+  * use an explicit schema with a long `ts_nanos` and convert via integer
+  * div — same path as the batch `Tables` loader.
+  */
+object EventStream {
+
+  /** Explicit read schema (streaming sources do not infer). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as nanos-since-epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded source over a directory of event parquet files. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming q27: watermarked tumbling-window rates per event type. */
+  def windowedRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the windowed-rate stream over all data currently in `dir` and
+    * block until drained (Trigger.AvailableNow) — batch-equivalent
+    * semantics, used by tests and backfills. Results land in the
+    * `tableName` in-memory sink table.
+    */
+  def runAvailableNow(spark: SparkSession, dir: String, tableName: String): StreamingQuery = {
+    val q = windowedRates(source(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

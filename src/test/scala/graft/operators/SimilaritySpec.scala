@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(parts: (Int, Float)*): Array[Float] = {
+    val a = new Array[Float](64)
+    parts.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  private def emb(rows: (Long, Array[Float])*): DataFrame =
+    rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  // 0 and 1 nearly parallel; 2 orthogonal to both; 3 anti-parallel to 0
+  private val corpus = emb(
+    (0L, vec(0 -> 1.0f)),
+    (1L, vec(0 -> 1.0f, 1 -> 0.1f)),
+    (2L, vec(1 -> 1.0f)),
+    (3L, vec(0 -> -1.0f)))
+
+  describe("knnBrute (q25)") {
+    it("ranks the nearly-parallel vector first and anti-parallel last") {
+      val rows = Similarity.knnBruteFrom(corpus)
+        .filter($"query_id" === 0L).collect()
+      val ranked = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(ranked == Seq(1L, 2L, 3L))
+      val cos = rows.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+      assert(math.abs(cos(1L) - 1.0 / math.sqrt(1.01)) < 1e-6)
+      assert(cos(2L) == 0.0)
+      assert(cos(3L) == -1.0)
+    }
+
+    it("never returns a vector as its own neighbor") {
+      val rows = Similarity.knnBruteFrom(corpus).collect()
+      assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  describe("annLsh (q26)") {
+    it("buckets identical vectors together and finds them") {
+      val twin = emb(
+        (0L, vec(0 -> 1.0f, 5 -> 2.0f)),
+        (1L, vec(0 -> 1.0f, 5 -> 2.0f)), // identical to 0
+        (2L, vec(7 -> 1.0f, 30 -> -3.0f)))
+      val rows = Similarity.annLshFrom(twin).collect()
+      val q0 = rows.filter(_.getAs[Long]("query_id") == 0L)
+      assert(q0.exists(r => r.getAs[Long]("neighbor_id") == 1L &&
+        r.getAs[Double]("cosine") == 1.0))
+    }
+
+    it("only pairs vectors within the same bucket") {
+      val rows = Similarity.annLshFrom(corpus).collect()
+      // bucket of the neighbor is reported; recompute query buckets by id
+      val bucketOf = rows.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("bucket")).toMap
+      rows.foreach { r =>
+        bucketOf.get(r.getAs[Long]("query_id")).foreach { qb =>
+          assert(r.getAs[Int]("bucket") == qb)
+        }
+      }
+    }
+  }
+}

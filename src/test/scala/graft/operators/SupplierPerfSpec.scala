@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+import graft.sources.Tables
+
+class SupplierPerfSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def supplierDf(rows: (Long, String, Int, Double)*): DataFrame =
+    rows.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  private def lineDf(rows: (Long, Long, Double, Double, Double, String, Timestamp)*): DataFrame =
+    rows.toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate")
+
+  private def ordersDf(rows: (Long, Timestamp)*): DataFrame =
+    rows.toDF("o_orderkey", "o_orderdate")
+
+  describe("kpis (q04)") {
+    it("keeps one row per supplier present in the join") {
+      val k = SupplierPerf.kpis(spark, sf)
+      val expected = Tables.supplier(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .select("s_suppkey").distinct().count()
+      assert(k.count() == expected)
+    }
+
+    it("bounds rates to [0,1] and keeps n_lines positive") {
+      val rows = SupplierPerf.kpis(spark, sf).collect()
+      rows.foreach { r =>
+        val ot = r.getAs[Double]("on_time_rate")
+        val rr = r.getAs[Double]("return_rate")
+        assert(ot >= 0.0 && ot <= 1.0)
+        assert(rr >= 0.0 && rr <= 1.0)
+        assert(r.getAs[Long]("n_lines") > 0)
+      }
+    }
+
+    it("computes exact aggregates on a hand-checked single supplier") {
+      // two lines: one on time (delay 10d, returned), one late (delay 40d)
+      val k = SupplierPerf.kpisFrom(
+        supplierDf((1L, "s1", 0, 100.0)),
+        lineDf(
+          (10L, 1L, 5.0, 100.0, 0.10, "R", ts("2024-02-11 00:00:00")),
+          (11L, 1L, 3.0, 200.0, 0.00, "N", ts("2024-03-12 00:00:00"))),
+        ordersDf((10L, ts("2024-02-01 00:00:00")), (11L, ts("2024-02-01 00:00:00"))))
+        .collect()(0)
+      assert(k.getAs[Double]("on_time_rate") == 0.5)
+      assert(k.getAs[Double]("avg_ship_delay_days") == 25.0)
+      assert(k.getAs[Double]("return_rate") == 0.5)
+      assert(k.getAs[Double]("total_qty") == 8.0)
+      assert(k.getAs[Double]("returned_qty_ratio") == 5.0 / 8.0)
+      assert(k.getAs[Double]("revenue") == 100.0 * 0.9 + 200.0)
+      assert(k.getAs[Long]("n_lines") == 2L)
+    }
+
+    it("yields NULL returned_qty_ratio when total quantity is zero") {
+      val k = SupplierPerf.kpisFrom(
+        supplierDf((1L, "s1", 0, 100.0)),
+        lineDf((10L, 1L, 0.0, 50.0, 0.0, "N", ts("2024-01-05 00:00:00"))),
+        ordersDf((10L, ts("2024-01-01 00:00:00"))))
+        .collect()(0)
+      assert(k.isNullAt(k.fieldIndex("returned_qty_ratio")))
+    }
+
+    it("returns no rows for suppliers with no lineitems (inner join)") {
+      val k = SupplierPerf.kpisFrom(
+        supplierDf((1L, "s1", 0, 100.0), (2L, "s2", 0, 50.0)),
+        lineDf((10L, 1L, 1.0, 10.0, 0.0, "N", ts("2024-01-05 00:00:00"))),
+        ordersDf((10L, ts("2024-01-01 00:00:00"))))
+      assert(k.select("s_suppkey").as[Long].collect().toSeq == Seq(1L))
+    }
+  }
+
+  describe("risk (q07)") {
+    it("guards degenerate min=max bounds with norm = 1.0") {
+      val single = SupplierPerf.riskFrom(
+        SupplierPerf.kpisFrom(
+          supplierDf((1L, "s1", 0, 100.0)),
+          lineDf((10L, 1L, 1.0, 10.0, 0.0, "N", ts("2024-01-05 00:00:00"))),
+          ordersDf((10L, ts("2024-01-01 00:00:00")))))
+        .collect()(0)
+      Seq("norm_on_time", "norm_delay", "norm_return", "norm_revenue", "norm_acctbal")
+        .foreach(c => assert(single.getAs[Double](c) == 1.0, c))
+      assert(single.getAs[Double]("performance_score") == 1.0)
+      assert(single.getAs[Double]("risk_score") == 0.0)
+    }
+
+    it("keeps risk in [0,1] and decreasing in performance on real data") {
+      val rows = SupplierPerf.risk(spark, sf)
+        .select("performance_score", "risk_score", "norm_acctbal").collect()
+      rows.foreach { r =>
+        val risk = r.getAs[Double]("risk_score")
+        assert(risk >= 0.0 && risk <= 1.0)
+        val recomputed = 0.7 * (1.0 - r.getAs[Double]("performance_score")) +
+          0.3 * (1.0 - r.getAs[Double]("norm_acctbal"))
+        assert(risk == recomputed)
+      }
+    }
+
+    it("norm columns stay within [0,1] on real data") {
+      SupplierPerf.risk(spark, sf)
+        .select("norm_on_time", "norm_delay", "norm_return", "norm_revenue", "norm_acctbal")
+        .collect()
+        .foreach(r => (0 until 5).foreach { i =>
+          assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+        })
+    }
+  }
+}

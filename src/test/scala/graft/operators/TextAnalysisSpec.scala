@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  describe("tokenStats (q17)") {
+    it("counts whitespace and regex tokens") {
+      val r = TextAnalysis.tokenStatsFrom(docs((1L, "Hello, world! 42"))).collect()(0)
+      assert(r.getAs[Int]("n_tokens_ws") == 3)
+      // Hello , world ! 42
+      assert(r.getAs[Int]("n_tokens_re") == 5)
+      assert(r.getAs[Int]("len_chars") == 16)
+      // round(14/3, 6) — HALF_UP on the 6th decimal
+      assert(r.getAs[Double]("avg_token_len") == 4.666667)
+    }
+
+    it("collapses repeated whitespace") {
+      val r = TextAnalysis.tokenStatsFrom(docs((1L, "  a   b  "))).collect()(0)
+      assert(r.getAs[Int]("n_tokens_ws") == 2)
+    }
+  }
+
+  describe("qualityScore (q18)") {
+    it("scores all-stopword text lower than contentful text") {
+      val r = TextAnalysis.qualityScoreFrom(docs(
+        (1L, "the a of to and the a of to and"),
+        (2L, "supplier deliveries exceeded quarterly expectations across categories")))
+        .collect()
+      val stopScore = r(0).getAs[Double]("quality_score")
+      val contentScore = r(1).getAs[Double]("quality_score")
+      assert(r(0).getAs[Double]("stop_ratio") == 1.0)
+      assert(r(1).getAs[Double]("stop_ratio") == 0.0)
+      assert(stopScore < contentScore)
+    }
+  }
+
+  describe("langId (q19)") {
+    it("routes marker words to their language") {
+      val r = TextAnalysis.langIdFrom(docs(
+        (1L, "the cat is on the mat"),
+        (2L, "der hund und die katze ist"),
+        (3L, "el perro y la casa los"),
+        (4L, "le chien et les maisons des")))
+        .collect()
+      assert(r.map(_.getAs[String]("pred_lang")).toSeq == Seq("en", "de", "es", "fr"))
+    }
+
+    it("breaks all-zero ties deterministically to the first language") {
+      val r = TextAnalysis.langIdFrom(docs((1L, "xyzzy plugh"))).collect()(0)
+      assert(r.getAs[String]("pred_lang") == "en")
+    }
+  }
+
+  describe("fingerprint (q20)") {
+    it("is invariant to case and punctuation") {
+      val r = TextAnalysis.fingerprintFrom(docs(
+        (1L, "Hello, World  again"), (2L, "hello world again")))
+        .collect()
+      assert(r(0).getAs[String]("fp_md5") == r(1).getAs[String]("fp_md5"))
+      assert(r(0).getAs[Long]("fp60") == r(1).getAs[Long]("fp60"))
+      assert(r(0).getAs[Long]("min_gram_hash") == r(1).getAs[Long]("min_gram_hash"))
+    }
+
+    it("handles text shorter than one 8-gram (null rolling hash)") {
+      val r = TextAnalysis.fingerprintFrom(docs((1L, "hey"))).collect()(0)
+      assert(r.isNullAt(r.fieldIndex("min_gram_hash")))
+      assert(r.getAs[String]("fp_md5").nonEmpty)
+    }
+  }
+}

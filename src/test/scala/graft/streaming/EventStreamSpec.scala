@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+import graft.operators.Events
+
+class EventStreamSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  describe("windowedRates under Trigger.AvailableNow") {
+    it("matches batch q27 for all watermark-closed windows") {
+      EventStream.runAvailableNow(spark, sf, "stream_q27")
+      val streamed = spark.table("stream_q27")
+        .select("window_start", "event_type", "n_events", "sum_value")
+      val batch = Events.eventWindows(spark, sf)
+        .select("window_start", "event_type", "n_events", "sum_value")
+
+      // Append mode only emits windows the watermark has closed: every
+      // streamed row must match batch exactly...
+      assert(streamed.exceptAll(batch).count() == 0)
+      // ...and anything batch-only must sit inside the final watermark
+      // horizon (window end + 10 min lateness > max event time).
+      val maxTs = graft.sources.Tables.events(spark, sf)
+        .agg(max("ts")).collect()(0).getTimestamp(0)
+      val horizon = new java.sql.Timestamp(
+        maxTs.getTime - (10 * 60 + 5 * 60) * 1000L)
+      val missing = batch.exceptAll(streamed)
+      assert(missing.filter(col("window_start") <= horizon).count() == 0)
+      assert(missing.count() <= 8) // at most the trailing unflushed windows
+    }
+  }
+}
