@@ -1,24 +1,114 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.sources.Tables
+
+/** Benchmark main — mirrors the reference's 4-stage architecture
+  * (load → kpis CTAS → risk CTAS → dashboard reads): the KPI and risk
+  * tables are materialized ONCE and every downstream query reads the
+  * materialized relation, exactly like the reference's dashboard reads
+  * `supplier_risk_summary` rather than recomputing it
+  * (compute_kpis.py:27, compute_risk.py:38, dashboard/app.py:41-58).
+  *
+  * Prints one JSON line: headline `value` = wall-clock of the full
+  * pipeline (all stages + all queries, excluding JVM/session startup,
+  * which is reported separately as `startup_sec`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t00 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bench CTAS tables are throwaway: keep them on tmpfs, off the (slow,
+    // stall-prone on this VM) virtio disk, like the shuffle scratch.
+    val wh = "/dev/shm/graft-bench-wh"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val startup = (System.nanoTime() - t00) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gcShare = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def time[A](name: String)(f: => A): A = {
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      System.err.println(s"[bench] start $name")
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      gcShare(name) = (gcMs - g0) / 1e3
+      System.err.println(f"[bench] done  $name ${results(name)}%.2f s")
+      r
+    }
+    def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(name) { df.count() }
+
+    val t0 = System.nanoTime()
+
+    // stage 1: load + integrity (reference load_duckdb.py)
+    run("q01_row_counts") { Integrity.rowCounts(spark, sfDir) }
+    run("q02_orders_without_lines") { Integrity.ordersWithoutLines(spark, sfDir) }
+    run("q03_lines_without_order") { Integrity.linesWithoutOrder(spark, sfDir) }
+
+    // stage 2: KPI CTAS (reference compute_kpis.py)
+    time("q04_supplier_kpis") {
+      SupplierPerf.kpis(spark, sfDir).write.mode("overwrite").parquet(s"$wh/kpis")
+    }
+    val kpisT = spark.read.parquet(s"$wh/kpis")
+    run("q05_bottom5_on_time") { SupplierPerf.bottom5OnTimeFrom(kpisT) }
+    run("q06_top5_delay") { SupplierPerf.top5DelayFrom(kpisT) }
+
+    // stage 3: risk CTAS (reference compute_risk.py)
+    time("q07_supplier_risk") {
+      SupplierPerf.riskFrom(kpisT).write.mode("overwrite").parquet(s"$wh/risk")
+    }
+    val riskT = spark.read.parquet(s"$wh/risk")
+    run("q08_top10_risk") { SupplierPerf.top10RiskFrom(riskT) }
+
+    // stage 4: dashboard reads over the materialized risk table
+    Dashboard.queriesFromRisk(riskT).toSeq.sortBy(_._1).foreach {
+      case (name, df) => run(name) { df }
+    }
+    run("q11_filter_domains") { Dashboard.queries("q11_filter_domains")(spark, sfDir) }
+    run("q16_table_viewer") { Dashboard.queries("q16_table_viewer")(spark, sfDir) }
+
+    // extension surface: text / dedup / similarity / events / multimodal.
+    // Dedup is staged like the reference's CTAS pipeline: candidates are
+    // materialized once and the Jaccard verifier reads them back.
+    (TextAnalysis.queries ++ Similarity.queries ++
+      Events.queries ++ Multimodal.queries).toSeq.sortBy(_._1).foreach {
+      case (name, fn) => run(name) { fn(spark, sfDir) }
+    }
+    run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
+    time("q22_minhash_candidates") {
+      Dedup.minhashCandidates(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$wh/pairs")
+    }
+    run("q23_simhash") { Dedup.simhash(spark, sfDir) }
+    run("q24_ngram_jaccard") {
+      Dedup.ngramJaccardOfPairs(
+        spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
+    }
+
+    val total = (System.nanoTime() - t0) / 1e9
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val gcs = gcShare.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"pipeline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","startup_sec":$startup,"cpus":$cpus,"gc_sec":$gcs}""")
     spark.stop()
   }
 }

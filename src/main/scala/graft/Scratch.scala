@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStream
+import graft.operators.Dedup
+import graft.sources.Tables
 
 /** Dev-only probe harness (not part of the driver contract). */
 object Scratch {
@@ -10,26 +11,42 @@ object Scratch {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.001"
-
-    // drive the streaming surface end-to-end
-    val q = EventStream.runAvailableNow(spark, sf, "probe_stream")
-    println(s"[probe] stream status=${q.status.message} isActive=${q.isActive}")
-    val t = spark.table("probe_stream")
-    println(s"[probe] streamed rows=${t.count()}")
-    t.orderBy("window_start", "event_type").show(4, false)
-
-    // probe: run it twice into a fresh sink — same result? (restartability)
-    EventStream.runAvailableNow(spark, sf, "probe_stream2")
-    val again = spark.table("probe_stream2").count()
-    println(s"[probe] second run rows=$again (first=${t.count()})")
-
-    // refactored query surface still serves the driver contract
-    val e = SparkEntry.entry(spark)
-    println(s"[probe] entry rows=${e.count()}")
-    println(s"[probe] q24 via refactored core rows=${SparkEntry.queries("q24_ngram_jaccard")(spark, sf).count()}")
+    val sf = "/root/testdata/sf0.1"
+    def best(name: String, n: Int)(f: => Long): Unit = {
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      println(f"[scratch] $name: rows=${times.head._2} min=${times.map(_._1).min}%.2f med=${times.map(_._1).sorted.apply(n / 2)}%.2f")
+    }
+    val docs = Tables.documents(spark, sf)
+    best("q22 current (bcast)", 3) {
+      Dedup.candidatePairsFrom(Dedup.bandsFrom(docs)).count()
+    }
+    best("q22 shuffle_hash", 3) {
+      val b = Dedup.bandsFrom(docs)
+      b.alias("a").hint("shuffle_hash")
+        .join(b.alias("b").hint("shuffle_hash"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().count()
+    }
+    best("q22 merge", 3) {
+      val b = Dedup.bandsFrom(docs)
+      b.alias("a").hint("merge")
+        .join(b.alias("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().count()
+    }
     spark.stop()
   }
 }

@@ -28,6 +28,13 @@ object TextFns {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit variant (15 hex chars) — low collision odds for shingle /
+    * fingerprint keys while staying inside a signed 64-bit long on any
+    * engine. Oracle: CAST(('0x' || substring(md5(s),1,15)) AS BIGINT).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Word-bigram shingles; empty array when fewer than 2 tokens (guards
     * Spark's `sequence(0, -1)` descending-sequence footgun).
     */
@@ -52,6 +59,7 @@ object TextFns {
   object sql {
     val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     def hash32(s: String) = s"CAST(('0x' || substring(md5($s),1,8)) AS UBIGINT)"
+    def hash60(s: String) = s"CAST(('0x' || substring(md5($s),1,15)) AS BIGINT)"
     def minhash(shingles: String, j: Int) =
       s"list_min(list_transform($shingles, s -> md5('mh$j|' || s)))"
     def keepIn(w: String, set: Seq[String]) =

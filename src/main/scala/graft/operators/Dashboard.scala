@@ -40,6 +40,46 @@ object Dashboard {
   private def tileAvg(c: String): Column =
     sum(col(c).cast(DecimalType(38, 12))).cast("double") / count(lit(1))
 
+  /** Q9–Q15 over a materialized risk relation — the shape the reference
+    * actually runs (its dashboard reads the CTAS'd `supplier_risk_summary`
+    * table, not a recomputation; dashboard/app.py:41-58). Used by the
+    * staged Bench pipeline.
+    */
+  def queriesFromRisk(risk: DataFrame): Map[String, DataFrame] = {
+    val filt = risk.filter(col("s_nationkey") === FilterNation &&
+      col("n_lines").between(NLinesLo, NLinesHi))
+    Map(
+      "q09_dashboard_base" -> risk
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal",
+          "on_time_rate", "avg_ship_delay_days", "return_rate", "revenue",
+          "n_lines", "norm_acctbal", "performance_score", "risk_score")
+        .orderBy(desc("risk_score"), asc("s_suppkey")),
+      "q10_presentation" -> risk
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("on_time_rate") * 100, 1).as("on_time_rate_pct"),
+          round(col("return_rate") * 100, 1).as("return_rate_pct"),
+          round(col("avg_ship_delay_days"), 2).as("avg_ship_delay_days"),
+          round(col("performance_score"), 3).as("performance_score"),
+          round(col("risk_score"), 3).as("risk_score"))
+        .orderBy(desc("risk_score"), asc("s_suppkey")),
+      "q12_filtered_risk" -> filt
+        .select("s_suppkey", "s_name", "s_nationkey", "n_lines", "risk_score")
+        .orderBy("s_suppkey"),
+      "q13_kpi_tiles" -> filt.agg(
+        count(lit(1)).as("n_suppliers"),
+        tileAvg("risk_score").as("avg_risk"),
+        (tileAvg("on_time_rate") * 100).as("avg_on_time_pct"),
+        (tileAvg("return_rate") * 100).as("avg_return_pct")),
+      "q14_topn_risk" -> filt
+        .select("s_suppkey", "s_name", "risk_score", "performance_score")
+        .orderBy(desc("risk_score"), asc("s_suppkey"))
+        .limit(10),
+      "q15_drilldown" -> risk
+        .filter(col("s_name") === "Supplier#000000003")
+        .orderBy("s_suppkey")
+        .limit(1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q9 — dashboard base projection, risk-ranked (app.py:41-58).
     "q09_dashboard_base" -> ((spark, dir) =>

@@ -43,10 +43,14 @@ object Similarity {
   private def dotSeq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** embedding cast to double + its L2 norm (per-row, deterministic). */
+  /** embedding cast to double + its L2 norm (per-row, deterministic).
+    * Repartitioned first: the embeddings table is a single parquet file
+    * → one scan partition, and the (interpreted) higher-order vector
+    * math would otherwise run single-core.
+    */
   private def withNorm(df: DataFrame): DataFrame = {
     val emb = col("embedding").cast("array<double>")
-    df.select(col("vec_id"), emb.as("emb"))
+    df.repartition(col("vec_id")).select(col("vec_id"), emb.as("emb"))
       .withColumn("nrm", sqrt(dotSeq(col("emb"), col("emb"))))
   }
 

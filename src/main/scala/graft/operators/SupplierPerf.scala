@@ -174,26 +174,32 @@ object SupplierPerf {
        |  FROM perf
        |)""".stripMargin
 
+  /** Q5 analog over a (possibly materialized) KPI relation. */
+  def bottom5OnTimeFrom(k: DataFrame): DataFrame =
+    k.select("s_suppkey", "s_name", "on_time_rate", "avg_ship_delay_days")
+      .orderBy(asc("on_time_rate"), asc("s_suppkey"))
+      .limit(5)
+
+  /** Q6 analog over a (possibly materialized) KPI relation. */
+  def top5DelayFrom(k: DataFrame): DataFrame =
+    k.select("s_suppkey", "s_name", "avg_ship_delay_days", "on_time_rate")
+      .orderBy(desc("avg_ship_delay_days"), asc("s_suppkey"))
+      .limit(5)
+
+  /** Q8 analog over a (possibly materialized) risk relation. */
+  def top10RiskFrom(r: DataFrame): DataFrame =
+    r.select("s_suppkey", "s_name", "s_nationkey", "on_time_rate",
+        "avg_ship_delay_days", "return_rate", "revenue",
+        "performance_score", "risk_score")
+      .orderBy(desc("risk_score"), asc("s_suppkey"))
+      .limit(10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q04_supplier_kpis" -> (kpis _),
-    "q05_bottom5_on_time" -> ((spark, dir) =>
-      kpis(spark, dir)
-        .select("s_suppkey", "s_name", "on_time_rate", "avg_ship_delay_days")
-        .orderBy(asc("on_time_rate"), asc("s_suppkey"))
-        .limit(5)),
-    "q06_top5_delay" -> ((spark, dir) =>
-      kpis(spark, dir)
-        .select("s_suppkey", "s_name", "avg_ship_delay_days", "on_time_rate")
-        .orderBy(desc("avg_ship_delay_days"), asc("s_suppkey"))
-        .limit(5)),
+    "q05_bottom5_on_time" -> ((spark, dir) => bottom5OnTimeFrom(kpis(spark, dir))),
+    "q06_top5_delay" -> ((spark, dir) => top5DelayFrom(kpis(spark, dir))),
     "q07_supplier_risk" -> (risk _),
-    "q08_top10_risk" -> ((spark, dir) =>
-      risk(spark, dir)
-        .select("s_suppkey", "s_name", "s_nationkey", "on_time_rate",
-          "avg_ship_delay_days", "return_rate", "revenue",
-          "performance_score", "risk_score")
-        .orderBy(desc("risk_score"), asc("s_suppkey"))
-        .limit(10)))
+    "q08_top10_risk" -> ((spark, dir) => top10RiskFrom(risk(spark, dir))))
 
   val oracle: Map[String, String] = Map(
     "q04_supplier_kpis" ->

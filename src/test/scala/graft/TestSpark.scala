@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.local.dir", "/dev/shm/spark-scratch")
     .getOrCreate()
 
   val Sf = "/root/testdata/sf0.001"
