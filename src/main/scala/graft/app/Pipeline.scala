@@ -1,0 +1,95 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.DataGen
+import graft.operators.SupplierDomain
+import graft.sources.SupplierCsv
+
+/** The reference's 4-stage batch pipeline, Spark-native: generate →
+  * load → kpis → risk, with the same restartable file-handoff contract
+  * (dags/supplier_pipeline_dag.py:37-57; any stage can rerun from its
+  * predecessor's output on disk) and drop-and-recreate idempotency
+  * (`SaveMode.Overwrite` ↔ the reference's DROP TABLE IF EXISTS,
+  * load_duckdb.py:32-36).
+  *
+  * Run all stages: `runMain graft.app.Pipeline <workDir>` — or a single
+  * stage: `runMain graft.app.Pipeline <workDir> <stage>`.
+  */
+object Pipeline {
+
+  def generate(spark: SparkSession, dir: String,
+      nSuppliers: Int = 15, nPos: Int = 600, seed: Long = 42L): Unit = {
+    val s = DataGen.suppliers(spark, nSuppliers, seed)
+    val po = DataGen.purchaseOrders(spark, nPos, nSuppliers, seed)
+    SupplierCsv.write(s, s"$dir/csv/suppliers")
+    SupplierCsv.write(po, s"$dir/csv/purchase_orders")
+    SupplierCsv.write(DataGen.deliveries(po, s, seed), s"$dir/csv/deliveries")
+  }
+
+  /** CSV → parquet warehouse + the reference's integrity checks
+    * (row counts, orphans in both directions — load_duckdb.py:98-128).
+    * Returns (rowCounts, orphanPos, orphanDeliveries).
+    */
+  def load(spark: SparkSession, dir: String): (Map[String, Long], Long, Long) = {
+    val tables = SupplierCsv.schemas.keys.map { t =>
+      val df = SupplierCsv.read(spark, s"$dir/csv/$t", t)
+      df.write.mode("overwrite").parquet(s"$dir/wh/$t")
+      t -> spark.read.parquet(s"$dir/wh/$t").count()
+    }.toMap
+    val po = spark.read.parquet(s"$dir/wh/purchase_orders")
+    val d = spark.read.parquet(s"$dir/wh/deliveries")
+    (tables,
+      SupplierDomain.posWithoutDelivery(po, d),
+      SupplierDomain.deliveriesWithoutPo(d, po))
+  }
+
+  /** `supplier_kpis` CTAS (compute_kpis.py). */
+  def kpis(spark: SparkSession, dir: String): DataFrame = {
+    val k = SupplierDomain.kpis(
+      spark.read.parquet(s"$dir/wh/suppliers"),
+      spark.read.parquet(s"$dir/wh/purchase_orders"),
+      spark.read.parquet(s"$dir/wh/deliveries"))
+    k.write.mode("overwrite").parquet(s"$dir/wh/supplier_kpis")
+    spark.read.parquet(s"$dir/wh/supplier_kpis")
+  }
+
+  /** `supplier_risk_summary` CTAS (compute_risk.py). */
+  def risk(spark: SparkSession, dir: String): DataFrame = {
+    val r = SupplierDomain.risk(spark.read.parquet(s"$dir/wh/supplier_kpis"))
+    r.write.mode("overwrite").parquet(s"$dir/wh/supplier_risk_summary")
+    spark.read.parquet(s"$dir/wh/supplier_risk_summary")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/pipeline")
+    val stage = if (args.length > 1) args(1) else "all"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def stageGenerate(): Unit = { generate(spark, dir); println(s"[pipeline] generated → $dir/csv") }
+    def stageLoad(): Unit = {
+      val (counts, orphanPo, orphanD) = load(spark, dir)
+      println(s"[pipeline] loaded: $counts; orphan POs=$orphanPo orphan deliveries=$orphanD")
+      require(orphanPo == 0 && orphanD == 0, "referential integrity violated")
+    }
+    def stageKpis(): Unit = println(s"[pipeline] supplier_kpis rows=${kpis(spark, dir).count()}")
+    def stageRisk(): Unit = println(s"[pipeline] supplier_risk_summary rows=${risk(spark, dir).count()}")
+
+    stage match {
+      case "generate" => stageGenerate()
+      case "load" => stageLoad()
+      case "kpis" => stageKpis()
+      case "risk" => stageRisk()
+      case "all" => stageGenerate(); stageLoad(); stageKpis(); stageRisk()
+      case other => sys.error(s"unknown stage '$other' (generate|load|kpis|risk|all)")
+    }
+    spark.stop()
+  }
+}
