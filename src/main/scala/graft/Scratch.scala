@@ -1,8 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
-import graft.sources.Tables
+import graft.plans.GraftFunctions
 
 /** Dev-only probe harness (not part of the driver contract). */
 object Scratch {
@@ -12,41 +11,37 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-scratch")
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.1"
+    GraftFunctions.register(spark)
     def best(name: String, n: Int)(f: => Long): Unit = {
       val times = (1 to n).map { _ =>
-        val t0 = System.nanoTime(); val r = f
-        ((System.nanoTime() - t0) / 1e9, r)
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"[scratch] $name: rows=${times.head._2} min=${times.map(_._1).min}%.2f med=${times.map(_._1).sorted.apply(n / 2)}%.2f")
+      println(f"[scratch] $name: min=${times.min}%.2f med=${times.sorted.apply(n / 2)}%.2f")
     }
-    val docs = Tables.documents(spark, sf)
-    best("q22 current (bcast)", 3) {
-      Dedup.candidatePairsFrom(Dedup.bandsFrom(docs)).count()
+    // micro-bench: fused expression vs composed higher-order, all-pairs
+    // cosine over 2000 vectors (4M pairs x 64 dims)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("ida"), col("emb").as("a"))
+    val b = e.select(col("vec_id").as("idb"), col("emb").as("b"))
+    def dot(x: String, y: String) =
+      aggregate(zip_with(col(x), col(y), (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    best("all-pairs fused codegen", 3) {
+      a.crossJoin(b).select(call_function("cosine_similarity", col("a"), col("b")).as("c"))
+        .agg(sum("c")).collect(); 0L
     }
-    best("q22 shuffle_hash", 3) {
-      val b = Dedup.bandsFrom(docs)
-      b.alias("a").hint("shuffle_hash")
-        .join(b.alias("b").hint("shuffle_hash"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().count()
+    best("all-pairs composed HOF", 3) {
+      a.crossJoin(b).select((dot("a", "b") / (sqrt(dot("a", "a")) * sqrt(dot("b", "b")))).as("c"))
+        .agg(sum("c")).collect(); 0L
     }
-    best("q22 merge", 3) {
-      val b = Dedup.bandsFrom(docs)
-      b.alias("a").hint("merge")
-        .join(b.alias("b"),
-          col("a.band_id") === col("b.band_id") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().count()
-    }
+    // confirm codegen: plan should show no CodegenFallback for the call
+    val plan = a.crossJoin(b)
+      .select(call_function("cosine_similarity", col("a"), col("b")).as("c"))
+      .queryExecution.executedPlan.toString
+    println("[scratch] wholestage codegen present: " + plan.contains("WholeStageCodegen"))
     spark.stop()
   }
 }

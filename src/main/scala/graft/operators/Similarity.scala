@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.plans.GraftFunctions
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float
@@ -43,20 +44,26 @@ object Similarity {
   private def dotSeq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** embedding cast to double + its L2 norm (per-row, deterministic).
-    * Repartitioned first: the embeddings table is a single parquet file
-    * → one scan partition, and the (interpreted) higher-order vector
-    * math would otherwise run single-core.
+  /** embedding cast to double, repartitioned: the embeddings table is a
+    * single parquet file → one scan partition, and per-row vector math
+    * would otherwise run single-core.
     */
-  private def withNorm(df: DataFrame): DataFrame = {
-    val emb = col("embedding").cast("array<double>")
-    df.repartition(col("vec_id")).select(col("vec_id"), emb.as("emb"))
-      .withColumn("nrm", sqrt(dotSeq(col("emb"), col("emb"))))
+  private def embDouble(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
   }
+
+  /** Fused codegen cosine (graft.plans.CosineSimilarity) — bit-equal to
+    * `dotSeq(a,b) / (sqrt(dotSeq(a,a)) * sqrt(dotSeq(b,b)))` but one
+    * generated loop instead of three interpreted higher-order passes.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
 
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val rn = row_number().over(
@@ -70,11 +77,11 @@ object Similarity {
     knnBruteFrom(Tables.embeddings(spark, dir))
 
   def knnBruteFrom(embeddings: DataFrame): DataFrame = {
-    val e = withNorm(embeddings)
+    val e = embDouble(embeddings)
     val scored = e.crossJoin(broadcast(queriesOf(e)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dotSeq(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 9).as("cosine"))
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
     topK(scored, K)
   }
 
@@ -96,14 +103,14 @@ object Similarity {
     val bucket = (0 until NumPlanes)
       .map(p => when(dotSeq(col("emb"), planeVec(p)) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
-    val e = withNorm(embeddings).withColumn("bucket", bucket)
+    val e = embDouble(embeddings).withColumn("bucket", bucket)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        col("bucket").as("q_bucket"))
     val scored = e.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        round(dotSeq(col("q_emb"), col("emb")) / (col("q_nrm") * col("nrm")), 9).as("cosine"))
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
     val rn = row_number().over(
       Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id")))
     scored.withColumn("rank", rn).filter(col("rank") <= K)
