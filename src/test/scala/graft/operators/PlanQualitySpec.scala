@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Physical-plan quality gates: these assert the optimizer behaviors the
+  * engine's 100 TB design depends on. A regression here (a lost
+  * broadcast, a filter that stops reaching the scan, a widened
+  * ReadSchema) can stay correctness-green while silently costing an
+  * order of magnitude at scale.
+  */
+class PlanQualitySpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  describe("q04 supplier kpis") {
+    it("broadcasts both dimension sides of the 3-way join") {
+      assert(plan("q04_supplier_kpis").split("BroadcastHashJoin").length - 1 == 2)
+    }
+
+    it("prunes unused lineitem columns at the parquet scan") {
+      val lineScan = plan("q04_supplier_kpis").linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("lineitem")).mkString
+      assert(lineScan.contains("ReadSchema"))
+      assert(!lineScan.contains("l_tax"), "l_tax must be pruned")
+      assert(!lineScan.contains("l_linenumber"), "l_linenumber must be pruned")
+      assert(!lineScan.contains("l_partkey"), "l_partkey must be pruned")
+    }
+
+    it("reads only the 2 needed orders columns") {
+      val ordersScan = plan("q04_supplier_kpis").linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("orders.parquet")).mkString
+      assert(ordersScan.contains("struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"))
+    }
+  }
+
+  describe("q12 filtered risk") {
+    it("pushes the nation filter to the supplier scan on the KPI side") {
+      assert(plan("q12_filtered_risk").contains("EqualTo(s_nationkey,7)"))
+    }
+
+    it("does NOT push the filter into the bounds-aggregate side") {
+      // normalization bounds must stay global: at least one supplier scan
+      // without the nation predicate must remain
+      val supplierScans = plan("q12_filtered_risk").linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("supplier.parquet")).toSeq
+      assert(supplierScans.exists(_.contains("EqualTo(s_nationkey,7)")))
+      assert(supplierScans.exists(!_.contains("EqualTo(s_nationkey,7)")))
+    }
+  }
+
+  describe("dedup/scale plan shapes") {
+    it("q22 band self-join is shuffle-hash (exchange-reusable), not broadcast") {
+      val p = plan("q22_minhash_candidates")
+      assert(p.contains("ShuffledHashJoin"))
+    }
+
+    it("q29 hash-shuffles once on user_id and pre-limits groups before the window") {
+      val p = plan("q29_top_event_per_user")
+      val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+      assert(hashExchanges == 1, s"expected 1 user_id hash exchange, plan:\n$p")
+      // Spark's WindowGroupLimit keeps only each group's rank-1 candidates
+      // ahead of the full window sort — the rank-limit pushdown we rely on
+      assert(p.contains("WindowGroupLimit"))
+    }
+
+    it("q25 broadcasts the query-vector side") {
+      assert(plan("q25_knn_bruteforce").contains("Broadcast"))
+    }
+  }
+}
