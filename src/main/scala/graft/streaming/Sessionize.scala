@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization over the events stream: gap-based user
+  * sessions via `flatMapGroupsWithState` — the operator shape for state
+  * Spark's built-in windows can't express (variable-length sessions
+  * emitted on close, explicit timeout handling).
+  *
+  * State design for unbounded runs: one small [[SessionState]] per
+  * active user, closed and emitted either by an in-stream gap or by an
+  * event-time timeout once the watermark passes `last + gap` — so state
+  * size is bounded by concurrently-active users, not history. (The
+  * built-in `session_window` covers the common aggregate case; this
+  * operator exists for custom per-session payloads and demonstrates the
+  * `GroupState` API on event-time timeouts.)
+  */
+object Sessionize {
+
+  /** Session gap: a new event more than this after the previous one
+    * starts a new session.
+    */
+  val GapMinutes = 30L
+  private val GapMs = GapMinutes * 60 * 1000
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+
+  final case class SessionState(
+      start: Long, last: Long, n_events: Int, sum_value: Double)
+
+  final case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, sum_value: Double)
+
+  /** Flat-map one user's new events (plus state) to zero or more closed
+    * sessions. Events inside a batch are sorted by time — Spark does not
+    * guarantee per-group iterator order.
+    */
+  def step(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[UserSession] = {
+    def close(s: SessionState): UserSession =
+      UserSession(userId, new Timestamp(s.start), new Timestamp(s.last),
+        s.n_events, math.round(s.sum_value * 100).toDouble / 100)
+
+    if (events.isEmpty && state.hasTimedOut) {
+      val out = state.getOption.map(close).toList
+      state.remove()
+      return out.iterator
+    }
+
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption.orNull
+    val closed = List.newBuilder[UserSession]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      if (cur == null) {
+        cur = SessionState(t, t, 1, e.value)
+      } else if (t - cur.last > GapMs) {
+        closed += close(cur)
+        cur = SessionState(t, t, 1, e.value)
+      } else {
+        cur = SessionState(cur.start, math.max(cur.last, t),
+          cur.n_events + 1, cur.sum_value + e.value)
+      }
+    }
+    if (cur != null) {
+      state.update(cur)
+      // event-time timeout: fire once the watermark passes last + gap
+      state.setTimeoutTimestamp(cur.last + GapMs)
+    }
+    closed.result().iterator
+  }
+
+  /** Sessionize a (possibly streaming) events relation. Input needs
+    * `user_id`, `ts`, `value`; a streaming input must already carry a
+    * watermark on `ts`.
+    */
+  def sessions(events: DataFrame): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+}
