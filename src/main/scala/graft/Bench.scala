@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.operators.{Analytics, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 import graft.sources.Tables
 
 /** Benchmark main — mirrors the reference's 4-stage architecture
@@ -88,8 +88,8 @@ object Bench {
     // extension surface: text / dedup / similarity / events / multimodal.
     // Dedup is staged like the reference's CTAS pipeline: candidates are
     // materialized once and the Jaccard verifier reads them back.
-    (TextAnalysis.queries ++ Similarity.queries ++
-      Events.queries ++ Multimodal.queries).toSeq.sortBy(_._1).foreach {
+    (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
+      Multimodal.queries ++ Analytics.queries).toSeq.sortBy(_._1).foreach {
       case (name, fn) => run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
