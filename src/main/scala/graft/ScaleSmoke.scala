@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.Sessionize
+
+/** Scale-behavior smoke: replicate the sf0.1 fixtures ~10× (50 k docs,
+  * 1 M events, 20 k vectors) and time the heavy operators. The point is
+  * the growth CURVE, not absolute numbers — an operator whose cost is
+  * linear-ish in rows here has the plan shape that survives the next
+  * 1000×; one that blows up quadratically or collapses to one core
+  * does not.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val sf = "/root/testdata/sf0.1"
+    val wh = "/dev/shm/graft-scale-smoke"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, out: String): DataFrame = {
+      val ids = spark.range(mult).select(col("id").as("__rep"))
+      df.crossJoin(ids)
+        .withColumn(idCol, col(idCol) + col("__rep") * lit(10000000L))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    }
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name: rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val docs = replicate(Tables.documents(spark, sf), "doc_id", s"$wh/documents")
+    val events = replicate(Tables.events(spark, sf), "event_id", s"$wh/events")
+    val emb = replicate(Tables.embeddings(spark, sf), "vec_id", s"$wh/embeddings")
+    println(s"[scale] mult=$mult docs=${docs.count()} events=${events.count()} vecs=${emb.count()}")
+
+    t("token_stats") { TextAnalysis.tokenStatsFrom(docs).count() }
+    t("exact_dedup") { Dedup.exactDedupFrom(docs).count() }
+    t("simhash") { Dedup.simhashFrom(docs).count() }
+    t("minhash_candidates") { Dedup.candidatePairsFrom(Dedup.bandsFrom(docs)).count() }
+    // best-practice pipeline order: collapse exact duplicates first —
+    // LSH candidate pairs grow quadratically per duplicate cluster, so
+    // dedup-then-minhash is ~100× cheaper on replica-heavy corpora
+    t("dedup_then_minhash") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.candidatePairsFrom(Dedup.bandsFrom(canonical)).count()
+    }
+    t("knn_bruteforce") { Similarity.knnBruteFrom(emb).count() }
+    t("ann_lsh") { Similarity.annLshFrom(emb).count() }
+    t("event_windows") { Events.eventWindowsFrom(events).count() }
+    t("sessionize") { Sessionize.sessions(events).count() }
+    spark.stop()
+  }
+}

@@ -1,9 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.SkewJoin
-import graft.sources.Tables
-import graft.streaming.Sessionize
+import graft.operators.{Dedup, Similarity}
 
 /** Dev-only probe harness (not part of the driver contract). */
 object Scratch {
@@ -15,28 +12,25 @@ object Scratch {
       .config("spark.local.dir", "/dev/shm/spark-scratch")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = "/root/testdata/sf0.01"
-
-    // sessionize the REAL events table (batch semantics of the operator)
-    val ev = Tables.events(spark, sf)
-    val sessions = Sessionize.sessions(ev)
-    val stats = sessions.groupBy().agg(
-      count(lit(1)).as("n_sessions"),
-      countDistinct(col("user_id")).as("n_users"),
-      sum("n_events").as("events_in_closed"),
-      max("n_events").as("max_len")).collect()(0)
-    println(s"[probe] sessions(sf0.01 events): closed=${stats.getLong(0)} users=${stats.getLong(1)} " +
-      s"events=${stats.getLong(2)} maxLen=${stats.getInt(3)}")
-    // sanity: closed-session event totals cannot exceed total events
-    val totalEv = ev.count()
-    println(s"[probe] total events=$totalEv >= closed-session events: ${stats.getLong(2) <= totalEv}")
-
-    // salted join vs plain join on the real lineitem/supplier tables
-    val l = Tables.lineitem(spark, sf).withColumnRenamed("l_suppkey", "s_suppkey")
-    val s = Tables.supplier(spark, sf)
-    val plain = l.join(s, Seq("s_suppkey")).agg(count(lit(1)), sum("l_quantity")).collect()(0)
-    val salted = SkewJoin.salted(l, s, "s_suppkey", 8).agg(count(lit(1)), sum("l_quantity")).collect()(0)
-    println(s"[probe] salted==plain: ${plain.toString == salted.toString} ($plain vs $salted)")
+    val wh = "/dev/shm/graft-scale-smoke"
+    val emb = spark.read.parquet(s"$wh/embeddings")
+    val docs = spark.read.parquet(s"$wh/documents")
+    def best(name: String, n: Int)(f: => Long): Unit = {
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+      }
+      println(f"[scratch] $name: rows=${times.head._2} min=${times.map(_._1).min}%.1f med=${times.map(_._1).sorted.apply(n / 2)}%.1f")
+    }
+    best("knn 20k", 3) { Similarity.knnBruteFrom(emb).count() }
+    best("ann 20k", 3) { Similarity.annLshFrom(emb).count() }
+    // exact-dedup-first pipeline: collapse identical docs, then LSH
+    best("dedup-then-minhash", 2) {
+      val canonical = docs
+        .withColumn("fp", org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")))
+        .dropDuplicates("fp")
+      Dedup.candidatePairsFrom(Dedup.bandsFrom(canonical)).count()
+    }
     spark.stop()
   }
 }

@@ -23,9 +23,10 @@ import graft.sources.Tables
   *    bucket hash-join, so comparisons scale with bucket occupancy, not
   *    corpus². Planes derive from md5(plane,coord) — no stored model,
   *    reproducible on any engine;
-  *  - all vector math is sequential-fold double arithmetic (`zip_with`
-  *    + `aggregate` higher-order expressions, no UDF), bitwise equal to
-  *    the oracle's `list_inner_product` over `DOUBLE[]`.
+  *  - all vector math runs through the native codegen expressions in
+  *    `graft.plans` (fused cosine / dot product) — sequential-fold
+  *    double arithmetic, bitwise equal to the oracle's
+  *    `list_inner_product` over `DOUBLE[]`, ~20× interpreted HOFs.
   */
 object Similarity {
 
@@ -38,11 +39,6 @@ object Similarity {
   /** SRP planes → 2^NumPlanes buckets. */
   val NumPlanes = 4
 
-  /** Sequential left-fold dot product — array-order summation, matching
-    * DuckDB `list_inner_product` exactly.
-    */
-  private def dotSeq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** embedding cast to double, repartitioned: the embeddings table is a
     * single parquet file → one scan partition, and per-row vector math
@@ -85,13 +81,18 @@ object Similarity {
     topK(scored, K)
   }
 
-  /** Deterministic SRP hyperplane p as a 64-dim column of doubles in
-    * [-1, 1): md5-derived, identical on any engine.
+  /** Deterministic SRP hyperplane p as a LITERAL 64-dim double array:
+    * weights are md5-derived in Scala with exactly the oracle's formula
+    * (`ubigint(md5_hex8('pl<p>_<j>')) / 2^31 − 1`), so no hashing runs
+    * per row — the plane is a constant the codegen'd dot product reads.
     */
-  private def planeVec(p: Int): Column =
-    transform(sequence(lit(0), lit(63)),
-      j => TextFns.hash32(concat(lit(s"pl${p}_"), j.cast("string")))
-        / lit(2147483648.0) - lit(1.0))
+  private def planeWeights(p: Int): Seq[Double] = (0 until 64).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pl${p}_$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  private def planeVec(p: Int): Column = array(planeWeights(p).map(lit): _*)
 
   /** q26 — SRP-LSH bucketed ANN: bucket by hyperplane sign bits, exact
     * cosine re-rank within the bucket.
@@ -101,7 +102,8 @@ object Similarity {
 
   def annLshFrom(embeddings: DataFrame): DataFrame = {
     val bucket = (0 until NumPlanes)
-      .map(p => when(dotSeq(col("emb"), planeVec(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+      .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
+        lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
     val e = embDouble(embeddings).withColumn("bucket", bucket)
     val q = e.filter(col("vec_id") < NumQueries)

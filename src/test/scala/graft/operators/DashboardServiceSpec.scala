@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+import graft.model.Schemas
+import graft.sources.SupplierCsv
+
+class DashboardServiceSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val svc = DashboardService(spark, TestSpark.Sf)
+
+  describe("DashboardService snapshot facade") {
+    it("serves a risk-ranked snapshot") {
+      val risks = svc.snapshot.map(_.getAs[Double]("risk_score")).toSeq
+      assert(risks == risks.sortBy(-_))
+      assert(svc.snapshot.nonEmpty)
+    }
+
+    it("filters, tiles, and top-Ns consistently with the snapshot") {
+      val all = svc.filtered(None, 0, Long.MaxValue)
+      assert(all.size == svc.snapshot.length)
+      val Some((n, avgRisk, avgOnTimePct, _)) = svc.tiles(all)
+      assert(n == all.size)
+      assert(avgRisk >= 0.0 && avgRisk <= 1.0)
+      assert(avgOnTimePct >= 0.0 && avgOnTimePct <= 100.0)
+      val top3 = svc.topN(all, 3)
+      assert(top3.map(_.getAs[Long]("s_suppkey")) ==
+        svc.snapshot.take(3).map(_.getAs[Long]("s_suppkey")).toSeq)
+    }
+
+    it("returns None tiles for an empty slice (em-dash contract)") {
+      assert(svc.tiles(Seq.empty).isEmpty)
+    }
+
+    it("drills down by exact supplier name") {
+      val name = svc.snapshot.head.getAs[String]("s_name")
+      assert(svc.drilldown(name).isDefined)
+      assert(svc.drilldown("no such supplier").isEmpty)
+    }
+  }
+
+  describe("typed model API") {
+    it("round-trips supplier-domain KPIs through case classes") {
+      import Schemas._
+      val k = SupplierDomain.kpis(
+        SupplierCsv.read(spark, "/root/reference/data/suppliers.csv", "suppliers"),
+        SupplierCsv.read(spark, "/root/reference/data/purchase_orders.csv", "purchase_orders"),
+        SupplierCsv.read(spark, "/root/reference/data/deliveries.csv", "deliveries"))
+      val typed = Schemas.kpis(k).collect()
+      assert(typed.length == 15)
+      typed.foreach { t =>
+        assert(t.on_time_delivery_rate >= 0.0 && t.on_time_delivery_rate <= 1.0)
+        assert(t.fill_rate.exists(f => f > 0.0 && f <= 1.0))
+        assert(t.n_pos > 0)
+      }
+      val risk = Schemas.risk(SupplierDomain.risk(k)).collect()
+      assert(risk.head.supplier_id == "S010") // worst supplier first
+    }
+  }
+}
