@@ -69,10 +69,28 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** q34 — exact quantiles per event type: Spark `median`/`percentile`
+    * interpolate identically (bit-exact) to DuckDB
+    * `median`/`quantile_cont`, both sorting exact doubles.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    valueQuantilesFrom(Tables.events(spark, dir))
+
+  def valueQuantilesFrom(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("value").as("min_v"),
+        median(col("value")).as("med"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        max("value").as("max_v"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
-    "q33_asof_prior_click" -> (asofPriorClick _))
+    "q33_asof_prior_click" -> (asofPriorClick _),
+    "q34_value_quantiles" -> (valueQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q31_cohort_set_ops" ->
@@ -101,5 +119,10 @@ object Analytics {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_ts
         |  FROM ev)
         |SELECT event_id, user_id, ts, prior_click_ts FROM w
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q34_value_quantiles" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  median(value) AS med, quantile_cont(value, 0.9) AS p90,
+        |  max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
