@@ -11,6 +11,7 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.local.dir", "/dev/shm/spark-scratch")
+    .config("spark.sql.warehouse.dir", "/dev/shm/graft-test-warehouse")
     .getOrCreate()
 
   val Sf = "/root/testdata/sf0.001"

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class BucketingSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  describe("bucketed co-located join") {
+    it("joins two bucketed tables with zero exchanges") {
+      Bucketing.bucketize(Tables.lineitem(spark, sf), "l_orderkey", 8, "b_lineitem")
+      Bucketing.bucketize(
+        Tables.orders(spark, sf).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", 8, "b_orders")
+
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.table("b_lineitem")
+          .join(spark.table("b_orders"), Seq("l_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+
+        // and the result matches the plain (shuffling) join
+        val plain = Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf)
+            .withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+        assert(joined.count() == plain.count())
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    }
+  }
+}
