@@ -1,36 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
-import graft.operators.{Dedup, Similarity}
 
-/** Dev-only probe harness (not part of the driver contract). */
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only contract probe (not part of the driver contract): smoke the
+  * flagship entry and check queries↔oracleSql key parity. Referenced by
+  * .claude/skills/verify — keep this shape stable.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-scratch")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val wh = "/dev/shm/graft-scale-smoke"
-    val emb = spark.read.parquet(s"$wh/embeddings")
-    val docs = spark.read.parquet(s"$wh/documents")
-    def best(name: String, n: Int)(f: => Long): Unit = {
-      val times = (1 to n).map { _ =>
-        val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
-      }
-      println(f"[scratch] $name: rows=${times.head._2} min=${times.map(_._1).min}%.1f med=${times.map(_._1).sorted.apply(n / 2)}%.1f")
-    }
-    best("knn 20k", 3) { Similarity.knnBruteFrom(emb).count() }
-    best("ann 20k", 3) { Similarity.annLshFrom(emb).count() }
-    // exact-dedup-first pipeline: collapse identical docs, then LSH
-    best("dedup-then-minhash", 2) {
-      val canonical = docs
-        .withColumn("fp", org.apache.spark.sql.functions.md5(
-          org.apache.spark.sql.functions.col("text")))
-        .dropDuplicates("fp")
-      Dedup.candidatePairsFrom(Dedup.bandsFrom(canonical)).count()
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = SparkEntry.entry(spark)
+    println(s"[probe] entry rows=${e.count()} cols=${e.columns.length}")
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    println(s"[probe] queries=${qk.size} oracles=${ok.size} " +
+      s"missingOracle=${(qk -- ok).toSeq.sorted} extraOracle=${(ok -- qk).toSeq.sorted}")
     spark.stop()
   }
 }
