@@ -49,15 +49,17 @@ object Bench {
     // running a stage twice is safe.
     def time[A](name: String)(f: => A): A = {
       System.err.println(s"[bench] start $name")
-      def once(): (Double, A) = {
+      // GC is sampled around each run so the reported gc_sec is the GC
+      // delta of the run whose wall time was kept (the min).
+      def once(): (Double, Double, A) = {
+        val g0 = gcMs
         val t0 = System.nanoTime(); val r = f
-        ((System.nanoTime() - t0) / 1e9, r)
+        ((System.nanoTime() - t0) / 1e9, (gcMs - g0) / 1e3, r)
       }
-      val (t1, _) = once()
-      val g0 = gcMs
-      val (t2, r) = once()
-      results(name) = math.min(t1, t2)
-      gcShare(name) = (gcMs - g0) / 1e3
+      val (t1, g1, _) = once()
+      val (t2, g2, r) = once()
+      if (t1 <= t2) { results(name) = t1; gcShare(name) = g1 }
+      else { results(name) = t2; gcShare(name) = g2 }
       System.err.println(f"[bench] done  $name ${results(name)}%.2f s (runs: $t1%.2f, $t2%.2f)")
       r
     }

@@ -27,16 +27,40 @@ final class DashboardService(risk: DataFrame) {
   private def d(r: Row, c: String): Double = r.getAs[Double](c)
 
   /** Filter domains (app.py:86-87): sorted distinct non-null values
-    * (natural order for numerics, lexicographic for strings).
+    * (natural order per the column's Catalyst type, lexicographic for
+    * strings). The comparator is total — `Double.compare`/`Float.compare`
+    * order NaN after +Inf instead of violating TimSort's contract.
     */
-  def domain(column: String): Seq[Any] =
+  def domain(column: String): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    val cmp: (Any, Any) => Int = schema(column).dataType match {
+      case ByteType => (a, b) =>
+        java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+      case ShortType => (a, b) =>
+        java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+      case IntegerType => (a, b) =>
+        Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case LongType => (a, b) =>
+        java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case FloatType => (a, b) =>
+        java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case DoubleType => (a, b) =>
+        java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _: DecimalType => (a, b) =>
+        a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
+      case DateType => (a, b) =>
+        a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date])
+      case TimestampType => (a, b) =>
+        a.asInstanceOf[java.sql.Timestamp]
+          .compareTo(b.asInstanceOf[java.sql.Timestamp])
+      case BooleanType => (a, b) =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case _ => (a, b) => a.toString.compareTo(b.toString)
+    }
     snapshot.map(_.getAs[Any](column)).filter(_ != null).distinct
-      .sortWith {
-        case (a: Int, b: Int) => a < b
-        case (a: Long, b: Long) => a < b
-        case (a: Double, b: Double) => a < b
-        case (a, b) => a.toString < b.toString
-      }.toSeq
+      .sortWith((a, b) => cmp(a, b) < 0).toSeq
+  }
 
   /** Optional equality + inclusive range filter (app.py:98-103). */
   def filtered(nation: Option[Int], nLinesLo: Long, nLinesHi: Long): Seq[Row] =

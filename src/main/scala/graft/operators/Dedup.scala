@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.nullIfZero
-import graft.functions.TextFns
+import graft.functions.{TextCore, TextFns}
+import graft.plans.GraftFunctions
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` table: exact (hash
@@ -41,14 +42,10 @@ object Dedup {
     * hash per shingle, then `min(h ⊕ salt_j)` per signature — one md5
     * per shingle instead of [[NumHashes]] (8× less hashing, same LSH
     * guarantees for a universal-enough family). Constants are md5-derived
-    * so the oracle embeds identical literals.
+    * so the oracle embeds identical literals (source of truth:
+    * [[TextCore.XorSalts]], shared with the native kernels).
     */
-  private[operators] val XorSalts: Seq[Long] = (0 until NumHashes).map { j =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"mhsalt$j".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.take(15), 16)
-  }
+  private[operators] val XorSalts: Seq[Long] = TextCore.XorSalts.toSeq
 
   private def normText = trim(regexp_replace(
     regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
@@ -77,37 +74,25 @@ object Dedup {
     bandsFrom(Tables.documents(spark, dir))
 
   def bandsFrom(docs: DataFrame): DataFrame = {
-    // Explode shingles, then take the 8 minhashes as grouped MIN
-    // aggregates over 60-bit salted hashes. Equivalent to per-row
-    // array_min(transform(...)) but stays inside whole-stage codegen:
-    // higher-order lambdas are interpreted, and projection collapse
-    // would inline the shingle construction into every one of the 8
-    // signature expressions — measured 50× slower at sf0.1. Hashes are
-    // numeric (md5 prefix via conv) because min(long) hash-aggregates
-    // with a primitive buffer; min(string) falls back to SortAggregate
-    // (sort per side). The aggregate is also a plan barrier: the
-    // downstream self-join shuffles the small signature relation, not
-    // the recomputed expression tree.
-    // repartition before the explode: the documents table is one
-    // parquet file → one scan partition, and the shingle Generate plus
-    // the (interpreted) higher-order shingle construction would other-
-    // wise run on a single core.
-    val sh = docs.repartition(col("doc_id"))
+    // Map-only minhash: `minhash_band_keys` is a native one-pass codegen
+    // expression (tokenize → shingle → md5 → 8 salted mins → 4 band-key
+    // md5s, graft.functions.TextCore) evaluated exactly once per doc in
+    // the generator — no shuffle before the LSH band join, no exploded
+    // shingle stream, no interpreted higher-order functions. The earlier
+    // explode + groupBy(min) formulation shuffled every shingle row and,
+    // worse, its interpreted Generate input re-split the document (with
+    // a fresh regex Pattern compile) per shingle index — thread dumps at
+    // sf0.1 showed ~90 Pattern.compile calls per doc per evaluation. At
+    // 100 TB the win compounds: a per-doc map expression scales with doc
+    // count and needs no shingle shuffle at all.
+    // repartition for local parallelism only: the test corpus is one
+    // parquet file → one scan partition; on a real corpus, file splits
+    // already provide map parallelism.
+    GraftFunctions.register(docs.sparkSession)
+    docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(TextFns.shingles2(TextFns.toks(col("text")))).as("s"))
-      .select(col("doc_id"), TextFns.hash60(col("s")).as("h"))
-    def salted(j: Int) = col("h").bitwiseXOR(lit(XorSalts(j)))
-    val mh = sh.groupBy("doc_id").agg(
-      min(salted(0)).as("mh0"),
-      (1 until NumHashes).map(j => min(salted(j)).as(s"mh$j")): _*)
-    val bandStructs = (0 until NumBands).map { b =>
-      val key = md5(concat_ws("|",
-        (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*))
-      struct(lit(b).as("band_id"), key.as("band_key"))
-    }
-    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.band_key").as("band_key"))
+        posexplode(call_function("minhash_band_keys", col("text"))))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_key"))
   }
 
   /** SQL twin of [[bands]] (exploded + grouped MIN, UNION ALL bands). */
@@ -168,16 +153,13 @@ object Dedup {
     simhashFrom(Tables.documents(spark, dir))
 
   def simhashFrom(docs: DataFrame): DataFrame = {
-    val th = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("tok"))
-      .select(col("doc_id"), TextFns.hash32(col("tok")).as("h"))
-    val votes = (0 until SimBits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
-    val sig = (0 until SimBits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    th.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash32"))
+    // Map-only: one native `simhash32` call per doc (token hashes and
+    // the 32 bit-votes fused in TextCore) replaces the exploded
+    // token stream + 32 conditional sums — no shuffle, same bits.
+    GraftFunctions.register(docs.sparkSession)
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("simhash32", col("text")).as("simhash32"))
       .orderBy("doc_id")
   }
 
@@ -199,23 +181,33 @@ object Dedup {
 
   /** Jaccard verification over an explicit (possibly materialized)
     * candidate-pair relation.
+    *
+    * Set-similarity as array intersection, not stream joins: each doc is
+    * reduced map-side to one sorted array of 60-bit hashes of its
+    * distinct shingles (`sorted_shingle_hashes`, one codegen pass), the
+    * pair relation hash-joins that relation twice on doc id, and
+    * `sorted_intersect_count` merge-counts each pair in O(|A|+|B|) with
+    * join-identical multiset semantics. Versus exploding both shingle
+    * streams and re-grouping: the shuffle carries one row per doc per
+    * side (not one per shingle), there is no wide `(doc_b, s)` join and
+    * no (doc_a, doc_b) re-aggregation, and a hot candidate doc costs its
+    * array length, not a quadratic stream blow-up. Counts are identical
+    * modulo md5-prefix collisions, which the oracle mirrors.
     */
   def ngramJaccardOfPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    // shingles join on their 60-bit hash, not the string: 4× smaller
-    // shuffle, identical counts modulo md5-prefix collisions (mirrored
-    // in the oracle, so results stay hash-equal).
-    val ex = docs.repartition(col("doc_id"))
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles2(TextFns.toks(col("text"))))).as("sx"))
-      .select(col("doc_id"), TextFns.hash60(col("sx")).as("s"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        call_function("sorted_shingle_hashes", col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .as("n_common"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
           nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard"))

@@ -139,16 +139,33 @@ case class DotProduct(left: Expression, right: Expression)
   * without `spark.sql.extensions`).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
-  }
+  /** Single source of truth for graft's native function surface — both
+    * registration paths (runtime [[register]] and the
+    * `spark.sql.extensions` class [[GraftExtensions]]) iterate this, so
+    * a cluster session configured only via extensions resolves exactly
+    * the names call sites use.
+    */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity],
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("dot_product", classOf[DotProduct],
+      (e: Seq[Expression]) => DotProduct(e(0), e(1))),
+    ("minhash_sig", classOf[MinHashSig],
+      (e: Seq[Expression]) => MinHashSig(e(0))),
+    ("minhash_band_keys", classOf[MinHashBandKeys],
+      (e: Seq[Expression]) => MinHashBandKeys(e(0))),
+    ("sorted_shingle_hashes", classOf[SortedShingleHashes],
+      (e: Seq[Expression]) => SortedShingleHashes(e(0))),
+    ("simhash32", classOf[SimHash32],
+      (e: Seq[Expression]) => SimHash32(e(0))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }
 
 /** `spark.sql.extensions`-injectable variant — the deployment path for
@@ -156,8 +173,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
 }

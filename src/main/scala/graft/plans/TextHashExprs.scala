@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextCore
+
+/** Native one-pass text-hash expressions (kernels in
+  * [[graft.functions.TextCore]]): each generated row evaluation is a
+  * single static call, keeping the dedup operators inside whole-stage
+  * codegen with no interpreted higher-order functions and no repeated
+  * regex splits (see TextCore's scaladoc for the pathology this
+  * replaces, and reference src/generate_data.py has no analogue — these
+  * back the LLM-data extension surface).
+  */
+private[plans] trait TextInputCheck { self: Expression =>
+  def textChild: Expression
+  def checkText(name: String): TypeCheckResult =
+    if (textChild.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a STRING argument, got ${textChild.dataType.sql}")
+}
+
+/** `minhash_sig(text)` → ARRAY<BIGINT> of the 8 salted minhashes; null
+  * when the document has fewer than 2 tokens (no shingles).
+  */
+case class MinHashSig(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.minhashSig(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = graft.functions.TextCore.minhashSig($t);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** `minhash_band_keys(text)` → ARRAY<STRING> of the 4 LSH band keys
+  * (`md5(concat_ws('|', mh_2b, mh_2b+1))`); null when no shingles, so a
+  * posexplode yields no band rows for the doc.
+  */
+case class MinHashBandKeys(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.minhashBandKeys(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = graft.functions.TextCore.minhashBandKeys($t);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeys =
+    copy(child = c)
+}
+
+/** `sorted_shingle_hashes(text)` → sorted ARRAY<BIGINT> of 60-bit hashes
+  * of the distinct bigram shingles (empty for < 2 tokens).
+  */
+case class SortedShingleHashes(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.sortedShingleHashes(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextCore.sortedShingleHashes($t)")
+
+  override protected def withNewChildInternal(c: Expression): SortedShingleHashes =
+    copy(child = c)
+}
+
+/** `simhash32(text)` → BIGINT 32-bit SimHash of the token stream. */
+case class SimHash32(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.simhash32(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextCore.simhash32($t)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** `sorted_intersect_count(a, b)` → BIGINT match count between two
+  * sorted ARRAY<BIGINT>s with join-equivalent multiset semantics.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextCore.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextCore.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

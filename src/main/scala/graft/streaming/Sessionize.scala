@@ -27,7 +27,8 @@ object Sessionize {
   val GapMinutes = 30L
   private val GapMs = GapMinutes * 60 * 1000
 
-  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class Event(
+      user_id: Long, ts: Timestamp, value: Double, event_id: Long)
 
   final case class SessionState(
       start: Long, last: Long, n_events: Int, sum_value: Double)
@@ -52,7 +53,10 @@ object Sessionize {
       return out.iterator
     }
 
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    // (ts, event_id) — equal-timestamp events otherwise keep Spark's
+    // nondeterministic per-group iterator order, and sum_value's float
+    // accumulation order would vary run-to-run.
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
     var cur = state.getOption.orNull
     val closed = List.newBuilder[UserSession]
     sorted.foreach { e =>
@@ -76,13 +80,17 @@ object Sessionize {
   }
 
   /** Sessionize a (possibly streaming) events relation. Input needs
-    * `user_id`, `ts`, `value`; a streaming input must already carry a
-    * watermark on `ts`.
+    * `user_id`, `ts`, `value`; `event_id` (when present) breaks
+    * equal-timestamp ties deterministically. A streaming input must
+    * already carry a watermark on `ts`.
     */
   def sessions(events: DataFrame): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+    val eid =
+      if (events.columns.contains("event_id")) col("event_id")
+      else lit(0L).as("event_id")
+    events.select(col("user_id"), col("ts"), col("value"), eid).as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)

@@ -1,5 +1,4 @@
-import duckdb, glob, json, math, sys
-import sys
+import duckdb, glob, itertools, json, math, sys
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_local"
 con = duckdb.connect()
@@ -26,11 +25,20 @@ for name, sql in sorted(oracle.items()):
         scols = [d[0] for d in s.description]; srows = s.fetchall()
         if sorted(ocols) != sorted(scols):
             fails.append(name); print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}"); continue
+        # non-fatal: surface declared-type drift even when names line up
+        otypes = dict(zip(ocols, [str(d[1]) for d in o.description]))
+        stypes = dict(zip(scols, [str(d[1]) for d in s.description]))
+        tdiff = {c: (otypes[c], stypes[c]) for c in ocols if otypes[c] != stypes.get(c)}
+        if tdiff: print(f"  note {name}: col type diffs {tdiff}")
         co, cs = canon(ocols, orows), canon(scols, srows)
         if co != cs:
             fails.append(name)
             print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
-            for a, b in list(zip(co, cs))[:200]:
+            if len(co) != len(cs):
+                print(f"  row-count mismatch: oracle={len(co)} spark={len(cs)}")
+            # zip_longest: a pure length mismatch (equal shared prefix)
+            # still prints the first missing/extra row
+            for a, b in itertools.zip_longest(co, cs, fillvalue="<absent>"):
                 if a != b: print(f"  oracle={a}\n  spark ={b}"); break
         else:
             print(f"OK   {name}: {len(orows)} rows")
