@@ -73,10 +73,28 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q35 — top-3 events by value per user via the native
+    * [[graft.plans.TopKPerKey]] whole-operator (custom logical node +
+    * strategy + partial/final bounded-heap physical plan). Same rows as
+    * the `row_number` window idiom the oracle runs, but the exchange
+    * carries at most k rows per key per map partition instead of every
+    * event — the plan shape that survives a 100 TB events table.
+    */
+  def topKPerUser(spark: SparkSession, dir: String): DataFrame =
+    topKPerUserFrom(Tables.events(spark, dir))
+
+  def topKPerUserFrom(events: DataFrame): DataFrame =
+    graft.plans.TopKPerKey(
+      events.select("user_id", "event_id", "event_type", "value"),
+      Seq(col("user_id")),
+      Seq(col("value").desc, col("event_id").asc), 3)
+      .orderBy("user_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
-    "q29_top_event_per_user" -> (topEventPerUser _))
+    "q29_top_event_per_user" -> (topEventPerUser _),
+    "q35_topk_per_key" -> (topKPerUser _))
 
   val oracle: Map[String, String] = Map(
     "q27_event_windows" ->
@@ -100,5 +118,12 @@ object Events {
         |    (PARTITION BY user_id ORDER BY value DESC, ts ASC, event_id ASC) AS rn
         |  FROM events)
         |SELECT user_id, event_id, event_type, value, ts
-        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q35_topk_per_key" ->
+      """WITH rk AS (
+        |  SELECT user_id, event_id, event_type, value, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value, CAST(rn AS INT) AS rank
+        |FROM rk WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin)
 }

@@ -172,11 +172,13 @@ object GraftFunctions {
   * clusters: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    ext.injectPlannerStrategy(_ => TopKPerKey.PlanStrategy)
+  }
 }
