@@ -120,9 +120,69 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF cells (codebook size) and probed cells per query. */
+  val NumCells = 16
+  val NumProbes = 2
+
+  /** First seed vec_id of the codebook (centroids are the embeddings of
+    * vec_ids [SeedBase, SeedBase + NumCells)). A k-means-trained
+    * codebook would slot into the same plan — the seeds keep the
+    * quantizer deterministic and oracle-reproducible without a stored
+    * model.
+    */
+  val SeedBase: Int = NumQueries
+
+  /** q36 — IVF-Flat ANN: coarse-quantize every vector to its
+    * max-inner-product cell against a [[NumCells]]-entry codebook, probe
+    * the [[NumProbes]] best cells per query, exact cosine re-rank inside
+    * the probed cells.
+    *
+    * Scale design: the codebook is collected once (16 rows — the
+    * standard broadcast-codebook pattern; IVF codebooks are small by
+    * construction) and embedded as literal arrays, so cell assignment is
+    * pure map work — 16 fused codegen dot products + an argmax per row,
+    * no shuffle of the corpus. Only the tiny query relation runs a
+    * window (NumQueries × NumCells rows) to pick probe cells. Candidate
+    * generation is a broadcast join on cell id; comparisons scale with
+    * probed-cell occupancy (nprobe/NumCells of the corpus), not corpus².
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfFrom(Tables.embeddings(spark, dir))
+
+  def annIvfFrom(embeddings: DataFrame): DataFrame = {
+    val e = embDouble(embeddings)
+    val codebook: Seq[Seq[Double]] = e
+      .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
+      .orderBy("vec_id")
+      .select("emb").collect().map(_.getSeq[Double](0)).toSeq
+    val scores = array(codebook.map(c =>
+      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    // first-max argmax: same tie order as the oracle's (score DESC, c ASC)
+    val ecell = e.withColumn("scores", scores)
+      .withColumn("cell",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+    val probes = ecell.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        posexplode(col("scores")).as(Seq("c", "score")))
+    val prn = row_number().over(
+      Window.partitionBy("query_id").orderBy(desc("score"), asc("c")))
+    val qProbes = probes.withColumn("prn", prn).filter(col("prn") <= NumProbes)
+      .select(col("query_id"), col("q_emb"), col("c").as("probe_cell"))
+    val scored = ecell.join(broadcast(qProbes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+    val rn = row_number().over(
+      Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id")))
+    scored.withColumn("rank", rn).filter(col("rank") <= K)
+      .select("query_id", "neighbor_id", "cell", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
-    "q26_ann_lsh" -> (annLsh _))
+    "q26_ann_lsh" -> (annLsh _),
+    "q36_ann_ivf" -> (annIvf _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -162,5 +222,29 @@ object Similarity {
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-    })
+    },
+    "q36_ann_ivf" ->
+      s"""WITH $eCte,
+         |cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+         |         WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
+         |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
+         |    list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent),
+         |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+         |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS prn
+         |  FROM scs WHERE vec_id < $NumQueries),
+         |qprobes AS (SELECT query_id, q_emb, q_nrm, c AS probe_cell
+         |  FROM qp WHERE prn <= $NumProbes),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, e.cell,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM ecell e JOIN qprobes q
+         |    ON e.cell = q.probe_cell AND e.vec_id <> q.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
 }

@@ -66,4 +66,36 @@ class SimilaritySpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("annIvf (q36)") {
+    lazy val fixture = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+
+    it("returns at most K ranked rows per query with contiguous ranks") {
+      val rows = Similarity.annIvfFrom(fixture).collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+        assert(rs.length <= Similarity.K)
+        assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      }
+      rows.foreach(r =>
+        assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+
+    it("reaches reasonable recall against the exact brute force") {
+      val ivf = Similarity.annIvfFrom(fixture).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val brute = Similarity.knnBruteFrom(fixture).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = (ivf intersect brute).size.toDouble / brute.size
+      // nprobe=2 of 16 seed cells: loose floor — catches a broken
+      // quantizer (recall ≈ nprobe/NumCells for random assignment)
+      assert(recall > 0.25, s"recall $recall")
+    }
+
+    it("is deterministic across runs") {
+      val a = Similarity.annIvfFrom(fixture).collect().toSeq
+      val b = Similarity.annIvfFrom(fixture).collect().toSeq
+      assert(a == b)
+    }
+  }
 }
