@@ -90,11 +90,30 @@ object Events {
       Seq(col("value").desc, col("event_id").asc), 3)
       .orderBy("user_id", "rank")
 
+  /** q37 — gap-based user sessions via the custom-state
+    * [[graft.streaming.Sessionize]] operator (flatMapGroupsWithState) in
+    * batch mode: sessions closed by a ≥30-min in-stream gap, emitted
+    * with exact micro-precision bounds. Each user's trailing session
+    * stays open (no timeout processing in batch) and is not emitted —
+    * the oracle mirrors that by dropping each user's last session. This
+    * puts the stateful streaming operator itself under the DuckDB
+    * hash-gate, not just its batch twin.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessionsFrom(Tables.events(spark, dir))
+
+  def sessionsFrom(events: DataFrame): DataFrame =
+    graft.streaming.Sessionize
+      .sessions(events.select("user_id", "ts", "value", "event_id"))
+      .toDF()
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
     "q29_top_event_per_user" -> (topEventPerUser _),
-    "q35_topk_per_key" -> (topKPerUser _))
+    "q35_topk_per_key" -> (topKPerUser _),
+    "q37_sessions" -> (sessions _))
 
   val oracle: Map[String, String] = Map(
     "q27_event_windows" ->
@@ -125,5 +144,30 @@ object Events {
         |    (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events)
         |SELECT user_id, event_id, event_type, value, CAST(rn AS INT) AS rank
-        |FROM rk WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin)
+        |FROM rk WHERE rn <= 3 ORDER BY user_id, rank""".stripMargin,
+    // lag/cumulative-sum sessionization; strict > gap matches the
+    // operator, each user's max sess_no (the open trailing session) is
+    // dropped; sum_value rounds to 2 dp like the operator's close()
+    "q37_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, sess_no, min(ts) AS session_start, max(ts) AS session_end,
+        |    CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM numbered GROUP BY user_id, sess_no),
+        |flagged AS (
+        |  SELECT *, max(sess_no) OVER (PARTITION BY user_id) AS max_no FROM sess)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM flagged WHERE sess_no < max_no
+        |ORDER BY user_id, session_start""".stripMargin)
 }

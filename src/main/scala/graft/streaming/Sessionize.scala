@@ -25,7 +25,16 @@ object Sessionize {
     * starts a new session.
     */
   val GapMinutes = 30L
-  private val GapMs = GapMinutes * 60 * 1000
+  private val GapUs = GapMinutes * 60 * 1000000L
+
+  // Microsecond precision throughout: the event fixtures carry
+  // sub-millisecond timestamps, and `Timestamp.getTime` (ms) would both
+  // truncate emitted session bounds and misjudge gaps within 1 ms of
+  // the boundary. DateTimeUtils is Spark's own Timestamp↔micros codec.
+  private def us(t: Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+  private def ts(us: Long): Timestamp =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
 
   final case class Event(
       user_id: Long, ts: Timestamp, value: Double, event_id: Long)
@@ -44,7 +53,7 @@ object Sessionize {
   def step(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[UserSession] = {
     def close(s: SessionState): UserSession =
-      UserSession(userId, new Timestamp(s.start), new Timestamp(s.last),
+      UserSession(userId, ts(s.start), ts(s.last),
         s.n_events, math.round(s.sum_value * 100).toDouble / 100)
 
     if (events.isEmpty && state.hasTimedOut) {
@@ -56,14 +65,14 @@ object Sessionize {
     // (ts, event_id) — equal-timestamp events otherwise keep Spark's
     // nondeterministic per-group iterator order, and sum_value's float
     // accumulation order would vary run-to-run.
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (us(e.ts), e.event_id))
     var cur = state.getOption.orNull
     val closed = List.newBuilder[UserSession]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = us(e.ts)
       if (cur == null) {
         cur = SessionState(t, t, 1, e.value)
-      } else if (t - cur.last > GapMs) {
+      } else if (t - cur.last > GapUs) {
         closed += close(cur)
         cur = SessionState(t, t, 1, e.value)
       } else {
@@ -74,7 +83,8 @@ object Sessionize {
     if (cur != null) {
       state.update(cur)
       // event-time timeout: fire once the watermark passes last + gap
-      state.setTimeoutTimestamp(cur.last + GapMs)
+      // (GroupState timeouts are millisecond-granular)
+      state.setTimeoutTimestamp((cur.last + GapUs) / 1000)
     }
     closed.result().iterator
   }
