@@ -179,10 +179,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Cosine threshold for embedding near-duplicates. Production corpora
+    * use ~0.95+; the synthetic fixtures are random vectors whose max
+    * pairwise cosine is ≈0.51, so the fixture threshold sits below that
+    * to keep the verification path exercised — the plan is
+    * threshold-agnostic.
+    */
+  val NearDupMin = 0.35
+
+  /** q38 — embedding-cosine near-dup pairs: SRP-bucketed candidate
+    * generation (same deterministic hyperplanes as q26), exact cosine
+    * verification at ≥ [[NearDupMin]] within each bucket.
+    *
+    * Scale design: the all-pairs relation is never formed — candidate
+    * pairs only meet inside an SRP bucket (a self-join on bucket id,
+    * shuffle_hash both sides so the bucketed pipeline is computed once
+    * via exchange reuse), so comparisons scale with Σ bucket², not
+    * corpus². More planes → smaller buckets → recall/cost dial, same
+    * plan.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupFrom(Tables.embeddings(spark, dir))
+
+  def embeddingNearDupFrom(embeddings: DataFrame): DataFrame = {
+    val bucket = (0 until NumPlanes)
+      .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
+        lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = embDouble(embeddings).withColumn("bucket", bucket)
+    e.alias("a").hint("shuffle_hash")
+      .join(e.alias("b").hint("shuffle_hash"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.emb"), col("b.emb")), 9).as("cosine"))
+      .filter(col("cosine") >= NearDupMin)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
     "q26_ann_lsh" -> (annLsh _),
-    "q36_ann_ivf" -> (annIvf _))
+    "q36_ann_ivf" -> (annIvf _),
+    "q38_embedding_neardup" -> (embeddingNearDup _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -246,5 +285,17 @@ object Similarity {
          |rk AS (SELECT *, row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
-         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q38_embedding_neardup" -> {
+      val bucket = (0 until NumPlanes)
+        .map(p => s"CASE WHEN list_inner_product(emb, ${planeSql(p)}) > 0 THEN ${1 << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH $eCte,
+         |b AS (SELECT vec_id, emb, nrm, $bucket AS bucket FROM e)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm), 9) AS cosine
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm), 9) >= $NearDupMin
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
 }
