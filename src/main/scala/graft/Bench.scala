@@ -43,30 +43,24 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    // Best-of-2 per query: this VM's host stalls for tens of seconds at
-    // random (see SURVEY §6.1); the min of two runs measures the engine,
-    // not the neighbor's disk. Writes are idempotent overwrites, so
-    // running a stage twice is safe.
-    def time[A](name: String)(f: => A): A = {
-      System.err.println(s"[bench] start $name")
-      // GC is sampled around each run so the reported gc_sec is the GC
-      // delta of the run whose wall time was kept (the min).
-      def once(): (Double, Double, A) = {
-        val g0 = gcMs
-        val t0 = System.nanoTime(); val r = f
-        ((System.nanoTime() - t0) / 1e9, (gcMs - g0) / 1e3, r)
-      }
-      val (t1, g1, _) = once()
-      val (t2, g2, r) = once()
-      if (t1 <= t2) { results(name) = t1; gcShare(name) = g1 }
-      else { results(name) = t2; gcShare(name) = g2 }
-      System.err.println(f"[bench] done  $name ${results(name)}%.2f s (runs: $t1%.2f, $t2%.2f)")
-      r
-    }
-    def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
-      time(name) { df.count() }
 
-    val t0 = System.nanoTime()
+    // The suite is declared once as an ordered list of stages and run as
+    // TWO FULL PASSES; each query reports the min of its two runs with
+    // the GC delta of the kept run. Versus timing two adjacent runs per
+    // query: (a) pass 1 warms JIT + codegen for the whole plan corpus,
+    // so pass 2 measures warm per-query latency (BASELINE.md asks for
+    // exactly that alongside the cold total); (b) the two runs of a
+    // query are minutes apart, so one host stall (this VM stalls for
+    // tens of seconds at random, SURVEY §6.1) cannot taint both runs of
+    // the same query — adjacent best-of-2 is what let the round-1 dedup
+    // regression report 266 s as a "min". Stage order preserves the
+    // reference's CTAS dataflow (kpis → risk → dashboard reads; LSH
+    // candidates → jaccard verify); writes are idempotent overwrites,
+    // so a second pass is safe.
+    val suite = scala.collection.mutable.ArrayBuffer[(String, () => Unit)]()
+    def time(name: String)(f: => Unit): Unit = suite += ((name, () => f))
+    def run(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      time(name) { df.count(); () }
 
     // stage 1: load + integrity (reference load_duckdb.py)
     run("q01_row_counts") { Integrity.rowCounts(spark, sfDir) }
@@ -77,7 +71,7 @@ object Bench {
     time("q04_supplier_kpis") {
       SupplierPerf.kpis(spark, sfDir).write.mode("overwrite").parquet(s"$wh/kpis")
     }
-    val kpisT = spark.read.parquet(s"$wh/kpis")
+    def kpisT = spark.read.parquet(s"$wh/kpis")
     run("q05_bottom5_on_time") { SupplierPerf.bottom5OnTimeFrom(kpisT) }
     run("q06_top5_delay") { SupplierPerf.top5DelayFrom(kpisT) }
 
@@ -85,12 +79,12 @@ object Bench {
     time("q07_supplier_risk") {
       SupplierPerf.riskFrom(kpisT).write.mode("overwrite").parquet(s"$wh/risk")
     }
-    val riskT = spark.read.parquet(s"$wh/risk")
+    def riskT = spark.read.parquet(s"$wh/risk")
     run("q08_top10_risk") { SupplierPerf.top10RiskFrom(riskT) }
 
     // stage 4: dashboard reads over the materialized risk table
-    Dashboard.queriesFromRisk(riskT).toSeq.sortBy(_._1).foreach {
-      case (name, df) => run(name) { df }
+    Dashboard.queriesFromRisk(riskT).keys.toSeq.sorted.foreach { name =>
+      run(name) { Dashboard.queriesFromRisk(riskT)(name) }
     }
     run("q11_filter_domains") { Dashboard.queries("q11_filter_domains")(spark, sfDir) }
     run("q16_table_viewer") { Dashboard.queries("q16_table_viewer")(spark, sfDir) }
@@ -113,6 +107,22 @@ object Bench {
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
 
+    val t0 = System.nanoTime()
+    (1 to 2).foreach { pass =>
+      suite.foreach { case (name, f) =>
+        System.err.println(s"[bench] pass $pass $name")
+        val g0 = gcMs
+        val s0 = System.nanoTime()
+        f()
+        val dt = (System.nanoTime() - s0) / 1e9
+        val dg = (gcMs - g0) / 1e3
+        if (!results.contains(name) || dt < results(name)) {
+          results(name) = dt
+          gcShare(name) = dg
+        }
+        System.err.println(f"[bench] pass $pass $name $dt%.2f s")
+      }
+    }
     val wall = (System.nanoTime() - t0) / 1e9
     val total = results.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -59,9 +59,18 @@ object ScaleSmoke {
       val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
       Dedup.candidatePairsFrom(Dedup.bandsFrom(canonical)).count()
     }
+    // jaccard verification in the standard pipeline order (exact-dedup
+    // first): candidate volume stays near the original corpus's
+    t("dedup_then_jaccard") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.ngramJaccardFrom(canonical).count()
+    }
     t("knn_bruteforce") { Similarity.knnBruteFrom(emb).count() }
     t("ann_lsh") { Similarity.annLshFrom(emb).count() }
+    t("ann_ivf") { Similarity.annIvfFrom(emb).count() }
+    t("embedding_neardup") { Similarity.embeddingNearDupFrom(emb).count() }
     t("event_windows") { Events.eventWindowsFrom(events).count() }
+    t("topk_per_key") { Events.topKPerUserFrom(events).count() }
     t("sessionize") { Sessionize.sessions(events).count() }
     spark.stop()
   }

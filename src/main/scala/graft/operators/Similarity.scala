@@ -150,11 +150,16 @@ object Similarity {
     annIvfFrom(Tables.embeddings(spark, dir))
 
   def annIvfFrom(embeddings: DataFrame): DataFrame = {
-    val e = embDouble(embeddings)
-    val codebook: Seq[Seq[Double]] = e
+    GraftFunctions.register(embeddings.sparkSession)
+    // codebook fetch filters the raw scan (vec_id predicate pushes into
+    // parquet) — NOT the repartitioned relation, which would shuffle the
+    // whole corpus to read 16 rows
+    val codebook: Seq[Seq[Double]] = embeddings
       .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
       .orderBy("vec_id")
-      .select("emb").collect().map(_.getSeq[Double](0)).toSeq
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val e = embDouble(embeddings)
     val scores = array(codebook.map(c =>
       call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
     // first-max argmax: same tie order as the oracle's (score DESC, c ASC)
