@@ -117,11 +117,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** KMV sketch size (estimate stderr ≈ 1/√k ≈ 6%). */
+  val KmvK = 256
+
+  /** q39 — KMV (k-minimum-values) distinct-document sketch: the k
+    * smallest 60-bit fingerprint hashes estimate the distinct count as
+    * `(k−1) · 2^60 / h_k`.
+    *
+    * Why KMV and not HLL here: the sketch is a pure function of the
+    * data (k order statistics of a deterministic hash), so the estimate
+    * is bit-identical on any engine — it sits under the DuckDB hash
+    * oracle like every exact query, which no engine-specific HLL
+    * register layout can. Scale shape: k-min sets merge associatively
+    * (k-min of a union = k-min of the k-mins), and Spark plans the
+    * orderBy+limit as TakeOrderedAndProject — per-partition partial
+    * top-k, merge of k-row partials, never a global sort. The exact
+    * count is computed alongside to expose sketch error.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctFrom(Tables.documents(spark, dir))
+
+  def kmvDistinctFrom(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    val fp = docs
+      .select(conv(substring(md5(norm), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val kmins = fp.orderBy("h").limit(KmvK)
+      .agg(count(lit(1)).as("n_k"), max("h").as("kth_min"))
+    val exact = fp.agg(count(lit(1)).as("n_exact"))
+    // 255 * 2^60 is exactly representable (8 significant bits)
+    val scale = lit((KmvK - 1).toDouble * 1152921504606846976.0)
+    kmins.crossJoin(exact)
+      .select(col("n_exact"), col("n_k"), col("kth_min"),
+        when(col("n_k") < KmvK, col("n_k").cast("double"))
+          .otherwise(scale / col("kth_min").cast("double"))
+          .as("est_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q19_lang_id" -> (langId _),
-    "q20_fingerprint" -> (fingerprint _))
+    "q20_fingerprint" -> (fingerprint _),
+    "q39_kmv_distinct" -> (kmvDistinct _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -171,5 +210,19 @@ object TextAnalysis {
          |  CAST(('0x' || substring(md5(norm),1,15)) AS UBIGINT) AS fp60,
          |  list_min(list_transform(range(length(norm) - 7),
          |    i -> ${TextFns.sql.hash32("substring(norm, CAST(i AS INT) + 1, 8)")})) AS min_gram_hash
-         |FROM normd ORDER BY doc_id""".stripMargin)
+         |FROM normd ORDER BY doc_id""".stripMargin,
+    "q39_kmv_distinct" ->
+      s"""WITH fps AS (
+         |  SELECT DISTINCT CAST(('0x' || substring(md5(trim(regexp_replace(
+         |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))),
+         |    1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |kmins AS (SELECT h FROM fps ORDER BY h LIMIT $KmvK),
+         |kagg AS (SELECT CAST(count(*) AS BIGINT) AS n_k, max(h) AS kth_min FROM kmins),
+         |eagg AS (SELECT count(*) AS n_exact FROM fps)
+         |SELECT n_exact, n_k, kth_min,
+         |  CASE WHEN n_k < $KmvK THEN CAST(n_k AS DOUBLE)
+         |       ELSE ${(KmvK - 1).toDouble * 1152921504606846976.0} / CAST(kth_min AS DOUBLE)
+         |  END AS est_distinct
+         |FROM kagg CROSS JOIN eagg""".stripMargin)
 }
