@@ -70,6 +70,68 @@ object Multimodal {
       }
   }
 
+  /** A resize plan + result for one record: stubbed decode dims scaled
+    * into a bounding box, aspect preserved.
+    */
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, scale: Double)
+
+  /** Resize stage over decoded features: fit each record's (stub)
+    * dimensions into `maxW × maxH` preserving aspect ratio. Per-record
+    * typed map — partition-preserving, no shuffle; a real deployment
+    * swaps the arithmetic for the codec's resample call.
+    */
+  def resizeFeatures(
+      feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.map { f =>
+      val s = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      ResizedMedia(f.doc_id, f.width, f.height,
+        math.max(1, math.floor(f.width * s).toInt),
+        math.max(1, math.floor(f.height * s).toInt), s)
+    }
+  }
+
+  /** One sampled frame: per-frame payload hash stands in for decoded
+    * frame bytes.
+    */
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, n_frames: Int, frame_sha: String)
+
+  /** Frame-sampling stage: emit ≤ `perDoc` evenly-spaced frame records
+    * per payload (frame count from the stub decode). The generator runs
+    * per partition with one digest instance — the 1→N row expansion is
+    * local (flatMap, no shuffle), so downstream per-frame transforms
+    * parallelize over the exploded records. A real deployment replaces
+    * the hash with a codec frame-seek + decode.
+    */
+  def sampleFrames(payloads: DataFrame, perDoc: Int): Dataset[FrameSample] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+        it.flatMap { case (id, bytes) =>
+          val sha = digest.digest(bytes)
+          // same stub as mediaMeta's n_frames: hex chars 13..18 of the
+          // SHA-256 = bytes 6..8 → 1 + (value % 32)
+          val nFrames = 1 + (((sha(6) & 0xff) << 16 | (sha(7) & 0xff) << 8 |
+            (sha(8) & 0xff)) % 32)
+          val take = math.min(perDoc, nFrames)
+          (0 until take).map { i =>
+            val frameIdx = (i.toLong * nFrames / take).toInt // even spacing
+            digest.update(bytes)
+            digest.update(java.nio.ByteBuffer.allocate(4).putInt(frameIdx).array())
+            FrameSample(id, frameIdx, nFrames, hex(digest.digest()))
+          }
+        }
+      }
+  }
+
   /** Binary-payload view of the documents table (text bytes as media). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
