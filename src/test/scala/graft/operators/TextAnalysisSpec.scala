@@ -77,4 +77,30 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(r.getAs[String]("fp_md5").nonEmpty)
     }
   }
+
+  describe("kmvDistinct (q39)") {
+    it("falls back to the exact count when distincts < k") {
+      // fixtures have 500 distinct docs (> k=256), so the small-corpus
+      // branch is only covered here
+      val corpus = docs((1 to 40).map(i => (i.toLong, s"doc number $i")): _*)
+      val r = TextAnalysis.kmvDistinctFrom(corpus).collect()(0)
+      assert(r.getAs[Long]("n_exact") == 40L)
+      assert(r.getAs[Long]("n_k") == 40L)
+      assert(r.getAs[Double]("est_distinct") == 40.0)
+    }
+
+    it("collapses case/punctuation duplicates before sketching") {
+      val corpus = docs((1L, "Same Doc!"), (2L, "same doc"), (3L, "other"))
+      val r = TextAnalysis.kmvDistinctFrom(corpus).collect()(0)
+      assert(r.getAs[Long]("n_exact") == 2L)
+      assert(r.getAs[Double]("est_distinct") == 2.0)
+    }
+
+    it("estimates within 10% on a 5000-doc corpus with k=256") {
+      val corpus = docs((1 to 5000).map(i => (i.toLong, s"unique doc $i")): _*)
+      val r = TextAnalysis.kmvDistinctFrom(corpus).collect()(0)
+      val est = r.getAs[Double]("est_distinct")
+      assert(math.abs(est - 5000) / 5000 < 0.10, s"est=$est")
+    }
+  }
 }
