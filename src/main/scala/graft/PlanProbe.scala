@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Dev-only probe: print the AQE FINAL plan of the LSH band self-join to
+  * confirm the two band pipelines collapse into one via runtime exchange
+  * reuse (the initial plan always shows both sides).
+  */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = Dedup.candidatePairsFrom(Dedup.bandsFrom(Tables.documents(spark, sf)))
+    df.collect() // materialize THIS execution so AQE finalizes it
+    val plan = df.queryExecution.executedPlan.toString
+    println("[probe] reused=" + plan.contains("ReusedExchange"))
+    println(plan.linesIterator.take(40).mkString("\n"))
+    spark.stop()
+  }
+}
