@@ -22,8 +22,17 @@ object PlanProbe {
     val df = Dedup.candidatePairsFrom(Dedup.bandsFrom(Tables.documents(spark, sf)))
     df.collect() // materialize THIS execution so AQE finalizes it
     val plan = df.queryExecution.executedPlan.toString
-    println("[probe] reused=" + plan.contains("ReusedExchange"))
+    println("[probe] q22 reused=" + plan.contains("ReusedExchange"))
     println(plan.linesIterator.take(40).mkString("\n"))
+
+    val j = Dedup.ngramJaccardFrom(Tables.documents(spark, sf))
+    j.collect()
+    val jp = j.queryExecution.executedPlan.toString
+    // q24 references the sorted-shingle relation twice (doc_a / doc_b
+    // sides); count how many times the kernel is evaluated in the final
+    // plan vs reused
+    println("[probe] q24 reused=" + jp.contains("ReusedExchange") +
+      " kernelEvals=" + "sorted_shingle_hashes".r.findAllIn(jp).length)
     spark.stop()
   }
 }

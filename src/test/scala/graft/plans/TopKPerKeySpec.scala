@@ -59,6 +59,19 @@ class TopKPerKeySpec extends AnyFunSpec {
       assert(got == want)
     }
 
+    it("bounds a mega-hot key: map side ships k rows per partition, not the key") {
+      // one key holds 1M of 1.01M rows; the partial pass caps its
+      // shuffle contribution at k × partitions — the skew story
+      val df = spark.range(0, 1010000, 1, 23)
+        .select(when(col("id") < 1000000, lit(0L)).otherwise(col("id") % 10 + 1).as("g"),
+          col("id").as("v"))
+      val out = TopKPerKey(df, Seq(col("g")), Seq(col("v").desc), 2)
+        .orderBy("g", "rank").select("g", "v").as[(Long, Long)].collect().toSeq
+      val hot = out.filter(_._1 == 0L)
+      assert(hot == Seq((0L, 999999L), (0L, 999998L)))
+      assert(out.size == 22) // hot key + 10 modular keys, 2 each
+    }
+
     it("plans a partial stage below the exchange and a final above it") {
       val events = Tables.events(spark, TestSpark.Sf)
         .select("user_id", "event_id", "value")
