@@ -73,4 +73,49 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(plan("q25_knn_bruteforce").contains("Broadcast"))
     }
   }
+
+  describe("round-2 operator plan shapes") {
+    it("q22 minhash is map-only up to the band join: no aggregate below it") {
+      // the one-pass kernel replaced the explode+groupBy(min) signature
+      // aggregation — a HashAggregate reappearing under the join means
+      // the shingle shuffle is back
+      val p = plan("q22_minhash_candidates")
+      val joinIdx = p.indexOf("ShuffledHashJoin")
+      assert(joinIdx > 0)
+      assert(!p.substring(joinIdx).contains("HashAggregate"),
+        "no aggregate may sit below the band self-join")
+      assert(p.contains("minhash_band_keys"))
+    }
+
+    it("q23 simhash has no shuffle at all before its output sort") {
+      val p = plan("q23_simhash")
+      // one REPARTITION_BY_COL (local parallelism) + the orderBy range
+      // exchange; any ENSURE_REQUIREMENTS hash exchange means an
+      // aggregation shuffle crept back in
+      assert(!p.contains("HashAggregate"), s"simhash must be map-only:\n$p")
+    }
+
+    it("q35 plans partial below the key exchange and final above it") {
+      val p = plan("q35_topk_per_key")
+      val fin = p.indexOf("TopKPerKey ")
+      val ex = p.indexOf("Exchange hashpartitioning(user_id", fin)
+      val part = p.indexOf("TopKPerKeyPartial", ex)
+      assert(fin >= 0 && ex > fin && part > ex, s"unexpected plan:\n$p")
+      assert(!p.contains("Window"), "native operator must not fall back to a window")
+    }
+
+    it("q36 IVF assigns cells map-side: no window over the corpus") {
+      val p = plan("q36_ann_ivf")
+      // windows only run on the tiny probe/rank relations (partitioned
+      // by query_id); a vec_id-partitioned window = per-vector argmax
+      // shuffling the whole corpus
+      assert(!p.contains("windowspecdefinition(vec_id"), s"corpus window found:\n$p")
+      assert(p.contains("dot_product"))
+    }
+
+    it("q39 KMV plans a TakeOrderedAndProject, never a global sort") {
+      val p = plan("q39_kmv_distinct")
+      assert(p.contains("TakeOrderedAndProject"))
+    }
+  }
 }
