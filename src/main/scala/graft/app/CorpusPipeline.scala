@@ -1,0 +1,91 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.{Jsonl, Tables}
+
+/** End-to-end training-corpus curation pipeline — the composition story
+  * for the LLM-data operators: language filter → quality filter → exact
+  * dedup → MinHash near-dup removal → sharded JSONL output + a stage
+  * report. Each stage is one of the engine's verified operators; this
+  * module only wires them.
+  *
+  * Scale notes: every stage is the already-analyzed plan shape (map-only
+  * scoring, one fp-hash shuffle for exact dedup, bucket-confined LSH
+  * joins for near-dup); the near-dup drop keeps each verified pair's
+  * lowest doc_id as canonical, which needs only the (small, verified)
+  * pair relation — never a corpus-wide connected-components pass. That
+  * keeps the stage bounded at any corpus size; a full
+  * transitive-closure clustering would be a separate iterative job.
+  */
+object CorpusPipeline {
+
+  final case class Report(
+      n_input: Long, n_lang_kept: Long, n_quality_kept: Long,
+      n_after_exact: Long, n_near_dup_dropped: Long, n_output: Long)
+
+  /** Run the curation flow; returns the per-stage survivor counts and
+    * writes the cleaned corpus under `outDir` (parquet + JSONL shards).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      lang: String = "en", minQuality: Double = 0.3): Report = {
+    val docs = Tables.documents(spark, sfDir)
+    val nIn = docs.count()
+
+    // stage 1: language filter (marker-argmax lang id)
+    val langKept = TextAnalysis.langIdFrom(docs)
+      .filter(col("pred_lang") === lang).select("doc_id")
+    val withLang = docs.join(langKept, "doc_id")
+    val nLang = withLang.count()
+
+    // stage 2: quality filter (length/stopword blend)
+    val qualKept = TextAnalysis.qualityScoreFrom(withLang)
+      .filter(col("quality_score") >= minQuality).select("doc_id")
+    val withQual = withLang.join(qualKept, "doc_id")
+    val nQual = withQual.count()
+
+    // stage 3: exact dedup — keep the lowest doc_id per normalized text
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    val canonical = withQual
+      .withColumn("fp", md5(norm))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("fp", "rn")
+    val nExact = canonical.count()
+
+    // stage 4: near-dup removal — drop the higher doc_id of each
+    // jaccard-verified candidate pair (doc_b > doc_a by construction)
+    val nearDups = Dedup.ngramJaccardFrom(canonical)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val cleaned = canonical.join(nearDups, Seq("doc_id"), "left_anti")
+    val nNearDropped = nearDups.count()
+
+    cleaned.write.mode("overwrite").parquet(s"$outDir/corpus_parquet")
+    Jsonl.write(cleaned, s"$outDir/corpus_jsonl")
+    val nOut = spark.read.parquet(s"$outDir/corpus_parquet").count()
+
+    Report(nIn, nLang, nQual, nExact, nNearDropped, nOut)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/dev/shm/graft-corpus-out"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, outDir)
+    println(s"[corpus] input=${r.n_input} lang=${r.n_lang_kept} " +
+      s"quality=${r.n_quality_kept} exact=${r.n_after_exact} " +
+      s"nearDupDropped=${r.n_near_dup_dropped} output=${r.n_output}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,37 @@
+package graft.app
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class CorpusPipelineSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+
+  describe("CorpusPipeline curation flow") {
+    it("monotonically narrows the corpus and writes both output formats") {
+      val out = "/dev/shm/graft-test-corpus"
+      val r = CorpusPipeline.run(spark, TestSpark.Sf, out)
+      assert(r.n_input > 0)
+      assert(r.n_lang_kept <= r.n_input)
+      assert(r.n_quality_kept <= r.n_lang_kept)
+      assert(r.n_after_exact <= r.n_quality_kept)
+      assert(r.n_output == r.n_after_exact - r.n_near_dup_dropped)
+      assert(r.n_output > 0)
+      // both sinks carry the same corpus
+      val pq = spark.read.parquet(s"$out/corpus_parquet")
+      val jl = graft.sources.Jsonl.readDocuments(spark, s"$out/corpus_jsonl")
+      assert(pq.count() == jl.count())
+      // cleaned corpus has no exact duplicates left
+      import org.apache.spark.sql.functions._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+      assert(pq.select(md5(norm).as("fp")).distinct().count() == r.n_output)
+    }
+
+    it("is deterministic") {
+      val a = CorpusPipeline.run(spark, TestSpark.Sf, "/dev/shm/graft-test-corpus-a")
+      val b = CorpusPipeline.run(spark, TestSpark.Sf, "/dev/shm/graft-test-corpus-b")
+      assert(a == b)
+    }
+  }
+}
