@@ -100,12 +100,19 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLshFrom(Tables.embeddings(spark, dir))
 
-  def annLshFrom(embeddings: DataFrame): DataFrame = {
+  /** Corpus with its SRP bucket id: sign bits of the deterministic
+    * hyperplane dot products (shared by the ANN and near-dup paths).
+    */
+  private def bucketed(embeddings: DataFrame): DataFrame = {
     val bucket = (0 until NumPlanes)
       .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
         lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
-    val e = embDouble(embeddings).withColumn("bucket", bucket)
+    embDouble(embeddings).withColumn("bucket", bucket)
+  }
+
+  def annLshFrom(embeddings: DataFrame): DataFrame = {
+    val e = bucketed(embeddings)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -207,11 +214,7 @@ object Similarity {
     embeddingNearDupFrom(Tables.embeddings(spark, dir))
 
   def embeddingNearDupFrom(embeddings: DataFrame): DataFrame = {
-    val bucket = (0 until NumPlanes)
-      .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
-        lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val e = embDouble(embeddings).withColumn("bucket", bucket)
+    val e = bucketed(embeddings)
     e.alias("a").hint("shuffle_hash")
       .join(e.alias("b").hint("shuffle_hash"),
         col("a.bucket") === col("b.bucket") &&
