@@ -39,6 +39,23 @@ class DashboardServiceSpec extends AnyFunSpec {
       assert(svc.drilldown(name).isDefined)
       assert(svc.drilldown("no such supplier").isEmpty)
     }
+
+    it("sorts domains by the column's type, NaN-safe (ADVICE r01)") {
+      import spark.implicits._
+      val risky = Seq(
+        (3L, 0.5), (1L, Double.NaN), (2L, 0.1), (4L, Double.PositiveInfinity))
+        .toDF("s_suppkey", "risk_score")
+      val s = new DashboardService(risky)
+      // Double.compare total order: finite < +Inf < NaN — and no
+      // 'Comparison method violates its general contract' crash
+      val d = s.domain("risk_score")
+      assert(d.take(3) == Seq(0.1, 0.5, Double.PositiveInfinity))
+      assert(d(3).asInstanceOf[Double].isNaN) // NaN != NaN under ==
+      // longs sort numerically, not lexicographically (10 > 9)
+      val wide = new DashboardService(
+        Seq((10L, 1.0), (9L, 2.0)).toDF("s_suppkey", "risk_score"))
+      assert(wide.domain("s_suppkey") == Seq(9L, 10L))
+    }
   }
 
   describe("typed model API") {
