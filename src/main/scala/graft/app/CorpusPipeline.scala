@@ -58,7 +58,15 @@ object CorpusPipeline {
     val nExact = canonical.count()
 
     // stage 4: near-dup removal — drop the higher doc_id of each
-    // jaccard-verified candidate pair (doc_b > doc_a by construction)
+    // jaccard-verified candidate pair (doc_b > doc_a by construction).
+    // Deliberate over-deletion bound: in a chain A~B, B~C (no A~C), both
+    // B and C are dropped even though C's only near-dup (B) is already
+    // gone — a greedy keep-lowest pass would keep C. The greedy fixpoint
+    // is inherently iterative (connected components); one shuffle-free
+    // anti-join bounds the corpus at "no kept doc has a kept near-dup
+    // with a smaller id", trading ≤ (chain length − 2) extra drops per
+    // dup chain for a single pass. At 100 TB that trade is deliberate:
+    // dup chains are short and yield loss is ≪ the cost of iterating.
     val nearDups = Dedup.ngramJaccardFrom(canonical)
       .select(col("doc_b").as("doc_id")).distinct()
     val cleaned = canonical.join(nearDups, Seq("doc_id"), "left_anti")

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.catalyst.util.{ArrayData, CollationSupport, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, CollationFactory, CollationSupport, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass tokenize→shingle→hash kernels backing graft's native text
@@ -22,11 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Oracle parity (bit-exact with the DuckDB SQL twins in
   * [[graft.operators.Dedup]]):
   *  - tokens = `split(lower(trim(text)), '\\s+')`: `UTF8String.trim`
-  *    (0x20 only) then `CollationSupport.Lower.execBinaryICU` — the
-  *    exact runtime path of Spark's default-collation `lower()`
-  *    (UTF8_BINARY + `spark.sql.icu.caseMappings.enabled=true`) — then a
-  *    precompiled `\\s+` Java regex with limit -1, the same call
-  *    `UTF8String.split` makes per row.
+  *    (0x20 only) then `CollationSupport.Lower.exec` with UTF8_BINARY and
+  *    the session's `spark.sql.icu.caseMappings.enabled` — the exact
+  *    runtime path of Spark's default-collation `lower()` under either
+  *    conf value — then a precompiled `\\s+` Java regex with limit -1,
+  *    the same call `UTF8String.split` makes per row.
   *  - hashes are md5 prefixes: first 15 hex chars as a 60-bit long
   *    (≡ `conv(substring(md5(s),1,15),16,10)`), first 8 as a 32-bit
   *    unsigned (≡ `conv(substring(md5(s),1,8),16,10)`), computed
@@ -58,10 +58,15 @@ object TextCore {
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** `split(lower(trim(text)), "\\s+")` — same value path as the Spark
-    * built-ins, with the regex compiled once per JVM.
+    * built-ins, with the regex compiled once per JVM. `useICU` is the
+    * session's `spark.sql.icu.caseMappings.enabled` captured by the
+    * calling expression (exactly like Spark's `Lower` does), so the
+    * kernels stay bit-identical to the compositional built-ins even on a
+    * session with ICU case mapping disabled (ß, final sigma, …).
     */
-  def tokens(text: UTF8String): Array[String] = {
-    val lowered = CollationSupport.Lower.execBinaryICU(text.trim())
+  def tokens(text: UTF8String, useICU: Boolean): Array[String] = {
+    val lowered = CollationSupport.Lower.exec(
+      text.trim(), CollationFactory.UTF8_BINARY_COLLATION_ID, useICU)
     Whitespace.split(lowered.toString, -1)
   }
 
@@ -93,8 +98,8 @@ object TextCore {
     * doc then contributes no LSH bands, matching the grouped-aggregate
     * formulation where it simply has no shingle rows.
     */
-  def minhashSig(text: UTF8String): ArrayData = {
-    val w = tokens(text)
+  def minhashSig(text: UTF8String, useICU: Boolean): ArrayData = {
+    val w = tokens(text, useICU)
     if (w.length < 2) return null
     val md = mdLocal.get()
     val mh = Array.fill(NumHashes)(Long.MaxValue)
@@ -130,8 +135,8 @@ object TextCore {
     * of the signature values — identical to the SQL band arms. Null when
     * the doc has no shingles (posexplode then yields no rows).
     */
-  def minhashBandKeys(text: UTF8String): ArrayData = {
-    val sig = minhashSig(text)
+  def minhashBandKeys(text: UTF8String, useICU: Boolean): ArrayData = {
+    val sig = minhashSig(text, useICU)
     if (sig == null) return null
     val md = mdLocal.get()
     val keys = new Array[UTF8String](NumBands)
@@ -156,8 +161,8 @@ object TextCore {
     * collision between two distinct shingles keeps both entries, exactly
     * like the exploded stream it replaces). Empty for < 2 tokens.
     */
-  def sortedShingleHashes(text: UTF8String): ArrayData = {
-    val w = tokens(text)
+  def sortedShingleHashes(text: UTF8String, useICU: Boolean): ArrayData = {
+    val w = tokens(text, useICU)
     if (w.length < 2) return new GenericArrayData(Array.emptyLongArray)
     val md = mdLocal.get()
     val seen = new java.util.HashSet[String](math.max(8, w.length * 2))
@@ -182,8 +187,8 @@ object TextCore {
     * `split` of a trimmed-empty string yields one "" token, which is
     * hashed like any other — same as exploding the token array.
     */
-  def simhash32(text: UTF8String): Long = {
-    val w = tokens(text)
+  def simhash32(text: UTF8String, useICU: Boolean): Long = {
+    val w = tokens(text, useICU)
     val md = mdLocal.get()
     val votes = new Array[Int](32)
     var i = 0

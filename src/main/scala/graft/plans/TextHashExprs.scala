@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,6 +20,12 @@ import graft.functions.TextCore
   */
 private[plans] trait TextInputCheck { self: Expression =>
   def textChild: Expression
+  /** Session `spark.sql.icu.caseMappings.enabled`, captured lazily like
+    * Spark's own `Lower` so the kernels' lowercasing stays bit-identical
+    * to the compositional built-ins under either conf value.
+    */
+  lazy val useICU: Boolean =
+    SQLConf.get.getConf(SQLConf.ICU_CASE_MAPPINGS_ENABLED)
   def checkText(name: String): TypeCheckResult =
     if (textChild.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -37,11 +44,11 @@ case class MinHashSig(child: Expression)
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(t: Any): Any =
-    TextCore.minhashSig(t.asInstanceOf[UTF8String])
+    TextCore.minhashSig(t.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => s"""
-       |${ev.value} = graft.functions.TextCore.minhashSig($t);
+       |${ev.value} = graft.functions.TextCore.minhashSig($t, $useICU);
        |${ev.isNull} = ${ev.value} == null;
      """.stripMargin)
 
@@ -62,11 +69,11 @@ case class MinHashBandKeys(child: Expression)
   override def prettyName: String = "minhash_band_keys"
 
   override protected def nullSafeEval(t: Any): Any =
-    TextCore.minhashBandKeys(t.asInstanceOf[UTF8String])
+    TextCore.minhashBandKeys(t.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => s"""
-       |${ev.value} = graft.functions.TextCore.minhashBandKeys($t);
+       |${ev.value} = graft.functions.TextCore.minhashBandKeys($t, $useICU);
        |${ev.isNull} = ${ev.value} == null;
      """.stripMargin)
 
@@ -85,11 +92,11 @@ case class SortedShingleHashes(child: Expression)
   override def prettyName: String = "sorted_shingle_hashes"
 
   override protected def nullSafeEval(t: Any): Any =
-    TextCore.sortedShingleHashes(t.asInstanceOf[UTF8String])
+    TextCore.sortedShingleHashes(t.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      t => s"graft.functions.TextCore.sortedShingleHashes($t)")
+      t => s"graft.functions.TextCore.sortedShingleHashes($t, $useICU)")
 
   override protected def withNewChildInternal(c: Expression): SortedShingleHashes =
     copy(child = c)
@@ -104,10 +111,10 @@ case class SimHash32(child: Expression)
   override def prettyName: String = "simhash32"
 
   override protected def nullSafeEval(t: Any): Any =
-    TextCore.simhash32(t.asInstanceOf[UTF8String])
+    TextCore.simhash32(t.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.functions.TextCore.simhash32($t)")
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextCore.simhash32($t, $useICU)")
 
   override protected def withNewChildInternal(c: Expression): SimHash32 =
     copy(child = c)
