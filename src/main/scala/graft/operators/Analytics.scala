@@ -8,14 +8,19 @@ import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Analytic operator coverage beyond the reference surface: set
-  * operations, grouping sets (ROLLUP), and as-of (most-recent-prior)
-  * semantics via frame-bounded windows.
+  * operations, grouping sets (ROLLUP + CUBE), as-of
+  * (most-recent-prior) semantics via frame-bounded windows, exact
+  * quantiles, wide pivot, and the approximate-sketch path
+  * (HLL++ distinct, approx percentile).
   *
   * Scale notes: INTERSECT/EXCEPT lower to distinct + hash joins on the
-  * compared columns; ROLLUP is one pass with grouping-set expansion and
-  * map-side partial aggregation; the as-of window shuffles once on
-  * user_id with an unbounded-preceding frame (running state, no
-  * re-scan per row).
+  * compared columns; ROLLUP/CUBE are one pass with grouping-set
+  * expansion and map-side partial aggregation; the as-of window
+  * shuffles once on user_id with an unbounded-preceding frame (running
+  * state, no re-scan per row); pivot with a declared value domain skips
+  * the distinct-discovery scan; the q44 sketches are single-pass
+  * mergeable fixed-size state — the only distinct-count/quantile shape
+  * that works at 100 TB.
   */
 object Analytics {
 
@@ -86,11 +91,82 @@ object Analytics {
         max("value").as("max_v"))
       .orderBy("event_type")
 
+  /** q42 — CUBE over (returnflag, ship year) with grouping id: all four
+    * grouping sets in one pass (grouping-set expansion + map-side
+    * partial agg, one shuffle — never four scans).
+    */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame =
+    revenueCubeFrom(Tables.lineitem(spark, dir))
+
+  def revenueCubeFrom(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .cube("l_returnflag", "ship_year")
+      .agg(
+        grouping_id().as("gid"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("ship_year"), col("gid").cast("int").as("gid"),
+        col("revenue"), col("n"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("ship_year"))
+
+  /** Pivot value domain, declared statically: passing explicit values to
+    * `pivot` skips the extra distinct-collect job Spark otherwise runs
+    * to discover them — at 100 TB that discovery pass is a full scan.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q43 — wide per-user activity matrix: pivot on event type with a
+    * count and an exact-decimal value sum per type. Counts for absent
+    * (user, type) cells are 0; sums stay null (no events ⇒ no sum), the
+    * same semantics as filtered aggregation.
+    */
+  def userActivityPivot(spark: SparkSession, dir: String): DataFrame =
+    userActivityPivotFrom(Tables.events(spark, dir))
+
+  def userActivityPivotFrom(events: DataFrame): DataFrame = {
+    val pivoted = events
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("val"))
+    val counts = EventTypes.map(t => coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"))
+    val sums = EventTypes.map(t => col(s"${t}_val"))
+    pivoted.select((col("user_id") +: (counts ++ sums)): _*).orderBy("user_id")
+  }
+
+  /** q44 — the approximate path for the same statistics the exact
+    * operators compute (q28 countDistinct, q34 percentile): HLL++
+    * `approx_count_distinct` (rsd 1%) and `percentile_approx`
+    * (accuracy 10⁴) next to their exact values. At 100 TB these are the
+    * operators you actually run — both are single-pass, mergeable
+    * sketches with fixed-size state, where exact distinct counts shuffle
+    * every distinct value. Sketch internals differ across engines, so
+    * this query has NO DuckDB oracle (driver records a rows-only check);
+    * `AnalyticsSpec` pins the approximation error against the exact
+    * columns instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    approxStatsFrom(Tables.events(spark, dir))
+
+  def approxStatsFrom(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+        percentile(col("value"), lit(0.9)).as("p90_exact"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
     "q33_asof_prior_click" -> (asofPriorClick _),
-    "q34_value_quantiles" -> (valueQuantiles _))
+    "q34_value_quantiles" -> (valueQuantiles _),
+    "q42_revenue_cube" -> (revenueCube _),
+    "q43_user_pivot" -> (userActivityPivot _),
+    "q44_approx_stats" -> (approxStats _))
 
   val oracle: Map[String, String] = Map(
     "q31_cohort_set_ops" ->
@@ -124,5 +200,26 @@ object Analytics {
       """SELECT event_type, count(*) AS n, min(value) AS min_v,
         |  median(value) AS med, quantile_cont(value, 0.9) AS p90,
         |  max(value) AS max_v
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_revenue_cube" ->
+      """SELECT l_returnflag, ship_year,
+        |  CAST(GROUPING(l_returnflag, ship_year) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM (SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |        l_extendedprice FROM lineitem)
+        |GROUP BY CUBE(l_returnflag, ship_year)
+        |ORDER BY gid, l_returnflag NULLS FIRST, ship_year NULLS FIRST""".stripMargin,
+    "q43_user_pivot" -> {
+      val counts = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS ${t}_n")
+      val sums = EventTypes.map(t =>
+        s"CAST(sum(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_val")
+      s"""SELECT user_id,
+         |  ${(counts ++ sums).mkString(",\n  ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    })
+    // q44_approx_stats deliberately has no oracle entry: HLL++ /
+    // percentile_approx sketches are engine-specific (driver rows-only
+    // check; error bounds pinned in AnalyticsSpec).
 }

@@ -108,12 +108,76 @@ object Events {
       .toDF()
       .orderBy("user_id", "session_start")
 
+  /** Range-join bucket width == the range length, so every probe row
+    * lands in exactly 2 consecutive buckets.
+    */
+  private val RangeMicros = 10L * 60 * 1000 * 1000
+
+  /** q40 — time-range join: for every purchase, the count and max value
+    * of the same user's clicks in the 10 minutes strictly before it
+    * (`click.ts ∈ [purchase.ts − 10 min, purchase.ts)`).
+    *
+    * Scale design: a naive `t1.ts BETWEEN t2.ts − x AND t2.ts` join has
+    * no equi-key, so Spark plans a broadcast/cartesian nested loop —
+    * quadratic at 100 TB. Instead both sides are binned to
+    * 10-minute buckets (integer `div`, no float rounding); each purchase
+    * probes its own and the previous bucket via `explode`, the join is a
+    * plain shuffled HASH join on (user_id, bucket), and the exact range
+    * predicate runs as the join's post-filter. Cost: 2× probe-side rows,
+    * comparisons ∝ matches per bucket, never |clicks|×|purchases|.
+    */
+  def rangeJoinClicks(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinClicksFrom(Tables.events(spark, dir))
+
+  def rangeJoinClicksFrom(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr(s"unix_micros(ts) div $RangeMicros").as("b"))
+      .withColumn("bucket", explode(array(col("b") - 1, col("b"))))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"),
+        expr(s"unix_micros(ts) div $RangeMicros").as("bucket"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          purchases("bucket") === clicks("bucket") &&
+          col("c_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") < col("ts"),
+        "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("c_ts")).as("n_prior_clicks"),
+        max(col("c_value")).as("max_click_value"))
+      .orderBy("event_id")
+  }
+
+  /** q41 — sliding windows: 10-minute windows advancing every 5 minutes
+    * (each event lands in exactly 2 windows). Same plan shape as the
+    * tumbling q27 — the slide only multiplies grouping rows by
+    * window/slide, it adds no extra shuffle.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    slidingWindowsFrom(Tables.events(spark, dir))
+
+  def slidingWindowsFrom(events: DataFrame): DataFrame = {
+    val sumVal = sum(col("value").cast(DecimalType(12, 2))).cast("double")
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumVal.as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
     "q29_top_event_per_user" -> (topEventPerUser _),
     "q35_topk_per_key" -> (topKPerUser _),
-    "q37_sessions" -> (sessions _))
+    "q37_sessions" -> (sessions _),
+    "q40_range_join" -> (rangeJoinClicks _),
+    "q41_sliding_windows" -> (slidingWindows _))
 
   val oracle: Map[String, String] = Map(
     "q27_event_windows" ->
@@ -169,5 +233,31 @@ object Events {
         |  SELECT *, max(sess_no) OVER (PARTITION BY user_id) AS max_no FROM sess)
         |SELECT user_id, session_start, session_end, n_events, sum_value
         |FROM flagged WHERE sess_no < max_no
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // plain inequality join — correct (and fine at oracle scale) but the
+    // quadratic plan the binned Spark operator exists to avoid
+    "q40_range_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  count(c.ts) AS n_prior_clicks,
+        |  max(c.value) AS max_click_value
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // an event at 5-min bucket b belongs to exactly the two 10-min
+    // windows starting at b and b − 5 min (epoch-aligned on both
+    // engines, like tumbling q27)
+    "q41_sliding_windows" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE AS ws,
+        |    event_type, value
+        |  FROM events)
+        |SELECT ws AS window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

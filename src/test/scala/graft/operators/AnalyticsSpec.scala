@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class AnalyticsSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, Timestamp, Long, String, Double, String)*): DataFrame =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  describe("revenueCube (q42)") {
+    it("emits all four grouping sets with the cube grouping ids") {
+      val li = Seq(
+        (1L, "A", 10.0, ts("2024-03-01 00:00:00")),
+        (2L, "A", 20.0, ts("2025-03-01 00:00:00")),
+        (3L, "R", 5.0, ts("2024-06-01 00:00:00")))
+        .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_shipdate")
+      val rows = Analytics.revenueCubeFrom(li).collect()
+      // detail rows (gid 0): (A,2024) (A,2025) (R,2024)
+      assert(rows.count(_.getAs[Int]("gid") == 0) == 3)
+      // flag totals (gid 1, year null): A and R
+      val flagTotals = rows.filter(_.getAs[Int]("gid") == 1)
+      assert(flagTotals.map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Double]("revenue"))).toSet == Set(("A", 30.0), ("R", 5.0)))
+      // year totals (gid 2, flag null): 2024 -> 15, 2025 -> 20
+      val yearTotals = rows.filter(_.getAs[Int]("gid") == 2)
+      assert(yearTotals.map(r => (r.getAs[Int]("ship_year"),
+        r.getAs[Double]("revenue"))).toSet == Set((2024, 15.0), (2025, 20.0)))
+      // grand total (gid 3)
+      val grand = rows.filter(_.getAs[Int]("gid") == 3)
+      assert(grand.length == 1 && grand(0).getAs[Double]("revenue") == 35.0
+        && grand(0).getAs[Long]("n") == 3L)
+    }
+  }
+
+  describe("userActivityPivot (q43)") {
+    it("zero-fills counts and leaves sums null for absent event types") {
+      val r = Analytics.userActivityPivotFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.5, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 2.5, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 10.0, "{}"),
+        (4L, ts("2024-01-01 00:03:00"), 2L, "view", 0.5, "{}")))
+        .collect()
+      assert(r.length == 2)
+      val u1 = r(0)
+      assert(u1.getAs[Long]("click_n") == 2L)
+      assert(u1.getAs[Double]("click_val") == 4.0)
+      assert(u1.getAs[Long]("purchase_n") == 1L)
+      assert(u1.getAs[Long]("view_n") == 0L)
+      assert(u1.isNullAt(u1.fieldIndex("view_val")))
+      val u2 = r(1)
+      assert(u2.getAs[Long]("view_n") == 1L && u2.getAs[Long]("click_n") == 0L)
+    }
+
+    it("matches filtered aggregation on the sf0.001 fixture") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DecimalType
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      val aggs = Analytics.EventTypes.flatMap { t =>
+        Seq(
+          count(when(col("event_type") === t, lit(1))).as(s"${t}_n"),
+          sum(when(col("event_type") === t,
+            col("value").cast(DecimalType(12, 2)))).cast("double").as(s"${t}_val"))
+      }
+      val manual = ev.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      val got = Analytics.userActivityPivot(spark, TestSpark.Sf)
+      val wantCols = got.columns // same order for both sides
+      val m = manual.select(wantCols.map(col): _*)
+      assert(got.exceptAll(m).isEmpty && m.exceptAll(got).isEmpty)
+    }
+  }
+
+  describe("approxStats (q44)") {
+    it("approximations stay within their documented error of the exact values") {
+      val rows = Analytics.approxStats(spark, TestSpark.Sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val exactU = r.getAs[Long]("exact_users").toDouble
+        val approxU = r.getAs[Long]("approx_users").toDouble
+        assert(math.abs(approxU - exactU) <= math.max(1.0, 0.05 * exactU),
+          s"HLL distinct off by >5%: $approxU vs $exactU")
+        val exactP = r.getAs[Double]("p90_exact")
+        val approxP = r.getAs[Double]("p90_approx")
+        assert(math.abs(approxP - exactP) <= 0.05 * math.max(1.0, math.abs(exactP)),
+          s"approx p90 off by >5%: $approxP vs $exactP")
+      }
+    }
+  }
+}

@@ -56,6 +56,66 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("rangeJoinClicks (q40)") {
+    import org.apache.spark.sql.functions.{col, count, expr, max}
+
+    it("counts clicks in [ts-10min, ts): boundaries, other users, empty") {
+      val r = Events.rangeJoinClicksFrom(events(
+        (1L, ts("2024-01-01 00:20:00"), 1L, "purchase", 9.0, "{}"),
+        (2L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}"), // exactly ts-10min: in
+        (3L, ts("2024-01-01 00:19:59"), 1L, "click", 2.0, "{}"), // in
+        (4L, ts("2024-01-01 00:20:00"), 1L, "click", 3.0, "{}"), // exactly ts: out
+        (5L, ts("2024-01-01 00:09:59"), 1L, "click", 4.0, "{}"), // too early: out
+        (6L, ts("2024-01-01 00:15:00"), 2L, "click", 5.0, "{}"), // other user: out
+        (7L, ts("2024-01-01 00:30:00"), 3L, "purchase", 9.0, "{}"))) // no clicks
+        .collect()
+      assert(r.length == 2)
+      assert(r(0).getAs[Long]("n_prior_clicks") == 2L)
+      assert(r(0).getAs[Double]("max_click_value") == 2.0)
+      assert(r(1).getAs[Long]("n_prior_clicks") == 0L)
+      assert(r(1).isNullAt(r(1).fieldIndex("max_click_value")))
+    }
+
+    it("is row-identical to the naive non-equi join on the sf0.001 fixture") {
+      val ev = graft.sources.Tables.events(spark, graft.TestSpark.Sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("u"), col("ts").as("pts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("value").as("cv"))
+      val naive = p.join(c,
+          col("u") === col("cu") &&
+            col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+            col("cts") < col("pts"), "left")
+        .groupBy("event_id", "u", "pts")
+        .agg(count(col("cts")).as("n_prior_clicks"),
+          max(col("cv")).as("max_click_value"))
+        .select(col("event_id"), col("u").as("user_id"), col("pts").as("ts"),
+          col("n_prior_clicks"), col("max_click_value"))
+      val got = Events.rangeJoinClicks(spark, graft.TestSpark.Sf)
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    }
+  }
+
+  describe("slidingWindows (q41)") {
+    it("puts each event in exactly the two 10-min windows that contain it") {
+      val r = Events.slidingWindowsFrom(events(
+        (1L, ts("2024-01-01 00:07:00"), 1L, "click", 1.0, "{}")))
+        .collect()
+      assert(r.map(_.getAs[Timestamp]("window_start")).toSeq ==
+        Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00")))
+      assert(r.forall(_.getAs[Long]("n_events") == 1L))
+    }
+
+    it("a slide-boundary event belongs to the window starting at it") {
+      val r = Events.slidingWindowsFrom(events(
+        (1L, ts("2024-01-01 00:05:00"), 1L, "click", 2.5, "{}")))
+        .collect()
+      assert(r.map(_.getAs[Timestamp]("window_start")).toSeq ==
+        Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00")))
+      assert(r.forall(_.getAs[Double]("sum_value") == 2.5))
+    }
+  }
+
   describe("topEventPerUser (q29)") {
     it("takes the highest value, tie-broken by earliest ts then id") {
       val r = Events.topEventPerUserFrom(events(

@@ -118,4 +118,31 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("TakeOrderedAndProject"))
     }
   }
+
+  describe("round-3 operator plan shapes") {
+    it("q40 binned range join is an equi-join, never a nested loop") {
+      val p = plan("q40_range_join")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"range join degenerated to a quadratic join:\n$p")
+      assert(p.contains("Join"), s"expected a join in:\n$p")
+    }
+
+    it("q43 pivot plans no distinct-discovery pass (values are declared)") {
+      // with explicit pivot values the plan is a single aggregate chain;
+      // a separate collect-distinct job would appear as an extra
+      // aggregate on event_type alone
+      val p = plan("q43_user_pivot")
+      assert(p.contains("pivotfirst") || p.contains("HashAggregate"))
+      assert(!p.contains("Expand"), "declared pivot must not expand rows")
+    }
+
+    it("q44 sketches aggregate with fixed-size buffers (no distinct expand for HLL)") {
+      val p = plan("q44_approx_stats")
+      // exact countDistinct forces an Expand + two-phase distinct agg;
+      // the HLL/percentile sketches must ride the same pass, adding no
+      // extra exchange beyond the group-by + distinct pair
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+    }
+  }
 }
