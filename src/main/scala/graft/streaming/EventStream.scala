@@ -72,4 +72,45 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  /** Streaming twin of the batch q40 range join: purchases matched to
+    * the same user's clicks in the 10 minutes strictly before them, as a
+    * watermarked stream-stream interval join.
+    *
+    * State bound: the watermark on both sides plus the two-sided time
+    * bound in the join condition lets Spark evict click state older than
+    * (purchase watermark − 10 min) and purchase state the click side can
+    * no longer match — without both, stream-stream join state grows
+    * forever. Inner join, so matches emit as they form (no watermark
+    * close needed) and a drained AvailableNow run equals the batch inner
+    * join exactly.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    purchases.join(clicks, expr(
+      """c_user = user_id
+        |AND c_ts >= ts - INTERVAL 10 MINUTES
+        |AND c_ts < ts""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("c_ts"), col("c_value"))
+  }
+
+  /** Drain the interval join over `dir` into a memory sink table. */
+  def runIntervalJoin(spark: SparkSession, dir: String, tableName: String): StreamingQuery = {
+    val q = purchaseClickJoin(source(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -32,4 +32,27 @@ class EventStreamSpec extends AnyFunSpec {
       assert(missing.count() <= 8) // at most the trailing unflushed windows
     }
   }
+
+  describe("purchaseClickJoin (streaming twin of batch q40)") {
+    it("a drained run emits exactly the batch inner-join pairs") {
+      EventStream.runIntervalJoin(spark, sf, "stream_q40")
+      val streamed = spark.table("stream_q40")
+
+      val ev = graft.sources.Tables.events(spark, sf)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val batch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(clicks,
+          col("c_user") === col("user_id") &&
+            col("c_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("ts"))
+        .select("event_id", "user_id", "ts", "c_ts", "c_value")
+
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    }
+  }
 }
