@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Analytics, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 import graft.sources.Tables
 
 /** Benchmark main — mirrors the reference's 4-stage architecture
@@ -97,7 +97,7 @@ object Bench {
     // Dedup is staged like the reference's CTAS pipeline: candidates are
     // materialized once and the Jaccard verifier reads them back.
     (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ Analytics.queries).toSeq.sortBy(_._1).foreach {
+      Multimodal.queries ++ Analytics.queries ++ Curation.queries).toSeq.sortBy(_._1).foreach {
       case (name, fn) => run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }

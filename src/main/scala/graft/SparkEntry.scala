@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Events.queries ++ Multimodal.queries ++ Analytics.queries
+      Events.queries ++ Multimodal.queries ++ Analytics.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Events.oracle ++ Multimodal.oracle ++ Analytics.oracle
+      Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++ Curation.oracle
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.plans.GraftFunctions
+import graft.sources.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * crawl and tokenizer: deterministic split assignment, benchmark
+  * decontamination, within-document repetition scoring, and source
+  * mixture allocation.
+  *
+  * Scale design (100 TB):
+  *  - split assignment (q45) is pure map work — a hash of the stable doc
+  *    id, never a random() (reshuffling the corpus must not move docs
+  *    across splits) and never a global sort;
+  *  - decontamination (q46) broadcasts the benchmark's distinct shingle
+  *    hashes (benchmark suites are small by construction) and scans the
+  *    corpus once map-side — the industry-standard n-gram-overlap
+  *    decontamination shape. No corpus shuffle at all;
+  *  - repetition scoring (q47) is scan→project through the one-pass
+  *    native shingle kernel;
+  *  - mixture allocation (q48) aggregates to one row per source — the
+  *    mixture table is inherently tiny, so its windows are free.
+  */
+object Curation {
+
+  /** Percent buckets for train/val/test (80/10/10). */
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** q45 — deterministic train/val/test split: bucket =
+    * md5-hash32("split|" + doc_id) mod 100. Stable under re-runs,
+    * re-partitioning, and corpus growth (a doc's split never depends on
+    * other docs), unlike `rand()` or `sampleBy`.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitFrom(Tables.documents(spark, dir))
+
+  def hashSplitFrom(docs: DataFrame): DataFrame = {
+    val bucket = TextFns.hash32(
+      concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val split = when(bucket < TrainPct, "train")
+      .when(bucket < ValPct, "val").otherwise("test")
+    docs
+      .select(split.as("split"),
+        size(TextFns.toks(col("text"))).cast("long").as("tok"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .orderBy("split")
+  }
+
+  /** Benchmark relation: the first [[BenchDocs]] doc ids stand in for a
+    * held-out eval suite.
+    */
+  val BenchDocs = 5
+
+  /** q46 — n-gram decontamination: corpus docs that share at least one
+    * distinct bigram shingle with any benchmark doc, with the count of
+    * shared distinct shingles. The benchmark's shingle set is aggregated
+    * to ONE sorted array and broadcast; each corpus doc then does a
+    * single sorted-merge intersect count map-side (native
+    * `sorted_intersect_count` kernel) — the corpus is scanned once and
+    * never shuffled.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFrom(Tables.documents(spark, dir))
+
+  def decontaminateFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("sorted_shingle_hashes", col("text")).as("sh"))
+    val bench = sh.filter(col("doc_id") < BenchDocs)
+      .select(explode(col("sh")).as("s")).distinct()
+      .agg(sort_array(collect_list(col("s"))).as("bench_sh"))
+    sh.filter(col("doc_id") >= BenchDocs)
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh"))
+          .as("n_overlap"))
+      .filter(col("n_overlap") >= 1)
+      .orderBy("doc_id")
+  }
+
+  /** q47 — within-document repetition: fraction of bigram shingles that
+    * are repeats of an earlier shingle in the same doc (the
+    * Gopher/C4-style duplicate-n-gram quality signal). One pass through
+    * the native shingle kernel; docs with < 2 tokens have no shingles
+    * and are excluded.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionFrom(Tables.documents(spark, dir))
+
+  def repetitionFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val total = (size(TextFns.toks(col("text"))) - 1)
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), total.as("n_shingles"),
+        size(call_function("sorted_shingle_hashes", col("text")))
+          .as("n_distinct"))
+      .filter(col("n_shingles") >= 1)
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        ((col("n_shingles") - col("n_distinct")).cast("double") /
+          col("n_shingles")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token budget distributed across sources in q48. */
+  val MixBudget = 100000L
+
+  /** q48 — source mixture allocation: distribute a fixed token budget
+    * across sources proportionally to their token mass, with
+    * largest-remainder rounding (floor everyone, hand the leftover units
+    * to the largest fractional parts, ties by source name) so the
+    * allocations are integers that sum exactly to the budget.
+    */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame =
+    sourceMixtureFrom(Tables.documents(spark, dir))
+
+  def sourceMixtureFrom(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val perSource = docs
+      .select(col("source"),
+        size(TextFns.toks(col("text"))).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+    val raw = (lit(MixBudget) * col("n_tokens")).cast("double") /
+      sum(col("n_tokens")).over(all)
+    val withBase = perSource
+      .withColumn("raw", raw)
+      .withColumn("base", floor(col("raw")).cast("long"))
+    val rk = row_number().over(
+      Window.partitionBy().orderBy(desc("frac"), asc("source")))
+    withBase
+      .withColumn("frac", col("raw") - col("base"))
+      .withColumn("leftover", lit(MixBudget) - sum(col("base")).over(all))
+      .withColumn("rk", rk)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_hash_split" -> (hashSplit _),
+    "q46_decontaminate" -> (decontaminate _),
+    "q47_repetition" -> (repetition _),
+    "q48_source_mixture" -> (sourceMixture _))
+
+  /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
+    * hashes (same dialect as the q24 jaccard oracle).
+    */
+  private val shSql =
+    s"""toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+       |exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+       |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM toks))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q45_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT ${TextFns.sql.hash32("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |    len(${TextFns.sql.toks}) AS tok
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < $TrainPct THEN 'train'
+         |            WHEN bucket < $ValPct THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_decontaminate" ->
+      s"""WITH $shSql,
+         |bench AS (SELECT DISTINCT s FROM exd WHERE doc_id < $BenchDocs)
+         |SELECT d.doc_id, count(*) AS n_overlap
+         |FROM (SELECT * FROM exd WHERE doc_id >= $BenchDocs) d
+         |JOIN bench b ON d.s = b.s
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q47_repetition" ->
+      s"""WITH $shSql,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_distinct
+         |          FROM exd GROUP BY doc_id),
+         |totals AS (SELECT doc_id, CAST(len(${TextFns.sql.toks}) - 1 AS INT) AS n_shingles
+         |           FROM documents)
+         |SELECT t.doc_id, t.n_shingles, s.n_distinct,
+         |  CAST(t.n_shingles - s.n_distinct AS DOUBLE) / t.n_shingles AS rep_ratio
+         |FROM totals t JOIN sizes s ON s.doc_id = t.doc_id
+         |WHERE t.n_shingles >= 1 ORDER BY t.doc_id""".stripMargin,
+    "q48_source_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(${TextFns.sql.toks})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |calc AS (SELECT *,
+         |    CAST($MixBudget * n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT) AS raw
+         |  FROM per),
+         |based AS (SELECT *, CAST(floor(raw) AS BIGINT) AS base FROM calc),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (ORDER BY raw - base DESC, source) AS rk,
+         |    $MixBudget - CAST(sum(base) OVER () AS BIGINT) AS leftover
+         |  FROM based)
+         |SELECT source, n_docs, n_tokens,
+         |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+         |FROM ranked ORDER BY source""".stripMargin)
+}
