@@ -4,14 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.sources.{Jsonl, Tables}
 
 /** End-to-end training-corpus curation pipeline — the composition story
   * for the LLM-data operators: language filter → quality filter → exact
-  * dedup → MinHash near-dup removal → sharded JSONL output + a stage
-  * report. Each stage is one of the engine's verified operators; this
-  * module only wires them.
+  * dedup → MinHash near-dup removal → benchmark decontamination →
+  * repetition filter → deterministic split assignment →
+  * split-partitioned parquet + sharded JSONL output + a stage report.
+  * Each stage is one of the engine's verified operators; this module
+  * only wires them.
   *
   * Scale notes: every stage is the already-analyzed plan shape (map-only
   * scoring, one fp-hash shuffle for exact dedup, bucket-confined LSH
@@ -25,14 +27,22 @@ object CorpusPipeline {
 
   final case class Report(
       n_input: Long, n_lang_kept: Long, n_quality_kept: Long,
-      n_after_exact: Long, n_near_dup_dropped: Long, n_output: Long)
+      n_after_exact: Long, n_near_dup_dropped: Long,
+      n_contaminated: Long, n_repetitive: Long, n_output: Long)
 
   /** Run the curation flow; returns the per-stage survivor counts and
-    * writes the cleaned corpus under `outDir` (parquet + JSONL shards).
+    * writes the cleaned corpus under `outDir` (split-partitioned parquet
+    * + JSONL shards).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      lang: String = "en", minQuality: Double = 0.3): Report = {
-    val docs = Tables.documents(spark, sfDir)
+      lang: String = "en", minQuality: Double = 0.3,
+      maxRepetition: Double = 0.6, minContamOverlap: Long = 20): Report = {
+    // The benchmark stand-in docs are EXTERNAL to the corpus (a real run
+    // reads its eval suite from elsewhere): they are held out of every
+    // corpus stage and only re-enter as the decontamination reference.
+    val allDocs = Tables.documents(spark, sfDir)
+    val bench = allDocs.filter(col("doc_id") < Curation.BenchDocs)
+    val docs = allDocs.filter(col("doc_id") >= Curation.BenchDocs)
     val nIn = docs.count()
 
     // stage 1: language filter (marker-argmax lang id)
@@ -72,11 +82,36 @@ object CorpusPipeline {
     val cleaned = canonical.join(nearDups, Seq("doc_id"), "left_anti")
     val nNearDropped = nearDups.count()
 
-    cleaned.write.mode("overwrite").parquet(s"$outDir/corpus_parquet")
-    Jsonl.write(cleaned, s"$outDir/corpus_jsonl")
+    // stage 5: benchmark decontamination — drop docs whose bigram
+    // overlap with the benchmark set reaches the threshold (broadcast
+    // intersect, map-side). The synthetic fixture's tiny vocabulary
+    // makes ≥1-shingle overlap near-universal; a real pipeline tunes
+    // this to its benchmark's n-gram length and tolerance.
+    val contaminated = Curation.decontaminateFrom(cleaned.unionByName(bench))
+      .filter(col("n_overlap") >= minContamOverlap).select("doc_id")
+    val decon = cleaned.join(contaminated, Seq("doc_id"), "left_anti")
+    val nContam = contaminated.count()
+
+    // stage 6: repetition filter (duplicate-bigram fraction cap)
+    val repetitive = Curation.repetitionFrom(decon)
+      .filter(col("rep_ratio") > maxRepetition).select("doc_id")
+    val kept = decon.join(repetitive, Seq("doc_id"), "left_anti")
+    val nRep = repetitive.count()
+
+    // stage 7: deterministic split assignment, written hive-partitioned
+    // by split so a trainer reads its slice via partition pruning
+    val bucket = graft.functions.TextFns.hash32(
+      concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val withSplit = kept.withColumn("split",
+      when(bucket < Curation.TrainPct, "train")
+        .when(bucket < Curation.ValPct, "val").otherwise("test"))
+
+    withSplit.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus_parquet")
+    Jsonl.write(withSplit.drop("split"), s"$outDir/corpus_jsonl")
     val nOut = spark.read.parquet(s"$outDir/corpus_parquet").count()
 
-    Report(nIn, nLang, nQual, nExact, nNearDropped, nOut)
+    Report(nIn, nLang, nQual, nExact, nNearDropped, nContam, nRep, nOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,7 +128,9 @@ object CorpusPipeline {
     val r = run(spark, sfDir, outDir)
     println(s"[corpus] input=${r.n_input} lang=${r.n_lang_kept} " +
       s"quality=${r.n_quality_kept} exact=${r.n_after_exact} " +
-      s"nearDupDropped=${r.n_near_dup_dropped} output=${r.n_output}")
+      s"nearDupDropped=${r.n_near_dup_dropped} " +
+      s"contaminated=${r.n_contaminated} repetitive=${r.n_repetitive} " +
+      s"output=${r.n_output}")
     spark.stop()
   }
 }

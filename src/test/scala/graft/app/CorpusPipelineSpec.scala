@@ -15,12 +15,18 @@ class CorpusPipelineSpec extends AnyFunSpec {
       assert(r.n_lang_kept <= r.n_input)
       assert(r.n_quality_kept <= r.n_lang_kept)
       assert(r.n_after_exact <= r.n_quality_kept)
-      assert(r.n_output == r.n_after_exact - r.n_near_dup_dropped)
+      assert(r.n_output == r.n_after_exact - r.n_near_dup_dropped -
+        r.n_contaminated - r.n_repetitive)
       assert(r.n_output > 0)
       // both sinks carry the same corpus
       val pq = spark.read.parquet(s"$out/corpus_parquet")
       val jl = graft.sources.Jsonl.readDocuments(spark, s"$out/corpus_jsonl")
       assert(pq.count() == jl.count())
+      // the parquet sink is hive-partitioned on the split assignment and
+      // benchmark stand-ins never reach the corpus
+      assert(pq.select("split").distinct().count() <= 3)
+      assert(pq.filter(org.apache.spark.sql.functions.col("doc_id") <
+        graft.operators.Curation.BenchDocs).count() == 0)
       // cleaned corpus has no exact duplicates left
       import org.apache.spark.sql.functions._
       val norm = trim(regexp_replace(

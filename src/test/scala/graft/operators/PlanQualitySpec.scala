@@ -136,6 +136,18 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(!p.contains("Expand"), "declared pivot must not expand rows")
     }
 
+    it("q46 decontamination broadcasts the benchmark set — no shuffle join over the corpus") {
+      val p = plan("q46_decontaminate")
+      assert(p.contains("Broadcast"), s"benchmark side must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"corpus must not shuffle into the decontamination join:\n$p")
+    }
+
+    it("q45 hash split is map work + one small aggregation, no join") {
+      val p = plan("q45_hash_split")
+      assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    }
+
     it("q44 sketches aggregate with fixed-size buffers (no distinct expand for HLL)") {
       val p = plan("q44_approx_stats")
       // exact countDistinct forces an Expand + two-phase distinct agg;
