@@ -67,9 +67,15 @@ object Bench {
     run("q02_orders_without_lines") { Integrity.ordersWithoutLines(spark, sfDir) }
     run("q03_lines_without_order") { Integrity.linesWithoutOrder(spark, sfDir) }
 
-    // stage 2: KPI CTAS (reference compute_kpis.py)
+    // stage 2: KPI CTAS (reference compute_kpis.py). The KPI table is
+    // one row per supplier — tiny relative to its input at any scale —
+    // so the write coalesces to one file: map-side partials stay
+    // parallel (coalesce only merges the post-shuffle reduce tasks) and
+    // every downstream read schedules 1 task instead of
+    // shuffle.partitions tasks over 32 splinter files.
     time("q04_supplier_kpis") {
-      SupplierPerf.kpis(spark, sfDir).write.mode("overwrite").parquet(s"$wh/kpis")
+      SupplierPerf.kpis(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$wh/kpis")
     }
     def kpisT = spark.read.parquet(s"$wh/kpis")
     run("q05_bottom5_on_time") { SupplierPerf.bottom5OnTimeFrom(kpisT) }
@@ -77,7 +83,8 @@ object Bench {
 
     // stage 3: risk CTAS (reference compute_risk.py)
     time("q07_supplier_risk") {
-      SupplierPerf.riskFrom(kpisT).write.mode("overwrite").parquet(s"$wh/risk")
+      SupplierPerf.riskFrom(kpisT).coalesce(1)
+        .write.mode("overwrite").parquet(s"$wh/risk")
     }
     def riskT = spark.read.parquet(s"$wh/risk")
     run("q08_top10_risk") { SupplierPerf.top10RiskFrom(riskT) }
