@@ -69,6 +69,13 @@ object ScaleSmoke {
     t("ann_lsh") { Similarity.annLshFrom(emb).count() }
     t("ann_ivf") { Similarity.annIvfFrom(emb).count() }
     t("embedding_neardup") { Similarity.embeddingNearDupFrom(emb).count() }
+    // Σ bucket² = pair comparisons the near-dup self-join performs: the
+    // banded 4×8-plane family must stay well under the legacy single
+    // 4-plane family (16 buckets → ≈N²/16) as the corpus grows
+    val legacyCmp = Similarity.nearDupComparisons(emb, families = 1, planesPerFamily = 4)
+    val bandedCmp = Similarity.nearDupComparisons(emb)
+    println(f"[scale] neardup_comparisons: legacy16bucket=$legacyCmp banded4x8=$bandedCmp " +
+      f"reduction=${legacyCmp.toDouble / bandedCmp}%.1fx")
     t("event_windows") { Events.eventWindowsFrom(events).count() }
     t("topk_per_key") { Events.topKPerUserFrom(events).count() }
     t("sessionize") { Sessionize.sessions(events).count() }

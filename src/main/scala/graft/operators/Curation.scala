@@ -71,7 +71,7 @@ object Curation {
 
   def decontaminateFrom(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.repartition(col("doc_id"))
+    val sh = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
         call_function("sorted_shingle_hashes", col("text")).as("sh"))
     val bench = sh.filter(col("doc_id") < BenchDocs)
@@ -98,7 +98,7 @@ object Curation {
   def repetitionFrom(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val total = (size(TextFns.toks(col("text"))) - 1)
-    docs.repartition(col("doc_id"))
+    Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"), total.as("n_shingles"),
         size(call_function("sorted_shingle_hashes", col("text")))
           .as("n_distinct"))

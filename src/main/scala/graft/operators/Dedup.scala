@@ -84,12 +84,12 @@ object Dedup {
     // a fresh regex Pattern compile) per shingle index — thread dumps at
     // sf0.1 showed ~90 Pattern.compile calls per doc per evaluation. At
     // 100 TB the win compounds: a per-doc map expression scales with doc
-    // count and needs no shingle shuffle at all.
-    // repartition for local parallelism only: the test corpus is one
-    // parquet file → one scan partition; on a real corpus, file splits
-    // already provide map parallelism.
+    // count and needs no shingle shuffle at all. Tables.widened only
+    // repartitions when the scan is under-partitioned (single-file test
+    // fixtures); a multi-file corpus keeps its file-split parallelism
+    // with no shuffle before the kernel.
     GraftFunctions.register(docs.sparkSession)
-    docs.repartition(col("doc_id"))
+    Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
         posexplode(call_function("minhash_band_keys", col("text"))))
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_key"))
@@ -157,7 +157,7 @@ object Dedup {
     // the 32 bit-votes fused in TextCore) replaces the exploded
     // token stream + 32 conditional sums — no shuffle, same bits.
     GraftFunctions.register(docs.sparkSession)
-    docs.repartition(col("doc_id"))
+    Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
         call_function("simhash32", col("text")).as("simhash32"))
       .orderBy("doc_id")
@@ -196,7 +196,7 @@ object Dedup {
     */
   def ngramJaccardOfPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val sh = docs.repartition(col("doc_id"))
+    val sh = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
         call_function("sorted_shingle_hashes", col("text")).as("sh"))
       .where(size(col("sh")) > 0)

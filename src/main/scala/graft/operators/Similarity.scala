@@ -40,13 +40,14 @@ object Similarity {
   val NumPlanes = 4
 
 
-  /** embedding cast to double, repartitioned: the embeddings table is a
-    * single parquet file → one scan partition, and per-row vector math
-    * would otherwise run single-core.
+  /** embedding cast to double; widened only when the scan is
+    * under-partitioned (the single-file test fixture gives parquet one
+    * partition and per-row vector math would run single-core — a
+    * multi-file corpus keeps its file-split parallelism, no shuffle).
     */
   private def embDouble(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.repartition(col("vec_id"))
+    Tables.widened(df, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
   }
 
@@ -199,31 +200,84 @@ object Similarity {
     */
   val NearDupMin = 0.35
 
-  /** q38 — embedding-cosine near-dup pairs: SRP-bucketed candidate
-    * generation (same deterministic hyperplanes as q26), exact cosine
-    * verification at ≥ [[NearDupMin]] within each bucket.
+  /** SRP family geometry for near-dup candidate generation: OR over
+    * [[NearDupFamilies]] independent AND-signatures of
+    * [[NearDupPlanesPerFamily]] planes each (mirroring the minhash
+    * bands). Versus the old single 4-plane family (16 buckets → the
+    * bucket self-join did Σ bucket² ≈ N²/16 comparisons — quadratic in
+    * corpus size), 4 families × 8 planes gives 256 buckets per family:
+    * expected comparisons drop to ≈ 4·N²/256 (16× fewer) while pair
+    * recall RISES — for a pair at angle θ with per-plane agreement
+    * p = 1 − θ/π, recall = 1 − (1 − p⁸)⁴ > p⁴ across the whole range
+    * (e.g. cosine 0.95: 0.90 vs 0.66; cosine 0.35: 0.20 vs 0.14). The
+    * dial for bigger corpora is more planes per family (smaller buckets)
+    * with more families (recall), same plan.
+    */
+  val NearDupFamilies = 4
+  val NearDupPlanesPerFamily = 8
+
+  /** One row per (vector, family) with that family's SRP bucket: sign
+    * bits of planes `family*planesPerFamily ... +planesPerFamily-1`.
+    */
+  private def familyBucketed(embeddings: DataFrame,
+      families: Int, planesPerFamily: Int): DataFrame = {
+    val buckets = array((0 until families).map { f =>
+      (0 until planesPerFamily).map { p =>
+        when(call_function("dot_product", col("emb"),
+          planeVec(f * planesPerFamily + p)) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    embDouble(embeddings)
+      .select(col("vec_id"), col("emb"),
+        posexplode(buckets).as(Seq("family", "bucket")))
+  }
+
+  /** q38 — embedding-cosine near-dup pairs: banded multi-family SRP
+    * candidate generation (deterministic hyperplanes as in q26), exact
+    * cosine verification at ≥ [[NearDupMin]], duplicates from multi-family
+    * collisions dropped (cosine is pure per pair, so the surviving row is
+    * identical whichever family produced it).
     *
     * Scale design: the all-pairs relation is never formed — candidate
-    * pairs only meet inside an SRP bucket (a self-join on bucket id,
-    * shuffle_hash both sides so the bucketed pipeline is computed once
-    * via exchange reuse), so comparisons scale with Σ bucket², not
-    * corpus². More planes → smaller buckets → recall/cost dial, same
-    * plan.
+    * pairs only meet inside one family's bucket (a self-join on
+    * (family, bucket), shuffle_hash both sides so the bucketed pipeline
+    * is computed once via exchange reuse), so comparisons scale with
+    * Σ_family Σ_bucket n², not corpus². See [[NearDupFamilies]] for the
+    * geometry; `ScaleSmoke` prints the Σ bucket² datapoint vs the old
+    * 4-plane config.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupFrom(Tables.embeddings(spark, dir))
 
-  def embeddingNearDupFrom(embeddings: DataFrame): DataFrame = {
-    val e = bucketed(embeddings)
+  def embeddingNearDupFrom(embeddings: DataFrame,
+      families: Int = NearDupFamilies,
+      planesPerFamily: Int = NearDupPlanesPerFamily): DataFrame = {
+    val e = familyBucketed(embeddings, families, planesPerFamily)
     e.alias("a").hint("shuffle_hash")
       .join(e.alias("b").hint("shuffle_hash"),
-        col("a.bucket") === col("b.bucket") &&
+        col("a.family") === col("b.family") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.emb"), col("b.emb")), 9).as("cosine"))
       .filter(col("cosine") >= NearDupMin)
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Σ over (family, bucket) of occupancy² — the number of pair
+    * comparisons the near-dup self-join performs. `ScaleSmoke` prints
+    * this for the banded config vs the legacy single 4-plane family
+    * (families=1, planesPerFamily=4) to demonstrate the 16× comparison
+    * reduction the band geometry buys.
+    */
+  def nearDupComparisons(embeddings: DataFrame,
+      families: Int = NearDupFamilies,
+      planesPerFamily: Int = NearDupPlanesPerFamily): Long =
+    familyBucketed(embeddings, families, planesPerFamily)
+      .groupBy("family", "bucket").count()
+      .agg(sum(col("count") * col("count")).as("cmp"))
+      .collect()(0).getLong(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
@@ -239,6 +293,15 @@ object Similarity {
   private def planeSql(p: Int): String =
     s"""list_transform(range(64), j ->
        |  (${TextFns.sql.hash32(s"'pl${p}_' || CAST(j AS INT)")} / 2147483648.0) - 1.0)""".stripMargin
+
+  /** Plane `p` as a literal DOUBLE[] — the same Scala-computed weights
+    * the Spark side embeds. Each weight is `L/2^31 − 1` (L < 2^32), an
+    * exact dyadic rational, so `Double.toString`'s shortest round-trip
+    * decimal parses back to the identical bits in DuckDB.
+    */
+  private def planeLit(p: Int): String =
+    planeWeights(p).map(w => java.lang.Double.toString(w))
+      .mkString("[", ", ", "]::DOUBLE[]")
 
   val oracle: Map[String, String] = Map(
     "q25_knn_bruteforce" ->
@@ -295,15 +358,24 @@ object Similarity {
          |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "q38_embedding_neardup" -> {
-      val bucket = (0 until NumPlanes)
-        .map(p => s"CASE WHEN list_inner_product(emb, ${planeSql(p)}) > 0 THEN ${1 << p} ELSE 0 END")
-        .mkString("(", " + ", ")")
+      val arms = (0 until NearDupFamilies).map { f =>
+        val bucket = (0 until NearDupPlanesPerFamily)
+          .map(p => s"CASE WHEN list_inner_product(emb, ${planeLit(f * NearDupPlanesPerFamily + p)}) > 0 THEN ${1 << p} ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"SELECT vec_id, emb, nrm, $f AS family, $bucket AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
       s"""WITH $eCte,
-         |b AS (SELECT vec_id, emb, nrm, $bucket AS bucket FROM e)
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |  round(list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm), 9) AS cosine
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE round(list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm), 9) >= $NearDupMin
+         |b AS (
+         |  $arms),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y ON x.family = y.family AND x.bucket = y.bucket
+         |   AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b,
+         |  round(list_inner_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 9) AS cosine
+         |FROM cand
+         |JOIN e ea ON ea.vec_id = vec_a
+         |JOIN e eb ON eb.vec_id = vec_b
+         |WHERE round(list_inner_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm), 9) >= $NearDupMin
          |ORDER BY vec_a, vec_b""".stripMargin
     })
 }

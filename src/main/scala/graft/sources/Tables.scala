@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,6 +39,28 @@ object Tables {
         df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       else df
     }
+  }
+
+  /** Conf key gating [[widened]]: `auto` (default) widens only when the
+    * scan is under-partitioned; `never` guarantees no added shuffle.
+    */
+  val WidenConf = "spark.graft.widenUnderPartitionedScans"
+
+  /** Widen an under-partitioned scan for map parallelism — gated, never
+    * unconditional. The single-file test fixtures give parquet one scan
+    * partition, so per-row kernels (minhash, simhash, shingles, vector
+    * math) would run single-core; a real multi-file 100 TB corpus already
+    * has file-split parallelism and must NOT pay a corpus-wide shuffle
+    * before map-only work. We therefore repartition only when the
+    * physical scan yields fewer partitions than `defaultParallelism`
+    * (`PlanQualitySpec` asserts no Exchange is added for already-parallel
+    * input).
+    */
+  def widened(df: DataFrame, key: Column): DataFrame = {
+    val never = df.sparkSession.conf.get(WidenConf, "auto") == "never"
+    if (never || df.rdd.getNumPartitions >=
+        df.sparkSession.sparkContext.defaultParallelism) df
+    else df.repartition(key)
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")

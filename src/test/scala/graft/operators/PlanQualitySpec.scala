@@ -119,6 +119,41 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("gated widening: already-parallel input adds no corpus shuffle") {
+    // 64 scan partitions ≥ defaultParallelism(32): Tables.widened must
+    // NOT insert the local-parallelism repartition that single-file test
+    // fixtures need — on a multi-file 100 TB corpus that shuffle is pure
+    // waste before map-only kernels
+    lazy val docs64 = spark.range(0, 500, 1, 64).selectExpr(
+      "id AS doc_id",
+      "concat('tok', id % 97, ' tok', id % 89, ' tok', id % 83, ' tok', id % 79) AS text",
+      "'web' AS source")
+    lazy val emb64 = spark.range(0, 200, 1, 64).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), j -> CAST(pmod(id * 31 + j, 17) - 8 AS FLOAT)) AS embedding")
+
+    it("q47 repetition kernel runs in the scan partitions") {
+      val p = Curation.repetitionFrom(docs64).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(doc_id"), s"widen shuffle crept back:\n$p")
+    }
+
+    it("q46 decontamination corpus side stays unshuffled") {
+      val p = Curation.decontaminateFrom(docs64).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(doc_id"), s"widen shuffle crept back:\n$p")
+    }
+
+    it("q22 minhash bands reach the band join without a doc_id exchange") {
+      val p = Dedup.candidatePairsFrom(Dedup.bandsFrom(docs64))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(doc_id"), s"widen shuffle crept back:\n$p")
+    }
+
+    it("q25 vector scoring runs in the scan partitions") {
+      val p = Similarity.knnBruteFrom(emb64).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(vec_id"), s"widen shuffle crept back:\n$p")
+    }
+  }
+
   describe("round-3 operator plan shapes") {
     it("q40 binned range join is an equi-join, never a nested loop") {
       val p = plan("q40_range_join")
@@ -146,6 +181,13 @@ class PlanQualitySpec extends AnyFunSpec {
     it("q45 hash split is map work + one small aggregation, no join") {
       val p = plan("q45_hash_split")
       assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    }
+
+    it("q38 near-dup candidates meet per (family, bucket), never all-pairs") {
+      val p = plan("q38_embedding_neardup")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"near-dup degenerated to all-pairs:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"expected reusable shuffle-hash join:\n$p")
     }
 
     it("q44 sketches aggregate with fixed-size buffers (no distinct expand for HLL)") {

@@ -67,6 +67,30 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("embeddingNearDup (q38)") {
+    it("finds identical vectors (same bucket in every family) exactly once") {
+      val twin = emb(
+        (0L, vec(0 -> 1.0f, 5 -> 2.0f)),
+        (1L, vec(0 -> 1.0f, 5 -> 2.0f)), // identical to 0 → all 4 families collide
+        (2L, vec(7 -> 1.0f, 30 -> -3.0f)))
+      val rows = Similarity.embeddingNearDupFrom(twin).collect()
+      val hit = rows.filter(r => r.getAs[Long]("vec_a") == 0L && r.getAs[Long]("vec_b") == 1L)
+      assert(hit.length == 1, "multi-family collision must dedup to one pair row")
+      assert(hit.head.getAs[Double]("cosine") == 1.0)
+    }
+
+    it("banded 4x8 geometry does far fewer comparisons than the legacy 16-bucket family") {
+      val fixture = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val legacy = Similarity.nearDupComparisons(fixture, families = 1, planesPerFamily = 4)
+      val banded = Similarity.nearDupComparisons(fixture)
+      // asymptotically ≈16× fewer (4·N²/256 vs N²/16); at the 500-vector
+      // fixture bucket skew and the +N diagonal terms dominate, so gate a
+      // conservative 2× here — ScaleSmoke prints the large-N datapoint
+      assert(banded * 2 < legacy,
+        s"banded=$banded should be >=2x under legacy=$legacy on the fixture")
+    }
+  }
+
   describe("annIvf (q36)") {
     lazy val fixture = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
 
