@@ -92,9 +92,12 @@ object Bench {
     // stage 4: dashboard reads over the materialized risk table. Names are
     // a static list — calling queriesFromRisk(riskT) here would resolve the
     // warehouse parquet schema at suite-DECLARATION time, before pass 1 has
-    // written $wh/risk (tmpfs, empty on a fresh host) and crash.
-    Seq("q09_dashboard_base", "q10_presentation", "q12_filtered_risk",
-      "q13_kpi_tiles", "q14_topn_risk", "q15_drilldown").foreach { name =>
+    // written $wh/risk (tmpfs, empty on a fresh host) and crash. Drift
+    // against the map's real key set is asserted after the passes, once
+    // riskT exists.
+    val dashFromRisk = Seq("q09_dashboard_base", "q10_presentation",
+      "q12_filtered_risk", "q13_kpi_tiles", "q14_topn_risk", "q15_drilldown")
+    dashFromRisk.foreach { name =>
       run(name) { Dashboard.queriesFromRisk(riskT)(name) }
     }
     run("q11_filter_domains") { Dashboard.queries("q11_filter_domains")(spark, sfDir) }
@@ -135,8 +138,19 @@ object Bench {
       }
     }
     val wall = (System.nanoTime() - t0) / 1e9
+
+    // the static stage-4 list above must track the map's real key set —
+    // a query added to queriesFromRisk but not the list would otherwise
+    // silently vanish from the benchmark
+    val fromRiskKeys = Dashboard.queriesFromRisk(riskT).keySet
+    require(dashFromRisk.toSet == fromRiskKeys,
+      s"dashboard stage drift: listed=${dashFromRisk.sorted} map=${fromRiskKeys.toSeq.sorted}")
+
     val total = results.values.sum
-    def f3(v: Double): String = f"$v%.3f"
+    // explicit Locale.ROOT: a comma-decimal default locale (e.g. de_DE)
+    // would make the JSON line unparseable
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // Diagnostics (GC attribution, methodology) go to stderr: the driver
@@ -146,9 +160,17 @@ object Bench {
     // happened to rounds 1 and 2.
     System.err.println(s"""[bench] gc_sec ${jmap(gcShare)}""")
     System.err.println("[bench] methodology: staged pipeline (kpis/risk/candidates materialized once), 2 full suite passes, per-query min; see SURVEY.md 6.1")
-    val line = s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}}"""
-    require(line.length <= 1700, s"bench JSON line too long (${line.length} chars) for the driver's 2000-char tail window")
-    println(line)
+    def jline(queries: String): String =
+      s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}}"""
+    val line = jline(jmap(results))
+    // Degrade gracefully instead of discarding a finished suite run: if
+    // the per-query map ever outgrows the driver's 2000-char stdout tail
+    // window, ship it to stderr and keep the headline JSON parseable.
+    if (line.length <= 1700) println(line)
+    else {
+      System.err.println(s"[bench] per-query map overflowed the line budget (${line.length} chars): ${jmap(results)}")
+      println(jline("{}"))
+    }
     spark.stop()
   }
 }

@@ -159,6 +159,35 @@ object Analytics {
         percentile(col("value"), lit(0.9)).as("p90_exact"))
       .orderBy("event_type")
 
+  /** q44 driver form — self-checking: the raw sketch estimates are
+    * engine-specific and never leave the query; what the driver hashes
+    * is the exact statistics plus two deterministic in-bounds booleans
+    * (`users_ok`: HLL++ rsd-1% estimate within 5% of exact; `p90_ok`:
+    * approx percentile between the exact 85th and 95th percentiles).
+    * The oracle asserts both literally TRUE, so a sketch accuracy
+    * regression now FAILS the rows/schema/hash gate instead of hiding
+    * behind a rows-only check.
+    */
+  def approxStatsChecked(spark: SparkSession, dir: String): DataFrame =
+    approxStatsCheckedFrom(Tables.events(spark, dir))
+
+  def approxStatsCheckedFrom(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+        percentile(col("value"), lit(0.9)).as("p90_exact"),
+        percentile(col("value"), lit(0.85)).as("p85_exact"),
+        percentile(col("value"), lit(0.95)).as("p95_exact"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("users_ok"),
+        col("p90_exact"),
+        (col("p90_approx") >= col("p85_exact") &&
+          col("p90_approx") <= col("p95_exact")).as("p90_ok"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
@@ -166,7 +195,7 @@ object Analytics {
     "q34_value_quantiles" -> (valueQuantiles _),
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
-    "q44_approx_stats" -> (approxStats _))
+    "q44_approx_stats" -> (approxStatsChecked _))
 
   val oracle: Map[String, String] = Map(
     "q31_cohort_set_ops" ->
@@ -218,8 +247,14 @@ object Analytics {
       s"""SELECT user_id,
          |  ${(counts ++ sums).mkString(",\n  ")}
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
-    })
-    // q44_approx_stats deliberately has no oracle entry: HLL++ /
-    // percentile_approx sketches are engine-specific (driver rows-only
-    // check; error bounds pinned in AnalyticsSpec).
+    },
+    // The sketch estimates themselves are engine-specific (no DuckDB
+    // HLL++/KLL twin exists) — the oracle checks the exact columns and
+    // asserts the in-bounds booleans hold; Spark computes them for real.
+    "q44_approx_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_ok,
+        |  quantile_cont(value, 0.9) AS p90_exact,
+        |  TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

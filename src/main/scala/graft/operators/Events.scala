@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -129,15 +129,23 @@ object Events {
   def rangeJoinClicks(spark: SparkSession, dir: String): DataFrame =
     rangeJoinClicksFrom(Tables.events(spark, dir))
 
+  /** Floor division on long micros: `div` truncates toward zero, which
+    * would bucket pre-1970 (negative) timestamps one slot too high and
+    * silently drop matches vs the exact BETWEEN predicate. Subtracting
+    * the non-negative `pmod` first makes the dividend an exact multiple,
+    * so `div` is exact floor for any sign — and identical to plain `div`
+    * for the common ts ≥ epoch case (no hash change).
+    */
+  private def floorBucket: Column =
+    expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $RangeMicros)) div $RangeMicros")
+
   def rangeJoinClicksFrom(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"),
-        expr(s"unix_micros(ts) div $RangeMicros").as("b"))
+      .select(col("event_id"), col("user_id"), col("ts"), floorBucket.as("b"))
       .withColumn("bucket", explode(array(col("b") - 1, col("b"))))
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("value").as("c_value"),
-        expr(s"unix_micros(ts) div $RangeMicros").as("bucket"))
+        col("value").as("c_value"), floorBucket.as("bucket"))
     purchases
       .join(clicks,
         col("user_id") === col("c_user") &&

@@ -157,16 +157,45 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfFrom(Tables.embeddings(spark, dir))
 
+  /** Sequential left-fold dot product — the exact operation order of the
+    * codegen kernel and the oracle's `list_inner_product`, so driver-side
+    * probe scoring is bit-identical to the distributed path.
+    */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   def annIvfFrom(embeddings: DataFrame): DataFrame = {
-    GraftFunctions.register(embeddings.sparkSession)
-    // codebook fetch filters the raw scan (vec_id predicate pushes into
-    // parquet) — NOT the repartitioned relation, which would shuffle the
-    // whole corpus to read 16 rows
-    val codebook: Seq[Seq[Double]] = embeddings
-      .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + NumCells)
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // ONE tiny collect serves both the codebook and the probe plan: the
+    // vec_id < SeedBase+NumCells predicate pushes into parquet, and the
+    // 26 collected rows (10 queries + 16 centroids) are driver-side by
+    // construction — IVF codebooks and query batches are small. Probe
+    // cells are then argsorted in Scala instead of running a separate
+    // posexplode + window job over a corpus-derived relation (folds the
+    // old 5-job plan to the collect + the main candidate join).
+    val head = embeddings
+      .filter(col("vec_id") < SeedBase + NumCells)
       .orderBy("vec_id")
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0)).toSeq
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val codebook: Seq[Seq[Double]] =
+      head.filter(_._1 >= SeedBase).sortBy(_._1).map(_._2).toSeq
+    // probe selection: same (score DESC, c ASC) tie order as the oracle's
+    // row_number window
+    val probeRows: Seq[(Long, Seq[Double], Int)] =
+      head.filter(_._1 < NumQueries).toSeq.flatMap { case (qid, q) =>
+        codebook.zipWithIndex
+          .map { case (c, i) => (dotSeq(q, c), i) }
+          .sortBy { case (s, i) => (-s, i) }
+          .take(NumProbes)
+          .map { case (_, i) => (qid, q, i) }
+      }
+    val qProbes = probeRows.toDF("query_id", "q_emb", "probe_cell")
     val e = embDouble(embeddings)
     val scores = array(codebook.map(c =>
       call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
@@ -174,13 +203,6 @@ object Similarity {
     val ecell = e.withColumn("scores", scores)
       .withColumn("cell",
         (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-    val probes = ecell.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-        posexplode(col("scores")).as(Seq("c", "score")))
-    val prn = row_number().over(
-      Window.partitionBy("query_id").orderBy(desc("score"), asc("c")))
-    val qProbes = probes.withColumn("prn", prn).filter(col("prn") <= NumProbes)
-      .select(col("query_id"), col("q_emb"), col("c").as("probe_cell"))
     val scored = ecell.join(broadcast(qProbes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),

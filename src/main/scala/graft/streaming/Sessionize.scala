@@ -64,12 +64,20 @@ object Sessionize {
 
     // (ts, event_id) — equal-timestamp events otherwise keep Spark's
     // nondeterministic per-group iterator order, and sum_value's float
-    // accumulation order would vary run-to-run.
-    val sorted = events.toSeq.sortBy(e => (us(e.ts), e.event_id))
+    // accumulation order would vary run-to-run. Micros are computed once
+    // per event and compared primitively: `sortBy` would re-run the
+    // Timestamp→micros conversion and allocate a tuple key on every
+    // comparison — measurable across millions of groups.
+    val keyed = events.map(e => (us(e.ts), e)).toArray
+    java.util.Arrays.sort(keyed, new java.util.Comparator[(Long, Event)] {
+      def compare(a: (Long, Event), b: (Long, Event)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2.event_id, b._2.event_id)
+      }
+    })
     var cur = state.getOption.orNull
     val closed = List.newBuilder[UserSession]
-    sorted.foreach { e =>
-      val t = us(e.ts)
+    keyed.foreach { case (t, e) =>
       if (cur == null) {
         cur = SessionState(t, t, 1, e.value)
       } else if (t - cur.last > GapUs) {
