@@ -54,6 +54,10 @@ object Dashboard {
           "on_time_rate", "avg_ship_delay_days", "return_rate", "revenue",
           "n_lines", "norm_acctbal", "performance_score", "risk_score")
         .orderBy(desc("risk_score"), asc("s_suppkey")),
+      // HALF_UP `round`, deliberately: the verification contract is the
+      // DuckDB oracle (HALF_UP). The reference's pandas layer rounds
+      // half-even (dashboard/app.py:64-69) — a UI needing numpy parity
+      // applies `bround` to the unrounded q09 columns (SURVEY §2.1 Q10).
       "q10_presentation" -> risk
         .select(col("s_suppkey"), col("s_name"),
           round(col("on_time_rate") * 100, 1).as("on_time_rate_pct"),
