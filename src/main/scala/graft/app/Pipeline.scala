@@ -4,14 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.DataGen
 import graft.operators.SupplierDomain
-import graft.sources.SupplierCsv
+import graft.sources.{AtomicWarehouse, SupplierCsv}
 
 /** The reference's 4-stage batch pipeline, Spark-native: generate →
   * load → kpis → risk, with the same restartable file-handoff contract
   * (dags/supplier_pipeline_dag.py:37-57; any stage can rerun from its
   * predecessor's output on disk) and drop-and-recreate idempotency
   * (`SaveMode.Overwrite` ↔ the reference's DROP TABLE IF EXISTS,
-  * load_duckdb.py:32-36).
+  * load_duckdb.py:32-36). Table overwrites go through
+  * [[AtomicWarehouse]] (version dir + atomic pointer flip) so
+  * concurrent readers — the reference keeps read-only dashboard
+  * connections open across reloads (dashboard/app.py:39) — never see a
+  * half-written table.
   *
   * Run all stages: `runMain graft.app.Pipeline <workDir>` — or a single
   * stage: `runMain graft.app.Pipeline <workDir> <stage>`.
@@ -32,13 +36,14 @@ object Pipeline {
     * Returns (rowCounts, orphanPos, orphanDeliveries).
     */
   def load(spark: SparkSession, dir: String): (Map[String, Long], Long, Long) = {
+    val wh = s"$dir/wh"
     val tables = SupplierCsv.schemas.keys.map { t =>
       val df = SupplierCsv.read(spark, s"$dir/csv/$t", t)
-      df.write.mode("overwrite").parquet(s"$dir/wh/$t")
-      t -> spark.read.parquet(s"$dir/wh/$t").count()
+      AtomicWarehouse.overwrite(df, wh, t)
+      t -> AtomicWarehouse.read(spark, wh, t).count()
     }.toMap
-    val po = spark.read.parquet(s"$dir/wh/purchase_orders")
-    val d = spark.read.parquet(s"$dir/wh/deliveries")
+    val po = AtomicWarehouse.read(spark, wh, "purchase_orders")
+    val d = AtomicWarehouse.read(spark, wh, "deliveries")
     (tables,
       SupplierDomain.posWithoutDelivery(po, d),
       SupplierDomain.deliveriesWithoutPo(d, po))
@@ -46,19 +51,21 @@ object Pipeline {
 
   /** `supplier_kpis` CTAS (compute_kpis.py). */
   def kpis(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"$dir/wh"
     val k = SupplierDomain.kpis(
-      spark.read.parquet(s"$dir/wh/suppliers"),
-      spark.read.parquet(s"$dir/wh/purchase_orders"),
-      spark.read.parquet(s"$dir/wh/deliveries"))
-    k.write.mode("overwrite").parquet(s"$dir/wh/supplier_kpis")
-    spark.read.parquet(s"$dir/wh/supplier_kpis")
+      AtomicWarehouse.read(spark, wh, "suppliers"),
+      AtomicWarehouse.read(spark, wh, "purchase_orders"),
+      AtomicWarehouse.read(spark, wh, "deliveries"))
+    AtomicWarehouse.overwrite(k, wh, "supplier_kpis")
+    AtomicWarehouse.read(spark, wh, "supplier_kpis")
   }
 
   /** `supplier_risk_summary` CTAS (compute_risk.py). */
   def risk(spark: SparkSession, dir: String): DataFrame = {
-    val r = SupplierDomain.risk(spark.read.parquet(s"$dir/wh/supplier_kpis"))
-    r.write.mode("overwrite").parquet(s"$dir/wh/supplier_risk_summary")
-    spark.read.parquet(s"$dir/wh/supplier_risk_summary")
+    val wh = s"$dir/wh"
+    val r = SupplierDomain.risk(AtomicWarehouse.read(spark, wh, "supplier_kpis"))
+    AtomicWarehouse.overwrite(r, wh, "supplier_risk_summary")
+    AtomicWarehouse.read(spark, wh, "supplier_risk_summary")
   }
 
   def main(args: Array[String]): Unit = {

@@ -43,7 +43,8 @@ object SqlSurface {
 
   def registerWarehouse(spark: SparkSession, workDir: String): Unit =
     WarehouseTables.foreach(t =>
-      spark.read.parquet(s"$workDir/wh/$t").createOrReplaceTempView(t))
+      graft.sources.AtomicWarehouse.read(spark, s"$workDir/wh", t)
+        .createOrReplaceTempView(t))
 
   /** Rewrite the (near-ANSI) DuckDB oracle text into Spark dialect. The
     * require makes an unrewritten DuckDB-ism fail loudly at map-build
