@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Events.queries ++ Multimodal.queries ++ Analytics.queries ++ Curation.queries
+      Events.queries ++ Multimodal.queries ++ Analytics.queries ++
+      Curation.queries ++ graft.streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++ Curation.oracle
+      Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
+      Curation.oracle ++ graft.streaming.EventStream.oracle
 }

@@ -113,4 +113,66 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  /** q49 — the STREAMING window operator itself under the driver's
+    * hash gate (not just its batch twin q27): a drained AvailableNow run
+    * of [[windowedRates]], restricted to windows strictly inside the
+    * final watermark horizon. Append mode emits a window once the
+    * watermark (ms-floored max event time − 10 min) passes its end; the
+    * strict `end < watermark` filter is applied on BOTH the drained
+    * result and the oracle, so the gate is insensitive to the ≤/< edge
+    * of Spark's internal eviction predicate while still proving the
+    * watermark pipeline computes exactly the batch aggregation.
+    */
+  def streamedRates(spark: SparkSession, dir: String): DataFrame = {
+    runAvailableNow(spark, dir, "graft_q49_sink")
+    import graft.sources.Tables
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - WatermarkMs) * 1000
+    spark.table("graft_q49_sink")
+      .filter(unix_micros(col("window_start")) + WindowUs < wmUs)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .orderBy("window_start", "event_type")
+  }
+
+  private val WatermarkMs = 10L * 60 * 1000
+  private val WindowUs = 5L * 60 * 1000000
+
+  /** q50 — the watermarked stream-stream interval join under the
+    * driver's hash gate: inner joins emit matches as they form, so a
+    * drained run equals the batch inequality join row-for-row.
+    */
+  def streamedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    runIntervalJoin(spark, dir, "graft_q50_sink")
+    spark.table("graft_q50_sink")
+      .orderBy("event_id", "c_ts", "c_value")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_stream_rates" -> (streamedRates _),
+    "q50_stream_range_join" -> (streamedRangeJoin _))
+
+  val oracle: Map[String, String] = Map(
+    // same horizon arithmetic as streamedRates: watermark = ms-floored
+    // max event time minus 10 min; keep windows with end strictly below
+    "q49_stream_rates" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+        |FROM agg a, wm
+        |WHERE epoch_us(a.window_start) + 300000000 < wm.wm_us
+        |ORDER BY a.window_start, a.event_type""".stripMargin,
+    "q50_stream_range_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS c_ts, c.value AS c_value
+        |FROM events p JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id, c_ts, c_value""".stripMargin)
 }

@@ -119,6 +119,64 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("degradation under changed physical conditions (SURVEY §7.5(5))") {
+    it("q04 without broadcast degrades to a shuffle join, never nested-loop, same rows") {
+      // on a cluster where the dimension side outgrows the broadcast
+      // budget the 3-way join must fall back to a partitioned join —
+      // a nested-loop fallback would be quadratic at 100 TB
+      val baseline = SparkEntry.queries("q04_supplier_kpis")(spark, sf).collect().toSeq
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = SparkEntry.queries("q04_supplier_kpis")(spark, sf)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"), s"broadcast survived threshold=-1:\n$p")
+        assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+          s"degraded to a quadratic join:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a partitioned equi-join:\n$p")
+        // every aggregate in q04 is order-independent (int-sum rates,
+        // decimal revenue), so the rows are bit-identical too
+        assert(df.collect().toSeq == baseline)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+
+    it("AQE splits the skewed partition of the q22 band self-join") {
+      // one mega-hot band bucket (400 identical docs) — the shape a
+      // replica-heavy crawl produces. With cluster-realistic thresholds
+      // scaled to fixture bytes, AQE must split the skewed partition
+      // instead of letting one reducer own the whole bucket.
+      val docs = spark.range(0, 2100).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 2000 THEN 'the same replicated document text again and again' " +
+          "ELSE concat('unique doc ', id, ' tok', id % 7, ' tok', id % 11) END AS text")
+      val saved = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        // thresholds scaled to fixture bytes (identical hot rows compress
+        // ~100x in the shuffle, so the byte ratio understates the row
+        // skew); at cluster scale the 256MB default plays this role
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        // count on top of the pair relation: executing THIS
+        // QueryExecution materializes the final adaptive plan
+        val cnt = Dedup.candidatePairsFrom(Dedup.bandsFrom(docs)).groupBy().count()
+        assert(cnt.collect()(0).getLong(0) >= 2000L * 1999 / 2)
+        val p = cnt.queryExecution.executedPlan.toString
+        assert(p.toLowerCase.contains("skew=true") || p.contains("isSkewJoin=true"),
+          s"AQE skew split did not fire on the band join:\n$p")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+  }
+
   describe("gated widening: already-parallel input adds no corpus shuffle") {
     // 64 scan partitions ≥ defaultParallelism(32): Tables.widened must
     // NOT insert the local-parallelism repartition that single-file test
