@@ -107,7 +107,8 @@ object Bench {
     // Dedup is staged like the reference's CTAS pipeline: candidates are
     // materialized once and the Jaccard verifier reads them back.
     (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ Analytics.queries ++ Curation.queries).toSeq.sortBy(_._1).foreach {
+      Multimodal.queries ++ Analytics.queries ++ Curation.queries ++
+      graft.streaming.EventStream.queries).toSeq.sortBy(_._1).foreach {
       case (name, fn) => run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }

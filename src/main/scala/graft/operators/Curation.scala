@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,27 +121,67 @@ object Curation {
   def sourceMixture(spark: SparkSession, dir: String): DataFrame =
     sourceMixtureFrom(Tables.documents(spark, dir))
 
-  def sourceMixtureFrom(docs: DataFrame): DataFrame = {
+  def sourceMixtureFrom(docs: DataFrame): DataFrame =
+    mixtureAlloc(docs, _ => lit(MixBudget)).orderBy("source")
+
+  /** Largest-remainder allocation of a token budget across sources.
+    * `budgetOf` maps the corpus-total-tokens column to the budget column
+    * (a constant for q48; half the corpus for the q52 sampling rate), so
+    * the allocation arithmetic is shared and oracle-mirrored once.
+    */
+  private def mixtureAlloc(docs: DataFrame, budgetOf: Column => Column): DataFrame = {
     val all = Window.partitionBy()
     val perSource = docs
       .select(col("source"),
         size(TextFns.toks(col("text"))).cast("long").as("tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
-    val raw = (lit(MixBudget) * col("n_tokens")).cast("double") /
-      sum(col("n_tokens")).over(all)
+    val total = sum(col("n_tokens")).over(all)
+    val budget = budgetOf(total)
     val withBase = perSource
-      .withColumn("raw", raw)
+      .withColumn("budget", budget)
+      .withColumn("raw", (col("budget") * col("n_tokens")).cast("double") / total)
       .withColumn("base", floor(col("raw")).cast("long"))
     val rk = row_number().over(
       Window.partitionBy().orderBy(desc("frac"), asc("source")))
     withBase
       .withColumn("frac", col("raw") - col("base"))
-      .withColumn("leftover", lit(MixBudget) - sum(col("base")).over(all))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(all))
       .withColumn("rk", rk)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
           .as("alloc_tokens"))
+  }
+
+  /** Basis-point resolution of the q52 sampling rate. */
+  val SampleBp = 10000L
+
+  /** q52 — EXECUTE a mixture: deterministically downsample each source
+    * to its allocated share (budget = half the corpus's tokens, so the
+    * rate bites at every scale factor). Per source the keep-rate in
+    * basis points is `alloc·10⁴ div tokens`; a doc is kept iff
+    * `md5-hash32("sample|" + doc_id) mod 10⁴ < rate` — the same
+    * stable-under-everything hash discipline as the q45 split (never
+    * `rand()`: re-runs, repartitions, and corpus growth must not change
+    * a doc's fate). Pure map work after one broadcast join of the tiny
+    * per-source rate table.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleFrom(Tables.documents(spark, dir))
+
+  def mixtureSampleFrom(docs: DataFrame): DataFrame = {
+    val alloc = mixtureAlloc(docs, total => (total / lit(2)).cast("long"))
+      .withColumn("rate_bp", expr(s"alloc_tokens * $SampleBp div n_tokens"))
+      .select("source", "rate_bp")
+    val keep = TextFns.hash32(
+      concat(lit("sample|"), col("doc_id").cast("string"))) % SampleBp < col("rate_bp")
+    docs
+      .select(col("source"), col("doc_id"),
+        size(TextFns.toks(col("text"))).cast("long").as("tok"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(keep)
+      .groupBy("source", "rate_bp")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("kept_tokens"))
       .orderBy("source")
   }
 
@@ -149,7 +189,8 @@ object Curation {
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
     "q47_repetition" -> (repetition _),
-    "q48_source_mixture" -> (sourceMixture _))
+    "q48_source_mixture" -> (sourceMixture _),
+    "q52_mixture_sample" -> (mixtureSample _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -202,5 +243,29 @@ object Curation {
          |  FROM based)
          |SELECT source, n_docs, n_tokens,
          |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
-         |FROM ranked ORDER BY source""".stripMargin)
+         |FROM ranked ORDER BY source""".stripMargin,
+    "q52_mixture_sample" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(${TextFns.sql.toks})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM per),
+         |calc AS (SELECT per.*, budget,
+         |    CAST(budget * n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS BIGINT) AS raw
+         |  FROM per, tot),
+         |based AS (SELECT *, CAST(floor(raw) AS BIGINT) AS base FROM calc),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (ORDER BY raw - base DESC, source) AS rk,
+         |    budget - CAST(sum(base) OVER () AS BIGINT) AS leftover
+         |  FROM based),
+         |rates AS (SELECT source,
+         |    (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * $SampleBp // n_tokens AS rate_bp
+         |  FROM ranked),
+         |d AS (SELECT source, doc_id, CAST(len(${TextFns.sql.toks}) AS BIGINT) AS tok
+         |      FROM documents)
+         |SELECT d.source, r.rate_bp, count(*) AS n_kept,
+         |  CAST(sum(d.tok) AS BIGINT) AS kept_tokens
+         |FROM d JOIN rates r ON d.source = r.source
+         |WHERE ${TextFns.sql.hash32("'sample|' || CAST(doc_id AS VARCHAR)")} % $SampleBp < r.rate_bp
+         |GROUP BY d.source, r.rate_bp ORDER BY d.source""".stripMargin)
 }

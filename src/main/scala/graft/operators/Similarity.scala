@@ -287,6 +287,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q51 — int8 embedding quantization with reconstruction metrics: the
+    * storage/serving step a 100 TB embedding corpus actually runs
+    * (float32 → int8 cuts the footprint 4×). Per vector: symmetric
+    * scale = max|v|/127, q = round(v/scale) (HALF_UP, both engines),
+    * then reconstruction error via dot-product identities —
+    * `mse = (v·v − 2s·(v·q) + s²·(q·q))/64` and the scale-invariant
+    * `cos(v, s·q) = cos(v, q)` — so every float runs through the fused
+    * codegen kernels in the exact order the oracle's
+    * `list_inner_product` uses. Map-only; the per-element transform
+    * lambdas are interpreted but touch 64 doubles/row (a native
+    * quantize kernel is the obvious next step if this ever profiles).
+    */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8From(Tables.embeddings(spark, dir))
+
+  def quantizeInt8From(embeddings: DataFrame): DataFrame = {
+    val e = embDouble(embeddings)
+    val dot = (a: Column, b: Column) => call_function("dot_product", a, b)
+    e.withColumn("max_abs", expr("array_max(transform(emb, x -> abs(x)))"))
+      .filter(col("max_abs") > 0)
+      .withColumn("scale", col("max_abs") / 127.0d)
+      .withColumn("qd", expr("transform(emb, x -> CAST(round(x / scale, 0) AS DOUBLE))"))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale"),
+        round((dot(col("emb"), col("emb"))
+          - lit(2.0) * col("scale") * dot(col("emb"), col("qd"))
+          + col("scale") * col("scale") * dot(col("qd"), col("qd"))) / lit(64.0d), 12)
+          .as("mse"),
+        round(cosine(col("emb"), col("qd")), 9).as("cos_recon"))
+      .orderBy("vec_id")
+  }
+
   /** Σ over (family, bucket) of occupancy² — the number of pair
     * comparisons the near-dup self-join performs. `ScaleSmoke` prints
     * this for the banded config vs the legacy single 4-plane family
@@ -305,7 +337,8 @@ object Similarity {
     "q25_knn_bruteforce" -> (knnBrute _),
     "q26_ann_lsh" -> (annLsh _),
     "q36_ann_ivf" -> (annIvf _),
-    "q38_embedding_neardup" -> (embeddingNearDup _))
+    "q38_embedding_neardup" -> (embeddingNearDup _),
+    "q51_quantize_int8" -> (quantizeInt8 _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -379,6 +412,20 @@ object Similarity {
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q51_quantize_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |m AS (SELECT vec_id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) AS max_abs FROM e),
+         |s AS (SELECT vec_id, emb, max_abs / 127.0 AS scale FROM m WHERE max_abs > 0),
+         |q AS (SELECT vec_id, emb, scale,
+         |    list_transform(emb, x -> CAST(round(x / scale, 0) AS DOUBLE)) AS qd FROM s)
+         |SELECT vec_id, round(scale, 9) AS scale,
+         |  round((list_inner_product(emb, emb)
+         |    - 2.0 * scale * list_inner_product(emb, qd)
+         |    + scale * scale * list_inner_product(qd, qd)) / 64.0, 12) AS mse,
+         |  round(list_inner_product(emb, qd) /
+         |    (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(qd, qd))), 9) AS cos_recon
+         |FROM q ORDER BY vec_id""".stripMargin,
     "q38_embedding_neardup" -> {
       val arms = (0 until NearDupFamilies).map { f =>
         val bucket = (0 until NearDupPlanesPerFamily)

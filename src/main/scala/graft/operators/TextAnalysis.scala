@@ -155,12 +155,40 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** Vocabulary rows kept (by document frequency). */
+  val VocabTopK = 50
+
+  /** q53 — corpus vocabulary by document frequency: per token its total
+    * occurrence count (tf) and the number of documents containing it
+    * (df), top-[[VocabTopK]] by (df, tf, token). The table that feeds
+    * IDF weighting, stopword discovery, and tokenizer-coverage audits.
+    *
+    * Scale shape: explode → two-phase hash aggregate keyed by token;
+    * the df distinct-count rides the same shuffle via a (token, doc_id)
+    * partial; the top-k lowers to TakeOrderedAndProject (per-partition
+    * partial top-k, never a global sort). Vocabulary cardinality — not
+    * corpus size — bounds the reduce side, which is what makes this
+    * viable at 100 TB.
+    */
+  def dfVocab(spark: SparkSession, dir: String): DataFrame =
+    dfVocabFrom(Tables.documents(spark, dir))
+
+  def dfVocabFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), desc("tf"), asc("token"))
+      .limit(VocabTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q19_lang_id" -> (langId _),
     "q20_fingerprint" -> (fingerprint _),
-    "q39_kmv_distinct" -> (kmvDistinct _))
+    "q39_kmv_distinct" -> (kmvDistinct _),
+    "q53_df_vocab" -> (dfVocab _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -224,5 +252,11 @@ object TextAnalysis {
          |  CASE WHEN n_k < $KmvK THEN CAST(n_k AS DOUBLE)
          |       ELSE ${(KmvK - 1).toDouble * 1152921504606846976.0} / CAST(kth_min AS DOUBLE)
          |  END AS est_distinct
-         |FROM kagg CROSS JOIN eagg""".stripMargin)
+         |FROM kagg CROSS JOIN eagg""".stripMargin,
+    "q53_df_vocab" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t WHERE token <> ''
+         |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin)
 }

@@ -56,22 +56,56 @@ object EventStream {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Run the windowed-rate stream over all data currently in `dir` and
-    * block until drained (Trigger.AvailableNow) — batch-equivalent
-    * semantics, used by tests and backfills. Results land in the
-    * `tableName` in-memory sink table.
+  /** Drain `df` into the `tableName` memory sink and block until done
+    * (Trigger.AvailableNow — batch-equivalent semantics).
+    *
+    * The checkpoint goes to a FRESH tmpfs dir per run and is deleted on
+    * completion: the HDFS-backed state store writes delta/snapshot/commit
+    * files per state partition per micro-batch, which on this host's
+    * stall-prone virtio disk costs ~10 s per drain (vs ~1 s on tmpfs);
+    * and a *reused* checkpoint would make the next drain resume past the
+    * already-committed data and emit an empty table.
     */
-  def runAvailableNow(spark: SparkSession, dir: String, tableName: String): StreamingQuery = {
-    val q = windowedRates(source(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  /** State partitions per stateful operator. Fixed at first run by the
+    * checkpoint, so it is a per-stream sizing decision, not a session
+    * default: size it to the stream's state volume (each partition is a
+    * state-store instance paying per-micro-batch commit + maintenance
+    * I/O, so oversizing costs latency every batch forever).
+    */
+  val StatePartitions = 8
+
+  private def drain(df: DataFrame, tableName: String): StreamingQuery = {
+    val spark = df.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), s"graft-ckpt-$tableName-")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    val q =
+      try {
+        val started = df.writeStream
+          .format("memory")
+          .queryName(tableName)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.awaitTermination()
+        started
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     q
   }
+
+  /** Run the windowed-rate stream over all data currently in `dir` and
+    * block until drained — used by tests, q49, and backfills. Results
+    * land in the `tableName` in-memory sink table.
+    */
+  def runAvailableNow(spark: SparkSession, dir: String, tableName: String): StreamingQuery =
+    drain(windowedRates(source(spark, dir)), tableName)
 
   /** Streaming twin of the batch q40 range join: purchases matched to
     * the same user's clicks in the 10 minutes strictly before them, as a
@@ -102,17 +136,8 @@ object EventStream {
   }
 
   /** Drain the interval join over `dir` into a memory sink table. */
-  def runIntervalJoin(spark: SparkSession, dir: String, tableName: String): StreamingQuery = {
-    val q = purchaseClickJoin(source(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
-  }
+  def runIntervalJoin(spark: SparkSession, dir: String, tableName: String): StreamingQuery =
+    drain(purchaseClickJoin(source(spark, dir)), tableName)
 
   /** q49 — the STREAMING window operator itself under the driver's
     * hash gate (not just its batch twin q27): a drained AvailableNow run

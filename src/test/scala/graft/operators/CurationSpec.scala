@@ -78,4 +78,26 @@ class CurationSpec extends AnyFunSpec {
       assert(total == Curation.MixBudget)
     }
   }
+
+  describe("mixtureSample (q52)") {
+    it("downsamples every source near its rate, deterministically") {
+      val r = Curation.mixtureSample(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        val bp = x.getAs[Long]("rate_bp")
+        assert(bp > 0 && bp <= Curation.SampleBp, s"rate_bp $bp out of range")
+        assert(x.getAs[Long]("n_kept") > 0)
+      }
+      // half-the-corpus budget: kept tokens must land well under the
+      // full corpus and in the neighborhood of 50%
+      val keptTokens = r.map(_.getAs[Long]("kept_tokens")).sum.toDouble
+      val allTokens = Curation.sourceMixture(spark, TestSpark.Sf)
+        .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .collect()(0).getLong(0).toDouble
+      val frac = keptTokens / allTokens
+      assert(frac > 0.3 && frac < 0.7, s"kept fraction $frac")
+      val again = Curation.mixtureSample(spark, TestSpark.Sf).collect()
+      assert(again.toSeq == r.toSeq)
+    }
+  }
 }

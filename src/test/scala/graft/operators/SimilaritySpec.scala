@@ -91,6 +91,28 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("quantizeInt8 (q51)") {
+    it("reconstructs near-perfectly for a vector already on the int8 grid") {
+      // values ±127 with scale 1: quantization is exact → mse 0, cosine 1
+      val grid = emb((0L, vec(0 -> 127.0f, 1 -> -127.0f, 2 -> 64.0f)))
+      val r = Similarity.quantizeInt8From(grid).collect()(0)
+      assert(r.getAs[Double]("scale") == 1.0)
+      assert(r.getAs[Double]("mse") == 0.0)
+      assert(r.getAs[Double]("cos_recon") == 1.0)
+    }
+
+    it("keeps reconstruction cosine above 0.999 on the real fixture") {
+      val fixture = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val rows = Similarity.quantizeInt8From(fixture).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Double]("cos_recon") > 0.999,
+          s"vec ${r.getAs[Long]("vec_id")} cos ${r.getAs[Double]("cos_recon")}")
+        assert(r.getAs[Double]("mse") >= 0.0)
+      }
+    }
+  }
+
   describe("annIvf (q36)") {
     lazy val fixture = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
 

@@ -103,4 +103,28 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(math.abs(est - 5000) / 5000 < 0.10, s"est=$est")
     }
   }
+
+  describe("dfVocab (q53)") {
+    it("counts tf and df with df <= min(tf, corpus size), ordered by df") {
+      val corpus = docs(
+        (1L, "apple banana apple"),
+        (2L, "banana cherry"),
+        (3L, "banana banana durian"))
+      val r = TextAnalysis.dfVocabFrom(corpus).collect()
+        .map(x => (x.getAs[String]("token"), x.getAs[Long]("tf"), x.getAs[Long]("df")))
+      assert(r.head == ("banana", 4L, 3L))
+      assert(r.toSet == Set(
+        ("banana", 4L, 3L), ("apple", 2L, 1L),
+        ("cherry", 1L, 1L), ("durian", 1L, 1L)))
+      r.foreach { case (_, tf, df) => assert(df <= tf && df <= 3) }
+    }
+
+    it("caps output at VocabTopK with a fully tie-broken order") {
+      val corpus = docs((1 to 100).map(i => (i.toLong, s"w$i common")): _*)
+      val r = TextAnalysis.dfVocabFrom(corpus).collect()
+      assert(r.length == TextAnalysis.VocabTopK)
+      assert(r.head.getAs[String]("token") == "common")
+      assert(r.head.getAs[Long]("df") == 100L)
+    }
+  }
 }
