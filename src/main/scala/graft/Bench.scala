@@ -121,6 +121,10 @@ object Bench {
       Dedup.ngramJaccardOfPairs(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
+    run("q54_dedup_clusters") {
+      Dedup.clustersOfVerified(Dedup.ngramJaccardOfPairs(
+        spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir)))
+    }
 
     val t0 = System.nanoTime()
     (1 to 2).foreach { pass =>

@@ -215,11 +215,95 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q54 — duplicate-cluster resolution: connected components over the
+    * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
+    * component-minimum doc_id as `cluster_id`, the component size, and
+    * an `is_canonical` flag (the doc a pipeline would KEEP) — pair lists
+    * alone can't drive dedup, because near-duplication is transitive
+    * through chains (A~B, B~C ⇒ drop two of {A,B,C}, keep exactly one).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * standard shared-nothing CC. Each half-round is one hash-shuffle on
+    * the node id (groupBy min + an equi-join on the same key, so the
+    * exchange is reused) and the edge set converges to min-rooted stars
+    * in O(log n) rounds — no driver-side graph, no linear-in-diameter
+    * label propagation (a 1M-doc chain would need 1M propagation rounds
+    * but ~20 star rounds). `localCheckpoint` after each round truncates
+    * the lineage so plan size stays constant across iterations.
+    *
+    * The oracle computes ground-truth transitive closure with a
+    * recursive CTE, so the fixpoint itself is hash-gated.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrom(Tables.documents(spark, dir))
+
+  def dedupClustersFrom(docs: DataFrame): DataFrame =
+    clustersOfVerified(ngramJaccardFrom(docs))
+
+  /** CC over an explicit verified-pair relation (columns doc_a, doc_b). */
+  def clustersOfVerified(verified: DataFrame): DataFrame = {
+    // canonical directed form: u = larger endpoint, v = smaller
+    var e = verified
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // convergence check: (edge count, order-independent XOR of per-edge
+    // hashes — no ANSI overflow risk, unlike a hash SUM) — one cheap
+    // aggregate per round instead of a set-difference join
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = sig(e)
+    var done = cur._1 == 0L
+    var iter = 0
+    val MaxRounds = 64 // O(log n) expected; backstop far above any real depth
+    while (!done && iter < MaxRounds) {
+      // large-star: each strictly-larger neighbor of u links to
+      // m = min(N(u) ∪ {u}); m ≤ u < v keeps the (larger, smaller) form
+      val dir2 = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = dir2.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = dir2.join(lsMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: u and all its (smaller) neighbors link to min(N(u))
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val joined = ls.join(ssMin, Seq("u"))
+      val ss = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val next = sig(ss)
+      done = next == cur
+      e = ss
+      cur = next
+      iter += 1
+    }
+
+    val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+    val sizes = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    members.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
-    "q24_ngram_jaccard" -> (ngramJaccard _))
+    "q24_ngram_jaccard" -> (ngramJaccard _),
+    "q54_dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -251,23 +335,48 @@ object Dedup {
     "q24_ngram_jaccard" ->
       s"""WITH $bandsSql,
          |$candidatePairsSql,
-         |exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
-         |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM toks)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM exd GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
-         |  FROM pairs p
-         |  JOIN exd a ON a.doc_id = p.doc_a
-         |  JOIN exd b ON b.doc_id = p.doc_b AND b.s = a.s
-         |  GROUP BY p.doc_a, p.doc_b),
-         |jac AS (
-         |  SELECT doc_a, doc_b,
-         |    round(CAST(n_common AS DOUBLE) /
-         |      NULLIF(sa.sz + sb.sz - n_common, 0), 9) AS jaccard
-         |  FROM inter
-         |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-         |  JOIN sizes sb ON sb.doc_id = inter.doc_b)
+         |$jaccardSql
          |SELECT doc_a, doc_b, jaccard FROM jac
-         |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin,
+    "q54_dedup_clusters" ->
+      s"""WITH RECURSIVE $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM verified),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+         |SELECT cc.doc_id, cc.cluster_id, sized.cluster_size,
+         |  cc.doc_id = cc.cluster_id AS is_canonical
+         |FROM cc JOIN sized USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin)
+
+  /** Shared q24/q54 oracle fragment: `jac` = per-candidate-pair shingle
+    * Jaccard (expects `toks` + `pairs` CTEs in scope).
+    */
+  private def jaccardSql: String =
+    s"""exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+       |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM exd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN exd a ON a.doc_id = p.doc_a
+       |  JOIN exd b ON b.doc_id = p.doc_b AND b.s = a.s
+       |  GROUP BY p.doc_a, p.doc_b),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(n_common AS DOUBLE) /
+       |      NULLIF(sa.sz + sb.sz - n_common, 0), 9) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+       |  JOIN sizes sb ON sb.doc_id = inter.doc_b)""".stripMargin
 }

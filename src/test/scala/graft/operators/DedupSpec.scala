@@ -75,4 +75,64 @@ class DedupSpec extends AnyFunSpec {
       assert(byPair((1L, 3L)) < 1.0 && byPair((1L, 3L)) > 0.5)
     }
   }
+
+  describe("dedupClusters (q54)") {
+    /** Union-find ground truth for an edge list. */
+    def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.clustersOfVerified(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    it("resolves a chain graph transitively (worst case for naive propagation)") {
+      // path 1-2-3-...-12: one component, min label 1 for every node
+      val chain = (1L until 12L).map(i => (i, i + 1))
+      val got = ccOf(chain)
+      assert(got.size == 12 && got.values.forall(_ == 1L), got.toString)
+    }
+
+    it("matches union-find on random graphs") {
+      val rnd = new scala.util.Random(42)
+      (1 to 3).foreach { _ =>
+        val n = 40
+        val edges = Seq.fill(30)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+          .filter { case (a, b) => a != b }
+        assert(ccOf(edges) == ufClusters(edges))
+      }
+    }
+
+    it("emits sizes and exactly one canonical doc per cluster") {
+      val r = Dedup.clustersOfVerified(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")).collect()
+      val bySize = r.map(x => x.getLong(1) -> x.getLong(2)).toMap
+      assert(bySize == Map(1L -> 3L, 10L -> 2L))
+      val canon = r.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+      assert(canon == Set(1L, 10L))
+    }
+
+    it("returns an empty typed result when there are no verified pairs") {
+      val r = Dedup.clustersOfVerified(
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      assert(r.columns.toSeq ==
+        Seq("doc_id", "cluster_id", "cluster_size", "is_canonical"))
+      assert(r.count() == 0L)
+    }
+
+    it("clusters the fixture corpus: {1,2,3} together, 4 out") {
+      val r = Dedup.dedupClustersFrom(corpus).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), r.toString)
+    }
+  }
 }
