@@ -182,13 +182,72 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), asc("token"))
       .limit(VocabTopK)
 
+  /** BM25 parameters (standard Okapi constants) and the fixed query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Query: Seq[String] = Seq("spark", "join", "vector", "customer")
+
+  /** q55 — BM25 ranked retrieval for a fixed query-term set (Okapi
+    * BM25, Lucene's non-negative idf variant): the scored keyword
+    * search a corpus pipeline runs for curation audits and eval-set
+    * mining.
+    *
+    * Scale shape — ZERO corpus shuffles for a fixed small term set:
+    * instead of the textbook explode → (doc_id, term) aggregate →
+    * per-term df join (two corpus-sized shuffles), each term's tf is a
+    * map-side array-filter column, the corpus stats (N, Σdl, per-term
+    * df) are ONE single-row aggregate (tree-reduced partials) broadcast
+    * back with a cross join, the score is a fixed-order arithmetic
+    * expression (no FP reorder nondeterminism), and the top-k lowers to
+    * TakeOrderedAndProject. One pass over `text`, nothing keyed by doc
+    * ever crosses the wire.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25SearchFrom(Tables.documents(spark, dir))
+
+  def bm25SearchFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      size(filter(w, x => x === t)).as(s"tf$i")
+    }
+    val perDoc = docs.select(col("doc_id") +: size(w).as("dl") +: tfCols: _*)
+    val dfAggs = Bm25Query.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +: dfAggs: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+    // identical op order to the oracle text: dl normalization first,
+    // then the tf saturation, then idf — round(·,9) absorbs libm-ulp
+    // drift in ln between engines
+    val lenNorm = col("dl").cast("double") * col("n_docs") / col("sum_dl")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+      when(col(s"tf$i") > 0,
+        idf * (tf * (Bm25K1 + 1.0)) /
+          (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * lenNorm)))
+        .otherwise(lit(0.0))
+    }
+    val total = Bm25Query.indices.map(termScore).reduce(_ + _)
+    val nTerms = Bm25Query.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    scored
+      .select(col("doc_id"), round(total, 9).as("bm25"), nTerms.as("n_terms"))
+      .where(col("n_terms") > 0)
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q19_lang_id" -> (langId _),
     "q20_fingerprint" -> (fingerprint _),
     "q39_kmv_distinct" -> (kmvDistinct _),
-    "q53_df_vocab" -> (dfVocab _))
+    "q53_df_vocab" -> (dfVocab _),
+    "q55_bm25_search" -> (bm25Search _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -258,5 +317,33 @@ object TextAnalysis {
          |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents)
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t WHERE token <> ''
-         |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin)
+         |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin,
+    "q55_bm25_search" -> {
+      val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+      val dfCols = Bm25Query.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+      val scores = Bm25Query.indices.map { i =>
+        s"""CASE WHEN tf$i > 0 THEN
+           |      ln((n_docs - df$i + 0.5)/(df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * ${Bm25K1 + 1.0}) /
+           |      (CAST(tf$i AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+           |    ELSE 0.0 END""".stripMargin
+      }.mkString("\n    + ")
+      val nTerms = Bm25Query.indices
+        .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |perdoc AS (SELECT doc_id, len(w) AS dl,
+         |    $tfCols
+         |  FROM toks),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |    $dfCols
+         |  FROM perdoc),
+         |scored AS (SELECT doc_id,
+         |    $scores AS sc,
+         |    CAST($nTerms AS BIGINT) AS n_terms
+         |  FROM perdoc CROSS JOIN stats)
+         |SELECT doc_id, round(sc, 9) AS bm25, n_terms
+         |FROM scored WHERE n_terms > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    })
 }

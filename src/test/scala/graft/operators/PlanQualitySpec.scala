@@ -257,4 +257,19 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
     }
   }
+
+  describe("round-4 operator plan shapes") {
+    it("q55 BM25 never shuffles the corpus: stats broadcast + top-k, no hash exchange") {
+      val p = plan("q55_bm25_search")
+      // per-term tf is map-side array work; the only wide ops allowed
+      // are the single-row stats aggregate (broadcast back) and the
+      // TakeOrdered top-k — a (doc_id, term) explode/aggregate or a
+      // per-term df join would show up as a hash exchange
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"BM25 must not shuffle the corpus:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"corpus stats must broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"top-k must lower:\n$p")
+    }
+  }
 }

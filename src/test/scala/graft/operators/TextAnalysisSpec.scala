@@ -127,4 +127,55 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(r.head.getAs[Long]("df") == 100L)
     }
   }
+
+  describe("bm25Search (q55)") {
+    // spark join vector customer are the fixed query terms
+    val corpus = docs(
+      (1L, "spark join vector customer extra words here"), // all 4 terms
+      (2L, "spark spark spark filler filler filler filler"), // high tf, 1 term
+      (3L, "join customer pad"),
+      (4L, "nothing relevant at all in this document text"),
+      (5L, "vector"))
+
+    /** Scala reference of the exact formula (Okapi BM25, Lucene idf). */
+    def refScores: Map[Long, (Double, Long)] = {
+      val toks = corpus.collect()
+        .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+        .toMap
+      val n = toks.size
+      val sumDl = toks.values.map(_.size).sum
+      val terms = TextAnalysis.Bm25Query
+      val dfs = terms.map(t => toks.values.count(_.contains(t)))
+      toks.flatMap { case (id, w) =>
+        val dl = w.size
+        val tfs = terms.map(t => w.count(_ == t))
+        val sc = terms.indices.map { i =>
+          if (tfs(i) == 0) 0.0
+          else math.log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0) *
+            (tfs(i) * 2.2) /
+            (tfs(i) + 1.2 * (0.25 + 0.75 * (dl.toDouble * n / sumDl)))
+        }.sum
+        val nt = tfs.count(_ > 0).toLong
+        if (nt > 0) Some(id -> (sc, nt)) else None
+      }
+    }
+
+    it("matches the reference formula and excludes no-hit docs") {
+      val got = TextAnalysis.bm25SearchFrom(corpus).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val want = refScores
+      assert(got.keySet == want.keySet && !got.contains(4L))
+      got.foreach { case (id, (sc, nt)) =>
+        assert(nt == want(id)._2)
+        assert(math.abs(sc - want(id)._1) < 1e-8, s"doc $id: $sc vs ${want(id)._1}")
+      }
+    }
+
+    it("ranks the all-terms doc above single-term docs and orders by score desc") {
+      val r = TextAnalysis.bm25SearchFrom(corpus).collect()
+      assert(r.head.getLong(0) == 1L, "doc with all 4 terms ranks first")
+      val scores = r.map(_.getDouble(1)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+  }
 }
