@@ -333,12 +333,55 @@ object Similarity {
       .agg(sum(col("count") * col("count")).as("cmp"))
       .collect()(0).getLong(0)
 
+  /** Outlier rows kept per label group in q56. */
+  val OutlierK = 5
+
+  /** q56 — per-label embedding centroids + distance outliers: the
+    * corpus-quality audit a training pipeline runs over its embedding
+    * space (mislabeled / off-distribution vectors surface as the rows
+    * least similar to their own group's centroid).
+    *
+    * Scale shape: the centroid is ONE two-phase aggregate through the
+    * native [[graft.plans.VectorSumDec]] vector-sum — one fixed-size
+    * buffer per (partition, label), the exchange carries one 64-dim
+    * array per label per partition (a posexplode formulation would
+    * shuffle dim× the rows and need a second exchange to re-assemble).
+    * Decimal accumulation keeps the sum order-independent, so the
+    * centroid (and every cosine derived from it) hash-matches the
+    * single-threaded oracle at any parallelism. The tiny centroid table
+    * broadcasts back; scoring is map-side fused-kernel cosine; the
+    * bottom-k per label lowers to the k-bounded [[graft.plans.TopKPerKey]]
+    * operator (never a full per-label sort).
+    */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    centroidOutliersFrom(Tables.embeddings(spark, dir))
+
+  def centroidOutliersFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val cents = e.groupBy("label")
+      .agg(call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
+    val scored = e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine(col("emb"), col("centroid")), 9).as("cos_centroid"))
+    graft.plans.TopKPerKey(scored, Seq(col("label")),
+      Seq(col("cos_centroid").asc, col("vec_id").asc), OutlierK)
+      .orderBy("label", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
     "q26_ann_lsh" -> (annLsh _),
     "q36_ann_ivf" -> (annIvf _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
-    "q51_quantize_int8" -> (quantizeInt8 _))
+    "q51_quantize_int8" -> (quantizeInt8 _),
+    "q56_centroid_outliers" -> (centroidOutliers _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -426,6 +469,23 @@ object Similarity {
          |  round(list_inner_product(emb, qd) /
          |    (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(qd, qd))), 9) AS cos_recon
          |FROM q ORDER BY vec_id""".stripMargin,
+    "q56_centroid_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT label, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY label, pos),
+         |cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+         |cent AS (SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+         |  FROM csum JOIN cnt USING (label) GROUP BY label),
+         |scored AS (SELECT e.label, e.vec_id,
+         |    round(list_inner_product(emb, centroid) /
+         |      (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(centroid, centroid))), 9)
+         |    AS cos_centroid
+         |  FROM e JOIN cent USING (label)),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rank FROM scored)
+         |SELECT label, vec_id, cos_centroid, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin,
     "q38_embedding_neardup" -> {
       val arms = (0 until NearDupFamilies).map { f =>
         val bucket = (0 until NearDupPlanesPerFamily)

@@ -159,7 +159,9 @@ object GraftFunctions {
     ("simhash32", classOf[SimHash32],
       (e: Seq[Expression]) => SimHash32(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
-      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    ("vector_sum_dec", classOf[VectorSumDec],
+      (e: Seq[Expression]) => VectorSumDec(e(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

@@ -144,4 +144,47 @@ class SimilaritySpec extends AnyFunSpec {
       assert(a == b)
     }
   }
+
+  describe("centroidOutliers (q56)") {
+    // label 0: 7 vectors near +e0, one (id 99) near -e0 — the planted
+    // outlier; label 1: all near +e1
+    def labeled(rows: (Long, Int, Array[Float])*): DataFrame =
+      rows.map { case (id, l, v) => (id, v, l) }
+        .toDF("vec_id", "embedding", "label")
+    val dim = 8
+    def unit(axis: Int, wobble: Double, seed: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      a(axis) = 1.0f
+      a((seed % (dim - 1)) + 1) = wobble.toFloat
+      a
+    }
+    val fixture = labeled(
+      (Seq.tabulate(7)(i => (i.toLong, 0, unit(0, 0.1 * (i % 3), i))) :+
+        ((99L, 0, { val a = Array.fill(dim)(0.0f); a(0) = -1.0f; a })) :++
+        Seq.tabulate(6)(i => (200L + i, 1, unit(1, 0.05 * (i % 2), i)))): _*)
+
+    it("ranks the planted outlier worst in its label") {
+      val r = Similarity.centroidOutliersFrom(fixture).collect()
+      val lab0 = r.filter(_.getAs[Int]("label") == 0)
+      assert(lab0.head.getAs[Long]("vec_id") == 99L,
+        s"rank-1 outlier should be the planted vector: ${lab0.mkString(",")}")
+      assert(lab0.head.getAs[Int]("rank") == 1)
+      assert(r.filter(_.getAs[Int]("label") == 1).length ==
+        math.min(6, Similarity.OutlierK))
+    }
+
+    it("keeps at most OutlierK rows per label, ranks contiguous") {
+      val r = Similarity.centroidOutliersFrom(fixture).collect()
+      r.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+        assert(rs.length <= Similarity.OutlierK)
+        assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      }
+    }
+
+    it("is invariant to input partitioning (exact decimal centroid sums)") {
+      val a = Similarity.centroidOutliersFrom(fixture).collect().toSeq
+      val b = Similarity.centroidOutliersFrom(fixture.repartition(7)).collect().toSeq
+      assert(a == b)
+    }
+  }
 }
