@@ -156,8 +156,12 @@ object Bench {
     // would make the JSON line unparseable
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-query values at 2 dp: 10 ms resolution is plenty for query
+    // times ≥0.1 s and buys ~60 chars of line budget at 59 queries
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     // Diagnostics (GC attribution, methodology) go to stderr: the driver
     // captures only the LAST 2000 chars of stdout, so the final JSON line
     // must stay compact (3-dp floats, no extras) or it is truncated

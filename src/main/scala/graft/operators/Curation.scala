@@ -153,6 +153,62 @@ object Curation {
           .as("alloc_tokens"))
   }
 
+  /** q58 chunk width in tokens, and the cross-document occurrence
+    * threshold above which a chunk counts as boilerplate.
+    */
+  val ChunkTokens = 8
+  val BoilerMinDocs = 2
+
+  /** q58 — chunk-level boilerplate dedup (the paragraph-dedup /
+    * boilerplate-removal stage of a CCNet-style pipeline, on
+    * fixed-width token chunks since the fixture corpus has no line
+    * structure): cut each document into non-overlapping
+    * [[ChunkTokens]]-token chunks, count how many documents each
+    * distinct chunk appears in, and score every document by the
+    * fraction of its distinct chunks that are corpus-level boilerplate
+    * (appear in ≥ [[BoilerMinDocs]] docs).
+    *
+    * Scale shape: chunking + hashing is pure map work (native-codegen
+    * friendly transform over the token array); the occurrence count is
+    * one shuffle keyed by chunk hash with map-side combine — DISTINCT
+    * chunks, not corpus tokens, cross the wire; the surviving
+    * boilerplate set is aggregated to ONE sorted array and broadcast
+    * (boilerplate is small by definition — chunks repeated across
+    * docs), and each doc then takes a single sorted-merge intersect
+    * count map-side, the same `sorted_intersect_count` kernel as q46's
+    * decontamination. The corpus is scanned twice and never shuffled.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupFrom(Tables.documents(spark, dir))
+
+  def chunkDedupFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val w = TextFns.toks(col("text"))
+    val nChunks = floor(size(w) / lit(ChunkTokens)).cast("int") // full chunks only
+    val chunks = when(nChunks < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(w, i * ChunkTokens + 1, lit(ChunkTokens)))))
+    val perDoc = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(chunks,
+          c => TextFns.hash60(concat(lit("ck|"), c))))).as("cs"))
+    val boiler = perDoc
+      .select(explode(col("cs")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= BoilerMinDocs)
+      .agg(sort_array(collect_list(col("s"))).as("boiler"))
+    perDoc
+      .crossJoin(broadcast(boiler))
+      .filter(size(col("cs")) >= 1)
+      .select(col("doc_id"), size(col("cs")).as("n_chunks"),
+        call_function("sorted_intersect_count", col("cs"), col("boiler"))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_chunks"), 6)
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Basis-point resolution of the q52 sampling rate. */
   val SampleBp = 10000L
 
@@ -190,7 +246,8 @@ object Curation {
     "q46_decontaminate" -> (decontaminate _),
     "q47_repetition" -> (repetition _),
     "q48_source_mixture" -> (sourceMixture _),
-    "q52_mixture_sample" -> (mixtureSample _))
+    "q52_mixture_sample" -> (mixtureSample _),
+    "q58_chunk_dedup" -> (chunkDedup _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -244,6 +301,22 @@ object Curation {
          |SELECT source, n_docs, n_tokens,
          |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
          |FROM ranked ORDER BY source""".stripMargin,
+    "q58_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |ch AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(len(w) // $ChunkTokens),
+         |    i -> ${TextFns.sql.hash60(
+        s"'ck|' || array_to_string(list_slice(w, CAST(i AS INT) * $ChunkTokens + 1, CAST(i AS INT) * $ChunkTokens + $ChunkTokens), ' ')")})) AS cs
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(cs) AS s FROM ch),
+         |boiler AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= $BoilerMinDocs),
+         |hits AS (SELECT e.doc_id, CAST(count(*) AS INT) AS n_boiler
+         |         FROM ex e JOIN boiler b ON e.s = b.s GROUP BY e.doc_id)
+         |SELECT c.doc_id, CAST(len(cs) AS INT) AS n_chunks,
+         |  COALESCE(h.n_boiler, 0) AS n_boiler,
+         |  round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(cs), 6) AS boiler_ratio
+         |FROM ch c LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |WHERE len(cs) >= 1 ORDER BY c.doc_id""".stripMargin,
     "q52_mixture_sample" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

@@ -182,6 +182,58 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), asc("token"))
       .limit(VocabTopK)
 
+  /** Unigram-LM vocabulary size for q57. */
+  val LmTopV = 64
+
+  /** q57 — unigram-LM quality scoring (the KenLM-style perplexity
+    * filter of a training-data pipeline reduced to its engine shape):
+    * estimate a unigram language model from the corpus itself — the
+    * top-[[LmTopV]] tokens by count, OOV floored at probability
+    * 1/total — then score every document by mean negative
+    * log-likelihood and perplexity under that model.
+    *
+    * Scale shape: the LM estimate is one explode → two-phase hash
+    * aggregate bounded by VOCABULARY cardinality, lowered to
+    * TakeOrderedAndProject for the top-V cut; the V surviving (token,
+    * count) rows come back to the driver and re-enter the plan as a
+    * literal map (the broadcast-codebook pattern of q36 — V is a model
+    * constant, not data-scaled); the corpus token total rides one
+    * single-row aggregate broadcast back via cross join; scoring is
+    * then pure map-side arithmetic — scan → project, nothing keyed by
+    * doc ever crosses the wire.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreFrom(Tables.documents(spark, dir))
+
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
+    val wf = filter(TextFns.toks(col("text")), t => t =!= "")
+    val vocab: Seq[(String, Long)] = docs
+      .select(explode(wf).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("token")).limit(LmTopV)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val tfMap =
+      if (vocab.isEmpty) map_from_arrays(
+        array().cast("array<string>"), array().cast("array<bigint>"))
+      else map_from_arrays(
+        array(vocab.map(v => lit(v._1)): _*),
+        array(vocab.map(v => lit(v._2)): _*))
+    val total = docs.agg(sum(size(wf)).cast("long").as("total"))
+    val nllSum = aggregate(col("w"), lit(0.0), (acc, t) =>
+      acc - log(coalesce(element_at(tfMap, t), lit(1L)).cast("double") /
+        col("total")))
+    docs
+      .select(col("doc_id"), wf.as("w"))
+      .crossJoin(broadcast(total))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        (nllSum / size(col("w"))).as("nll0"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll0"), 6).as("nll"),
+        round(exp(col("nll0")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 parameters (standard Okapi constants) and the fixed query. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -247,7 +299,8 @@ object TextAnalysis {
     "q20_fingerprint" -> (fingerprint _),
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
-    "q55_bm25_search" -> (bm25Search _))
+    "q55_bm25_search" -> (bm25Search _),
+    "q57_lm_score" -> (lmScore _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -318,6 +371,22 @@ object TextAnalysis {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t WHERE token <> ''
          |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin,
+    "q57_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(${TextFns.sql.toks}, t -> t <> '') AS w
+         |  FROM documents),
+         |cnt AS (SELECT t AS token, count(*) AS tf
+         |        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+         |vocab AS (SELECT token, tf FROM cnt ORDER BY tf DESC, token LIMIT $LmTopV),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM cnt),
+         |d AS (SELECT doc_id, unnest(w) AS t FROM toks),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    -ln(CAST(COALESCE(v.tf, 1) AS DOUBLE) / total) AS nll
+         |  FROM d LEFT JOIN vocab v ON d.t = v.token CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q55_bm25_search" -> {
       val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
         s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
