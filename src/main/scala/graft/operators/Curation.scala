@@ -241,13 +241,84 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q59 snapshot fixture rates: 9 of [[SnapKeepMod]] docs present per
+    * snapshot (independent draws per side), 1 in [[SnapMutMod]] of the
+    * overlap mutated between crawls.
+    */
+  val SnapKeepMod = 10
+  val SnapMutMod = 4
+
+  /** Deterministic "previous crawl" view of the corpus: drops 1 doc in
+    * [[SnapKeepMod]] (hash-selected) and truncates the text of 1 in
+    * [[SnapMutMod]] (the prior crawl captured less of the page). The
+    * same stable-hash discipline as q45/q52 — a doc's fate never
+    * depends on partitioning or corpus growth.
+    */
+  def oldSnapshotOf(docs: DataFrame): DataFrame = {
+    val mut = TextFns.hash32(
+      concat(lit("mut|"), col("doc_id").cast("string"))) % SnapMutMod === 0
+    docs
+      .filter(TextFns.hash32(
+        concat(lit("old|"), col("doc_id").cast("string"))) % SnapKeepMod < SnapKeepMod - 1)
+      .select(col("doc_id"),
+        when(mut, col("text").substr(lit(1), greatest(length(col("text")) - 7, lit(1))))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** Deterministic "current crawl" view: drops a different 1-in-
+    * [[SnapKeepMod]] subset, text as committed.
+    */
+  def newSnapshotOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(TextFns.hash32(
+        concat(lit("new|"), col("doc_id").cast("string"))) % SnapKeepMod < SnapKeepMod - 1)
+      .select(col("doc_id"), col("text"))
+
+  /** q59 — incremental recrawl snapshot diff: the CDC step of a
+    * continuously-recrawled corpus — classify every doc id across two
+    * crawl snapshots as added / removed / changed / unchanged and
+    * aggregate per-class doc and char mass. The generic operator
+    * [[snapshotDiffFrom]] takes any two (doc_id, text) relations; the
+    * q59 entry derives both sides deterministically from `documents`
+    * so the driver gate is reproducible.
+    *
+    * Scale shape: ONE full-outer shuffle join keyed by the stable doc
+    * id (both crawls co-partition; with bucketed snapshot tables —
+    * `sources/Bucketing` — the exchange vanishes entirely), then a
+    * 4-row aggregate. Content compare is by equality on the joined
+    * row, no second pass.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    snapshotDiffFrom(oldSnapshotOf(docs), newSnapshotOf(docs))
+  }
+
+  def snapshotDiffFrom(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val j = oldDocs.select(col("doc_id"), col("text").as("t_old"))
+      .join(newDocs.select(col("doc_id"), col("text").as("t_new")),
+        Seq("doc_id"), "full_outer")
+    val cls = when(col("t_old").isNull, "added")
+      .when(col("t_new").isNull, "removed")
+      .when(col("t_old") =!= col("t_new"), "changed")
+      .otherwise("unchanged")
+    j.select(cls.as("change_class"),
+        coalesce(length(col("t_old")), lit(0)).as("c_old"),
+        coalesce(length(col("t_new")), lit(0)).as("c_new"))
+      .groupBy("change_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("c_old").cast("long").as("chars_old"),
+        sum("c_new").cast("long").as("chars_new"))
+      .orderBy("change_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
     "q47_repetition" -> (repetition _),
     "q48_source_mixture" -> (sourceMixture _),
     "q52_mixture_sample" -> (mixtureSample _),
-    "q58_chunk_dedup" -> (chunkDedup _))
+    "q58_chunk_dedup" -> (chunkDedup _),
+    "q59_snapshot_diff" -> (snapshotDiff _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -301,6 +372,27 @@ object Curation {
          |SELECT source, n_docs, n_tokens,
          |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
          |FROM ranked ORDER BY source""".stripMargin,
+    "q59_snapshot_diff" ->
+      s"""WITH oldd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${TextFns.sql.hash32("'mut|' || CAST(doc_id AS VARCHAR)")} % $SnapMutMod = 0
+         |         THEN substring(text, 1, greatest(length(text) - 7, 1))
+         |         ELSE text END AS t_old
+         |  FROM documents
+         |  WHERE ${TextFns.sql.hash32("'old|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1}),
+         |newd AS (
+         |  SELECT doc_id, text AS t_new FROM documents
+         |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1}),
+         |j AS (SELECT o.t_old, n.t_new
+         |      FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+         |SELECT CASE WHEN t_old IS NULL THEN 'added'
+         |            WHEN t_new IS NULL THEN 'removed'
+         |            WHEN t_old <> t_new THEN 'changed'
+         |            ELSE 'unchanged' END AS change_class,
+         |  count(*) AS n_docs,
+         |  CAST(sum(COALESCE(length(t_old), 0)) AS BIGINT) AS chars_old,
+         |  CAST(sum(COALESCE(length(t_new), 0)) AS BIGINT) AS chars_new
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q58_chunk_dedup" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
          |ch AS (SELECT doc_id, list_distinct(list_transform(
@@ -310,7 +402,7 @@ object Curation {
          |  FROM toks),
          |ex AS (SELECT doc_id, unnest(cs) AS s FROM ch),
          |boiler AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= $BoilerMinDocs),
-         |hits AS (SELECT e.doc_id, CAST(count(*) AS INT) AS n_boiler
+         |hits AS (SELECT e.doc_id, count(*) AS n_boiler
          |         FROM ex e JOIN boiler b ON e.s = b.s GROUP BY e.doc_id)
          |SELECT c.doc_id, CAST(len(cs) AS INT) AS n_chunks,
          |  COALESCE(h.n_boiler, 0) AS n_boiler,

@@ -214,6 +214,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q60 within-cell semantic-duplicate cosine threshold (same fixture
+    * rationale as [[NearDupMin]]).
+    */
+  val SemDupMin = 0.35
+
+  /** q60 — SemDeDup-style semantic dedup (the cluster-then-dedup
+    * recipe of Abbas et al. 2023, arXiv:2303.09540, reduced to engine
+    * shape): coarse-cluster every embedding to its max-inner-product
+    * cell against the q36 codebook, compare pairs only WITHIN a cell,
+    * and drop every vector that has a smaller-id semantic duplicate
+    * (cosine ≥ τ) in its cell — keeping one representative per
+    * duplicate neighborhood. Emits per vector its cell, duplicate
+    * count, and the keep decision.
+    *
+    * Scale shape: cell assignment is the q36 broadcast-codebook
+    * pattern — literal-array dot products, pure map work, no corpus
+    * shuffle; the pairwise compare shuffles on cell id only, so
+    * comparisons are Σ cell² — bounded by cell occupancy, never
+    * corpus². `cells` is the dial: like any IVF codebook it must grow
+    * ~√N with the corpus (k-means centroids slot into the same plan);
+    * the fixture pins the deterministic 16-seed codebook so the oracle
+    * reproduces it. The keep rule is single-pass (min similar
+    * neighbor id), the same non-transitive-chain caveat documented at
+    * [[graft.app.CorpusPipeline]]; exact component resolution is q54's
+    * operator, composable downstream.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupFrom(Tables.embeddings(spark, dir))
+
+  def semanticDedupFrom(embeddings: DataFrame, cells: Int = NumCells,
+      tau: Double = SemDupMin): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val codebook: Seq[Seq[Double]] = embeddings
+      .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + cells)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+    val e = embDouble(embeddings)
+    val scores = array(codebook.map(c =>
+      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    // first-max argmax — same (score DESC, c ASC) tie order as the oracle
+    val ecell = e.withColumn("scores", scores)
+      .withColumn("cell",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("emb"))
+    val pairs = ecell.select(col("cell"), col("vec_id").as("va"), col("emb").as("ea"))
+      .join(ecell.select(col("cell"), col("vec_id").as("vb"), col("emb").as("eb")),
+        Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(cosine(col("ea"), col("eb")) >= tau)
+      .select(col("va"), col("vb"))
+    val partners = pairs.select(col("va").as("vec_id"), col("vb").as("p"))
+      .unionAll(pairs.select(col("vb").as("vec_id"), col("va").as("p")))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dups"), min("p").as("min_p"))
+    ecell.select(col("vec_id"), col("cell"))
+      .join(partners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (col("min_p").isNull || col("min_p") > col("vec_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Cosine threshold for embedding near-duplicates. Production corpora
     * use ~0.95+; the synthetic fixtures are random vectors whose max
     * pairwise cosine is ≈0.51, so the fixture threshold sits below that
@@ -381,7 +445,8 @@ object Similarity {
     "q36_ann_ivf" -> (annIvf _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
     "q51_quantize_int8" -> (quantizeInt8 _),
-    "q56_centroid_outliers" -> (centroidOutliers _))
+    "q56_centroid_outliers" -> (centroidOutliers _),
+    "q60_semantic_dedup" -> (semanticDedup _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -431,6 +496,27 @@ object Similarity {
          |SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
+    "q60_semantic_dedup" ->
+      s"""WITH $eCte,
+         |cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+         |         WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
+         |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
+         |    list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent),
+         |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+         |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1),
+         |pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM ecell x JOIN ecell y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) >= ${java.lang.Double.toString(SemDupMin)}),
+         |part AS (SELECT va AS vec_id, vb AS p FROM pairs
+         |         UNION ALL SELECT vb, va FROM pairs),
+         |g AS (SELECT vec_id, count(*) AS n_dups, min(p) AS min_p
+         |      FROM part GROUP BY vec_id)
+         |SELECT e.vec_id, e.cell, COALESCE(g.n_dups, 0) AS n_dups,
+         |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
+         |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "q36_ann_ivf" ->
       s"""WITH $eCte,
          |cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e

@@ -182,8 +182,11 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), asc("token"))
       .limit(VocabTopK)
 
-  /** Unigram-LM vocabulary size for q57. */
-  val LmTopV = 64
+  /** Unigram-LM vocabulary size for q57 — deliberately below the
+    * fixture corpus's ~31-token vocabulary so the OOV floor path is
+    * exercised by the driver gate, not just declared.
+    */
+  val LmTopV = 16
 
   /** q57 — unigram-LM quality scoring (the KenLM-style perplexity
     * filter of a training-data pipeline reduced to its engine shape):

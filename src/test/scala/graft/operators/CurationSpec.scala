@@ -79,6 +79,57 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("chunkDedup (q58)") {
+    it("counts cross-doc repeated chunks and ignores partial trailing chunks") {
+      val a = "a1 a2 a3 a4 a5 a6 a7 a8" // shared chunk
+      val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+      val c = "c1 c2 c3 c4 c5 c6 c7 c8"
+      val d = "d1 d2 d3 d4 d5 d6 d7 d8"
+      val r = Curation.chunkDedupFrom(docs(
+        (1L, s"$a $b", "en", "s", 1L),       // chunks {a,b}; a is boiler
+        (2L, s"$a $c tail", "en", "s", 1L),  // chunks {a,c}; "tail" ignored
+        (3L, s"$d", "en", "s", 1L),          // unique
+        (4L, "short doc", "en", "s", 1L)))   // < 8 tokens: dropped
+        .collect()
+      assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("n_chunks"),
+        x.getAs[Long]("n_boiler"), x.getAs[Double]("boiler_ratio"))).toSeq ==
+        Seq((1L, 2, 1L, 0.5), (2L, 2, 1L, 0.5), (3L, 1, 0L, 0.0)))
+    }
+
+    it("is stable across runs on the fixture") {
+      val r = Curation.chunkDedup(spark, TestSpark.Sf).collect()
+      assert(r.length == 500)
+      assert(r.map(_.getAs[Long]("n_boiler")).sum > 0) // planted dups repeat chunks
+      assert(Curation.chunkDedup(spark, TestSpark.Sf).collect().toSeq == r.toSeq)
+    }
+  }
+
+  describe("snapshotDiff (q59)") {
+    it("classifies added/removed/changed/unchanged across two snapshots") {
+      val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+      val neu = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
+      val r = Curation.snapshotDiffFrom(old, neu).collect()
+        .map(x => x.getAs[String]("change_class") ->
+          ((x.getAs[Long]("n_docs"), x.getAs[Long]("chars_old"), x.getAs[Long]("chars_new"))))
+        .toMap
+      assert(r == Map(
+        "added" -> ((1L, 0L, 1L)),
+        "removed" -> ((1L, 1L, 0L)),
+        "changed" -> ((1L, 1L, 2L)),
+        "unchanged" -> ((1L, 1L, 1L))))
+    }
+
+    it("derives deterministic snapshots on the fixture with all four classes") {
+      val r = Curation.snapshotDiff(spark, TestSpark.Sf).collect()
+      assert(r.map(_.getAs[String]("change_class")).toSet ==
+        Set("added", "removed", "changed", "unchanged"))
+      // both snapshots keep ~90%: class masses must reflect the overlap
+      val m = r.map(x => x.getAs[String]("change_class") -> x.getAs[Long]("n_docs")).toMap
+      assert(m.values.sum >= 450 && m("unchanged") > m("changed"))
+      assert(Curation.snapshotDiff(spark, TestSpark.Sf).collect().toSeq == r.toSeq)
+    }
+  }
+
   describe("mixtureSample (q52)") {
     it("downsamples every source near its rate, deterministically") {
       val r = Curation.mixtureSample(spark, TestSpark.Sf).collect()

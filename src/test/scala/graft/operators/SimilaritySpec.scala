@@ -187,4 +187,33 @@ class SimilaritySpec extends AnyFunSpec {
       assert(a == b)
     }
   }
+
+  describe("semanticDedup (q60)") {
+    it("keeps one representative per within-cell duplicate pair on the fixture") {
+      val r = Similarity.semanticDedup(spark, TestSpark.Sf).collect()
+      assert(r.length == 500)
+      assert(r.forall(x => x.getAs[Int]("cell") >= 0 &&
+        x.getAs[Int]("cell") < Similarity.NumCells))
+      // the keep rule: no-dup vectors always survive; dropped vectors
+      // must have at least one similar partner
+      r.foreach { x =>
+        if (x.getAs[Long]("n_dups") == 0L) assert(x.getAs[Boolean]("is_kept"))
+        if (!x.getAs[Boolean]("is_kept")) assert(x.getAs[Long]("n_dups") > 0L)
+      }
+      // planted near-dups make the pass non-trivial
+      assert(r.count(!_.getAs[Boolean]("is_kept")) > 0)
+      assert(Similarity.semanticDedup(spark, TestSpark.Sf).collect().toSeq == r.toSeq)
+    }
+
+    it("growing the codebook shrinks cells (the 100 TB dial)") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val r16 = Similarity.semanticDedupFrom(e, cells = 16).collect()
+      val r32 = Similarity.semanticDedupFrom(e, cells = 32).collect()
+      def sumSq(rows: Array[org.apache.spark.sql.Row]): Long = {
+        val occ = rows.groupBy(_.getAs[Int]("cell")).view.mapValues(_.length.toLong)
+        occ.values.map(n => n * n).sum
+      }
+      assert(sumSq(r32) < sumSq(r16), "more cells must cut pairwise comparisons")
+    }
+  }
 }

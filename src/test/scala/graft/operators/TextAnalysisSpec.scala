@@ -128,6 +128,43 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("lmScore (q57)") {
+    it("scores docs by mean -ln p under the corpus unigram LM") {
+      // counts: a=3, b=2, c=1; total=6; all in-vocab (V=16)
+      val r = TextAnalysis.lmScoreFrom(docs((1L, "a a a b"), (2L, "b c")))
+        .collect()
+      val nll1 = -(3 * math.log(3.0 / 6) + math.log(2.0 / 6)) / 4
+      val nll2 = -(math.log(2.0 / 6) + math.log(1.0 / 6)) / 2
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("nll"))).toSeq ==
+        Seq((1L, r6(nll1)), (2L, r6(nll2))))
+      assert(r.forall(x => x.getAs[Double]("ppl") ==
+        r6(math.exp(if (x.getAs[Long]("doc_id") == 1) nll1 else nll2))))
+    }
+
+    it("floors OOV tokens at 1/total once the vocab cut bites") {
+      // 16 tokens ×5 fill the vocab; "y" (corpus count 3 > 1) misses the
+      // cut, so it must score with the 1/total floor, not its true count
+      val vocabText = (1 to 16).map(i => (f"v$i%02d " * 5).trim).mkString(" ")
+      val r = TextAnalysis.lmScoreFrom(docs(
+        (1L, s"$vocabText y y"),
+        (2L, "v01 y"))) // corpus: v01=6, v02..v16=5, y=3; total=84
+        .collect()
+      val nll2 = -(math.log(6.0 / 84) + math.log(1.0 / 84)) / 2
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.length == 2)
+      assert(r(1).getAs[Double]("nll") == r6(nll2))
+    }
+
+    it("is deterministic on the fixture and exercises OOV") {
+      val r = TextAnalysis.lmScore(spark, TestSpark.Sf).collect()
+      assert(r.length == 500)
+      assert(TextAnalysis.lmScore(spark, TestSpark.Sf).collect().toSeq == r.toSeq)
+    }
+  }
+
   describe("bm25Search (q55)") {
     // spark join vector customer are the fixed query terms
     val corpus = docs(
