@@ -168,10 +168,19 @@ object Bench {
     // mid-line and recorded as unparseable — which is exactly what
     // happened to rounds 1 and 2.
     System.err.println(s"""[bench] gc_sec ${jmap(gcShare)}""")
+    System.err.println(s"""[bench] full_names ${jmap(results)}""")
     System.err.println("[bench] methodology: staged pipeline (kpis/risk/candidates materialized once), 2 full suite passes, per-query min; see SURVEY.md 6.1")
     def jline(queries: String): String =
       s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}}"""
-    val line = jline(jmap(results))
+    // per-query keys shortened to their unambiguous qNN prefix: the full
+    // 60+-query map with full names no longer fits the driver's 2000-char
+    // stdout tail (rounds 1-2 lost their numbers to exactly that); full
+    // names are on stderr above
+    val shortKeys = scala.collection.mutable.LinkedHashMap(
+      results.toSeq.map { case (k, v) => k.split("_")(0) -> v }: _*)
+    require(shortKeys.size == results.size,
+      s"qNN prefixes must stay unique (${results.size} -> ${shortKeys.size})")
+    val line = jline(jmap(shortKeys))
     // Degrade gracefully instead of discarding a finished suite run: if
     // the per-query map ever outgrows the driver's 2000-char stdout tail
     // window, ship it to stderr and keep the headline JSON parseable.

@@ -188,6 +188,43 @@ object Analytics {
           col("p90_approx") <= col("p95_exact")).as("p90_ok"))
       .orderBy("event_type")
 
+  /** Co-occurring item pairs kept by q66. */
+  val CoocTopK = 20
+
+  /** q66 — market-basket item co-occurrence: the top item pairs (the
+    * `props.k` attribute) appearing together in the same user's events,
+    * with the number of distinct users supporting each pair — the
+    * association-mining primitive behind "related items" and feature
+    * co-occurrence audits.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (user, item) rows
+    * first (one shuffle with map-side combine — basket semantics, and
+    * the self-join's input is bounded by Σ basket sizes, not event
+    * count); pairs form in a user-keyed self-join whose output is
+    * Σ_user basket² — the irreducible cost of exact pair counting
+    * (a-priori support pruning composes on top by filtering the item
+    * relation first); the pair aggregate combines map-side and the
+    * top-k lowers to TakeOrderedAndProject. Hot users are capped by the
+    * item-domain cardinality, so basket² stays bounded; the salted
+    * `SkewJoin` composes if the item domain itself grows.
+    */
+  def itemCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    itemCooccurrenceFrom(Tables.events(spark, dir))
+
+  def itemCooccurrenceFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ui = events.select(col("user_id"), item.as("item"))
+      .filter(col("item").isNotNull).distinct()
+    ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
+      .limit(CoocTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
@@ -195,9 +232,21 @@ object Analytics {
     "q34_value_quantiles" -> (valueQuantiles _),
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
-    "q44_approx_stats" -> (approxStatsChecked _))
+    "q44_approx_stats" -> (approxStatsChecked _),
+    "q66_item_cooccurrence" -> (itemCooccurrence _))
 
   val oracle: Map[String, String] = Map(
+    "q66_item_cooccurrence" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL)
+         |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+         |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |GROUP BY 1, 2
+         |ORDER BY n_users DESC, item_a, item_b
+         |LIMIT $CoocTopK""".stripMargin,
     "q31_cohort_set_ops" ->
       """WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
         |purch AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

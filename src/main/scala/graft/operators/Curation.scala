@@ -311,6 +311,119 @@ object Curation {
       .orderBy("change_class")
   }
 
+  /** Tokens per packed training sequence in q63. Small enough that the
+    * ~54-token fixture docs regularly straddle a boundary, so the
+    * span arithmetic is gate-exercised.
+    */
+  val SeqTokens = 256L
+
+  /** q63 — sequence PACKING layout: the concat-and-chop step that turns
+    * a curated corpus into fixed-[[SeqTokens]] training sequences.
+    * Documents are laid out in stable doc_id order; each doc gets its
+    * global token offset, and from it the first/last training sequence
+    * it lands in and how many sequences it spans.
+    *
+    * The global offset is a running sum — the one primitive that is NOT
+    * embarrassingly parallel — so it runs as the textbook two-phase
+    * distributed prefix sum instead of Spark's single-partition global
+    * window: (1) a deterministic partition id from the key range
+    * (`doc_id div width` — pure arithmetic, no sampled RangePartitioner
+    * whose boundaries could differ between the two passes); (2) ONE
+    * per-partition-totals aggregate, O(#partitions) rows collected —
+    * metadata-scale, like AQE stats; (3) exclusive-scan of those totals
+    * driver-side, broadcast back; (4) an intra-partition cumulative
+    * window, parallel across partitions because each partition sorts
+    * only its own slice. Corpus cost: two scans, one hash exchange on
+    * pid — a global-window formulation would serialize the entire
+    * corpus through one task.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesFrom(Tables.documents(spark, dir))
+
+  def packSequencesFrom(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs
+      .select(col("doc_id"),
+        size(TextFns.toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val maxId = d.agg(max("doc_id")).collect()(0).getLong(0)
+    val p = spark.sparkContext.defaultParallelism.toLong
+    val width = math.max(1L, (maxId + p) / p) // ceil((maxId+1)/p)
+    val dd = d.withColumn("pid", expr(s"doc_id div $width"))
+    var acc = 0L
+    val offs = dd.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.join(broadcast(offs.toSeq.toDF("pid", "off")), Seq("pid"))
+      .withColumn("cum", col("off") + sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        expr(s"(cum - n_tokens) div $seqTokens").as("seq_first"),
+        expr(s"(cum - 1) div $seqTokens").as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-text 128-bit fingerprint — the q21/q39 normalization
+    * (lowercase, strip non-alphanumerics, collapse whitespace) hashed
+    * with md5.
+    */
+  private def fp(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " ")))
+
+  /** q67 mirror-replica fixture rates: 1 in [[RepMod]] docs also lives
+    * in the previous snapshot under a [[RepShift]]-shifted id with
+    * identical text — the same-content-different-URL shape every real
+    * recrawl sees (the corpus's planted duplicates are near-dups, so
+    * without replicas the exact-match gate would be vacuous).
+    */
+  val RepMod = 5
+  val RepShift = 100000L
+
+  /** Deterministic mirror replicas of the corpus (hash-selected, same
+    * stable discipline as the other snapshot fixtures).
+    */
+  def replicasOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(TextFns.hash32(
+        concat(lit("rep|"), col("doc_id").cast("string"))) % RepMod === 0)
+      .select((col("doc_id") + RepShift).as("doc_id"), col("text"))
+
+  /** q67 — incremental ingest dedup: docs in the NEW crawl snapshot
+    * that exactly duplicate (normalized fingerprint) a DIFFERENT doc
+    * already present in the previous snapshot — the dedup-on-ingest
+    * step of a continuously recrawled corpus, composing the q59
+    * snapshot fixtures (+ planted mirror replicas) with the q21
+    * exact-dedup discipline. Emits the duplicate's id, its canonical
+    * prior copy (min old doc id), and how many prior copies exist.
+    *
+    * Scale shape: the existing corpus contributes ONLY its fingerprint
+    * index (fp, doc_id) — 48 bytes/doc, not text — and the join keys on
+    * the 128-bit fp, so the shuffle carries fingerprints, never
+    * documents; with the index stored bucketed by fp
+    * (`sources/Bucketing`) the new slice alone shuffles. Group-by
+    * collapses multi-copy fingerprints with map-side combine.
+    */
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ingestDedupFrom(
+      oldSnapshotOf(docs).unionByName(replicasOf(docs)),
+      newSnapshotOf(docs))
+  }
+
+  def ingestDedupFrom(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(fp(col("text")).as("fp"), col("doc_id").as("old_id"))
+    val n = newDocs.select(fp(col("text")).as("fp"), col("doc_id"))
+    n.join(o, n("fp") === o("fp") && col("doc_id") =!= col("old_id"))
+      .groupBy("doc_id")
+      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_old_copies"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
@@ -318,7 +431,9 @@ object Curation {
     "q48_source_mixture" -> (sourceMixture _),
     "q52_mixture_sample" -> (mixtureSample _),
     "q58_chunk_dedup" -> (chunkDedup _),
-    "q59_snapshot_diff" -> (snapshotDiff _))
+    "q59_snapshot_diff" -> (snapshotDiff _),
+    "q63_pack_sequences" -> (packSequences _),
+    "q67_ingest_dedup" -> (ingestDedup _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -328,6 +443,19 @@ object Curation {
        |exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
        |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM toks))""".stripMargin
+
+  /** Shared oracle fragment: the q59 deterministic snapshot fixtures. */
+  private val snapSql =
+    s"""oldd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${TextFns.sql.hash32("'mut|' || CAST(doc_id AS VARCHAR)")} % $SnapMutMod = 0
+       |         THEN substring(text, 1, greatest(length(text) - 7, 1))
+       |         ELSE text END AS t_old
+       |  FROM documents
+       |  WHERE ${TextFns.sql.hash32("'old|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1}),
+       |newd AS (
+       |  SELECT doc_id, text AS t_new FROM documents
+       |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q45_hash_split" ->
@@ -372,17 +500,21 @@ object Curation {
          |SELECT source, n_docs, n_tokens,
          |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
          |FROM ranked ORDER BY source""".stripMargin,
+    "q67_ingest_dedup" -> {
+      val norm = (c: String) => s"md5(trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')))"
+      s"""WITH $snapSql,
+         |reps AS (
+         |  SELECT doc_id + $RepShift AS doc_id, text AS t_old FROM documents
+         |  WHERE ${TextFns.sql.hash32("'rep|' || CAST(doc_id AS VARCHAR)")} % $RepMod = 0),
+         |oldall AS (SELECT * FROM oldd UNION ALL SELECT * FROM reps),
+         |o AS (SELECT ${norm("t_old")} AS fp, doc_id AS old_id FROM oldall),
+         |n AS (SELECT ${norm("t_new")} AS fp, doc_id FROM newd)
+         |SELECT n.doc_id, min(o.old_id) AS dup_of, count(*) AS n_old_copies
+         |FROM n JOIN o ON o.fp = n.fp AND o.old_id <> n.doc_id
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
+    },
     "q59_snapshot_diff" ->
-      s"""WITH oldd AS (
-         |  SELECT doc_id,
-         |    CASE WHEN ${TextFns.sql.hash32("'mut|' || CAST(doc_id AS VARCHAR)")} % $SnapMutMod = 0
-         |         THEN substring(text, 1, greatest(length(text) - 7, 1))
-         |         ELSE text END AS t_old
-         |  FROM documents
-         |  WHERE ${TextFns.sql.hash32("'old|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1}),
-         |newd AS (
-         |  SELECT doc_id, text AS t_new FROM documents
-         |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1}),
+      s"""WITH $snapSql,
          |j AS (SELECT o.t_old, n.t_new
          |      FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
          |SELECT CASE WHEN t_old IS NULL THEN 'added'
@@ -409,6 +541,21 @@ object Curation {
          |  round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(cs), 6) AS boiler_ratio
          |FROM ch c LEFT JOIN hits h ON h.doc_id = c.doc_id
          |WHERE len(cs) >= 1 ORDER BY c.doc_id""".stripMargin,
+    "q63_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(${TextFns.sql.toks}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |f AS (SELECT * FROM d WHERE n_tokens >= 1),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f)
+         |SELECT doc_id, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+         |  CAST((cum - n_tokens) // $SeqTokens AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // $SeqTokens AS BIGINT) AS seq_last,
+         |  CAST((cum - 1) // $SeqTokens - (cum - n_tokens) // $SeqTokens + 1 AS BIGINT) AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q52_mixture_sample" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

@@ -178,6 +178,51 @@ object Events {
       .orderBy("window_start", "event_type")
   }
 
+  /** q64 — ordered conversion funnel view → click → purchase: per user
+    * the earliest view, the earliest click strictly after it, and the
+    * earliest purchase strictly after that; aggregated to stage reach
+    * counts and step conversion rates.
+    *
+    * Scale shape: the three stage timestamps are stacked MIN windows
+    * over the SAME user_id partitioning — one hash exchange, one sort,
+    * three window passes that each reuse the previous exchange (each
+    * stage's condition references the prior stage's per-user constant,
+    * which is why this is windows and not one flat groupBy). The
+    * per-user reduction then rides the same partitioning with no new
+    * exchange, and the final single-row aggregate is a two-phase
+    * partial. A join-per-stage formulation would shuffle the events
+    * table once per funnel step.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFrom(Tables.events(spark, dir))
+
+  def funnelFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"),
+        max("p_ts").as("p_ts"))
+      .agg(count(lit(1)).as("n_users"),
+        count("v_ts").as("n_view"),
+        count("c_ts").as("n_click"),
+        count("p_ts").as("n_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") /
+          graft.functions.Det.nullIfZero(col("n_view")), 9).as("view_to_click"),
+        round(col("n_purchase").cast("double") /
+          graft.functions.Det.nullIfZero(col("n_click")), 9).as("click_to_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
@@ -185,7 +230,8 @@ object Events {
     "q35_topk_per_key" -> (topKPerUser _),
     "q37_sessions" -> (sessions _),
     "q40_range_join" -> (rangeJoinClicks _),
-    "q41_sliding_windows" -> (slidingWindows _))
+    "q41_sliding_windows" -> (slidingWindows _),
+    "q64_event_funnel" -> (funnel _))
 
   val oracle: Map[String, String] = Map(
     "q27_event_windows" ->
@@ -254,6 +300,27 @@ object Events {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // stage-per-CTE formulation — equivalent to the stacked windows:
+    // each stage keeps only users that reached the previous one, with a
+    // strict ts ordering between stages (µs-exact on both engines)
+    "q64_event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id),
+        |j AS (SELECT u.user_id, v.v_ts, c.c_ts, p.p_ts FROM u
+        |      LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |      LEFT JOIN p USING (user_id))
+        |SELECT count(*) AS n_users, count(v_ts) AS n_view,
+        |  count(c_ts) AS n_click, count(p_ts) AS n_purchase,
+        |  round(CAST(count(c_ts) AS DOUBLE) / NULLIF(count(v_ts), 0), 9) AS view_to_click,
+        |  round(CAST(count(p_ts) AS DOUBLE) / NULLIF(count(c_ts), 0), 9) AS click_to_purchase
+        |FROM j""".stripMargin,
     // an event at 5-min bucket b belongs to exactly the two 10-min
     // windows starting at b and b − 5 min (epoch-aligned on both
     // engines, like tumbling q27)

@@ -214,6 +214,87 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Lloyd iterations for q61 (assignment + centroid update per
+    * iteration). Two iterations exercise both the in-plan update and
+    * the driver-side codebook refresh between iterations.
+    */
+  val KmIters = 2
+
+  /** q61 — k-means codebook TRAINING (Lloyd's algorithm, fixed
+    * [[KmIters]] iterations): the step that turns the q36/q60 seeded
+    * codebook into a real trained quantizer. Initialized from the
+    * deterministic [[SeedBase]] seeds, each iteration assigns every
+    * vector to its max-inner-product centroid (first-max tie order, as
+    * q36) and recomputes each centroid as the exact per-dimension mean
+    * of its members; emptied cells carry their previous centroid
+    * forward. Emits the trained model summary: per cell its final
+    * membership count and centroid L2 norm.
+    *
+    * Scale shape — the distributed-k-means contract (MLlib's shape,
+    * re-derived): per iteration ONE pass over the corpus — assignment
+    * is the broadcast-codebook pattern (k literal-array fused dot
+    * products + argmax per row, pure map work), the update is ONE
+    * two-phase aggregate through the native
+    * [[graft.plans.VectorSumDec]] (fixed-size buffer per (partition,
+    * cell), the exchange carries one 64-dim array per cell per
+    * partition), and only k centroid rows return to the driver. Nothing
+    * doc-keyed ever crosses the wire; cost is iters × (scan + k-row
+    * aggregate). DECIMAL accumulation keeps every centroid — and the
+    * assignment boundaries derived from it next iteration —
+    * bit-identical to the single-threaded oracle at any parallelism.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainFrom(Tables.embeddings(spark, dir))
+
+  def kmeansTrainFrom(embeddings: DataFrame, cells: Int = NumCells,
+      iters: Int = KmIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = embDouble(embeddings)
+
+    // first-max argmax assignment — same (score DESC, c ASC) tie order
+    // as the oracle's row_number window (q36 precedent)
+    def assigned(cent: Seq[Seq[Double]]): DataFrame = {
+      val scores = array(cent.map(c =>
+        call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+      e.withColumn("scores", scores)
+        .withColumn("cell",
+          (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+    }
+
+    def updated(cent: Seq[Seq[Double]]): DataFrame =
+      assigned(cent).groupBy("cell")
+        .agg(call_function("vector_sum_dec",
+            col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("n"),
+          transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
+
+    var cent: Seq[Seq[Double]] = embeddings
+      .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + cells)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.map(_.getSeq[Double](0))
+    // iterations 1..iters-1 refresh the literal codebook driver-side
+    // (k rows — the broadcast-codebook contract); the final update stays
+    // in the plan so the emitted model is computed distributed
+    for (_ <- 1 until iters) {
+      val upd = updated(cent).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
+      cent = cent.indices.map(c => upd.getOrElse(c, cent(c)))
+    }
+    val carry = cent.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "carry")
+    carry.join(broadcast(updated(cent)), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"),
+        coalesce(col("centroid"), col("carry")).as("centroid"))
+      .select(col("cell"), col("n_members"),
+        round(sqrt(call_function("dot_product", col("centroid"), col("centroid"))), 9)
+          .as("centroid_norm"))
+      .orderBy("cell")
+  }
+
   /** q60 within-cell semantic-duplicate cosine threshold (same fixture
     * rationale as [[NearDupMin]]).
     */
@@ -446,7 +527,8 @@ object Similarity {
     "q38_embedding_neardup" -> (embeddingNearDup _),
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
-    "q60_semantic_dedup" -> (semanticDedup _))
+    "q60_semantic_dedup" -> (semanticDedup _),
+    "q61_kmeans_train" -> (kmeansTrain _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -572,6 +654,35 @@ object Similarity {
          |  (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rank FROM scored)
          |SELECT label, vec_id, cos_centroid, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin,
+    "q61_kmeans_train" -> {
+      // one Lloyd iteration against centroid relation cent<i-1>:
+      // assignment (first-max tie order) + exact decimal per-dim means
+      def iterCtes(i: Int): String =
+        s"""s$i AS (SELECT e.vec_id, e.emb, c, list_inner_product(e.emb, c_emb) AS score
+           |  FROM e CROSS JOIN cent${i - 1}),
+           |a$i AS (SELECT vec_id, emb, c AS cell, row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s$i),
+           |m$i AS (SELECT vec_id, emb, cell FROM a$i WHERE rn = 1),
+           |ex$i AS (SELECT cell, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM m$i),
+           |cs$i AS (SELECT cell, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+           |  FROM ex$i GROUP BY cell, pos),
+           |n$i AS (SELECT cell, count(*) AS n FROM m$i GROUP BY cell),
+           |u$i AS (SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+           |  FROM cs$i JOIN n$i USING (cell) GROUP BY cell, n)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cent0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+         |          WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
+         |${iterCtes(1)},
+         |cent1 AS (SELECT c0.c, COALESCE(u1.centroid, c0.c_emb) AS c_emb
+         |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.c),
+         |${iterCtes(2)},
+         |sel AS (SELECT c1.c AS cell, COALESCE(n2.n, 0) AS n_members,
+         |    COALESCE(u2.centroid, c1.c_emb) AS cc
+         |  FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.c LEFT JOIN n2 ON n2.cell = c1.c)
+         |SELECT cell, n_members,
+         |  round(sqrt(list_inner_product(cc, cc)), 9) AS centroid_norm
+         |FROM sel ORDER BY cell""".stripMargin
+    },
     "q38_embedding_neardup" -> {
       val arms = (0 until NearDupFamilies).map { f =>
         val bucket = (0 until NearDupPlanesPerFamily)

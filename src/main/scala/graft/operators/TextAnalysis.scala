@@ -295,6 +295,67 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
+    * get one synthetic PII span appended (email / phone / IPv4), the
+    * rest stay clean — so the driver gate exercises both the hit and
+    * miss paths of every pattern.
+    */
+  val PiiMod = 6
+
+  /** Shared PII regex dialect — the Java-regex ∩ RE2 subset (no
+    * lookaround, no backreferences), so Spark and the oracle compile
+    * identical automata.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\d{3}-\\d{3}-\\d{4}"
+  val IpPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** q62 — PII detection + redaction stats: the scrubbing pass every
+    * training corpus runs before release. Detects emails, phone
+    * numbers, and IPv4 addresses by regex, counts matches per document,
+    * and measures the redacted length after replacing each class with a
+    * fixed tag (email → phone → IP, in that order, so the tags —
+    * digit- and dot-free by construction — never cascade).
+    *
+    * The fixture corpus is synthetic words with no real PII, so the
+    * operator derives a deterministic PII-injected view first (the q59
+    * snapshot-fixture discipline: a hash of the stable doc id decides
+    * which class, never rand()) — the detection/redaction plan itself
+    * is fixture-agnostic. Scale shape: scan → project, regex automata
+    * run per-row inside codegen, no shuffle but the presentation sort.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubFrom(Tables.documents(spark, dir))
+
+  def piiScrubFrom(docs: DataFrame): DataFrame = {
+    val m = TextFns.hash32(
+      concat(lit("pii|"), col("doc_id").cast("string"))) % PiiMod
+    val email = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" host "), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".0.1"))
+    val injected = concat(col("text"),
+      when(m === 0, email).when(m === 1, phone).when(m === 2, ip)
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")),
+      lit(IpPat), lit("<IP>"))
+    docs
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailPat)).as("n_email"),
+        regexp_count(col("t"), lit(PhonePat)).as("n_phone"),
+        regexp_count(col("t"), lit(IpPat)).as("n_ip"),
+        length(col("t")).as("len_orig"),
+        length(redacted).as("len_redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
@@ -303,7 +364,8 @@ object TextAnalysis {
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
     "q55_bm25_search" -> (bm25Search _),
-    "q57_lm_score" -> (lmScore _))
+    "q57_lm_score" -> (lmScore _),
+    "q62_pii_scrub" -> (piiScrub _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -390,6 +452,30 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q62_pii_scrub" ->
+      s"""WITH sel AS (
+         |  SELECT doc_id, text,
+         |    ${TextFns.sql.hash32("'pii|' || CAST(doc_id AS VARCHAR)")} % $PiiMod AS m
+         |  FROM documents),
+         |inj AS (
+         |  SELECT doc_id, text || CASE
+         |    WHEN m = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    WHEN m = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    WHEN m = 2 THEN ' host ' || CAST(doc_id % 256 AS VARCHAR)
+         |                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.0.1'
+         |    ELSE '' END AS t
+         |  FROM sel)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailPat')) AS n_email,
+         |  len(regexp_extract_all(t, '$PhonePat')) AS n_phone,
+         |  len(regexp_extract_all(t, '$IpPat')) AS n_ip,
+         |  length(t) AS len_orig,
+         |  length(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g'),
+         |    '$IpPat', '<IP>', 'g')) AS len_redacted
+         |FROM inj ORDER BY doc_id""".stripMargin,
     "q55_bm25_search" -> {
       val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
         s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")

@@ -74,7 +74,8 @@ object EventStream {
     */
   val StatePartitions = 8
 
-  private def drain(df: DataFrame, tableName: String): StreamingQuery = {
+  private def drain(df: DataFrame, tableName: String,
+      mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val spark = df.sparkSession
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"graft-ckpt-$tableName-")
@@ -86,7 +87,7 @@ object EventStream {
           .format("memory")
           .queryName(tableName)
           .option("checkpointLocation", ckpt.toString)
-          .outputMode(OutputMode.Append)
+          .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
         started.awaitTermination()
@@ -174,9 +175,53 @@ object EventStream {
       .orderBy("event_id", "c_ts", "c_value")
   }
 
+  /** Best-first order for the streaming top-k state: highest value,
+    * then lowest event_id (total order — deterministic under ties).
+    */
+  private val TopKOrd: Ordering[(Long, Double)] =
+    Ordering.by[(Long, Double), (Double, Long)](p => (-p._2, p._1))
+
+  /** Events kept per user by the streaming top-k (same k as batch q35's
+    * fixture so the two gates describe the same answer shape).
+    */
+  val StreamTopK = 3
+
+  /** q65 — the typed bounded top-k [[TopKAgg]] under the driver's hash
+    * gate, as a STREAMING aggregation: a complete-mode AvailableNow
+    * drain of `groupByKey(user).agg(TopKAgg(3))` over the event stream,
+    * flattened to (user_id, event_id, value, rank) rows.
+    *
+    * Why this exists next to batch q35: the physical shuffle-limit
+    * operator (`plans.TopKPerKey`) cannot run inside a streaming
+    * aggregation — state must be MERGEABLE across micro-batches — so
+    * the streaming path rides the Aggregator whose buffer is the bound
+    * (≤ k elements per key in state and on every shuffle, O(keys·k)
+    * state regardless of stream volume). A drained complete-mode run
+    * over a static source equals the batch window answer exactly, which
+    * is what the shared oracle asserts.
+    */
+  def streamedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new TopKAgg[(Long, Double)](StreamTopK)(TopKOrd, implicitly)
+    val typed = source(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .toDF("user_id", "top")
+    drain(typed, "graft_q65_sink", OutputMode.Complete)
+    spark.table("graft_q65_sink")
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), col("col._1").as("event_id"),
+        col("col._2").as("value"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("user_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_rates" -> (streamedRates _),
-    "q50_stream_range_join" -> (streamedRangeJoin _))
+    "q50_stream_range_join" -> (streamedRangeJoin _),
+    "q65_stream_topk" -> (streamedTopK _))
 
   val oracle: Map[String, String] = Map(
     // same horizon arithmetic as streamedRates: watermark = ms-floored
@@ -199,5 +244,13 @@ object EventStream {
         |  ON c.event_type = 'click' AND c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
         |WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id, c_ts, c_value""".stripMargin)
+        |ORDER BY p.event_id, c_ts, c_value""".stripMargin,
+    // the drained complete-mode stream equals the batch window top-k
+    "q65_stream_topk" ->
+      s"""WITH rk AS (
+         |  SELECT user_id, event_id, value, row_number() OVER
+         |    (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM events)
+         |SELECT user_id, event_id, value, CAST(rn AS INT) AS rank
+         |FROM rk WHERE rn <= $StreamTopK ORDER BY user_id, rank""".stripMargin)
 }

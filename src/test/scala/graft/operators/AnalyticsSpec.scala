@@ -94,4 +94,29 @@ class AnalyticsSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("itemCooccurrence (q66)") {
+    it("counts distinct users per item pair with basket semantics") {
+      val t = ts("2024-01-01 00:00:00")
+      def ev(id: Long, u: Long, k: Int) =
+        (id, t, u, "view", 0.0, s"""{"k": $k}""")
+      val r = Analytics.itemCooccurrenceFrom(events(
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+        ev(4, 1, 1), // duplicate (user 1, item 1) — distinct collapses it
+        ev(5, 2, 1), ev(6, 2, 2),
+        ev(7, 3, 1), ev(8, 3, 2),
+        (9L, t, 3L, "view", 0.0, "{}"))) // no k prop — ignored
+        .collect()
+        .map(x => (x.getAs[Int]("item_a"), x.getAs[Int]("item_b"),
+          x.getAs[Long]("n_users")))
+      assert(r.toSeq == Seq((1, 2, 3L), (1, 3, 1L), (2, 3, 1L)))
+    }
+
+    it("orders by support then pair and caps at the top-k on the fixture") {
+      val r = Analytics.itemCooccurrence(spark, TestSpark.Sf).collect()
+      assert(r.length == Analytics.CoocTopK)
+      val supports = r.map(_.getAs[Long]("n_users")).toSeq
+      assert(supports == supports.sorted.reverse)
+    }
+  }
 }

@@ -130,6 +130,74 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("ingestDedup (q67)") {
+    it("flags new docs whose normalized fingerprint matches a different prior doc") {
+      val old = Seq((1L, "Same   Text!"), (2L, "other"), (3L, "same text"))
+        .toDF("doc_id", "text")
+      val neu = Seq((1L, "same text"), (4L, "same, text"), (5L, "fresh"))
+        .toDF("doc_id", "text")
+      val r = Curation.ingestDedupFrom(old, neu).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("dup_of"),
+          x.getAs[Long]("n_old_copies")))
+      // normalization makes "Same   Text!" ≡ "same text" ≡ "same, text";
+      // a same-id prior copy never counts as a duplicate
+      assert(r.toSeq == Seq((1L, 3L, 1L), (4L, 1L, 2L)))
+    }
+
+    it("planted mirror replicas make the fixture gate bind") {
+      val r = Curation.ingestDedup(spark, TestSpark.Sf).collect()
+      assert(r.length > 50, s"expected ~90 replica hits, got ${r.length}")
+      r.foreach { x =>
+        assert(x.getAs[Long]("dup_of") >= Curation.RepShift,
+          "every duplicate's canonical copy is a planted replica")
+      }
+    }
+  }
+
+  describe("packSequences (q63)") {
+    it("matches the naive global-window cumulative sum and is contiguous") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = Curation.packSequences(spark, TestSpark.Sf).collect()
+      // naive formulation: one global window through a single partition —
+      // the plan the distributed prefix sum exists to avoid
+      val d = graft.sources.Tables.documents(spark, TestSpark.Sf)
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.toks(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 1)
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = d.withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), (col("cum") - col("n_tokens")).as("start_off"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r.length == naive.size)
+      r.foreach(x =>
+        assert(x.getAs[Long]("start_off") == naive(x.getAs[Long]("doc_id"))))
+      // layout is gapless: every doc starts where the previous one ended
+      val sorted = r.sortBy(_.getAs[Long]("doc_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") ==
+            a.getAs[Long]("start_off") + a.getAs[Long]("n_tokens"))
+        case _ =>
+      }
+      // boundary-straddling docs exist at the fixture's ~54-token docs
+      assert(r.exists(_.getAs[Long]("n_seqs") > 1))
+      r.foreach { x =>
+        val spans = x.getAs[Long]("seq_last") - x.getAs[Long]("seq_first") + 1
+        assert(x.getAs[Long]("n_seqs") == spans)
+      }
+    }
+
+    it("is invariant to input partitioning") {
+      val base = Curation.packSequences(spark, TestSpark.Sf).collect().toSeq
+      val shuffled = Curation.packSequencesFrom(
+        graft.sources.Tables.documents(spark, TestSpark.Sf).repartition(7))
+        .collect().toSeq
+      assert(shuffled == base)
+    }
+  }
+
   describe("mixtureSample (q52)") {
     it("downsamples every source near its rate, deterministically") {
       val r = Curation.mixtureSample(spark, TestSpark.Sf).collect()

@@ -129,4 +129,38 @@ class EventsSpec extends AnyFunSpec {
       assert(r(1).getAs[Long]("event_id") == 3L) // earlier ts wins the tie
     }
   }
+
+  describe("funnel (q64)") {
+    it("requires strict stage ordering per user") {
+      val r = Events.funnelFrom(events(
+        // user 1: full ordered funnel
+        (1L, ts("2024-01-01 00:01:00"), 1L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:02:00"), 1L, "click", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:03:00"), 1L, "purchase", 0.0, "{}"),
+        // user 2: click BEFORE the first view — click stage not reached
+        (4L, ts("2024-01-01 00:01:00"), 2L, "click", 0.0, "{}"),
+        (5L, ts("2024-01-01 00:02:00"), 2L, "view", 0.0, "{}"),
+        // user 3: view only
+        (6L, ts("2024-01-01 00:01:00"), 3L, "view", 0.0, "{}"),
+        // user 4: purchase with no view — nothing reached
+        (7L, ts("2024-01-01 00:01:00"), 4L, "purchase", 0.0, "{}")))
+        .collect()(0)
+      assert(r.getAs[Long]("n_users") == 4L)
+      assert(r.getAs[Long]("n_view") == 3L)
+      assert(r.getAs[Long]("n_click") == 1L)
+      assert(r.getAs[Long]("n_purchase") == 1L)
+      assert(r.getAs[Double]("view_to_click") == 0.333333333)
+      assert(r.getAs[Double]("click_to_purchase") == 1.0)
+    }
+
+    it("a purchase at the same instant as the click does not count (strict >)") {
+      val r = Events.funnelFrom(events(
+        (1L, ts("2024-01-01 00:01:00"), 1L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 00:02:00"), 1L, "click", 0.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 0.0, "{}")))
+        .collect()(0)
+      assert(r.getAs[Long]("n_click") == 1L)
+      assert(r.getAs[Long]("n_purchase") == 0L)
+    }
+  }
 }

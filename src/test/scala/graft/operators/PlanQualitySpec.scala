@@ -271,5 +271,39 @@ class PlanQualitySpec extends AnyFunSpec {
         s"corpus stats must broadcast:\n$p")
       assert(p.contains("TakeOrderedAndProject"), s"top-k must lower:\n$p")
     }
+
+    it("q61 k-means final update is one cell-keyed aggregate, no corpus window") {
+      val p = plan("q61_kmeans_train")
+      // assignment must stay map-side (literal-codebook dot products);
+      // a per-vector argmax window would shuffle the corpus by vec_id
+      assert(!p.contains("windowspecdefinition(vec_id"), s"corpus window found:\n$p")
+      assert(p.contains("vector_sum_dec"), s"native vector-sum must drive the update:\n$p")
+      // exactly one cell-keyed exchange (the update aggregate); the
+      // single-file fixture also gets the gated scan-widening
+      // repartition, which a multi-file corpus does not pay
+      val cellEx = p.linesIterator.count(_.contains("Exchange hashpartitioning(cell"))
+      assert(cellEx == 1, s"expected exactly the cell aggregate exchange, got $cellEx:\n$p")
+    }
+
+    it("q62 PII scrubbing is scan -> project: no shuffle, no join") {
+      val p = plan("q62_pii_scrub")
+      assert(!p.contains("Exchange hashpartitioning"), s"PII scrub must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"PII scrub must not join:\n$p")
+    }
+
+    it("q63 packing shuffles once on pid and broadcasts the offset table") {
+      val p = plan("q63_pack_sequences")
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1, s"prefix sum must shuffle exactly once (pid), got $hashEx:\n$p")
+      assert(p.contains("Exchange hashpartitioning(pid"), s"expected the pid exchange:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"partition offsets must broadcast:\n$p")
+    }
+
+    it("q64 funnel stages share one user_id exchange") {
+      val p = plan("q64_event_funnel")
+      val userEx = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+      assert(userEx == 1,
+        s"three stage windows + per-user reduce must reuse one exchange, got $userEx:\n$p")
+    }
   }
 }

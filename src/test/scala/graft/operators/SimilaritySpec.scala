@@ -216,4 +216,34 @@ class SimilaritySpec extends AnyFunSpec {
       assert(sumSq(r32) < sumSq(r16), "more cells must cut pairwise comparisons")
     }
   }
+
+  describe("kmeansTrain (q61)") {
+    it("emits the full codebook with counts summing to the corpus") {
+      val r = Similarity.kmeansTrain(spark, TestSpark.Sf).collect()
+      assert(r.length == Similarity.NumCells)
+      assert(r.map(_.getAs[Int]("cell")).toSeq == (0 until Similarity.NumCells))
+      assert(r.map(_.getAs[Long]("n_members")).sum == 500)
+      r.foreach(x => assert(x.getAs[Double]("centroid_norm") > 0.0))
+    }
+
+    it("iterating moves the centroids (training does work)") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val one = Similarity.kmeansTrainFrom(e, iters = 1).collect()
+        .map(x => x.getAs[Int]("cell") -> x.getAs[Double]("centroid_norm")).toMap
+      val two = Similarity.kmeansTrainFrom(e, iters = 2).collect()
+        .map(x => x.getAs[Int]("cell") -> x.getAs[Double]("centroid_norm")).toMap
+      assert(one != two, "second Lloyd iteration must change some centroid")
+      // the mean-of-members update pulls centroids inside the data cloud:
+      // norms shrink vs the raw seed vectors for populated cells
+      val seeds = Similarity.kmeansTrainFrom(e, iters = 1).collect()
+      assert(seeds.forall(_.getAs[Double]("centroid_norm") > 0.0))
+    }
+
+    it("is invariant to input partitioning (decimal-exact updates)") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val a = Similarity.kmeansTrainFrom(e).collect().toSeq
+      val b = Similarity.kmeansTrainFrom(e.repartition(7)).collect().toSeq
+      assert(a == b)
+    }
+  }
 }

@@ -215,4 +215,48 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(scores == scores.sorted.reverse)
     }
   }
+
+  describe("piiScrub (q62)") {
+    // the same md5-derived class the operator's hash32 computes
+    def piiClass(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pii|$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % TextAnalysis.PiiMod
+    }
+
+    it("detects exactly the injected class and redacts its exact span") {
+      val ids = (0L until 60L).toSeq
+      val r = TextAnalysis.piiScrubFrom(docs(ids.map(id => (id, "plain words only")): _*))
+        .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+      assert(r.size == 60)
+      ids.foreach { id =>
+        val x = r(id)
+        val counts = (x.getAs[Int]("n_email"), x.getAs[Int]("n_phone"), x.getAs[Int]("n_ip"))
+        val diff = x.getAs[Int]("len_orig") - x.getAs[Int]("len_redacted")
+        piiClass(id) match {
+          case 0 => // "user<id>@example.com" → "<EMAIL>"
+            assert(counts == ((1, 0, 0)), s"doc $id")
+            assert(diff == s"user$id@example.com".length - "<EMAIL>".length)
+          case 1 => // "555-xxx-xxxx" → "<PHONE>"
+            assert(counts == ((0, 1, 0)), s"doc $id")
+            assert(diff == 12 - "<PHONE>".length)
+          case 2 => // "a.b.0.1" → "<IP>"
+            assert(counts == ((0, 0, 1)), s"doc $id")
+            assert(diff == s"${id % 256}.${(id * 7) % 256}.0.1".length - "<IP>".length)
+          case _ =>
+            assert(counts == ((0, 0, 0)), s"doc $id")
+            assert(diff == 0, s"doc $id must be untouched")
+        }
+      }
+    }
+
+    it("exercises every class on the fixture corpus") {
+      val r = TextAnalysis.piiScrub(spark, graft.TestSpark.Sf).collect()
+      assert(r.length == 500)
+      assert(r.map(_.getAs[Int]("n_email")).sum > 0)
+      assert(r.map(_.getAs[Int]("n_phone")).sum > 0)
+      assert(r.map(_.getAs[Int]("n_ip")).sum > 0)
+      assert(r.count(x => x.getAs[Int]("len_orig") == x.getAs[Int]("len_redacted")) > 0)
+    }
+  }
 }

@@ -55,4 +55,25 @@ class EventStreamSpec extends AnyFunSpec {
       assert(batch.exceptAll(streamed).count() == 0)
     }
   }
+
+  describe("streamedTopK (q65)") {
+    it("a drained complete-mode run equals the batch window top-k") {
+      val streamed = EventStream.streamedTopK(spark, sf)
+        .select("user_id", "event_id", "value", "rank")
+      import org.apache.spark.sql.expressions.Window
+      val rn = row_number().over(Window.partitionBy("user_id")
+        .orderBy(desc("value"), asc("event_id")))
+      val batch = graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rank", rn).filter(col("rank") <= EventStream.StreamTopK)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // the bench drains every streaming query twice in one JVM: a
+      // re-drain must re-register the sink and produce identical rows
+      val again = EventStream.streamedTopK(spark, sf)
+        .select("user_id", "event_id", "value", "rank")
+      assert(again.collect().toSeq == streamed.collect().toSeq)
+    }
+  }
 }
