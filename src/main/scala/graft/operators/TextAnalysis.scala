@@ -295,6 +295,66 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** Vocabulary size for the q68 distribution audit (top tokens by
+    * corpus count; everything else is the OOV bucket).
+    */
+  val KlTopV = 16
+
+  /** q68 — per-source token-distribution drift: KL(source ‖ corpus)
+    * over the top-[[KlTopV]] corpus vocabulary plus an out-of-vocabulary
+    * bucket — the audit that surfaces a crawl source whose language
+    * suddenly shifts (spam injection, template change, wrong-language
+    * feed) before it pollutes training mixes.
+    *
+    * Scale shape (the q55/q57 discipline): the vocabulary is collected
+    * once (V rows, model constant) and re-enters as literals; per-term
+    * source counts are map-side array-filter columns riding ONE
+    * source-keyed aggregate (reduce side = |sources|, not corpus);
+    * corpus totals derive from that tiny relation via a second
+    * aggregate broadcast back. The KL sum is a FIXED-ORDER arithmetic
+    * expression over the V+1 buckets (never a SUM over join rows, whose
+    * accumulation order is engine-specific), so the score is
+    * bit-reproducible and oracle-gated; `round(·,9)` absorbs libm ulp
+    * drift in ln.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlFrom(Tables.documents(spark, dir))
+
+  def sourceKlFrom(docs: DataFrame): DataFrame = {
+    val wf = filter(TextFns.toks(col("text")), t => t =!= "")
+    val vocab: Seq[String] = docs
+      .select(explode(wf).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("token")).limit(KlTopV)
+      .collect().toSeq.map(_.getString(0))
+    val tfCols = vocab.zipWithIndex.map { case (t, i) =>
+      sum(size(filter(col("w"), x => x === t)).cast("long")).as(s"tf$i")
+    }
+    val perSource = docs
+      .select(col("source"), wf.as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("n_tokens") +: tfCols: _*)
+    val totals = perSource.agg(
+      sum("n_tokens").as("tot_tokens"),
+      vocab.indices.map(i => sum(col(s"tf$i")).as(s"ctf$i")): _*)
+    val j = perSource.crossJoin(broadcast(totals))
+    // fixed-order KL: vocab buckets in vocab order, then the OOV bucket
+    def term(p: Column, q: Column): Column =
+      when(p > 0, p * log(p / q)).otherwise(lit(0.0))
+    val pOov = (col("n_tokens") - vocab.indices.map(i => col(s"tf$i"))
+      .reduce(_ + _)).cast("double") / col("n_tokens")
+    val qOov = (col("tot_tokens") - vocab.indices.map(i => col(s"ctf$i"))
+      .reduce(_ + _)).cast("double") / col("tot_tokens")
+    val kl = vocab.indices.map { i =>
+      term(col(s"tf$i").cast("double") / col("n_tokens"),
+        col(s"ctf$i").cast("double") / col("tot_tokens"))
+    }.reduce(_ + _) + term(pOov, qOov)
+    j.select(col("source"), col("n_docs"), col("n_tokens"),
+        round(kl, 9).as("kl"))
+      .orderBy("source")
+  }
+
   /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
     * get one synthetic PII span appended (email / phone / IPv4), the
     * rest stay clean — so the driver gate exercises both the hit and
@@ -365,7 +425,8 @@ object TextAnalysis {
     "q53_df_vocab" -> (dfVocab _),
     "q55_bm25_search" -> (bm25Search _),
     "q57_lm_score" -> (lmScore _),
-    "q62_pii_scrub" -> (piiScrub _))
+    "q62_pii_scrub" -> (piiScrub _),
+    "q68_source_kl" -> (sourceKl _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -452,6 +513,51 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q68_source_kl" -> {
+      val is = 0 until KlTopV
+      // COALESCE: with < V distinct corpus tokens the missing ranks
+      // contribute zero-count buckets, matching the Spark side's
+      // shorter vocab exactly (their CASE terms evaluate to 0)
+      val tfCols = is.map(i =>
+        s"COALESCE(MAX(CASE WHEN rk = ${i + 1} THEN tf END), 0) AS tf$i").mkString(",\n    ")
+      val ctfCols = is.map(i =>
+        s"COALESCE(MAX(CASE WHEN rk = ${i + 1} THEN ctf END), 0) AS ctf$i").mkString(",\n    ")
+      def term(p: String, q: String) =
+        s"CASE WHEN $p > 0 THEN $p * ln($p / $q) ELSE 0.0 END"
+      val vocTerms = is.map(i => term(
+        s"(CAST(tf$i AS DOUBLE) / n_tokens)",
+        s"(CAST(ctf$i AS DOUBLE) / tot_tokens)")).mkString("\n    + ")
+      val tfSum = is.map(i => s"tf$i").mkString(" + ")
+      val ctfSum = is.map(i => s"ctf$i").mkString(" + ")
+      val oovTerm = term(
+        s"(CAST(n_tokens - ($tfSum) AS DOUBLE) / n_tokens)",
+        s"(CAST(tot_tokens - ($ctfSum) AS DOUBLE) / tot_tokens)")
+      s"""WITH toks AS (SELECT source, list_filter(${TextFns.sql.toks}, t -> t <> '') AS w
+         |  FROM documents),
+         |tok AS (SELECT source, unnest(w) AS t FROM toks),
+         |cnt AS (SELECT t AS token, count(*) AS ctf FROM tok GROUP BY 1),
+         |vocab AS (SELECT token, ctf, row_number() OVER (ORDER BY ctf DESC, token) AS rk
+         |          FROM cnt ORDER BY ctf DESC, token LIMIT $KlTopV),
+         |src AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM toks GROUP BY source),
+         |sv0 AS (SELECT t.source, t.t AS token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tok t JOIN vocab v ON v.token = t.t GROUP BY 1, 2),
+         |grid AS (SELECT s.source, v.rk, COALESCE(sv0.tf, 0) AS tf
+         |         FROM src s CROSS JOIN vocab v
+         |         LEFT JOIN sv0 ON sv0.source = s.source AND sv0.token = v.token),
+         |wide AS (SELECT source,
+         |    $tfCols
+         |  FROM grid GROUP BY source),
+         |ctot AS (SELECT
+         |    $ctfCols
+         |  FROM vocab),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM src)
+         |SELECT s.source, s.n_docs, s.n_tokens,
+         |  round($vocTerms
+         |    + $oovTerm, 9) AS kl
+         |FROM wide w JOIN src s USING (source) CROSS JOIN tot CROSS JOIN ctot
+         |ORDER BY s.source""".stripMargin
+    },
     "q62_pii_scrub" ->
       s"""WITH sel AS (
          |  SELECT doc_id, text,

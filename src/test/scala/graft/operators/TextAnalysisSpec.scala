@@ -216,6 +216,38 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("sourceKl (q68)") {
+    def srcDocs(rows: (Long, String, String)*): org.apache.spark.sql.DataFrame =
+      rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    it("a source matching the corpus distribution scores 0, a divergent one > 0") {
+      // corpus: 'a' and 'b' each appear 4 times; source s1 is exactly the
+      // corpus mix, source s2 is all-'a'
+      val r = TextAnalysis.sourceKlFrom(srcDocs(
+        (1L, "a b a b", "s1"),
+        (2L, "a b a b", "s1"),
+        (3L, "a a a a", "s2"),
+        (4L, "b b b b", "s3")))
+        .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("kl")).toMap
+      // s1's token distribution (50/50) equals the corpus's → KL = 0
+      assert(r("s1") == 0.0)
+      assert(r("s2") > 0.0 && r("s3") > 0.0)
+      // all-'a' diverges identically to all-'b' (corpus is symmetric)
+      assert(math.abs(r("s2") - r("s3")) < 1e-9)
+    }
+
+    it("hand-checks the two-bucket KL value") {
+      // corpus: 6 a, 2 b; source s2 = (2 a, 2 b): KL = .5 ln(.5/.75) + .5 ln(.5/.25)
+      val r = TextAnalysis.sourceKlFrom(srcDocs(
+        (1L, "a a a a", "s1"),
+        (2L, "a a b b", "s2")))
+        .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("kl")).toMap
+      val expected = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+      assert(math.abs(r("s2") - expected) < 1e-9, s"got ${r("s2")}, want $expected")
+    }
+  }
+
   describe("piiScrub (q62)") {
     // the same md5-derived class the operator's hash32 computes
     def piiClass(id: Long): Long = {
