@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, Events, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Sessionize
 
@@ -79,6 +79,21 @@ object ScaleSmoke {
     t("event_windows") { Events.eventWindowsFrom(events).count() }
     t("topk_per_key") { Events.topKPerUserFrom(events).count() }
     t("sessionize") { Sessionize.sessions(events).count() }
+    // round-4 operators: per-iteration linear k-means, Σ cell² semantic
+    // dedup, two-pass prefix-sum packing (note: the replicas' sparse
+    // shifted ids exercise the arithmetic-pid imbalance caveat), the
+    // vocab-bounded KL aggregate, Σ basket² co-occurrence, and
+    // log-round connected components in pipeline order (exact-dedup
+    // first keeps the pair relation near-linear)
+    t("kmeans_train") { Similarity.kmeansTrainFrom(emb).count() }
+    t("semantic_dedup") { Similarity.semanticDedupFrom(emb).count() }
+    t("pack_sequences") { Curation.packSequencesFrom(docs).count() }
+    t("source_kl") { TextAnalysis.sourceKlFrom(docs).count() }
+    t("item_cooccurrence") { Analytics.itemCooccurrenceFrom(events).count() }
+    t("dedup_then_clusters") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.clustersOfVerified(Dedup.ngramJaccardFrom(canonical)).count()
+    }
     spark.stop()
   }
 }

@@ -10,10 +10,10 @@ import graft.sources.{Jsonl, Tables}
 /** End-to-end training-corpus curation pipeline — the composition story
   * for the LLM-data operators: language filter → quality filter → exact
   * dedup → MinHash near-dup removal → benchmark decontamination →
-  * repetition filter → deterministic split assignment →
-  * split-partitioned parquet + sharded JSONL output + a stage report.
-  * Each stage is one of the engine's verified operators; this module
-  * only wires them.
+  * repetition filter → PII redaction → deterministic split assignment →
+  * split-partitioned parquet + sharded JSONL output + the q63
+  * sequence-packing manifest + a stage report. Each stage is one of the
+  * engine's verified operators; this module only wires them.
   *
   * Scale notes: every stage is the already-analyzed plan shape (map-only
   * scoring, one fp-hash shuffle for exact dedup, bucket-confined LSH
@@ -28,7 +28,8 @@ object CorpusPipeline {
   final case class Report(
       n_input: Long, n_lang_kept: Long, n_quality_kept: Long,
       n_after_exact: Long, n_near_dup_dropped: Long,
-      n_contaminated: Long, n_repetitive: Long, n_output: Long)
+      n_contaminated: Long, n_repetitive: Long, n_pii_docs: Long,
+      n_sequences: Long, n_output: Long)
 
   /** Run the curation flow; returns the per-stage survivor counts and
     * writes the cleaned corpus under `outDir` (split-partitioned parquet
@@ -98,11 +99,17 @@ object CorpusPipeline {
     val kept = decon.join(repetitive, Seq("doc_id"), "left_anti")
     val nRep = repetitive.count()
 
-    // stage 7: deterministic split assignment, written hive-partitioned
+    // stage 7: PII redaction — scrub spans in place (q62's shared
+    // transform; map-only) and count affected docs for the report
+    val nPii = kept
+      .filter(TextAnalysis.redacted(col("text")) =!= col("text")).count()
+    val scrubbed = kept.withColumn("text", TextAnalysis.redacted(col("text")))
+
+    // stage 8: deterministic split assignment, written hive-partitioned
     // by split so a trainer reads its slice via partition pruning
     val bucket = graft.functions.TextFns.hash32(
       concat(lit("split|"), col("doc_id").cast("string"))) % 100
-    val withSplit = kept.withColumn("split",
+    val withSplit = scrubbed.withColumn("split",
       when(bucket < Curation.TrainPct, "train")
         .when(bucket < Curation.ValPct, "val").otherwise("test"))
 
@@ -111,7 +118,15 @@ object CorpusPipeline {
     Jsonl.write(withSplit.drop("split"), s"$outDir/corpus_jsonl")
     val nOut = spark.read.parquet(s"$outDir/corpus_parquet").count()
 
-    Report(nIn, nLang, nQual, nExact, nNearDropped, nContam, nRep, nOut)
+    // stage 9: sequence-packing layout over the released corpus (q63's
+    // distributed prefix sum) — the trainer's concat-and-chop manifest
+    val packing = Curation.packSequencesFrom(scrubbed)
+    packing.write.mode("overwrite").parquet(s"$outDir/packing_parquet")
+    val nSeqs = spark.read.parquet(s"$outDir/packing_parquet")
+      .agg(max("seq_last")).collect()(0).getLong(0) + 1
+
+    Report(nIn, nLang, nQual, nExact, nNearDropped, nContam, nRep, nPii,
+      nSeqs, nOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,6 +145,7 @@ object CorpusPipeline {
       s"quality=${r.n_quality_kept} exact=${r.n_after_exact} " +
       s"nearDupDropped=${r.n_near_dup_dropped} " +
       s"contaminated=${r.n_contaminated} repetitive=${r.n_repetitive} " +
+      s"piiDocs=${r.n_pii_docs} sequences=${r.n_sequences} " +
       s"output=${r.n_output}")
     spark.stop()
   }

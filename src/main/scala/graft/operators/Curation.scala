@@ -424,6 +424,49 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q70 sliding-passage geometry: window and stride in tokens
+    * (overlap = window − stride).
+    */
+  val PassageWin = 32
+  val PassageStride = 24
+
+  /** q70 — overlapping passage chunking: cut every document into
+    * [[PassageWin]]-token passages every [[PassageStride]] tokens (8
+    * tokens of overlap) — the retrieval-index prep step of a RAG
+    * pipeline, where overlap keeps answers that straddle a boundary
+    * findable. Emits one row per passage with its offset geometry and a
+    * content hash (the join key an embedding/index stage would carry).
+    *
+    * Scale shape: pure map work — the passage list is a per-row array
+    * transform (start offsets by integer arithmetic, `slice` +
+    * `concat_ws` + the md5 kernel inside codegen) followed by one
+    * posexplode; row growth is the geometry's n/stride factor, there is
+    * no shuffle but the presentation sort.
+    */
+  def passageChunks(spark: SparkSession, dir: String): DataFrame =
+    passageChunksFrom(Tables.documents(spark, dir))
+
+  def passageChunksFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    // stop once a passage reaches the end of the doc: a start whose
+    // window is fully inside the previous passage would be redundant
+    val nChunks = expr(s"""CASE WHEN size(w) <= $PassageWin THEN 1
+      ELSE (size(w) - $PassageWin + ${PassageStride - 1}) div $PassageStride + 1 END""")
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => (i * PassageStride).cast("int"))).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(PassageWin), size(col("w")) - col("start_tok")).as("n_tokens"),
+        TextFns.hash60(concat(lit("pc|"), concat_ws(" ",
+          slice(col("w"), col("start_tok") + 1,
+            least(lit(PassageWin), size(col("w")) - col("start_tok"))))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
@@ -433,7 +476,8 @@ object Curation {
     "q58_chunk_dedup" -> (chunkDedup _),
     "q59_snapshot_diff" -> (snapshotDiff _),
     "q63_pack_sequences" -> (packSequences _),
-    "q67_ingest_dedup" -> (ingestDedup _))
+    "q67_ingest_dedup" -> (ingestDedup _),
+    "q70_passage_chunks" -> (passageChunks _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -541,6 +585,21 @@ object Curation {
          |  round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(cs), 6) AS boiler_ratio
          |FROM ch c LEFT JOIN hits h ON h.doc_id = c.doc_id
          |WHERE len(cs) >= 1 ORDER BY c.doc_id""".stripMargin,
+    "q70_passage_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |f AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),
+         |ch AS (SELECT doc_id, w, n,
+         |    unnest(range(CASE WHEN n <= $PassageWin THEN 1
+         |      ELSE (n - $PassageWin + ${PassageStride - 1}) // $PassageStride + 1 END)) AS i
+         |  FROM f),
+         |geo AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |    CAST(i * $PassageStride AS INT) AS start_tok,
+         |    CAST(least($PassageWin, n - i * $PassageStride) AS INT) AS n_tokens, w
+         |  FROM ch)
+         |SELECT doc_id, chunk_idx, start_tok, n_tokens,
+         |  ${TextFns.sql.hash60(
+        s"'pc|' || array_to_string(list_slice(w, start_tok + 1, start_tok + n_tokens), ' ')")} AS chunk_hash
+         |FROM geo ORDER BY doc_id, chunk_idx""".stripMargin,
     "q63_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len(${TextFns.sql.toks}) AS BIGINT) AS n_tokens

@@ -355,6 +355,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Merge-pair rows kept by q69. */
+  val BpeTopK = 20
+
+  /** q69 — BPE merge-pair counting (the inner loop of byte-pair-
+    * encoding tokenizer training): count every adjacent character pair
+    * inside whitespace tokens across the corpus and rank the top
+    * merge candidates — iteration 1 of BPE training, the step that is
+    * corpus-scale (subsequent merges work on the extracted pair/word
+    * tables).
+    *
+    * Scale shape: pair extraction is pure map work (nested array
+    * transform inside codegen, one explode); the count is a two-phase
+    * hash aggregate whose reduce side is bounded by the PAIR-ALPHABET
+    * cardinality (≤ charset², a model constant), not corpus size; the
+    * top-k lowers to TakeOrderedAndProject.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsFrom(Tables.documents(spark, dir))
+
+  def bpePairsFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val pairsOfWord = (t: Column) =>
+      when(length(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(t) - 1),
+          i => substring(t, i, lit(2))))
+    docs
+      .select(explode(flatten(transform(w, pairsOfWord))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(BpeTopK)
+  }
+
   /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
     * get one synthetic PII span appended (email / phone / IPv4), the
     * rest stay clean — so the driver gate exercises both the hit and
@@ -369,6 +402,17 @@ object TextAnalysis {
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePat = "\\d{3}-\\d{3}-\\d{4}"
   val IpPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Redaction transform shared by q62 and the corpus pipeline: email →
+    * phone → IPv4, tags digit- and dot-free so replacements never
+    * cascade.
+    */
+  def redacted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")),
+      lit(IpPat), lit("<IP>"))
 
   /** q62 — PII detection + redaction stats: the scrubbing pass every
     * training corpus runs before release. Detects emails, phone
@@ -400,11 +444,6 @@ object TextAnalysis {
     val injected = concat(col("text"),
       when(m === 0, email).when(m === 1, phone).when(m === 2, ip)
         .otherwise(lit("")))
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("t"), lit(EmailPat), lit("<EMAIL>")),
-        lit(PhonePat), lit("<PHONE>")),
-      lit(IpPat), lit("<IP>"))
     docs
       .select(col("doc_id"), injected.as("t"))
       .select(col("doc_id"),
@@ -412,7 +451,7 @@ object TextAnalysis {
         regexp_count(col("t"), lit(PhonePat)).as("n_phone"),
         regexp_count(col("t"), lit(IpPat)).as("n_ip"),
         length(col("t")).as("len_orig"),
-        length(redacted).as("len_redacted"))
+        length(redacted(col("t"))).as("len_redacted"))
       .orderBy("doc_id")
   }
 
@@ -426,7 +465,8 @@ object TextAnalysis {
     "q55_bm25_search" -> (bm25Search _),
     "q57_lm_score" -> (lmScore _),
     "q62_pii_scrub" -> (piiScrub _),
-    "q68_source_kl" -> (sourceKl _))
+    "q68_source_kl" -> (sourceKl _),
+    "q69_bpe_pairs" -> (bpePairs _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -513,6 +553,13 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q69_bpe_pairs" ->
+      s"""WITH toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
+         |wrd AS (SELECT unnest(w) AS t FROM toks),
+         |pr AS (SELECT unnest(list_transform(range(length(t) - 1),
+         |    i -> substring(t, CAST(i AS INT) + 1, 2))) AS pair FROM wrd)
+         |SELECT pair, count(*) AS n FROM pr
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
     "q68_source_kl" -> {
       val is = 0 until KlTopV
       // COALESCE: with < V distinct corpus tokens the missing ranks

@@ -70,17 +70,21 @@ object EventStream {
     * checkpoint, so it is a per-stream sizing decision, not a session
     * default: size it to the stream's state volume (each partition is a
     * state-store instance paying per-micro-batch commit + maintenance
-    * I/O, so oversizing costs latency every batch forever).
+    * I/O, so oversizing costs latency every batch forever). Overridable
+    * per session via [[StatePartitionsConf]] for streams whose state is
+    * known-small (the drained fixture runs) or known-huge.
     */
   val StatePartitions = 8
+  val StatePartitionsConf = "spark.graft.streaming.statePartitions"
 
   private def drain(df: DataFrame, tableName: String,
       mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val spark = df.sparkSession
+    val parts = spark.conf.get(StatePartitionsConf, StatePartitions.toString)
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"graft-ckpt-$tableName-")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     val q =
       try {
         val started = df.writeStream

@@ -32,6 +32,18 @@ class CorpusPipelineSpec extends AnyFunSpec {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
       assert(pq.select(md5(norm).as("fp")).distinct().count() == r.n_output)
+      // the packing manifest covers exactly the released corpus with a
+      // gapless token layout
+      val pk = spark.read.parquet(s"$out/packing_parquet")
+      assert(pk.count() == r.n_output)
+      assert(r.n_sequences >= 1)
+      val totTokens = pk.agg(sum("n_tokens")).collect()(0).getLong(0)
+      val lastEnd = pk.agg(max(col("start_off") + col("n_tokens")))
+        .collect()(0).getLong(0)
+      assert(totTokens == lastEnd, "packing offsets must be gapless")
+      // the synthetic corpus has no PII to scrub — the stage must be a
+      // clean no-op on it (the q62 gate exercises the hit paths)
+      assert(r.n_pii_docs == 0)
     }
 
     it("is deterministic") {

@@ -198,6 +198,27 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("passageChunks (q70)") {
+    it("tiles with overlap and stops once a passage reaches the end") {
+      def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+      val r = Curation.passageChunksFrom(docs(
+        (1L, words(50), "en", "s", 1L),   // 2 passages: [0,32) [24,50)
+        (2L, words(56), "en", "s", 1L),   // 2 passages: [0,32) [24,56)
+        (3L, words(57), "en", "s", 1L),   // 3 passages: third needed for tok 56
+        (4L, words(5), "en", "s", 1L)))   // 1 short passage
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(x =>
+          (x.getAs[Int]("start_tok"), x.getAs[Int]("n_tokens"))).toSeq).toMap
+      assert(r(1L) == Seq((0, 32), (24, 26)))
+      assert(r(2L) == Seq((0, 32), (24, 32)))
+      assert(r(3L) == Seq((0, 32), (24, 32), (48, 9)))
+      assert(r(4L) == Seq((0, 5)))
+      // coverage: every token of doc 3 is inside some passage
+      assert(r(3L).map { case (s, n) => s + n }.max == 57)
+    }
+  }
+
   describe("mixtureSample (q52)") {
     it("downsamples every source near its rate, deterministically") {
       val r = Curation.mixtureSample(spark, TestSpark.Sf).collect()

@@ -248,6 +248,22 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("bpePairs (q69)") {
+    it("counts adjacent char pairs inside tokens, never across spaces") {
+      val r = TextAnalysis.bpePairsFrom(docs((1L, "ab abc a")))
+        .collect().map(x => x.getAs[String]("pair") -> x.getAs[Long]("n")).toMap
+      // "ab" -> {ab}; "abc" -> {ab, bc}; "a" -> none; no "b a" cross-space pair
+      assert(r == Map("ab" -> 2L, "bc" -> 1L))
+    }
+
+    it("ranks by count with deterministic pair tie-break on the fixture") {
+      val r = TextAnalysis.bpePairs(spark, graft.TestSpark.Sf).collect()
+      assert(r.length == TextAnalysis.BpeTopK)
+      val counts = r.map(_.getAs[Long]("n")).toSeq
+      assert(counts == counts.sorted.reverse)
+    }
+  }
+
   describe("piiScrub (q62)") {
     // the same md5-derived class the operator's hash32 computes
     def piiClass(id: Long): Long = {

@@ -34,5 +34,26 @@ class BucketingSpec extends AnyFunSpec {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       }
     }
+
+    it("q59 snapshot diff over bucketed snapshots runs with zero exchanges") {
+      // the CDC claim in Curation.snapshotDiff's scale notes, proven:
+      // store both crawl snapshots bucketed by doc_id and the full-outer
+      // diff join needs no shuffle at all
+      import graft.operators.Curation
+      val docs = Tables.documents(spark, sf)
+      Bucketing.bucketize(Curation.oldSnapshotOf(docs), "doc_id", 8, "b_snap_old")
+      Bucketing.bucketize(Curation.newSnapshotOf(docs), "doc_id", 8, "b_snap_new")
+      val diff = Curation.snapshotDiffFrom(
+        spark.table("b_snap_old"), spark.table("b_snap_new"))
+      val plan = diff.queryExecution.executedPlan.toString
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin") && joinPart.contains("FullOuter"),
+        s"expected full-outer SMJ:\n$plan")
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff must not shuffle into the join:\n$plan")
+      // rows identical to the unbucketed operator
+      val plain = Curation.snapshotDiff(spark, sf).collect().toSeq
+      assert(diff.collect().toSeq == plain)
+    }
   }
 }
