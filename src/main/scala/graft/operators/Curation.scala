@@ -467,6 +467,44 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** q71 — dataset card: the one-row datasheet a corpus release ships
+    * (docs / token / char mass, source and language cardinality, exact
+    * duplicate ratio, median doc length, split sizes) — every number
+    * deterministic, so the card is reproducible from the data alone.
+    *
+    * Scale shape: ONE pass over `documents` into a single global
+    * aggregate — two-phase partials for the counts/sums, the three
+    * exact DISTINCTs share one grouping-set Expand (factor 4, the price
+    * of exactness at release time; the q44 HLL path is the always-on
+    * monitoring alternative), and the exact median is a sort-based
+    * single-column percentile. Nothing doc-keyed crosses the wire.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardFrom(Tables.documents(spark, dir))
+
+  def datasetCardFrom(docs: DataFrame): DataFrame = {
+    val tok = size(TextFns.toks(col("text"))).cast("long")
+    val bucket = TextFns.hash32(
+      concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    docs
+      .select(col("source"), col("lang"), tok.as("tok"),
+        length(col("text")).cast("long").as("chars"),
+        fp(col("text")).as("fpc"), bucket.as("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        sum("chars").as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fpc")).as("n_distinct_fp"),
+        median(col("tok")).as("med_doc_tokens"),
+        sum(when(col("b") < TrainPct, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("b") >= TrainPct && col("b") < ValPct, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("b") >= ValPct, 1L).otherwise(0L)).as("n_test"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"), 9))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
@@ -477,7 +515,8 @@ object Curation {
     "q59_snapshot_diff" -> (snapshotDiff _),
     "q63_pack_sequences" -> (packSequences _),
     "q67_ingest_dedup" -> (ingestDedup _),
-    "q70_passage_chunks" -> (passageChunks _))
+    "q70_passage_chunks" -> (passageChunks _),
+    "q71_dataset_card" -> (datasetCard _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -585,6 +624,27 @@ object Curation {
          |  round(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(cs), 6) AS boiler_ratio
          |FROM ch c LEFT JOIN hits h ON h.doc_id = c.doc_id
          |WHERE len(cs) >= 1 ORDER BY c.doc_id""".stripMargin,
+    "q71_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |    CAST(len(${TextFns.sql.toks}) AS BIGINT) AS tok,
+         |    CAST(length(text) AS BIGINT) AS chars,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS fpc,
+         |    ${TextFns.sql.hash32("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT fpc) AS n_distinct_fp,
+         |  median(tok) AS med_doc_tokens,
+         |  CAST(sum(CASE WHEN b < $TrainPct THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN b >= $TrainPct AND b < $ValPct THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |  CAST(sum(CASE WHEN b >= $ValPct THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  round(1.0 - CAST(count(DISTINCT fpc) AS DOUBLE) / count(*), 9) AS dup_ratio
+         |FROM d""".stripMargin,
     "q70_passage_chunks" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
          |f AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) >= 1),

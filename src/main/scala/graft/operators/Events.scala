@@ -223,6 +223,37 @@ object Events {
           graft.functions.Det.nullIfZero(col("n_click")), 9).as("click_to_purchase"))
   }
 
+  /** q72 — frame-bounded window analytics per user: running value
+    * total (unbounded-preceding decimal sum), centered 7-row moving
+    * average (3 preceding..3 following), quartile bucket (ntile) and
+    * cumulative distribution — the per-entity trend/rank features an
+    * events table feeds into monitoring and feature stores.
+    *
+    * Scale shape: every window shares the SAME (user_id) partitioning
+    * and (ts, event_id) total order — one hash exchange + one sort
+    * serve all four functions; frames are row-bounded so state is O(1)
+    * per row. Determinism: the order key is total (ts ties broken by
+    * event_id), fractional sums ride the exact DECIMAL accumulator,
+    * ntile/cume_dist are pure rank arithmetic.
+    */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame =
+    valueWindowsFrom(Tables.events(spark, dir))
+
+  def valueWindowsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val dec = col("value").cast(DecimalType(12, 2))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-3, 3)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("run_total", sum(dec).over(run).cast("double"))
+      .withColumn("mov_avg",
+        (sum(dec).over(mov).cast("double") / count(lit(1)).over(mov)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cum_dist", cume_dist().over(w))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
@@ -231,7 +262,8 @@ object Events {
     "q37_sessions" -> (sessions _),
     "q40_range_join" -> (rangeJoinClicks _),
     "q41_sliding_windows" -> (slidingWindows _),
-    "q64_event_funnel" -> (funnel _))
+    "q64_event_funnel" -> (funnel _),
+    "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
     "q27_event_windows" ->
@@ -300,6 +332,20 @@ object Events {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q72_value_windows" ->
+      """SELECT user_id, event_id, ts, value,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mov_avg,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
+        |  cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_dist
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     // stage-per-CTE formulation — equivalent to the stacked windows:
     // each stage keeps only users that reached the previous one, with a
     // strict ts ordering between stages (µs-exact on both engines)

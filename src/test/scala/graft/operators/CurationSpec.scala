@@ -198,6 +198,26 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("datasetCard (q71)") {
+    it("summarizes mass, cardinality, dup ratio, and split sizes in one row") {
+      val r = Curation.datasetCardFrom(docs(
+        (1L, "a b", "en", "s1", 3L),
+        (2L, "a  b", "en", "s2", 4L),   // normalized exact dup of doc 1
+        (3L, "c", "de", "s1", 1L)))
+        .collect()(0)
+      assert(r.getAs[Long]("n_docs") == 3L)
+      assert(r.getAs[Long]("n_tokens") == 5L)
+      assert(r.getAs[Long]("n_chars") == 8L)
+      assert(r.getAs[Long]("n_sources") == 2L)
+      assert(r.getAs[Long]("n_langs") == 2L)
+      assert(r.getAs[Long]("n_distinct_fp") == 2L)
+      assert(r.getAs[Double]("med_doc_tokens") == 2.0)
+      assert(r.getAs[Double]("dup_ratio") == 0.333333333)
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") +
+        r.getAs[Long]("n_test") == 3L)
+    }
+  }
+
   describe("passageChunks (q70)") {
     it("tiles with overlap and stops once a passage reaches the end") {
       def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

@@ -130,6 +130,19 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("valueWindows (q72)") {
+    it("computes running totals, centered moving averages, and rank stats") {
+      val evs = (1 to 5).map(i =>
+        (i.toLong, ts(s"2024-01-01 00:0$i:00"), 1L, "view", i.toDouble, "{}"))
+      val r = Events.valueWindowsFrom(events(evs: _*)).collect()
+      assert(r.map(_.getAs[Double]("run_total")).toSeq == Seq(1.0, 3.0, 6.0, 10.0, 15.0))
+      assert(r(0).getAs[Double]("mov_avg") == 2.5) // rows 1..4
+      assert(r(2).getAs[Double]("mov_avg") == 3.0) // full 5-row frame
+      assert(r.map(_.getAs[Int]("quartile")).toSeq == Seq(1, 1, 2, 3, 4))
+      assert(r.map(_.getAs[Double]("cum_dist")).toSeq == Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    }
+  }
+
   describe("funnel (q64)") {
     it("requires strict stage ordering per user") {
       val r = Events.funnelFrom(events(
