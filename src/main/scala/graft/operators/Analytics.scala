@@ -225,6 +225,53 @@ object Analytics {
       .limit(CoocTopK)
   }
 
+  /** q73 MAD multiplier: production pipelines run 3–5; the fixture's
+    * near-uniform `value` has no tail beyond ~2 scaled MADs, so the
+    * gate uses 1.0 to exercise the flag path (same fixture rationale as
+    * `Similarity.NearDupMin`) — the plan is threshold-agnostic.
+    */
+  val MadK = 1.0
+
+  /** Normal-consistency constant: 1 MAD ≈ 1.4826 σ. */
+  val MadC = 1.4826
+
+  /** q73 — robust outlier detection per event type via median absolute
+    * deviation: median and MAD are outlier-resistant where mean/stddev
+    * are not (one corrupt feed value drags a z-score baseline, not a
+    * MAD one) — the standard data-quality screen over a metric column.
+    *
+    * Scale shape: three passes over events, each ending in a tiny
+    * per-type aggregate broadcast back — (1) per-type median, (2)
+    * per-type MAD of the deviations, (3) count + flag; the exact
+    * medians are single-column sort percentiles (bit-equal to the
+    * oracle's quantile_cont, as q34), and the flag predicate is pure
+    * row arithmetic. An approximate single-pass variant would ride
+    * q44's percentile_approx sketch unchanged.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame =
+    valueOutliersFrom(Tables.events(spark, dir))
+
+  def valueOutliersFrom(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    val d = events.select("event_type", "value")
+      .join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = d.groupBy("event_type")
+      .agg(median(col("dev")).as("mad"))
+    d.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min("med").as("med"),
+        min("mad").as("mad"),
+        sum(when(col("dev") > lit(MadK) * lit(MadC) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ratio",
+        round(col("n_outliers").cast("double") / col("n"), 9))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
@@ -233,9 +280,23 @@ object Analytics {
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
     "q44_approx_stats" -> (approxStatsChecked _),
-    "q66_item_cooccurrence" -> (itemCooccurrence _))
+    "q66_item_cooccurrence" -> (itemCooccurrence _),
+    "q73_value_outliers" -> (valueOutliers _))
 
   val oracle: Map[String, String] = Map(
+    "q73_value_outliers" ->
+      s"""WITH m AS (SELECT event_type, median(value) AS med
+         |           FROM events GROUP BY 1),
+         |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+         |      FROM events e JOIN m USING (event_type)),
+         |md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+         |SELECT d.event_type, count(*) AS n, min(d.med) AS med, min(md.mad) AS mad,
+         |  CAST(sum(CASE WHEN d.dev > $MadK * $MadC * md.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers,
+         |  round(CAST(sum(CASE WHEN d.dev > $MadK * $MadC * md.mad THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 9) AS outlier_ratio
+         |FROM d JOIN md USING (event_type)
+         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q66_item_cooccurrence" ->
       s"""WITH ui AS (
          |  SELECT DISTINCT user_id,

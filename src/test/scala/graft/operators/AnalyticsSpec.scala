@@ -95,6 +95,26 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("valueOutliers (q73)") {
+    it("flags values beyond k scaled MADs of the per-type median") {
+      val t = ts("2024-01-01 00:00:00")
+      val r = Analytics.valueOutliersFrom(events(
+        (1L, t, 1L, "a", 1.0, "{}"),
+        (2L, t, 1L, "a", 2.0, "{}"),
+        (3L, t, 1L, "a", 3.0, "{}"),
+        (4L, t, 1L, "a", 4.0, "{}"),
+        (5L, t, 1L, "a", 100.0, "{}"))) // corrupt feed value
+        .collect()(0)
+      // med=3, devs=[2,1,0,1,97], mad=1 → threshold 1.4826: flags {2, 97}
+      assert(r.getAs[Double]("med") == 3.0)
+      assert(r.getAs[Double]("mad") == 1.0)
+      assert(r.getAs[Long]("n_outliers") == 2L)
+      assert(r.getAs[Double]("outlier_ratio") == 0.4)
+      // robustness: the corrupt value barely moves the median baseline —
+      // a mean/σ z-score would have been dragged to ~22 ± 43
+    }
+  }
+
   describe("itemCooccurrence (q66)") {
     it("counts distinct users per item pair with basket semantics") {
       val t = ts("2024-01-01 00:00:00")
