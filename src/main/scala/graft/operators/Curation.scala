@@ -347,7 +347,12 @@ object Curation {
       .select(col("doc_id"),
         size(TextFns.toks(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
-    val maxId = d.agg(max("doc_id")).collect()(0).getLong(0)
+    val maxRow = d.agg(max("doc_id")).collect()(0)
+    if (maxRow.isNullAt(0)) // empty corpus: empty manifest, same schema
+      return d.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("start_off"), lit(0L).as("seq_first"),
+        lit(0L).as("seq_last"), lit(0L).as("n_seqs"))
+    val maxId = maxRow.getLong(0)
     val p = spark.sparkContext.defaultParallelism.toLong
     val width = math.max(1L, (maxId + p) / p) // ceil((maxId+1)/p)
     val dd = d.withColumn("pid", expr(s"doc_id div $width"))

@@ -276,6 +276,9 @@ object Similarity {
       .orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
       .collect().toSeq.map(_.getSeq[Double](0))
+    require(cent.size == cells,
+      s"k-means seeds missing: expected $cells vectors with vec_id in " +
+        s"[$SeedBase, ${SeedBase + cells}), found ${cent.size}")
     // iterations 1..iters-1 refresh the literal codebook driver-side
     // (k rows — the broadcast-codebook contract); the final update stays
     // in the plan so the emitted model is computed distributed

@@ -342,14 +342,24 @@ object TextAnalysis {
     // fixed-order KL: vocab buckets in vocab order, then the OOV bucket
     def term(p: Column, q: Column): Column =
       when(p > 0, p * log(p / q)).otherwise(lit(0.0))
+    // folds (not reduce) so an empty vocabulary — an empty or all-blank
+    // corpus — degenerates to the OOV-only term instead of throwing;
+    // the leading identity is exact (0 + x ≡ x for ints; 0.0 + t ≡ t
+    // for the terms, which are never -0.0), so the oracle's plain
+    // t0 + t1 + … text stays bit-equal
+    // nullIfZero: a zero-token source (or corpus) must yield a null p
+    // — the `when(p > 0)` terms then fall to 0.0 — instead of an ANSI
+    // divide-by-zero error
+    val nTok = nullIfZero(col("n_tokens"))
+    val totTok = nullIfZero(col("tot_tokens"))
     val pOov = (col("n_tokens") - vocab.indices.map(i => col(s"tf$i"))
-      .reduce(_ + _)).cast("double") / col("n_tokens")
+      .foldLeft(lit(0L): Column)(_ + _)).cast("double") / nTok
     val qOov = (col("tot_tokens") - vocab.indices.map(i => col(s"ctf$i"))
-      .reduce(_ + _)).cast("double") / col("tot_tokens")
+      .foldLeft(lit(0L): Column)(_ + _)).cast("double") / totTok
     val kl = vocab.indices.map { i =>
-      term(col(s"tf$i").cast("double") / col("n_tokens"),
-        col(s"ctf$i").cast("double") / col("tot_tokens"))
-    }.reduce(_ + _) + term(pOov, qOov)
+      term(col(s"tf$i").cast("double") / nTok,
+        col(s"ctf$i").cast("double") / totTok)
+    }.foldLeft(lit(0.0): Column)(_ + _) + term(pOov, qOov)
     j.select(col("source"), col("n_docs"), col("n_tokens"),
         round(kl, 9).as("kl"))
       .orderBy("source")
@@ -572,13 +582,13 @@ object TextAnalysis {
       def term(p: String, q: String) =
         s"CASE WHEN $p > 0 THEN $p * ln($p / $q) ELSE 0.0 END"
       val vocTerms = is.map(i => term(
-        s"(CAST(tf$i AS DOUBLE) / n_tokens)",
-        s"(CAST(ctf$i AS DOUBLE) / tot_tokens)")).mkString("\n    + ")
+        s"(CAST(tf$i AS DOUBLE) / NULLIF(n_tokens, 0))",
+        s"(CAST(ctf$i AS DOUBLE) / NULLIF(tot_tokens, 0))")).mkString("\n    + ")
       val tfSum = is.map(i => s"tf$i").mkString(" + ")
       val ctfSum = is.map(i => s"ctf$i").mkString(" + ")
       val oovTerm = term(
-        s"(CAST(n_tokens - ($tfSum) AS DOUBLE) / n_tokens)",
-        s"(CAST(tot_tokens - ($ctfSum) AS DOUBLE) / tot_tokens)")
+        s"(CAST(n_tokens - ($tfSum) AS DOUBLE) / NULLIF(n_tokens, 0))",
+        s"(CAST(tot_tokens - ($ctfSum) AS DOUBLE) / NULLIF(tot_tokens, 0))")
       s"""WITH toks AS (SELECT source, list_filter(${TextFns.sql.toks}, t -> t <> '') AS w
          |  FROM documents),
          |tok AS (SELECT source, unnest(w) AS t FROM toks),

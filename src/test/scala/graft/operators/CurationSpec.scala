@@ -196,6 +196,10 @@ class CurationSpec extends AnyFunSpec {
         .collect().toSeq
       assert(shuffled == base)
     }
+
+    it("returns an empty manifest for an empty corpus") {
+      assert(Curation.packSequencesFrom(docs()).collect().isEmpty)
+    }
   }
 
   describe("datasetCard (q71)") {

@@ -245,5 +245,15 @@ class SimilaritySpec extends AnyFunSpec {
       val b = Similarity.kmeansTrainFrom(e.repartition(7)).collect().toSeq
       assert(a == b)
     }
+
+    it("fails loudly when the seed vectors are missing") {
+      val e = spark.range(0, 5).selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(0.1 AS FLOAT)) AS embedding",
+        "CAST(0 AS INT) AS label")
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.kmeansTrainFrom(e)
+      }
+      assert(ex.getMessage.contains("seeds missing"))
+    }
   }
 }

@@ -237,6 +237,12 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(math.abs(r("s2") - r("s3")) < 1e-9)
     }
 
+    it("degenerates to zero on an all-blank corpus instead of throwing") {
+      val r = TextAnalysis.sourceKlFrom(srcDocs((1L, " ", "s1")))
+        .collect()(0)
+      assert(r.getAs[Double]("kl") == 0.0)
+    }
+
     it("hand-checks the two-bucket KL value") {
       // corpus: 6 a, 2 b; source s2 = (2 a, 2 b): KL = .5 ln(.5/.75) + .5 ln(.5/.25)
       val r = TextAnalysis.sourceKlFrom(srcDocs(
