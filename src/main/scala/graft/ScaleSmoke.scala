@@ -86,6 +86,17 @@ object ScaleSmoke {
     // log-round connected components in pipeline order (exact-dedup
     // first keeps the pair relation near-linear)
     t("kmeans_train") { Similarity.kmeansTrainFrom(emb).count() }
+    // trained-codebook IVF (q61 → q36 wiring) + recall vs brute force
+    val trained = Similarity.trainCentroids(emb)
+    t("ann_ivf_trained") { Similarity.annIvfFrom(emb, Some(trained)).count() }
+    locally {
+      def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs(Similarity.knnBruteFrom(emb))
+      val recS = pairs(Similarity.annIvfFrom(emb)).intersect(truth).size.toDouble / truth.size
+      val recT = pairs(Similarity.annIvfFrom(emb, Some(trained))).intersect(truth).size.toDouble / truth.size
+      println(f"[scale] ivf_recall: seeded=$recS%.2f trained=$recT%.2f")
+    }
     t("semantic_dedup") { Similarity.semanticDedupFrom(emb).count() }
     t("pack_sequences") { Curation.packSequencesFrom(docs).count() }
     t("source_kl") { TextAnalysis.sourceKlFrom(docs).count() }

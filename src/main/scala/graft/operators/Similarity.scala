@@ -167,7 +167,13 @@ object Similarity {
     s
   }
 
-  def annIvfFrom(embeddings: DataFrame): DataFrame = {
+  /** `codebookOpt`: pass [[trainCentroids]]' output to quantize against
+    * a TRAINED codebook instead of the deterministic seeds (the driver
+    * gate runs the seeded default so the oracle reproduces it; the
+    * trained path is spec- and ScaleSmoke-covered).
+    */
+  def annIvfFrom(embeddings: DataFrame,
+      codebookOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -183,8 +189,8 @@ object Similarity {
       .orderBy("vec_id")
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val codebook: Seq[Seq[Double]] =
-      head.filter(_._1 >= SeedBase).sortBy(_._1).map(_._2).toSeq
+    val codebook: Seq[Seq[Double]] = codebookOpt.getOrElse(
+      head.filter(_._1 >= SeedBase).sortBy(_._1).map(_._2).toSeq)
     // probe selection: same (score DESC, c ASC) tie order as the oracle's
     // row_number window
     val probeRows: Seq[(Long, Seq[Double], Int)] =
@@ -246,32 +252,34 @@ object Similarity {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainFrom(Tables.embeddings(spark, dir))
 
-  def kmeansTrainFrom(embeddings: DataFrame, cells: Int = NumCells,
-      iters: Int = KmIters): DataFrame = {
-    val spark = embeddings.sparkSession
-    GraftFunctions.register(spark)
-    import spark.implicits._
-    val e = embDouble(embeddings)
+  /** First-max argmax assignment against a literal codebook — same
+    * (score DESC, c ASC) tie order as the oracle's row_number window
+    * (q36 precedent). Pure map work.
+    */
+  private def assignedCells(e: DataFrame, cent: Seq[Seq[Double]]): DataFrame = {
+    val scores = array(cent.map(c =>
+      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    e.withColumn("scores", scores)
+      .withColumn("cell",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+  }
 
-    // first-max argmax assignment — same (score DESC, c ASC) tie order
-    // as the oracle's row_number window (q36 precedent)
-    def assigned(cent: Seq[Seq[Double]]): DataFrame = {
-      val scores = array(cent.map(c =>
-        call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
-      e.withColumn("scores", scores)
-        .withColumn("cell",
-          (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-    }
+  /** One Lloyd update: exact per-dimension decimal means of each cell's
+    * members (one two-phase `vector_sum_dec` aggregate).
+    */
+  private def updatedCentroids(e: DataFrame, cent: Seq[Seq[Double]]): DataFrame =
+    assignedCells(e, cent).groupBy("cell")
+      .agg(call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("n"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
 
-    def updated(cent: Seq[Seq[Double]]): DataFrame =
-      assigned(cent).groupBy("cell")
-        .agg(call_function("vector_sum_dec",
-            col("emb").cast("array<decimal(38,12)>")).as("sumv"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("n"),
-          transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
-
-    var cent: Seq[Seq[Double]] = embeddings
+  /** The deterministic seed codebook (embeddings of
+    * [SeedBase, SeedBase + cells)).
+    */
+  private def seedCodebook(embeddings: DataFrame, cells: Int): Seq[Seq[Double]] = {
+    val cent = embeddings
       .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + cells)
       .orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
@@ -279,17 +287,40 @@ object Similarity {
     require(cent.size == cells,
       s"k-means seeds missing: expected $cells vectors with vec_id in " +
         s"[$SeedBase, ${SeedBase + cells}), found ${cent.size}")
-    // iterations 1..iters-1 refresh the literal codebook driver-side
-    // (k rows — the broadcast-codebook contract); the final update stays
-    // in the plan so the emitted model is computed distributed
-    for (_ <- 1 until iters) {
-      val upd = updated(cent).collect()
+    cent
+  }
+
+  /** Train `iters` Lloyd iterations and return the centroids driver-side
+    * (k × dim doubles — model-sized, the broadcast-codebook contract).
+    * Emptied cells carry their previous centroid. The result plugs into
+    * [[annIvfFrom]] / [[semanticDedupFrom]] as a TRAINED quantizer.
+    */
+  def trainCentroids(embeddings: DataFrame, cells: Int = NumCells,
+      iters: Int = KmIters): Seq[Seq[Double]] = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embDouble(embeddings)
+    var cent = seedCodebook(embeddings, cells)
+    for (_ <- 0 until iters) {
+      val upd = updatedCentroids(e, cent).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
       cent = cent.indices.map(c => upd.getOrElse(c, cent(c)))
     }
+    cent
+  }
+
+  def kmeansTrainFrom(embeddings: DataFrame, cells: Int = NumCells,
+      iters: Int = KmIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = embDouble(embeddings)
+    // iterations 1..iters-1 refresh the literal codebook driver-side;
+    // the final update stays in the plan so the emitted model is
+    // computed distributed
+    val cent = trainCentroids(embeddings, cells, iters - 1)
     val carry = cent.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "carry")
-    carry.join(broadcast(updated(cent)), Seq("cell"), "left")
+    carry.join(broadcast(updatedCentroids(e, cent)), Seq("cell"), "left")
       .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_members"),
         coalesce(col("centroid"), col("carry")).as("centroid"))
       .select(col("cell"), col("n_members"),
@@ -328,14 +359,12 @@ object Similarity {
     semanticDedupFrom(Tables.embeddings(spark, dir))
 
   def semanticDedupFrom(embeddings: DataFrame, cells: Int = NumCells,
-      tau: Double = SemDupMin): DataFrame = {
+      tau: Double = SemDupMin,
+      codebookOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
-    val codebook: Seq[Seq[Double]] = embeddings
-      .filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + cells)
-      .orderBy("vec_id")
-      .select(col("embedding").cast("array<double>"))
-      .collect().toSeq.map(_.getSeq[Double](0))
+    val codebook: Seq[Seq[Double]] =
+      codebookOpt.getOrElse(seedCodebook(embeddings, cells))
     val e = embDouble(embeddings)
     val scores = array(codebook.map(c =>
       call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)

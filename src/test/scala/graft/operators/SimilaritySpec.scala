@@ -246,6 +246,29 @@ class SimilaritySpec extends AnyFunSpec {
       assert(a == b)
     }
 
+    it("a trained codebook slots into IVF and semantic dedup (the q36/q60 wiring)") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val trained = Similarity.trainCentroids(e)
+      val seeded = Similarity.trainCentroids(e, iters = 0)
+      assert(trained != seeded, "two Lloyd iterations must move centroids")
+
+      def pairs(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+      val truth = pairs(Similarity.knnBrute(spark, graft.TestSpark.Sf).collect())
+      val rTrained = Similarity.annIvfFrom(e, Some(trained)).collect()
+      val rSeeded = Similarity.annIvfFrom(e).collect()
+      val recT = pairs(rTrained).intersect(truth).size.toDouble / truth.size
+      val recS = pairs(rSeeded).intersect(truth).size.toDouble / truth.size
+      info(f"IVF recall vs brute force: trained=$recT%.2f seeded=$recS%.2f")
+      assert(recT > 0.0)
+      assert(Similarity.annIvfFrom(e, Some(trained)).collect().toSeq == rTrained.toSeq)
+
+      val sem = Similarity.semanticDedupFrom(e, codebookOpt = Some(trained)).collect()
+      assert(sem.length == 500)
+      assert(sem.forall(x => x.getAs[Int]("cell") >= 0 &&
+        x.getAs[Int]("cell") < Similarity.NumCells))
+    }
+
     it("fails loudly when the seed vectors are missing") {
       val e = spark.range(0, 5).selectExpr("id AS vec_id",
         "transform(sequence(0, 63), j -> CAST(0.1 AS FLOAT)) AS embedding",
