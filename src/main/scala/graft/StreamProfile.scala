@@ -24,16 +24,24 @@ object StreamProfile {
       r
     }
     import graft.streaming.EventStream
-    Seq("8", "4", "2").foreach { parts =>
+    val RocksDb =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for {
+      prov <- Seq("hdfs", "rocksdb")
+      parts <- Seq("8", "4")
+    } {
+      if (prov == "rocksdb")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set(EventStream.StatePartitionsConf, parts)
       (1 to 2).foreach { pass =>
-        time(s"q49 rates parts=$parts pass$pass") {
+        time(s"q49 rates $prov parts=$parts pass$pass") {
           EventStream.streamedRates(spark, sfDir).count()
         }
-        time(s"q50 join parts=$parts pass$pass") {
+        time(s"q50 join $prov parts=$parts pass$pass") {
           EventStream.streamedRangeJoin(spark, sfDir).count()
         }
-        time(s"q65 topk parts=$parts pass$pass") {
+        time(s"q65 topk $prov parts=$parts pass$pass") {
           EventStream.streamedTopK(spark, sfDir).count()
         }
       }

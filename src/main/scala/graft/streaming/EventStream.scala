@@ -72,10 +72,21 @@ object EventStream {
     * state-store instance paying per-micro-batch commit + maintenance
     * I/O, so oversizing costs latency every batch forever). Overridable
     * per session via [[StatePartitionsConf]] for streams whose state is
-    * known-small (the drained fixture runs) or known-huge.
+    * known-small (the drained fixture runs) or known-huge. Default 4:
+    * the `StreamProfile` sweep measured hdfs@8 → rocksdb@4 cutting every
+    * drain roughly in half on this host.
     */
-  val StatePartitions = 8
+  val StatePartitions = 4
   val StatePartitionsConf = "spark.graft.streaming.statePartitions"
+
+  /** State-store provider for drains — RocksDB by default (changelog-
+    * style commits beat the HDFS provider's per-batch file snapshots in
+    * the `StreamProfile` sweep); override via [[StateProviderConf]].
+    */
+  val StateProviderConf = "spark.graft.streaming.stateStoreProvider"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val SparkProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
   private def drain(df: DataFrame, tableName: String,
       mode: OutputMode = OutputMode.Append): StreamingQuery = {
@@ -84,7 +95,10 @@ object EventStream {
     val ckpt = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"graft-ckpt-$tableName-")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val provBefore = spark.conf.getOption(SparkProviderConf)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set(SparkProviderConf,
+      spark.conf.get(StateProviderConf, RocksDbProvider))
     val q =
       try {
         val started = df.writeStream
@@ -98,6 +112,8 @@ object EventStream {
         started
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        provBefore.fold(spark.conf.unset(SparkProviderConf))(
+          spark.conf.set(SparkProviderConf, _))
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
