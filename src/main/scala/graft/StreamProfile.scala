@@ -26,13 +26,18 @@ object StreamProfile {
     import graft.streaming.EventStream
     val RocksDb =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val Hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     for {
       prov <- Seq("hdfs", "rocksdb")
       parts <- Seq("8", "4")
     } {
-      if (prov == "rocksdb")
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
-      else spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // EventStream.drain overrides the Spark provider conf from its own
+      // StateProviderConf for every drain, so the sweep must set THAT
+      // key — setting spark.sql.streaming.stateStore.providerClass here
+      // would silently measure the drain default on both arms.
+      spark.conf.set(EventStream.StateProviderConf,
+        if (prov == "rocksdb") RocksDb else Hdfs)
       spark.conf.set(EventStream.StatePartitionsConf, parts)
       (1 to 2).foreach { pass =>
         time(s"q49 rates $prov parts=$parts pass$pass") {

@@ -122,8 +122,11 @@ object CorpusPipeline {
     // distributed prefix sum) — the trainer's concat-and-chop manifest
     val packing = Curation.packSequencesFrom(scrubbed)
     packing.write.mode("overwrite").parquet(s"$outDir/packing_parquet")
-    val nSeqs = spark.read.parquet(s"$outDir/packing_parquet")
-      .agg(max("seq_last")).collect()(0).getLong(0) + 1
+    // max over an empty manifest (every doc filtered out) is null —
+    // Row.getLong on a null primitive NPEs, so guard to 0 sequences
+    val packRow = spark.read.parquet(s"$outDir/packing_parquet")
+      .agg(max("seq_last")).collect()(0)
+    val nSeqs = if (packRow.isNullAt(0)) 0L else packRow.getLong(0) + 1
 
     Report(nIn, nLang, nQual, nExact, nNearDropped, nContam, nRep, nPii,
       nSeqs, nOut)

@@ -183,9 +183,12 @@ object Similarity {
     // construction — IVF codebooks and query batches are small. Probe
     // cells are then argsorted in Scala instead of running a separate
     // posexplode + window job over a corpus-derived relation (folds the
-    // old 5-job plan to the collect + the main candidate join).
+    // old 5-job plan to the collect + the main candidate join). On the
+    // trained path the codebook comes from the caller, so only the
+    // query rows are collected.
+    val headBound = if (codebookOpt.isDefined) NumQueries else SeedBase + NumCells
     val head = embeddings
-      .filter(col("vec_id") < SeedBase + NumCells)
+      .filter(col("vec_id") < headBound)
       .orderBy("vec_id")
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
