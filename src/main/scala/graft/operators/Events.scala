@@ -22,9 +22,14 @@ import graft.sources.Tables
   */
 object Events {
 
-  /** q27 — tumbling 5-minute windows per event type. */
+  /** q27 — tumbling 5-minute windows per event type. Reads through the
+    * date-partitioned layout ([[graft.sources.Partitioned.eventsFor]]):
+    * same rows as the raw drop (the hash gate proves it), but the scan
+    * is partition-discovered, so the q74 pruning path and this
+    * full-range path share one storage layout end-to-end.
+    */
   def eventWindows(spark: SparkSession, dir: String): DataFrame =
-    eventWindowsFrom(Tables.events(spark, dir))
+    eventWindowsFrom(graft.sources.Partitioned.eventsFor(spark, dir))
 
   def eventWindowsFrom(events: DataFrame): DataFrame = {
     val sumVal = sum(col("value").cast(DecimalType(12, 2))).cast("double")
@@ -127,7 +132,7 @@ object Events {
     * comparisons ∝ matches per bucket, never |clicks|×|purchases|.
     */
   def rangeJoinClicks(spark: SparkSession, dir: String): DataFrame =
-    rangeJoinClicksFrom(Tables.events(spark, dir))
+    rangeJoinClicksFrom(graft.sources.Partitioned.eventsFor(spark, dir))
 
   /** Floor division on long micros: `div` truncates toward zero, which
     * would bucket pre-1970 (negative) timestamps one slot too high and
@@ -165,7 +170,7 @@ object Events {
     * window/slide, it adds no extra shuffle.
     */
   def slidingWindows(spark: SparkSession, dir: String): DataFrame =
-    slidingWindowsFrom(Tables.events(spark, dir))
+    slidingWindowsFrom(graft.sources.Partitioned.eventsFor(spark, dir))
 
   def slidingWindowsFrom(events: DataFrame): DataFrame = {
     val sumVal = sum(col("value").cast(DecimalType(12, 2))).cast("double")
@@ -254,7 +259,31 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** q74 date-slice bounds (inclusive): one week of the 30-day fixture
+    * window, so the partitioned scan prunes 23 of 30 day directories at
+    * planning time.
+    */
+  val SliceFrom = "2024-01-08"
+  val SliceTo = "2024-01-14"
+
+  /** q74 — date-sliced window rates: the q27 aggregate restricted to a
+    * one-week `event_date` range, reading the date-partitioned layout.
+    * This is THE query shape the layout exists for — a dashboard or
+    * backfill touching days, not the whole history. The `event_date`
+    * predicate is a PLANNING-time partition filter (the untouched 23 of
+    * 30 day directories are never listed, opened, or read — at 100 TB
+    * that is the difference between a week and the full table), while
+    * the exact `ts` semantics inside the kept days are unchanged.
+    * `PlanQualitySpec` asserts the pruned scan; the driver gate hashes
+    * the rows against the raw-table oracle.
+    */
+  def eventDaySlice(spark: SparkSession, dir: String): DataFrame =
+    eventWindowsFrom(
+      graft.sources.Partitioned.eventsFor(spark, dir)
+        .filter(col("event_date").between(lit(SliceFrom), lit(SliceTo))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_event_day_slice" -> (eventDaySlice _),
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
     "q29_top_event_per_user" -> (topEventPerUser _),
@@ -266,6 +295,17 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the raw (unpartitioned) fixture, so the partition
+    // predicate is expressed as the equivalent date cast on ts — proving
+    // the layout changes WHERE bytes live, never WHAT the query answers
+    "q74_event_day_slice" ->
+      s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+         |FROM events
+         |WHERE CAST(ts AS DATE) BETWEEN '$SliceFrom' AND '$SliceTo'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q27_event_windows" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
         |  count(*) AS n_events,

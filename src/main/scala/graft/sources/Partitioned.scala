@@ -36,4 +36,38 @@ object Partitioned {
     */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Root for materialized layouts: tmpfs, like the bench warehouse —
+    * derived data, safe to drop.
+    */
+  private val MaterializeRoot = "/dev/shm/graft-partitioned"
+
+  private val materialized = scala.collection.mutable.Set[String]()
+
+  /** The `events` table of corpus `dir` THROUGH the date-partitioned
+    * layout: ingested once per corpus (the production shape — facts land
+    * partitioned at ingest; queries never re-read the raw drop), then
+    * every caller reads the partitioned directory with `event_date`
+    * available for planning-time pruning. The gated event queries
+    * (q27/q40/q41/q74) source from here, so partition discovery and
+    * pruning are exercised end-to-end under the driver's hash gate, not
+    * just in `PartitionedSpec` isolation.
+    *
+    * Idempotent and cached: the `_SUCCESS` marker gates re-ingest across
+    * JVMs, the in-process set skips even the marker stat per session.
+    * The fixture corpora are immutable, so no staleness check is needed.
+    */
+  def eventsFor(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val path = s"$MaterializeRoot/$key/events"
+    materialized.synchronized {
+      if (!materialized.contains(path)) {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+          writeEventsByDay(Tables.events(spark, dir), path)
+        materialized += path
+      }
+    }
+    readEvents(spark, path)
+  }
 }

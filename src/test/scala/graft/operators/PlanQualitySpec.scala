@@ -299,6 +299,42 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("BroadcastHashJoin"), s"partition offsets must broadcast:\n$p")
     }
 
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec; unwrap so
+    // node collection sees the real operators
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    }
+
+    it("q27/q40/q41 read the date-partitioned layout end-to-end") {
+      // the gated entry points must source from the partitioned
+      // directory (partition-discovered scan with event_date in the
+      // partition schema), not the raw single-file drop
+      Seq("q27_event_windows", "q40_range_join", "q41_sliding_windows").foreach { q =>
+        val scans = scansOf(SparkEntry.queries(q)(spark, sf))
+        assert(scans.nonEmpty, s"$q: no file scan found")
+        scans.foreach { s =>
+          assert(s.relation.partitionSchema.fieldNames.contains("event_date"),
+            s"$q scan is not partition-aware: ${s.relation.location.rootPaths}")
+        }
+      }
+    }
+
+    it("q74 date slice prunes untouched day partitions at planning time") {
+      val scans = scansOf(SparkEntry.queries("q74_event_day_slice")(spark, sf))
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "event_date")),
+        s"no event_date partition filter in: ${scan.partitionFilters}")
+      // 7 of the fixture's 30 day directories survive the filter
+      val selected = scan.selectedPartitions.partitionCount
+      assert(selected == 7, s"expected 7 pruned-in day partitions, got $selected")
+    }
+
     it("q64 funnel stages share one user_id exchange") {
       val p = plan("q64_event_funnel")
       val userEx = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
