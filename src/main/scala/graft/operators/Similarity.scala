@@ -293,16 +293,17 @@ object Similarity {
     cent
   }
 
-  /** Train `iters` Lloyd iterations and return the centroids driver-side
-    * (k × dim doubles — model-sized, the broadcast-codebook contract).
-    * Emptied cells carry their previous centroid. The result plugs into
-    * [[annIvfFrom]] / [[semanticDedupFrom]] as a TRAINED quantizer.
+  /** Train `iters` Lloyd iterations from an explicit initial codebook
+    * and return the centroids driver-side (k × dim doubles —
+    * model-sized, the broadcast-codebook contract). Emptied cells carry
+    * their previous centroid. The result plugs into [[annIvfFrom]] /
+    * [[semanticDedupFrom]] as a TRAINED quantizer.
     */
-  def trainCentroids(embeddings: DataFrame, cells: Int = NumCells,
-      iters: Int = KmIters): Seq[Seq[Double]] = {
+  def trainCentroidsFrom(embeddings: DataFrame, init: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
     GraftFunctions.register(embeddings.sparkSession)
     val e = embDouble(embeddings)
-    var cent = seedCodebook(embeddings, cells)
+    var cent = init
     for (_ <- 0 until iters) {
       val upd = updatedCentroids(e, cent).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
@@ -310,6 +311,74 @@ object Similarity {
     }
     cent
   }
+
+  /** Lloyd training from the deterministic [[SeedBase]] seed window —
+    * the oracle-reproducible default (q61).
+    */
+  def trainCentroids(embeddings: DataFrame, cells: Int = NumCells,
+      iters: Int = KmIters): Seq[Seq[Double]] =
+    trainCentroidsFrom(embeddings, seedCodebook(embeddings, cells), iters)
+
+  /** Candidates collected per requested cell by [[initCentroids]]. */
+  val InitOversample = 8
+
+  /** Deterministic k-means‖-style initialization for corpora with
+    * ARBITRARY vec_ids (no [[SeedBase]] window required): oversample
+    * `cells × oversample` candidate vectors by smallest salted md5 of
+    * the stable vec_id — a deterministic pseudo-random sample, the same
+    * stable-hash discipline as the q45 split (never `rand()`: re-runs
+    * and repartitions must not move the sample) — then re-cluster the
+    * candidates driver-side with greedy farthest-point (k-center)
+    * selection: start at the min-hash candidate, repeatedly add the
+    * candidate whose squared distance to the chosen set is largest
+    * (ties by candidate order).
+    *
+    * Scale shape (Bahmani et al. 2012, VLDB — k-means‖ — with the
+    * random draws replaced by hash order so the init is reproducible):
+    * the oversample is ONE TakeOrderedAndProject pass (per-partition
+    * partial top-O on the hash, O = cells·oversample rows merge on the
+    * driver — model-sized, like the codebook itself); the re-cluster is
+    * O(O·k·dim) driver arithmetic in fixed order. The corpus is scanned
+    * once and never shuffled.
+    */
+  def initCentroids(embeddings: DataFrame, cells: Int = NumCells,
+      oversample: Int = InitOversample): Seq[Seq[Double]] = {
+    val cand: Seq[Seq[Double]] = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("emb"),
+        TextFns.hash60(concat(lit("kmi|"), col("vec_id").cast("string"))).as("h"))
+      .orderBy("h", "vec_id")
+      .limit(cells * oversample)
+      .collect().toSeq.map(_.getSeq[Double](1))
+    require(cand.size >= cells,
+      s"k-means init needs >= $cells vectors, corpus has ${cand.size}")
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    val minD2 = Array.fill(cand.size)(Double.MaxValue)
+    while (chosen.size < cells) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < cand.size) {
+        val d = math.min(minD2(i), d2(cand(i), chosen.last))
+        minD2(i) = d
+        if (d > bestD) { bestD = d; best = i } // strict >: ties keep the earlier candidate
+        i += 1
+      }
+      chosen += cand(best)
+    }
+    chosen.toSeq
+  }
+
+  /** Lloyd training for corpora WITHOUT the privileged seed window:
+    * [[initCentroids]] (deterministic k-means‖-style) + [[trainCentroidsFrom]].
+    */
+  def trainCentroidsSeedless(embeddings: DataFrame, cells: Int = NumCells,
+      iters: Int = KmIters): Seq[Seq[Double]] =
+    trainCentroidsFrom(embeddings, initCentroids(embeddings, cells), iters)
 
   def kmeansTrainFrom(embeddings: DataFrame, cells: Int = NumCells,
       iters: Int = KmIters): DataFrame = {
@@ -555,6 +624,27 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** q75 — IVF-Flat ANN quantized against the TRAINED codebook: the
+    * q61 → q36 wiring under the driver's hash gate. `trainCentroids`
+    * (seeded init, [[KmIters]] Lloyd iterations, exact-DECIMAL updates)
+    * produces bit-reproducible centroids on any engine at any
+    * parallelism, so the oracle re-derives the identical codebook with
+    * unrolled SQL CTEs and the assignment boundaries — exact double
+    * comparisons against those centroids — hash-match end to end.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    annIvfFrom(e, Some(trainCentroids(e)))
+  }
+
+  /** q76 — SemDeDup against the TRAINED codebook (q61 → q60 wiring),
+    * gated like [[annIvfTrained]].
+    */
+  def semanticDedupTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    semanticDedupFrom(e, codebookOpt = Some(trainCentroids(e)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
     "q26_ann_lsh" -> (annLsh _),
@@ -563,7 +653,9 @@ object Similarity {
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
     "q60_semantic_dedup" -> (semanticDedup _),
-    "q61_kmeans_train" -> (kmeansTrain _))
+    "q61_kmeans_train" -> (kmeansTrain _),
+    "q75_ann_ivf_trained" -> (annIvfTrained _),
+    "q76_semantic_dedup_trained" -> (semanticDedupTrained _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -582,6 +674,39 @@ object Similarity {
   private def planeLit(p: Int): String =
     planeWeights(p).map(w => java.lang.Double.toString(w))
       .mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Oracle fragment: the seed codebook `cent0` plus `iters` unrolled
+    * Lloyd iterations ending in `cent<iters>(c, c_emb)`; iteration i
+    * also leaves its member counts in `n<i>`. Expects a CTE
+    * `e(vec_id, emb, ...)` in scope. One Lloyd iteration against
+    * cent<i-1> = assignment (first-max tie order via the row_number
+    * window) + exact DECIMAL per-dimension means; emptied cells carry
+    * the previous centroid. Shared by q61 / q75 / q76 so the trained
+    * codebook the Spark side collects is re-derived identically.
+    */
+  private def lloydSql(iters: Int): String = {
+    def iterCtes(i: Int): String =
+      s"""s$i AS (SELECT e.vec_id, e.emb, c, list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent${i - 1}),
+         |a$i AS (SELECT vec_id, emb, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s$i),
+         |m$i AS (SELECT vec_id, emb, cell FROM a$i WHERE rn = 1),
+         |ex$i AS (SELECT cell, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM m$i),
+         |cs$i AS (SELECT cell, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex$i GROUP BY cell, pos),
+         |n$i AS (SELECT cell, count(*) AS n FROM m$i GROUP BY cell),
+         |u$i AS (SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+         |  FROM cs$i JOIN n$i USING (cell) GROUP BY cell, n)""".stripMargin
+    val b = new StringBuilder(
+      s"""cent0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+         |          WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells})""".stripMargin)
+    for (i <- 1 to iters)
+      b.append(s""",
+         |${iterCtes(i)},
+         |cent$i AS (SELECT p.c, COALESCE(u$i.centroid, p.c_emb) AS c_emb
+         |           FROM cent${i - 1} p LEFT JOIN u$i ON u$i.cell = p.c)""".stripMargin)
+    b.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "q25_knn_bruteforce" ->
@@ -689,35 +814,56 @@ object Similarity {
          |  (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rank FROM scored)
          |SELECT label, vec_id, cos_centroid, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin,
-    "q61_kmeans_train" -> {
-      // one Lloyd iteration against centroid relation cent<i-1>:
-      // assignment (first-max tie order) + exact decimal per-dim means
-      def iterCtes(i: Int): String =
-        s"""s$i AS (SELECT e.vec_id, e.emb, c, list_inner_product(e.emb, c_emb) AS score
-           |  FROM e CROSS JOIN cent${i - 1}),
-           |a$i AS (SELECT vec_id, emb, c AS cell, row_number() OVER
-           |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s$i),
-           |m$i AS (SELECT vec_id, emb, cell FROM a$i WHERE rn = 1),
-           |ex$i AS (SELECT cell, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM m$i),
-           |cs$i AS (SELECT cell, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
-           |  FROM ex$i GROUP BY cell, pos),
-           |n$i AS (SELECT cell, count(*) AS n FROM m$i GROUP BY cell),
-           |u$i AS (SELECT cell, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
-           |  FROM cs$i JOIN n$i USING (cell) GROUP BY cell, n)""".stripMargin
+    "q61_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cent0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
-         |          WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
-         |${iterCtes(1)},
-         |cent1 AS (SELECT c0.c, COALESCE(u1.centroid, c0.c_emb) AS c_emb
-         |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.c),
-         |${iterCtes(2)},
-         |sel AS (SELECT c1.c AS cell, COALESCE(n2.n, 0) AS n_members,
-         |    COALESCE(u2.centroid, c1.c_emb) AS cc
-         |  FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.c LEFT JOIN n2 ON n2.cell = c1.c)
-         |SELECT cell, n_members,
-         |  round(sqrt(list_inner_product(cc, cc)), 9) AS centroid_norm
-         |FROM sel ORDER BY cell""".stripMargin
-    },
+         |${lloydSql(KmIters)}
+         |SELECT c2.c AS cell, COALESCE(n$KmIters.n, 0) AS n_members,
+         |  round(sqrt(list_inner_product(c2.c_emb, c2.c_emb)), 9) AS centroid_norm
+         |FROM cent$KmIters c2 LEFT JOIN n$KmIters ON n$KmIters.cell = c2.c
+         |ORDER BY cell""".stripMargin,
+    "q75_ann_ivf_trained" ->
+      s"""WITH $eCte,
+         |${lloydSql(KmIters)},
+         |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
+         |    list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent$KmIters),
+         |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+         |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS prn
+         |  FROM scs WHERE vec_id < $NumQueries),
+         |qprobes AS (SELECT query_id, q_emb, q_nrm, c AS probe_cell
+         |  FROM qp WHERE prn <= $NumProbes),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, e.cell,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM ecell e JOIN qprobes q
+         |    ON e.cell = q.probe_cell AND e.vec_id <> q.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q76_semantic_dedup_trained" ->
+      s"""WITH $eCte,
+         |${lloydSql(KmIters)},
+         |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
+         |    list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent$KmIters),
+         |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+         |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1),
+         |pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM ecell x JOIN ecell y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) >= ${java.lang.Double.toString(SemDupMin)}),
+         |part AS (SELECT va AS vec_id, vb AS p FROM pairs
+         |         UNION ALL SELECT vb, va FROM pairs),
+         |g AS (SELECT vec_id, count(*) AS n_dups, min(p) AS min_p
+         |      FROM part GROUP BY vec_id)
+         |SELECT e.vec_id, e.cell, COALESCE(g.n_dups, 0) AS n_dups,
+         |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
+         |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "q38_embedding_neardup" -> {
       val arms = (0 until NearDupFamilies).map { f =>
         val bucket = (0 until NearDupPlanesPerFamily)

@@ -269,6 +269,40 @@ class SimilaritySpec extends AnyFunSpec {
         x.getAs[Int]("cell") < Similarity.NumCells))
     }
 
+    describe("seedless k-means|| init (arbitrary vec_ids)") {
+      // ids 1000+ — no vector inside the [SeedBase, SeedBase+k) window
+      lazy val eNoSeeds = spark.range(1000, 1200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(pmod(id * 131 + j * 17, 23) - 11 AS FLOAT)) AS embedding",
+        "CAST(id % 3 AS INT) AS label")
+
+      it("initializes a full codebook where the seeded path fails") {
+        intercept[IllegalArgumentException] { Similarity.trainCentroids(eNoSeeds) }
+        val init = Similarity.initCentroids(eNoSeeds)
+        assert(init.size == Similarity.NumCells)
+        assert(init.forall(_.size == 64))
+        assert(init.distinct.size == init.size, "k-center init must pick distinct centroids")
+      }
+
+      it("is invariant to input partitioning") {
+        val a = Similarity.initCentroids(eNoSeeds)
+        val b = Similarity.initCentroids(eNoSeeds.repartition(7))
+        assert(a == b)
+      }
+
+      it("trains and slots into the codebook consumers") {
+        val trained = Similarity.trainCentroidsSeedless(eNoSeeds)
+        assert(trained.size == Similarity.NumCells)
+        assert(trained != Similarity.initCentroids(eNoSeeds),
+          "Lloyd iterations must move the init centroids")
+        val sem = Similarity.semanticDedupFrom(eNoSeeds,
+          codebookOpt = Some(trained)).collect()
+        assert(sem.length == 200)
+        assert(sem.forall(x => x.getAs[Int]("cell") >= 0 &&
+          x.getAs[Int]("cell") < Similarity.NumCells))
+      }
+    }
+
     it("fails loudly when the seed vectors are missing") {
       val e = spark.range(0, 5).selectExpr("id AS vec_id",
         "transform(sequence(0, 63), j -> CAST(0.1 AS FLOAT)) AS embedding",
