@@ -283,6 +283,28 @@ object Analytics {
     "q66_item_cooccurrence" -> (itemCooccurrence _),
     "q73_value_outliers" -> (valueOutliers _))
 
+  /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: the
+    * oracle's q44 text is the degenerate TRUE-literal form because
+    * DuckDB has no HLL++/KLL twin — the Spark SQL form computes the
+    * real sketches and bounds, exactly like the DataFrame form).
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q44_approx_stats" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    approx_count_distinct(user_id, 0.01) AS approx_users,
+        |    count(DISTINCT user_id) AS exact_users,
+        |    percentile_approx(value, 0.9, 10000) AS p90_approx,
+        |    percentile(value, 0.9) AS p90_exact,
+        |    percentile(value, 0.85) AS p85_exact,
+        |    percentile(value, 0.95) AS p95_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, exact_users,
+        |  (abs(approx_users - exact_users) <= exact_users * 0.05) AS users_ok,
+        |  p90_exact,
+        |  (p90_approx >= p85_exact AND p90_approx <= p95_exact) AS p90_ok
+        |FROM a ORDER BY event_type""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "q73_value_outliers" ->
       s"""WITH m AS (SELECT event_type, median(value) AS med

@@ -358,6 +358,49 @@ object Dedup {
          |FROM cc JOIN sized USING (cluster_id)
          |ORDER BY doc_id""".stripMargin)
 
+  /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
+    * the oracle texts: the SQL user gets the same native-kernel plan the
+    * DataFrame API runs (`minhash_band_keys` / `simhash32` /
+    * `sorted_shingle_hashes` / `sorted_intersect_count` are registered
+    * session functions), not the exploded textbook shape the
+    * single-threaded oracle uses — bit-equality with the DataFrame form
+    * is by construction, and `SqlSurfaceSpec` asserts it.
+    */
+  val sparkSql: Map[String, String] = {
+    val bandsCte =
+      """b AS (
+        |  SELECT doc_id, band_id, band_key FROM documents
+        |  LATERAL VIEW posexplode(minhash_band_keys(text)) t AS band_id, band_key),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM b a JOIN b c
+        |    ON a.band_id = c.band_id AND a.band_key = c.band_key
+        |   AND a.doc_id < c.doc_id)""".stripMargin
+    Map(
+      "q22_minhash_candidates" ->
+        s"""WITH $bandsCte
+           |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+      "q23_simhash" ->
+        """SELECT doc_id, simhash32(text) AS simhash32
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q24_ngram_jaccard" ->
+        s"""WITH $bandsCte,
+           |sh0 AS (SELECT doc_id, sorted_shingle_hashes(text) AS sh FROM documents),
+           |sh AS (SELECT * FROM sh0 WHERE size(sh) > 0),
+           |j AS (SELECT doc_a, doc_b,
+           |    sorted_intersect_count(x.sh, y.sh) AS n_common,
+           |    CAST(size(x.sh) AS BIGINT) AS sz_a,
+           |    CAST(size(y.sh) AS BIGINT) AS sz_b
+           |  FROM pairs JOIN sh x ON x.doc_id = doc_a
+           |             JOIN sh y ON y.doc_id = doc_b),
+           |jac AS (SELECT doc_a, doc_b,
+           |    round(CAST(n_common AS DOUBLE) /
+           |      nullif(sz_a + sz_b - n_common, 0), 9) AS jaccard
+           |  FROM j)
+           |SELECT doc_a, doc_b, jaccard FROM jac
+           |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Shared q24/q54 oracle fragment: `jac` = per-candidate-pair shingle
     * Jaccard (expects `toks` + `pairs` CTEs in scope).
     */

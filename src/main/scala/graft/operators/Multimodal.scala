@@ -140,6 +140,20 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _))
 
+  /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
+    * spells the binary length/hash as `encode`/`sha256`, Spark as a
+    * BINARY cast + `sha2`).
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q30_media_meta" ->
+      """WITH s AS (SELECT doc_id, octet_length(text) AS n_bytes,
+        |    sha2(CAST(text AS BINARY), 256) AS sha FROM documents)
+        |SELECT doc_id, n_bytes, sha,
+        |  64 + CAST(conv(substring(sha, 1, 6), 16, 10) AS BIGINT) % 1217 AS width,
+        |  64 + CAST(conv(substring(sha, 7, 6), 16, 10) AS BIGINT) % 961 AS height,
+        |  1 + CAST(conv(substring(sha, 13, 6), 16, 10) AS BIGINT) % 32 AS n_frames
+        |FROM s ORDER BY doc_id""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "q30_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -708,6 +708,107 @@ object Similarity {
     b.toString
   }
 
+  /** Spark-SQL twin of [[lloydSql]]: the same unrolled Lloyd iterations
+    * through the registered native kernels (`dot_product` assignment,
+    * `vector_sum_dec` exact-DECIMAL update) — the plan shape the
+    * DataFrame path runs, now reachable from SQL text. Ends in
+    * `cent<iters>(c, c_emb)` with member counts in `n<iters>`.
+    */
+  private def lloydSparkSql(iters: Int): String = {
+    def iterCtes(i: Int): String =
+      s"""s$i AS (SELECT e.vec_id, e.emb, c, dot_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent${i - 1}),
+         |a$i AS (SELECT vec_id, emb, c AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM s$i),
+         |m$i AS (SELECT vec_id, emb, cell FROM a$i WHERE rn = 1),
+         |u$i AS (SELECT cell, count(1) AS n,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM m$i GROUP BY cell),
+         |n$i AS (SELECT cell, n FROM u$i),
+         |uu$i AS (SELECT cell, transform(sumv, x -> CAST(x AS DOUBLE) / n) AS centroid
+         |  FROM u$i),
+         |cent$i AS (SELECT p.c, COALESCE(uu$i.centroid, p.c_emb) AS c_emb
+         |           FROM cent${i - 1} p LEFT JOIN uu$i ON uu$i.cell = p.c)""".stripMargin
+    val b = new StringBuilder(
+      s"""cent0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+         |          WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells})""".stripMargin)
+    for (i <- 1 to iters) b.append(",\n" + iterCtes(i))
+    b.toString
+  }
+
+  private val eSparkCte =
+    "e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings)"
+
+  /** Shared q75/q76 fragment: cell assignment of the full corpus against
+    * the trained codebook (first-max tie order via the window).
+    */
+  private def ecellSparkSql(iters: Int): String =
+    s"""scs AS (SELECT e.vec_id, e.emb, c, dot_product(e.emb, c_emb) AS score
+       |  FROM e CROSS JOIN cent$iters),
+       |asg AS (SELECT vec_id, emb, c AS cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+       |ecell AS (SELECT vec_id, emb, cell FROM asg WHERE rn = 1)""".stripMargin
+
+  /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites:
+    * the iterative/collect-based queries, expressed through the
+    * registered native kernels so the SQL user runs the same plan
+    * family as the DataFrame API (`SqlSurfaceSpec` gates bit-equality).
+    */
+  val sparkSql: Map[String, String] = Map(
+    "q56_centroid_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings),
+         |cs AS (SELECT label, count(1) AS n,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY label),
+         |cent AS (SELECT label, transform(sumv, x -> CAST(x AS DOUBLE) / n) AS centroid
+         |  FROM cs),
+         |scored AS (SELECT e.label, e.vec_id,
+         |    round(cosine_similarity(emb, centroid), 9) AS cos_centroid
+         |  FROM e JOIN cent USING (label)),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY label ORDER BY cos_centroid, vec_id) AS rank FROM scored)
+         |SELECT label, vec_id, cos_centroid, rank FROM rk
+         |WHERE rank <= $OutlierK ORDER BY label, rank""".stripMargin,
+    "q61_kmeans_train" ->
+      s"""WITH $eSparkCte,
+         |${lloydSparkSql(KmIters)}
+         |SELECT cc.c AS cell, COALESCE(nn.n, 0) AS n_members,
+         |  round(sqrt(dot_product(cc.c_emb, cc.c_emb)), 9) AS centroid_norm
+         |FROM cent$KmIters cc LEFT JOIN n$KmIters nn ON nn.cell = cc.c
+         |ORDER BY cell""".stripMargin,
+    "q75_ann_ivf_trained" ->
+      s"""WITH $eSparkCte,
+         |${lloydSparkSql(KmIters)},
+         |${ecellSparkSql(KmIters)},
+         |qp AS (SELECT vec_id AS query_id, emb AS q_emb, c, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS prn
+         |  FROM scs WHERE vec_id < $NumQueries),
+         |qprobes AS (SELECT query_id, q_emb, c AS probe_cell FROM qp WHERE prn <= $NumProbes),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id, e.cell,
+         |    round(cosine_similarity(q_emb, emb), 9) AS cosine
+         |  FROM ecell e JOIN qprobes q
+         |    ON e.cell = q.probe_cell AND e.vec_id <> q.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cell, cosine, rank FROM rk
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "q76_semantic_dedup_trained" ->
+      s"""WITH $eSparkCte,
+         |${lloydSparkSql(KmIters)},
+         |${ecellSparkSql(KmIters)},
+         |pairs AS (SELECT x.vec_id AS va, y.vec_id AS vb
+         |  FROM ecell x JOIN ecell y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE cosine_similarity(x.emb, y.emb) >= ${java.lang.Double.toString(SemDupMin)}),
+         |part AS (SELECT va AS vec_id, vb AS p FROM pairs
+         |         UNION ALL SELECT vb, va FROM pairs),
+         |g AS (SELECT vec_id, count(1) AS n_dups, min(p) AS min_p
+         |      FROM part GROUP BY vec_id)
+         |SELECT e.vec_id, e.cell, COALESCE(g.n_dups, 0) AS n_dups,
+         |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
+         |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "q25_knn_bruteforce" ->
       s"""WITH $eCte,
