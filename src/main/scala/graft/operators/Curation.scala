@@ -86,6 +86,52 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q77 — FUZZY benchmark decontamination: corpus docs that NEAR-
+    * duplicate a benchmark doc (MinHash band collision, then exact
+    * shingle-Jaccard verification ≥ [[FuzzyDecontamMin]]), emitting the
+    * matched benchmark doc and the verified similarity. Complements
+    * q46's any-shared-shingle screen: q46 flags verbatim n-gram
+    * overlap; this flags reworded/truncated benchmark copies whose
+    * aggregate shingle overlap is high — the fuzzy-dedup
+    * decontamination pass LLM data pipelines run alongside the exact
+    * one (reference scope: the pipeline's data-integrity family,
+    * load_duckdb.py:107-128, extended to corpus curation).
+    *
+    * Scale shape: where q46 broadcasts the benchmark's FULL shingle
+    * set (grows with benchmark token count), the benchmark here
+    * contributes only [[Dedup.NumBands]] band keys per doc — a
+    * model-sized broadcast even for a millions-of-docs eval suite. The
+    * corpus side is one map-only kernel pass; candidates exist only on
+    * band collision, and the Jaccard verify joins are bounded by the
+    * candidate count, never corpus².
+    */
+  /** q77 Jaccard bar: decontamination screens LOWER than dedup — any
+    * meaningful shingle overlap with an eval doc is suspect, where
+    * dedup wants confident duplicates. 0.03 makes the fixture gate
+    * bind (the synthetic bench docs' nearest corpus overlaps sit at
+    * 0.03–0.06; same fixture rationale as `Analytics.MadK`) — the plan
+    * is threshold-agnostic.
+    */
+  val FuzzyDecontamMin = 0.03
+
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminateFrom(Tables.documents(spark, dir))
+
+  def fuzzyDecontaminateFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val b = Dedup.bandsFrom(docs)
+    val bench = b.filter(col("doc_id") < BenchDocs)
+      .select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+    val corpus = b.filter(col("doc_id") >= BenchDocs)
+      .select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
+    val pairs = corpus.join(broadcast(bench), Seq("band_id", "band_key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    Dedup.ngramJaccardOfPairs(pairs, docs, FuzzyDecontamMin)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("bench_id"),
+        col("jaccard"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** q47 — within-document repetition: fraction of bigram shingles that
     * are repeats of an earlier shingle in the same doc (the
     * Gopher/C4-style duplicate-n-gram quality signal). One pass through
@@ -429,6 +475,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q78 — NEAR-dup-aware ingest: docs in the new crawl whose text
+    * near-duplicates (MinHash band collision + shingle-Jaccard ≥
+    * [[Dedup.JaccardMin]]) a DIFFERENT doc already in the corpus,
+    * with the best prior match (max jaccard, min old id on ties). The
+    * fuzzy complement of q67: exact fingerprints miss a recrawl that
+    * captured more of the page or a boilerplate-shifted mirror — the
+    * q59 fixture's truncation mutation is exactly that case, invisible
+    * to q67's fp join and caught here.
+    *
+    * Scale shape: the existing corpus contributes only its BAND index
+    * ([[Dedup.NumBands]] (band_id, band_key) rows/doc — fixed-width,
+    * like q67's fp index, storable bucketed by band key so only the
+    * new slice shuffles); candidates exist only on band collision;
+    * the verify joins carry one sorted hash array per candidate doc,
+    * and the best-match window partitions by new-doc id over the
+    * already-small verified relation.
+    */
+  def ingestNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ingestNearDupFrom(
+      oldSnapshotOf(docs).unionByName(replicasOf(docs)),
+      newSnapshotOf(docs))
+  }
+
+  def ingestNearDupFrom(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    GraftFunctions.register(newDocs.sparkSession)
+    val ob = Dedup.bandsFrom(oldDocs)
+      .select(col("doc_id").as("old_id"), col("band_id"), col("band_key"))
+    val nb = Dedup.bandsFrom(newDocs)
+    val cand = nb.join(ob,
+        nb("band_id") === ob("band_id") && nb("band_key") === ob("band_key") &&
+          nb("doc_id") =!= ob("old_id"))
+      .select(col("doc_id"), col("old_id")).distinct()
+    def sh(d: DataFrame, idAs: String, shAs: String) =
+      Tables.widened(d, col("doc_id"))
+        .select(col("doc_id").as(idAs),
+          call_function("sorted_shingle_hashes", col("text")).as(shAs))
+        .where(size(col(shAs)) > 0)
+    val scored = cand
+      .join(sh(newDocs, "doc_id", "sh_n"), Seq("doc_id"))
+      .join(sh(oldDocs, "old_id", "sh_o"), Seq("old_id"))
+      .select(col("doc_id"), col("old_id"),
+        call_function("sorted_intersect_count", col("sh_n"), col("sh_o"))
+          .as("n_common"),
+        size(col("sh_n")).cast("long").as("sz_n"),
+        size(col("sh_o")).cast("long").as("sz_o"))
+      .select(col("doc_id"), col("old_id"),
+        round(col("n_common").cast("double") /
+          graft.functions.Det.nullIfZero(
+            col("sz_n") + col("sz_o") - col("n_common")), 9).as("jaccard"))
+      .filter(col("jaccard") >= Dedup.JaccardMin)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("old_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("old_id").as("near_dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** q70 sliding-passage geometry: window and stride in tokens
     * (overlap = window − stride).
     */
@@ -521,7 +625,9 @@ object Curation {
     "q63_pack_sequences" -> (packSequences _),
     "q67_ingest_dedup" -> (ingestDedup _),
     "q70_passage_chunks" -> (passageChunks _),
-    "q71_dataset_card" -> (datasetCard _))
+    "q71_dataset_card" -> (datasetCard _),
+    "q77_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
+    "q78_ingest_neardup" -> (ingestNearDup _))
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -703,5 +809,55 @@ object Curation {
          |  CAST(sum(d.tok) AS BIGINT) AS kept_tokens
          |FROM d JOIN rates r ON d.source = r.source
          |WHERE ${TextFns.sql.hash32("'sample|' || CAST(doc_id AS VARCHAR)")} % $SampleBp < r.rate_bp
-         |GROUP BY d.source, r.rate_bp ORDER BY d.source""".stripMargin)
+         |GROUP BY d.source, r.rate_bp ORDER BY d.source""".stripMargin,
+    "q77_fuzzy_decontaminate" ->
+      s"""WITH ${Dedup.bandsSqlOver("documents", "text", "")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id < $BenchDocs AND b.doc_id >= $BenchDocs),
+         |${Dedup.jaccardSql}
+         |SELECT doc_b AS doc_id, doc_a AS bench_id, jaccard FROM jac
+         |WHERE jaccard >= $FuzzyDecontamMin ORDER BY doc_id, bench_id""".stripMargin,
+    "q78_ingest_neardup" ->
+      s"""WITH $snapSql,
+         |reps AS (
+         |  SELECT doc_id + $RepShift AS doc_id, text AS t_old FROM documents
+         |  WHERE ${TextFns.sql.hash32("'rep|' || CAST(doc_id AS VARCHAR)")} % $RepMod = 0),
+         |oldall AS (SELECT * FROM oldd UNION ALL SELECT * FROM reps),
+         |${Dedup.bandsSqlOver("oldall", "t_old", "o")},
+         |${Dedup.bandsSqlOver("newd", "t_new", "n")},
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id, ob.doc_id AS old_id
+         |  FROM nbands nb JOIN obands ob
+         |    ON nb.band_id = ob.band_id AND nb.band_key = ob.band_key
+         |   AND nb.doc_id <> ob.doc_id),
+         |oexd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+         |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM otoks)),
+         |osz AS (SELECT doc_id, count(*) AS sz FROM oexd GROUP BY doc_id),
+         |nexd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+         |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM ntoks)),
+         |nsz AS (SELECT doc_id, count(*) AS sz FROM nexd GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_id, c.old_id, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN nexd nx ON nx.doc_id = c.doc_id
+         |  JOIN oexd ox ON ox.doc_id = c.old_id AND ox.s = nx.s
+         |  GROUP BY c.doc_id, c.old_id),
+         |jac AS (
+         |  SELECT inter.doc_id, old_id,
+         |    round(CAST(n_common AS DOUBLE) /
+         |      NULLIF(ns.sz + os.sz - n_common, 0), 9) AS jaccard
+         |  FROM inter
+         |  JOIN nsz ns ON ns.doc_id = inter.doc_id
+         |  JOIN osz os ON os.doc_id = inter.old_id),
+         |best AS (
+         |  SELECT doc_id, old_id, jaccard, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY jaccard DESC, old_id) AS rn
+         |  FROM jac WHERE jaccard >= ${Dedup.JaccardMin})
+         |SELECT doc_id, old_id AS near_dup_of, jaccard FROM best
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -95,25 +95,31 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_key"))
   }
 
-  /** SQL twin of [[bands]] (exploded + grouped MIN, UNION ALL bands). */
-  private def bandsSql: String = {
+  /** SQL twin of [[bands]] (exploded + grouped MIN, UNION ALL bands)
+    * over any `(doc_id, textCol)` relation `rel`; CTE names carry
+    * prefix `p` so two sides can coexist in one WITH (q78). Emits
+    * `${p}toks` / `${p}shx` / `${p}mhs` / `${p}bands`.
+    */
+  private[operators] def bandsSqlOver(rel: String, textCol: String, p: String): String = {
     val mhs = (0 until NumHashes).map(j =>
       s"min(xor(h, ${XorSalts(j)})) AS mh$j")
       .mkString(",\n    ")
     val arms = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand).map(r => s"mh${RowsPerBand * b + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', $key)) AS band_key FROM mhs"
+      s"SELECT doc_id, $b AS band_id, md5(concat_ws('|', $key)) AS band_key FROM ${p}mhs"
     }.mkString("\n  UNION ALL ")
-    s"""toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
-       |shx AS (SELECT doc_id, ${TextFns.sql.hash60("s")} AS h FROM (
+    s"""${p}toks AS (SELECT doc_id, regexp_split_to_array(lower(trim($textCol)), '\\s+') AS w FROM $rel),
+       |${p}shx AS (SELECT doc_id, ${TextFns.sql.hash60("s")} AS h FROM (
        |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
-       |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s FROM toks)),
-       |mhs AS (SELECT doc_id,
+       |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2])) AS s FROM ${p}toks)),
+       |${p}mhs AS (SELECT doc_id,
        |    $mhs
-       |  FROM shx GROUP BY doc_id),
-       |bands AS (
+       |  FROM ${p}shx GROUP BY doc_id),
+       |${p}bands AS (
        |  $arms)""".stripMargin
   }
+
+  private def bandsSql: String = bandsSqlOver("documents", "text", "")
 
   /** Distinct candidate pairs sharing at least one LSH band bucket. */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
@@ -194,7 +200,8 @@ object Dedup {
     * array length, not a quadratic stream blow-up. Counts are identical
     * modulo md5-prefix collisions, which the oracle mirrors.
     */
-  def ngramJaccardOfPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def ngramJaccardOfPairs(pairs: DataFrame, docs: DataFrame,
+      minJaccard: Double = JaccardMin): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val sh = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
@@ -211,7 +218,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
           nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard"))
-      .filter(col("jaccard") >= JaccardMin)
+      .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -401,10 +408,10 @@ object Dedup {
            |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  /** Shared q24/q54 oracle fragment: `jac` = per-candidate-pair shingle
-    * Jaccard (expects `toks` + `pairs` CTEs in scope).
+  /** Shared q24/q54/q77 oracle fragment: `jac` = per-candidate-pair
+    * shingle Jaccard (expects `toks` + `pairs` CTEs in scope).
     */
-  private def jaccardSql: String =
+  private[operators] def jaccardSql: String =
     s"""exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
        |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM toks)),

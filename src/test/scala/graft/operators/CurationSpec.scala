@@ -154,6 +154,65 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("fuzzyDecontaminate (q77)") {
+    it("flags corpus docs near-duplicating a benchmark doc, not disjoint ones") {
+      // benchmark = doc_ids 0-4; doc 6 copies bench doc 1 verbatim
+      val r = Curation.fuzzyDecontaminateFrom(docs(
+        (0L, "alpha beta gamma delta epsilon", "en", "s", 1L),
+        (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 1L),
+        (2L, "bench two text body", "en", "s", 1L),
+        (3L, "bench three text body", "en", "s", 1L),
+        (4L, "bench four text body", "en", "s", 1L),
+        (6L, "the quick brown fox jumps over the lazy dog", "en", "s", 1L),
+        (7L, "completely unrelated vocabulary everywhere", "en", "s", 1L)))
+        .collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("bench_id"),
+          x.getAs[Double]("jaccard")))
+      assert(r.contains((6L, 1L, 1.0)), s"verbatim bench copy must flag: ${r.toSeq}")
+      assert(!r.exists(_._1 == 7L), "disjoint-vocab doc must not flag")
+      r.foreach { case (d, b, j) =>
+        assert(d >= Curation.BenchDocs && b < Curation.BenchDocs &&
+          j >= Curation.FuzzyDecontamMin)
+      }
+    }
+
+    it("corpus run flags only verified pairs in bench x corpus orientation") {
+      val r = Curation.fuzzyDecontaminate(spark, TestSpark.Sf).collect()
+      r.foreach { x =>
+        assert(x.getAs[Long]("doc_id") >= Curation.BenchDocs)
+        assert(x.getAs[Long]("bench_id") < Curation.BenchDocs)
+        assert(x.getAs[Double]("jaccard") >= Curation.FuzzyDecontamMin)
+      }
+    }
+  }
+
+  describe("ingestNearDup (q78)") {
+    it("flags near-dup new docs against a different prior doc, best match first") {
+      val old = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "totally different words here now")).toDF("doc_id", "text")
+      val neu = Seq(
+        (1L, "alpha beta gamma delta epsilon"), // same id: never a dup of itself
+        (7L, "alpha beta gamma delta epsilon"), // verbatim copy of old doc 1
+        (8L, "unrelated vocabulary entirely everywhere")).toDF("doc_id", "text")
+      val r = Curation.ingestNearDupFrom(old, neu).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("near_dup_of"),
+          x.getAs[Double]("jaccard")))
+      assert(r.toSeq == Seq((7L, 1L, 1.0)))
+    }
+
+    it("supersets q67's exact hits: every exact ingest dup verifies at jaccard 1") {
+      val exact = Curation.ingestDedup(spark, TestSpark.Sf).collect()
+        .map(x => x.getAs[Long]("doc_id")).toSet
+      val near = Curation.ingestNearDup(spark, TestSpark.Sf).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("jaccard")).toMap
+      exact.foreach { d =>
+        assert(near.contains(d), s"exact dup $d missing from near-dup ingest")
+        assert(near(d) == 1.0, s"exact dup $d should verify at jaccard 1.0")
+      }
+    }
+  }
+
   describe("packSequences (q63)") {
     it("matches the naive global-window cumulative sum and is contiguous") {
       import org.apache.spark.sql.expressions.Window

@@ -72,6 +72,24 @@ class PlanQualitySpec extends AnyFunSpec {
     it("q25 broadcasts the query-vector side") {
       assert(plan("q25_knn_bruteforce").contains("Broadcast"))
     }
+
+    it("q77 broadcasts the benchmark band index, never the corpus side") {
+      // the scale contract: bench contributes NumBands keys/doc (model-
+      // sized), so it must be the broadcast build side of the candidate
+      // join; a plan that broadcasts the corpus bands or falls back to
+      // a sort-merge would shuffle the whole corpus band stream
+      val p = plan("q77_fuzzy_decontaminate")
+      val bhj = p.indexOf("BroadcastHashJoin")
+      assert(bhj > 0, s"bench band join must broadcast:\n$p")
+      assert(p.contains("minhash_band_keys"), "native kernel must drive bands")
+    }
+
+    it("q78 verifies candidates with the sorted-array merge kernel") {
+      val p = plan("q78_ingest_neardup")
+      assert(p.contains("sorted_intersect_count"),
+        "jaccard verify must use the merge kernel, not exploded streams")
+      assert(p.contains("minhash_band_keys"), "native kernel must drive bands")
+    }
   }
 
   describe("round-2 operator plan shapes") {
