@@ -172,14 +172,55 @@ object EventStream {
     */
   def streamedRates(spark: SparkSession, dir: String): DataFrame = {
     runAvailableNow(spark, dir, "graft_q49_sink")
+    horizonFiltered(spark, dir, "graft_q49_sink")
+  }
+
+  /** Shared q49/q79 tail: restrict a drained window-rate sink to the
+    * windows strictly inside the final watermark horizon (one
+    * metadata-scale max-ts row collected to compute the horizon).
+    */
+  private def horizonFiltered(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
     import graft.sources.Tables
     val maxUs = Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     val wmUs = (maxUs / 1000 - WatermarkMs) * 1000
-    spark.table("graft_q49_sink")
+    spark.table(table)
       .filter(unix_micros(col("window_start")) + WindowUs < wmUs)
       .select("window_start", "event_type", "n_events", "sum_value")
       .orderBy("window_start", "event_type")
+  }
+
+  /** 1 in [[ReplayMod]] event ids is re-delivered verbatim in the q79
+    * fixture — the at-least-once duplicate a real event bus produces.
+    * Hash-picked by stable event_id, never rand(): the replay set must
+    * not move between runs or repartitions (the q45 discipline).
+    */
+  val ReplayMod = 5
+
+  /** q79 — the stream-dedup stage under the driver's hash gate, proven
+    * against PLANTED duplicates: the source unioned with an exact
+    * replay of 1 in [[ReplayMod]] events flows through the SAME
+    * watermarked `dropDuplicatesWithinWatermark` + window pipeline as
+    * q49 and must produce identical windows, because every replayed row
+    * is an exact copy of an event_id inside the lateness horizon. q49
+    * gates the aggregation but its fixture event_ids are unique, so
+    * there the dedup state never fires; here a silently-broken dedup
+    * inflates 1-in-[[ReplayMod]] counts and the hash gate catches it.
+    * The oracle is the q49 text over the raw table.
+    *
+    * Scale shape: dedup state is one compact entry per event_id within
+    * the 10-minute horizon, watermark-evicted — exactly the bound an
+    * unbounded at-least-once feed needs; the replay branch is a second
+    * map-side read of the same files, no extra shuffle before the
+    * window aggregation.
+    */
+  def streamedDedupRates(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir)
+    val replayed = src.filter(graft.functions.TextFns.hash32(
+      concat(lit("replay|"), col("event_id").cast("string"))) % ReplayMod === 0)
+    drain(windowedRates(src.unionByName(replayed)), "graft_q79_sink")
+    horizonFiltered(spark, dir, "graft_q79_sink")
   }
 
   private val WatermarkMs = 10L * 60 * 1000
@@ -241,23 +282,32 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_rates" -> (streamedRates _),
     "q50_stream_range_join" -> (streamedRangeJoin _),
-    "q65_stream_topk" -> (streamedTopK _))
+    "q65_stream_topk" -> (streamedTopK _),
+    "q79_stream_dedup" -> (streamedDedupRates _))
+
+  /** Shared q49/q79 reference text: same horizon arithmetic as
+    * [[streamedRates]] — watermark = ms-floored max event time minus
+    * 10 min; keep windows with end strictly below.
+    */
+  private val ratesOracle =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events),
+      |agg AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+      |FROM agg a, wm
+      |WHERE epoch_us(a.window_start) + 300000000 < wm.wm_us
+      |ORDER BY a.window_start, a.event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // same horizon arithmetic as streamedRates: watermark = ms-floored
-    // max event time minus 10 min; keep windows with end strictly below
-    "q49_stream_rates" ->
-      """WITH wm AS (
-        |  SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events),
-        |agg AS (
-        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
-        |    count(*) AS n_events,
-        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |  FROM events GROUP BY 1, 2)
-        |SELECT a.window_start, a.event_type, a.n_events, a.sum_value
-        |FROM agg a, wm
-        |WHERE epoch_us(a.window_start) + 300000000 < wm.wm_us
-        |ORDER BY a.window_start, a.event_type""".stripMargin,
+    "q49_stream_rates" -> ratesOracle,
+    // the replayed duplicates must vanish, so the reference answer is
+    // the SAME raw-table aggregation as q49 — a broken dedup inflates
+    // 1-in-ReplayMod counts and hash-mismatches
+    "q79_stream_dedup" -> ratesOracle,
     "q50_stream_range_join" ->
       """SELECT p.event_id, p.user_id, p.ts, c.ts AS c_ts, c.value AS c_value
         |FROM events p JOIN events c

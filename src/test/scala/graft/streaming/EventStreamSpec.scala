@@ -33,6 +33,16 @@ class EventStreamSpec extends AnyFunSpec {
     }
   }
 
+  describe("streamedDedupRates (q79)") {
+    it("planted replays vanish: the duplicated stream equals the clean one") {
+      val clean = EventStream.streamedRates(spark, sf).collect().toSeq
+      val deduped = EventStream.streamedDedupRates(spark, sf).collect().toSeq
+      assert(clean.nonEmpty)
+      assert(deduped == clean,
+        "replayed event_ids must be dropped by dropDuplicatesWithinWatermark")
+    }
+  }
+
   describe("purchaseClickJoin (streaming twin of batch q40)") {
     it("a drained run emits exactly the batch inner-join pairs") {
       EventStream.runIntervalJoin(spark, sf, "stream_q40")
