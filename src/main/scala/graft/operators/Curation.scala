@@ -418,6 +418,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Training shards the q81 shuffle deals sequences into. */
+  val NumShards = 8
+
+  /** q81 — deterministic training-order shuffle + epoch sharding: every
+    * packed sequence (q63) gets a shard and a dense position within it,
+    * in salted-hash order — the "global shuffle" step between packing
+    * and training. Hash-ordered, never rand() (the q45 discipline: the
+    * order must not move under re-runs or repartitioning), so any
+    * worker can recompute its read plan from the corpus alone.
+    *
+    * Scale shape: dense per-shard positions WITHOUT a per-shard global
+    * window (8 corpus-sized window partitions would serialize the
+    * sort): the q63 two-phase prefix trick generalized to mod-sharding
+    * — bucket by hash RANGE (`pid`, contiguous in the shuffle order),
+    * count per (pid, shard) (collected: O(partitions × shards) rows,
+    * metadata-scale), prefix-sum to per-bucket offsets, then number
+    * inside each (pid, shard) cell — each cell is corpus/(p·shards),
+    * shrinking as the cluster grows.
+    */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame =
+    shuffleShardsFrom(packSequencesFrom(Tables.documents(spark, dir)))
+
+  def shuffleShardsFrom(manifest: DataFrame): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val seqs = manifest
+      .select(explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .groupBy("seq_id").agg(count(lit(1)).as("n_docs"))
+      .withColumn("h", TextFns.hash60(
+        concat(lit("shard|"), col("seq_id").cast("string"))))
+      .withColumn("shard", (col("h") % NumShards).cast("int"))
+    val p = spark.sparkContext.defaultParallelism.toLong
+    val width = math.max(1L, (1L << 60) / p) // hash60 ∈ [0, 2^60)
+    val b = seqs.withColumn("pid", expr(s"h div $width"))
+    // per-(pid, shard) counts: O(p × shards) rows — model-sized collect
+    val counts = b.groupBy("pid", "shard").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (pid, shard, _) => (shard, pid) }
+    val offs = {
+      var acc = 0L; var prevShard = -1
+      counts.map { case (pid, shard, c) =>
+        if (shard != prevShard) { acc = 0L; prevShard = shard }
+        val o = acc; acc += c; (pid, shard, o)
+      }
+    }
+    val w = Window.partitionBy("pid", "shard").orderBy("h", "seq_id")
+    b.join(broadcast(offs.toSeq.toDF("pid", "shard", "off")),
+        Seq("pid", "shard"))
+      .withColumn("shard_pos", col("off") + row_number().over(w) - 1)
+      .select(col("seq_id"), col("shard"), col("shard_pos"), col("n_docs"))
+      .orderBy("shard", "shard_pos")
+  }
+
   /** Normalized-text 128-bit fingerprint — the q21/q39 normalization
     * (lowercase, strip non-alphanumerics, collapse whitespace) hashed
     * with md5.
@@ -627,7 +681,22 @@ object Curation {
     "q70_passage_chunks" -> (passageChunks _),
     "q71_dataset_card" -> (datasetCard _),
     "q77_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
-    "q78_ingest_neardup" -> (ingestNearDup _))
+    "q78_ingest_neardup" -> (ingestNearDup _),
+    "q81_shuffle_shards" -> (shuffleShards _))
+
+  /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
+    * the exact running total in doc_id order (the single-threaded twin
+    * of the two-phase prefix scan in [[packSequencesFrom]]).
+    */
+  private val packSql =
+    s"""d AS (
+       |  SELECT doc_id, CAST(len(${TextFns.sql.toks}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |f AS (SELECT * FROM d WHERE n_tokens >= 1),
+       |c AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)""".stripMargin
 
   /** Shared oracle fragment: per-doc distinct bigram-shingle 60-bit
     * hashes (same dialect as the q24 jaccard oracle).
@@ -772,14 +841,7 @@ object Curation {
         s"'pc|' || array_to_string(list_slice(w, start_tok + 1, start_tok + n_tokens), ' ')")} AS chunk_hash
          |FROM geo ORDER BY doc_id, chunk_idx""".stripMargin,
     "q63_pack_sequences" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, CAST(len(${TextFns.sql.toks}) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |f AS (SELECT * FROM d WHERE n_tokens >= 1),
-         |c AS (SELECT doc_id, n_tokens,
-         |    sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM f)
+      s"""WITH $packSql
          |SELECT doc_id, n_tokens,
          |  CAST(cum - n_tokens AS BIGINT) AS start_off,
          |  CAST((cum - n_tokens) // $SeqTokens AS BIGINT) AS seq_first,
@@ -859,5 +921,22 @@ object Curation {
          |      (PARTITION BY doc_id ORDER BY jaccard DESC, old_id) AS rn
          |  FROM jac WHERE jaccard >= ${Dedup.JaccardMin})
          |SELECT doc_id, old_id AS near_dup_of, jaccard FROM best
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q81_shuffle_shards" ->
+      s"""WITH $packSql,
+         |man AS (SELECT doc_id,
+         |    CAST((cum - n_tokens) // $SeqTokens AS BIGINT) AS seq_first,
+         |    CAST((cum - 1) // $SeqTokens AS BIGINT) AS seq_last
+         |  FROM c),
+         |sq AS (SELECT seq_first + CAST(i AS BIGINT) AS seq_id FROM (
+         |  SELECT seq_first, unnest(range(seq_last - seq_first + 1)) AS i FROM man)),
+         |per AS (SELECT seq_id, count(*) AS n_docs FROM sq GROUP BY seq_id),
+         |hs AS (SELECT seq_id, n_docs,
+         |    ${TextFns.sql.hash60("'shard|' || CAST(seq_id AS VARCHAR)")} AS h FROM per),
+         |sh AS (SELECT seq_id, n_docs, h, CAST(h % $NumShards AS INT) AS shard FROM hs),
+         |pos AS (SELECT seq_id, shard, n_docs, CAST(row_number() OVER
+         |    (PARTITION BY shard ORDER BY h, seq_id) - 1 AS BIGINT) AS shard_pos
+         |  FROM sh)
+         |SELECT seq_id, shard, shard_pos, n_docs FROM pos
+         |ORDER BY shard, shard_pos""".stripMargin)
 }

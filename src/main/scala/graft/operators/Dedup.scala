@@ -201,6 +201,16 @@ object Dedup {
     * modulo md5-prefix collisions, which the oracle mirrors.
     */
   def ngramJaccardOfPairs(pairs: DataFrame, docs: DataFrame,
+      minJaccard: Double = JaccardMin): DataFrame =
+    ngramJaccardDetail(pairs, docs, minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccardOfPairs]] keeping the integer intersection/size
+    * columns — q80 aggregates those exactly instead of averaging the
+    * rounded ratios (a cross-engine round-at-boundary hazard).
+    */
+  def ngramJaccardDetail(pairs: DataFrame, docs: DataFrame,
       minJaccard: Double = JaccardMin): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val sh = Tables.widened(docs, col("doc_id"))
@@ -215,11 +225,11 @@ object Dedup {
           .as("n_common"),
         size(col("sh_a")).cast("long").as("sz_a"),
         size(col("sh_b")).cast("long").as("sz_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"),
         round(col("n_common").cast("double") /
           nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** q54 — duplicate-cluster resolution: connected components over the
@@ -305,12 +315,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q80 — cross-source mirror matrix: the q24-verified near-dup pairs
+    * aggregated by unordered source pair — which sources mirror which,
+    * and how closely. The standard crawl-curation diagnostic (mirror
+    * domains, aggregator sites, cross-dump overlap) that decides which
+    * source pairs deserve a dedup pass or a blocklist entry.
+    *
+    * Scale shape: rides the q24 machinery (banded candidates + merge-
+    * kernel verify), then two hash joins of the SMALL verified pair
+    * relation against the (doc_id, source) projection and a grouped
+    * aggregate bounded by sources² — never corpus-sized state. The
+    * similarity stat is the MICRO-averaged (pooled) jaccard —
+    * Σ|A∩B| / Σ|A∪B| over the pair group: integer sums and one double
+    * division, order-independent and free of the cross-engine
+    * round-at-boundary hazard an average of rounded ratios carries.
+    */
+  def sourceMirrors(spark: SparkSession, dir: String): DataFrame =
+    sourceMirrorsFrom(Tables.documents(spark, dir))
+
+  def sourceMirrorsFrom(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardDetail(candidatePairsFrom(bandsFrom(docs)), docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("n_common"), col("n_union"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum("n_common").cast("double") / sum("n_union"))
+          .as("pooled_jaccard"))
+      .orderBy(desc("n_pairs"), asc("source_a"), asc("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
-    "q54_dedup_clusters" -> (dedupClusters _))
+    "q54_dedup_clusters" -> (dedupClusters _),
+    "q80_source_mirrors" -> (sourceMirrors _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -363,7 +409,26 @@ object Dedup {
          |SELECT cc.doc_id, cc.cluster_id, sized.cluster_size,
          |  cc.doc_id = cc.cluster_id AS is_canonical
          |FROM cc JOIN sized USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q80_source_mirrors" ->
+      s"""WITH $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b,
+         |    n_common, sa.sz + sb.sz - n_common AS n_union
+         |  FROM jac
+         |  JOIN inter USING (doc_a, doc_b)
+         |  JOIN sizes sa ON sa.doc_id = jac.doc_a
+         |  JOIN sizes sb ON sb.doc_id = jac.doc_b
+         |  JOIN documents da ON da.doc_id = jac.doc_a
+         |  JOIN documents db ON db.doc_id = jac.doc_b
+         |  WHERE jaccard >= $JaccardMin)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  CAST(sum(n_common) AS DOUBLE) / CAST(sum(n_union) AS BIGINT)
+         |    AS pooled_jaccard
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin)
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
     * the oracle texts: the SQL user gets the same native-kernel plan the

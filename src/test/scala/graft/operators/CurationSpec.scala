@@ -186,6 +186,27 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("shuffleShards (q81)") {
+    it("deals every sequence once, positions dense per shard, stable under repartition") {
+      val manifest = Curation.packSequences(spark, TestSpark.Sf)
+      val r = Curation.shuffleShardsFrom(manifest).collect()
+        .map(x => (x.getAs[Long]("seq_id"), x.getAs[Int]("shard"),
+          x.getAs[Long]("shard_pos"), x.getAs[Long]("n_docs")))
+      // every sequence id appears exactly once
+      assert(r.map(_._1).distinct.length == r.length && r.nonEmpty)
+      // dense per-shard positions: 0..n-1 within each shard
+      r.groupBy(_._2).foreach { case (shard, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+          s"shard $shard positions must be dense from 0")
+      }
+      // the deal is a pure function of seq_id: physical layout must not move it
+      val again = Curation.shuffleShardsFrom(manifest.repartition(13)).collect()
+        .map(x => (x.getAs[Long]("seq_id"), x.getAs[Int]("shard"),
+          x.getAs[Long]("shard_pos"), x.getAs[Long]("n_docs")))
+      assert(again.toSeq == r.toSeq)
+    }
+  }
+
   describe("ingestNearDup (q78)") {
     it("flags near-dup new docs against a different prior doc, best match first") {
       val old = Seq(

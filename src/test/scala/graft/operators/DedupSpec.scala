@@ -76,6 +76,28 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("sourceMirrors (q80)") {
+    it("aggregates verified near-dup pairs by unordered source pair") {
+      val d = Seq(
+        (1L, base, "en", "srcA", 1L), (2L, base, "en", "srcB", 1L),
+        (3L, nearDup, "en", "srcB", 1L), (4L, distinct1, "en", "srcC", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.sourceMirrorsFrom(d).collect()
+        .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"),
+          x.getAs[Long]("n_pairs"), x.getAs[Double]("pooled_jaccard")))
+      // verified pairs: (1,2) A↔B exact, (1,3) A↔B near, (2,3) B↔B near
+      val ab = r.find(t => t._1 == "srcA" && t._2 == "srcB").get
+      assert(ab._3 == 2L)
+      assert(ab._4 > 0.75 && ab._4 < 1.0, "pooled exact+near overlap ratio")
+      val bb = r.find(t => t._1 == "srcB" && t._2 == "srcB").get
+      assert(bb._3 == 1L)
+      assert(!r.exists(t => t._1 == "srcC" || t._2 == "srcC"),
+        "no verified pair touches the distinct source")
+      // n_pairs DESC ordering puts the heaviest mirror pair first
+      assert(r.head == ab)
+    }
+  }
+
   describe("dedupClusters (q54)") {
     /** Union-find ground truth for an edge list. */
     def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
