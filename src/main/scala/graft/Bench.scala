@@ -125,6 +125,17 @@ object Bench {
       Dedup.clustersOfVerified(Dedup.ngramJaccardOfPairs(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir)))
     }
+    run("q80_source_mirrors") {
+      Dedup.sourceMirrorsOf(
+        spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
+    }
+
+    // the staged sections above must jointly cover the whole catalog —
+    // q80 initially slipped through this gap (Dedup is staged by hand,
+    // not swept), so pin suite ≡ SparkEntry.queries
+    require(suite.map(_._1).toSet == SparkEntry.queries.keySet,
+      s"bench suite drift: missing=${(SparkEntry.queries.keySet -- suite.map(_._1)).toSeq.sorted} " +
+        s"extra=${(suite.map(_._1).toSet -- SparkEntry.queries.keySet).toSeq.sorted}")
 
     // Ingest the date-partitioned event layout BEFORE the timed passes:
     // partition landing is ingest-time work (the driver's data-gen

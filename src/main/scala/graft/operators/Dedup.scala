@@ -333,9 +333,15 @@ object Dedup {
   def sourceMirrors(spark: SparkSession, dir: String): DataFrame =
     sourceMirrorsFrom(Tables.documents(spark, dir))
 
-  def sourceMirrorsFrom(docs: DataFrame): DataFrame = {
+  def sourceMirrorsFrom(docs: DataFrame): DataFrame =
+    sourceMirrorsOf(candidatePairsFrom(bandsFrom(docs)), docs)
+
+  /** [[sourceMirrorsFrom]] over pre-materialized candidate pairs — the
+    * staged form Bench uses so q80 rides the q22 CTAS like q24/q54 do.
+    */
+  def sourceMirrorsOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardDetail(candidatePairsFrom(bandsFrom(docs)), docs)
+    ngramJaccardDetail(pairs, docs)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
