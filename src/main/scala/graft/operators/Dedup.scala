@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.nullIfZero
@@ -356,13 +357,71 @@ object Dedup {
       .orderBy(desc("n_pairs"), asc("source_a"), asc("source_b"))
   }
 
+  /** q82 sliding-gram width in tokens, and the distinct-document
+    * occurrence floor at which a gram counts as duplicated.
+    */
+  val SpanGramTokens = 8
+  val SpanMinDocs = 2
+
+  /** q82 — maximal duplicated token spans: the exact-substring dedup
+    * diagnostic (the "train-dedup at substring granularity" family,
+    * e.g. Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — there via suffix arrays; here via
+    * sliding grams, the shared-nothing equivalent). Slide an
+    * overlapping [[SpanGramTokens]]-token window (stride 1) over every
+    * document; a position is DUPLICATED when its gram occurs in ≥
+    * [[SpanMinDocs]] distinct docs; consecutive duplicated positions
+    * chain into maximal spans (stride-1 overlap makes adjacency =
+    * same shared substring). Where q58's fixed grid scores whole docs
+    * by boilerplate fraction, this returns the span boundaries a
+    * surgical cut-the-substring pass needs — the grid misses any
+    * duplicate that straddles a chunk boundary, a sliding window
+    * cannot.
+    *
+    * Scale shape: gram hashing is map work (stride-1 costs ×gramlen
+    * rows over q58's grid, the price of boundary-free detection); the
+    * occurrence count is one shuffle keyed by gram hash — two-phase
+    * countDistinct, so (hash, doc) partials combine map-side; the
+    * surviving duplicated-gram relation is dup-mass-bounded (small
+    * ⇒ AQE broadcasts the join back, worst case it re-keys by the
+    * SAME gram hash); the island merge windows per doc_id — state
+    * bounded by doc length, never corpus.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansFrom(Tables.documents(spark, dir))
+
+  def dupSpansFrom(docs: DataFrame): DataFrame = {
+    val g = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), TextFns.toks(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanGramTokens)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - SpanGramTokens)).as("p"))
+      .select(col("doc_id"), col("p"),
+        TextFns.hash60(concat(lit("sp|"),
+          concat_ws(" ", slice(col("w"), col("p") + 1, lit(SpanGramTokens)))))
+          .as("h"))
+    val dup = g.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= SpanMinDocs)
+      .select("h")
+    val isl = g.join(dup, Seq("h"))
+      .withColumn("grp",
+        col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+    isl.groupBy("doc_id", "grp")
+      .agg(min("p").cast("long").as("span_start"),
+        (max("p") - min("p") + SpanGramTokens).cast("long").as("span_tokens"))
+      .select("doc_id", "span_start", "span_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
     "q54_dedup_clusters" -> (dedupClusters _),
-    "q80_source_mirrors" -> (sourceMirrors _))
+    "q80_source_mirrors" -> (sourceMirrors _),
+    "q82_dup_spans" -> (dupSpans _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -434,7 +493,23 @@ object Dedup {
          |  CAST(sum(n_common) AS DOUBLE) / CAST(sum(n_union) AS BIGINT)
          |    AS pooled_jaccard
          |FROM m GROUP BY source_a, source_b
-         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin)
+         |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
+    "q82_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |g AS (SELECT doc_id, p,
+         |    ${TextFns.sql.hash60(
+             s"'sp|' || array_to_string(list_slice(w, p + 1, p + $SpanGramTokens), ' ')")} AS h
+         |  FROM (SELECT doc_id, w, unnest(range(len(w) - $SpanGramTokens + 1)) AS p
+         |    FROM t WHERE len(w) >= $SpanGramTokens)),
+         |dup AS (SELECT h FROM g GROUP BY h
+         |  HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
+         |isl AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM g JOIN dup USING (h))
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(max(p) - min(p) + $SpanGramTokens AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin)
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
     * the oracle texts: the SQL user gets the same native-kernel plan the

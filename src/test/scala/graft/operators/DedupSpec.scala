@@ -98,6 +98,28 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("dupSpans (q82)") {
+    it("finds maximal cross-doc spans, ignores within-doc repeats") {
+      val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val rep = "p1 p2 p3 p4 p5 p6 p7 p8"
+      val d = Seq(
+        (1L, s"one two three $shared four five", "en", "srcA", 1L),
+        (2L, s"$shared nine ten eleven twelve", "en", "srcB", 1L),
+        (3L, "unrelated words entirely different from the rest here okay",
+          "en", "srcC", 1L),
+        (4L, s"$rep mid $rep", "en", "srcD", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.dupSpansFrom(d).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+          x.getAs[Long]("span_tokens")))
+      // the 10-token shared run covers gram starts 3..5 in doc 1 (offset
+      // by its 3-token prefix) and 0..2 in doc 2 — one maximal span each
+      assert(r.toSeq == Seq((1L, 3L, 10L), (2L, 0L, 10L)),
+        "exact maximal span boundaries; doc 3 (no shared gram) and " +
+          "doc 4 (within-doc repeat only) must be absent")
+    }
+  }
+
   describe("dedupClusters (q54)") {
     /** Union-find ground truth for an edge list. */
     def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
