@@ -128,6 +128,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q83 coarse space dims and per-query candidate pool width. */
+  val RerankDims = 16
+  val RerankCand = 100
+
+  /** q83 — two-stage retrieval: coarse scan in an [[RerankDims]]-dim
+    * random-projection space, exact rerank of the survivors. The
+    * compressed-scan-then-rerank pattern every large vector index uses
+    * (IVF-PQ/OPQ rerank, DiskANN's PQ-guided search): the full-dim
+    * cosine — the expensive part — runs on Q×[[RerankCand]] candidate
+    * rows instead of Q×N corpus rows, while the corpus-wide pass works
+    * on 16 dims instead of 64 (4× fewer multiply-adds and bytes of
+    * vector traffic; on-disk, a materialized coarse column would read
+    * 1/4 the bytes).
+    *
+    * Coarse space = dot products against the SAME deterministic SRP
+    * plane family q26 buckets by (plane p, md5-derived weights) —
+    * JL-style: random projections approximately preserve angles, so
+    * the coarse cosine ranks candidates well enough that most of the
+    * true top-k survive the pool. On the iid-random test fixture —
+    * the adversarial case, where all cosines crowd ~0 and neighbor
+    * gaps are smaller than any projection's distortion — recall@10 is
+    * 0.58 ([[annRerankWith]] is the dial; clustered real embeddings
+    * rank far more faithfully, the same caveat as the q61 fixture
+    * recall). Both stages rank on round(·,9) with id tie-breaks, so
+    * candidate selection is bit-reproducible cross-engine.
+    *
+    * Scale shape: projection is map-only (8 fused-codegen dot products
+    * per row against literal planes); the coarse top-C per query is the
+    * q25 window shape — WindowGroupLimit pushes the C-cutoff map-side,
+    * so ~C rows per task per query cross the wire, never the corpus;
+    * the rerank joins broadcast the Q×C candidate list and the Q full
+    * query vectors — one corpus-scan probe each, no shuffle.
+    */
+  def annRerank(spark: SparkSession, dir: String): DataFrame =
+    annRerankFrom(Tables.embeddings(spark, dir))
+
+  def annRerankFrom(embeddings: DataFrame): DataFrame =
+    annRerankWith(embeddings, RerankDims, RerankCand)
+
+  /** [[annRerankFrom]] with explicit coarse geometry (recall/cost dial). */
+  def annRerankWith(embeddings: DataFrame, dims: Int, nCand: Int): DataFrame = {
+    val e = embDouble(embeddings)
+    val cvec = array((0 until dims).map(p =>
+      call_function("dot_product", col("emb"), planeVec(p))): _*)
+    val ec = e.select(col("vec_id"), col("emb"), cvec.as("cvec"))
+    val q = ec.filter(col("vec_id") < NumQueries)
+    val coarse = ec.select(col("vec_id"), col("cvec"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("cvec").as("q_cvec"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_cvec"), col("cvec")), 9).as("coarse"))
+    val cand = coarse.withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("coarse"), asc("neighbor_id"))))
+      .filter(col("crn") <= nCand)
+      .select("query_id", "neighbor_id")
+    val scored = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("emb").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+    topK(scored, K)
+  }
+
   /** IVF cells (codebook size) and probed cells per query. */
   val NumCells = 16
   val NumProbes = 2
@@ -649,6 +713,7 @@ object Similarity {
     "q25_knn_bruteforce" -> (knnBrute _),
     "q26_ann_lsh" -> (annLsh _),
     "q36_ann_ivf" -> (annIvf _),
+    "q83_ann_rerank" -> (annRerank _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
@@ -837,6 +902,32 @@ object Similarity {
          |rk AS (SELECT *, row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    "q83_ann_rerank" -> {
+      val cvecSql = (0 until RerankDims)
+        .map(p => s"list_inner_product(emb, ${planeSql(p)})")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH $eCte,
+         |cv AS (SELECT vec_id, emb, nrm, $cvecSql AS cvec FROM e),
+         |cn AS (SELECT vec_id, emb, nrm, cvec,
+         |    sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cv),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |    cvec AS q_cvec, cnrm AS q_cnrm FROM cn WHERE vec_id < $NumQueries),
+         |coarse AS (SELECT query_id, cn.vec_id AS neighbor_id,
+         |    round(list_inner_product(q_cvec, cvec) / (q_cnrm * cnrm), 9) AS coarse
+         |  FROM cn CROSS JOIN q WHERE cn.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crn
+         |  FROM coarse) WHERE crn <= $RerankCand),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+         |  JOIN q ON q.query_id = c.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
     "q60_semantic_dedup" ->

@@ -172,6 +172,7 @@ object SqlDialect {
       "list_distinct" -> "array_distinct",
       "list_contains" -> "array_contains",
       "list_inner_product" -> "dot_product", // graft native kernel
+      "list_value" -> "array",
       "array_to_string" -> "array_join",
       "quantile_cont" -> "percentile",
       "epoch_us" -> "unix_micros",

@@ -43,6 +43,36 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("annRerank (q83)") {
+    it("agrees with brute force when the pool covers the corpus") {
+      // 4 vectors, pool of 100: the coarse stage cannot drop anything,
+      // so the rerank output must equal q25 exactly
+      val exact = Similarity.knnBruteFrom(corpus).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+      val rer = Similarity.annRerankFrom(corpus).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+      assert(rer == exact)
+    }
+
+    it("holds recall 0.58 on the adversarial iid-random fixture") {
+      val sf = TestSpark.Sf
+      val exact = Similarity.knnBrute(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rer = Similarity.annRerank(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & rer).size.toDouble / exact.size
+      // iid-random 64-dim vectors are the worst case for a projection
+      // (cosine gaps smaller than JL distortion); everything is
+      // deterministic, so the measured 0.58 is exact — a drop means the
+      // coarse geometry or tie-breaking changed
+      assert(recall == 0.58, s"recall@10 was $recall, expected 0.58")
+    }
+  }
+
   describe("annLsh (q26)") {
     it("buckets identical vectors together and finds them") {
       val twin = emb(
