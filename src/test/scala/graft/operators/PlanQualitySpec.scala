@@ -137,6 +137,63 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("round-5 operator plan shapes") {
+    /** Run the query, then read the FINAL adaptive plan — the broadcast
+      * decisions below come from runtime stats (AQE), not static
+      * estimates, so the pre-execution plan text would miss them.
+      */
+    def executedPlanOf(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+
+    it("q80 verifies pairs with the merge kernel and aggregates, never windows") {
+      val p = plan("q80_source_mirrors")
+      assert(p.contains("sorted_intersect_count"),
+        "jaccard verify must use the merge kernel")
+      assert(!p.contains("windowspecdefinition"),
+        "q80 is joins + one grouped aggregate; a window means a rank crept in")
+    }
+
+    it("q81 windows only inside (pid, shard) cells and broadcasts the offsets") {
+      val p = executedPlanOf("q81_shuffle_shards")
+      assert(p.contains("windowspecdefinition(pid"),
+        s"dense numbering must partition by the hash-range bucket:\n$p")
+      assert(!p.contains("windowspecdefinition(shard#") &&
+        !p.contains("windowspecdefinition(seq_id"),
+        "a shard- or seq-wide window serializes the corpus through 8 (or 1) tasks")
+      assert(p.contains("BroadcastHashJoin"), "the O(p×shards) offset table must broadcast")
+    }
+
+    it("q82 counts gram occurrences two-phase and broadcasts the dup-gram set") {
+      val p = executedPlanOf("q82_dup_spans")
+      assert(p.contains("partial_count(distinct doc_id"),
+        s"gram occurrence count must partial-aggregate map-side:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        "the dup-mass-bounded gram relation must be the broadcast side")
+      assert(!p.contains("windowspecdefinition(grp"),
+        "island merge must group, not window, over (doc_id, grp)")
+    }
+
+    it("q83 broadcasts both rerank inputs: no corpus shuffle after the coarse stage") {
+      val p = executedPlanOf("q83_ann_rerank")
+      // candidate list and query vectors are both broadcast; the only
+      // hash exchanges allowed are the coarse window's query_id ones
+      assert(p.split("BroadcastExchange").length - 1 >= 2,
+        s"candidates + query vectors must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        "coarse top-C must pre-limit map-side ahead of the rank window")
+      // widened's REPARTITION_BY_COL (single-file fixture parallelism)
+      // is fine; an ENSURE_REQUIREMENTS vec_id exchange would mean a
+      // shuffle join re-keyed the corpus for the rerank
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(vec_id") &&
+          l.contains("ENSURE_REQUIREMENTS")),
+        "rerank must never re-key the corpus by vec_id")
+    }
+  }
+
   describe("degradation under changed physical conditions (SURVEY §7.5(5))") {
     it("q04 without broadcast degrades to a shuffle join, never nested-loop, same rows") {
       // on a cluster where the dimension side outgrows the broadcast
