@@ -12,8 +12,9 @@ import graft.sources.{Jsonl, Tables}
   * dedup → MinHash near-dup removal → benchmark decontamination →
   * repetition filter → PII redaction → deterministic split assignment →
   * split-partitioned parquet + sharded JSONL output + the q63
-  * sequence-packing manifest + a stage report. Each stage is one of the
-  * engine's verified operators; this module only wires them.
+  * sequence-packing manifest + the q81 training-shard deal + a stage
+  * report. Each stage is one of the engine's verified operators; this
+  * module only wires them.
   *
   * Scale notes: every stage is the already-analyzed plan shape (map-only
   * scoring, one fp-hash shuffle for exact dedup, bucket-confined LSH
@@ -29,7 +30,7 @@ object CorpusPipeline {
       n_input: Long, n_lang_kept: Long, n_quality_kept: Long,
       n_after_exact: Long, n_near_dup_dropped: Long,
       n_contaminated: Long, n_repetitive: Long, n_pii_docs: Long,
-      n_sequences: Long, n_output: Long)
+      n_sequences: Long, n_shards: Long, n_output: Long)
 
   /** Run the curation flow; returns the per-stage survivor counts and
     * writes the cleaned corpus under `outDir` (split-partitioned parquet
@@ -128,8 +129,18 @@ object CorpusPipeline {
       .agg(max("seq_last")).collect()(0)
     val nSeqs = if (packRow.isNullAt(0)) 0L else packRow.getLong(0) + 1
 
+    // stage 10: training shuffle — deal the packed sequences into epoch
+    // shards with dense hash-ordered positions (q81), written partitioned
+    // by shard so each trainer rank prunes to its own directory
+    val shards = Curation.shuffleShardsFrom(
+      spark.read.parquet(s"$outDir/packing_parquet"))
+    shards.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards_parquet")
+    val nShards = spark.read.parquet(s"$outDir/shards_parquet")
+      .select("shard").distinct().count()
+
     Report(nIn, nLang, nQual, nExact, nNearDropped, nContam, nRep, nPii,
-      nSeqs, nOut)
+      nSeqs, nShards, nOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -149,7 +160,7 @@ object CorpusPipeline {
       s"nearDupDropped=${r.n_near_dup_dropped} " +
       s"contaminated=${r.n_contaminated} repetitive=${r.n_repetitive} " +
       s"piiDocs=${r.n_pii_docs} sequences=${r.n_sequences} " +
-      s"output=${r.n_output}")
+      s"shards=${r.n_shards} output=${r.n_output}")
     spark.stop()
   }
 }

@@ -44,6 +44,19 @@ class CorpusPipelineSpec extends AnyFunSpec {
       // the synthetic corpus has no PII to scrub — the stage must be a
       // clean no-op on it (the q62 gate exercises the hit paths)
       assert(r.n_pii_docs == 0)
+      // the shard deal covers every packed sequence exactly once, with
+      // dense positions inside each shard directory
+      val sh = spark.read.parquet(s"$out/shards_parquet")
+      assert(sh.count() == r.n_sequences)
+      assert(sh.select("seq_id").distinct().count() == r.n_sequences)
+      assert(r.n_shards >= 1 &&
+        r.n_shards <= graft.operators.Curation.NumShards)
+      val dense = sh.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"))
+        .collect()
+      dense.foreach(x =>
+        assert(x.getAs[Long]("mx") == x.getAs[Long]("n") - 1,
+          s"shard ${x.get(0)} positions must be dense from 0"))
     }
 
     it("is deterministic") {
