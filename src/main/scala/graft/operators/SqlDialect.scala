@@ -173,6 +173,8 @@ object SqlDialect {
       "list_contains" -> "array_contains",
       "list_inner_product" -> "dot_product", // graft native kernel
       "list_value" -> "array",
+      "list_position" -> "array_position", // both 1-based first-occurrence
+      "list_extract" -> "element_at", // both 1-based
       "array_to_string" -> "array_join",
       "quantile_cont" -> "percentile",
       "epoch_us" -> "unix_micros",

@@ -117,6 +117,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q84 winnowing geometry: token-gram width k and hash-window width w.
+    * The noise threshold is t = w + k − 1 = 7 tokens: any substring of
+    * ≥ t tokens shared by two docs is GUARANTEED to share a selected
+    * fingerprint; shorter overlaps may go unseen.
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** q84 — winnowing fingerprint selection (Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    * w-hash window, keep one minimal hash per window. Selected density
+    * is ~2/(w+1) of all grams, position-robust where q20's single
+    * min-gram per doc is not: an index over (fp → doc, pos) supports
+    * substring-level matching at a fraction of full-gram cost.
+    *
+    * Variant note: ties inside a window select the LEFTMOST minimum
+    * (the paper's density argument prefers rightmost) because both
+    * engines share a first-occurrence position primitive
+    * (array_position / list_position) — the t-token matching guarantee
+    * is unaffected, only the worst-case density bound widens, and with
+    * 60-bit hashes in-window ties are ~impossible anyway.
+    *
+    * Scale shape: pure map work — gram hashing, window minima, and the
+    * distinct-position collapse are all per-row array expressions
+    * inside codegen; the only post-map operator is the presentation
+    * sort. Output rows ≈ 2/(w+1) × corpus tokens.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsFrom(Tables.documents(spark, dir))
+
+  def winnowFingerprintsFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val kh = transform(sequence(lit(0), size(col("w")) - WinnowK),
+      i => TextFns.hash60(concat(lit("wn|"),
+        concat_ws(" ", slice(col("w"), i + 1, lit(WinnowK))))))
+    val selpos = array_distinct(transform(
+      sequence(lit(0), size(col("kh")) - WinnowW),
+      j => {
+        val win = slice(col("kh"), j + 1, lit(WinnowW))
+        j + array_position(win, array_min(win)) - 1
+      }))
+    Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= WinnowK)
+      .select(col("doc_id"), kh.as("kh"))
+      .filter(size(col("kh")) >= WinnowW)
+      .select(col("doc_id"), col("kh"),
+        explode(selpos).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("kh"), col("pos").cast("int") + 1).as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** KMV sketch size (estimate stderr ≈ 1/√k ≈ 6%). */
   val KmvK = 256
 
@@ -470,6 +524,7 @@ object TextAnalysis {
     "q18_quality_score" -> (qualityScore _),
     "q19_lang_id" -> (langId _),
     "q20_fingerprint" -> (fingerprint _),
+    "q84_winnow_fingerprints" -> (winnowFingerprints _),
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
     "q55_bm25_search" -> (bm25Search _),
@@ -527,6 +582,21 @@ object TextAnalysis {
          |  list_min(list_transform(range(length(norm) - 7),
          |    i -> ${TextFns.sql.hash32("substring(norm, CAST(i AS INT) + 1, 8)")})) AS min_gram_hash
          |FROM normd ORDER BY doc_id""".stripMargin,
+    "q84_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |k AS (SELECT doc_id, list_transform(range(len(w) - ${WinnowK - 1}), i ->
+         |    ${TextFns.sql.hash60(
+             s"'wn|' || array_to_string(list_slice(w, CAST(i AS BIGINT) + 1, CAST(i AS BIGINT) + $WinnowK), ' ')")}) AS kh
+         |  FROM t WHERE len(w) >= $WinnowK),
+         |s AS (SELECT doc_id, kh, list_distinct(list_transform(
+         |    range(len(kh) - ${WinnowW - 1}), j ->
+         |    j + list_position(list_slice(kh, j + 1, j + $WinnowW),
+         |      list_min(list_slice(kh, j + 1, j + $WinnowW))) - 1)) AS selpos
+         |  FROM k WHERE len(kh) >= $WinnowW),
+         |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  list_extract(kh, CAST(pos AS INT) + 1) AS fp
+         |FROM u ORDER BY doc_id, pos""".stripMargin,
     "q39_kmv_distinct" ->
       s"""WITH fps AS (
          |  SELECT DISTINCT CAST(('0x' || substring(md5(trim(regexp_replace(

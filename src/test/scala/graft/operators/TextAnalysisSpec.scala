@@ -78,6 +78,38 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("winnowFingerprints (q84)") {
+    it("selects ~2/(w+1) density and guarantees shared fingerprints for 7-token overlaps") {
+      val shared = "alpha beta gamma delta epsilon zeta eta" // exactly t = w+k-1 = 7
+      val d = docs(
+        (1L, s"one two three four five $shared six seven"),
+        (2L, s"$shared nine ten eleven twelve thirteen fourteen"),
+        (3L, "totally different words with no overlap at all here"))
+      val r = TextAnalysis.winnowFingerprintsFrom(d).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("pos"), x.getAs[Long]("fp")))
+      // the t-token guarantee: docs 1 and 2 must share >=1 selected fp
+      val f1 = r.filter(_._1 == 1L).map(_._3).toSet
+      val f2 = r.filter(_._1 == 2L).map(_._3).toSet
+      val f3 = r.filter(_._1 == 3L).map(_._3).toSet
+      assert((f1 & f2).nonEmpty, "t-token shared substring must share a fingerprint")
+      assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+      // each selected fp is the hash at its position, positions in range
+      r.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).distinct.length == rows.length, "positions distinct per doc")
+      }
+      // density: every w-window contributes at most one NEW position, so
+      // selections <= number of windows and >= windows / w
+      val nw1 = 14 - TextAnalysis.WinnowK + 1 - TextAnalysis.WinnowW + 1
+      val s1 = r.count(_._1 == 1L)
+      assert(s1 <= nw1 && s1 >= nw1 / TextAnalysis.WinnowW)
+    }
+
+    it("emits nothing for docs shorter than k tokens") {
+      val r = TextAnalysis.winnowFingerprintsFrom(docs((9L, "too short"))).collect()
+      assert(r.isEmpty)
+    }
+  }
+
   describe("kmvDistinct (q39)") {
     it("falls back to the exact count when distincts < k") {
       // fixtures have 500 distinct docs (> k=256), so the small-corpus
