@@ -608,27 +608,30 @@ object Similarity {
     * `mse = (v·v − 2s·(v·q) + s²·(q·q))/64` and the scale-invariant
     * `cos(v, s·q) = cos(v, q)` — so every float runs through the fused
     * codegen kernels in the exact order the oracle's
-    * `list_inner_product` uses. Map-only; the per-element transform
-    * lambdas are interpreted but touch 64 doubles/row (a native
-    * quantize kernel is the obvious next step if this ever profiles).
+    * `list_inner_product` uses. Map-only, and since round 5 fully
+    * native: `quantize_stats` ([[graft.plans.QuantizeStats]]) returns
+    * `[max|v|, v·v, v·q, q·q]` from two generated loops with no
+    * intermediate quantized array — the derived arithmetic below keeps
+    * the composed form's exact IEEE order, so the oracle hash is
+    * unchanged.
     */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
     quantizeInt8From(Tables.embeddings(spark, dir))
 
   def quantizeInt8From(embeddings: DataFrame): DataFrame = {
     val e = embDouble(embeddings)
-    val dot = (a: Column, b: Column) => call_function("dot_product", a, b)
-    e.withColumn("max_abs", expr("array_max(transform(emb, x -> abs(x)))"))
+    val st = (i: Int) => element_at(col("qs"), i)
+    e.withColumn("qs", call_function("quantize_stats", col("emb")))
+      .withColumn("max_abs", st(1))
       .filter(col("max_abs") > 0)
       .withColumn("scale", col("max_abs") / 127.0d)
-      .withColumn("qd", expr("transform(emb, x -> CAST(round(x / scale, 0) AS DOUBLE))"))
       .select(col("vec_id"),
         round(col("scale"), 9).as("scale"),
-        round((dot(col("emb"), col("emb"))
-          - lit(2.0) * col("scale") * dot(col("emb"), col("qd"))
-          + col("scale") * col("scale") * dot(col("qd"), col("qd"))) / lit(64.0d), 12)
+        round((st(2)
+          - lit(2.0) * col("scale") * st(3)
+          + col("scale") * col("scale") * st(4)) / lit(64.0d), 12)
           .as("mse"),
-        round(cosine(col("emb"), col("qd")), 9).as("cos_recon"))
+        round(st(3) / (sqrt(st(2)) * sqrt(st(4))), 9).as("cos_recon"))
       .orderBy("vec_id")
   }
 

@@ -161,7 +161,9 @@ object GraftFunctions {
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],
-      (e: Seq[Expression]) => VectorSumDec(e(0))))
+      (e: Seq[Expression]) => VectorSumDec(e(0))),
+    ("quantize_stats", classOf[QuantizeStats],
+      (e: Seq[Expression]) => QuantizeStats(e(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>
