@@ -105,6 +105,24 @@ object ScaleSmoke {
       val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
       Dedup.clustersOfVerified(Dedup.ngramJaccardFrom(canonical)).count()
     }
+    // round-5 operators. Replicated docs are exact duplicates, so the
+    // substring/mirror passes run in pipeline order (exact-dedup first):
+    // on the raw replicas every position is trivially "duplicated" and
+    // the span output would be corpus-sized boilerplate, which is the
+    // degenerate case exact dedup exists to remove.
+    t("winnow_fingerprints") { TextAnalysis.winnowFingerprintsFrom(docs).count() }
+    t("shuffle_shards") {
+      Curation.shuffleShardsFrom(Curation.packSequencesFrom(docs)).count()
+    }
+    t("ann_rerank") { Similarity.annRerankFrom(emb).count() }
+    t("dedup_then_spans") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.dupSpansFrom(canonical).count()
+    }
+    t("dedup_then_mirrors") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.sourceMirrorsFrom(canonical).count()
+    }
     spark.stop()
   }
 }
