@@ -149,21 +149,25 @@ object TextAnalysis {
     winnowFingerprintsFrom(Tables.documents(spark, dir))
 
   def winnowFingerprintsFrom(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val w = TextFns.toks(col("text"))
     val kh = transform(sequence(lit(0), size(col("w")) - WinnowK),
       i => TextFns.hash60(concat(lit("wn|"),
         concat_ws(" ", slice(col("w"), i + 1, lit(WinnowK))))))
-    val selpos = array_distinct(transform(
-      sequence(lit(0), size(col("kh")) - WinnowW),
-      j => {
-        val win = slice(col("kh"), j + 1, lit(WinnowW))
-        j + array_position(win, array_min(win)) - 1
-      }))
+    // selection runs in the winnow_positions kernel (one generated
+    // pass); the composed transform/array_distinct twin — measured ~4×
+    // slower — is what the dialect-derived SQL form still runs, and
+    // SqlSurfaceSpec holds the two bit-equal
+    val selpos = call_function("winnow_positions", col("kh"), lit(WinnowW))
+    // one size predicate, on the TOKEN count: size(kh) ≥ w ⇔ size(w) ≥
+    // t = w+k−1, and filtering on kh would push a second copy of the
+    // full md5 gram transform into the Filter node (measured 2× row
+    // cost); sub-t docs yield an empty kernel result anyway, so the
+    // predicate is scan pruning, not correctness
     Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"), w.as("w"))
-      .filter(size(col("w")) >= WinnowK)
+      .filter(size(col("w")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), kh.as("kh"))
-      .filter(size(col("kh")) >= WinnowW)
       .select(col("doc_id"), col("kh"),
         explode(selpos).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),

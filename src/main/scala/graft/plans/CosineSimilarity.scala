@@ -163,7 +163,9 @@ object GraftFunctions {
     ("vector_sum_dec", classOf[VectorSumDec],
       (e: Seq[Expression]) => VectorSumDec(e(0))),
     ("quantize_stats", classOf[QuantizeStats],
-      (e: Seq[Expression]) => QuantizeStats(e(0))))
+      (e: Seq[Expression]) => QuantizeStats(e(0))),
+    ("winnow_positions", classOf[WinnowPositions],
+      (e: Seq[Expression]) => WinnowPositions(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>
