@@ -234,7 +234,13 @@ object Curation {
     val chunks = when(nChunks < 1, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(w, i * ChunkTokens + 1, lit(ChunkTokens)))))
+    // the ≥1-full-chunk predicate runs on the TOKEN count, before the
+    // chunk-hash column exists: a post-hoc filter(size(cs) >= 1) gets
+    // pushed into a Filter node with the full md5 chunk transform
+    // inlined — a second (and with the downstream projections, third)
+    // per-row copy of the hashing (the q84 lesson)
     val perDoc = Tables.widened(docs, col("doc_id"))
+      .filter(size(TextFns.toks(col("text"))) >= ChunkTokens)
       .select(col("doc_id"),
         sort_array(array_distinct(transform(chunks,
           c => TextFns.hash60(concat(lit("ck|"), c))))).as("cs"))
@@ -245,7 +251,6 @@ object Curation {
       .agg(sort_array(collect_list(col("s"))).as("boiler"))
     perDoc
       .crossJoin(broadcast(boiler))
-      .filter(size(col("cs")) >= 1)
       .select(col("doc_id"), size(col("cs")).as("n_chunks"),
         call_function("sorted_intersect_count", col("cs"), col("boiler"))
           .as("n_boiler"))
