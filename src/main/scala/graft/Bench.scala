@@ -130,6 +130,7 @@ object Bench {
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
     run("q82_dup_spans") { Dedup.dupSpans(spark, sfDir) }
+    run("q85_containment_pairs") { Dedup.containmentPairs(spark, sfDir) }
 
     // the staged sections above must jointly cover the whole catalog —
     // q80 initially slipped through this gap (Dedup is staged by hand,

@@ -414,6 +414,56 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** q85 hot-fingerprint document-frequency cap (fps in more docs are
+    * boilerplate, not evidence) and the minimum shared fingerprints for
+    * a reported pair.
+    */
+  val ContainMaxFpDocs = 8
+  val ContainMinShared = 2
+
+  /** q85 — containment candidate pairs over the winnowed fingerprint
+    * index (q84): doc pairs sharing ≥ [[ContainMinShared]] selected
+    * fingerprints, scored by Broder-style containment
+    * `|shared| / min(|A|, |B|)` over each doc's rare-fingerprint
+    * profile. The capability whole-document MinHash (q22) structurally
+    * misses: a long doc EMBEDDING a short doc's text has low whole-doc
+    * Jaccard (the union is dominated by the long doc) but containment
+    * ≈ 1 — quote inclusion, template wrapping, page-in-crawl-dump.
+    * Winnowing's t-token guarantee (q84) makes any ≥ 7-token shared
+    * run contribute matching fingerprints, so candidates surface at
+    * substring granularity; a verify pass (q24 on the pair list, or
+    * q82 for exact boundaries) composes downstream.
+    *
+    * Scale shape: fingerprints are the ~2/(w+1)-density winnow output
+    * (map-only); the document-frequency count and per-doc profile
+    * sizes are two map-side-combining aggregates; the hot-fp cap
+    * bounds the fp self-join — pairs ≤ Σ_fp df² ≤ cap · Σ df, the
+    * LSH-bucket argument with an explicit dial — and the pair group-by
+    * carries only surviving candidates.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsFrom(Tables.documents(spark, dir))
+
+  def containmentPairsFrom(docs: DataFrame): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprintsFrom(docs)
+      .select("doc_id", "fp").distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainMaxFpDocs).select("fp")
+    val r = fps.join(rare, Seq("fp"))
+    val nPer = r.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    r.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(r.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContainMinShared)
+      .join(nPer.select(col("doc_id").as("doc_a"), col("nf").as("na")), Seq("doc_a"))
+      .join(nPer.select(col("doc_id").as("doc_b"), col("nf").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("na"), col("nb")), 9)
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
@@ -421,7 +471,8 @@ object Dedup {
     "q24_ngram_jaccard" -> (ngramJaccard _),
     "q54_dedup_clusters" -> (dedupClusters _),
     "q80_source_mirrors" -> (sourceMirrors _),
-    "q82_dup_spans" -> (dupSpans _))
+    "q82_dup_spans" -> (dupSpans _),
+    "q85_containment_pairs" -> (containmentPairs _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -509,7 +560,26 @@ object Dedup {
          |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
          |  CAST(max(p) - min(p) + $SpanGramTokens AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, grp
-         |ORDER BY doc_id, span_start""".stripMargin)
+         |ORDER BY doc_id, span_start""".stripMargin,
+    "q85_containment_pairs" ->
+      s"""WITH ${TextAnalysis.winnowSql},
+         |f AS (SELECT DISTINCT doc_id,
+         |    list_extract(kh, CAST(pos AS INT) + 1) AS fp FROM u),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |  HAVING count(*) <= $ContainMaxFpDocs),
+         |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |n AS (SELECT doc_id, count(*) AS nf FROM r GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) >= $ContainMinShared)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / least(na.nf, nb.nf), 9)
+         |    AS containment
+         |FROM p JOIN n na ON na.doc_id = p.doc_a
+         |JOIN n nb ON nb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
     * the oracle texts: the SQL user gets the same native-kernel plan the

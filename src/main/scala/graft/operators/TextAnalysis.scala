@@ -540,6 +540,23 @@ object TextAnalysis {
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
 
+  /** Shared q84/q85 oracle fragment: `u` = (doc_id, kh, pos) of every
+    * winnow-selected position (dialect twin of [[winnowFingerprintsFrom]]
+    * before its final projection).
+    */
+  private[operators] val winnowSql =
+    s"""t AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+       |k AS (SELECT doc_id, list_transform(range(len(w) - ${WinnowK - 1}), i ->
+       |    ${TextFns.sql.hash60(
+           s"'wn|' || array_to_string(list_slice(w, CAST(i AS BIGINT) + 1, CAST(i AS BIGINT) + $WinnowK), ' ')")}) AS kh
+       |  FROM t WHERE len(w) >= $WinnowK),
+       |s AS (SELECT doc_id, kh, list_distinct(list_transform(
+       |    range(len(kh) - ${WinnowW - 1}), j ->
+       |    j + list_position(list_slice(kh, j + 1, j + $WinnowW),
+       |      list_min(list_slice(kh, j + 1, j + $WinnowW))) - 1)) AS selpos
+       |  FROM k WHERE len(kh) >= $WinnowW),
+       |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q17_token_stats" ->
       s"""$toksCte
@@ -587,17 +604,7 @@ object TextAnalysis {
          |    i -> ${TextFns.sql.hash32("substring(norm, CAST(i AS INT) + 1, 8)")})) AS min_gram_hash
          |FROM normd ORDER BY doc_id""".stripMargin,
     "q84_winnow_fingerprints" ->
-      s"""WITH t AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
-         |k AS (SELECT doc_id, list_transform(range(len(w) - ${WinnowK - 1}), i ->
-         |    ${TextFns.sql.hash60(
-             s"'wn|' || array_to_string(list_slice(w, CAST(i AS BIGINT) + 1, CAST(i AS BIGINT) + $WinnowK), ' ')")}) AS kh
-         |  FROM t WHERE len(w) >= $WinnowK),
-         |s AS (SELECT doc_id, kh, list_distinct(list_transform(
-         |    range(len(kh) - ${WinnowW - 1}), j ->
-         |    j + list_position(list_slice(kh, j + 1, j + $WinnowW),
-         |      list_min(list_slice(kh, j + 1, j + $WinnowW))) - 1)) AS selpos
-         |  FROM k WHERE len(kh) >= $WinnowW),
-         |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)
+      s"""WITH $winnowSql
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  list_extract(kh, CAST(pos AS INT) + 1) AS fp
          |FROM u ORDER BY doc_id, pos""".stripMargin,

@@ -120,6 +120,48 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("containmentPairs (q85)") {
+    it("finds a short doc embedded in a long one, which whole-doc jaccard misses") {
+      val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi"
+      val long = s"w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 $core " +
+        "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+      val d = Seq(
+        (1L, core, "en", "srcA", 1L),
+        (2L, long, "en", "srcB", 1L),
+        (3L, "entirely different text about other things goes here now okay then",
+          "en", "srcC", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.containmentPairsFrom(d).collect()
+        .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"),
+          x.getAs[Long]("n_shared"), x.getAs[Double]("containment")))
+      val p = r.find(t => t._1 == 1L && t._2 == 2L)
+      assert(p.isDefined, s"embedded doc must pair with its container, got ${r.toSeq}")
+      // every winnowed fp of the short doc that comes from the shared
+      // 16-token run also exists in the long doc; boundary fps differ,
+      // so containment is high but need not be 1.0
+      assert(p.get._4 >= 0.5, s"containment should be high: ${p.get}")
+      assert(!r.exists(t => t._1 == 3L || t._2 == 3L))
+      // the whole-doc jaccard of the planted pair is LOW — the point of
+      // the containment measure (40-token union, 16-token overlap)
+      val jac = Dedup.ngramJaccardFrom(d).collect()
+      assert(!jac.exists(x => x.getAs[Long]("doc_a") == 1L &&
+        x.getAs[Long]("doc_b") == 2L &&
+        x.getAs[Double]("jaccard") >= 0.5))
+    }
+
+    it("excludes fingerprints above the hot-document cap") {
+      val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+      val rows = (1L to (Dedup.ContainMaxFpDocs + 2L)).map(i =>
+        (i, s"$boiler unique${i}a unique${i}b unique${i}c", "en", "src", 1L))
+      val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.containmentPairsFrom(d).collect()
+      // the only shared fps come from the boilerplate prefix, present in
+      // cap+2 docs — every one is capped out, so no pairs survive
+      assert(r.isEmpty, s"hot boilerplate fps must not generate pairs: ${r.length}")
+    }
+  }
+
   describe("dedupClusters (q54)") {
     /** Union-find ground truth for an edge list. */
     def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
