@@ -19,14 +19,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Event-time columns stored as parquet TIMESTAMP(NANOS). Spark has no
-    * nanosecond timestamp type, so we read them as raw nanos-since-epoch
-    * longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert with
-    * integer `div` (a double-precision divide would lose sub-second
-    * precision at 1.7e18 nanos). Day/second-level semantics downstream are
-    * unaffected.
+  /** Event-time columns whose physical parquet type has varied across
+    * fixture generations: TIMESTAMP(NANOS) (read as raw nanos-since-epoch
+    * longs via `spark.sql.legacy.parquet.nanosAsLong` — Spark has no
+    * nanosecond type — and integer-`div`'d to micros; a double divide
+    * would lose sub-second precision at 1.7e18 nanos) or
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ and
+    * cast to the session type — every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so the cast relabels the same
+    * micros value, exactly how the DuckDB oracle reads the naive column).
+    * The normalization keys on the OBSERVED type, so either vintage of
+    * fixture reads to identical TimestampType values.
     */
-  private val nanosCols: Map[String, Seq[String]] = Map(
+  private val eventTimeCols: Map[String, Seq[String]] = Map(
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
@@ -34,10 +39,13 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else df
+    eventTimeCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (!df.schema.fieldNames.contains(c)) df
+      else df.schema(c).dataType match {
+        case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+        case _ => df
+      }
     }
   }
 

@@ -20,16 +20,21 @@ import org.apache.spark.sql.types._
   *  - sinks append mode: only finalized windows emit, so downstream
   *    consumers never see retractions.
   *
-  * The parquet fixture stores `ts` as TIMESTAMP(NANOS); streaming reads
-  * use an explicit schema with a long `ts_nanos` and convert via integer
-  * div — same path as the batch `Tables` loader.
+  * The `ts` column's physical parquet type has varied across fixture
+  * generations (TIMESTAMP(NANOS) vs micros TIMESTAMP_NTZ); streaming
+  * sources take an explicit schema, so [[EventStream.source]] probes the
+  * footer once and normalizes to TimestampType exactly like the batch
+  * `Tables` loader.
   */
 object EventStream {
 
-  /** Explicit read schema (streaming sources do not infer). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Explicit read schema (streaming sources do not infer) for a given
+    * event-time vintage: nanos fixtures read `ts` as a raw long,
+    * micros-NTZ fixtures as TIMESTAMP_NTZ.
+    */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as nanos-since-epoch
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -38,11 +43,17 @@ object EventStream {
   /** Unbounded source over a directory of event parquet files. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    // one footer read to learn the fixture's timestamp vintage
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming q27: watermarked tumbling-window rates per event type. */
@@ -225,6 +236,40 @@ object EventStream {
 
   private val WatermarkMs = 10L * 60 * 1000
   private val WindowUs = 5L * 60 * 1000000
+  private val GapMs = Sessionize.GapMinutes * 60 * 1000
+
+  /** q86 — the STREAMING sessionize drain under the driver's hash gate:
+    * [[Sessionize.sessions]] (flatMapGroupsWithState, event-time
+    * timeouts) run as an actual watermarked stream under AvailableNow,
+    * not just in batch mode as q37 does. Sessions close two ways here —
+    * an in-stream ≥30-min gap, or the event-time timeout once the final
+    * watermark passes `last + gap` — and both paths land in the sink.
+    *
+    * Gate discipline (the q49 horizon filter, adapted): both sides keep
+    * only sessions whose close instant `end_ms + gap` sits STRICTLY
+    * inside the final watermark (ms-floored max event time − 10 min).
+    * Any such session is guaranteed emitted regardless of how it closed
+    * — a gap-closing successor event can only exist at `> end + gap`,
+    * and absent one the timeout (`(last_us + gap_us) div 1000`, equal to
+    * `end_ms + gap` since the gap is a whole number of ms) fires under
+    * either the < or ≤ edge of Spark's eviction predicate. Sessions on
+    * or past the horizon are dropped on BOTH sides, so the gate is
+    * insensitive to that edge and to open-trailing-session timing.
+    */
+  def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
+    val src = source(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    drain(Sessionize.sessions(src).toDF(), "graft_q86_sink")
+    import graft.sources.Tables
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmMs = maxUs / 1000 - WatermarkMs
+    spark.table("graft_q86_sink")
+      .filter(unix_millis(col("session_end")) + GapMs < wmMs)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
 
   /** q50 — the watermarked stream-stream interval join under the
     * driver's hash gate: inner joins emit matches as they form, so a
@@ -283,7 +328,8 @@ object EventStream {
     "q49_stream_rates" -> (streamedRates _),
     "q50_stream_range_join" -> (streamedRangeJoin _),
     "q65_stream_topk" -> (streamedTopK _),
-    "q79_stream_dedup" -> (streamedDedupRates _))
+    "q79_stream_dedup" -> (streamedDedupRates _),
+    "q86_stream_sessions" -> (streamedSessions _))
 
   /** Shared q49/q79 reference text: same horizon arithmetic as
     * [[streamedRates]] — watermark = ms-floored max event time minus
@@ -315,6 +361,33 @@ object EventStream {
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id, c_ts, c_value""".stripMargin,
+    // q37's lag/cumulative-sum sessionization with the trailing-drop
+    // replaced by the shared horizon filter: keep sessions whose close
+    // instant (end + gap, ms-floored) is strictly inside the final
+    // watermark — mirrored exactly in streamedSessions
+    "q86_stream_sessions" ->
+      s"""WITH wm AS (
+         |  SELECT epoch_us(max(ts)) // 1000 - ${WatermarkMs} AS wm_ms FROM events),
+         |ordered AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |    OR ts > prev_ts + INTERVAL ${Sessionize.GapMinutes} MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM ordered),
+         |numbered AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess_no
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, sess_no, min(ts) AS session_start, max(ts) AS session_end,
+         |    CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+         |  FROM numbered GROUP BY user_id, sess_no)
+         |SELECT user_id, session_start, session_end, n_events, sum_value
+         |FROM sess, wm
+         |WHERE epoch_us(session_end) // 1000 + ${GapMs} < wm_ms
+         |ORDER BY user_id, session_start""".stripMargin,
     // the drained complete-mode stream equals the batch window top-k
     "q65_stream_topk" ->
       s"""WITH rk AS (

@@ -43,6 +43,46 @@ class EventStreamSpec extends AnyFunSpec {
     }
   }
 
+  describe("streamedSessions (q86)") {
+    it("a drained run equals the lag/cumsum sessionization inside the horizon") {
+      val streamed = EventStream.streamedSessions(spark, sf)
+
+      // Batch twin mirroring the DuckDB oracle: lag marks gap starts, a
+      // running sum numbers sessions, then the shared horizon filter
+      // keeps only sessions whose close instant (end + gap) sits
+      // strictly inside the final watermark.
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = Sessionize.GapMinutes * 60 * 1000000L
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val numbered = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+        .withColumn("sess_no", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = numbered.groupBy("user_id", "sess_no")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).cast("int").as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val wmMs = maxUs / 1000 - 10 * 60 * 1000L
+      val batch = sessions
+        .filter(unix_millis(col("session_end")) +
+          Sessionize.GapMinutes * 60000L < wmMs)
+        .select("user_id", "session_start", "session_end",
+          "n_events", "sum_value")
+
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0,
+        "streamed session not in batch reference")
+      assert(batch.exceptAll(streamed).count() == 0,
+        "horizon-closed batch session missing from the drained stream")
+    }
+  }
+
   describe("purchaseClickJoin (streaming twin of batch q40)") {
     it("a drained run emits exactly the batch inner-join pairs") {
       EventStream.runIntervalJoin(spark, sf, "stream_q40")
