@@ -464,6 +464,66 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q87 verified-containment acceptance threshold: a candidate pair is
+    * a containment duplicate when the verified shingle-level containment
+    * `|A∩B| / min(|A|,|B|)` reaches this.
+    */
+  val ContainVerifyMin = 0.5
+
+  /** q87 — verified containment dedup: q85's winnow-candidates turned
+    * into DECISIONS. Each candidate pair is re-scored exactly (not on
+    * the winnowed sample) as shingle-set containment
+    * `|A∩B| / min(|A|,|B|)` via the same merge-count kernel q24 uses;
+    * pairs at ≥ [[ContainVerifyMin]] become keep/cut rows — cut the
+    * CONTAINED side (the smaller shingle set; ties cut the larger
+    * doc_id, so the decision is deterministic). This is the
+    * q24→q54-style verify step containment candidates previously
+    * lacked: q85 alone surfaces quote-inclusion/template-wrap pairs,
+    * q87 says which doc a pipeline drops.
+    *
+    * Scale shape: rides q85's bounded candidate generation (df-capped
+    * fp self-join), then two hash joins of the SMALL pair list against
+    * the per-doc sorted-shingle arrays (one codegen pass per doc, one
+    * row per doc on the shuffle) and an O(|A|+|B|) merge count per
+    * pair — never a shingle-stream join, never corpus² work.
+    */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentDedupFrom(Tables.documents(spark, dir))
+
+  def containmentDedupFrom(docs: DataFrame): DataFrame =
+    containmentDedupOf(containmentPairsFrom(docs).select("doc_a", "doc_b"), docs)
+
+  /** [[containmentDedupFrom]] over pre-materialized candidate pairs —
+    * the staged form Bench uses so q87 rides a q85 CTAS.
+    */
+  def containmentDedupOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("sorted_shingle_hashes", col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .as("n_common"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          nullIfZero(least(col("sz_a"), col("sz_b"))), 9).as("containment"),
+        when(col("sz_a") < col("sz_b"), col("doc_a"))
+          .when(col("sz_b") < col("sz_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("cut_doc"))
+      .filter(col("containment") >= ContainVerifyMin)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"),
+        when(col("cut_doc") === col("doc_a"), col("doc_b"))
+          .otherwise(col("doc_a")).as("keep_doc"),
+        col("cut_doc"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
@@ -472,7 +532,8 @@ object Dedup {
     "q54_dedup_clusters" -> (dedupClusters _),
     "q80_source_mirrors" -> (sourceMirrors _),
     "q82_dup_spans" -> (dupSpans _),
-    "q85_containment_pairs" -> (containmentPairs _))
+    "q85_containment_pairs" -> (containmentPairs _),
+    "q87_containment_dedup" -> (containmentDedup _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -579,6 +640,42 @@ object Dedup {
          |    AS containment
          |FROM p JOIN n na ON na.doc_id = p.doc_a
          |JOIN n nb ON nb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q85's candidate chain (winnow fps → df cap → fp self-join → p)
+    // + the exact shingle-level containment verify and the keep/cut
+    // rule — winnowSql's `t` CTE already carries the token arrays the
+    // shingle build needs
+    "q87_containment_dedup" ->
+      s"""WITH ${TextAnalysis.winnowSql},
+         |f AS (SELECT DISTINCT doc_id,
+         |    list_extract(kh, CAST(pos AS INT) + 1) AS fp FROM u),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |  HAVING count(*) <= $ContainMaxFpDocs),
+         |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) >= $ContainMinShared),
+         |exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+         |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM t)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM exd GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM p JOIN exd a ON a.doc_id = p.doc_a
+         |  JOIN exd b ON b.doc_id = p.doc_b AND b.s = a.s
+         |  GROUP BY p.doc_a, p.doc_b),
+         |v AS (SELECT i.doc_a, i.doc_b, i.n_common,
+         |    round(CAST(i.n_common AS DOUBLE) / NULLIF(least(sa.sz, sb.sz), 0), 9)
+         |      AS containment,
+         |    CASE WHEN sa.sz < sb.sz THEN i.doc_a
+         |         WHEN sb.sz < sa.sz THEN i.doc_b
+         |         ELSE greatest(i.doc_a, i.doc_b) END AS cut_doc
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, n_common, containment,
+         |  CASE WHEN cut_doc = doc_a THEN doc_b ELSE doc_a END AS keep_doc,
+         |  cut_doc
+         |FROM v WHERE containment >= $ContainVerifyMin
          |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of

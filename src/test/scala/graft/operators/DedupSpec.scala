@@ -162,6 +162,46 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("containmentDedup (q87)") {
+    it("turns the embedded-doc candidate into a verified keep/cut decision") {
+      val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi"
+      val long = s"w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 $core " +
+        "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11 y12"
+      val d = Seq(
+        (1L, core, "en", "srcA", 1L),
+        (2L, long, "en", "srcB", 1L),
+        (3L, "entirely different text about other things goes here now okay then",
+          "en", "srcC", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.containmentDedupFrom(d).collect()
+      assert(r.length == 1, s"exactly the planted pair survives: ${r.toSeq}")
+      val p = r(0)
+      assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+      // the short doc's shingles are a near-subset of the long doc's —
+      // exact shingle containment is high even though whole-doc jaccard
+      // (16 shared tokens in a 40-token union) stays low
+      assert(p.getAs[Double]("containment") >= Dedup.ContainVerifyMin)
+      // the CONTAINED side (smaller shingle set) is the one cut
+      assert(p.getAs[Long]("cut_doc") == 1L)
+      assert(p.getAs[Long]("keep_doc") == 2L)
+    }
+
+    it("keeps candidates below the verify threshold out of the decisions") {
+      // two docs sharing one 7-token run inside otherwise-disjoint text:
+      // enough winnow fps to surface as a q85 candidate, but exact
+      // shingle containment stays well under the 0.5 acceptance bar
+      val run = "alpha beta gamma delta epsilon zeta eta"
+      val d = docs(
+        (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 $run b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+        (2L, s"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 $run d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      val cand = Dedup.containmentPairsFrom(d).collect()
+      assert(cand.nonEmpty, "the shared run must surface as a candidate")
+      assert(Dedup.containmentDedupFrom(d).collect().isEmpty,
+        "a 7-of-26-shingle overlap must not pass the 0.5 verify bar")
+    }
+  }
+
   describe("dedupClusters (q54)") {
     /** Union-find ground truth for an edge list. */
     def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
