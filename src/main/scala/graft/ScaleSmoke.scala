@@ -123,6 +123,23 @@ object ScaleSmoke {
       val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
       Dedup.sourceMirrorsFrom(canonical).count()
     }
+    // q82 shuffle audit: the broadcast-dup-set rewrite ships per-doc-
+    // DISTINCT gram hashes to the one df-count shuffle and runs the
+    // island merge map-side; the join-back formulation it replaced
+    // re-shuffled EVERY stride-1 position into the dup join and again
+    // into the per-doc window. positions/distinct is the volume the
+    // rewrite stopped moving (≥1 by construction; grows with dup mass).
+    locally {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      val g = Dedup.spanGramArrays(canonical)
+        .select(size(col("kh")).cast("long").as("pos"),
+          size(array_distinct(col("kh"))).cast("long").as("dis"))
+        .agg(sum("pos"), sum("dis")).head()
+      val (pos, dis) = (g.getLong(0), g.getLong(1))
+      println(f"[scale] dup_spans_shuffle: positions=$pos distinct=$dis " +
+        f"cut=${pos.toDouble / dis}%.2fx")
+      require(dis <= pos, "distinct gram rows must not exceed positions")
+    }
     spark.stop()
   }
 }

@@ -236,4 +236,47 @@ object TextCore {
     }
     count
   }
+
+  /** q82 kernel: maximal runs of duplicated gram positions in one pass.
+    * `kh` is a doc's per-position gram hashes (document order), `dup`
+    * the SORTED global duplicated-gram set (broadcast). A position is
+    * duplicated when its hash binary-searches into `dup`; consecutive
+    * duplicated positions chain into maximal runs. Each run is packed
+    * as `(start << 32) | endPos` (both fit: positions are token
+    * indexes) — the caller unpacks and adds the gram width to get span
+    * token length, keeping this kernel width-agnostic.
+    */
+  def dupSpanRuns(kh: ArrayData, dup: ArrayData): ArrayData = {
+    val n = kh.numElements()
+    val m = dup.numElements()
+    val out = new Array[Long](math.min(n, (n + 1) / 2 + 1))
+    var cnt = 0
+    var runStart = -1
+    var prev = -2
+    var p = 0
+    while (p < n) {
+      val h = kh.getLong(p)
+      // binary search in the sorted dup set
+      var lo = 0
+      var hi = m - 1
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val v = dup.getLong(mid)
+        if (v == h) found = true
+        else if (v < h) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found) {
+        if (p != prev + 1) {
+          if (runStart >= 0) { out(cnt) = (runStart.toLong << 32) | prev.toLong; cnt += 1 }
+          runStart = p
+        }
+        prev = p
+      }
+      p += 1
+    }
+    if (runStart >= 0) { out(cnt) = (runStart.toLong << 32) | prev.toLong; cnt += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
 }

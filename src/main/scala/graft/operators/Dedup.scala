@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.nullIfZero
@@ -378,39 +377,56 @@ object Dedup {
     * duplicate that straddles a chunk boundary, a sliding window
     * cannot.
     *
-    * Scale shape: gram hashing is map work (stride-1 costs ×gramlen
-    * rows over q58's grid, the price of boundary-free detection); the
-    * occurrence count is one shuffle keyed by gram hash — two-phase
-    * countDistinct, so (hash, doc) partials combine map-side; the
-    * surviving duplicated-gram relation is dup-mass-bounded (small
-    * ⇒ AQE broadcasts the join back, worst case it re-keys by the
-    * SAME gram hash); the island merge windows per doc_id — state
-    * bounded by doc length, never corpus.
+    * Scale shape: gram hashing is map work producing one per-doc hash
+    * ARRAY (stride-1 costs ×gramlen values over q58's grid, the price
+    * of boundary-free detection — but they stay inside their doc's row,
+    * never exploded onto a shuffle); the occurrence count is the ONE
+    * shuffle in the operator, carrying per-doc-DISTINCT gram hashes
+    * with map-side combine; the surviving duplicated-gram set is
+    * dup-mass-bounded by definition, so it aggregates to a single
+    * sorted broadcast array (q58's boilerplate-set discipline) and the
+    * island merge runs map-side in the `dup_span_runs` kernel — one
+    * binary-searched pass per doc, no token-granular join-back shuffle
+    * and no per-doc window. If a pathological corpus ever outgrew the
+    * broadcast (dup-mass ≈ corpus), the join-back formulation this
+    * replaced is the fallback — that corpus is one giant duplicate and
+    * needs q21 first, not span surgery.
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpansFrom(Tables.documents(spark, dir))
 
-  def dupSpansFrom(docs: DataFrame): DataFrame = {
-    val g = Tables.widened(docs, col("doc_id"))
+  /** Per-doc stride-1 gram-hash arrays `(doc_id, kh)` — the map-side
+    * input both the df count and the span kernel read (also used by the
+    * ScaleSmoke shuffle audit).
+    */
+  private[graft] def spanGramArrays(docs: DataFrame): DataFrame = {
+    val kh = transform(sequence(lit(0), size(col("w")) - SpanGramTokens),
+      i => TextFns.hash60(concat(lit("sp|"),
+        concat_ws(" ", slice(col("w"), i + 1, lit(SpanGramTokens))))))
+    Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"), TextFns.toks(col("text")).as("w"))
       .filter(size(col("w")) >= SpanGramTokens)
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), size(col("w")) - SpanGramTokens)).as("p"))
-      .select(col("doc_id"), col("p"),
-        TextFns.hash60(concat(lit("sp|"),
-          concat_ws(" ", slice(col("w"), col("p") + 1, lit(SpanGramTokens)))))
-          .as("h"))
-    val dup = g.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd"))
+      .select(col("doc_id"), kh.as("kh"))
+  }
+
+  def dupSpansFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val perDoc = spanGramArrays(docs)
+    // doc-frequency over per-doc-distinct hashes (identical to a
+    // countDistinct(doc_id) over exploded positions), collapsed to one
+    // sorted broadcast array
+    val dup = perDoc
+      .select(explode(array_distinct(col("kh"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= SpanMinDocs)
-      .select("h")
-    val isl = g.join(dup, Seq("h"))
-      .withColumn("grp",
-        col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
-    isl.groupBy("doc_id", "grp")
-      .agg(min("p").cast("long").as("span_start"),
-        (max("p") - min("p") + SpanGramTokens).cast("long").as("span_tokens"))
-      .select("doc_id", "span_start", "span_tokens")
+      .agg(sort_array(collect_list("h")).as("dup"))
+    perDoc.crossJoin(broadcast(dup))
+      .select(col("doc_id"),
+        explode(call_function("dup_span_runs", col("kh"), col("dup"))).as("r"))
+      .select(col("doc_id"),
+        shiftright(col("r"), 32).as("span_start"),
+        (col("r").bitwiseAND(lit(0xFFFFFFFFL)) - shiftright(col("r"), 32) +
+          SpanGramTokens).as("span_tokens"))
       .orderBy("doc_id", "span_start")
   }
 

@@ -165,7 +165,9 @@ object GraftFunctions {
     ("quantize_stats", classOf[QuantizeStats],
       (e: Seq[Expression]) => QuantizeStats(e(0))),
     ("winnow_positions", classOf[WinnowPositions],
-      (e: Seq[Expression]) => WinnowPositions(e(0), e(1))))
+      (e: Seq[Expression]) => WinnowPositions(e(0), e(1))),
+    ("dup_span_runs", classOf[DupSpanRuns],
+      (e: Seq[Expression]) => DupSpanRuns(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>

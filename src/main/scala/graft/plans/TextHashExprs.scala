@@ -150,3 +150,38 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** `dup_span_runs(kh, dup)` → ARRAY<BIGINT> of maximal duplicated-position
+  * runs, each packed `(start << 32) | end`: positions of `kh` (a doc's
+  * per-position gram hashes) whose hash binary-searches into the SORTED
+  * `dup` set, chained by adjacency — the q82 island merge as one map-side
+  * pass over a broadcast dup-gram set instead of a token-granular join +
+  * per-doc window (see [[graft.functions.TextCore.dupSpanRuns]]).
+  */
+case class DupSpanRuns(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dup_span_runs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextCore.dupSpanRuns(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextCore.dupSpanRuns($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DupSpanRuns =
+    copy(left = newLeft, right = newRight)
+}

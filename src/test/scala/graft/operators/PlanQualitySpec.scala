@@ -166,14 +166,22 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("BroadcastHashJoin"), "the O(p×shards) offset table must broadcast")
     }
 
-    it("q82 counts gram occurrences two-phase and broadcasts the dup-gram set") {
+    it("q82 ships only per-doc-distinct grams to its one shuffle; islands run map-side") {
       val p = executedPlanOf("q82_dup_spans")
-      assert(p.contains("partial_count(distinct doc_id"),
-        s"gram occurrence count must partial-aggregate map-side:\n$p")
-      assert(p.contains("BroadcastHashJoin"),
-        "the dup-mass-bounded gram relation must be the broadcast side")
-      assert(!p.contains("windowspecdefinition(grp"),
-        "island merge must group, not window, over (doc_id, grp)")
+      assert(p.contains("partial_count"),
+        s"gram df count must partial-aggregate map-side:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        "the dup-mass-bounded gram set must broadcast as one sorted array")
+      assert(p.contains("dup_span_runs"),
+        "island merge must run in the native kernel, not a join + window")
+      assert(!p.contains("windowspecdefinition"),
+        "no per-doc window: the kernel chains runs map-side")
+      // exactly one hash exchange (the df count); the presentation sort's
+      // range exchange and the broadcast are the only other movement
+      assert(p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("REPARTITION_BY_COL")) == 1,
+        s"only the df-count shuffle may hash-partition:\n$p")
     }
 
     it("q83 broadcasts both rerank inputs: no corpus shuffle after the coarse stage") {
