@@ -377,19 +377,52 @@ object Curation {
     * The global offset is a running sum — the one primitive that is NOT
     * embarrassingly parallel — so it runs as the textbook two-phase
     * distributed prefix sum instead of Spark's single-partition global
-    * window: (1) a deterministic partition id from the key range
-    * (`doc_id div width` — pure arithmetic, no sampled RangePartitioner
-    * whose boundaries could differ between the two passes); (2) ONE
-    * per-partition-totals aggregate, O(#partitions) rows collected —
-    * metadata-scale, like AQE stats; (3) exclusive-scan of those totals
-    * driver-side, broadcast back; (4) an intra-partition cumulative
-    * window, parallel across partitions because each partition sorts
-    * only its own slice. Corpus cost: two scans, one hash exchange on
-    * pid — a global-window formulation would serialize the entire
-    * corpus through one task.
+    * window: (1) a deterministic, doc_id-MONOTONE partition id (the
+    * layout order is doc_id, so pids must be contiguous id ranges —
+    * hashing would balance but reorder): docs land in FINE value-range
+    * buckets (64·p of them, pure arithmetic — no sampled
+    * RangePartitioner whose boundaries could differ between passes),
+    * and ONE O(64·p)-row collected aggregate of per-bucket doc/token
+    * counts lets the driver greedily pack contiguous fine buckets into
+    * ~p pids of ≈equal DOC COUNT — so clustered or sparse id spaces
+    * (ingest batches at offset strides, tombstoned ranges) cannot pile
+    * into one pid the way a fixed `doc_id div width` grid could,
+    * up to the fine-bucket granularity dial; (2) the same collected
+    * rows yield each pid's exclusive token-offset prefix, broadcast
+    * back; (3) an intra-partition cumulative window, parallel across
+    * pids because each sorts only its own slice. Corpus cost: two
+    * scans, one hash exchange on pid — a global-window formulation
+    * would serialize the entire corpus through one task.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesFrom(Tables.documents(spark, dir))
+
+  /** Fine value-range buckets per unit of parallelism — the balance
+    * granularity: an id cluster narrower than span/(64·p) still lands
+    * in one fine bucket (and so one pid); wider clustering spreads.
+    */
+  val PackFineBucketsPerCore = 64L
+
+  /** Driver-side contiguous re-grouping of fine buckets into balanced
+    * pids: returns (fine bucket → (pid, pid's exclusive token offset)).
+    * Exposed for the balance spec.
+    */
+  private[graft] def packPidMap(
+      fineStats: Array[(Long, Long, Long)], // (fine, n_docs, n_tokens) sorted
+      p: Long): Array[(Long, Long, Long)] = {
+    val totalDocs = fineStats.map(_._2).sum
+    val target = math.max(1L, (totalDocs + p - 1) / p)
+    var pid = 0L
+    var docsIn = 0L
+    var off = 0L
+    var pidOff = 0L
+    fineStats.map { case (fine, nd, t) =>
+      if (docsIn >= target) { pid += 1; docsIn = 0L; pidOff = off }
+      val row = (fine, pid, pidOff)
+      docsIn += nd; off += t
+      row
+    }
+  }
 
   def packSequencesFrom(docs: DataFrame, seqTokens: Long = SeqTokens): DataFrame = {
     val spark = docs.sparkSession
@@ -405,15 +438,18 @@ object Curation {
         lit(0L).as("seq_last"), lit(0L).as("n_seqs"))
     val maxId = maxRow.getLong(0)
     val p = spark.sparkContext.defaultParallelism.toLong
-    val width = math.max(1L, (maxId + p) / p) // ceil((maxId+1)/p)
-    val dd = d.withColumn("pid", expr(s"doc_id div $width"))
-    var acc = 0L
-    val offs = dd.groupBy("pid").agg(sum("n_tokens").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-      .map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val fine = p * PackFineBucketsPerCore
+    val fineWidth = math.max(1L, (maxId + fine) / fine) // ceil((maxId+1)/fine)
+    val df = d.withColumn("fine", expr(s"doc_id div $fineWidth"))
+    // one metadata-scale collect: per-fine-bucket doc + token counts
+    val fineStats = df.groupBy("fine")
+      .agg(count(lit(1)).as("nd"), sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val fmap = packPidMap(fineStats, p)
     val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dd.join(broadcast(offs.toSeq.toDF("pid", "off")), Seq("pid"))
+    df.join(broadcast(fmap.toSeq.toDF("fine", "pid", "off")), Seq("fine"))
       .withColumn("cum", col("off") + sum("n_tokens").over(w))
       .select(col("doc_id"), col("n_tokens"),
         (col("cum") - col("n_tokens")).as("start_off"),

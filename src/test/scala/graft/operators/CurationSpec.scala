@@ -280,6 +280,40 @@ class CurationSpec extends AnyFunSpec {
     it("returns an empty manifest for an empty corpus") {
       assert(Curation.packSequencesFrom(docs()).collect().isEmpty)
     }
+
+    it("stays correct and pid-balanced on clustered/sparse id spaces") {
+      import org.apache.spark.sql.functions._
+      // four ingest batches at 10M id strides — the retired fixed
+      // `doc_id div width` grid would land each batch in one pid
+      val rows = for { b <- 0 until 4; j <- 0 until 100 } yield
+        (b * 10000000L + j, Seq.fill(12)("tok").mkString(" "),
+          "en", s"src$b", 1L)
+      val d = spark.createDataFrame(rows)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Curation.packSequencesFrom(d).collect().sortBy(_.getAs[Long]("doc_id"))
+      // offsets are the doc_id-ordered prefix sums regardless of id gaps
+      r.zipWithIndex.foreach { case (x, i) =>
+        assert(x.getAs[Long]("start_off") == 12L * i,
+          s"doc ${x.getAs[Long]("doc_id")} off ${x.getAs[Long]("start_off")}")
+      }
+      // the driver-side re-grouping balances pids by DOC COUNT: no pid
+      // may hold more than one batch's worth plus a fine bucket of slack
+      val p = spark.sparkContext.defaultParallelism.toLong
+      val fine = p * Curation.PackFineBucketsPerCore
+      val fineWidth = math.max(1L, (30000000L + 99L + fine) / fine)
+      val stats = d
+        .select(col("doc_id"), expr(s"doc_id div $fineWidth").as("fine"))
+        .groupBy("fine").agg(count(lit(1)).as("nd"), sum(lit(12L)).as("t"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1)
+      val fmap = Curation.packPidMap(stats, p)
+      val byPid = stats.map(s => fmap.find(_._1 == s._1).get._2 -> s._2)
+        .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2).sum }
+      val target = (400L + p - 1) / p
+      assert(byPid.size > 1, "clustered ids must still spread over pids")
+      assert(byPid.values.max <= target + 100L,
+        s"pid overshoot beyond one fine bucket of slack: $byPid")
+    }
   }
 
   describe("datasetCard (q71)") {
