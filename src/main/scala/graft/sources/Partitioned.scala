@@ -32,7 +32,9 @@ object Partitioned {
       .parquet(path)
 
   /** Read the partitioned layout back (partition discovery gives
-    * `event_date` as a column usable in pruning predicates).
+    * `event_date` as a column usable in pruning predicates). Uncached:
+    * callers may backfill the path between reads — only [[eventsFor]]'s
+    * write-once materializations are safe to memoize.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -43,6 +45,17 @@ object Partitioned {
   private val MaterializeRoot = "/dev/shm/graft-partitioned"
 
   private val materialized = scala.collection.mutable.Set[String]()
+
+  /** Analyzed-relation cache for [[eventsFor]]'s materializations: the
+    * layout is write-once per corpus (`_SUCCESS`-gated, fixtures
+    * immutable), yet partition DISCOVERY walks every day directory — a
+    * real listing constant at hundreds of days, paid by every
+    * q27/q40/q41/q74 invocation in the round-5 bench. One discovered
+    * `InMemoryFileIndex` per (session, path) serves every read;
+    * partition PRUNING still happens per query against the cached index.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The `events` table of corpus `dir` THROUGH the date-partitioned
     * layout: ingested once per corpus (the production shape — facts land
@@ -68,6 +81,6 @@ object Partitioned {
         materialized += path
       }
     }
-    readEvents(spark, path)
+    relCache.computeIfAbsent((spark, path), _ => readEvents(spark, path))
   }
 }

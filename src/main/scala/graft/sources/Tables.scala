@@ -36,18 +36,31 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    eventTimeCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (!df.schema.fieldNames.contains(c)) df
-      else df.schema(c).dataType match {
-        case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
-        case _ => df
+  /** Analyzed-relation cache. The corpus dirs are immutable
+    * (TESTDATA.md: read-only), so after the first touch the per-read
+    * driver work — directory listing, footer schema resolution, a fresh
+    * `InMemoryFileIndex` — is pure planning-time waste, exactly what a
+    * catalog's table-metadata cache removes; at bench scale it recurred
+    * 87 queries × 2 passes × up to 10 tables. Keyed by session so tests
+    * and fresh tool sessions re-resolve; a cached plan on both sides of
+    * a join deduplicates attribute ids like any catalog self-join.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    relCache.computeIfAbsent((spark, s"$dir/$name"), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      eventTimeCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+        if (!df.schema.fieldNames.contains(c)) df
+        else df.schema(c).dataType match {
+          case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+          case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+          case _ => df
+        }
       }
-    }
-  }
+    })
 
   /** Conf key gating [[widened]]: `auto` (default) widens only when the
     * scan is under-partitioned; `never` guarantees no added shuffle.
