@@ -25,6 +25,7 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .config("spark.sql.warehouse.dir", "/dev/shm/graft-wh")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -136,9 +137,93 @@ object ScaleSmoke {
           size(array_distinct(col("kh"))).cast("long").as("dis"))
         .agg(sum("pos"), sum("dis")).head()
       val (pos, dis) = (g.getLong(0), g.getLong(1))
-      println(f"[scale] dup_spans_shuffle: positions=$pos distinct=$dis " +
-        f"cut=${pos.toDouble / dis}%.2fx")
+      // rows the retired island WINDOW would have shuffled and sorted:
+      // every duplicated position (islands are runs of them)
+      val dupPos = Dedup.dupSpansFrom(canonical)
+        .agg(coalesce(sum(col("span_tokens") - Dedup.SpanGramTokens + 1), lit(0L)))
+        .head().getLong(0)
+      println(f"[scale] dup_spans_shuffle: count_rows=$dis (vs $pos positions) " +
+        f"window_rows_cut=$dupPos")
       require(dis <= pos, "distinct gram rows must not exceed positions")
+    }
+    // ---- skewed-key arm: power-law hot keys the uniform replication
+    // above cannot produce. Assertions are on plan shape + output
+    // (this VM's clock is too noisy for hard wall-time asserts); times
+    // print as datapoints. Skew-join byte thresholds are scaled to
+    // smoke bytes so the 256MB-at-cluster-scale logic exercises here.
+    locally {
+      val skewConfs = Map(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // smoke-sized sides would broadcast (no skew to split); at the
+        // 100 TB shape both sides shuffle — force that shape here
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = skewConfs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // (a) hot LSH band bucket: 2000 identical docs (a replica-heavy
+        // crawl). One reducer would own the 2M-pair bucket; AQE must
+        // split it.
+        t("skew_band_selfjoin") {
+          val hot = 2000
+          val d = spark.range(0, hot + 5000L * mult).selectExpr(
+            "id AS doc_id",
+            s"CASE WHEN id < $hot THEN 'the same replicated document text again and again' " +
+              "ELSE concat('unique doc ', id, ' tok', id % 7, ' tok', id % 11) END AS text")
+          val cnt = Dedup.candidatePairsFrom(Dedup.bandsFrom(d)).groupBy().count()
+          val n = cnt.collect()(0).getLong(0)
+          val p = cnt.queryExecution.executedPlan.toString
+          require(p.toLowerCase.contains("skew=true") || p.contains("isSkewJoin=true"),
+            "AQE skew split must engage on the hot band bucket")
+          n
+        }
+        // (b) star CC graph: one hub of degree 20k·mult — the hot-key
+        // aggregate path of large-star/small-star. Must resolve in the
+        // log-round budget (clustersOfVerified's MaxRounds backstop
+        // would loop forever under a linear-propagation regression).
+        t("skew_cc_star") {
+          val spokes = 20000L * mult
+          val edges = spark.range(1, spokes + 1)
+            .selectExpr("0L AS doc_a", "id AS doc_b")
+          val r = Dedup.clustersOfVerified(edges)
+          val n = r.count()
+          require(n == spokes + 1, s"star must resolve whole: $n vs ${spokes + 1}")
+          n
+        }
+        // (c) power-law basket: one user touching a 1000-item basket
+        // while the tail stays ≤20 — the user-keyed pair self-join's
+        // hot partition. Probed: AQE declines to split THIS reused-
+        // exchange SMJ self-join shape at smoke bytes (the SHJ band
+        // join above is the AQE-path proof), so the hot-basket run is
+        // a timed datapoint and the assertion pins the OTHER skew
+        // tool: `SkewJoin.salted` spreads a 75%-hot key over 32
+        // salted reducers row-identically to the plain join.
+        t("skew_cooccurrence_hotbasket") {
+          val ev = spark.range(0, 50000L * mult).selectExpr(
+            "id AS event_id",
+            "CASE WHEN id % 2 = 0 THEN 0L ELSE 1 + id % 200 END AS user_id",
+            "concat('{\"k\": ', CASE WHEN id % 2 = 0 THEN id % 2000 " +
+              "ELSE id % 20 END, '}') AS props")
+          val out = Analytics.itemCooccurrenceFrom(ev).collect()
+          require(out.length == Analytics.CoocTopK,
+            s"skewed fixture must still fill the top-k: ${out.length}")
+          out.length.toLong
+        }
+        t("skew_salted_join") {
+          val big = spark.range(0, 200000L * mult).selectExpr(
+            "CASE WHEN id % 4 < 3 THEN 0L ELSE 1 + id % 997 END AS key",
+            "id AS v")
+          val small = spark.range(0, 998L).selectExpr("id AS key", "id * 2 AS w")
+          val plain = big.join(small, "key").count()
+          val n = graft.operators.SkewJoin.salted(big, small, "key", 32).count()
+          require(n == plain, s"salted join must be row-identical: $n vs $plain")
+          n
+        }
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     }
     spark.stop()
   }

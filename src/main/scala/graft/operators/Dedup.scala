@@ -458,11 +458,19 @@ object Dedup {
     * carries only surviving candidates.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsFrom(Tables.documents(spark, dir))
+    // gated end-to-end THROUGH the materialized bucketed index (q74's
+    // partitioned-routing discipline): one winnow pass per corpus, and
+    // the df count + fp self-join ride the bucketed scan's distribution
+    containmentPairsOfFps(TextAnalysis.winnowIndexFor(spark, dir))
 
-  def containmentPairsFrom(docs: DataFrame): DataFrame = {
-    val fps = TextAnalysis.winnowFingerprintsFrom(docs)
-      .select("doc_id", "fp").distinct()
+  def containmentPairsFrom(docs: DataFrame): DataFrame =
+    containmentPairsOfFps(TextAnalysis.winnowFpsFrom(docs))
+
+  /** Candidate generation over an explicit distinct `(doc_id, fp)`
+    * winnow profile — recomputed ([[containmentPairsFrom]]) or the
+    * materialized index ([[containmentPairs]]).
+    */
+  def containmentPairsOfFps(fps: DataFrame): DataFrame = {
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainMaxFpDocs).select("fp")
     val r = fps.join(rare, Seq("fp"))
@@ -504,7 +512,11 @@ object Dedup {
     * pair — never a shingle-stream join, never corpus² work.
     */
   def containmentDedup(spark: SparkSession, dir: String): DataFrame =
-    containmentDedupFrom(Tables.documents(spark, dir))
+    // candidates through the shared winnow index (one winnow pass per
+    // corpus feeds q85 AND q87); the verify stage reads raw documents
+    containmentDedupOf(
+      containmentPairs(spark, dir).select("doc_a", "doc_b"),
+      Tables.documents(spark, dir))
 
   def containmentDedupFrom(docs: DataFrame): DataFrame =
     containmentDedupOf(containmentPairsFrom(docs).select("doc_a", "doc_b"), docs)

@@ -175,6 +175,41 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** Distinct `(doc_id, fp)` winnow profile — the position-free form
+    * every fp-keyed consumer (q85 candidates, q87 verify, ingest
+    * passes) actually needs, without q84's presentation sort.
+    */
+  def winnowFpsFrom(docs: DataFrame): DataFrame =
+    winnowFingerprintsFrom(docs).select("doc_id", "fp").distinct()
+
+  /** Buckets of the materialized winnow index. */
+  val WinnowIndexBuckets = 16
+
+  /** MATERIALIZED winnow fingerprint index for corpus `dir`: the
+    * distinct `(doc_id, fp)` profile written once as a catalog table
+    * bucketed AND per-bucket-sorted by `fp` (`sources/Bucketing`, the
+    * q67-comment discipline made real). Every fp-keyed stage
+    * downstream — q85's df count + fp self-join, q87's candidate
+    * generation, near-dup ingest — then reads pre-winnowed rows whose
+    * scan already carries the fp hash distribution, so the winnow pass
+    * runs once per corpus and the consumers' fp exchanges vanish
+    * (plan-gated in `BucketingSpec`). Write-once per corpus dir keyed
+    * like `Partitioned.eventsFor`; the fixtures are immutable.
+    */
+  def winnowIndexFor(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val table = s"graft_winnow_fp_$key"
+    idxLock.synchronized {
+      if (!spark.catalog.tableExists(table))
+        graft.sources.Bucketing.bucketize(
+          winnowFpsFrom(Tables.documents(spark, dir)),
+          "fp", WinnowIndexBuckets, table)
+    }
+    spark.table(table)
+  }
+  private val idxLock = new Object
+
   /** KMV sketch size (estimate stderr ≈ 1/√k ≈ 6%). */
   val KmvK = 256
 

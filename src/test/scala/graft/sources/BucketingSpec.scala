@@ -55,5 +55,25 @@ class BucketingSpec extends AnyFunSpec {
       val plain = Curation.snapshotDiff(spark, sf).collect().toSeq
       assert(diff.collect().toSeq == plain)
     }
+
+    it("q85 over the materialized winnow index: parity, one winnow pass, no fp exchange") {
+      import graft.operators.{Dedup, TextAnalysis}
+      val viaIndex = Dedup.containmentPairsOfFps(
+        TextAnalysis.winnowIndexFor(spark, sf))
+      val recomputed = Dedup.containmentPairsFrom(Tables.documents(spark, sf))
+        .collect().toSeq
+      assert(viaIndex.collect().toSeq == recomputed,
+        "index-served candidates must equal the recomputed ones")
+      val p = viaIndex.queryExecution.executedPlan.toString
+      // the winnow pass happened at index-build time, not here...
+      assert(!p.contains("winnow_positions"),
+        s"reading the index must not re-winnow:\n$p")
+      // ...and the bucketed scan carries the fp hash distribution, so
+      // neither the df count nor the fp self-join re-shuffles on fp
+      assert(!p.contains("Exchange hashpartitioning(fp"),
+        s"fp-keyed stages must ride the bucketed layout:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"expected a bucketed scan:\n$p")
+    }
   }
 }
