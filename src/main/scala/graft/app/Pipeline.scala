@@ -22,6 +22,31 @@ import graft.sources.{AtomicWarehouse, SupplierCsv}
   */
 object Pipeline {
 
+  /** Scheduler-analog stage runner (the reference schedules each stage
+    * with retries=2, dags/supplier_pipeline_dag.py:14-15): rerun a
+    * failed stage up to `retries` extra attempts before giving up.
+    * Retrying blind is SAFE here because every stage is idempotent
+    * from its predecessor's on-disk output: generate/load/kpis/risk
+    * each republish their outputs whole (CSV overwrite, or an
+    * [[AtomicWarehouse]] version-dir + pointer flip), so an attempt
+    * that died mid-write left the previous published version visible
+    * and the retry starts from the same inputs — the restart contract
+    * `PipelineSpec` pins.
+    */
+  def runStage[T](name: String, retries: Int = 2)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if attempt < retries =>
+          attempt += 1
+          System.err.println(
+            s"[pipeline] stage $name attempt $attempt/${retries + 1} failed, retrying: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def generate(spark: SparkSession, dir: String,
       nSuppliers: Int = 15, nPos: Int = 600, seed: Long = 42L): Unit = {
     val s = DataGen.suppliers(spark, nSuppliers, seed)
@@ -80,14 +105,20 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def stageGenerate(): Unit = { generate(spark, dir); println(s"[pipeline] generated → $dir/csv") }
-    def stageLoad(): Unit = {
+    def stageGenerate(): Unit = runStage("generate") {
+      generate(spark, dir); println(s"[pipeline] generated → $dir/csv")
+    }
+    def stageLoad(): Unit = runStage("load") {
       val (counts, orphanPo, orphanD) = load(spark, dir)
       println(s"[pipeline] loaded: $counts; orphan POs=$orphanPo orphan deliveries=$orphanD")
       require(orphanPo == 0 && orphanD == 0, "referential integrity violated")
     }
-    def stageKpis(): Unit = println(s"[pipeline] supplier_kpis rows=${kpis(spark, dir).count()}")
-    def stageRisk(): Unit = println(s"[pipeline] supplier_risk_summary rows=${risk(spark, dir).count()}")
+    def stageKpis(): Unit = runStage("kpis") {
+      println(s"[pipeline] supplier_kpis rows=${kpis(spark, dir).count()}")
+    }
+    def stageRisk(): Unit = runStage("risk") {
+      println(s"[pipeline] supplier_risk_summary rows=${risk(spark, dir).count()}")
+    }
 
     stage match {
       case "generate" => stageGenerate()

@@ -87,4 +87,66 @@ class PipelineSpec extends AnyFunSpec {
       assert(k1.toSeq == k2.toSeq)
     }
   }
+
+  describe("restart + retry contract (the reference's retries=2 scheduling)") {
+    it("a mid-pipeline stage failure resumes without rebuilding completed stages") {
+      import graft.sources.AtomicWarehouse
+      val d = "/dev/shm/graft-test-pipeline-resume"
+      Pipeline.generate(spark, d, nSuppliers = 6, nPos = 120, seed = 11L)
+      Pipeline.load(spark, d)
+      // published versions of the completed stages' outputs
+      def vers = Seq("suppliers", "purchase_orders", "deliveries")
+        .map(t => AtomicWarehouse.currentPath(s"$d/wh", t))
+      val before = vers
+
+      // the kpis stage dies on every attempt (executor loss, say):
+      // the runner exhausts its retry budget and rethrows
+      var attempts = 0
+      val boom = intercept[RuntimeException] {
+        Pipeline.runStage("kpis", retries = 2) {
+          attempts += 1; throw new RuntimeException("executor lost")
+        }
+      }
+      assert(boom.getMessage == "executor lost")
+      assert(attempts == 3, "retries=2 means three attempts total")
+
+      // completed stages were not rebuilt or republished by the failure...
+      assert(vers == before, "a downstream failure must not touch upstream outputs")
+      // ...and the resumed run needs ONLY the failed stage: it reads
+      // load's published tables and succeeds
+      val k = Pipeline.kpis(spark, d)
+      assert(k.count() > 0)
+      assert(vers == before, "resuming kpis must not republish load's tables")
+    }
+
+    it("a transiently failing stage succeeds within the retry budget") {
+      var n = 0
+      val out = Pipeline.runStage("flaky", retries = 2) {
+        n += 1; if (n < 3) throw new RuntimeException("transient"); 42
+      }
+      assert(out == 42 && n == 3)
+    }
+
+    it("a failed publish attempt leaves the previous version visible to readers") {
+      import graft.sources.AtomicWarehouse
+      import org.apache.spark.sql.functions._
+      val d = "/dev/shm/graft-test-pipeline-resume"
+      // kpis published above; a rerun attempt that crashes BEFORE its
+      // pointer flip (simulated: crash before overwrite is called)
+      // leaves the reader-visible table bit-identical
+      val prev = AtomicWarehouse.read(spark, s"$d/wh", "supplier_kpis")
+        .orderBy("supplier_id").collect().toSeq
+      intercept[RuntimeException] {
+        Pipeline.runStage("kpis-rerun", retries = 0) {
+          // stage work begins (reads inputs)…
+          AtomicWarehouse.read(spark, s"$d/wh", "suppliers").count()
+          // …and dies before any publish
+          throw new RuntimeException("oom")
+        }
+      }
+      val after = AtomicWarehouse.read(spark, s"$d/wh", "supplier_kpis")
+        .orderBy("supplier_id").collect().toSeq
+      assert(after == prev)
+    }
+  }
 }
