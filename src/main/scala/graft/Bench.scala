@@ -142,6 +142,7 @@ object Bench {
         spark.read.parquet(s"$wh/cpairs").select("doc_a", "doc_b"),
         Tables.documents(spark, sfDir))
     }
+    run("q89_keep_ledger") { Dedup.keepLedger(spark, sfDir) }
 
     // the staged sections above must jointly cover the whole catalog —
     // q80 initially slipped through this gap (Dedup is staged by hand,

@@ -552,6 +552,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q89 — the dedup DECISION LEDGER: one row per document with the
+    * final keep/cut verdict and its reason, composing the three dedup
+    * stages a real pipeline applies in precedence order — exact dedup
+    * (q21's normalized-fp groups: every non-minimum doc of a group is
+    * cut as `exact_dup`), near-dup cluster resolution (q54: every
+    * non-canonical cluster member is cut as `near_dup`), and verified
+    * containment (q87: every `cut_doc` is cut as `contained`). The
+    * individual operators emit diagnostics; this is the table the
+    * training-data job actually semi-joins the corpus against, and the
+    * audit trail of WHY each document was dropped.
+    *
+    * Scale shape: three already-bounded cut relations (fp-grouped min,
+    * clustered members, verified pair cuts) left-joined onto the
+    * corpus id projection by doc_id — hash joins on the primary key,
+    * reasons as a precedence CASE, no new corpus-squared work.
+    */
+  def keepLedger(spark: SparkSession, dir: String): DataFrame =
+    // containment cuts via the shared winnow index (one winnow pass per
+    // corpus across q85/q87/q89)
+    keepLedgerOf(Tables.documents(spark, dir), containmentDedup(spark, dir))
+
+  def keepLedgerFrom(docs: DataFrame): DataFrame =
+    keepLedgerOf(docs, containmentDedupFrom(docs))
+
+  /** Ledger over explicit inputs: `containment` is a q87-shaped
+    * decision relation (needs its `cut_doc` column).
+    */
+  def keepLedgerOf(docs: DataFrame, containment: DataFrame): DataFrame = {
+    val exactCut = docs.select(col("doc_id"), md5(normText).as("fp"))
+      .withColumn("keeper", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id").distinct()
+      .withColumn("x_exact", lit(true))
+    val nearCut = dedupClustersFrom(docs)
+      .filter(!col("is_canonical"))
+      .select("doc_id").distinct()
+      .withColumn("x_near", lit(true))
+    val containCut = containment
+      .select(col("cut_doc").as("doc_id")).distinct()
+      .withColumn("x_contain", lit(true))
+    docs.select("doc_id")
+      .join(exactCut, Seq("doc_id"), "left")
+      .join(nearCut, Seq("doc_id"), "left")
+      .join(containCut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("x_exact"), col("x_near"), col("x_contain"),
+          lit(false)) === false).as("keep"),
+        when(col("x_exact"), "exact_dup")
+          .when(col("x_near"), "near_dup")
+          .when(col("x_contain"), "contained")
+          .otherwise("keep").as("reason"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
@@ -561,7 +616,8 @@ object Dedup {
     "q80_source_mirrors" -> (sourceMirrors _),
     "q82_dup_spans" -> (dupSpans _),
     "q85_containment_pairs" -> (containmentPairs _),
-    "q87_containment_dedup" -> (containmentDedup _))
+    "q87_containment_dedup" -> (containmentDedup _),
+    "q89_keep_ledger" -> (keepLedger _))
 
   val oracle: Map[String, String] = Map(
     "q21_exact_dedup" ->
@@ -704,7 +760,66 @@ object Dedup {
          |  CASE WHEN cut_doc = doc_a THEN doc_b ELSE doc_a END AS keep_doc,
          |  cut_doc
          |FROM v WHERE containment >= $ContainVerifyMin
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the three cut sets composed with precedence: exact fp groups
+    // (q21's normalization), transitive near-dup clusters (q54's
+    // recursive CTE), verified containment cuts (q87's chain with its
+    // verify renamed c* — jac's exd/sizes double as the shingle sets)
+    "q89_keep_ledger" ->
+      s"""WITH RECURSIVE $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM verified),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r2.lbl FROM edges e JOIN reach r2 ON r2.u = e.v),
+         |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+         |nearcut AS (SELECT DISTINCT doc_id FROM cc WHERE doc_id <> cluster_id),
+         |${TextAnalysis.winnowSql},
+         |f AS (SELECT DISTINCT doc_id,
+         |    list_extract(kh, CAST(pos AS INT) + 1) AS fp FROM u),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |  HAVING count(*) <= $ContainMaxFpDocs),
+         |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) >= $ContainMinShared),
+         |cinter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM p JOIN exd a ON a.doc_id = p.doc_a
+         |  JOIN exd b ON b.doc_id = p.doc_b AND b.s = a.s
+         |  GROUP BY p.doc_a, p.doc_b),
+         |cv AS (SELECT i.doc_a, i.doc_b,
+         |    round(CAST(i.n_common AS DOUBLE) / NULLIF(least(sa.sz, sb.sz), 0), 9)
+         |      AS containment,
+         |    CASE WHEN sa.sz < sb.sz THEN i.doc_a
+         |         WHEN sb.sz < sa.sz THEN i.doc_b
+         |         ELSE greatest(i.doc_a, i.doc_b) END AS cut_doc
+         |  FROM cinter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b),
+         |containcut AS (SELECT DISTINCT cut_doc AS doc_id FROM cv
+         |  WHERE containment >= $ContainVerifyMin),
+         |fpx AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |keepfp AS (SELECT fp, min(doc_id) AS keeper FROM fpx GROUP BY fp),
+         |exactcut AS (SELECT DISTINCT fx.doc_id FROM fpx fx
+         |  JOIN keepfp kf ON kf.fp = fx.fp WHERE fx.doc_id <> kf.keeper)
+         |SELECT doc.doc_id,
+         |  ec.doc_id IS NULL AND ncut.doc_id IS NULL AND ccut.doc_id IS NULL
+         |    AS keep,
+         |  CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN ncut.doc_id IS NOT NULL THEN 'near_dup'
+         |       WHEN ccut.doc_id IS NOT NULL THEN 'contained'
+         |       ELSE 'keep' END AS reason
+         |FROM documents doc
+         |LEFT JOIN exactcut ec ON ec.doc_id = doc.doc_id
+         |LEFT JOIN nearcut ncut ON ncut.doc_id = doc.doc_id
+         |LEFT JOIN containcut ccut ON ccut.doc_id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin)
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
     * the oracle texts: the SQL user gets the same native-kernel plan the

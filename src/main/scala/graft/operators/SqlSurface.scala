@@ -68,7 +68,10 @@ object SqlSurface {
       ("iterative connected-components fixpoint: the large-star/small-star " +
         "rounds are driver-coordinated with data-dependent termination; " +
         "Spark's recursive CTE (UNION ALL semantics) cannot terminate on " +
-        "cyclic near-dup graphs — use Dedup.dedupClusters"))
+        "cyclic near-dup graphs — use Dedup.dedupClusters"),
+    "q89_keep_ledger" ->
+      ("embeds q54's transitive-closure fixpoint for the near_dup cut set " +
+        "(same recursive-CTE termination limit) — use Dedup.keepLedger"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

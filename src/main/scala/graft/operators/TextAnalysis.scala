@@ -210,6 +210,71 @@ object TextAnalysis {
   }
   private val idxLock = new Object
 
+  /** q88 funnel rule names, in application order. */
+  val FunnelRules = Seq("too_short", "token_len", "low_stopword", "repetitive")
+
+  /** q88 minimum tokens (rule 1). */
+  val FunnelMinTokens = 20L
+
+  /** q88 — quality filter funnel: the C4/Gopher-style cleaning cascade
+    * as an attrition report. Four rules apply in order — token floor,
+    * mean-token-length band, stopword-ratio floor, repeated-bigram
+    * ceiling — and each document is charged to its FIRST failing rule.
+    * Per rule the report shows how many docs fail it independently
+    * (`n_failing` — the rule's raw bite), how many the cascade rejects
+    * at that stage (`n_rejected_here`), and the corpus remaining after
+    * it — the numbers a curation team actually argues about when
+    * tuning thresholds.
+    *
+    * Every predicate is INTEGER arithmetic (cross-multiplied ratios:
+    * `stop·20 < nt` is `stop/nt < 0.05` without the double-at-threshold
+    * cross-engine hazard). Scale shape: one map pass computes the four
+    * flags per doc (the bigram-distinct count rides the same
+    * `sorted_shingle_hashes` kernel as q47), one all-combining
+    * aggregate reduces to a single row, and the 4-row report unpivots
+    * from it — corpus never shuffles.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelFrom(Tables.documents(spark, dir))
+
+  def filterFunnelFrom(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val d = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ns"),
+        size(call_function("sorted_shingle_hashes", col("text")))
+          .cast("long").as("n_dist"))
+      .select(size(col("w")).cast("long").as("nt"),
+        size(TextFns.keepIn(col("w"), Stopwords)).cast("long").as("stop"),
+        col("ns"), col("n_dist"))
+    val f1 = col("nt") < FunnelMinTokens
+    val f2 = col("ns") < col("nt") * 3 || col("ns") > col("nt") * 10
+    val f3 = col("stop") * 20 < col("nt")
+    val f4 = (col("nt") - 1 - col("n_dist")) * 2 > col("nt") - 1
+    val ff = when(f1, 1).when(f2, 2).when(f3, 3).when(f4, 4).otherwise(0)
+    def cnt(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val a = d.select(Seq(ff.as("ff")) ++
+        Seq(f1, f2, f3, f4).zipWithIndex.map { case (f, i) => f.as(s"f${i + 1}") }: _*)
+      .agg(count(lit(1)).as("total"),
+        cnt(col("f1")).as("a1"), cnt(col("f2")).as("a2"),
+        cnt(col("f3")).as("a3"), cnt(col("f4")).as("a4"),
+        cnt(col("ff") === 1).as("r1"), cnt(col("ff") === 2).as("r2"),
+        cnt(col("ff") === 3).as("r3"), cnt(col("ff") === 4).as("r4"))
+    val rows = FunnelRules.zipWithIndex.map { case (rule, i) =>
+      s"${i + 1}, '$rule', a${i + 1}, r${i + 1}"
+    }.mkString(", ")
+    a.selectExpr("total",
+        s"stack(4, $rows) AS (stage, rule, n_failing, n_rejected_here)")
+      .withColumn("n_remaining", col("total") -
+        sum("n_rejected_here").over(
+          org.apache.spark.sql.expressions.Window.orderBy("stage")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("stage"), col("rule"), col("n_failing"),
+        col("n_rejected_here"), col("n_remaining"))
+      .orderBy("stage")
+  }
+
   /** KMV sketch size (estimate stderr ≈ 1/√k ≈ 6%). */
   val KmvK = 256
 
@@ -561,6 +626,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
+    "q88_filter_funnel" -> (filterFunnel _),
     "q19_lang_id" -> (langId _),
     "q20_fingerprint" -> (fingerprint _),
     "q84_winnow_fingerprints" -> (winnowFingerprints _),
@@ -615,6 +681,53 @@ object TextAnalysis {
          |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
          |      6) AS quality_score
          |FROM feat ORDER BY doc_id""".stripMargin,
+    "q88_filter_funnel" -> {
+      val stages = FunnelRules.zipWithIndex
+        .map { case (r, i) => s"(${i + 1}, '$r')" }.mkString(", ")
+      val failing = (1 to 4).map(i =>
+        s"WHEN ${i} THEN a$i").mkString("CASE s.stage ", " ", " END")
+      val rejected = (1 to 4).map(i =>
+        s"WHEN ${i} THEN r$i").mkString("CASE s.stage ", " ", " END")
+      val remaining = (1 to 4).map(i =>
+        s"WHEN ${i} THEN ${(1 to i).map(j => s"r$j").mkString(" + ")}")
+        .mkString("CASE s.stage ", " ", " END")
+      s"""$toksCte, feat AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+         |    CAST(len(${TextFns.sql.keepIn("w", Stopwords)}) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(list_transform(range(len(w) - 1),
+         |      i -> ${TextFns.sql.hash60("w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]")}
+         |    ))) AS BIGINT) AS n_dist
+         |  FROM toks),
+         |flags AS (SELECT
+         |    nt < $FunnelMinTokens AS f1,
+         |    ns < nt * 3 OR ns > nt * 10 AS f2,
+         |    stop * 20 < nt AS f3,
+         |    (nt - 1 - n_dist) * 2 > nt - 1 AS f4,
+         |    CASE WHEN nt < $FunnelMinTokens THEN 1
+         |         WHEN ns < nt * 3 OR ns > nt * 10 THEN 2
+         |         WHEN stop * 20 < nt THEN 3
+         |         WHEN (nt - 1 - n_dist) * 2 > nt - 1 THEN 4
+         |         ELSE 0 END AS ff
+         |  FROM feat),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+         |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+         |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+         |    CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         |    CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         |    CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+         |    CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS r4
+         |  FROM flags),
+         |stages(stage, rule) AS (VALUES $stages)
+         |SELECT CAST(s.stage AS INT) AS stage, s.rule,
+         |  $failing AS n_failing,
+         |  $rejected AS n_rejected_here,
+         |  total - ($remaining) AS n_remaining
+         |FROM stages s, agg
+         |ORDER BY s.stage""".stripMargin
+    },
     "q19_lang_id" -> {
       val scores = LangMarkers.map { case (l, ms) =>
         s"len(${TextFns.sql.keepIn("w", ms)}) AS s_$l" }.mkString(",\n    ")

@@ -202,6 +202,35 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("keepLedger (q89)") {
+    it("labels every doc with its cut reason in precedence order") {
+      val core16 = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi"
+      // a wrapper long enough that whole-doc jaccard stays BELOW the
+      // 0.1 near-dup bar while containment of the core is 1.0 — the
+      // contained cut must come from the containment stage, not ride
+      // along as a near-dup
+      val wrapper = (1 to 100).map(i => s"w$i").mkString(" ") +
+        s" $core16 " + (1 to 100).map(i => s"y$i").mkString(" ")
+      val d = docs(
+        (1L, base), (2L, base),   // exact dups → cut 2 as exact_dup
+        (3L, nearDup),            // near dup of 1/2 → cut as near_dup
+        (4L, distinct1),          // untouched → keep
+        (5L, core16),             // embedded in 6 → cut as contained
+        (6L, wrapper))
+      val r = Dedup.keepLedgerFrom(d).collect()
+        .map(x => x.getAs[Long]("doc_id") ->
+          (x.getAs[Boolean]("keep"), x.getAs[String]("reason"))).toMap
+      assert(r.size == 6, "exactly one ledger row per doc")
+      assert(r(1L) == (true, "keep"), "cluster canonical survives")
+      assert(r(2L) == (false, "exact_dup"))
+      assert(r(3L) == (false, "near_dup"))
+      assert(r(4L) == (true, "keep"))
+      assert(r(5L) == (false, "contained"), s"got ${r(5L)}")
+      assert(r(6L) == (true, "keep"), "the containing doc survives")
+    }
+  }
+
   describe("dedupClusters (q54)") {
     /** Union-find ground truth for an edge list. */
     def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -30,6 +30,42 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("filterFunnel (q88)") {
+    it("charges each doc to its first failing rule and reports attrition") {
+      // one doc per rule plus one clean survivor
+      val tooShort = "only five little tokens here"
+      val longToks = Seq.fill(25)("abcdefghijkl").mkString(" ")     // mean 12
+      val noStops = Seq.fill(25)("zzzz").mkString(" ")              // 0 stopwords
+      val repetitive = Seq.fill(10)("the cat and dog").mkString(" ") // 4/39 bigrams
+      val clean = "the quick brown fox jumps over the lazy dog and " +
+        "then runs far away into green fields near old creeks"
+      val r = TextAnalysis.filterFunnelFrom(docs(
+          (1L, tooShort), (2L, longToks), (3L, noStops),
+          (4L, repetitive), (5L, clean)))
+        .collect()
+      val byRule = r.map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_rejected_here"), x.getAs[Long]("n_remaining"))).toMap
+      assert(byRule("too_short") == (1L, 4L))
+      assert(byRule("token_len") == (1L, 3L))
+      assert(byRule("low_stopword") == (1L, 2L))
+      assert(byRule("repetitive") == (1L, 1L))
+      // rule order is the cascade order
+      assert(r.map(_.getAs[Int]("stage")).toSeq == Seq(1, 2, 3, 4))
+    }
+
+    it("counts independent failures separately from cascade rejections") {
+      // a doc that fails BOTH the length floor and the stopword rule is
+      // charged to the earlier stage but counted by both n_failing
+      val r = TextAnalysis.filterFunnelFrom(docs((1L, "zz zz zz")))
+        .collect()
+      val byRule = r.map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_failing"), x.getAs[Long]("n_rejected_here"))).toMap
+      assert(byRule("too_short") == (1L, 1L))
+      assert(byRule("low_stopword")._1 == 1L)
+      assert(byRule("low_stopword")._2 == 0L)
+    }
+  }
+
   describe("qualityScore (q18)") {
     it("scores all-stopword text lower than contentful text") {
       val r = TextAnalysis.qualityScoreFrom(docs(
