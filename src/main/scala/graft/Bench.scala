@@ -109,7 +109,8 @@ object Bench {
     // materialized once and the Jaccard verifier reads them back.
     (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ Analytics.queries ++ Curation.queries ++
-      graft.streaming.EventStream.queries).toSeq.sortBy(_._1).foreach {
+      graft.streaming.EventStream.queries ++
+      graft.streaming.CorpusStream.queries).toSeq.sortBy(_._1).foreach {
       case (name, fn) => run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }

@@ -24,7 +24,8 @@ object SparkEntry {
     Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Analytics.queries ++
-      Curation.queries ++ graft.streaming.EventStream.queries
+      Curation.queries ++ graft.streaming.EventStream.queries ++
+      graft.streaming.CorpusStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
-      Curation.oracle ++ graft.streaming.EventStream.oracle
+      Curation.oracle ++ graft.streaming.EventStream.oracle ++
+      graft.streaming.CorpusStream.oracle
 }

@@ -81,7 +81,8 @@ object SqlSurface {
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
-      Curation.oracle ++ graft.streaming.EventStream.oracle
+      Curation.oracle ++ graft.streaming.EventStream.oracle ++
+      graft.streaming.CorpusStream.oracle
 
   /** Spark-SQL text of every SQL-expressible catalog query, keyed like
     * `SparkEntry.queries`.

@@ -237,9 +237,18 @@ object TextAnalysis {
   def filterFunnel(spark: SparkSession, dir: String): DataFrame =
     filterFunnelFrom(Tables.documents(spark, dir))
 
-  def filterFunnelFrom(docs: DataFrame): DataFrame = {
+  def filterFunnelFrom(docs: DataFrame): DataFrame =
+    funnelReport(funnelAgg(docs))
+
+  /** The funnel's single-row counter aggregate — map-side flags + one
+    * all-combining agg. Streaming-safe (no sort, no window): q90 runs
+    * exactly this as a complete-mode streaming aggregation.
+    */
+  def funnelAgg(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val d = Tables.widened(docs, col("doc_id"))
+    val widened =
+      if (docs.isStreaming) docs else Tables.widened(docs, col("doc_id"))
+    val d = widened
       .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
         length(regexp_replace(col("text"), "\\s", "")).cast("long").as("ns"),
         size(call_function("sorted_shingle_hashes", col("text")))
@@ -254,13 +263,17 @@ object TextAnalysis {
     val ff = when(f1, 1).when(f2, 2).when(f3, 3).when(f4, 4).otherwise(0)
     def cnt(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
-    val a = d.select(Seq(ff.as("ff")) ++
+    d.select(Seq(ff.as("ff")) ++
         Seq(f1, f2, f3, f4).zipWithIndex.map { case (f, i) => f.as(s"f${i + 1}") }: _*)
       .agg(count(lit(1)).as("total"),
         cnt(col("f1")).as("a1"), cnt(col("f2")).as("a2"),
         cnt(col("f3")).as("a3"), cnt(col("f4")).as("a4"),
         cnt(col("ff") === 1).as("r1"), cnt(col("ff") === 2).as("r2"),
         cnt(col("ff") === 3).as("r3"), cnt(col("ff") === 4).as("r4"))
+  }
+
+  /** Unpivot the counter row into the 4-stage attrition report. */
+  def funnelReport(a: DataFrame): DataFrame = {
     val rows = FunnelRules.zipWithIndex.map { case (rule, i) =>
       s"${i + 1}, '$rule', a${i + 1}, r${i + 1}"
     }.mkString(", ")

@@ -99,7 +99,7 @@ object EventStream {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val SparkProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
-  private def drain(df: DataFrame, tableName: String,
+  private[streaming] def drain(df: DataFrame, tableName: String,
       mode: OutputMode = OutputMode.Append): StreamingQuery = {
     val spark = df.sparkSession
     val parts = spark.conf.get(StatePartitionsConf, StatePartitions.toString)

@@ -184,6 +184,18 @@ class PlanQualitySpec extends AnyFunSpec {
         s"only the df-count shuffle may hash-partition:\n$p")
     }
 
+    it("q88 funnel reduces in one all-combining aggregate: no corpus hash shuffle") {
+      val p = plan("q88_filter_funnel")
+      assert(p.contains("sorted_shingle_hashes"),
+        "bigram-distinct count must ride the native kernel")
+      // only single-partition gathers (the 9-counter agg and the 4-row
+      // unpivot) may move rows; widened's REPARTITION_BY_COL on the
+      // single-file fixture is local parallelism, not a corpus re-key
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS")),
+        s"q88 must not hash-shuffle the corpus:\n$p")
+    }
+
     it("q83 broadcasts both rerank inputs: no corpus shuffle after the coarse stage") {
       val p = executedPlanOf("q83_ann_rerank")
       // candidate list and query vectors are both broadcast; the only
