@@ -192,6 +192,55 @@ object Similarity {
     topK(scored, K)
   }
 
+  /** Candidates per query surviving q91's int8 coarse scan. */
+  val QuantCand = 50
+
+  /** q91 — int8 compressed-scan retrieval with exact rerank: the
+    * quantize-then-refine pattern (FAISS's refine stage, ScaNN's
+    * reordering) on q51's symmetric int8 codec. The corpus-wide pass
+    * scores each query's FULL vector against the DEQUANTIZED int8
+    * corpus — asymmetric distance computation, the 4×-smaller
+    * representation a 100 TB embedding store actually scans — and the
+    * exact float cosine reranks only the Q×[[QuantCand]] survivors.
+    * Complements q83 (random-projection coarse space): int8 keeps all
+    * 64 dims at lower precision, so the coarse ranking tracks the true
+    * one far more closely than a 16-dim projection — the recall/cost
+    * trade a serving deployment picks per corpus.
+    *
+    * Scale shape: `quantize_stats` gives max|v| in one generated pass;
+    * dequantization is per-row map work; the coarse top-C per query is
+    * the q25 window shape (WindowGroupLimit pre-limits map-side); the
+    * rerank joins broadcast the Q×C candidate list and Q query
+    * vectors — one corpus-scan probe each, no shuffle.
+    */
+  def quantizedRerank(spark: SparkSession, dir: String): DataFrame =
+    quantizedRerankFrom(Tables.embeddings(spark, dir))
+
+  def quantizedRerankFrom(embeddings: DataFrame): DataFrame = {
+    val e = embDouble(embeddings)
+    val ma = element_at(call_function("quantize_stats", col("emb")), 1)
+    val ec = e.withColumn("ma", ma).filter(col("ma") > 0)
+      .withColumn("scale", col("ma") / 127.0d)
+      .withColumn("dq", transform(col("emb"),
+        x => round(x / col("scale"), 0) * col("scale")))
+    val q = ec.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val coarse = ec.select(col("vec_id"), col("dq"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("dq")), 9).as("coarse"))
+    val cand = coarse.withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("coarse"), asc("neighbor_id"))))
+      .filter(col("crn") <= QuantCand)
+      .select("query_id", "neighbor_id")
+    val scored = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+    topK(scored, K)
+  }
+
   /** IVF cells (codebook size) and probed cells per query. */
   val NumCells = 16
   val NumProbes = 2
@@ -723,7 +772,8 @@ object Similarity {
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
-    "q76_semantic_dedup_trained" -> (semanticDedupTrained _))
+    "q76_semantic_dedup_trained" -> (semanticDedupTrained _),
+    "q91_quantized_rerank" -> (quantizedRerank _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -886,6 +936,37 @@ object Similarity {
          |  SELECT query_id, e.vec_id AS neighbor_id,
          |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
          |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // dequantized coarse scan + exact rerank; scale/round forms mirror
+    // the Spark side exactly (round HALF_UP on doubles in both engines,
+    // q51 precedent), norms precomputed like q25 (≡ the cosine kernel's
+    // internal order)
+    "q91_quantized_rerank" ->
+      s"""WITH $eCte,
+         |qs AS (SELECT vec_id, emb, nrm,
+         |    list_max(list_transform(emb, x -> abs(x))) AS ma FROM e),
+         |dv AS (SELECT vec_id, emb, nrm, ma / 127.0 AS scale
+         |  FROM qs WHERE ma > 0),
+         |dq AS (SELECT vec_id, emb, nrm,
+         |    list_transform(emb, x -> round(x / scale, 0) * scale) AS d FROM dv),
+         |dn AS (SELECT vec_id, emb, nrm, d,
+         |    sqrt(list_inner_product(d, d)) AS dnrm FROM dq),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |  FROM dn WHERE vec_id < $NumQueries),
+         |coarse AS (SELECT query_id, dn.vec_id AS neighbor_id,
+         |    round(list_inner_product(q_emb, d) / (q_nrm * dnrm), 9) AS coarse
+         |  FROM dn CROSS JOIN q WHERE dn.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crn
+         |  FROM coarse) WHERE crn <= $QuantCand),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+         |  JOIN q ON q.query_id = c.query_id),
          |rk AS (SELECT *, row_number() OVER
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank

@@ -73,6 +73,25 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("quantizedRerank (q91)") {
+    it("int8 coarse scan holds near-exact recall on the fixture") {
+      val sf = TestSpark.Sf
+      val exact = Similarity.knnBrute(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qr = Similarity.quantizedRerank(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & qr).size.toDouble / exact.size
+      // int8 keeps all 64 dims at ~0.8% relative error — on the same
+      // iid-random fixture where the 16-dim projection (q83) manages
+      // 0.58, the dequantized ranking tracks the true one near-exactly;
+      // determinism makes the measured value stable, the bound leaves
+      // headroom for fixture regeneration
+      assert(recall >= 0.9, s"recall@10 was $recall, expected >= 0.9")
+    }
+  }
+
   describe("annLsh (q26)") {
     it("buckets identical vectors together and finds them") {
       val twin = emb(
