@@ -709,6 +709,53 @@ object Curation {
         round(lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"), 9))
   }
 
+  /** q92 profile targets: (column, numeric?) — numeric columns report
+    * value min/max, string columns report length min/max.
+    */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    ("doc_id", true), ("text", false), ("lang", false),
+    ("source", false), ("n_chars", true))
+
+  /** q92 — per-column table profile: the data-quality contract check
+    * (the Deequ/dbt-test shape) every ingest runs before anything
+    * downstream trusts a drop — row count, null count, exact distinct
+    * cardinality, and value bounds (numerics) or length bounds
+    * (strings) per column of `documents`. q71 summarizes the CORPUS
+    * (mass, dup ratio, splits); this audits the TABLE — nullability
+    * regressions, cardinality collapses, truncated text, id-range
+    * drift.
+    *
+    * Scale shape: one aggregate PER COLUMN over a scan pruned to that
+    * single column (`ReadSchema` carries exactly one field — columnar
+    * I/O pays only the audited bytes), map-side-combined; the 5-row
+    * union is report-sized. Exact distincts keep the oracle hash
+    * binding; a 100 TB profile would swap `approx_count_distinct` into
+    * the same plan.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfileFrom(Tables.documents(spark, dir))
+
+  def tableProfileFrom(docs: DataFrame): DataFrame = {
+    val parts = ProfileCols.map { case (c, num) =>
+      docs.select(col(c)).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          (if (num) min(col(c)).cast("long")
+           else lit(null).cast("long")).as("num_min"),
+          (if (num) max(col(c)).cast("long")
+           else lit(null).cast("long")).as("num_max"),
+          (if (num) lit(null).cast("long")
+           else min(length(col(c))).cast("long")).as("len_min"),
+          (if (num) lit(null).cast("long")
+           else max(length(col(c))).cast("long")).as("len_max"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("num_min"), col("num_max"),
+          col("len_min"), col("len_max"))
+    }
+    parts.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
@@ -723,7 +770,8 @@ object Curation {
     "q71_dataset_card" -> (datasetCard _),
     "q77_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
     "q78_ingest_neardup" -> (ingestNearDup _),
-    "q81_shuffle_shards" -> (shuffleShards _))
+    "q81_shuffle_shards" -> (shuffleShards _),
+    "q92_table_profile" -> (tableProfile _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -979,5 +1027,18 @@ object Curation {
          |    (PARTITION BY shard ORDER BY h, seq_id) - 1 AS BIGINT) AS shard_pos
          |  FROM sh)
          |SELECT seq_id, shard, shard_pos, n_docs FROM pos
-         |ORDER BY shard, shard_pos""".stripMargin)
+         |ORDER BY shard, shard_pos""".stripMargin,
+    // one pruned single-column aggregate per profiled column, unioned
+    "q92_table_profile" ->
+      ProfileCols.map { case (c, num) =>
+        val nm = if (num) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        val nx = if (num) s"CAST(max($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        val lm = if (num) "CAST(NULL AS BIGINT)" else s"CAST(min(length($c)) AS BIGINT)"
+        val lx = if (num) "CAST(NULL AS BIGINT)" else s"CAST(max(length($c)) AS BIGINT)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $nm AS num_min, $nx AS num_max, $lm AS len_min, $lx AS len_max
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
 }

@@ -316,6 +316,44 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("tableProfile (q92)") {
+    it("profiles nulls, cardinality, and bounds per column") {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val d = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(7L, "abc", "en", "s1", 3L),
+          Row(9L, "abcdef", null, "s1", 6L),
+          Row(11L, "ab", "de", "s2", 2L)),
+        schema)
+      val r = Curation.tableProfileFrom(d).collect()
+        .map(x => x.getAs[String]("col_name") -> x).toMap
+      assert(r("lang").getAs[Long]("n_nulls") == 1L)
+      assert(r("lang").getAs[Long]("n_distinct") == 2L)
+      assert(r("doc_id").getAs[Long]("num_min") == 7L)
+      assert(r("doc_id").getAs[Long]("num_max") == 11L)
+      assert(r("doc_id").isNullAt(r("doc_id").fieldIndex("len_min")))
+      assert(r("text").getAs[Long]("len_min") == 2L)
+      assert(r("text").getAs[Long]("len_max") == 6L)
+      assert(r("text").isNullAt(r("text").fieldIndex("num_min")))
+      assert(r("source").getAs[Long]("n_distinct") == 2L)
+      assert(r.values.forall(_.getAs[Long]("n_rows") == 3L))
+    }
+
+    it("prunes every audit scan to its single audited column") {
+      val p = Curation.tableProfile(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReadSchema: struct<text:string>"),
+        s"the text audit must scan only the text column:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+        s"the doc_id audit must scan only the id column:\n$p")
+    }
+  }
+
   describe("datasetCard (q71)") {
     it("summarizes mass, cardinality, dup ratio, and split sizes in one row") {
       val r = Curation.datasetCardFrom(docs(
