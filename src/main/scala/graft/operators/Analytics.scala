@@ -272,6 +272,83 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q94 — weekly retention cohorts: users bucketed by the ISO week
+    * (Monday-truncated) of their FIRST event, tracked by how many are
+    * active again k weeks later — the standard growth/engagement matrix
+    * every product warehouse derives, and a representative "two
+    * aggregation granularities of the same fact table" shape.
+    *
+    * Scale shape: first-event per user is one user-keyed aggregate; the
+    * distinct (user, active-week) relation rides the SAME user_id
+    * hash distribution, so the cohort join is co-partitioned (no extra
+    * corpus shuffle); per-cohort sizes are a week-cardinality relation
+    * — broadcast back for the rate division. Nothing keyed by event
+    * ever shuffles twice.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsFrom(Tables.events(spark, dir))
+
+  def retentionCohortsFrom(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(min("ts").as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val activity = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("act_week"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohorts, "user_id")
+      // both weeks are Monday-truncated dates, so the day delta is an
+      // exact multiple of 7 — the division is integral by construction
+      .select(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      // activity is distinct per (user, week): plain count = active users
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention_rate",
+        round(col("n_active").cast("double") / col("n_cohort"), 9))
+      .select("cohort_week", "week_offset", "n_cohort", "n_active", "retention_rate")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q95 histogram geometry: 20 equi-width buckets of 25.0 covering the
+    * events fixture's `value` range [0, 500); out-of-range values clamp
+    * into the edge buckets, so the histogram is total over any input.
+    */
+  val HistWidth = 25.0
+  val HistBins = 20
+
+  /** q95 — equi-width value histogram per event type: bucket counts and
+    * within-type shares, the distribution profile a drift monitor or
+    * join-planner consults (and the missing piece next to q92's
+    * min/max bounds and q34's point quantiles).
+    *
+    * Scale shape: bucket assignment is pure row arithmetic (one
+    * deterministic IEEE divide + floor — identical in any engine);
+    * the aggregate is two-phase keyed by (type, bucket) — cardinality
+    * = types × bins, tiny regardless of corpus size; per-type totals
+    * broadcast back for the share division. One corpus pass.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogramFrom(Tables.events(spark, dir))
+
+  def valueHistogramFrom(events: DataFrame): DataFrame = {
+    val bucket = least(greatest(floor(col("value") / HistWidth).cast("int"), lit(0)),
+      lit(HistBins - 1))
+    val totals = events.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+    events.select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * HistWidth).as("lo"),
+        ((col("bucket") + 1) * HistWidth).as("hi"),
+        col("n"),
+        round(col("n").cast("double") / col("n_total"), 9).as("share"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
@@ -281,7 +358,9 @@ object Analytics {
     "q43_user_pivot" -> (userActivityPivot _),
     "q44_approx_stats" -> (approxStatsChecked _),
     "q66_item_cooccurrence" -> (itemCooccurrence _),
-    "q73_value_outliers" -> (valueOutliers _))
+    "q73_value_outliers" -> (valueOutliers _),
+    "q94_retention_cohorts" -> (retentionCohorts _),
+    "q95_value_histogram" -> (valueHistogram _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: the
     * oracle's q44 text is the degenerate TRUE-literal form because
@@ -306,6 +385,37 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    "q94_retention_cohorts" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        |  FROM events),
+        |sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM first GROUP BY 1),
+        |ret AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM act a JOIN first f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.week_offset, s.n_cohort, r.n_active,
+        |  round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 9) AS retention_rate
+        |FROM ret r JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q95_value_histogram" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    least(greatest(CAST(floor(value / $HistWidth) AS INT), 0), ${HistBins - 1}) AS bucket
+         |  FROM events),
+         |tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1),
+         |h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+         |SELECT h.event_type, h.bucket,
+         |  h.bucket * CAST($HistWidth AS DOUBLE) AS lo,
+         |  (h.bucket + 1) * CAST($HistWidth AS DOUBLE) AS hi,
+         |  h.n, round(CAST(h.n AS DOUBLE) / t.n_total, 9) AS share
+         |FROM h JOIN tot t USING (event_type)
+         |ORDER BY event_type, bucket""".stripMargin,
     "q73_value_outliers" ->
       s"""WITH m AS (SELECT event_type, median(value) AS med
          |           FROM events GROUP BY 1),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.nullIfZero
@@ -408,6 +409,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Keywords kept per document by q97. */
+  val TfidfTopK = 3
+
+  /** q97 — per-document TF-IDF keywords: the top-[[TfidfTopK]] terms of
+    * every document by `tf · ln((N+1)/(df+1))` (smoothed IDF), the
+    * keyword-extraction primitive behind corpus topic audits, doc-level
+    * metadata enrichment, and weak labels for retrieval eval sets. The
+    * corpus-wide df statistic composes the q53 vocabulary discipline;
+    * where q55 scores a FIXED query term set with zero corpus shuffles,
+    * keyword extraction is per-document over the OPEN vocabulary, so the
+    * (doc, term) relation is irreducible.
+    *
+    * Scale shape: explode → (doc_id, token) two-phase count (one corpus
+    * shuffle, combine-heavy since tf rides map-side partials); df
+    * derives from the SAME tf relation (token-keyed aggregate bounded by
+    * vocabulary, not corpus); the df join-back shuffles the tf relation
+    * by token, and the per-doc top-k is a doc-keyed row_number window —
+    * the textbook two-shuffle TF-IDF plan. Scores round(·,9) to absorb
+    * libm ulp drift in `ln` between engines (the q55 discipline), and
+    * ranking orders by the ROUNDED score so tie-breaks are
+    * engine-independent.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    tfidfKeywordsFrom(Tables.documents(spark, dir))
+
+  def tfidfKeywordsFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfRel, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double")), 9))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** BM25 parameters (standard Okapi constants) and the fixed query. */
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -645,6 +692,7 @@ object TextAnalysis {
     "q84_winnow_fingerprints" -> (winnowFingerprints _),
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
+    "q97_tfidf_keywords" -> (tfidfKeywords _),
     "q55_bm25_search" -> (bm25Search _),
     "q57_lm_score" -> (lmScore _),
     "q62_pii_scrub" -> (piiScrub _),
@@ -789,6 +837,24 @@ object TextAnalysis {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t WHERE token <> ''
          |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin,
+    "q97_tfidf_keywords" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t
+         |  WHERE token <> '' GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    round(tf.tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)), 9) AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+         |FROM rk WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "q57_lm_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(${TextFns.sql.toks}, t -> t <> '') AS w

@@ -151,18 +151,37 @@ object EventStream {
     * close needed) and a drained AvailableNow run equals the batch inner
     * join exactly.
     */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
+  def purchaseClickJoin(events: DataFrame): DataFrame =
+    purchaseClickJoined(events, "inner")
+
+  /** Left-outer variant for q93: same watermarks and two-sided time
+    * bound; the null-augmented row for a match-less purchase emits once
+    * the click-side watermark passes its `ts` (state eviction proves no
+    * matching click can still arrive).
+    */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame =
+    purchaseClickJoined(events, "leftOuter")
+
+  private def purchaseClickJoined(events: DataFrame, joinType: String): DataFrame = {
+    // Watermark BEFORE the event-type filters: the global watermark is
+    // the min across all watermark operators, and each operator tracks
+    // max event time over ITS OWN input. Filter-then-watermark would
+    // give each branch the max of just its type's rows, dragging the
+    // global watermark back to the rarer type's last event (hours on
+    // sparse types) — batch-identical for the inner join but starving
+    // the outer join of eviction (observed: null rows stop hours short
+    // of the horizon). Watermark-then-filter keeps both operators fed
+    // by the full stream; the alias carries the watermark tag.
+    val wmEvents = events.withWatermark("ts", "10 minutes")
+    val clicksWm = wmEvents.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("value").as("c_value"))
-      .withWatermark("c_ts", "10 minutes")
-    val purchases = events.filter(col("event_type") === "purchase")
+    val purchases = wmEvents.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
-      .withWatermark("ts", "10 minutes")
-    purchases.join(clicks, expr(
+    purchases.join(clicksWm, expr(
       """c_user = user_id
         |AND c_ts >= ts - INTERVAL 10 MINUTES
-        |AND c_ts < ts""".stripMargin))
+        |AND c_ts < ts""".stripMargin), joinType)
       .select(col("event_id"), col("user_id"), col("ts"),
         col("c_ts"), col("c_value"))
   }
@@ -281,6 +300,46 @@ object EventStream {
       .orderBy("event_id", "c_ts", "c_value")
   }
 
+  /** q93 — the watermarked stream-stream LEFT OUTER interval join under
+    * the driver's hash gate: the one stream-stream join class q50's
+    * inner join does not exercise. Outer results are what make join
+    * state eviction OBSERVABLE — a null-augmented purchase row may only
+    * emit once the click-side watermark proves no matching click can
+    * still arrive, so a broken eviction either drops the row forever or
+    * emits it early alongside a later real match; either way the hash
+    * gate catches it.
+    *
+    * Gate discipline (the q49 horizon filter): both sides keep only
+    * purchases with `ts + 10 min` strictly inside the final watermark
+    * (ms-floored max event time − 10 min) — a full watermark-delay
+    * margin past the eviction instant, so the compare is insensitive to
+    * the ≤/< edge of Spark's state-cleanup predicate and to which
+    * micro-batch boundary the null row lands on. AvailableNow runs the
+    * extra no-new-data batch stateful operators request, so trailing
+    * outer rows inside the horizon do flush before the drain ends.
+    *
+    * Scale shape: state is watermark-bounded on both sides (clicks
+    * older than the purchase watermark minus the 10-min window are
+    * evicted, purchases once the click watermark passes their ts); the
+    * drained run equals the batch left join restricted to the same
+    * horizon, which is exactly the oracle text.
+    */
+  def streamedLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    drain(purchaseClickLeftJoin(source(spark, dir)), "graft_q93_sink")
+    import graft.sources.Tables
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmMs = maxUs / 1000 - WatermarkMs
+    // margin = 2 watermark delays below the final watermark: one for the
+    // range-extended state bound (outer rows flush once the watermark
+    // passes ts + the 10-min join window), one clear of the eviction
+    // predicate's ≤/< edge
+    spark.table("graft_q93_sink")
+      .filter(unix_millis(col("ts")) + 2 * WatermarkMs < wmMs)
+      .select("event_id", "user_id", "ts", "c_ts", "c_value")
+      .orderBy("event_id", "c_ts", "c_value")
+  }
+
   /** Best-first order for the streaming top-k state: highest value,
     * then lowest event_id (total order — deterministic under ties).
     */
@@ -327,6 +386,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_stream_rates" -> (streamedRates _),
     "q50_stream_range_join" -> (streamedRangeJoin _),
+    "q93_stream_left_join" -> (streamedLeftJoin _),
     "q65_stream_topk" -> (streamedTopK _),
     "q79_stream_dedup" -> (streamedDedupRates _),
     "q86_stream_sessions" -> (streamedSessions _))
@@ -361,6 +421,20 @@ object EventStream {
         | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id, c_ts, c_value""".stripMargin,
+    // the batch LEFT join restricted to the same purchase horizon the
+    // drained stream keeps — null-augmented rows included
+    "q93_stream_left_join" ->
+      s"""WITH wm AS (
+         |  SELECT epoch_us(max(ts)) // 1000 - $WatermarkMs AS wm_ms FROM events),
+         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+         |      FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, p.ts, c.c_ts, c.c_value
+         |FROM p CROSS JOIN wm
+         |LEFT JOIN c ON c.c_user = p.user_id
+         |  AND c.c_ts >= p.ts - INTERVAL 10 MINUTE AND c.c_ts < p.ts
+         |WHERE epoch_us(p.ts) // 1000 + ${2 * WatermarkMs} < wm.wm_ms
+         |ORDER BY p.event_id, c_ts, c_value""".stripMargin,
     // q37's lag/cumulative-sum sessionization with the trailing-drop
     // replaced by the shared horizon filter: keep sessions whose close
     // instant (end + gap, ms-floored) is strictly inside the final

@@ -115,6 +115,47 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("retentionCohorts (q94)") {
+    it("buckets users by first-event week and counts weekly comebacks") {
+      // 2024-01-01 and 2024-01-08 are Mondays
+      val r = Analytics.retentionCohortsFrom(events(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, "{}"),
+        (2L, ts("2024-01-09 10:00:00"), 1L, "click", 1.0, "{}"), // week+1
+        (3L, ts("2024-01-02 10:00:00"), 2L, "signup", 1.0, "{}"),
+        (4L, ts("2024-01-03 10:00:00"), 2L, "click", 1.0, "{}"), // same week
+        (5L, ts("2024-01-08 10:00:00"), 3L, "signup", 1.0, "{}")))
+        .collect()
+      val byKey = r.map(x => (x.getAs[java.sql.Date]("cohort_week").toString,
+        x.getAs[Int]("week_offset")) ->
+        (x.getAs[Long]("n_cohort"), x.getAs[Long]("n_active"),
+          x.getAs[Double]("retention_rate"))).toMap
+      // cohort 2024-01-01: users 1,2 at offset 0; user 1 back at offset 1
+      assert(byKey(("2024-01-01", 0)) == ((2L, 2L, 1.0)))
+      assert(byKey(("2024-01-01", 1)) == ((2L, 1L, 0.5)))
+      // cohort 2024-01-08: user 3, offset 0 only
+      assert(byKey(("2024-01-08", 0)) == ((1L, 1L, 1.0)))
+      assert(r.length == 3)
+    }
+  }
+
+  describe("valueHistogram (q95)") {
+    it("assigns equi-width buckets, clamps outliers, and shares sum to 1") {
+      val r = Analytics.valueHistogramFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 10.0, "{}"), // bucket 0
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 30.0, "{}"), // bucket 1
+        (3L, ts("2024-01-01 00:02:00"), 1L, "click", 30.1, "{}"), // bucket 1
+        (4L, ts("2024-01-01 00:03:00"), 1L, "click", -7.0, "{}"), // clamps to 0
+        (5L, ts("2024-01-01 00:04:00"), 1L, "click", 9999.0, "{}"))) // clamps to 19
+        .collect()
+      val byBucket = r.map(x => x.getAs[Int]("bucket") ->
+        (x.getAs[Double]("lo"), x.getAs[Double]("hi"), x.getAs[Long]("n"))).toMap
+      assert(byBucket(0) == ((0.0, 25.0, 2L)))
+      assert(byBucket(1) == ((25.0, 50.0, 2L)))
+      assert(byBucket(Analytics.HistBins - 1)._3 == 1L)
+      assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+  }
+
   describe("itemCooccurrence (q66)") {
     it("counts distinct users per item pair with basket semantics") {
       val t = ts("2024-01-01 00:00:00")

@@ -84,6 +84,48 @@ class SupplierPerfSpec extends AnyFunSpec {
     }
   }
 
+  describe("kpisIncremental (q96)") {
+    it("merged base+delta partials equal the full recompute exactly") {
+      val s = supplierDf((1L, "alpha", 1, 100.0), (2L, "beta", 2, 50.0))
+      val l = lineDf(
+        (10L, 1L, 5.0, 100.0, 0.05, "N", ts("2000-01-10 00:00:00")),
+        (11L, 1L, 3.0, 200.0, 0.10, "R", ts("2001-06-01 00:00:00")),
+        (12L, 2L, 7.0, 300.0, 0.00, "N", ts("2001-02-03 00:00:00")))
+      val o = ordersDf((10L, ts("2000-01-01 00:00:00")),
+        (11L, ts("2001-05-01 00:00:00")), (12L, ts("2001-01-01 00:00:00")))
+      val cut = to_date(lit(SupplierPerf.IncrCutoff))
+      val merged = SupplierPerf.mergeKpiPartials(
+        SupplierPerf.kpiPartialsFrom(s, l.filter(col("l_shipdate") < cut), o),
+        SupplierPerf.kpiPartialsFrom(s, l.filter(col("l_shipdate") >= cut), o))
+        .collect()
+      val full = SupplierPerf.kpisFrom(s, l, o).collect()
+      assert(merged.length == full.length)
+      merged.zip(full).foreach { case (m, f) =>
+        f.schema.fieldNames.foreach { c =>
+          assert(m.getAs[Any](c) == f.getAs[Any](c), s"column $c") }
+      }
+      // slice audit: supplier 1 has one line on each side of the cutoff
+      val m1 = merged.find(_.getAs[Long]("s_suppkey") == 1L).get
+      assert(m1.getAs[Long]("n_base") == 1L && m1.getAs[Long]("n_delta") == 1L)
+      assert(merged.forall(m =>
+        m.getAs[Long]("n_base") + m.getAs[Long]("n_delta") == m.getAs[Long]("n_lines")))
+    }
+
+    it("a supplier whose lines are all in the delta still appears") {
+      val s = supplierDf((9L, "newcomer", 3, 10.0))
+      val l = lineDf((20L, 9L, 2.0, 50.0, 0.0, "N", ts("2001-07-07 00:00:00")))
+      val o = ordersDf((20L, ts("2001-07-01 00:00:00")))
+      val cut = to_date(lit(SupplierPerf.IncrCutoff))
+      val merged = SupplierPerf.mergeKpiPartials(
+        SupplierPerf.kpiPartialsFrom(s, l.filter(col("l_shipdate") < cut), o),
+        SupplierPerf.kpiPartialsFrom(s, l.filter(col("l_shipdate") >= cut), o))
+        .collect()
+      assert(merged.length == 1)
+      assert(merged(0).getAs[Long]("n_base") == 0L &&
+        merged(0).getAs[Long]("n_delta") == 1L)
+    }
+  }
+
   describe("risk (q07)") {
     it("guards degenerate min=max bounds with norm = 1.0") {
       val single = SupplierPerf.riskFrom(

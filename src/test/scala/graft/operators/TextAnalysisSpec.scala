@@ -196,6 +196,30 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("tfidfKeywords (q97)") {
+    it("ranks rare distinctive terms above corpus-wide common ones") {
+      val r = TextAnalysis.tfidfKeywordsFrom(docs(
+        (1L, "the quark the the"),
+        (2L, "the boring common words"),
+        (3L, "the boring common words")))
+        .collect()
+      val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+      // "quark" (df=1) outranks "the" (df=3) despite tf 1 vs 3
+      assert(d1.head.getAs[String]("token") == "quark")
+      assert(d1.head.getAs[Int]("rank") == 1)
+      assert(d1.head.getAs[Long]("df") == 1L)
+      // every doc emits at most TfidfTopK rows, ranks are 1..k dense
+      r.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+        assert(rows.length <= TextAnalysis.TfidfTopK)
+        assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rows.length))
+      }
+      // df=N terms get ln((N+1)/(N+1))=0 score but can still fill ranks
+      val theScore = r.find(x => x.getAs[Long]("doc_id") == 1L &&
+        x.getAs[String]("token") == "the")
+      assert(theScore.forall(_.getAs[Double]("tfidf") == 0.0))
+    }
+  }
+
   describe("lmScore (q57)") {
     it("scores docs by mean -ln p under the corpus unigram LM") {
       // counts: a=3, b=2, c=1; total=6; all in-vocab (V=16)

@@ -106,6 +106,36 @@ class EventStreamSpec extends AnyFunSpec {
     }
   }
 
+  describe("streamedLeftJoin (q93)") {
+    it("emits matched AND null-augmented purchases inside the horizon") {
+      val streamed = EventStream.streamedLeftJoin(spark, sf)
+
+      val ev = graft.sources.Tables.events(spark, sf)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val wmMs = maxUs / 1000 - 10 * 60 * 1000
+      val batch = ev.filter(col("event_type") === "purchase")
+        .filter(unix_millis(col("ts")) + 2 * 10 * 60 * 1000 < wmMs)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(clicks,
+          col("c_user") === col("user_id") &&
+            col("c_ts") >= col("ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("ts"),
+          "leftOuter")
+        .select("event_id", "user_id", "ts", "c_ts", "c_value")
+
+      // the outer rows are the point of the operator: some purchases
+      // must have no prior click in-window
+      assert(streamed.filter(col("c_ts").isNull).count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0,
+        "streamed row not in the batch left join")
+      assert(batch.exceptAll(streamed).count() == 0,
+        "horizon-inside batch row missing from the drained stream")
+    }
+  }
+
   describe("streamedTopK (q65)") {
     it("a drained complete-mode run equals the batch window top-k") {
       val streamed = EventStream.streamedTopK(spark, sf)
