@@ -312,6 +312,56 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Attribution lookback window (minutes) for q98. */
+  val AttribWindowMin = 30
+
+  /** q98 — last-touch revenue attribution: every purchase's value is
+    * credited to the item (`props.k`) of the user's most recent prior
+    * click within [[AttribWindowMin]] minutes, purchases with no such
+    * click land in the NULL bucket — the marketing/recsys attribution
+    * report, and the composition of the q33 as-of discipline into an
+    * aggregate deliverable.
+    *
+    * Only clicks that CARRY an item participate (an item-less click
+    * cannot receive credit), which keeps the as-of timestamp and the
+    * as-of item aligned under IGNORE NULLS on both engines.
+    *
+    * Scale shape: one user_id shuffle for the as-of window (running
+    * IGNORE-NULLS last over an unbounded-preceding frame — no re-scan
+    * per row), then a two-phase aggregate keyed by item (item-domain
+    * cardinality); value sums ride an exact DECIMAL accumulator.
+    */
+  def revenueAttribution(spark: SparkSession, dir: String): DataFrame =
+    revenueAttributionFrom(Tables.events(spark, dir))
+
+  def revenueAttributionFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ev = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), item.as("item"))
+      .filter(col("event_type") === "purchase" ||
+        (col("event_type") === "click" && col("item").isNotNull))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickTs = when(col("event_type") === "click", col("ts"))
+    val clickItem = when(col("event_type") === "click", col("item"))
+    ev
+      .withColumn("last_click_ts", last(clickTs, ignoreNulls = true).over(w))
+      .withColumn("last_click_item", last(clickItem, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("last_click_ts") >=
+          col("ts") - expr(s"INTERVAL $AttribWindowMin MINUTES"),
+          col("last_click_item")).as("item"),
+        col("value"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("revenue"))
+      .orderBy(asc_nulls_first("item"))
+  }
+
   /** q95 histogram geometry: 20 equi-width buckets of 25.0 covering the
     * events fixture's `value` range [0, 500); out-of-range values clamp
     * into the edge buckets, so the histogram is total over any input.
@@ -360,7 +410,8 @@ object Analytics {
     "q66_item_cooccurrence" -> (itemCooccurrence _),
     "q73_value_outliers" -> (valueOutliers _),
     "q94_retention_cohorts" -> (retentionCohorts _),
-    "q95_value_histogram" -> (valueHistogram _))
+    "q95_value_histogram" -> (valueHistogram _),
+    "q98_revenue_attribution" -> (revenueAttribution _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: the
     * oracle's q44 text is the degenerate TRUE-literal form because
@@ -385,6 +436,32 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    "q98_revenue_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, event_type, value,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events),
+         |f AS (
+         |  SELECT * FROM ev
+         |  WHERE event_type = 'purchase'
+         |     OR (event_type = 'click' AND item IS NOT NULL)),
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts,
+         |    last_value(CASE WHEN event_type = 'click' THEN item END IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_item
+         |  FROM f),
+         |p AS (
+         |  SELECT CASE WHEN last_click_ts >= ts - INTERVAL $AttribWindowMin MINUTE
+         |              THEN last_click_item END AS item,
+         |         value
+         |  FROM w WHERE event_type = 'purchase')
+         |SELECT item, count(*) AS n_purchases,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         |FROM p GROUP BY item ORDER BY item NULLS FIRST""".stripMargin,
     "q94_retention_cohorts" ->
       """WITH first AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week

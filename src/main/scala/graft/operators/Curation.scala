@@ -362,6 +362,67 @@ object Curation {
       .orderBy("change_class")
   }
 
+  /** SCD2 fixture knobs: 1 in [[ScdUpdMod]] suppliers (stable-hash
+    * selected, the q45/q59 discipline) arrives in the day-2 update
+    * batch with a changed balance; snapshot validity dates are fixed.
+    */
+  val ScdUpdMod = 5
+  val ScdBaseDate = "2024-01-01"
+  val ScdEffDate = "2024-01-02"
+
+  /** Deterministic day-2 update batch: hash-selected suppliers with a
+    * +100.0 account-balance change.
+    */
+  def scdUpdatesOf(supplier: DataFrame): DataFrame =
+    supplier
+      .filter(TextFns.hash32(
+        concat(lit("scd|"), col("s_suppkey").cast("string"))) % ScdUpdMod === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        (col("s_acctbal") + lit(100.0)).as("s_acctbal"))
+
+  /** q99 — SCD type-2 dimension historization: apply an update batch to
+    * a dimension snapshot, closing the superseded version (`valid_to` =
+    * effective date, `is_current` = false) and appending the new
+    * version — the MERGE-INTO lifecycle the reference's drop-and-rebuild
+    * warehouse (load_duckdb.py:32-36) cannot express, and the dimension
+    *-side complement to q96's incremental fact maintenance. Unchanged
+    * update rows produce NO new version (change detection on the full
+    * attribute tuple), so re-applying the same batch is idempotent.
+    *
+    * Scale shape: one left join keyed by the dimension key (update
+    * batches are day-sized — AQE broadcasts them; a bucketed dimension
+    * table makes the join exchange-free) + a union of two projections
+    * of that SAME join (exchange reuse); no aggregate at all.
+    */
+  def scdSupplierHistory(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    scdMergeFrom(s, scdUpdatesOf(s), ScdBaseDate, ScdEffDate)
+  }
+
+  def scdMergeFrom(current: DataFrame, updates: DataFrame,
+      baseDate: String, effDate: String): DataFrame = {
+    val u = updates.select(col("s_suppkey"), col("s_name").as("u_name"),
+      col("s_nationkey").as("u_nation"), col("s_acctbal").as("u_bal"))
+    val j = current.join(u, Seq("s_suppkey"), "left_outer")
+    // SQL three-valued logic keeps this false for unmatched rows:
+    // isNotNull fails first, so the null attr comparisons never decide
+    val changed = col("u_bal").isNotNull &&
+      (col("u_bal") =!= col("s_acctbal") || col("u_name") =!= col("s_name") ||
+        col("u_nation") =!= col("s_nationkey"))
+    val oldRows = j.select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"),
+      to_date(lit(baseDate)).as("valid_from"),
+      when(changed, to_date(lit(effDate))).as("valid_to"),
+      (!changed).as("is_current"))
+    val newRows = j.filter(changed).select(
+      col("s_suppkey"), col("u_name").as("s_name"),
+      col("u_nation").as("s_nationkey"), col("u_bal").as("s_acctbal"),
+      to_date(lit(effDate)).as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    oldRows.unionByName(newRows).orderBy("s_suppkey", "valid_from")
+  }
+
   /** Tokens per packed training sequence in q63. Small enough that the
     * ~54-token fixture docs regularly straddle a boundary, so the
     * span arithmetic is gate-exercised.
@@ -771,7 +832,8 @@ object Curation {
     "q77_fuzzy_decontaminate" -> (fuzzyDecontaminate _),
     "q78_ingest_neardup" -> (ingestNearDup _),
     "q81_shuffle_shards" -> (shuffleShards _),
-    "q92_table_profile" -> (tableProfile _))
+    "q92_table_profile" -> (tableProfile _),
+    "q99_scd2_history" -> (scdSupplierHistory _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -865,6 +927,22 @@ object Curation {
          |FROM n JOIN o ON o.fp = n.fp AND o.old_id <> n.doc_id
          |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
     },
+    "q99_scd2_history" ->
+      s"""WITH upd AS (
+         |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal
+         |  FROM supplier
+         |  WHERE ${TextFns.sql.hash32(s"'scd|' || CAST(s_suppkey AS VARCHAR)")} % $ScdUpdMod = 0)
+         |SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+         |  DATE '$ScdBaseDate' AS valid_from,
+         |  CASE WHEN u.s_suppkey IS NOT NULL THEN DATE '$ScdEffDate' END AS valid_to,
+         |  u.s_suppkey IS NULL AS is_current
+         |FROM supplier s LEFT JOIN upd u USING (s_suppkey)
+         |UNION ALL
+         |SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+         |  DATE '$ScdEffDate' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         |  TRUE AS is_current
+         |FROM upd
+         |ORDER BY s_suppkey, valid_from""".stripMargin,
     "q59_snapshot_diff" ->
       s"""WITH $snapSql,
          |j AS (SELECT o.t_old, n.t_new

@@ -138,6 +138,25 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("revenueAttribution (q98)") {
+    it("credits purchases to the last in-window item click, else NULL") {
+      val r = Analytics.revenueAttributionFrom(events(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{\"k\": 5}"),
+        (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, "{\"k\": 7}"),
+        (3L, ts("2024-01-01 10:20:00"), 1L, "purchase", 50.0, "{}"), // → 7
+        (4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 30.0, "{}"), // stale → NULL
+        (5L, ts("2024-01-01 09:00:00"), 2L, "purchase", 20.0, "{}"), // no click → NULL
+        (6L, ts("2024-01-01 09:30:00"), 2L, "click", 0.0, "{}"),     // item-less click
+        (7L, ts("2024-01-01 09:40:00"), 2L, "purchase", 10.0, "{}"))) // → NULL
+        .collect()
+      val byItem = r.map(x => (if (x.isNullAt(0)) None else Some(x.getInt(0))) ->
+        (x.getAs[Long]("n_purchases"), x.getAs[Double]("revenue"))).toMap
+      assert(byItem(Some(7)) == ((1L, 50.0)))
+      assert(byItem(None) == ((3L, 60.0)))
+      assert(!byItem.contains(Some(5)))
+    }
+  }
+
   describe("valueHistogram (q95)") {
     it("assigns equi-width buckets, clamps outliers, and shares sum to 1") {
       val r = Analytics.valueHistogramFrom(events(

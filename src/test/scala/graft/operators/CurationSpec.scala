@@ -130,6 +130,39 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("scdMerge (q99)") {
+    import java.sql.Date
+    import org.apache.spark.sql.functions._
+    def dim(rows: (Long, String, Int, Double)*): DataFrame =
+      rows.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+    it("closes superseded versions and appends the new ones") {
+      val cur = dim((1L, "a", 1, 10.0), (2L, "b", 2, 20.0))
+      val upd = dim((2L, "b", 2, 99.0))
+      val h = Curation.scdMergeFrom(cur, upd, "2024-01-01", "2024-01-02").collect()
+      assert(h.length == 3)
+      val s1 = h.filter(_.getAs[Long]("s_suppkey") == 1L)
+      assert(s1.length == 1 && s1(0).getAs[Boolean]("is_current")
+        && s1(0).isNullAt(s1(0).fieldIndex("valid_to")))
+      val s2 = h.filter(_.getAs[Long]("s_suppkey") == 2L)
+        .sortBy(_.getAs[Date]("valid_from").toString)
+      assert(s2.length == 2)
+      assert(!s2(0).getAs[Boolean]("is_current")
+        && s2(0).getAs[Date]("valid_to").toString == "2024-01-02"
+        && s2(0).getAs[Double]("s_acctbal") == 20.0)
+      assert(s2(1).getAs[Boolean]("is_current")
+        && s2(1).isNullAt(s2(1).fieldIndex("valid_to"))
+        && s2(1).getAs[Double]("s_acctbal") == 99.0)
+    }
+
+    it("is idempotent: an unchanged update row produces no new version") {
+      val cur = dim((3L, "c", 3, 30.0))
+      val h = Curation.scdMergeFrom(cur, dim((3L, "c", 3, 30.0)),
+        "2024-01-01", "2024-01-02").collect()
+      assert(h.length == 1 && h(0).getAs[Boolean]("is_current"))
+    }
+  }
+
   describe("ingestDedup (q67)") {
     it("flags new docs whose normalized fingerprint matches a different prior doc") {
       val old = Seq((1L, "Same   Text!"), (2L, "other"), (3L, "same text"))
