@@ -336,6 +336,108 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ geometry for q100: [[PqM]] subspaces of [[PqD]] dims (M·D = 64),
+    * [[PqK]] centroids per subspace — a 64-float vector compresses to
+    * M·log2(K) = 32 bits. Codebooks are the [[SeedBase]] seed rows'
+    * subvectors (the q36 discipline: deterministic, oracle-reproducible
+    * without a stored model; [[trainCentroids]]-style training slots
+    * into the same plan). Coarse candidates per query before rerank =
+    * [[PqCand]].
+    */
+  val PqM = 8
+  val PqD = 8
+  val PqK = 16
+  val PqCand = 50
+
+  /** q100 — product-quantization ANN with asymmetric distance (ADC,
+    * the FAISS IndexPQ shape): every corpus vector is encoded as
+    * [[PqM]] 4-bit codes (argmin sub-distance per subspace), queries
+    * score candidates by summing per-subspace lookup-table entries
+    * `||q_m − c_m,code||²`, and exact cosine reranks the Q×[[PqCand]]
+    * survivors — completing the vector-codec family next to IVF (q36,
+    * cell-bounded scan), scalar int8 (q51/q91, 4× compression), and
+    * random projection (q83): PQ is the 16× codec a RAM-resident
+    * 100 TB index actually stores.
+    *
+    * Scale shape: encoding is pure map work — M·K fused 8-dim codegen
+    * dot products + a first-min argmin per row, no corpus shuffle; the
+    * 10-query LUT relation (M arrays of K doubles per query) and the
+    * candidate list broadcast; the coarse top-C per query is the q25
+    * window shape (WindowGroupLimit pre-limits map-side); the rerank
+    * re-joins the float vectors only for Q×C rows. Approx scores are
+    * ranked UNROUNDED: every term derives from the same sequential
+    * IEEE op order on both engines (dotSeq ≡ dot_product kernel ≡
+    * list_inner_product), so the bits — and therefore the tie-broken
+    * candidate sets — agree exactly.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqFrom(Tables.embeddings(spark, dir))
+
+  def annPqFrom(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // one metadata-scale collect: 10 query rows + 16 seed rows
+    val head = embeddings
+      .filter(col("vec_id") < SeedBase + PqK)
+      .orderBy("vec_id")
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // codebook(m)(k) = subspace-m slice of seed k; cc = its self-dot
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until PqM).map { m =>
+        head.filter(_._1 >= SeedBase).sortBy(_._1).toIndexedSeq
+          .map { case (_, v) => v.slice(m * PqD, (m + 1) * PqD) }
+      }
+    val cc: IndexedSeq[IndexedSeq[Double]] = codebook.map(_.map(c => dotSeq(c, c)))
+
+    // per-query ADC lookup tables, same op order as the SQL twins:
+    // qq − 2·q·c + cc
+    val qRows: Seq[(Long, Seq[Double], Seq[Seq[Double]])] =
+      head.filter(_._1 < NumQueries).toSeq.map { case (qid, q) =>
+        val luts = (0 until PqM).map { m =>
+          val qm = q.slice(m * PqD, (m + 1) * PqD)
+          (0 until PqK).map(k =>
+            dotSeq(qm, qm) - 2.0 * dotSeq(qm, codebook(m)(k)) + cc(m)(k)).toSeq
+        }
+        (qid, q, luts)
+      }
+    val qdf = qRows
+      .map { case (qid, q, l) =>
+        (qid, q, l(0), l(1), l(2), l(3), l(4), l(5), l(6), l(7)) }
+      .toDF(("query_id" +: "q_emb" +: (0 until PqM).map(m => s"lut$m")): _*)
+
+    val e = embDouble(embeddings)
+    // encode: per subspace, argmin_k of (−2·v·c + cc) — the vv term is
+    // constant per (row, subspace) and cancels out of the argmin
+    val enc = (0 until PqM).foldLeft(e) { (df, m) =>
+      val sub = slice(col("emb"), m * PqD + 1, PqD)
+      val scores = array((0 until PqK).map(k =>
+        lit(-2.0) * call_function("dot_product", sub,
+          array(codebook(m)(k).map(lit): _*)) + lit(cc(m)(k))): _*)
+      df.withColumn(s"s$m", scores)
+        .withColumn(s"code$m",
+          (expr(s"array_position(s$m, array_min(s$m))") - 1).cast("int"))
+    }
+    val codes = enc.select(
+      (col("vec_id") +: (0 until PqM).map(m => col(s"code$m"))): _*)
+    val approx = (0 until PqM).map(m =>
+      element_at(col(s"lut$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(
+        qdf.select(("query_id" +: (0 until PqM).map(m => s"lut$m")).map(col): _*)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", approx)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("approx"), asc("vec_id"))))
+      .filter(col("crn") <= PqCand)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val scored = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qdf.select(col("query_id"), col("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+    topK(scored, K).select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Lloyd iterations for q61 (assignment + centroid update per
     * iteration). Two iterations exercise both the in-plan update and
     * the driver-side codebook refresh between iterations.
@@ -773,7 +875,8 @@ object Similarity {
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
     "q76_semantic_dedup_trained" -> (semanticDedupTrained _),
-    "q91_quantized_rerank" -> (quantizedRerank _))
+    "q91_quantized_rerank" -> (quantizedRerank _),
+    "q100_ann_pq" -> (annPq _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -873,6 +976,65 @@ object Similarity {
     * family as the DataFrame API (`SqlSurfaceSpec` gates bit-equality).
     */
   val sparkSql: Map[String, String] = Map(
+    // handwritten (not a dialect rewrite): the LUT arrays need an
+    // ordered list aggregate — DuckDB `list(adc ORDER BY k)`, Spark
+    // `transform(array_sort(collect_list(struct(k, adc))), s -> s.adc)`
+    // — and the SQL form re-derives codebook + codes in-query where the
+    // DataFrame form collects the 26 head rows driver-side; identical
+    // IEEE op order keeps all three bit-equal
+    "q100_ann_pq" -> {
+      val codeCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")
+      val lutCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN l END) AS lut$m").mkString(",\n    ")
+      val approxExpr = (0 until PqM)
+        .map(m => s"element_at(l.lut$m, w.code$m + 1)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb,
+         |  sqrt(dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+         |                   CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+         |  FROM embeddings),
+         |ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+         |sub AS (SELECT vec_id, m, slice(emb, m * $PqD + 1, $PqD) AS v
+         |        FROM e CROSS JOIN ms),
+         |cc AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb,
+         |    dot_product(v, v) AS cc
+         |  FROM sub WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK}),
+         |scs AS (SELECT s.vec_id, s.m, c.k,
+         |    -2.0D * dot_product(s.v, c.c_emb) + c.cc AS score
+         |  FROM sub s JOIN cc c ON c.m = s.m),
+         |codes AS (SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn
+         |    FROM scs) WHERE rn = 1),
+         |wide AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM codes GROUP BY vec_id),
+         |qsub AS (SELECT vec_id AS query_id, m, v, dot_product(v, v) AS qq
+         |  FROM sub WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.query_id, q.m, c.k,
+         |    q.qq - 2.0D * dot_product(q.v, c.c_emb) + c.cc AS adc
+         |  FROM qsub q JOIN cc c ON c.m = q.m),
+         |luta AS (SELECT query_id, m,
+         |    transform(array_sort(collect_list(struct(k, adc))), s -> s.adc) AS l
+         |  FROM lut GROUP BY query_id, m),
+         |lutw AS (SELECT query_id,
+         |    $lutCols
+         |  FROM luta GROUP BY query_id),
+         |ap AS (SELECT l.query_id, w.vec_id, $approxExpr AS approx
+         |  FROM wide w CROSS JOIN lutw l WHERE w.vec_id <> l.query_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY approx ASC, vec_id) AS crn
+         |    FROM ap) WHERE crn <= $PqCand),
+         |scored AS (SELECT c.query_id, n.vec_id AS neighbor_id,
+         |    round(dot_product(q.emb, n.emb) / (q.nrm * n.nrm), 9) AS cosine
+         |  FROM cand c JOIN e n ON n.vec_id = c.vec_id
+         |  JOIN e q ON q.vec_id = c.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
     "q56_centroid_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -928,6 +1090,55 @@ object Similarity {
          |ORDER BY e.vec_id""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    "q100_ann_pq" -> {
+      val codeCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")
+      val lutCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN l END) AS lut$m").mkString(",\n    ")
+      val approxExpr = (0 until PqM)
+        .map(m => s"l.lut$m[w.code$m + 1]").mkString(" + ")
+      s"""WITH $eCte,
+         |ms AS (SELECT unnest(range($PqM)) AS m),
+         |sub AS (SELECT vec_id, m, list_slice(emb, m * $PqD + 1, m * $PqD + $PqD) AS v
+         |        FROM e CROSS JOIN ms),
+         |cc AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb,
+         |    list_inner_product(v, v) AS cc
+         |  FROM sub WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK}),
+         |scs AS (SELECT s.vec_id, s.m, c.k,
+         |    -2.0 * list_inner_product(s.v, c.c_emb) + c.cc AS score
+         |  FROM sub s JOIN cc c ON c.m = s.m),
+         |codes AS (SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn
+         |    FROM scs) WHERE rn = 1),
+         |wide AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM codes GROUP BY vec_id),
+         |qsub AS (SELECT vec_id AS query_id, m, v, list_inner_product(v, v) AS qq
+         |  FROM sub WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.query_id, q.m, c.k,
+         |    q.qq - 2.0 * list_inner_product(q.v, c.c_emb) + c.cc AS adc
+         |  FROM qsub q JOIN cc c ON c.m = q.m),
+         |luta AS (SELECT query_id, m, list(adc ORDER BY k) AS l
+         |  FROM lut GROUP BY query_id, m),
+         |lutw AS (SELECT query_id,
+         |    $lutCols
+         |  FROM luta GROUP BY query_id),
+         |ap AS (SELECT l.query_id, w.vec_id, $approxExpr AS approx
+         |  FROM wide w CROSS JOIN lutw l WHERE w.vec_id <> l.query_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY approx ASC, vec_id) AS crn
+         |    FROM ap) WHERE crn <= $PqCand),
+         |scored AS (SELECT c.query_id, n.vec_id AS neighbor_id,
+         |    round(list_inner_product(q.emb, n.emb) / (q.nrm * n.nrm), 9) AS cosine
+         |  FROM cand c JOIN e n ON n.vec_id = c.vec_id
+         |  JOIN e q ON q.vec_id = c.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
     "q25_knn_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM e

@@ -73,6 +73,26 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("annPq (q100)") {
+    it("PQ-ADC candidates rerank to reasonable recall on the fixture") {
+      val sf = TestSpark.Sf
+      val exact = Similarity.knnBrute(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = Similarity.annPq(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & pq).size.toDouble / exact.size
+      // seeded (untrained) codebooks on iid-random vectors are PQ's
+      // worst case — the deterministic measured value still has to
+      // clear the projection-free floor; a collapse means encode or
+      // LUT arithmetic diverged
+      assert(recall >= 0.3, s"recall@10 was $recall")
+      // every query returns a full top-k
+      assert(pq.size == Similarity.NumQueries * Similarity.K)
+    }
+  }
+
   describe("quantizedRerank (q91)") {
     it("int8 coarse scan holds near-exact recall on the fixture") {
       val sf = TestSpark.Sf
