@@ -13,6 +13,40 @@ class SessionizeSpec extends AnyFunSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  describe("built-in session_window parity") {
+    it("agrees with the custom-state sessionizer on the fixture corpus") {
+      // Same gap semantics, two independent implementations: Spark's
+      // built-in session_window aggregate vs the flatMapGroupsWithState
+      // operator. In batch mode the custom operator drops each user's
+      // trailing session (state discarded at end-of-input, the q37 gate
+      // contract); the built-in emits it — so custom ⊂ builtin with the
+      // difference exactly one (the latest) session per active user.
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val custom = Sessionize.sessions(ev).toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"))
+      val builtin = ev
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"${Sessionize.GapMinutes} minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          (col("w.end") - expr(s"INTERVAL ${Sessionize.GapMinutes} MINUTES"))
+            .as("session_end"),
+          col("n_events"))
+      assert(custom.exceptAll(builtin).count() == 0,
+        "custom session missing from the built-in aggregate")
+      val extra = builtin.exceptAll(custom)
+      val nUsers = ev.select("user_id").distinct().count()
+      assert(extra.count() == nUsers,
+        "built-in should exceed custom by exactly the trailing sessions")
+      // and every extra row is its user's LATEST session
+      val latest = builtin.groupBy("user_id")
+        .agg(max("session_start").as("session_start"))
+      assert(extra.join(latest, Seq("user_id", "session_start")).count() == nUsers)
+    }
+  }
+
   describe("flatMapGroupsWithState sessionization (streaming)") {
     it("closes sessions on gap and on end-of-stream timeout") {
       import spark.implicits._
