@@ -373,7 +373,60 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     annPqFrom(Tables.embeddings(spark, dir))
 
-  def annPqFrom(embeddings: DataFrame): DataFrame = {
+  /** Train per-subspace PQ codebooks with Euclidean Lloyd iterations
+    * (PQ minimizes L2 reconstruction, so assignment here is the SAME
+    * `−2·v·c + cc` argmin the encoder uses — not the max-inner-product
+    * assignment of the q61 cell trainer). Initialized from the seed
+    * subvectors; the result plugs into [[annPqFrom]]'s `codebooksOpt`
+    * exactly like q75's trained IVF codebook (the driver gate keeps the
+    * seeded default so the oracle reproduces it; this path is
+    * spec-covered).
+    *
+    * Scale shape: per iteration ONE corpus pass covers ALL subspaces —
+    * each row explodes to [[PqM]] (subspace, cell, subvector) structs
+    * and one two-phase aggregate keyed (m, cell) computes the exact
+    * DECIMAL mean per sub-centroid (M·K = 128 collected rows, a
+    * model-sized codebook); emptied cells carry forward.
+    */
+  def trainPqCodebooks(embeddings: DataFrame,
+      iters: Int = KmIters): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val e = embDouble(embeddings)
+    val seeds = e.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + PqK)
+      .orderBy("vec_id").select(col("emb"))
+      .collect().toIndexedSeq.map(_.getSeq[Double](0))
+    var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until PqM).map(m => seeds.map(_.slice(m * PqD, (m + 1) * PqD)))
+    for (_ <- 0 until iters) {
+      val parts = (0 until PqM).map { m =>
+        val sub = slice(col("emb"), m * PqD + 1, PqD)
+        val cc = cents(m).map(c => dotSeq(c, c))
+        val scores = array(cents(m).indices.map(k =>
+          lit(-2.0) * call_function("dot_product", sub,
+            array(cents(m)(k).map(lit): _*)) + lit(cc(k))): _*)
+        struct(lit(m).as("m"),
+          (array_position(scores, array_min(scores)) - 1).cast("int").as("cell"),
+          sub.as("v"))
+      }
+      val upd = e.select(explode(array(parts: _*)).as("x"))
+        .select(col("x.m"), col("x.cell"), col("x.v"))
+        .groupBy("m", "cell")
+        .agg(call_function("vector_sum_dec",
+            col("v").cast("array<decimal(38,12)>")).as("sumv"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("cell"),
+          transform(col("sumv"), x => x.cast("double") / col("n")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      cents = cents.indices.map(m =>
+        cents(m).indices.map(k => upd.getOrElse((m, k), cents(m)(k))))
+    }
+    cents
+  }
+
+  def annPqFrom(embeddings: DataFrame,
+      codebooksOpt: Option[IndexedSeq[IndexedSeq[Seq[Double]]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -383,12 +436,13 @@ object Similarity {
       .orderBy("vec_id")
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    // codebook(m)(k) = subspace-m slice of seed k; cc = its self-dot
-    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] =
+    // codebook(m)(k) = subspace-m slice of seed k (or the caller's
+    // trained sub-codebooks); cc = its self-dot
+    val codebook: IndexedSeq[IndexedSeq[Seq[Double]]] = codebooksOpt.getOrElse(
       (0 until PqM).map { m =>
         head.filter(_._1 >= SeedBase).sortBy(_._1).toIndexedSeq
           .map { case (_, v) => v.slice(m * PqD, (m + 1) * PqD) }
-      }
+      })
     val cc: IndexedSeq[IndexedSeq[Double]] = codebook.map(_.map(c => dotSeq(c, c)))
 
     // per-query ADC lookup tables, same op order as the SQL twins:

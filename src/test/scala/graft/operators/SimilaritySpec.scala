@@ -91,6 +91,25 @@ class SimilaritySpec extends AnyFunSpec {
       // every query returns a full top-k
       assert(pq.size == Similarity.NumQueries * Similarity.K)
     }
+
+    it("trained sub-codebooks hold recall on the same fixture") {
+      val sf = TestSpark.Sf
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      val exact = Similarity.knnBrute(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val trained = Similarity.annPqFrom(emb,
+          Some(Similarity.trainPqCodebooks(emb)))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & trained).size.toDouble / exact.size
+      info(s"trained PQ recall@10 = $recall")
+      // L2 Lloyd on iid-random data shrinks quantization error but the
+      // cosine ranking gain is modest — the floor guards against a
+      // training-path regression, not a win claim
+      assert(recall >= 0.3, s"trained recall@10 was $recall")
+      assert(trained.size == Similarity.NumQueries * Similarity.K)
+    }
   }
 
   describe("quantizedRerank (q91)") {
