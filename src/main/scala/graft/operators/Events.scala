@@ -282,7 +282,42 @@ object Events {
       graft.sources.Partitioned.eventsFor(spark, dir)
         .filter(col("event_date").between(lit(SliceFrom), lit(SliceTo))))
 
+  /** q101 audit range (inclusive): the 3-day slice whose partitions a
+    * range query would scan.
+    */
+  val ZoneLoDate = "2024-01-10"
+  val ZoneHiDate = "2024-01-12"
+
+  /** q101 — partition ZONE MAP audit: one row per date partition of the
+    * partitioned event layout with its row count, event-time bounds and
+    * value bounds, plus the scan/skip decision a [[ZoneLoDate]]..
+    * [[ZoneHiDate]] range query would take — the file-skipping evidence
+    * table behind q74's pruned plan (the thing an operator consults to
+    * answer "how many bytes does this backfill touch" before running
+    * it).
+    *
+    * Scale shape: grouping is BY THE PARTITION COLUMN, so the aggregate
+    * is perfectly aligned with the layout — map-side partials complete
+    * within each partition's files and the reduce side is
+    * day-cardinality; at 100 TB the same statistics are served from
+    * parquet footer metadata (aggregate pushdown / zone maps) without
+    * touching row data — this query IS that metadata, derived the
+    * portable way.
+    */
+  def partitionZoneMap(spark: SparkSession, dir: String): DataFrame =
+    zoneMapOf(graft.sources.Partitioned.eventsFor(spark, dir))
+
+  def zoneMapOf(events: DataFrame): DataFrame =
+    events.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .withColumn("scanned", col("event_date")
+        .between(to_date(lit(ZoneLoDate)), to_date(lit(ZoneHiDate))))
+      .orderBy("event_date")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_zone_map" -> (partitionZoneMap _),
     "q74_event_day_slice" -> (eventDaySlice _),
     "q27_event_windows" -> (eventWindows _),
     "q28_prop_stats" -> (propStats _),
@@ -295,6 +330,15 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    "q101_zone_map" ->
+      s"""WITH z AS (
+         |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_rows,
+         |    min(ts) AS min_ts, max(ts) AS max_ts,
+         |    min(value) AS min_value, max(value) AS max_value
+         |  FROM events GROUP BY 1)
+         |SELECT event_date, n_rows, min_ts, max_ts, min_value, max_value,
+         |  event_date BETWEEN DATE '$ZoneLoDate' AND DATE '$ZoneHiDate' AS scanned
+         |FROM z ORDER BY event_date""".stripMargin,
     // the oracle reads the raw (unpartitioned) fixture, so the partition
     // predicate is expressed as the equivalent date cast on ts — proving
     // the layout changes WHERE bytes live, never WHAT the query answers

@@ -16,6 +16,24 @@ class EventsSpec extends AnyFunSpec {
   private def events(rows: (Long, Timestamp, Long, String, Double, String)*): DataFrame =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  describe("partitionZoneMap (q101)") {
+    it("one row per day partition, scan decision covers exactly the audit range") {
+      val zm = Events.partitionZoneMap(spark, TestSpark.Sf).collect()
+      // the fixture spans January 2024: one zone row per day
+      assert(zm.length == 30)
+      assert(zm.map(_.getAs[java.sql.Date]("event_date").toString).distinct.length == 30)
+      val scanned = zm.filter(_.getAs[Boolean]("scanned"))
+        .map(_.getAs[java.sql.Date]("event_date").toString).sorted
+      assert(scanned.sameElements(Seq("2024-01-10", "2024-01-11", "2024-01-12")))
+      // zone bounds are consistent: min <= max, counts positive
+      zm.foreach { r =>
+        assert(r.getAs[Long]("n_rows") > 0)
+        assert(!r.getAs[Timestamp]("min_ts").after(r.getAs[Timestamp]("max_ts")))
+        assert(r.getAs[Double]("min_value") <= r.getAs[Double]("max_value"))
+      }
+    }
+  }
+
   describe("eventWindows (q27)") {
     it("assigns rows to tumbling 5-minute windows, boundary exclusive-right") {
       val r = Events.eventWindowsFrom(events(
