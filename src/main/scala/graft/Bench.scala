@@ -147,6 +147,7 @@ object Bench {
         Tables.documents(spark, sfDir))
     }
     run("q89_keep_ledger") { Dedup.keepLedger(spark, sfDir) }
+    run("q102_leakage_safe_split") { Dedup.leakageSafeSplit(spark, sfDir) }
 
     // the staged sections above must jointly cover the whole catalog —
     // q80 initially slipped through this gap (Dedup is staged by hand,

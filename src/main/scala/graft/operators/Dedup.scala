@@ -607,7 +607,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q102 — LEAKAGE-SAFE train/val/test split: the q45 stable-hash
+    * split keyed by each document's near-dup CLUSTER representative
+    * (q54's cluster_id; singletons key on themselves) instead of its
+    * own id — so a near-duplicate pair can never straddle train and
+    * eval, the contamination channel a per-doc split leaves wide open.
+    * Same 80/10/10 fractions as q45 (shared constants), distinct salt.
+    *
+    * The result carries per-split doc/group counts AND the global
+    * count of groups spanning >1 split — structurally zero, but
+    * EMITTED so the hash gate proves the invariant instead of a spec
+    * asserting it.
+    *
+    * Scale shape: q54's log-round cluster resolution dominates; the
+    * rep join is one doc_id-keyed hash join (cluster relation is
+    * bounded by clustered docs, broadcastable when dup mass is small),
+    * the split assignment is pure row arithmetic, and both summary
+    * aggregates are split/group-cardinality.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitFrom(Tables.documents(spark, dir))
+
+  def leakageSafeSplitFrom(docs: DataFrame): DataFrame = {
+    val cc = dedupClustersFrom(docs).select(col("doc_id"), col("cluster_id"))
+    val rep = docs.select("doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+    val bucket = TextFns.hash32(
+      concat(lit("lsplit|"), col("rep").cast("string"))) % 100
+    val assigned = rep.withColumn("split",
+      when(bucket < Curation.TrainPct, "train")
+        .when(bucket < Curation.ValPct, "val").otherwise("test"))
+    val leaky = assigned.groupBy("rep")
+      .agg(countDistinct("split").as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky_groups"))
+    assigned.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("rep").as("n_groups"))
+      .crossJoin(broadcast(leaky))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_leakage_safe_split" -> (leakageSafeSplit _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -765,6 +806,33 @@ object Dedup {
     // (q21's normalization), transitive near-dup clusters (q54's
     // recursive CTE), verified containment cuts (q87's chain with its
     // verify renamed c* — jac's exd/sizes double as the shingle sets)
+    "q102_leakage_safe_split" ->
+      s"""WITH RECURSIVE $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM verified),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+         |rep AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+         |asg AS (SELECT doc_id, rep,
+         |    CASE WHEN ${TextFns.sql.hash32("'lsplit|' || CAST(rep AS VARCHAR)")} % 100 < ${Curation.TrainPct} THEN 'train'
+         |         WHEN ${TextFns.sql.hash32("'lsplit|' || CAST(rep AS VARCHAR)")} % 100 < ${Curation.ValPct} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM rep),
+         |leaky AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups
+         |  FROM (SELECT rep, count(DISTINCT split) AS ns FROM asg GROUP BY rep))
+         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_groups, n_leaky_groups
+         |FROM asg CROSS JOIN leaky
+         |GROUP BY split, n_leaky_groups
+         |ORDER BY split""".stripMargin,
     "q89_keep_ledger" ->
       s"""WITH RECURSIVE $bandsSql,
          |$candidatePairsSql,

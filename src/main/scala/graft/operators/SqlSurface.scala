@@ -71,7 +71,10 @@ object SqlSurface {
         "cyclic near-dup graphs — use Dedup.dedupClusters"),
     "q89_keep_ledger" ->
       ("embeds q54's transitive-closure fixpoint for the near_dup cut set " +
-        "(same recursive-CTE termination limit) — use Dedup.keepLedger"))
+        "(same recursive-CTE termination limit) — use Dedup.keepLedger"),
+    "q102_leakage_safe_split" ->
+      ("keys the split on q54's cluster representative, embedding the same " +
+        "transitive-closure fixpoint — use Dedup.leakageSafeSplit"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -202,6 +202,22 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("leakageSafeSplit (q102)") {
+    it("near-dup cluster members land in one split; leak count is zero") {
+      val near1 = "the quick brown fox jumps over the lazy dog again and again ok"
+      val near2 = "the quick brown fox jumps over the lazy dog again and again yes"
+      val d = docs(
+        (1L, near1), (2L, near2), // near-dup pair → one cluster
+        (3L, "completely different text about spark physical planning here"),
+        (4L, "yet another unrelated document talking about parquet footers"))
+      val r = Dedup.leakageSafeSplitFrom(d).collect()
+      assert(r.map(_.getAs[Long]("n_docs")).sum == 4L)
+      // the pair shares one rep, so groups < docs
+      assert(r.map(_.getAs[Long]("n_groups")).sum == 3L)
+      assert(r.forall(_.getAs[Long]("n_leaky_groups") == 0L))
+    }
+  }
+
   describe("keepLedger (q89)") {
     it("labels every doc with its cut reason in precedence order") {
       val core16 = "alpha beta gamma delta epsilon zeta eta theta iota " +
