@@ -399,7 +399,74 @@ object Analytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** PageRank constants for q103: standard damping, fixed unrolled
+    * iteration count (enough to differentiate hubs on the fixture
+    * graph while keeping the oracle a plain non-recursive SQL text).
+    */
+  val PrDamp = 0.85
+  val PrIters = 3
+  val PrTopK = 20
+
+  /** q103 — weighted PageRank over the item co-occurrence graph: the
+    * iterative graph-centrality operator class beyond q54's connected
+    * components (influence/hub scoring over the same "related items"
+    * graph q66 surfaces; the operator shape of label propagation and
+    * embedding-graph smoothing). Transition weight = co-occurrence
+    * count over the node's total incident weight; [[PrIters]] damped
+    * iterations from the uniform vector; top-[[PrTopK]] by final rank.
+    *
+    * Scale shape: the transition relation is built ONCE (edge relation
+    * keyed by source, co-partitioned with the rank vector across every
+    * iteration — the classic Pregel data layout); each iteration is one
+    * join + one two-phase aggregate whose reduce side is
+    * item-cardinality. Contribution sums ride the exact DECIMAL(38,12)
+    * accumulator ([[graft.functions.Det]]): float sums over an
+    * arbitrary-order shuffle would differ run-to-run and engine-to-
+    * engine, and PageRank COMPOUNDS such drift across iterations — the
+    * decimal accumulator is what lets an iterative float algorithm sit
+    * under a bit-exact hash gate at all.
+    */
+  def itemPagerank(spark: SparkSession, dir: String): DataFrame =
+    itemPagerankFrom(Tables.events(spark, dir))
+
+  def itemPagerankFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ui = events.select(col("user_id"), item.as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val pairs = ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val deg = edges.groupBy("u")
+      .agg(sum("w").as("wu"), count(lit(1)).as("n_neighbors"))
+    val items = ui.select(col("item")).distinct()
+    val nItems = items.count() // one scalar job — item-domain cardinality
+    val base = (1.0 - PrDamp) / nItems
+    val trans = edges.join(deg, "u")
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wu").cast("double")).as("frac"))
+    var p = items.select(col("item"), (lit(1.0) / lit(nItems)).as("p"))
+    for (_ <- 0 until PrIters) {
+      val contrib = trans.join(p, trans("u") === p("item"))
+        .select(col("v"), (col("p") * col("frac")).as("c"))
+        .groupBy("v")
+        .agg(sum(col("c").cast(DecimalType(38, 12))).cast("double").as("cs"))
+      p = items.join(contrib, items("item") === contrib("v"), "left")
+        .select(col("item"),
+          (lit(base) + lit(PrDamp) * coalesce(col("cs"), lit(0.0))).as("p"))
+    }
+    p.join(deg, p("item") === deg("u"), "left")
+      .select(col("item"), coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        round(col("p"), 9).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("item"))
+      .limit(PrTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_item_pagerank" -> (itemPagerank _),
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
     "q33_asof_prior_click" -> (asofPriorClick _),
@@ -436,6 +503,41 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    "q103_item_pagerank" -> {
+      // unrolled damped iterations: cI/pI mirror the DataFrame loop
+      // body exactly (same op order, same DECIMAL accumulator)
+      val iters = (1 to PrIters).map { i =>
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""c$i AS (SELECT t.v,
+           |    CAST(sum(CAST(p.p * t.frac AS DECIMAL(38,12))) AS DOUBLE) AS cs
+           |  FROM trans t JOIN $prev p ON p.item = t.u GROUP BY t.v),
+           |p$i AS (SELECT i.item,
+           |    (CAST(1.0 AS DOUBLE) - $PrDamp) / n.n + $PrDamp * COALESCE(c$i.cs, 0.0) AS p
+           |  FROM items i CROSS JOIN n LEFT JOIN c$i ON c$i.v = i.item)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |pr AS (SELECT a.item AS u, b.item AS v, count(*) AS w
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr),
+         |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu, count(*) AS n_neighbors
+         |  FROM edges GROUP BY u),
+         |items AS (SELECT DISTINCT item FROM ui),
+         |n AS (SELECT count(*) AS n FROM items),
+         |trans AS (SELECT e.u, e.v, CAST(e.w AS DOUBLE) / CAST(d.wu AS DOUBLE) AS frac
+         |  FROM edges e JOIN deg d ON d.u = e.u),
+         |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) / n.n AS p FROM items CROSS JOIN n),
+         |$iters
+         |SELECT p$PrIters.item, COALESCE(d.n_neighbors, 0) AS n_neighbors,
+         |  round(p$PrIters.p, 9) AS pagerank
+         |FROM p$PrIters LEFT JOIN deg d ON d.u = p$PrIters.item
+         |ORDER BY pagerank DESC, item LIMIT $PrTopK""".stripMargin
+    },
     "q98_revenue_attribution" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, ts, event_type, value,

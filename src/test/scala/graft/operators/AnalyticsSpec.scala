@@ -138,6 +138,28 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("itemPagerank (q103)") {
+    it("ranks the hub of a star graph first and conserves mass") {
+      // items: 1 co-occurs with 2,3,4 (hub); 2,3,4 only with 1.
+      // users u1..u3 each bought {1, x}
+      val ev = events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{\"k\": 1}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "view", 0.0, "{\"k\": 2}"),
+        (3L, ts("2024-01-01 00:02:00"), 2L, "view", 0.0, "{\"k\": 1}"),
+        (4L, ts("2024-01-01 00:03:00"), 2L, "view", 0.0, "{\"k\": 3}"),
+        (5L, ts("2024-01-01 00:04:00"), 3L, "view", 0.0, "{\"k\": 1}"),
+        (6L, ts("2024-01-01 00:05:00"), 3L, "view", 0.0, "{\"k\": 4}"))
+      val r = Analytics.itemPagerankFrom(ev).collect()
+      assert(r.length == 4)
+      assert(r(0).getAs[Int]("item") == 1)
+      assert(r(0).getAs[Long]("n_neighbors") == 3L)
+      // no dangling nodes → total rank mass stays 1
+      assert(math.abs(r.map(_.getAs[Double]("pagerank")).sum - 1.0) < 1e-6)
+      // the three leaves are symmetric: identical rank
+      assert(r.drop(1).map(_.getAs[Double]("pagerank")).distinct.length == 1)
+    }
+  }
+
   describe("revenueAttribution (q98)") {
     it("credits purchases to the last in-window item click, else NULL") {
       val r = Analytics.revenueAttributionFrom(events(
