@@ -67,6 +67,7 @@ object Bench {
     run("q01_row_counts") { Integrity.rowCounts(spark, sfDir) }
     run("q02_orders_without_lines") { Integrity.ordersWithoutLines(spark, sfDir) }
     run("q03_lines_without_order") { Integrity.linesWithoutOrder(spark, sfDir) }
+    run("q105_expectations") { Integrity.expectations(spark, sfDir) }
 
     // stage 2: KPI CTAS (reference compute_kpis.py). The KPI table is
     // one row per supplier — tiny relative to its input at any scale —

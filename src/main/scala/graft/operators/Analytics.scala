@@ -465,7 +465,59 @@ object Analytics {
       .limit(PrTopK)
   }
 
+  /** q106 thresholds: pairs below [[RuleMinPairs]] users are noise cut
+    * before the dimension joins; [[RuleTopK]] rules by lift survive.
+    */
+  val RuleMinPairs = 20
+  val RuleTopK = 50
+
+  /** q106 — association rules over the item co-occurrence graph
+    * (market-basket a-priori at the pair level): for each directed rule
+    * A→B with at least [[RuleMinPairs]] co-occurring users, its
+    * support = P(A,B), confidence = P(B|A) and lift =
+    * P(B|A) / P(B); top-[[RuleTopK]] by lift. The recommendation /
+    * query-expansion operator class on top of q66's co-occurrence
+    * counts.
+    *
+    * Scale shape: the pair relation is q66's (bounded by Σ per-user
+    * basket², the a-priori candidate step — never |items|²); the
+    * antecedent/consequent count dimension is item-vocabulary-sized and
+    * broadcast twice, so rule scoring is map-side; the basket count is
+    * one scalar job. Confidence/lift are single IEEE divisions over
+    * exact integer counts — deterministic without a decimal
+    * accumulator.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesFrom(Tables.events(spark, dir))
+
+  def assocRulesFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ui = events.select(col("user_id"), item.as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val nUsers = ui.select("user_id").distinct().count() // one scalar job
+    val icnt = ui.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val pairs = ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val rules = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val conf = col("w").cast("double") / col("ca")
+    rules.filter(col("w") >= RuleMinPairs)
+      .join(broadcast(icnt.select(col("item").as("u"), col("cnt").as("ca"))), "u")
+      .join(broadcast(icnt.select(col("item").as("v"), col("cnt").as("cb"))), "v")
+      .select(col("u").as("item_a"), col("v").as("item_b"),
+        col("w").as("n_both"), col("ca").as("n_a"),
+        round(col("w").cast("double") / lit(nUsers), 9).as("support"),
+        round(conf, 9).as("confidence"),
+        round(conf / (col("cb").cast("double") / lit(nUsers)), 9).as("lift"))
+      .orderBy(desc("lift"), desc("confidence"), asc("item_a"), asc("item_b"))
+      .limit(RuleTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_assoc_rules" -> (assocRules _),
     "q103_item_pagerank" -> (itemPagerank _),
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
@@ -503,6 +555,29 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    "q106_assoc_rules" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |n AS (SELECT count(DISTINCT user_id) AS n FROM ui),
+         |icnt AS (SELECT item, count(*) AS cnt FROM ui GROUP BY 1),
+         |pr AS (SELECT a.item AS u, b.item AS v, count(*) AS w
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |rules AS (SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr)
+         |SELECT r.u AS item_a, r.v AS item_b, r.w AS n_both, ia.cnt AS n_a,
+         |  round(CAST(r.w AS DOUBLE) / n.n, 9) AS support,
+         |  round(CAST(r.w AS DOUBLE) / ia.cnt, 9) AS confidence,
+         |  round((CAST(r.w AS DOUBLE) / ia.cnt) / (CAST(ib.cnt AS DOUBLE) / n.n), 9) AS lift
+         |FROM rules r
+         |JOIN icnt ia ON ia.item = r.u
+         |JOIN icnt ib ON ib.item = r.v
+         |CROSS JOIN n
+         |WHERE r.w >= $RuleMinPairs
+         |ORDER BY lift DESC, confidence DESC, item_a, item_b
+         |LIMIT $RuleTopK""".stripMargin,
     "q103_item_pagerank" -> {
       // unrolled damped iterations: cI/pI mirror the DataFrame loop
       // body exactly (same op order, same DECIMAL accumulator)

@@ -316,7 +316,50 @@ object Events {
         .between(to_date(lit(ZoneLoDate)), to_date(lit(ZoneHiDate))))
       .orderBy("event_date")
 
+  /** q104 — calendar resample + gap-fill: per (user, day) activity over
+    * a dense date spine covering the corpus horizon, zero-filled where
+    * the user was inactive, with a trailing 7-day rolling event count.
+    * This is the missing-timestep repair every rolling-window feature
+    * (and every forecasting/training label join) needs — rolling frames
+    * over a SPARSE per-entity series silently span variable real-time
+    * widths; the dense spine makes `ROWS BETWEEN 6 PRECEDING` mean
+    * "7 calendar days" exactly.
+    *
+    * Scale shape: the day spine is horizon-sized (one row per day —
+    * thousands at a century) and broadcast, so the users×days spine is a
+    * map-side stretch of the distinct-user relation, never a shuffle;
+    * the observed (user, day) aggregate is the one hash exchange and the
+    * spine LEFT JOIN plus the rolling window both ride a user_id
+    * partitioning. Output is |users|×|days| — the caller's chosen
+    * densification, linear in users. Day sums ride the exact DECIMAL
+    * accumulator; the rolling count is integer arithmetic over a total
+    * (user_id, day) order, so the gate hash is stable by construction.
+    */
+  def userDayGapfill(spark: SparkSession, dir: String): DataFrame =
+    userDayGapfillFrom(Tables.events(spark, dir))
+
+  def userDayGapfillFrom(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sv"))
+    val days = events
+      .agg(min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val spine = events.select("user_id").distinct().crossJoin(broadcast(days))
+    val filled = spine.join(byDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"))
+    val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    filled
+      .withColumn("n_7d", sum(col("n_events")).over(w7))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_user_day_gapfill" -> (userDayGapfill _),
     "q101_zone_map" -> (partitionZoneMap _),
     "q74_event_day_slice" -> (eventDaySlice _),
     "q27_event_windows" -> (eventWindows _),
@@ -330,6 +373,29 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB types the DATE+INTERVAL series TIMESTAMP (Spark keeps
+    // DATE); the explicit CAST in `days` aligns both engines
+    "q104_user_day_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+        |raw AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dts FROM bounds),
+        |days AS (SELECT CAST(dts AS DATE) AS day FROM raw),
+        |ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d),
+        |filled AS (
+        |  SELECT s.user_id, s.day, coalesce(ud.n, 0) AS n_events,
+        |    coalesce(ud.sv, CAST(0 AS DOUBLE)) AS sum_value
+        |  FROM spine s LEFT JOIN ud ON s.user_id = ud.user_id AND s.day = ud.day)
+        |SELECT user_id, day, n_events, sum_value,
+        |  CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM filled ORDER BY user_id, day""".stripMargin,
     "q101_zone_map" ->
       s"""WITH z AS (
          |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_rows,

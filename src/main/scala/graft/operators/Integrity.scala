@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -39,10 +39,93 @@ object Integrity {
         Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
 
+  /** q105 — declarative data-quality expectation suite (the
+    * Deequ/Great-Expectations operator class): uniqueness, null,
+    * range, accepted-values, consistency and referential checks across
+    * four corpus tables, each reported as a (check_id, tbl, metric,
+    * passed) row where `metric` is the VIOLATION count — so a failing
+    * dataset reports what is wrong, not just that something is.
+    * `events.value.le_400` genuinely fails on the fixture (max value
+    * 490), keeping the fail path observable under the gate.
+    *
+    * Scale shape: ALL checks of a table are computed in ONE scan — a
+    * single aggregate row of conditional sums (+ the distinct count's
+    * two-phase expand), exploded into per-check rows driver-free; a
+    * naive check-per-scan suite reads each 100 TB table k times, this
+    * reads it once. The one relational check (lineitem→orders FK) is
+    * the q03 anti-join count, which shuffles on the key and scales out.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    def checksOf(tbl: String, agged: DataFrame,
+        checks: Seq[(String, Column)]): DataFrame =
+      agged.select(explode(array(checks.map { case (id, metric) =>
+        struct(lit(id).as("check_id"), lit(tbl).as("tbl"),
+          metric.cast("double").as("metric"),
+          (metric.cast("double") === 0.0).as("passed"))
+      }: _*)).as("c")).select("c.*")
+
+    def bad(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+    val o = checksOf("orders",
+      Tables.orders(spark, dir).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("nd"),
+        bad(col("o_custkey").isNull).as("nulls"),
+        bad(col("o_totalprice") <= 0).as("bad_price"),
+        bad(!col("o_orderstatus").isin("O", "F", "P")).as("bad_status"),
+        bad(!col("o_orderdate").between(lit("1990-01-01"), lit("2005-12-31")))
+          .as("bad_date")),
+      Seq(
+        "orders.o_orderkey.unique" -> (col("n") - col("nd")),
+        "orders.o_custkey.not_null" -> col("nulls"),
+        "orders.o_totalprice.positive" -> col("bad_price"),
+        "orders.o_orderstatus.accepted" -> col("bad_status"),
+        "orders.o_orderdate.in_range" -> col("bad_date")))
+    val l = checksOf("lineitem",
+      Tables.lineitem(spark, dir).agg(
+        bad(!col("l_quantity").between(1, 50)).as("bad_qty"),
+        bad(!col("l_discount").between(0, 1)).as("bad_disc")),
+      Seq(
+        "lineitem.l_quantity.in_range" -> col("bad_qty"),
+        "lineitem.l_discount.in_range" -> col("bad_disc")))
+    val e = checksOf("events",
+      Tables.events(spark, dir).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("nd"),
+        bad(col("value") < 0).as("bad_value"),
+        bad(col("value") > 400).as("big_value"),
+        bad(!col("event_type").isin(
+          "view", "click", "purchase", "signup", "error")).as("bad_type")),
+      Seq(
+        "events.event_id.unique" -> (col("n") - col("nd")),
+        "events.value.non_negative" -> col("bad_value"),
+        "events.value.le_400" -> col("big_value"),
+        "events.event_type.accepted" -> col("bad_type")))
+    val d = checksOf("documents",
+      Tables.documents(spark, dir).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd"),
+        bad(col("n_chars") =!= length(col("text"))).as("mismatch")),
+      Seq(
+        "documents.doc_id.unique" -> (col("n") - col("nd")),
+        "documents.n_chars.consistent" -> col("mismatch")))
+    val fk = checksOf("lineitem",
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("orphans")),
+      Seq("lineitem.l_orderkey.fk_orders" -> col("orphans")))
+
+    o.unionByName(l).unionByName(e).unionByName(d).unionByName(fk)
+      .orderBy("check_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_row_counts" -> (rowCounts _),
     "q02_orders_without_lines" -> (ordersWithoutLines _),
-    "q03_lines_without_order" -> (linesWithoutOrder _))
+    "q03_lines_without_order" -> (linesWithoutOrder _),
+    "q105_expectations" -> (expectations _))
 
   val oracle: Map[String, String] = Map(
     "q01_row_counts" ->
@@ -54,5 +137,49 @@ object Integrity {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
     "q03_lines_without_order" ->
       """SELECT COUNT(*) AS n_orphans FROM lineitem l
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
+    "q105_expectations" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+        |    sum(CASE WHEN NOT o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status,
+        |    sum(CASE WHEN NOT o_orderdate BETWEEN '1990-01-01' AND '2005-12-31' THEN 1 ELSE 0 END) AS bad_date
+        |  FROM orders),
+        |l AS (
+        |  SELECT
+        |    sum(CASE WHEN NOT l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS bad_qty,
+        |    sum(CASE WHEN NOT l_discount BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS bad_disc
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT count(*) AS n, count(DISTINCT event_id) AS nd,
+        |    sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS bad_value,
+        |    sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS big_value,
+        |    sum(CASE WHEN NOT event_type IN ('view', 'click', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS bad_type
+        |  FROM events),
+        |d AS (
+        |  SELECT count(*) AS n, count(DISTINCT doc_id) AS nd,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS mismatch
+        |  FROM documents),
+        |fk AS (
+        |  SELECT count(*) AS orphans FROM lineitem li
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)),
+        |rows_ AS (
+        |  SELECT 'orders.o_orderkey.unique' AS check_id, 'orders' AS tbl, n - nd AS metric FROM o
+        |  UNION ALL SELECT 'orders.o_custkey.not_null', 'orders', nulls FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice.positive', 'orders', bad_price FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus.accepted', 'orders', bad_status FROM o
+        |  UNION ALL SELECT 'orders.o_orderdate.in_range', 'orders', bad_date FROM o
+        |  UNION ALL SELECT 'lineitem.l_quantity.in_range', 'lineitem', bad_qty FROM l
+        |  UNION ALL SELECT 'lineitem.l_discount.in_range', 'lineitem', bad_disc FROM l
+        |  UNION ALL SELECT 'events.event_id.unique', 'events', n - nd FROM e
+        |  UNION ALL SELECT 'events.value.non_negative', 'events', bad_value FROM e
+        |  UNION ALL SELECT 'events.value.le_400', 'events', big_value FROM e
+        |  UNION ALL SELECT 'events.event_type.accepted', 'events', bad_type FROM e
+        |  UNION ALL SELECT 'documents.doc_id.unique', 'documents', n - nd FROM d
+        |  UNION ALL SELECT 'documents.n_chars.consistent', 'documents', mismatch FROM d
+        |  UNION ALL SELECT 'lineitem.l_orderkey.fk_orders', 'lineitem', orphans FROM fk)
+        |SELECT check_id, tbl, CAST(metric AS DOUBLE) AS metric,
+        |  CAST(metric AS DOUBLE) = 0 AS passed
+        |FROM rows_ ORDER BY check_id""".stripMargin)
 }

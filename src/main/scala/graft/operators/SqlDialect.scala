@@ -154,6 +154,16 @@ object SqlDialect {
       case other => sys.error(s"unsupported range args: $other")
     }
 
+    // generate_series(a, b, step) → sequence(a, b, step): both are
+    // inclusive-bounds. Only the 3-arg INTERVAL-step form is supported —
+    // DuckDB types the DATE+INTERVAL series TIMESTAMP while Spark keeps
+    // DATE, so callers must cast the element explicitly (the oracle
+    // texts do), keeping the two engines' types aligned.
+    s = rewriteCall(s, "generate_series") {
+      case Seq(a, b, step) => s"sequence($a, $b, $step)"
+      case other => sys.error(s"unsupported generate_series args: $other")
+    }
+
     // list_slice(l, a, b): 1-based INCLUSIVE bounds → Spark slice takes
     // (start, length); both clamp past-the-end, and our texts only use
     // positive in-range bounds
@@ -233,6 +243,7 @@ object SqlDialect {
 
     // no DuckDB-ism may survive: fail at map-build time, not query time
     val leftovers = Seq("list_", "unnest(", "UNNEST(", "UBIGINT", " // ",
+      "generate_series",
       "range(", ", 'g')", "time_bucket", "::DOUBLE[]", "date_diff(",
       "epoch_us(", "regexp_split_to_array", " IGNORE NULLS)", "VARCHAR")
     leftovers.foreach(l => require(!s.contains(l),

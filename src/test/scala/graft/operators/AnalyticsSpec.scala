@@ -221,4 +221,37 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(supports == supports.sorted.reverse)
     }
   }
+
+  describe("assocRules (q106)") {
+    it("scores support/confidence/lift and cuts pairs under the floor") {
+      // 20 users with basket {1,2} (meets the floor), 5 with {1,3} (cut)
+      val rows = (1L to 20L).flatMap(u => Seq(
+        (u * 2, ts("2024-01-01 00:00:00"), u, "view", 0.0, "{\"k\": 1}"),
+        (u * 2 + 1, ts("2024-01-01 00:01:00"), u, "view", 0.0, "{\"k\": 2}"))) ++
+        (21L to 25L).flatMap(u => Seq(
+          (u * 2, ts("2024-01-01 00:00:00"), u, "view", 0.0, "{\"k\": 1}"),
+          (u * 2 + 1, ts("2024-01-01 00:01:00"), u, "view", 0.0, "{\"k\": 3}")))
+      val r = Analytics.assocRulesFrom(events(rows: _*)).collect()
+      // only 1↔2 survives RuleMinPairs=20; both directions reported
+      assert(r.length == 2)
+      val byDir = r.map(x => (x.getAs[Int]("item_a"), x.getAs[Int]("item_b")) -> x).toMap
+      val r12 = byDir((1, 2))
+      assert(r12.getAs[Long]("n_both") == 20L && r12.getAs[Long]("n_a") == 25L)
+      assert(r12.getAs[Double]("support") == 0.8)
+      assert(r12.getAs[Double]("confidence") == 0.8)
+      assert(r12.getAs[Double]("lift") == 1.0) // conf 0.8 / P(2)=0.8
+      val r21 = byDir((2, 1))
+      assert(r21.getAs[Double]("confidence") == 1.0)
+      assert(r21.getAs[Double]("lift") == 1.0) // conf 1.0 / P(1)=1.0
+    }
+
+    it("ranks by lift on the fixture and caps at the top-k") {
+      val r = Analytics.assocRules(spark, TestSpark.Sf).collect()
+      assert(r.length <= Analytics.RuleTopK)
+      val lifts = r.map(_.getAs[Double]("lift")).toSeq
+      assert(lifts == lifts.sorted.reverse)
+      // every reported rule meets the pair floor
+      assert(r.forall(_.getAs[Long]("n_both") >= Analytics.RuleMinPairs))
+    }
+  }
 }

@@ -194,4 +194,36 @@ class EventsSpec extends AnyFunSpec {
       assert(r.getAs[Long]("n_purchase") == 0L)
     }
   }
+
+  describe("userDayGapfill (q104)") {
+    it("densifies every user to the full corpus horizon with zero-fill") {
+      val r = Events.userDayGapfillFrom(events(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 2.0, "{}"),
+        (2L, ts("2024-01-04 10:00:00"), 1L, "view", 3.0, "{}"),
+        (3L, ts("2024-01-04 11:00:00"), 1L, "view", 4.0, "{}"),
+        (4L, ts("2024-01-02 10:00:00"), 2L, "view", 5.0, "{}")))
+        .collect()
+      // horizon = Jan 1..4 → 4 days × 2 users
+      assert(r.length == 8)
+      val u1 = r.filter(_.getAs[Long]("user_id") == 1L)
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+      assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(1L, 0L, 0L, 2L))
+      assert(u1.map(_.getAs[Double]("sum_value")).toSeq == Seq(2.0, 0.0, 0.0, 7.0))
+      // trailing 7-day count accumulates across the zero-filled gap
+      assert(u1.map(_.getAs[Long]("n_7d")).toSeq == Seq(1L, 1L, 1L, 3L))
+      val u2 = r.filter(_.getAs[Long]("user_id") == 2L)
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+      assert(u2.map(_.getAs[Long]("n_events")).toSeq == Seq(0L, 1L, 0L, 0L))
+    }
+
+    it("the rolling frame is exactly 7 calendar days once dense") {
+      val rows = (0 until 10).map(d =>
+        (d.toLong, ts(f"2024-01-${d + 1}%02d 00:00:00"), 1L, "view", 1.0, "{}"))
+      val r = Events.userDayGapfillFrom(events(rows: _*))
+        .collect().sortBy(_.getAs[java.sql.Date]("day").toString)
+      // one event/day → n_7d saturates at 7 from day 7 on
+      assert(r.map(_.getAs[Long]("n_7d")).toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 7L, 7L, 7L))
+    }
+  }
 }

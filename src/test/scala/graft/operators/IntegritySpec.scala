@@ -35,4 +35,26 @@ class IntegritySpec extends AnyFunSpec {
       assert(Integrity.linesWithoutOrder(spark, sf).collect()(0).getLong(0) >= 0)
     }
   }
+
+  describe("expectations (q105)") {
+    it("emits one row per declared check with passed ≡ (metric == 0)") {
+      val r = Integrity.expectations(spark, sf).collect()
+      assert(r.length == 14)
+      assert(r.map(_.getAs[String]("check_id")).distinct.length == 14)
+      r.foreach { row =>
+        assert(row.getAs[Boolean]("passed") == (row.getAs[Double]("metric") == 0.0))
+        assert(row.getAs[Double]("metric") >= 0.0)
+      }
+      // the clean synthetic corpus passes the structural checks…
+      val byId = r.map(x => x.getAs[String]("check_id") -> x).toMap
+      Seq("orders.o_orderkey.unique", "events.event_id.unique",
+        "documents.doc_id.unique", "documents.n_chars.consistent",
+        "lineitem.l_orderkey.fk_orders").foreach { id =>
+        assert(byId(id).getAs[Boolean]("passed"), id)
+      }
+      // …while the deliberately tight value cap reports its violations
+      assert(byId("events.value.le_400").getAs[Double]("metric") ==
+        Tables.events(spark, sf).filter(col("value") > 400).count().toDouble)
+    }
+  }
 }
