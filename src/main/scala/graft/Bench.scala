@@ -127,6 +127,10 @@ object Bench {
       Dedup.ngramJaccardOfPairs(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
+    run("q108_edit_verify") {
+      Dedup.editVerifyOf(
+        spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
+    }
     run("q54_dedup_clusters") {
       Dedup.clustersOfVerified(Dedup.ngramJaccardOfPairs(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir)))

@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.TextFns
 import graft.sources.Tables
 
 /** Analytic operator coverage beyond the reference surface: set
@@ -516,7 +517,165 @@ object Analytics {
       .limit(RuleTopK)
   }
 
+  /** q110 edge support floor (distinct users per co-occurrence edge)
+    * and output cap.
+    */
+  val TriMinSupport = 2L
+  val TriTopK = 20
+
+  /** The q66/q103/q106 item extraction, shared. */
+  private def itemBaskets(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    events.select(col("user_id"), item.as("item"))
+      .filter(col("item").isNotNull).distinct()
+  }
+
+  /** q110 — TRIANGLE counting over the item co-occurrence graph
+    * (edges = item pairs sharing ≥ [[TriMinSupport]] users): per-item
+    * triangle participation, the clustering-structure signal behind
+    * community detection and graph-quality audits (q103's PageRank
+    * measures reach; triangles measure cohesion).
+    *
+    * Scale design: the classic shared-nothing triangle algorithm
+    * (node-iterator with DEGREE ORIENTATION). Each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; every
+    * wedge then forms at its lowest-degree apex, so wedge count is
+    * Σ deg_out² with deg_out ≤ O(√m) on any graph — the m^{3/2} bound
+    * (Suri & Vassilvitskii's MR-friendly orientation) instead of the
+    * unbounded Σ deg² a hub vertex causes unoriented. Wedges close in
+    * one hash join against the canonical edge set; each triangle is
+    * produced exactly once. Degrees are node-cardinality and broadcast.
+    */
+  def itemTriangles(spark: SparkSession, dir: String): DataFrame =
+    itemTrianglesFrom(Tables.events(spark, dir))
+
+  def itemTrianglesFrom(events: DataFrame): DataFrame = {
+    val ui = itemBaskets(events)
+    val edges = ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriMinSupport)
+      .select("u", "v")
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val e = edges
+      .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
+    // u < v throughout, so the tie-break on equal degree keeps u first
+    val oriented = e.select(
+      when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.alias("e1").join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // close against the canonical (u<v) edge set; (b, c) is already
+    // ordered because the wedge join kept e1.dst < e2.dst
+    val tri = wedges.join(
+      edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    tri.select(col("a").as("item"))
+      .unionAll(tri.select(col("b").as("item")))
+      .unionAll(tri.select(col("c").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), asc("item"))
+      .limit(TriTopK)
+  }
+
+  /** q112 hot-key multiple over the median per-key count, and output
+    * cap. The near-uniform fixture has no organic hot keys, so the
+    * audit runs with a low multiple to exercise the flag path (the q73
+    * MadK rationale); production pipelines run 5–10×.
+    */
+  val SkewHotFactor = 1.15
+  val SkewTopK = 50
+
+  /** q112 — join-key SKEW audit over `events.user_id`: per-key
+    * frequency against the median, with the hot-key flag and the salt
+    * factor (`ceil(cnt / median)` — the number of salted sub-keys that
+    * would level this key back to median occupancy). This is the
+    * measurement HALF of the skew playbook the engine already ships
+    * (operators/SkewJoin salts, AQE splits — both need to know WHICH
+    * keys and HOW MANY salts): run the audit on a sample cadence,
+    * feed the factors to the salted join.
+    *
+    * Scale shape: one hash aggregate with map-side combine (the
+    * shuffle carries one row per key per partition), one
+    * key-cardinality percentile reduced to a broadcast scalar, and a
+    * top-k lowered to TakeOrderedAndProject. The exact median swaps
+    * for q44's percentile_approx sketch when key cardinality itself
+    * is at scale.
+    */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame =
+    skewAuditFrom(Tables.events(spark, dir))
+
+  def skewAuditFrom(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val stats = cnt.agg(percentile(col("cnt"), lit(0.5)).as("med"),
+      sum("cnt").as("total"))
+    cnt.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt") / col("total"), 9).as("share"),
+        (col("cnt") > lit(SkewHotFactor) * col("med")).as("is_hot"),
+        greatest(lit(1L), ceil(col("cnt") / col("med"))).as("salt_factor"))
+      .orderBy(desc("cnt"), asc("user_id"))
+      .limit(SkewTopK)
+  }
+
+  /** q113 coordinated key-sample modulus: 1 in [[CardSampleMod]] join
+    * keys is kept ON BOTH SIDES (hash-picked by key, the q45
+    * discipline), so every sampled key contributes its full cl·cr
+    * product and the scaled sum is an unbiased Horvitz–Thompson
+    * estimate of the join size.
+    */
+  val CardSampleMod = 16
+
+  /** q113 — JOIN-SIZE estimation: the planning primitive behind "can I
+    * afford this join" at 100 TB. For two key relations the exact join
+    * cardinality is Σ_k cl(k)·cr(k); the estimator computes the same
+    * sum over a COORDINATED 1-in-[[CardSampleMod]] key sample and
+    * scales up — key-coordinated (not row-) sampling is what keeps the
+    * estimate unbiased for joins. Audited on two shapes: the FK join
+    * (orders⋈lineitem — est ≈ exact, every key matches once) and the
+    * self-join (events⋈events on user_id — the quadratic per-key blow
+    * the q112 audit warns about).
+    *
+    * Scale shape: per-side key counts are map-combined hash aggregates;
+    * in estimation-only mode the hash filter pushes BELOW the
+    * aggregate (scan + filter + count over 1/[[CardSampleMod]] of the
+    * key space); the exact column here is the audit reference that
+    * gates the estimator's arithmetic.
+    */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val events = Tables.events(spark, dir)
+    def keyed(df: DataFrame, c: Column) = df.select(c.cast("string").as("k"))
+    def one(name: String, lk: DataFrame, rk: DataFrame): DataFrame = {
+      val lc = lk.groupBy("k").agg(count(lit(1)).as("cl"))
+      val rc = rk.groupBy("k").agg(count(lit(1)).as("cr"))
+      lc.join(rc, "k")
+        .select(col("k"), (col("cl") * col("cr")).as("p"))
+        .agg(sum("p").as("exact_rows"),
+          coalesce(sum(when(graft.functions.TextFns.hash32(col("k"))
+            % CardSampleMod === 0, col("p"))), lit(0L)).as("sp"))
+        .select(lit(name).as("join_name"), col("exact_rows"),
+          (col("sp") * CardSampleMod).as("est_rows"),
+          round(abs(col("sp") * CardSampleMod - col("exact_rows"))
+            .cast("double") / col("exact_rows"), 9).as("rel_err"))
+    }
+    one("events_self_user", keyed(events, col("user_id")),
+        keyed(events, col("user_id")))
+      .unionByName(one("orders_lineitem", keyed(orders, col("o_orderkey")),
+        keyed(lineitem, col("l_orderkey"))))
+      .orderBy("join_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_item_triangles" -> (itemTriangles _),
+    "q112_skew_audit" -> (skewAudit _),
+    "q113_join_cardinality" -> (joinCardinality _),
     "q106_assoc_rules" -> (assocRules _),
     "q103_item_pagerank" -> (itemPagerank _),
     "q31_cohort_set_ops" -> (cohorts _),
@@ -555,6 +714,72 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // unoriented 3-way closure — each triangle a<b<c matched once; the
+    // engine's degree-oriented plan exists for the m^{3/2} bound, not
+    // for different answers
+    "q110_item_triangles" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |e AS (
+         |  SELECT a.item AS u, b.item AS v
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+         |t AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |m AS (
+         |  SELECT a AS item FROM t
+         |  UNION ALL SELECT b AS item FROM t
+         |  UNION ALL SELECT c AS item FROM t)
+         |SELECT item, count(*) AS n_triangles FROM m GROUP BY item
+         |ORDER BY n_triangles DESC, item LIMIT $TriTopK""".stripMargin,
+    "q112_skew_audit" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         |s AS (SELECT quantile_cont(cnt, 0.5) AS med, sum(cnt) AS total FROM c)
+         |SELECT user_id, cnt, round(cnt / CAST(total AS DOUBLE), 9) AS share,
+         |  cnt > $SkewHotFactor * med AS is_hot,
+         |  greatest(1, CAST(ceil(cnt / med) AS BIGINT)) AS salt_factor
+         |FROM c, s ORDER BY cnt DESC, user_id LIMIT $SkewTopK""".stripMargin,
+    "q113_join_cardinality" -> {
+      def h32 = TextFns.sql.hash32("k")
+      s"""WITH le AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |j1 AS (
+         |  SELECT lc.k AS k, cl * cr AS p
+         |  FROM (SELECT k, count(*) AS cl FROM le GROUP BY 1) lc
+         |  JOIN (SELECT k, count(*) AS cr FROM le GROUP BY 1) rc ON lc.k = rc.k),
+         |a1 AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS exact_rows,
+         |    CAST(coalesce(sum(CASE WHEN $h32 % $CardSampleMod = 0 THEN p END), 0)
+         |      AS BIGINT) AS sp
+         |  FROM j1),
+         |lo AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+         |ll AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |j2 AS (
+         |  SELECT lc.k AS k, cl * cr AS p
+         |  FROM (SELECT k, count(*) AS cl FROM lo GROUP BY 1) lc
+         |  JOIN (SELECT k, count(*) AS cr FROM ll GROUP BY 1) rc ON lc.k = rc.k),
+         |a2 AS (
+         |  SELECT CAST(sum(p) AS BIGINT) AS exact_rows,
+         |    CAST(coalesce(sum(CASE WHEN $h32 % $CardSampleMod = 0 THEN p END), 0)
+         |      AS BIGINT) AS sp
+         |  FROM j2)
+         |SELECT 'events_self_user' AS join_name, exact_rows,
+         |  sp * $CardSampleMod AS est_rows,
+         |  round(CAST(abs(sp * $CardSampleMod - exact_rows) AS DOUBLE)
+         |    / exact_rows, 9) AS rel_err
+         |FROM a1
+         |UNION ALL
+         |SELECT 'orders_lineitem' AS join_name, exact_rows,
+         |  sp * $CardSampleMod AS est_rows,
+         |  round(CAST(abs(sp * $CardSampleMod - exact_rows) AS DOUBLE)
+         |    / exact_rows, 9) AS rel_err
+         |FROM a2
+         |ORDER BY join_name""".stripMargin
+    },
     "q106_assoc_rules" ->
       s"""WITH ui AS (
          |  SELECT DISTINCT user_id,

@@ -232,6 +232,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** q108 screen geometry: edit distance runs on the first
+    * [[EditPrefixChars]] normalized chars (cost capped at prefix², not
+    * doc²), and a pair is a near-dup when prefix similarity
+    * `1 − dist/max(len)` reaches [[EditSimMin]].
+    */
+  val EditPrefixChars = 200
+  val EditSimMin = 0.8
+
+  /** q108 — EDIT-DISTANCE verification of the LSH candidates: the
+    * character-level complement to q24's token-level Jaccard. Shingle
+    * Jaccard is blind to within-token edits (typo farms, OCR noise,
+    * templated digits — every token differs slightly, Jaccard ≈ 0
+    * despite near-identical text); Levenshtein over the normalized
+    * prefix catches exactly that class. Candidates stay LSH-bucketed,
+    * so the O(prefix²) dynamic program runs per CANDIDATE, never per
+    * corpus pair.
+    *
+    * Scale shape: two hash joins on doc_id attach the map-side-computed
+    * prefixes to the candidate list (small by construction — the q24
+    * argument), then the distance is per-row codegen'd work
+    * (`levenshtein` is a native Catalyst expression); no shuffle beyond
+    * the joins. The prefix dial bounds worst-case cost independently of
+    * document length.
+    */
+  def editVerify(spark: SparkSession, dir: String): DataFrame =
+    editVerifyOf(candidatePairs(spark, dir), Tables.documents(spark, dir))
+
+  def editVerifyOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val pref = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), substring(normText, 1, EditPrefixChars).as("pref"))
+    val mx = greatest(length(col("pa")), length(col("pb")), lit(1))
+    pairs
+      .join(pref.select(col("doc_id").as("doc_a"), col("pref").as("pa")), Seq("doc_a"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("pref").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("pa"), col("pb")) / mx.cast("double"), 9)
+          .as("edit_sim"))
+      .withColumn("is_dup", col("edit_sim") >= EditSimMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q54 — duplicate-cluster resolution: connected components over the
     * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
     * component-minimum doc_id as `cluster_id`, the component size, and
@@ -649,6 +691,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_leakage_safe_split" -> (leakageSafeSplit _),
+    "q108_edit_verify" -> (editVerify _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -661,6 +704,22 @@ object Dedup {
     "q89_keep_ledger" -> (keepLedger _))
 
   val oracle: Map[String, String] = Map(
+    "q108_edit_verify" ->
+      s"""WITH $bandsSql,
+         |$candidatePairsSql,
+         |pref AS (SELECT doc_id, substring($normSql, 1, $EditPrefixChars) AS pref
+         |         FROM documents),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS edit_dist,
+         |    greatest(length(a.pref), length(b.pref), 1) AS mx
+         |  FROM pairs
+         |  JOIN pref a ON a.doc_id = doc_a
+         |  JOIN pref b ON b.doc_id = doc_b)
+         |SELECT doc_a, doc_b, edit_dist,
+         |  round(1.0 - edit_dist / CAST(mx AS DOUBLE), 9) AS edit_sim,
+         |  round(1.0 - edit_dist / CAST(mx AS DOUBLE), 9) >= $EditSimMin AS is_dup
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "q21_exact_dedup" ->
       s"""WITH fps AS (SELECT md5($normSql) AS fp FROM documents),
          |grouped AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp)

@@ -358,7 +358,173 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** q107 cell geometry: [[ZUserCell]] users × one day per grid cell,
+    * day index anchored at the FIXED [[ZEpoch]] (an operator dial like
+    * [[ZoneLoDate]] — a data-derived anchor would make cell identity
+    * depend on corpus bounds). Both cell coordinates are capped to
+    * 8 bits, so the interleaved key fits 16 bits; a corpus outgrowing
+    * 256 cells per dimension re-tunes the dials (coarser cells), it
+    * does not overflow the key.
+    */
+  val ZUserCell = 8L
+  val ZEpoch = "2024-01-01"
+  val ZEpochUs = 1704067200000000L // unix_micros(2024-01-01 UTC)
+  private val ZDayUs = 86400L * 1000000L
+
+  /** q107 audit rectangle: the (user range × date range) query whose
+    * scan/skip decision the cell map reports.
+    */
+  val ZQUserLo = 16L
+  val ZQUserHi = 31L
+  val ZQDateLo = "2024-01-10"
+  val ZQDateHi = "2024-01-12"
+
+  /** The oracle's spread twin: bit i extracted by integer div/mod and
+    * re-placed at bit 2i by multiplication — pure arithmetic both
+    * engines evaluate identically (no engine-specific bit operators in
+    * the shared dialect).
+    */
+  private def spreadSql(x: String): String =
+    (0 until 8).map(i => s"((($x) // ${1L << i}) % 2) * ${1L << (2 * i)}")
+      .mkString("(", " + ", ")")
+
+  /** q107 — Z-ORDER cell map: every event mapped to its Morton cell
+    * over (user_id ÷ [[ZUserCell]], days since [[ZEpoch]]), one row per
+    * cell with row count, per-dimension value bounds, and the scan/skip
+    * decision for the [[ZQUserLo]]..[[ZQUserHi]] × [[ZQDateLo]]..
+    * [[ZQDateHi]] rectangle query. This is q101's zone-map audit for a
+    * MULTI-dimensional clustering: a date-partitioned layout prunes on
+    * time only — a query also filtering users still scans every file of
+    * the kept days — while z-clustered cells bound user_id AND ts
+    * simultaneously, so the rectangle skips in both dimensions (the
+    * `scanned` column is exactly the min/max-overlap test a reader
+    * would run against file footer statistics).
+    *
+    * Scale shape: the cell key is pure map-side integer arithmetic; the
+    * aggregate groups BY the cell key — the same alignment argument as
+    * q101 (grouping matches the physical clustering, map-side partials
+    * complete within a cell's files, reduce side is cell-cardinality).
+    * [[graft.sources.ZOrdered]] materializes the layout this audit
+    * describes (range-partitioned + sorted by the same key), spec-gated
+    * for both-dimension file pruning.
+    */
+  def zOrderCellMap(spark: SparkSession, dir: String): DataFrame =
+    zOrderCellMapFrom(Tables.events(spark, dir))
+
+  def zOrderCellMapFrom(events: DataFrame): DataFrame = {
+    events
+      .select(col("user_id"), col("ts"),
+        graft.sources.ZOrdered
+          .zKeyFor(col("user_id"), col("ts"), ZUserCell, ZEpochUs).as("zkey"))
+      .groupBy("zkey")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .withColumn("scanned",
+        col("min_user") <= ZQUserHi && col("max_user") >= ZQUserLo &&
+          col("min_ts").cast("date") <= to_date(lit(ZQDateHi)) &&
+          col("max_ts").cast("date") >= to_date(lit(ZQDateLo)))
+      .orderBy("zkey")
+  }
+
+  /** q109 bin width for the interval self-join (minutes). Sessions
+    * rarely exceed a few bins at the 30-min gap, so the explode factor
+    * stays small; the dial trades bin-collision fan-in (wider bins)
+    * against per-session row fan-out (narrower bins).
+    */
+  val OverlapBinMinutes = 60L
+  val OverlapTopK = 100
+
+  /** q109 — session co-activity: for every pair of users whose q37
+    * sessions overlap in time, the number of overlapping session pairs
+    * and the total overlap seconds — the interval SELF-join (who was
+    * active together) behind co-browsing, fraud rings, and shared-load
+    * attribution.
+    *
+    * Scale design: a naive `a.start < b.end AND b.start < a.end` self
+    * join has no equi-key — a broadcast nested loop, quadratic in
+    * sessions. Instead each session explodes to the [[OverlapBinMinutes]]
+    * bins it spans, the join is a plain shuffled HASH join on the bin
+    * with the exact overlap predicate as post-filter, and multi-bin
+    * double-matches collapse in a DISTINCT on the pair identity
+    * (user, start) — the q40 binning discipline extended to interval ×
+    * interval. Comparisons scale with per-bin occupancy (co-active
+    * sessions), never sessions²; every stage is a hash exchange on
+    * bin or pair keys.
+    */
+  def sessionOverlap(spark: SparkSession, dir: String): DataFrame =
+    sessionOverlapFrom(Tables.events(spark, dir))
+
+  def sessionOverlapFrom(events: DataFrame): DataFrame = {
+    val binUs = OverlapBinMinutes * 60L * 1000000L
+    val sess = sessionsFrom(events)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("st_us"),
+        unix_micros(col("session_end")).as("en_us"))
+    val binned = sess.withColumn("bin",
+      explode(sequence(expr(s"st_us div ${binUs}L"), expr(s"en_us div ${binUs}L"))))
+    val p = binned.alias("a")
+      .join(binned.alias("b"),
+        col("a.bin") === col("b.bin") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.st_us") < col("b.en_us") && col("b.st_us") < col("a.en_us"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        col("a.st_us").as("a_st"), col("a.en_us").as("a_en"),
+        col("b.st_us").as("b_st"), col("b.en_us").as("b_en"))
+      .distinct()
+    p.groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        round((sum(least(col("a_en"), col("b_en")) -
+          greatest(col("a_st"), col("b_st"))) / 1000000.0), 6)
+          .as("overlap_sec"))
+      .orderBy(desc("overlap_sec"), asc("user_a"), asc("user_b"))
+      .limit(OverlapTopK)
+  }
+
+  /** q111 target rows per compaction output group. */
+  val CompactTargetRows = 2000L
+
+  /** q111 — compaction plan over the date-partitioned event layout:
+    * bin the per-day partitions, in date order, into output groups of
+    * ~[[CompactTargetRows]] rows via a running-total assignment
+    * (`group = cum_rows_before div target`) — the planning step of the
+    * small-file compaction every partitioned lake needs (a day of
+    * trickle ingest leaves files far below the optimal scan size; the
+    * plan says which partitions coalesce into which rewrite task).
+    *
+    * Scale shape: the only data-scale work is the per-day count, which
+    * is q101's layout-aligned aggregate (map-side partials complete
+    * within each day's files); the plan itself — running totals and
+    * group assignment — runs over the day-cardinality inventory
+    * relation, metadata-scale by construction (thousands of rows at a
+    * century), so its single-partition windows are as harmless as the
+    * driver-side prefix totals in q63. Groups are contiguous in date
+    * order on purpose: compacted files keep their date zone-map
+    * bounds tight (q101), and a group rewrite touches one date range.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlanFrom(graft.sources.Partitioned.eventsFor(spark, dir))
+
+  def compactionPlanFrom(events: DataFrame): DataFrame = {
+    val perDay = events.groupBy("event_date")
+      .agg(count(lit(1)).as("n_rows"))
+    val before = Window.orderBy("event_date")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = perDay
+      .withColumn("out_group",
+        (coalesce(sum("n_rows").over(before), lit(0L)) / CompactTargetRows)
+          .cast("long"))
+    val byGroup = Window.partitionBy("out_group")
+    planned
+      .withColumn("group_rows", sum("n_rows").over(byGroup))
+      .withColumn("group_days", count(lit(1)).over(byGroup))
+      .orderBy("event_date")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_zorder_cells" -> (zOrderCellMap _),
+    "q109_session_overlap" -> (sessionOverlap _),
+    "q111_compaction_plan" -> (compactionPlan _),
     "q104_user_day_gapfill" -> (userDayGapfill _),
     "q101_zone_map" -> (partitionZoneMap _),
     "q74_event_day_slice" -> (eventDaySlice _),
@@ -373,6 +539,75 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // the Morton spread is the pure-arithmetic twin of the engine's
+    // shift-mask version: bit i out by div/mod, re-placed at bit 2i by
+    // multiplication — identical values on any SQL engine
+    "q107_zorder_cells" ->
+      s"""WITH cells AS (
+         |  SELECT user_id, ts,
+         |    ((user_id // $ZUserCell) % 256) AS uc,
+         |    (((epoch_us(ts) - $ZEpochUs) // $ZDayUs) % 256) AS dc
+         |  FROM events),
+         |z AS (
+         |  SELECT user_id, ts,
+         |    2 * ${spreadSql("uc")} + ${spreadSql("dc")} AS zkey
+         |  FROM cells)
+         |SELECT zkey, count(*) AS n_rows,
+         |  min(user_id) AS min_user, max(user_id) AS max_user,
+         |  min(ts) AS min_ts, max(ts) AS max_ts,
+         |  (min(user_id) <= $ZQUserHi AND max(user_id) >= $ZQUserLo
+         |   AND CAST(min(ts) AS DATE) <= DATE '$ZQDateHi'
+         |   AND CAST(max(ts) AS DATE) >= DATE '$ZQDateLo') AS scanned
+         |FROM z GROUP BY zkey ORDER BY zkey""".stripMargin,
+    // q37's session derivation verbatim, then the textbook inequality
+    // self-join — correct (and fine at oracle scale) but the quadratic
+    // plan the binned Spark operator exists to avoid (the q40 note)
+    "q109_session_overlap" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |    OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM ordered),
+         |numbered AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess_no
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, sess_no,
+         |    epoch_us(min(ts)) AS st_us, epoch_us(max(ts)) AS en_us
+         |  FROM numbered GROUP BY user_id, sess_no),
+         |flagged AS (
+         |  SELECT *, max(sess_no) OVER (PARTITION BY user_id) AS max_no FROM sess),
+         |s AS (SELECT user_id, st_us, en_us FROM flagged WHERE sess_no < max_no),
+         |p AS (
+         |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         |    a.st_us AS a_st, a.en_us AS a_en, b.st_us AS b_st, b.en_us AS b_en
+         |  FROM s a JOIN s b
+         |    ON a.user_id < b.user_id
+         |   AND a.st_us < b.en_us AND b.st_us < a.en_us)
+         |SELECT user_a, user_b, count(*) AS n_overlaps,
+         |  round(CAST(sum(least(a_en, b_en) - greatest(a_st, b_st)) AS DOUBLE)
+         |    / 1000000.0, 6) AS overlap_sec
+         |FROM p GROUP BY user_a, user_b
+         |ORDER BY overlap_sec DESC, user_a, user_b
+         |LIMIT $OverlapTopK""".stripMargin,
+    "q111_compaction_plan" ->
+      s"""WITH perday AS (
+         |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_rows
+         |  FROM events GROUP BY 1),
+         |planned AS (
+         |  SELECT event_date, n_rows,
+         |    coalesce(sum(n_rows) OVER (ORDER BY event_date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $CompactTargetRows AS out_group
+         |  FROM perday)
+         |SELECT event_date, n_rows, out_group,
+         |  sum(n_rows) OVER (PARTITION BY out_group) AS group_rows,
+         |  count(*) OVER (PARTITION BY out_group) AS group_days
+         |FROM planned ORDER BY event_date""".stripMargin,
     // DuckDB types the DATE+INTERVAL series TIMESTAMP (Spark keeps
     // DATE); the explicit CAST in `days` aligns both engines
     "q104_user_day_gapfill" ->

@@ -340,6 +340,61 @@ object EventStream {
       .orderBy("event_id", "c_ts", "c_value")
   }
 
+  /** q114 static dimension: per-user lifetime-value tier (quartile
+    * thresholds over the exact DECIMAL spend totals). Batch-computed,
+    * user-cardinality, broadcast — the slowly-changing enrichment dim
+    * a streaming pipeline joins against.
+    */
+  def userTiers(spark: SparkSession, dir: String): DataFrame =
+    userTiersFrom(graft.sources.Tables.events(spark, dir))
+
+  def userTiersFrom(events: DataFrame): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(sum(col("value").cast(DecimalType(12, 2))).cast("double").as("tv"))
+    val th = u.agg(percentile(col("tv"), lit(0.5)).as("m"),
+      percentile(col("tv"), lit(0.75)).as("h"))
+    u.crossJoin(broadcast(th)).select(col("user_id"),
+      when(col("tv") >= col("h"), "high")
+        .when(col("tv") >= col("m"), "mid")
+        .otherwise("low").as("tier"))
+  }
+
+  /** Watermarked windowed rates per STATIC user tier: the stream-static
+    * enrichment join (broadcast dim attached before the aggregation).
+    */
+  def enrichedRates(events: DataFrame, tiers: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(tiers), "user_id")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("win.start").as("window_start"), col("tier"),
+        col("n_events"), col("sum_value"))
+
+  /** q114 — the STREAM-STATIC join class under the driver's hash gate:
+    * q49/q50/q93 cover stateful windows and stream-stream joins; this
+    * covers the third join planning class — a static broadcast dim
+    * joined into an unbounded stream. No join state at all (the static
+    * side is re-broadcast per micro-batch, which is also the scale
+    * posture: dim snapshots refresh between batches, the stream side
+    * never buffers for the join), and the watermark flows THROUGH the
+    * join into the window aggregate. Gate discipline = q49's horizon
+    * filter on the drained sink.
+    */
+  def streamedEnrichedRates(spark: SparkSession, dir: String): DataFrame = {
+    drain(enrichedRates(source(spark, dir), userTiers(spark, dir)),
+      "graft_q114_sink")
+    import graft.sources.Tables
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - WatermarkMs) * 1000
+    spark.table("graft_q114_sink")
+      .filter(unix_micros(col("window_start")) + WindowUs < wmUs)
+      .select("window_start", "tier", "n_events", "sum_value")
+      .orderBy("window_start", "tier")
+  }
+
   /** Best-first order for the streaming top-k state: highest value,
     * then lowest event_id (total order — deterministic under ties).
     */
@@ -389,7 +444,8 @@ object EventStream {
     "q93_stream_left_join" -> (streamedLeftJoin _),
     "q65_stream_topk" -> (streamedTopK _),
     "q79_stream_dedup" -> (streamedDedupRates _),
-    "q86_stream_sessions" -> (streamedSessions _))
+    "q86_stream_sessions" -> (streamedSessions _),
+    "q114_stream_enrich" -> (streamedEnrichedRates _))
 
   /** Shared q49/q79 reference text: same horizon arithmetic as
     * [[streamedRates]] — watermark = ms-floored max event time minus
@@ -462,6 +518,29 @@ object EventStream {
          |FROM sess, wm
          |WHERE epoch_us(session_end) // 1000 + ${GapMs} < wm_ms
          |ORDER BY user_id, session_start""".stripMargin,
+    // the q49 aggregation keyed by the static tier dim instead of
+    // event_type — the thresholds are quantile_cont twins of the
+    // engine's exact percentile (the q34 discipline)
+    "q114_stream_enrich" ->
+      """WITH wm AS (
+        |  SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events),
+        |u AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tv
+        |  FROM events GROUP BY 1),
+        |th AS (SELECT quantile_cont(tv, 0.5) AS m, quantile_cont(tv, 0.75) AS h FROM u),
+        |tiers AS (
+        |  SELECT user_id,
+        |    CASE WHEN tv >= h THEN 'high' WHEN tv >= m THEN 'mid' ELSE 'low' END AS tier
+        |  FROM u, th),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', e.ts) AS window_start, t.tier,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM events e JOIN tiers t USING (user_id) GROUP BY 1, 2)
+        |SELECT a.window_start, a.tier, a.n_events, a.sum_value
+        |FROM agg a, wm
+        |WHERE epoch_us(a.window_start) + 300000000 < wm.wm_us
+        |ORDER BY a.window_start, a.tier""".stripMargin,
     // the drained complete-mode stream equals the batch window top-k
     "q65_stream_topk" ->
       s"""WITH rk AS (

@@ -254,4 +254,72 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(r.forall(_.getAs[Long]("n_both") >= Analytics.RuleMinPairs))
     }
   }
+
+  describe("itemTriangles (q110)") {
+    it("counts each triangle once and only over supported edges") {
+      // users 1,2 share items {1,2,3} → triangle {1,2,3}; users 3,4
+      // share {1,4} → edge (1,4) exists but closes no triangle
+      def ev(id: Long, u: Long, item: Int) =
+        (id, ts("2024-01-01 00:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+      val r = Analytics.itemTrianglesFrom(events(
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+        ev(4, 2, 1), ev(5, 2, 2), ev(6, 2, 3),
+        ev(7, 3, 1), ev(8, 3, 4),
+        ev(9, 4, 1), ev(10, 4, 4))).collect()
+      val counts = r.map(x =>
+        x.getAs[Int]("item") -> x.getAs[Long]("n_triangles")).toMap
+      assert(counts == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    }
+
+    it("a single-user pair is below the support floor and forms no edge") {
+      def ev(id: Long, u: Long, item: Int) =
+        (id, ts("2024-01-01 00:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+      // only user 1 links the triangle's items — no edge reaches w >= 2
+      val r = Analytics.itemTrianglesFrom(events(
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3))).collect()
+      assert(r.isEmpty)
+    }
+  }
+
+  describe("skewAudit (q112)") {
+    it("flags the hot key and sizes its salt from the median") {
+      val rows = (1 to 10).map(i =>
+        (i.toLong, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}")) ++
+        (2L to 5L).flatMap(u => Seq(
+          (u * 100, ts("2024-01-01 00:00:00"), u, "view", 1.0, "{}"),
+          (u * 100 + 1, ts("2024-01-01 00:01:00"), u, "view", 1.0, "{}")))
+      val r = Analytics.skewAuditFrom(events(rows: _*)).collect()
+      assert(r.length == 5)
+      val hot = r(0) // ordered by cnt desc
+      assert(hot.getAs[Long]("user_id") == 1L)
+      assert(hot.getAs[Long]("cnt") == 10L)
+      assert(hot.getAs[Boolean]("is_hot")) // 10 > 1.15 * median(=2)
+      assert(hot.getAs[Long]("salt_factor") == 5L) // ceil(10 / 2)
+      r.drop(1).foreach { x =>
+        assert(!x.getAs[Boolean]("is_hot"))
+        assert(x.getAs[Long]("salt_factor") == 1L)
+      }
+      // shares sum to 1 over the full (untruncated) key set
+      assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    }
+  }
+
+  describe("joinCardinality (q113)") {
+    it("estimates both audited joins within the printed relative error") {
+      val r = Analytics.joinCardinality(spark, graft.TestSpark.Sf).collect()
+      assert(r.map(_.getAs[String]("join_name")).toSeq ==
+        Seq("events_self_user", "orders_lineitem"))
+      r.foreach { x =>
+        val exact = x.getAs[Long]("exact_rows")
+        val est = x.getAs[Long]("est_rows")
+        assert(exact > 0)
+        // rel_err is literally |est - exact| / exact
+        assert(math.abs(x.getAs[Double]("rel_err") -
+          math.abs(est - exact).toDouble / exact) < 1e-9)
+      }
+      // the FK join's exact size is |lineitem|: every line has one order
+      val fk = r.find(_.getAs[String]("join_name") == "orders_lineitem").get
+      assert(fk.getAs[Long]("exact_rows") == 6000L)
+    }
+  }
 }

@@ -306,4 +306,37 @@ class DedupSpec extends AnyFunSpec {
       assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), r.toString)
     }
   }
+
+  describe("editVerifyOf (q108)") {
+    it("accepts within-token edits Jaccard is blind to, rejects unrelated pairs") {
+      import spark.implicits._
+      val d = docs(
+        // one char differs inside a token: every bigram shingle breaks
+        // (Jaccard ≈ 0) but the edit distance is 1
+        (1L, "alpha beta gamma delta"),
+        (2L, "alpha beta gamna delta"),
+        (3L, "completely different text here"))
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+      val r = Dedup.editVerifyOf(pairs, d).collect()
+      assert(r.length == 2)
+      val nearDup = r.find(x => x.getAs[Long]("doc_b") == 2L).get
+      assert(nearDup.getAs[Long]("edit_dist") == 1L)
+      assert(nearDup.getAs[Boolean]("is_dup")) // 1 - 1/22 = 0.954..
+      val unrelated = r.find(x => x.getAs[Long]("doc_b") == 3L).get
+      assert(!unrelated.getAs[Boolean]("is_dup"))
+    }
+
+    it("similarity is computed over the bounded normalized prefix") {
+      import spark.implicits._
+      // identical beyond the prefix bound: differences past
+      // EditPrefixChars are invisible to the screen (documented dial)
+      val common = Seq.fill(Dedup.EditPrefixChars / 2)("ab").mkString(" ")
+      val d = docs((1L, common + " tail one"), (2L, common + " other end"))
+      val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+      val r = Dedup.editVerifyOf(pairs, d).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("edit_dist") == 0L)
+      assert(r(0).getAs[Double]("edit_sim") == 1.0)
+    }
+  }
 }

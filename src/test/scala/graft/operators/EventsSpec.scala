@@ -226,4 +226,103 @@ class EventsSpec extends AnyFunSpec {
         Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 7L, 7L, 7L))
     }
   }
+
+  describe("zOrderCellMap (q107)") {
+    it("interleaves (user cell, day cell) into the Morton key") {
+      val r = Events.zOrderCellMapFrom(events(
+        // (user 0, day 0) → cell (0,0), zkey 0
+        (1L, ts("2024-01-01 05:00:00"), 0L, "view", 1.0, "{}"),
+        // (user 8, day 0) → cell (1,0): spread(1)*2 = 2
+        (2L, ts("2024-01-01 06:00:00"), 8L, "view", 1.0, "{}"),
+        // (user 0, day 1) → cell (0,1): spread(1) = 1
+        (3L, ts("2024-01-02 06:00:00"), 0L, "view", 1.0, "{}"),
+        // (user 9, day 3) → cell (1,3): 2*spread(1) + spread(3) = 2 + 5
+        (4L, ts("2024-01-04 06:00:00"), 9L, "view", 1.0, "{}")))
+        .collect()
+      assert(r.map(_.getAs[Long]("zkey")).toSeq == Seq(0L, 1L, 2L, 7L))
+    }
+
+    it("the scan decision prunes on BOTH dimensions") {
+      val r = Events.zOrderCellMapFrom(events(
+        // user in range, date in range → scanned
+        (1L, ts("2024-01-11 00:00:00"), 20L, "view", 1.0, "{}"),
+        // user in range, date out of range → skipped
+        (2L, ts("2024-01-20 00:00:00"), 20L, "view", 1.0, "{}"),
+        // date in range, user out of range → skipped (a date-partitioned
+        // layout would scan this one — the point of the z-layout)
+        (3L, ts("2024-01-11 00:00:00"), 120L, "view", 1.0, "{}")))
+        .collect()
+      assert(r.length == 3) // three distinct cells
+      val scanned = r.filter(_.getAs[Boolean]("scanned"))
+      assert(scanned.length == 1)
+      assert(scanned(0).getAs[Long]("min_user") == 20L)
+      assert(scanned(0).getAs[Timestamp]("min_ts") == ts("2024-01-11 00:00:00"))
+    }
+  }
+
+  describe("sessionOverlap (q109)") {
+    it("scores overlapping sessions of different users once, with exact seconds") {
+      val r = Events.sessionOverlapFrom(events(
+        // u1 session [00:00, 00:10], trailing session at 02:00 (dropped)
+        (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:10:00"), 1L, "view", 1.0, "{}"),
+        (3L, ts("2024-01-01 02:00:00"), 1L, "view", 1.0, "{}"),
+        // u2 session [00:05, 00:20] → overlap [00:05, 00:10] = 300 s
+        (4L, ts("2024-01-01 00:05:00"), 2L, "view", 1.0, "{}"),
+        (5L, ts("2024-01-01 00:20:00"), 2L, "view", 1.0, "{}"),
+        (6L, ts("2024-01-01 03:00:00"), 2L, "view", 1.0, "{}"),
+        // u3's only closed session is far away → no pair
+        (7L, ts("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+        (8L, ts("2024-01-01 12:00:00"), 3L, "view", 1.0, "{}")))
+        .collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("user_a") == 1L && r(0).getAs[Long]("user_b") == 2L)
+      assert(r(0).getAs[Long]("n_overlaps") == 1L)
+      assert(r(0).getAs[Double]("overlap_sec") == 300.0)
+    }
+
+    it("a session spanning several bins still counts each pair once") {
+      val r = Events.sessionOverlapFrom(events(
+        // u1 session [00:00, 02:30] spans bins 0,1,2 (60-min bins)
+        (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:20:00"), 1L, "view", 1.0, "{}"),
+        (3L, ts("2024-01-01 00:45:00"), 1L, "view", 1.0, "{}"),
+        (4L, ts("2024-01-01 01:10:00"), 1L, "view", 1.0, "{}"),
+        (5L, ts("2024-01-01 01:40:00"), 1L, "view", 1.0, "{}"),
+        (6L, ts("2024-01-01 02:05:00"), 1L, "view", 1.0, "{}"),
+        (7L, ts("2024-01-01 02:30:00"), 1L, "view", 1.0, "{}"),
+        (8L, ts("2024-01-01 09:00:00"), 1L, "view", 1.0, "{}"),
+        // u2 session [00:30, 01:30] shares bins 0 AND 1 with u1's
+        (9L, ts("2024-01-01 00:30:00"), 2L, "view", 1.0, "{}"),
+        (10L, ts("2024-01-01 01:00:00"), 2L, "view", 1.0, "{}"),
+        (11L, ts("2024-01-01 01:30:00"), 2L, "view", 1.0, "{}"),
+        (12L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}")))
+        .collect()
+      assert(r.length == 1)
+      // overlap [00:30, 01:30] = 3600 s, counted exactly once despite
+      // the double bin match
+      assert(r(0).getAs[Long]("n_overlaps") == 1L)
+      assert(r(0).getAs[Double]("overlap_sec") == 3600.0)
+    }
+  }
+
+  describe("compactionPlan (q111)") {
+    it("bins partitions into contiguous output groups by running total") {
+      val d = Seq(
+        ("2024-01-01", 1500), ("2024-01-02", 1500), ("2024-01-03", 500),
+        ("2024-01-04", 2500))
+        .flatMap { case (day, n) => (0 until n).map(i =>
+          (i.toLong, ts(s"$day 00:00:00"), 1L, "view", 1.0, "{}")) }
+      val r = Events.compactionPlanFrom(
+        events(d: _*).withColumn(
+          "event_date", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts"))))
+        .collect()
+      // cum-before: 0, 1500, 3000, 3500 → groups 0, 0, 1, 1
+      assert(r.map(_.getAs[Long]("out_group")).toSeq == Seq(0L, 0L, 1L, 1L))
+      assert(r.map(_.getAs[Long]("group_rows")).toSeq ==
+        Seq(3000L, 3000L, 3000L, 3000L))
+      assert(r.map(_.getAs[Long]("group_days")).toSeq == Seq(2L, 2L, 2L, 2L))
+    }
+  }
 }

@@ -156,4 +156,35 @@ class EventStreamSpec extends AnyFunSpec {
       assert(again.collect().toSeq == streamed.collect().toSeq)
     }
   }
+
+  describe("streamedEnrichedRates (q114)") {
+    it("tiers cut at the exact spend quartiles") {
+      import spark.implicits._
+      // totals 1, 2, 3, 4 → median 2.5, p75 3.25
+      val ev = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 2.0, "{}"),
+        (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3L, "view", 3.0, "{}"),
+        (4L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4L, "view", 4.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tiers = EventStream.userTiersFrom(ev).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(tiers == Map(1L -> "low", 2L -> "low", 3L -> "mid", 4L -> "high"))
+    }
+
+    it("the drained stream-static join matches the batch tier aggregation") {
+      val streamed = EventStream.streamedEnrichedRates(spark, sf)
+      val tiers = EventStream.userTiers(spark, sf)
+      val batch = Events.eventWindowsFrom(
+        graft.sources.Tables.events(spark, sf)
+          .join(broadcast(tiers), "user_id")
+          .withColumn("event_type", col("tier")))
+        .select(col("window_start"), col("event_type").as("tier"),
+          col("n_events"), col("sum_value"))
+      // streamed is horizon-filtered; every streamed row must appear in
+      // the batch aggregation identically
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(streamed.count() > 0)
+    }
+  }
 }
