@@ -68,6 +68,7 @@ object Bench {
     run("q02_orders_without_lines") { Integrity.ordersWithoutLines(spark, sfDir) }
     run("q03_lines_without_order") { Integrity.linesWithoutOrder(spark, sfDir) }
     run("q105_expectations") { Integrity.expectations(spark, sfDir) }
+    run("q120_fd_audit") { Integrity.fdAudit(spark, sfDir) }
 
     // stage 2: KPI CTAS (reference compute_kpis.py). The KPI table is
     // one row per supplier — tiny relative to its input at any scale —
@@ -129,6 +130,10 @@ object Bench {
     }
     run("q108_edit_verify") {
       Dedup.editVerifyOf(
+        spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
+    }
+    run("q121_minhash_estimate") {
+      Dedup.minhashEstimateOf(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
     run("q54_dedup_clusters") {

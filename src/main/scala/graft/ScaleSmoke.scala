@@ -124,6 +124,14 @@ object ScaleSmoke {
       val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
       Dedup.sourceMirrorsFrom(canonical).count()
     }
+    // round-6b operators: the binned interval self-join (cost ∝ per-bin
+    // co-activity — replication multiplies concurrent sessions, so this
+    // is the stress case), degree-oriented triangles (wedges bounded by
+    // the oriented out-degree even as baskets densify), and the two
+    // q25-shaped matryoshka passes
+    t("session_overlap") { Events.sessionOverlapFrom(events).count() }
+    t("item_triangles") { Analytics.itemTrianglesFrom(events).count() }
+    t("matryoshka_recall") { Similarity.matryoshkaRecallFrom(emb).count() }
     // q82 shuffle audit: the broadcast-dup-set rewrite ships per-doc-
     // DISTINCT gram hashes to the one df-count shuffle and runs the
     // island merge map-side; the join-back formulation it replaced

@@ -399,6 +399,47 @@ object Curation {
     scdMergeFrom(s, scdUpdatesOf(s), ScdBaseDate, ScdEffDate)
   }
 
+  /** q118 validity dates: inside the lineitem shipdate range
+    * (1995..2001) so both the superseded and current versions receive
+    * fact rows — q99's 2024 dates sit entirely after the facts.
+    */
+  val PitBaseDate = "1995-01-01"
+  val PitEffDate = "1999-01-01"
+
+  /** q118 — POINT-IN-TIME dimension join: every lineitem matched to the
+    * supplier version that was valid AT ITS SHIP DATE (`valid_from ≤
+    * shipdate < valid_to`), aggregated per (nation, version currency).
+    * This is the leakage-safe feature join training pipelines need —
+    * joining facts to the CURRENT dimension row leaks future attribute
+    * values into past examples (q102 guards label leakage across
+    * near-dups; this guards temporal leakage across dimension
+    * versions).
+    *
+    * Scale shape: the history table is dimension-sized (versions ≈
+    * keys × change rate) — broadcast here, bucketed by key at 100 TB so
+    * the fact side probes its co-located bucket; the validity predicate
+    * is the join's post-filter (each fact matches exactly ONE version,
+    * versions tile time per key by construction). One hash aggregate at
+    * (nation × 2) cardinality after the map-side join.
+    */
+  def pitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    pitEnrichmentOf(Tables.lineitem(spark, dir),
+      scdMergeFrom(s, scdUpdatesOf(s), PitBaseDate, PitEffDate))
+  }
+
+  def pitEnrichmentOf(lineitem: DataFrame, hist: DataFrame): DataFrame =
+    lineitem.select(col("l_suppkey"), col("l_shipdate"), col("l_quantity"))
+      .join(broadcast(hist),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy("s_nationkey", "is_current")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy("s_nationkey", "is_current")
+
   def scdMergeFrom(current: DataFrame, updates: DataFrame,
       baseDate: String, effDate: String): DataFrame = {
     val u = updates.select(col("s_suppkey"), col("s_name").as("u_name"),
@@ -833,7 +874,8 @@ object Curation {
     "q78_ingest_neardup" -> (ingestNearDup _),
     "q81_shuffle_shards" -> (shuffleShards _),
     "q92_table_profile" -> (tableProfile _),
-    "q99_scd2_history" -> (scdSupplierHistory _))
+    "q99_scd2_history" -> (scdSupplierHistory _),
+    "q118_pit_join" -> (pitEnrichment _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -927,6 +969,32 @@ object Curation {
          |FROM n JOIN o ON o.fp = n.fp AND o.old_id <> n.doc_id
          |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
     },
+    // the q99 merge re-derived at the PIT dates, joined point-in-time:
+    // validity intervals tile time per key, so each fact row matches
+    // exactly one version
+    "q118_pit_join" ->
+      s"""WITH upd AS (
+         |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal
+         |  FROM supplier
+         |  WHERE ${TextFns.sql.hash32(s"'scd|' || CAST(s_suppkey AS VARCHAR)")} % $ScdUpdMod = 0),
+         |hist AS (
+         |  SELECT s.s_suppkey, s.s_nationkey,
+         |    DATE '$PitBaseDate' AS valid_from,
+         |    CASE WHEN u.s_suppkey IS NOT NULL THEN DATE '$PitEffDate' END AS valid_to,
+         |    u.s_suppkey IS NULL AS is_current
+         |  FROM supplier s LEFT JOIN upd u USING (s_suppkey)
+         |  UNION ALL
+         |  SELECT s_suppkey, s_nationkey, DATE '$PitEffDate' AS valid_from,
+         |    CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+         |  FROM upd),
+         |j AS (
+         |  SELECT h.s_nationkey, h.is_current, l.l_quantity
+         |  FROM lineitem l JOIN hist h ON h.s_suppkey = l.l_suppkey
+         |    AND l.l_shipdate >= h.valid_from
+         |    AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to))
+         |SELECT s_nationkey, is_current, count(*) AS n_lines,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q99_scd2_history" ->
       s"""WITH upd AS (
          |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 100.0 AS s_acctbal

@@ -232,6 +232,62 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** q121 — MinHash ESTIMATOR audit: per LSH candidate pair, the
+    * Jaccard estimate from signature agreement (matching sigs ÷
+    * [[NumHashes]]) against the exact shingle Jaccard, with the
+    * absolute error — the measurement that licenses trusting q22's
+    * 8-signature geometry (the q113/q119 audit discipline applied to
+    * the dedup sketch: every estimator the pipeline relies on ships
+    * with its own error gauge).
+    *
+    * Scale shape: signatures are map-side array math over the shared
+    * `sorted_shingle_hashes` relation (xor-salted mins — identical
+    * family to the band keys); candidates stay LSH-bounded; two doc_id
+    * hash joins, no extra shuffle.
+    */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame =
+    minhashEstimateFrom(Tables.documents(spark, dir))
+
+  def minhashEstimateFrom(docs: DataFrame): DataFrame =
+    minhashEstimateOf(candidatePairsFrom(bandsFrom(docs)), docs)
+
+  /** Estimator audit over an explicit (possibly materialized)
+    * candidate-pair relation (the q24 staging discipline).
+    */
+  def minhashEstimateOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("sorted_shingle_hashes", col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigCols = XorSalts.zipWithIndex.map { case (salt, j) =>
+      array_min(transform(col("sh"), x => x.bitwiseXOR(lit(salt)))).as(s"mh$j")
+    }
+    val sig = sh.select(Seq(col("doc_id"), col("sh")) ++ sigCols: _*)
+    def side(tag: String, idCol: String) = sig.select(
+      col("doc_id").as(idCol) +: col("sh").as(s"sh_$tag") +:
+        (0 until NumHashes).map(j => col(s"mh$j").as(s"$tag$j")): _*)
+    val nMatch = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(side("a", "doc_a"), Seq("doc_a"))
+      .join(side("b", "doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"),
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .as("n_common"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match").cast("double") / NumHashes, 9).as("est_jaccard"),
+        round(col("n_common").cast("double") /
+          nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9)
+          .as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 9))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q108 screen geometry: edit distance runs on the first
     * [[EditPrefixChars]] normalized chars (cost capped at prefix², not
     * doc²), and a pair is a near-dup when prefix similarity
@@ -692,6 +748,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_leakage_safe_split" -> (leakageSafeSplit _),
     "q108_edit_verify" -> (editVerify _),
+    "q121_minhash_estimate" -> (minhashEstimate _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -704,6 +761,24 @@ object Dedup {
     "q89_keep_ledger" -> (keepLedger _))
 
   val oracle: Map[String, String] = Map(
+    "q121_minhash_estimate" -> {
+      val matches = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b, CAST($matches AS BIGINT) AS n_match
+         |  FROM pairs p JOIN mhs a ON a.doc_id = p.doc_a
+         |  JOIN mhs b ON b.doc_id = p.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.n_match,
+         |  round(CAST(e.n_match AS DOUBLE) / $NumHashes, 9) AS est_jaccard,
+         |  coalesce(j.jaccard, 0.0) AS exact_jaccard,
+         |  round(abs(round(CAST(e.n_match AS DOUBLE) / $NumHashes, 9)
+         |    - coalesce(j.jaccard, 0.0)), 9) AS abs_err
+         |FROM est e LEFT JOIN jac j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         |ORDER BY e.doc_a, e.doc_b""".stripMargin
+    },
     "q108_edit_verify" ->
       s"""WITH $bandsSql,
          |$candidatePairsSql,
@@ -1012,4 +1087,23 @@ object Dedup {
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
        |  JOIN sizes sb ON sb.doc_id = inter.doc_b)""".stripMargin
+
+  /** Shared oracle fragment for composers (q115): the full near-dup
+    * cluster derivation ending in `cc` = (doc_id, cluster_id) — the
+    * q54 transitive-closure prefix. Callers must open WITH RECURSIVE.
+    */
+  private[operators] def ccSql: String =
+    s"""$bandsSql,
+       |$candidatePairsSql,
+       |$jaccardSql,
+       |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM verified
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM verified),
+       |reach(u, lbl) AS (
+       |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r2.lbl FROM edges e JOIN reach r2 ON r2.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)""".stripMargin
 }

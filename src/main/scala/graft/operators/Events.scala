@@ -521,7 +521,74 @@ object Events {
       .orderBy("event_date")
   }
 
+  /** q116 — SEASONAL-baseline volume anomalies: per (event_type, day)
+    * event counts against that type's day-of-week mean, flagging days
+    * off by ≥50% in either direction. Raw daily z-scores false-alarm on
+    * weekly rhythm (every Sunday "drops" vs the weekday mean); the
+    * day-of-week baseline is the minimal seasonal adjustment a feed
+    * monitor needs (q73 screens VALUES robustly; this screens VOLUME
+    * seasonally).
+    *
+    * Determinism: the flag comparison runs in scaled-INTEGER space
+    * (`2·n·c ≷ {1,3}·s` with s, c the dow sum/count) — no float
+    * accumulation anywhere; the reported mean is a single exact-int
+    * division. Scale shape: one (type, day) hash aggregate at calendar
+    * cardinality, then dow windows over that tiny relation.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyFrom(Tables.events(spark, dir))
+
+  def seasonalAnomalyFrom(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+    val byDow = Window.partitionBy("event_type", "dow")
+    daily
+      .withColumn("s", sum("n_events").over(byDow))
+      .withColumn("c", count(lit(1)).over(byDow))
+      .select(col("event_type"), col("day"), col("n_events"), col("dow"),
+        round(col("s") / col("c"), 9).as("dow_mean"),
+        (col("n_events") * col("c") * 2 > col("s") * 3 ||
+          col("n_events") * col("c") * 2 < col("s")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q117 path geometry: up to [[PathLen]] preceding events per
+    * conversion, top [[PathTopK]] paths reported.
+    */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** q117 — CONVERSION-path mining: for every purchase, the sequence of
+    * up to [[PathLen]] events the same user took immediately before it,
+    * counted per distinct path — the "what led here" primitive behind
+    * attribution audits and funnel design (q64 measures a FIXED funnel;
+    * this discovers the paths that actually occur).
+    *
+    * Scale shape: one user-keyed window (shared exchange + sort serves
+    * all three lags — the q72 argument), then a path-cardinality hash
+    * aggregate with map-side combine and a TakeOrderedAndProject top-k.
+    * The lag total order (ts, event_id) makes every path deterministic.
+    */
+  def conversionPaths(spark: SparkSession, dir: String): DataFrame =
+    conversionPathsFrom(Tables.events(spark, dir))
+
+  def conversionPathsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val lags = (1 to PathLen).map(i => lag(col("event_type"), i).over(w))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("path", concat_ws(">", lags.reverse: _*))
+      .filter(col("event_type") === "purchase")
+      .groupBy("path").agg(count(lit(1)).as("n_purchases"))
+      .orderBy(desc("n_purchases"), asc("path"))
+      .limit(PathTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_seasonal_anomaly" -> (seasonalAnomaly _),
+    "q117_conversion_paths" -> (conversionPaths _),
     "q107_zorder_cells" -> (zOrderCellMap _),
     "q109_session_overlap" -> (sessionOverlap _),
     "q111_compaction_plan" -> (compactionPlan _),
@@ -539,6 +606,34 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // dow derived from epoch-day arithmetic ((days+4) % 7, Sunday=0):
+    // the engines' native dow functions disagree on the base (DuckDB
+    // Sunday=0, Spark Sunday=1), arithmetic cannot
+    "q116_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |dows AS (
+        |  SELECT *, CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS INT)
+        |    AS dow FROM daily),
+        |agg AS (
+        |  SELECT *, sum(n_events) OVER (PARTITION BY event_type, dow) AS s,
+        |    count(*) OVER (PARTITION BY event_type, dow) AS c
+        |  FROM dows)
+        |SELECT event_type, day, n_events, dow,
+        |  round(s / c, 9) AS dow_mean,
+        |  (n_events * c * 2 > s * 3 OR n_events * c * 2 < s) AS is_anomaly
+        |FROM agg ORDER BY event_type, day""".stripMargin,
+    "q117_conversion_paths" ->
+      s"""WITH lagged AS (
+         |  SELECT event_type,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+         |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+         |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p3
+         |  FROM events)
+         |SELECT concat_ws('>', p3, p2, p1) AS path, count(*) AS n_purchases
+         |FROM lagged WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY n_purchases DESC, path LIMIT $PathTopK""".stripMargin,
     // the Morton spread is the pure-arithmetic twin of the engine's
     // shift-mask version: bit i out by div/mod, re-placed at bit 2i by
     // multiplication — identical values on any SQL engine

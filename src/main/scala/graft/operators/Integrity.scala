@@ -121,13 +121,58 @@ object Integrity {
       .orderBy("check_id")
   }
 
+  /** q120 — FUNCTIONAL-DEPENDENCY audit: for each declared candidate
+    * dependency A → B, the distinct-A count, distinct-(A,B) count and
+    * the number of A values mapping to >1 B — key discovery and
+    * denormalization checking, the profiling step (q92 profiles
+    * columns in isolation; this profiles cross-column structure) that
+    * catches a fact table silently becoming many-to-many after an
+    * upstream change. Two dependencies hold by design (PK shapes), two
+    * fail by design, so both report paths stay gate-exercised.
+    *
+    * Scale shape: each dependency is one hash aggregate on the LHS
+    * (map-side combined) reduced to a single audit row — never a
+    * pairwise comparison; the suite is a union of one-row relations.
+    */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs).as("k")).agg(countDistinct(col(rhs)).as("nr"))
+        .agg(count(lit(1)).as("n_lhs"), sum("nr").as("n_pairs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("dependency"), col("n_lhs"), col("n_pairs"),
+          col("n_violating"), (col("n_violating") === 0).as("holds"))
+    val ev = Tables.events(spark, dir)
+    one("events.event_id->user_id", ev, "event_id", "user_id")
+      .unionByName(one("events.user_id->event_type", ev, "user_id", "event_type"))
+      .unionByName(one("orders.o_orderkey->o_custkey",
+        Tables.orders(spark, dir), "o_orderkey", "o_custkey"))
+      .unionByName(one("lineitem.l_orderkey->l_suppkey",
+        Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey"))
+      .orderBy("dependency")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_row_counts" -> (rowCounts _),
     "q02_orders_without_lines" -> (ordersWithoutLines _),
     "q03_lines_without_order" -> (linesWithoutOrder _),
-    "q105_expectations" -> (expectations _))
+    "q105_expectations" -> (expectations _),
+    "q120_fd_audit" -> (fdAudit _))
 
   val oracle: Map[String, String] = Map(
+    "q120_fd_audit" -> {
+      def one(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS dependency, count(*) AS n_lhs,
+           |  CAST(sum(nr) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $lhs AS k, count(DISTINCT $rhs) AS nr FROM $tbl GROUP BY 1) g""".stripMargin
+      Seq(
+        one("events.event_id->user_id", "events", "event_id", "user_id"),
+        one("events.user_id->event_type", "events", "user_id", "event_type"),
+        one("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+        one("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+    },
     "q01_row_counts" ->
       Tables.names
         .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")

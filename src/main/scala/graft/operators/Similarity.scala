@@ -82,6 +82,51 @@ object Similarity {
     topK(scored, K)
   }
 
+  /** q119 truncation width (leading dims kept). */
+  val TruncDims = 16
+
+  /** q119 — MATRYOSHKA truncation audit: recall@[[K]] of exact cosine
+    * top-k computed on the first [[TruncDims]] embedding dims against
+    * the full-dimension answer, per query. Nested-subspace embeddings
+    * let a pipeline store/scan a prefix at 4× less I/O and rerank with
+    * the full vector — but only if prefix recall holds on THIS corpus;
+    * this query is that measurement (the retrieval-quality complement
+    * to q51's quantization-error audit, which measures the codec the
+    * same way).
+    *
+    * Scale shape: two q25-shaped passes (broadcast query set, map-side
+    * fused-kernel scoring over `slice`d arrays, WindowGroupLimit
+    * top-k) joined on the k·|queries| result lists — model-sized. At
+    * 100 TB the truncated pass reads a [[TruncDims]]-dim column family
+    * (columnar layout prunes the rest), which is the I/O saving being
+    * audited.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaRecallFrom(Tables.embeddings(spark, dir))
+
+  def matryoshkaRecallFrom(embeddings: DataFrame): DataFrame = {
+    val e = embDouble(embeddings)
+    val q = queriesOf(e)
+    def top(score: (Column, Column) => Column): DataFrame =
+      topK(e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(score(col("q_emb"), col("emb")), 9).as("cosine")), K)
+        .select("query_id", "neighbor_id")
+    val full = top(cosine)
+    val trunc = top((a, b) =>
+      cosine(slice(a, 1, TruncDims), slice(b, 1, TruncDims)))
+    val common = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    full.select("query_id").distinct()
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / K, 9)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Deterministic SRP hyperplane p as a LITERAL 64-dim double array:
     * weights are md5-derived in Scala with exactly the oracle's formula
     * (`ubigint(md5_hex8('pl<p>_<j>')) / 2^31 − 1`), so no hashing runs
@@ -919,6 +964,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
+    "q119_matryoshka_recall" -> (matryoshkaRecall _),
     "q26_ann_lsh" -> (annLsh _),
     "q36_ann_ivf" -> (annIvf _),
     "q83_ann_rerank" -> (annRerank _),
@@ -1192,6 +1238,41 @@ object Similarity {
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    // truncated cosine spelled dot/(√·√) over list_slice prefixes — the
+    // fused kernel's exact op order (the q25 discipline)
+    "q119_matryoshka_recall" -> {
+      val t = s"list_slice(emb, 1, $TruncDims)"
+      val qt = s"list_slice(q_emb, 1, $TruncDims)"
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM e
+         |      WHERE vec_id < $NumQueries),
+         |fs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |fr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM fs) x WHERE rank <= $K),
+         |tsc AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_inner_product($qt, $t) /
+         |      (sqrt(list_inner_product($qt, $qt)) *
+         |       sqrt(list_inner_product($t, $t))), 9) AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |tr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM tsc) x WHERE rank <= $K),
+         |c AS (SELECT fr.query_id, count(*) AS n_common
+         |  FROM fr JOIN tr ON fr.query_id = tr.query_id
+         |    AND fr.neighbor_id = tr.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, coalesce(c.n_common, 0) AS n_common,
+         |  round(CAST(coalesce(c.n_common, 0) AS DOUBLE) / $K, 9) AS recall
+         |FROM (SELECT DISTINCT query_id FROM fr) qq LEFT JOIN c USING (query_id)
+         |ORDER BY query_id""".stripMargin
     },
     "q25_knn_bruteforce" ->
       s"""WITH $eCte,

@@ -74,7 +74,10 @@ object SqlSurface {
         "(same recursive-CTE termination limit) — use Dedup.keepLedger"),
     "q102_leakage_safe_split" ->
       ("keys the split on q54's cluster representative, embedding the same " +
-        "transitive-closure fixpoint — use Dedup.leakageSafeSplit"))
+        "transitive-closure fixpoint — use Dedup.leakageSafeSplit"),
+    "q115_dedup_search" ->
+      ("collapses hits by q54's cluster id, embedding the same " +
+        "transitive-closure fixpoint — use TextAnalysis.dedupSearch"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -683,6 +683,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q115 — SEARCH-RESULT dedup: the q55 BM25 top-[[Bm25TopK]] with
+    * near-duplicate hits collapsed to their best-ranked cluster
+    * representative (q54's connected components), then re-ranked — the
+    * retrieve-then-dedup step every search/eval-mining pipeline runs so
+    * one mirrored document can't occupy half the result page.
+    *
+    * Scale shape: the hit list is k rows by construction, so the
+    * cluster join is a broadcast lookup against the (bucketable)
+    * cluster map and both windows operate on ≤ k rows — the global
+    * ORDER BY rank is k-bounded, never corpus-scale. Unclustered docs
+    * are their own singleton cluster (left join + coalesce), so the
+    * operator composes without requiring the cluster table to cover
+    * the corpus.
+    */
+  def dedupSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupSearchOf(bm25SearchFrom(docs),
+      Dedup.dedupClustersFrom(docs).select("doc_id", "cluster_id"))
+  }
+
+  def dedupSearchOf(hits: DataFrame, clusters: DataFrame): DataFrame = {
+    val j = hits.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val perCluster = row_number().over(
+      Window.partitionBy("cluster_id").orderBy(desc("bm25"), asc("doc_id")))
+    j.withColumn("rn", perCluster).filter(col("rn") === 1)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("int"))
+      .select("rank", "doc_id", "bm25", "cluster_id")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
@@ -694,6 +726,7 @@ object TextAnalysis {
     "q53_df_vocab" -> (dfVocab _),
     "q97_tfidf_keywords" -> (tfidfKeywords _),
     "q55_bm25_search" -> (bm25Search _),
+    "q115_dedup_search" -> (dedupSearch _),
     "q57_lm_score" -> (lmScore _),
     "q62_pii_scrub" -> (piiScrub _),
     "q68_source_kl" -> (sourceKl _),
@@ -947,32 +980,53 @@ object TextAnalysis {
          |    '$PhonePat', '<PHONE>', 'g'),
          |    '$IpPat', '<IP>', 'g')) AS len_redacted
          |FROM inj ORDER BY doc_id""".stripMargin,
-    "q55_bm25_search" -> {
-      val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
-      val dfCols = Bm25Query.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
-      val scores = Bm25Query.indices.map { i =>
-        s"""CASE WHEN tf$i > 0 THEN
-           |      ln((n_docs - df$i + 0.5)/(df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * ${Bm25K1 + 1.0}) /
-           |      (CAST(tf$i AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))
-           |    ELSE 0.0 END""".stripMargin
-      }.mkString("\n    + ")
-      val nTerms = Bm25Query.indices
-        .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    "q55_bm25_search" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
-         |perdoc AS (SELECT doc_id, len(w) AS dl,
-         |    $tfCols
-         |  FROM toks),
-         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-         |    $dfCols
-         |  FROM perdoc),
-         |scored AS (SELECT doc_id,
-         |    $scores AS sc,
-         |    CAST($nTerms AS BIGINT) AS n_terms
-         |  FROM perdoc CROSS JOIN stats)
+         |$bm25CtesSql
          |SELECT doc_id, round(sc, 9) AS bm25, n_terms
          |FROM scored WHERE n_terms > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    })
+         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    // near-dup collapse embeds the q54 transitive-closure fixpoint, so
+    // the Spark SQL form is excluded like q54 itself (notSqlExpressible)
+    "q115_dedup_search" ->
+      s"""WITH RECURSIVE ${Dedup.ccSql},
+         |$bm25CtesSql,
+         |top AS (SELECT doc_id, round(sc, 9) AS bm25, n_terms FROM scored
+         |  WHERE n_terms > 0 ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+         |withcl AS (SELECT t.doc_id, t.bm25,
+         |    coalesce(cc.cluster_id, t.doc_id) AS cluster_id
+         |  FROM top t LEFT JOIN cc ON cc.doc_id = t.doc_id),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY bm25 DESC, doc_id) AS rn FROM withcl)
+         |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank,
+         |  doc_id, bm25, cluster_id
+         |FROM best WHERE rn = 1 ORDER BY rank""".stripMargin)
+
+  /** Shared q55/q115 oracle fragment: `perdoc`/`stats`/`scored` BM25
+    * CTEs (expects a `toks` CTE in scope).
+    */
+  private[operators] def bm25CtesSql: String = {
+    val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+    val dfCols = Bm25Query.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val scores = Bm25Query.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |      ln((n_docs - df$i + 0.5)/(df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * ${Bm25K1 + 1.0}) /
+         |      (CAST(tf$i AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString("\n    + ")
+    val nTerms = Bm25Query.indices
+      .map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""perdoc AS (SELECT doc_id, len(w) AS dl,
+       |    $tfCols
+       |  FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    $dfCols
+       |  FROM perdoc),
+       |scored AS (SELECT doc_id,
+       |    $scores AS sc,
+       |    CAST($nTerms AS BIGINT) AS n_terms
+       |  FROM perdoc CROSS JOIN stats)""".stripMargin
+  }
 }

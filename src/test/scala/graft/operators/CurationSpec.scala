@@ -449,4 +449,39 @@ class CurationSpec extends AnyFunSpec {
       assert(again.toSeq == r.toSeq)
     }
   }
+
+  describe("pitEnrichmentOf (q118)") {
+    it("routes each fact to the version valid at its ship date") {
+      val hist = Seq(
+        // key 1 changed at 1999: superseded + current versions
+        (1L, 10L, java.sql.Date.valueOf("1995-01-01"),
+          Option(java.sql.Date.valueOf("1999-01-01")), false),
+        (1L, 10L, java.sql.Date.valueOf("1999-01-01"),
+          Option.empty[java.sql.Date], true),
+        // key 2 never changed: one open current version
+        (2L, 20L, java.sql.Date.valueOf("1995-01-01"),
+          Option.empty[java.sql.Date], true))
+        .toDF("s_suppkey", "s_nationkey", "valid_from", "valid_to", "is_current")
+      val li = Seq(
+        (1L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00"), 5.0),
+        (1L, java.sql.Timestamp.valueOf("2000-06-01 00:00:00"), 7.0),
+        (2L, java.sql.Timestamp.valueOf("1996-06-01 00:00:00"), 3.0))
+        .toDF("l_suppkey", "l_shipdate", "l_quantity")
+      val r = Curation.pitEnrichmentOf(li, hist).collect()
+      val m = r.map(x => (x.getAs[Long]("s_nationkey"),
+        x.getAs[Boolean]("is_current")) ->
+        (x.getAs[Long]("n_lines"), x.getAs[Double]("sum_qty"))).toMap
+      // the 1996 fact of key 1 hits the SUPERSEDED version, the 2000
+      // fact the current one — a current-only join would misroute both
+      assert(m == Map((10L, false) -> (1L, 5.0), (10L, true) -> (1L, 7.0),
+        (20L, true) -> (1L, 3.0)))
+    }
+
+    it("every lineitem matches exactly one version on the corpus fixture") {
+      val total = Curation.pitEnrichment(spark, TestSpark.Sf)
+        .agg(org.apache.spark.sql.functions.sum("n_lines")).collect()(0).getLong(0)
+      val lines = graft.sources.Tables.lineitem(spark, TestSpark.Sf).count()
+      assert(total == lines)
+    }
+  }
 }

@@ -307,6 +307,26 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("minhashEstimate (q121)") {
+    it("signature agreement tracks exact Jaccard within sketch resolution") {
+      val r = Dedup.minhashEstimate(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        val n = x.getAs[Long]("n_match")
+        assert(n >= 0 && n <= Dedup.NumHashes)
+        assert(math.abs(x.getAs[Double]("est_jaccard") -
+          n.toDouble / Dedup.NumHashes) < 1e-9)
+        // abs_err is literally |est - exact| on the reported values
+        assert(math.abs(x.getAs[Double]("abs_err") -
+          math.abs(x.getAs[Double]("est_jaccard") -
+            x.getAs[Double]("exact_jaccard"))) < 1e-8)
+      }
+      // the sketch is informative on LSH candidates, not a coin flip
+      val meanErr = r.map(_.getAs[Double]("abs_err")).sum / r.length
+      assert(meanErr < 0.5, s"mean |est-exact| $meanErr")
+    }
+  }
+
   describe("editVerifyOf (q108)") {
     it("accepts within-token edits Jaccard is blind to, rejects unrelated pairs") {
       import spark.implicits._

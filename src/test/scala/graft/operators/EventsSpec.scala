@@ -306,6 +306,45 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("seasonalAnomaly (q116)") {
+    it("flags >=50% deviations from the day-of-week mean, not raw volume") {
+      // three Mondays for one type: 2, 2, 8 events → dow mean 4
+      val rows = Seq(("2024-01-01", 2), ("2024-01-08", 2), ("2024-01-15", 8))
+        .flatMap { case (day, n) => (0 until n).map(i =>
+          (day.hashCode.toLong * 100 + i, ts(s"$day 0$i:00:00"), 1L, "click", 1.0, "{}")) }
+      val r = Events.seasonalAnomalyFrom(events(rows: _*)).collect()
+      assert(r.length == 3)
+      assert(r.forall(_.getAs[Double]("dow_mean") == 4.0))
+      assert(r.forall(_.getAs[Int]("dow") == 1)) // Monday, Sunday=0
+      val flags = r.map(x =>
+        x.getAs[java.sql.Date]("day").toString -> x.getAs[Boolean]("is_anomaly")).toMap
+      // 8 > 1.5×4 → anomaly; 2 = exactly 0.5×4 → strict compare keeps it
+      assert(flags == Map("2024-01-01" -> false, "2024-01-08" -> false,
+        "2024-01-15" -> true))
+    }
+  }
+
+  describe("conversionPaths (q117)") {
+    it("mines the ordered preceding-event path per purchase, nulls dropped") {
+      val r = Events.conversionPathsFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 1.0, "{}"),
+        // purchase with NO prior events → empty path
+        (4L, ts("2024-01-01 00:00:00"), 2L, "purchase", 1.0, "{}"),
+        // 4 prior events → only the last 3 appear
+        (5L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0, "{}"),
+        (6L, ts("2024-01-01 00:01:00"), 3L, "view", 1.0, "{}"),
+        (7L, ts("2024-01-01 00:02:00"), 3L, "click", 1.0, "{}"),
+        (8L, ts("2024-01-01 00:03:00"), 3L, "view", 1.0, "{}"),
+        (9L, ts("2024-01-01 00:04:00"), 3L, "purchase", 1.0, "{}")))
+        .collect()
+      val m = r.map(x =>
+        x.getAs[String]("path") -> x.getAs[Long]("n_purchases")).toMap
+      assert(m == Map("view>click" -> 1L, "" -> 1L, "view>click>view" -> 1L))
+    }
+  }
+
   describe("compactionPlan (q111)") {
     it("bins partitions into contiguous output groups by running total") {
       val d = Seq(

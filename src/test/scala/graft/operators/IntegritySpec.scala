@@ -57,4 +57,26 @@ class IntegritySpec extends AnyFunSpec {
         Tables.events(spark, sf).filter(col("value") > 400).count().toDouble)
     }
   }
+
+  describe("fdAudit (q120)") {
+    it("confirms the key-shaped dependencies and catches the many-to-many ones") {
+      val r = Integrity.fdAudit(spark, sf).collect()
+      val byDep = r.map(x => x.getAs[String]("dependency") -> x).toMap
+      assert(byDep.keySet == Set(
+        "events.event_id->user_id", "events.user_id->event_type",
+        "orders.o_orderkey->o_custkey", "lineitem.l_orderkey->l_suppkey"))
+      // PK-shaped dependencies hold: zero violating LHS values
+      assert(byDep("events.event_id->user_id").getAs[Boolean]("holds"))
+      assert(byDep("orders.o_orderkey->o_custkey").getAs[Boolean]("holds"))
+      // many-to-many shapes fail, with the violation count exposed
+      assert(!byDep("events.user_id->event_type").getAs[Boolean]("holds"))
+      assert(!byDep("lineitem.l_orderkey->l_suppkey").getAs[Boolean]("holds"))
+      // n_pairs >= n_lhs always; equality exactly when the FD holds
+      r.foreach { x =>
+        val (lhs, pairs) = (x.getAs[Long]("n_lhs"), x.getAs[Long]("n_pairs"))
+        assert(pairs >= lhs)
+        assert((pairs == lhs) == x.getAs[Boolean]("holds"))
+      }
+    }
+  }
 }

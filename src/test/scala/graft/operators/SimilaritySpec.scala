@@ -401,4 +401,19 @@ class SimilaritySpec extends AnyFunSpec {
       assert(ex.getMessage.contains("seeds missing"))
     }
   }
+
+  describe("matryoshkaRecall (q119)") {
+    it("reports per-query prefix recall consistent with its own counts") {
+      val r = Similarity.matryoshkaRecall(spark, TestSpark.Sf).collect()
+      assert(r.length == Similarity.NumQueries)
+      r.foreach { x =>
+        val n = x.getAs[Long]("n_common")
+        assert(n >= 0 && n <= Similarity.K)
+        assert(math.abs(x.getAs[Double]("recall") - n.toDouble / Similarity.K) < 1e-9)
+      }
+      // a 16-of-64-dim prefix on the random fixture keeps SOME signal:
+      // at least one query retains a common neighbor (observed ~0.2 avg)
+      assert(r.map(_.getAs[Long]("n_common")).sum > 0)
+    }
+  }
 }

@@ -405,4 +405,26 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(r.count(x => x.getAs[Int]("len_orig") == x.getAs[Int]("len_redacted")) > 0)
     }
   }
+
+  describe("dedupSearchOf (q115)") {
+    it("keeps the best hit per cluster and re-ranks; unclustered docs are singletons") {
+      val hits = Seq((1L, 0.9, 2L), (2L, 0.8, 2L), (3L, 0.7, 1L))
+        .toDF("doc_id", "bm25", "n_terms")
+      // docs 1 and 2 are the same near-dup cluster; doc 3 unclustered
+      val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+      val r = TextAnalysis.dedupSearchOf(hits, clusters).collect()
+      assert(r.map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("cluster_id"))).toSeq ==
+        Seq((1, 1L, 1L), (2, 3L, 3L)))
+    }
+
+    it("the full pipeline returns deduped ranks over the corpus fixture") {
+      val r = TextAnalysis.dedupSearch(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      // ranks are 1..n dense and cluster ids unique (one hit per cluster)
+      assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length).toSeq)
+      val cl = r.map(_.getAs[Long]("cluster_id"))
+      assert(cl.distinct.length == cl.length)
+    }
+  }
 }
