@@ -672,7 +672,42 @@ object Analytics {
       .orderBy("join_name")
   }
 
+  /** q123 — QUANTILE-BINNED feature encoding: per event type, exact
+    * decile boundaries over `value` and the per-bin count/bounds/mean —
+    * the equal-FREQUENCY binning feature pipelines apply before
+    * bucketized models and drift monitors (q95's equal-WIDTH histogram
+    * shows the distribution; this builds the transform that equalizes
+    * it). The emitted table is both the audit and the apply artifact:
+    * broadcast `bnds` back and the bin assignment is one map-side
+    * array count-below.
+    *
+    * Scale shape: boundaries are one per-type exact-percentile
+    * aggregate (sketchable via q44's percentile_approx at 100 TB);
+    * assignment is a broadcast join + codegen'd array filter; the
+    * final aggregate is (types × 10)-cardinality with map-side
+    * combine. Means ride the exact DECIMAL accumulator.
+    */
+  def decileBins(spark: SparkSession, dir: String): DataFrame =
+    decileBinsFrom(Tables.events(spark, dir))
+
+  def decileBinsFrom(events: DataFrame): DataFrame = {
+    val cuts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val bnds = events.groupBy("event_type")
+      .agg(percentile(col("value"), cuts).as("bnds"))
+    events.select("event_type", "value")
+      .join(broadcast(bnds), Seq("event_type"))
+      .withColumn("decile",
+        size(filter(col("bnds"), b => b <= col("value"))).cast("int"))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        (sum(col("value").cast(DecimalType(12, 2))).cast("double") /
+          count(lit(1))).as("mean_value"))
+      .orderBy("event_type", "decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_decile_bins" -> (decileBins _),
     "q110_item_triangles" -> (itemTriangles _),
     "q112_skew_audit" -> (skewAudit _),
     "q113_join_cardinality" -> (joinCardinality _),
@@ -714,6 +749,23 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // decile cuts as exact quantile_cont twins of the engine's
+    // percentile (the q34 discipline); bin = count of boundaries ≤ v
+    "q123_decile_bins" -> {
+      val cuts = (1 to 9).map(i => i / 10.0).mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH b AS (
+         |  SELECT event_type, quantile_cont(value, $cuts) AS bnds
+         |  FROM events GROUP BY 1),
+         |a AS (
+         |  SELECT e.event_type,
+         |    CAST(len(list_filter(b.bnds, x -> x <= e.value)) AS INT) AS decile,
+         |    e.value
+         |  FROM events e JOIN b USING (event_type))
+         |SELECT event_type, decile, count(*) AS n,
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_value
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // unoriented 3-way closure — each triangle a<b<c matched once; the
     // engine's degree-oriented plan exists for the m^{3/2} bound, not
     // for different answers

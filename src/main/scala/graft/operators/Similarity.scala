@@ -941,6 +941,42 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** q122 — LABEL-CENTROID similarity matrix: exact per-label mean
+    * embedding (the q56 DECIMAL discipline) and the pairwise cosine
+    * between every label pair — the class-separability audit a
+    * labeled corpus runs before training on it (two labels whose
+    * centroids sit at cosine ≈ 1 are annotation aliases or a taxonomy
+    * split the model cannot learn; q56 finds outliers WITHIN a class,
+    * this measures the geometry BETWEEN classes).
+    *
+    * Scale shape: one corpus aggregate (order-independent DECIMAL
+    * vector sums, map-side combined) reduces 100 TB to a
+    * label-cardinality relation; the pairwise matrix is a broadcast
+    * self-join over that model-sized relation — label² never touches
+    * the corpus.
+    */
+  def labelCentroidMatrix(spark: SparkSession, dir: String): DataFrame =
+    labelCentroidMatrixFrom(Tables.embeddings(spark, dir))
+
+  def labelCentroidMatrixFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    val cents = e.groupBy("label")
+      .agg(call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"),
+        col("n"))
+    cents.alias("a")
+      .join(broadcast(cents.alias("b")), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(cosine(col("a.centroid"), col("b.centroid")), 9).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** q75 — IVF-Flat ANN quantized against the TRAINED codebook: the
     * q61 → q36 wiring under the driver's hash gate. `trainCentroids`
     * (seeded init, [[KmIters]] Lloyd iterations, exact-DECIMAL updates)
@@ -971,6 +1007,7 @@ object Similarity {
     "q38_embedding_neardup" -> (embeddingNearDup _),
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
+    "q122_label_centroids" -> (labelCentroidMatrix _),
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
@@ -1135,6 +1172,18 @@ object Similarity {
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
+    "q122_label_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings),
+         |cs AS (SELECT label, count(1) AS n,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY label),
+         |cent AS (SELECT label, n, transform(sumv, x -> CAST(x AS DOUBLE) / n) AS centroid
+         |  FROM cs)
+         |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+         |  round(cosine_similarity(a.centroid, b.centroid), 9) AS cosine
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     "q56_centroid_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -1419,6 +1468,22 @@ object Similarity {
          |  round(list_inner_product(emb, qd) /
          |    (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(qd, qd))), 9) AS cos_recon
          |FROM q ORDER BY vec_id""".stripMargin,
+    // the q56 centroid CTEs, then the pairwise cosine over the
+    // label-cardinality relation
+    "q122_label_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT label, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY label, pos),
+         |cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+         |cent AS (SELECT label, n, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+         |  FROM csum JOIN cnt USING (label) GROUP BY label, n)
+         |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+         |  round(list_inner_product(a.centroid, b.centroid) /
+         |    (sqrt(list_inner_product(a.centroid, a.centroid)) *
+         |     sqrt(list_inner_product(b.centroid, b.centroid))), 9) AS cosine
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     "q56_centroid_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),

@@ -304,6 +304,21 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("decileBins (q123)") {
+    it("equal-frequency bins: 1..100 lands 10 values in each decile") {
+      val rows = (1 to 100).map(i =>
+        (i.toLong, ts("2024-01-01 00:00:00"), 1L, "view", i.toDouble, "{}"))
+      val r = Analytics.decileBinsFrom(events(rows: _*)).collect()
+      assert(r.length == 10)
+      assert(r.map(_.getAs[Int]("decile")).toSeq == (0 to 9).toSeq)
+      assert(r.forall(_.getAs[Long]("n") == 10L))
+      val d0 = r(0)
+      assert(d0.getAs[Double]("min_value") == 1.0 &&
+        d0.getAs[Double]("max_value") == 10.0 &&
+        d0.getAs[Double]("mean_value") == 5.5)
+    }
+  }
+
   describe("joinCardinality (q113)") {
     it("estimates both audited joins within the printed relative error") {
       val r = Analytics.joinCardinality(spark, graft.TestSpark.Sf).collect()

@@ -402,6 +402,23 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("labelCentroidMatrix (q122)") {
+    it("aligned labels score cosine 1, orthogonal labels 0") {
+      val e = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+        (1L, Array(3.0f, 0.0f, 0.0f, 0.0f), 1),
+        (2L, Array(2.0f, 0.0f, 0.0f, 0.0f), 2), // same direction as label 1
+        (3L, Array(0.0f, 5.0f, 0.0f, 0.0f), 3)) // orthogonal
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.labelCentroidMatrixFrom(e).collect()
+      val m = r.map(x => (x.getAs[Int]("label_a"), x.getAs[Int]("label_b")) ->
+        x.getAs[Double]("cosine")).toMap
+      assert(m == Map((1, 2) -> 1.0, (1, 3) -> 0.0, (2, 3) -> 0.0))
+      val n = r.map(x => (x.getAs[Int]("label_a"), x.getAs[Long]("n_a"))).toMap
+      assert(n(1) == 2L && n(2) == 1L)
+    }
+  }
+
   describe("matryoshkaRecall (q119)") {
     it("reports per-query prefix recall consistent with its own counts") {
       val r = Similarity.matryoshkaRecall(spark, TestSpark.Sf).collect()
