@@ -132,6 +132,7 @@ object Bench {
       Dedup.editVerifyOf(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
+    run("q124_record_linkage") { Dedup.recordLinkage(spark, sfDir) }
     run("q121_minhash_estimate") {
       Dedup.minhashEstimateOf(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))

@@ -86,6 +86,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q126 Bloom geometry: [[BloomBits]]-bit filter, 2 hash positions
+    * per shingle.
+    */
+  val BloomBits = 4096L
+
+  private def bloomPos(i: Int, s: Column): Column =
+    TextFns.hash32(concat(lit(s"bf$i|"), s.cast("string"))) % BloomBits
+
+  /** q126 — BLOOM-FILTER decontamination: the q46 screen re-run
+    * through a fixed-size Bloom membership filter over the benchmark's
+    * shingles, reported side-by-side with the exact answer so the
+    * false-positive surface is itself hash-gated (the q121 discipline:
+    * every approximate structure ships its error gauge). The scale
+    * argument is the broadcast: q46 ships the benchmark's FULL sorted
+    * hash array (8 bytes × shingles — grows with the eval suite),
+    * the Bloom ships [[BloomBits]] bits regardless of benchmark size,
+    * and membership stays a map-side check with zero corpus shuffle.
+    * FPs only ever ADD candidates (n_bloom ≥ n_exact per shingle
+    * set), so the filter is safe as a pre-screen before q46/q77
+    * verification.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminateFrom(Tables.documents(spark, dir))
+
+  def bloomDecontaminateFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("sorted_shingle_hashes", col("text")).as("sh"))
+    val benchSh = sh.filter(col("doc_id") < BenchDocs)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bp = benchSh
+      .select(explode(array(bloomPos(0, col("s")), bloomPos(1, col("s")))).as("p"))
+      .distinct()
+      .agg(sort_array(collect_list(col("p"))).as("bp"))
+    val bench = benchSh.agg(sort_array(collect_list(col("s"))).as("bench_sh"))
+    sh.filter(col("doc_id") >= BenchDocs)
+      .crossJoin(broadcast(bp))
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(filter(col("sh"), s =>
+          array_contains(col("bp"), bloomPos(0, s)) &&
+            array_contains(col("bp"), bloomPos(1, s)))).cast("long")
+          .as("n_bloom_hits"),
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh"))
+          .cast("long").as("n_exact_hits"))
+      .withColumn("contaminated", col("n_exact_hits") >= 1)
+      .filter(col("n_bloom_hits") >= 1)
+      .orderBy("doc_id")
+  }
+
   /** q77 — FUZZY benchmark decontamination: corpus docs that NEAR-
     * duplicate a benchmark doc (MinHash band collision, then exact
     * shingle-Jaccard verification ≥ [[FuzzyDecontamMin]]), emitting the
@@ -875,7 +926,8 @@ object Curation {
     "q81_shuffle_shards" -> (shuffleShards _),
     "q92_table_profile" -> (tableProfile _),
     "q99_scd2_history" -> (scdSupplierHistory _),
-    "q118_pit_join" -> (pitEnrichment _))
+    "q118_pit_join" -> (pitEnrichment _),
+    "q126_bloom_decontaminate" -> (bloomDecontaminate _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -923,6 +975,33 @@ object Curation {
          |            WHEN bucket < $ValPct THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q126_bloom_decontaminate" -> {
+      def h(i: Int) = TextFns.sql.hash32(s"'bf$i|' || CAST(s AS VARCHAR)")
+      s"""WITH $shSql,
+         |bsh AS (SELECT DISTINCT s FROM exd WHERE doc_id < $BenchDocs),
+         |bpos AS (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT ${h(0)} % $BloomBits AS p FROM bsh
+         |    UNION ALL
+         |    SELECT ${h(1)} % $BloomBits AS p FROM bsh) u),
+         |scr AS (
+         |  SELECT doc_id, s,
+         |    ${h(0)} % $BloomBits AS p0,
+         |    ${h(1)} % $BloomBits AS p1
+         |  FROM exd WHERE doc_id >= $BenchDocs),
+         |j AS (
+         |  SELECT scr.doc_id,
+         |    CASE WHEN a.p IS NOT NULL AND b.p IS NOT NULL THEN 1 ELSE 0 END AS bh,
+         |    CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END AS eh
+         |  FROM scr
+         |  LEFT JOIN bpos a ON a.p = scr.p0
+         |  LEFT JOIN bpos b ON b.p = scr.p1
+         |  LEFT JOIN bsh bs ON bs.s = scr.s)
+         |SELECT doc_id, CAST(sum(bh) AS BIGINT) AS n_bloom_hits,
+         |  CAST(sum(eh) AS BIGINT) AS n_exact_hits,
+         |  sum(eh) >= 1 AS contaminated
+         |FROM j GROUP BY doc_id HAVING sum(bh) >= 1 ORDER BY doc_id""".stripMargin
+    },
     "q46_decontaminate" ->
       s"""WITH $shSql,
          |bench AS (SELECT DISTINCT s FROM exd WHERE doc_id < $BenchDocs)

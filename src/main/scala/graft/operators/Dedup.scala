@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.nullIfZero
@@ -230,6 +231,51 @@ object Dedup {
         round(col("n_common").cast("double") /
           nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** q124 dirty-record rate (1 in [[LinkMod]] suppliers, hash-picked). */
+  val LinkMod = 2
+
+  /** q124 — RECORD LINKAGE (entity resolution across representations):
+    * a deterministic "dirty" registry (vowel-stripped supplier names, a
+    * stand-in for the OCR/typo/abbreviation variants a real ingest
+    * produces) matched back to the clean dimension by BLOCKING + edit
+    * scoring + best-match assignment — the ER primitive that links the
+    * same real-world entity across feeds, upstream of any dedup or
+    * conformance step. The gate reports per record whether the
+    * assignment recovered the true key, so linkage ACCURACY is itself
+    * hash-verified.
+    *
+    * Scale shape: the blocking key (trailing name digit here; phonetic/
+    * sorted-neighborhood keys in production) turns the dirty × clean
+    * cross product into a hash join whose comparisons are per-BLOCK
+    * occupancy, never |dirty|·|clean|; scoring is the codegen'd
+    * Levenshtein per candidate; assignment is a per-record window over
+    * block-bounded candidates.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame =
+    recordLinkageFrom(Tables.supplier(spark, dir))
+
+  def recordLinkageFrom(supplier: DataFrame): DataFrame = {
+    val dirty = supplier
+      .filter(TextFns.hash32(
+        concat(lit("rl|"), col("s_suppkey").cast("string"))) % LinkMod === 0)
+      .select(col("s_suppkey").as("true_key"),
+        regexp_replace(col("s_name"), "[aeiou]", "").as("dirty_name"))
+      .withColumn("blk", substring(col("dirty_name"), -1, 1))
+    val clean = supplier
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("blk", substring(col("s_name"), -1, 1))
+    val scored = dirty.join(clean, Seq("blk"))
+      .select(col("true_key"), col("dirty_name"), col("s_suppkey"),
+        levenshtein(col("dirty_name"), col("s_name")).cast("long").as("edit_dist"))
+    val rn = row_number().over(
+      Window.partitionBy("true_key").orderBy(asc("edit_dist"), asc("s_suppkey")))
+    scored.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("true_key"), col("dirty_name"),
+        col("s_suppkey").as("matched_key"), col("edit_dist"),
+        (col("s_suppkey") === col("true_key")).as("is_correct"))
+      .orderBy("true_key")
   }
 
   /** q121 — MinHash ESTIMATOR audit: per LSH candidate pair, the
@@ -749,6 +795,7 @@ object Dedup {
     "q102_leakage_safe_split" -> (leakageSafeSplit _),
     "q108_edit_verify" -> (editVerify _),
     "q121_minhash_estimate" -> (minhashEstimate _),
+    "q124_record_linkage" -> (recordLinkage _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -761,6 +808,24 @@ object Dedup {
     "q89_keep_ledger" -> (keepLedger _))
 
   val oracle: Map[String, String] = Map(
+    "q124_record_linkage" ->
+      s"""WITH dirty AS (
+         |  SELECT s_suppkey AS true_key,
+         |    regexp_replace(s_name, '[aeiou]', '', 'g') AS dirty_name
+         |  FROM supplier
+         |  WHERE ${TextFns.sql.hash32(s"'rl|' || CAST(s_suppkey AS VARCHAR)")} % $LinkMod = 0),
+         |d2 AS (SELECT *, substring(dirty_name, -1, 1) AS blk FROM dirty),
+         |c2 AS (SELECT s_suppkey, s_name, substring(s_name, -1, 1) AS blk
+         |       FROM supplier),
+         |scored AS (
+         |  SELECT true_key, dirty_name, c2.s_suppkey,
+         |    CAST(levenshtein(dirty_name, s_name) AS BIGINT) AS edit_dist
+         |  FROM d2 JOIN c2 USING (blk)),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY true_key ORDER BY edit_dist, s_suppkey) AS rn FROM scored)
+         |SELECT true_key, dirty_name, s_suppkey AS matched_key, edit_dist,
+         |  s_suppkey = true_key AS is_correct
+         |FROM rk WHERE rn = 1 ORDER BY true_key""".stripMargin,
     "q121_minhash_estimate" -> {
       val matches = (0 until NumHashes)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")

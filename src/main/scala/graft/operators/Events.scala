@@ -586,7 +586,35 @@ object Events {
       .limit(PathTopK)
   }
 
+  /** q125 — SLIDING-window distinct users (7-day, per type): the
+    * distinct-count class q41's sliding counts cannot answer by frame
+    * arithmetic — distincts don't sum across days, so each day's
+    * DAY-DISTINCT (type, user) relation is fanned out to the 7 windows
+    * it belongs to and re-distinct-counted per window. Day-distinct
+    * FIRST is the load-bearing order: the 7× fan-out multiplies the
+    * per-day distinct relation (bounded by users × types × days), not
+    * the raw event stream. At 100 TB the same structure carries
+    * mergeable sketches instead (per-day HLL/KMV partials unioned
+    * across the window — q39/q44's machinery); the exact form here IS
+    * the oracle gate for that rewrite.
+    */
+  def slidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    slidingDistinctFrom(Tables.events(spark, dir))
+
+  def slidingDistinctFrom(events: DataFrame): DataFrame = {
+    val dd = events
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    dd.withColumn("win_end",
+        explode(sequence(col("day"), date_add(col("day"), 6),
+          expr("interval 1 day"))))
+      .groupBy("event_type", "win_end")
+      .agg(countDistinct("user_id").as("n_users_7d"))
+      .orderBy("event_type", "win_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_sliding_distinct" -> (slidingDistinct _),
     "q116_seasonal_anomaly" -> (seasonalAnomaly _),
     "q117_conversion_paths" -> (conversionPaths _),
     "q107_zorder_cells" -> (zOrderCellMap _),
@@ -606,6 +634,16 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    "q125_sliding_distinct" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),
+        |ex0 AS (
+        |  SELECT event_type, user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wts
+        |  FROM dd),
+        |ex AS (SELECT event_type, user_id, CAST(wts AS DATE) AS win_end FROM ex0)
+        |SELECT event_type, win_end, count(DISTINCT user_id) AS n_users_7d
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // dow derived from epoch-day arithmetic ((days+4) % 7, Sunday=0):
     // the engines' native dow functions disagree on the base (DuckDB
     // Sunday=0, Spark Sunday=1), arithmetic cannot

@@ -450,6 +450,23 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("bloomDecontaminate (q126)") {
+    it("the Bloom screen is a superset of the exact screen, never a miss") {
+      val bloom = Curation.bloomDecontaminate(spark, TestSpark.Sf).collect()
+      assert(bloom.nonEmpty)
+      bloom.foreach { x =>
+        // per doc the Bloom can only over-count (false positives add)
+        assert(x.getAs[Long]("n_bloom_hits") >= x.getAs[Long]("n_exact_hits"))
+      }
+      // every exactly-contaminated doc from q46 is bloom-flagged
+      val exact = Curation.decontaminate(spark, TestSpark.Sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = bloom.map(_.getAs[Long]("doc_id")).toSet
+      assert(exact.subsetOf(flagged),
+        s"bloom missed ${exact -- flagged}")
+    }
+  }
+
   describe("pitEnrichmentOf (q118)") {
     it("routes each fact to the version valid at its ship date") {
       val hist = Seq(

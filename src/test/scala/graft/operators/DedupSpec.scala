@@ -307,6 +307,23 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("recordLinkage (q124)") {
+    it("recovers the true key for every vowel-stripped variant via blocking") {
+      import spark.implicits._
+      val sup = (0L to 19L).map(k =>
+        (k, f"Supplier#$k%09d", 0, 0.0)).toDF(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val r = Dedup.recordLinkageFrom(sup).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Boolean]("is_correct"),
+          s"${x.getAs[String]("dirty_name")} matched ${x.getAs[Long]("matched_key")}")
+        // the only edits are the stripped vowels of 'Supplier'
+        assert(x.getAs[Long]("edit_dist") == 3L)
+      }
+    }
+  }
+
   describe("minhashEstimate (q121)") {
     it("signature agreement tracks exact Jaccard within sketch resolution") {
       val r = Dedup.minhashEstimate(spark, graft.TestSpark.Sf).collect()

@@ -345,6 +345,24 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("slidingDistinct (q125)") {
+    it("a user active on two days inside one window counts once") {
+      val r = Events.slidingDistinctFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+        (2L, ts("2024-01-03 00:00:00"), 1L, "view", 1.0, "{}"),
+        (3L, ts("2024-01-03 00:00:00"), 2L, "view", 1.0, "{}")))
+        .collect()
+      val m = r.map(x => x.getAs[java.sql.Date]("win_end").toString ->
+        x.getAs[Long]("n_users_7d")).toMap
+      // windows ending Jan 3..7 contain both days: user 1 once + user 2
+      (3 to 7).foreach(d => assert(m(f"2024-01-0$d") == 2L))
+      // windows ending Jan 1..2 contain only day 1 (user 1 alone)
+      assert(m("2024-01-01") == 1L && m("2024-01-02") == 1L)
+      // trailing windows past day 3 still carry day-3 activity to Jan 9
+      assert(m("2024-01-09") == 2L)
+    }
+  }
+
   describe("compactionPlan (q111)") {
     it("bins partitions into contiguous output groups by running total") {
       val d = Seq(
