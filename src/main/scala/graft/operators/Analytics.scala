@@ -706,7 +706,49 @@ object Analytics {
       .orderBy("event_type", "decile")
   }
 
+  /** q128 — MANN-KENDALL trend test per event type: the sign-sum
+    * statistic S = Σ_{i<j} sign(mean_j − mean_i) over weekly value
+    * means — the distribution-free monotonic-trend detector drift
+    * monitors run on metric series (a least-squares slope needs float
+    * accumulation and an error model; MK needs only ORDER, which makes
+    * it both robust and exactly computable). `mean_j > mean_i`
+    * evaluates as the cross-multiplied INTEGER comparison
+    * `s_j·c_i ≷ s_i·c_j` on cent-exact weekly sums, so the whole
+    * statistic is integer arithmetic — no float ever accumulates.
+    *
+    * Scale shape: the corpus reduces to one (type, week) aggregate at
+    * calendar cardinality; the pairwise i<j join runs on that
+    * metadata-scale relation (weeks², not rows²).
+    */
+  def trendAudit(spark: SparkSession, dir: String): DataFrame =
+    trendAuditFrom(Tables.events(spark, dir))
+
+  def trendAuditFrom(events: DataFrame): DataFrame = {
+    val wk = (datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))) / 7)
+      .cast("long")
+    val w = events
+      .select(col("event_type"), wk.as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "wk")
+      .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+    val diff = col("b.s") * col("a.c") - col("a.s") * col("b.c")
+    val p = w.alias("a").join(w.alias("b"),
+        col("a.event_type") === col("b.event_type") && col("a.wk") < col("b.wk"))
+      .select(col("a.event_type").as("event_type"),
+        when(diff > 0, 1L).when(diff < 0, -1L).otherwise(0L).as("sg"))
+    val mk = p.groupBy("event_type").agg(sum("sg").as("mk_stat"))
+    w.groupBy("event_type").agg(count(lit(1)).as("n_weeks"))
+      .join(mk, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_weeks"),
+        coalesce(col("mk_stat"), lit(0L)).as("mk_stat"))
+      .withColumn("trend",
+        when(col("mk_stat") > 0, "rising")
+          .when(col("mk_stat") < 0, "falling").otherwise("flat"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_trend_mk" -> (trendAudit _),
     "q123_decile_bins" -> (decileBins _),
     "q110_item_triangles" -> (itemTriangles _),
     "q112_skew_audit" -> (skewAudit _),
@@ -749,6 +791,30 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // weekly cent-exact sums; mean comparisons cross-multiplied to
+    // integers, so the statistic never accumulates a float
+    "q128_trend_mk" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (SELECT event_type, wk, CAST(sum(cents) AS BIGINT) AS s,
+        |    count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CASE WHEN b.s * a.c - a.s * b.c > 0 THEN 1
+        |         WHEN b.s * a.c - a.s * b.c < 0 THEN -1 ELSE 0 END AS sg
+        |  FROM w a JOIN w b ON a.event_type = b.event_type AND a.wk < b.wk),
+        |wc AS (SELECT event_type, count(*) AS n_weeks FROM w GROUP BY 1),
+        |mk AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS mk_stat
+        |  FROM p GROUP BY 1)
+        |SELECT wc.event_type, wc.n_weeks, coalesce(mk.mk_stat, 0) AS mk_stat,
+        |  CASE WHEN coalesce(mk.mk_stat, 0) > 0 THEN 'rising'
+        |       WHEN coalesce(mk.mk_stat, 0) < 0 THEN 'falling'
+        |       ELSE 'flat' END AS trend
+        |FROM wc LEFT JOIN mk ON mk.event_type = wc.event_type
+        |ORDER BY wc.event_type""".stripMargin,
     // decile cuts as exact quantile_cont twins of the engine's
     // percentile (the q34 discipline); bin = count of boundaries ≤ v
     "q123_decile_bins" -> {

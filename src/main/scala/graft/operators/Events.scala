@@ -613,7 +613,52 @@ object Events {
       .orderBy("event_type", "win_end")
   }
 
+  /** q127 masking rate: 1 in [[ImputeMod]] events (hash-picked by
+    * event_id — the q45 stability discipline) plays the lost-in-transit
+    * value.
+    */
+  val ImputeMod = 10
+
+  /** q127 — IMPUTATION quality audit: mask a deterministic holdout of
+    * `value`s, impute each from its type's median over the SURVIVING
+    * rows, and measure the mean absolute error against the held-out
+    * truth — the repair-with-error-gauge shape (q121/q126 discipline)
+    * for the null-filling step every feature pipeline runs before
+    * models that can't take NULLs. The audit answers "is median-fill
+    * good enough for THIS column" with a gated number instead of a
+    * guess.
+    *
+    * Determinism: deviations are summed in half-cent INTEGER space
+    * (`|round(200·v) − round(200·med)|` — 200·median of 2-decimal
+    * values is integral by construction), so no float accumulation;
+    * the MAE is one final division. Scale shape: one per-type
+    * percentile aggregate over survivors (sketchable), one conditional
+    * aggregate over the masked rows; no shuffle beyond the two
+    * type-keyed aggregates.
+    */
+  def imputeAudit(spark: SparkSession, dir: String): DataFrame =
+    imputeAuditFrom(Tables.events(spark, dir))
+
+  def imputeAuditFrom(events: DataFrame): DataFrame = {
+    val masked = graft.functions.TextFns.hash32(
+      concat(lit("imp|"), col("event_id").cast("string"))) % ImputeMod === 0
+    val e = events.select(col("event_type"), col("value"), masked.as("m"))
+    val med = e.filter(!col("m")).groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("fill_value"))
+    e.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        min(col("fill_value")).as("fill_value"),
+        (sum(when(col("m"),
+          abs(round(col("value") * 200).cast("long") -
+            round(col("fill_value") * 200).cast("long")))) / 200.0 /
+          sum(when(col("m"), 1L).otherwise(0L)).cast("double")).as("mae"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_impute_audit" -> (imputeAudit _),
     "q125_sliding_distinct" -> (slidingDistinct _),
     "q116_seasonal_anomaly" -> (seasonalAnomaly _),
     "q117_conversion_paths" -> (conversionPaths _),
@@ -634,6 +679,24 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // deviations summed in half-cent integers; MAE = one final division
+    "q127_impute_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value,
+         |    ${graft.functions.TextFns.sql.hash32("'imp|' || CAST(event_id AS VARCHAR)")}
+         |      % $ImputeMod = 0 AS m
+         |  FROM events),
+         |med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS fill_value
+         |  FROM e WHERE NOT m GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  min(fill_value) AS fill_value,
+         |  CAST(sum(CASE WHEN m THEN abs(CAST(round(value * 200) AS BIGINT)
+         |      - CAST(round(fill_value * 200) AS BIGINT)) END) AS DOUBLE)
+         |    / 200.0 / CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) AS mae
+         |FROM e JOIN med USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q125_sliding_distinct" ->
       """WITH dd AS (
         |  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day FROM events),

@@ -304,6 +304,24 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("trendAudit (q128)") {
+    it("detects a strictly rising weekly mean and a flat one") {
+      // type 'up': weekly means 1, 2, 3 → S = +3; 'flat': constant → 0
+      val rows = (0 until 3).flatMap { w =>
+        val day = f"2024-01-${4 + 7 * w}%02d" // Thursdays: week-aligned
+        Seq(
+          (w * 10L + 1, ts(s"$day 00:00:00"), 1L, "up", (w + 1).toDouble, "{}"),
+          (w * 10L + 2, ts(s"$day 01:00:00"), 1L, "flat", 5.0, "{}"))
+      }
+      val r = Analytics.trendAuditFrom(events(rows: _*)).collect()
+      val m = r.map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("mk_stat"), x.getAs[String]("trend"))).toMap
+      assert(m("up") == (3L, "rising"))
+      assert(m("flat") == (0L, "flat"))
+      assert(r.forall(_.getAs[Long]("n_weeks") == 3L))
+    }
+  }
+
   describe("decileBins (q123)") {
     it("equal-frequency bins: 1..100 lands 10 values in each decile") {
       val rows = (1 to 100).map(i =>

@@ -345,6 +345,22 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("imputeAudit (q127)") {
+    it("reports the per-type median fill and an exact holdout MAE") {
+      val r = Events.imputeAudit(spark, TestSpark.Sf).collect()
+      assert(r.length == 5)
+      r.foreach { x =>
+        val n = x.getAs[Long]("n")
+        val masked = x.getAs[Long]("n_masked")
+        assert(masked > 0 && masked < n)
+        // ~1 in 10 of each type is held out
+        assert(math.abs(masked.toDouble / n - 1.0 / Events.ImputeMod) < 0.05)
+        assert(x.getAs[Double]("mae") >= 0.0)
+        assert(!x.getAs[Double]("fill_value").isNaN)
+      }
+    }
+  }
+
   describe("slidingDistinct (q125)") {
     it("a user active on two days inside one window counts once") {
       val r = Events.slidingDistinctFrom(events(
