@@ -112,11 +112,15 @@ object Bench {
     // extension surface: text / dedup / similarity / events / multimodal.
     // Dedup is staged like the reference's CTAS pipeline: candidates are
     // materialized once and the Jaccard verifier reads them back.
+    // q115 is excluded from the sweep and staged on the materialized
+    // cluster table below — its SparkEntry form recomputes the closure
+    // for self-containment, but the pipeline reads the q54 CTAS.
+    val stagedBelow = Set("q115_dedup_search")
     (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ Analytics.queries ++ Curation.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.CorpusStream.queries).toSeq.sortBy(_._1).foreach {
-      case (name, fn) => run(name) { fn(spark, sfDir) }
+      case (name, fn) => if (!stagedBelow.contains(name)) run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
     time("q22_minhash_candidates") {
@@ -137,9 +141,15 @@ object Bench {
       Dedup.minhashEstimateOf(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
-    run("q54_dedup_clusters") {
+    time("q54_dedup_clusters") {
       Dedup.clustersOfVerified(Dedup.ngramJaccardOfPairs(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir)))
+        .write.mode("overwrite").parquet(s"$wh/clusters")
+    }
+    run("q115_dedup_search") {
+      TextAnalysis.dedupSearchOf(
+        TextAnalysis.bm25SearchFrom(Tables.documents(spark, sfDir)),
+        spark.read.parquet(s"$wh/clusters").select("doc_id", "cluster_id"))
     }
     run("q80_source_mirrors") {
       Dedup.sourceMirrorsOf(
@@ -221,8 +231,11 @@ object Bench {
     System.err.println(s"""[bench] gc_sec ${jmap(gcShare)}""")
     System.err.println(s"""[bench] full_names ${jmap(results)}""")
     System.err.println("[bench] methodology: staged pipeline (kpis/risk/candidates materialized once), 2 full suite passes, per-query min; see SURVEY.md 6.1")
+    // basename only: the full path costs ~16 chars of the driver's
+    // 2000-char stdout-tail budget that the growing per-query map needs
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def jline(queries: String): String =
-      s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfDir","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}}"""
+      s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfName","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}}"""
     // per-query keys shortened to their unambiguous qNN prefix: the full
     // 60+-query map with full names no longer fits the driver's 2000-char
     // stdout tail (rounds 1-2 lost their numbers to exactly that); full

@@ -75,6 +75,47 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** q129 forward tolerance (minutes): a next-click further out is no
+    * match — the alignment contract of a toleranced as-of join.
+    */
+  val AsofFwdToleranceMin = 10L
+
+  /** q129 — FORWARD as-of join with tolerance: for every purchase, the
+    * same user's NEXT click within [[AsofFwdToleranceMin]] minutes and
+    * the exact gap seconds (NULL when nothing lands inside the
+    * tolerance) — the other half of the as-of family (q33 looks
+    * backward, unbounded; this looks forward, toleranced), the shape
+    * sensor/label alignment uses ("the first reading AFTER the event,
+    * if fresh enough").
+    *
+    * Scale shape: identical to q33 — one user-keyed window over the
+    * merged click/purchase stream (forward frame instead of backward),
+    * running state per row, no join at all; the tolerance is a
+    * row-local predicate after the window.
+    */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame =
+    asofNextClickFrom(Tables.events(spark, dir))
+
+  def asofNextClickFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tolUs = AsofFwdToleranceMin * 60L * 1000000L
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("nc",
+        first(when(col("event_type") === "click", col("ts")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("next_click_ts",
+        when(unix_micros(col("nc")) - unix_micros(col("ts")) <= tolUs, col("nc")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"),
+        round((unix_micros(col("next_click_ts")) - unix_micros(col("ts")))
+          .cast("double") / 1000000.0, 6).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** q34 — exact quantiles per event type: Spark `median`/`percentile`
     * interpolate identically (bit-exact) to DuckDB
     * `median`/`quantile_cont`, both sorting exact doubles.
@@ -758,6 +799,7 @@ object Analytics {
     "q31_cohort_set_ops" -> (cohorts _),
     "q32_revenue_rollup" -> (revenueRollup _),
     "q33_asof_prior_click" -> (asofPriorClick _),
+    "q129_asof_next_click" -> (asofNextClick _),
     "q34_value_quantiles" -> (valueQuantiles _),
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
@@ -1053,6 +1095,26 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q129_asof_next_click" -> {
+      val tolUs = AsofFwdToleranceMin * 60L * 1000000L
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, event_type FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |w AS (
+         |  SELECT *, first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id
+         |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+         |  FROM ev),
+         |g AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN epoch_us(nc) - epoch_us(ts) <= $tolUs THEN nc END
+         |      AS next_click_ts
+         |  FROM w WHERE event_type = 'purchase')
+         |SELECT event_id, user_id, ts, next_click_ts,
+         |  round(CAST(epoch_us(next_click_ts) - epoch_us(ts) AS DOUBLE)
+         |    / 1000000.0, 6) AS gap_sec
+         |FROM g ORDER BY event_id""".stripMargin
+    },
     "q33_asof_prior_click" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, ts, event_type FROM events

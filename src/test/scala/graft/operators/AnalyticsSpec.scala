@@ -304,6 +304,26 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("asofNextClick (q129)") {
+    it("matches the next click only within the tolerance, with exact gaps") {
+      val r = Analytics.asofNextClickFrom(events(
+        // purchase at 00:00, click 5 min later → gap 300 s
+        (1L, ts("2024-01-01 00:00:00"), 1L, "purchase", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0, "{}"),
+        // purchase whose next click is 30 min out → no match
+        (3L, ts("2024-01-01 01:00:00"), 2L, "purchase", 1.0, "{}"),
+        (4L, ts("2024-01-01 01:30:00"), 2L, "click", 1.0, "{}"),
+        // purchase with no later click at all
+        (5L, ts("2024-01-01 02:00:00"), 3L, "purchase", 1.0, "{}")))
+        .collect()
+      assert(r.length == 3)
+      val byId = r.map(x => x.getAs[Long]("event_id") -> x).toMap
+      assert(byId(1L).getAs[Double]("gap_sec") == 300.0)
+      assert(byId(3L).isNullAt(byId(3L).fieldIndex("next_click_ts")))
+      assert(byId(5L).isNullAt(byId(5L).fieldIndex("gap_sec")))
+    }
+  }
+
   describe("trendAudit (q128)") {
     it("detects a strictly rising weekly mean and a flat one") {
       // type 'up': weekly means 1, 2, 3 → S = +3; 'flat': constant → 0
