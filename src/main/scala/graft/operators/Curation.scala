@@ -86,6 +86,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q131 per-stratum keep percentage. */
+  val StratPct = 30L
+
+  /** q131 — STRATIFIED exact-quota sampling: per (lang, source)
+    * stratum keep exactly ⌈[[StratPct]]%·n⌉ documents, chosen as the
+    * smallest salted-md5 ranks — the survey-sampling complement to
+    * q52's rate-based mixture (a hash-threshold draw keeps a BINOMIAL
+    * count per stratum; eval sets and ablations need the quota exact).
+    * The kept SET is pinned under the hash gate via its id-sum
+    * checksum, and the usual stability properties hold by the md5
+    * discipline: re-runs, repartitions, and unrelated corpus edits
+    * cannot change a kept doc's fate within its stratum.
+    *
+    * Scale shape: one window over the (lang, source) hash distribution
+    * — rank and stratum size share the exchange; quota arithmetic is
+    * integer (`(n·pct + 99) div 100`); the summary aggregate rides the
+    * same partitioning.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleFrom(Tables.documents(spark, dir))
+
+  def stratifiedSampleFrom(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+    val rk = md5(concat(lit("strat|"), col("doc_id").cast("string")))
+    docs.select(col("lang"), col("source"), col("doc_id"), rk.as("rk"))
+      .withColumn("rn", row_number().over(w.orderBy(asc("rk"), asc("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") <= ((col("n") * StratPct + 99) / 100).cast("long"))
+      .groupBy("lang", "source")
+      .agg(max("n").as("n_docs"), count(lit(1)).as("n_kept"),
+        sum("doc_id").as("kept_id_sum"))
+      .orderBy("lang", "source")
+  }
+
   /** q126 Bloom geometry: [[BloomBits]]-bit filter, 2 hash positions
     * per shingle.
     */
@@ -927,7 +961,8 @@ object Curation {
     "q92_table_profile" -> (tableProfile _),
     "q99_scd2_history" -> (scdSupplierHistory _),
     "q118_pit_join" -> (pitEnrichment _),
-    "q126_bloom_decontaminate" -> (bloomDecontaminate _))
+    "q126_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q131_stratified_sample" -> (stratifiedSample _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -975,6 +1010,20 @@ object Curation {
          |            WHEN bucket < $ValPct THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q131_stratified_sample" ->
+      s"""WITH k AS (
+         |  SELECT lang, source, doc_id,
+         |    md5('strat|' || CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY lang, source ORDER BY rk, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang, source) AS n
+         |  FROM k)
+         |SELECT lang, source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+         |FROM r WHERE rn <= (n * $StratPct + 99) // 100
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q126_bloom_decontaminate" -> {
       def h(i: Int) = TextFns.sql.hash32(s"'bf$i|' || CAST(s AS VARCHAR)")
       s"""WITH $shSql,

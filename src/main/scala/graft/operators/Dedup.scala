@@ -233,6 +233,33 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** q130 — dedup TOKEN-SAVINGS report: the q89 keep/cut ledger joined
+    * to per-doc token counts and rolled up per cut reason — the number
+    * a training-data owner actually asks for ("how many tokens does
+    * each dedup stage save, and what share of the corpus is that").
+    * Turns the ledger from a row-level audit into the budget
+    * deliverable.
+    *
+    * Scale shape: one map-side token count, one doc_id hash join onto
+    * the (already bounded) ledger, a 4-row reason aggregate, and the
+    * corpus total reduced to a broadcast scalar.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame =
+    dedupSavingsOf(keepLedger(spark, dir), Tables.documents(spark, dir))
+
+  def dedupSavingsOf(ledger: DataFrame, docs: DataFrame): DataFrame = {
+    val tok = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), size(TextFns.toks(col("text"))).cast("long").as("t"))
+    val tot = tok.agg(sum("t").as("total"))
+    ledger.select("doc_id", "reason")
+      .join(tok, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+        round(sum("t").cast("double") / max("total"), 9).as("token_share"))
+      .orderBy("reason")
+  }
+
   /** q124 dirty-record rate (1 in [[LinkMod]] suppliers, hash-picked). */
   val LinkMod = 2
 
@@ -796,6 +823,7 @@ object Dedup {
     "q108_edit_verify" -> (editVerify _),
     "q121_minhash_estimate" -> (minhashEstimate _),
     "q124_record_linkage" -> (recordLinkage _),
+    "q130_dedup_savings" -> (dedupSavings _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -1032,7 +1060,20 @@ object Dedup {
          |FROM asg CROSS JOIN leaky
          |GROUP BY split, n_leaky_groups
          |ORDER BY split""".stripMargin,
-    "q89_keep_ledger" ->
+    "q89_keep_ledger" -> keepLedgerSql,
+    // the full q89 ledger as a nested-WITH subquery, joined to token
+    // counts and rolled up per cut reason
+    "q130_dedup_savings" ->
+      s"""WITH tok AS (SELECT doc_id, len(${TextFns.sql.toks}) AS t FROM documents),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM tok),
+         |l AS ($keepLedgerSql)
+         |SELECT l.reason, count(*) AS n_docs, CAST(sum(tok.t) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(tok.t) AS DOUBLE) / max(tot.total), 9) AS token_share
+         |FROM l JOIN tok USING (doc_id) CROSS JOIN tot
+         |GROUP BY l.reason ORDER BY l.reason""".stripMargin)
+
+  /** The q89 oracle text (also embedded by q130 as a subquery). */
+  private def keepLedgerSql: String =
       s"""WITH RECURSIVE $bandsSql,
          |$candidatePairsSql,
          |$jaccardSql,
@@ -1086,7 +1127,7 @@ object Dedup {
          |LEFT JOIN exactcut ec ON ec.doc_id = doc.doc_id
          |LEFT JOIN nearcut ncut ON ncut.doc_id = doc.doc_id
          |LEFT JOIN containcut ccut ON ccut.doc_id = doc.doc_id
-         |ORDER BY doc.doc_id""".stripMargin)
+         |ORDER BY doc.doc_id""".stripMargin
 
   /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites of
     * the oracle texts: the SQL user gets the same native-kernel plan the

@@ -77,7 +77,10 @@ object SqlSurface {
         "transitive-closure fixpoint — use Dedup.leakageSafeSplit"),
     "q115_dedup_search" ->
       ("collapses hits by q54's cluster id, embedding the same " +
-        "transitive-closure fixpoint — use TextAnalysis.dedupSearch"))
+        "transitive-closure fixpoint — use TextAnalysis.dedupSearch"),
+    "q130_dedup_savings" ->
+      ("rolls up q89's ledger, embedding the same transitive-closure " +
+        "fixpoint — use Dedup.dedupSavings"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

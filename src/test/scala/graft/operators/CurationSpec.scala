@@ -450,6 +450,23 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("stratifiedSample (q131)") {
+    it("hits the exact ceil quota in every stratum, deterministically") {
+      val r = Curation.stratifiedSample(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        val n = x.getAs[Long]("n_docs")
+        val kept = x.getAs[Long]("n_kept")
+        assert(kept == (n * Curation.StratPct + 99) / 100,
+          s"stratum ${x.getAs[String]("lang")}/${x.getAs[String]("source")}: $kept of $n")
+      }
+      // the kept set is stable: a second run reproduces the checksums
+      val again = Curation.stratifiedSample(spark, TestSpark.Sf).collect()
+      assert(again.map(_.getAs[Long]("kept_id_sum")).toSeq ==
+        r.map(_.getAs[Long]("kept_id_sum")).toSeq)
+    }
+  }
+
   describe("bloomDecontaminate (q126)") {
     it("the Bloom screen is a superset of the exact screen, never a miss") {
       val bloom = Curation.bloomDecontaminate(spark, TestSpark.Sf).collect()

@@ -307,6 +307,19 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("dedupSavings (q130)") {
+    it("token shares partition the corpus across ledger reasons") {
+      val r = Dedup.dedupSavings(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      assert(r.exists(_.getAs[String]("reason") == "keep"))
+      // every doc lands in exactly one reason → shares sum to 1
+      val share = r.map(_.getAs[Double]("token_share")).sum
+      assert(math.abs(share - 1.0) < 1e-6, s"shares sum $share")
+      r.foreach(x => assert(x.getAs[Long]("n_tokens") >= 0
+        && x.getAs[Long]("n_docs") > 0))
+    }
+  }
+
   describe("recordLinkage (q124)") {
     it("recovers the true key for every vowel-stripped variant via blocking") {
       import spark.implicits._
