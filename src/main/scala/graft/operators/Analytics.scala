@@ -75,6 +75,46 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** q132 — MANN-WHITNEY U (rank-sum) test: does the `value`
+    * distribution of clicks differ from purchases, reported as the
+    * doubled U statistic and the AUC effect size (U / n_a·n_b — the
+    * probability a random click value exceeds a random purchase value)
+    * — the nonparametric A/B comparison that needs no normality
+    * assumption, completing the statistics family (q128 trends within
+    * a series; this compares two groups). Everything up to the final
+    * AUC division is INTEGER: tie groups contribute their exact
+    * average rank via `2·avg = 2·start + size − 1`, so `2R` and `2U`
+    * accumulate as longs — no float ever sums.
+    *
+    * Scale shape: the corpus reduces to one per-VALUE aggregate (the
+    * 2-decimal value domain is bounded, so this relation is
+    * domain-cardinality — the histogram trick that makes exact global
+    * ranking scale); the rank window runs over that metadata-scale
+    * relation, and one final single-row aggregate closes it.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitneyFrom(Tables.events(spark, dir))
+
+  def mannWhitneyFrom(events: DataFrame): DataFrame = {
+    val sub = events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val byV = sub.groupBy("value").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+      count(lit(1)).as("cv"))
+    val before = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn("st",
+      coalesce(sum("cv").over(before), lit(0L)) + 1)
+    val u2 = col("r2a") - col("na") * (col("na") + 1)
+    ranked.agg(
+        sum(col("ca") * (lit(2L) * col("st") + col("cv") - 1)).as("r2a"),
+        sum("ca").as("na"), sum(col("cv") - col("ca")).as("nb"))
+      .select(lit("click_vs_purchase").as("test"), col("na"), col("nb"),
+        u2.as("u2"),
+        round(u2.cast("double") / (lit(2.0) * col("na") * col("nb")), 9)
+          .as("auc"))
+  }
+
   /** q129 forward tolerance (minutes): a next-click further out is no
     * match — the alignment contract of a toleranced as-of join.
     */
@@ -800,6 +840,7 @@ object Analytics {
     "q32_revenue_rollup" -> (revenueRollup _),
     "q33_asof_prior_click" -> (asofPriorClick _),
     "q129_asof_next_click" -> (asofNextClick _),
+    "q132_mann_whitney" -> (mannWhitney _),
     "q34_value_quantiles" -> (valueQuantiles _),
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
@@ -1095,6 +1136,29 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // tie groups contribute 2·avg_rank = 2·start + size − 1, so the
+    // statistic is integer until the single AUC division
+    "q132_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |v AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    count(*) AS cv
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT *, coalesce(sum(cv) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS st
+        |  FROM v),
+        |a AS (
+        |  SELECT CAST(sum(ca * (2 * st + cv - 1)) AS BIGINT) AS r2a,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cv - ca) AS BIGINT) AS nb
+        |  FROM r)
+        |SELECT 'click_vs_purchase' AS test, na, nb,
+        |  r2a - na * (na + 1) AS u2,
+        |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / (2.0 * na * nb), 9) AS auc
+        |FROM a""".stripMargin,
     "q129_asof_next_click" -> {
       val tolUs = AsofFwdToleranceMin * 60L * 1000000L
       s"""WITH ev AS (

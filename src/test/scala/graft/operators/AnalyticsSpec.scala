@@ -304,6 +304,24 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("mannWhitney (q132)") {
+    it("computes the tie-corrected rank-sum and AUC exactly") {
+      // clicks {1,2,3} vs purchases {2,4}: U = 1 + 0.5(tie) = 1.5,
+      // AUC = 1.5 / 6 = 0.25
+      val r = Analytics.mannWhitneyFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 2.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 1L, "click", 3.0, "{}"),
+        (4L, ts("2024-01-01 00:03:00"), 2L, "purchase", 2.0, "{}"),
+        (5L, ts("2024-01-01 00:04:00"), 2L, "purchase", 4.0, "{}")))
+        .collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("na") == 3L && r(0).getAs[Long]("nb") == 2L)
+      assert(r(0).getAs[Long]("u2") == 3L) // 2U
+      assert(r(0).getAs[Double]("auc") == 0.25)
+    }
+  }
+
   describe("asofNextClick (q129)") {
     it("matches the next click only within the tolerance, with exact gaps") {
       val r = Analytics.asofNextClickFrom(events(
