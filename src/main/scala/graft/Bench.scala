@@ -218,10 +218,15 @@ object Bench {
     // would make the JSON line unparseable
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query values at 2 dp: 10 ms resolution is plenty for query
-    // times ≥0.1 s and buys ~60 chars of line budget at 59 queries
-    def f2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // per-query values at 2 dp with trailing zeros stripped ("0.50" →
+    // "0.5", "2.00" → "2"): 10 ms resolution is plenty for query times
+    // ≥0.1 s, and the stripping buys ~100 chars of line budget at 130+
+    // queries (the driver's 2000-char stdout tail is the hard wall)
+    def f2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (!s.contains('.')) s
+      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    }
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     // Diagnostics (GC attribution, methodology) go to stderr: the driver

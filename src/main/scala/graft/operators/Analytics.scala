@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Det.nullIfZero
 import graft.functions.TextFns
 import graft.sources.Tables
 
@@ -113,6 +114,68 @@ object Analytics {
         u2.as("u2"),
         round(u2.cast("double") / (lit(2.0) * col("na") * col("nb")), 9)
           .as("auc"))
+  }
+
+  /** q133 — KOLMOGOROV-SMIRNOV distance between the click and purchase
+    * value distributions: D = max |F_a(v) − F_b(v)|, computed over the
+    * same per-VALUE histogram reduction as q132 with the numerator kept
+    * INTEGER (`|cumA·n_b − cumB·n_a|`) until the single final division
+    * — the distribution-shift gauge that complements q132 (U measures
+    * stochastic dominance; D measures worst-case CDF gap, the quantity
+    * drift alarms threshold).
+    *
+    * Scale shape: identical to q132 — domain-cardinality histogram,
+    * metadata-scale cumulative window, one closing aggregate.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestFrom(Tables.events(spark, dir))
+
+  def ksTestFrom(events: DataFrame): DataFrame = {
+    val byV = events.filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .withColumn("cuma", sum("ca").over(cum))
+      .withColumn("cumb", sum("cb").over(cum))
+      .withColumn("na", sum("ca").over(all))
+      .withColumn("nb", sum("cb").over(all))
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
+      .select(lit("click_vs_purchase").as("test"), col("na"), col("nb"),
+        col("d_num"),
+        round(col("d_num").cast("double") /
+          nullIfZero(col("na") * col("nb")), 9).as("ks_d"))
+  }
+
+  /** q134 — GLOBAL clustering coefficient of the item graph:
+    * 3·triangles / wedges, with the supporting degree-distribution
+    * counts — the one-number cohesion summary over q110's exact
+    * triangle machinery (transitivity: how often do two items sharing
+    * a neighbor also co-occur directly). Wedge count is the exact
+    * integer Σ d(d−1)/2; the coefficient is the single final division.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeffFrom(Tables.events(spark, dir))
+
+  def clusteringCoeffFrom(events: DataFrame): DataFrame = {
+    val (edges, tri) = triangleParts(events)
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val sizes = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    wedges.crossJoin(sizes)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round((col("n_triangles") * 3).cast("double") /
+          nullIfZero(col("n_wedges")), 9).as("clustering_coeff"))
   }
 
   /** q129 forward tolerance (minutes): a next-click further out is no
@@ -631,7 +694,10 @@ object Analytics {
   def itemTriangles(spark: SparkSession, dir: String): DataFrame =
     itemTrianglesFrom(Tables.events(spark, dir))
 
-  def itemTrianglesFrom(events: DataFrame): DataFrame = {
+  /** Shared q110/q134 pipeline: the supported canonical edge set (u<v)
+    * and the exact triangle relation (a,b,c), a<b<c each once.
+    */
+  private def triangleParts(events: DataFrame): (DataFrame, DataFrame) = {
     val ui = itemBaskets(events)
     val edges = ui.alias("a").join(ui.alias("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
@@ -656,6 +722,11 @@ object Analytics {
     // ordered because the wedge join kept e1.dst < e2.dst
     val tri = wedges.join(
       edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    (edges, tri)
+  }
+
+  def itemTrianglesFrom(events: DataFrame): DataFrame = {
+    val tri = triangleParts(events)._2
     tri.select(col("a").as("item"))
       .unionAll(tri.select(col("b").as("item")))
       .unionAll(tri.select(col("c").as("item")))
@@ -841,6 +912,8 @@ object Analytics {
     "q33_asof_prior_click" -> (asofPriorClick _),
     "q129_asof_next_click" -> (asofNextClick _),
     "q132_mann_whitney" -> (mannWhitney _),
+    "q133_ks_test" -> (ksTest _),
+    "q134_clustering_coeff" -> (clusteringCoeff _),
     "q34_value_quantiles" -> (valueQuantiles _),
     "q42_revenue_cube" -> (revenueCube _),
     "q43_user_pivot" -> (userActivityPivot _),
@@ -1136,6 +1209,56 @@ object Analytics {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // the CDF-gap numerator stays integer (cumA·n_b − cumB·n_a) until
+    // the one closing division
+    "q133_ks_test" ->
+      """WITH s AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |v AS (
+        |  SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    sum(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM v),
+        |a AS (
+        |  SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+        |    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        |  FROM r)
+        |SELECT 'click_vs_purchase' AS test, na, nb, d_num,
+        |  round(CAST(d_num AS DOUBLE) / NULLIF(na * nb, 0), 9) AS ks_d
+        |FROM a""".stripMargin,
+    "q134_clustering_coeff" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |e AS (
+         |  SELECT a.item AS u, b.item AS v
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+         |t AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |dg AS (SELECT x, count(*) AS d FROM (
+         |  SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) q GROUP BY 1),
+         |w AS (SELECT count(*) AS n_nodes,
+         |  CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM dg),
+         |se AS (SELECT count(*) AS n_edges FROM e),
+         |st AS (SELECT count(*) AS n_triangles FROM t)
+         |SELECT w.n_nodes, se.n_edges, w.n_wedges, st.n_triangles,
+         |  round(CAST(st.n_triangles * 3 AS DOUBLE) / NULLIF(w.n_wedges, 0), 9)
+         |    AS clustering_coeff
+         |FROM w CROSS JOIN se CROSS JOIN st""".stripMargin,
     // tie groups contribute 2·avg_rank = 2·start + size − 1, so the
     // statistic is integer until the single AUC division
     "q132_mann_whitney" ->

@@ -322,6 +322,42 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("ksTest (q133)") {
+    it("finds the worst-case CDF gap with an integer numerator") {
+      // clicks {1,2}, purchases {3,4}: disjoint supports → D = 1 at v=2
+      val r = Analytics.ksTestFrom(events(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:01:00"), 1L, "click", 2.0, "{}"),
+        (3L, ts("2024-01-01 00:02:00"), 2L, "purchase", 3.0, "{}"),
+        (4L, ts("2024-01-01 00:03:00"), 2L, "purchase", 4.0, "{}")))
+        .collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("d_num") == 4L) // |2*2 - 0*2|
+      assert(r(0).getAs[Double]("ks_d") == 1.0)
+    }
+  }
+
+  describe("clusteringCoeff (q134)") {
+    it("a closed triangle plus a dangling edge: C = 3·1/5") {
+      // users 1,2 share items {1,2,3} (triangle); users 3,4 share {1,4}
+      // (dangling edge) → wedges = 3·(1 at deg-2 nodes) + C(3,2) at item 1
+      def ev(id: Long, u: Long, item: Int) =
+        (id, ts("2024-01-01 00:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+      val r = Analytics.clusteringCoeffFrom(events(
+        ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+        ev(4, 2, 1), ev(5, 2, 2), ev(6, 2, 3),
+        ev(7, 3, 1), ev(8, 3, 4),
+        ev(9, 4, 1), ev(10, 4, 4))).collect()
+      assert(r.length == 1)
+      val x = r(0)
+      assert(x.getAs[Long]("n_nodes") == 4L && x.getAs[Long]("n_edges") == 4L)
+      // degrees: item1=3, item2=2, item3=2, item4=1 → wedges 3+1+1 = 5
+      assert(x.getAs[Long]("n_wedges") == 5L)
+      assert(x.getAs[Long]("n_triangles") == 1L)
+      assert(x.getAs[Double]("clustering_coeff") == 0.6)
+    }
+  }
+
   describe("asofNextClick (q129)") {
     it("matches the next click only within the tolerance, with exact gaps") {
       val r = Analytics.asofNextClickFrom(events(
