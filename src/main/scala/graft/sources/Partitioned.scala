@@ -83,4 +83,39 @@ object Partitioned {
     }
     relCache.computeIfAbsent((spark, path), _ => readEvents(spark, path))
   }
+
+  /** EXECUTE the q111 compaction plan: rewrite a (possibly
+    * trickle-ingested, many-small-files) date-partitioned event layout
+    * into `dst` with each day's rows in ⌈rows/targetRows⌉ files — the
+    * rewrite half of the small-file compaction whose planning table
+    * q111 gates (`Events.compactionPlan` says what to touch; this
+    * touches it). Rewrite-to-new-location, never in place: readers of
+    * `src` (including a streaming sink's `_spark_metadata` log) stay
+    * consistent, and the caller swaps directories atomically (the
+    * AtomicWarehouse pointer discipline) when the rewrite lands.
+    *
+    * Scale shape: one exchange hash-keyed on the day routes each
+    * partition's rows to a single writer task, and `maxRecordsPerFile`
+    * splits that task's output at the target — exactly
+    * ⌈rows/targetRows⌉ files per day, no global sort. A skew-heavy day
+    * that outgrows one writer adds an intra-day salt to the
+    * repartition key (q112's factors say how many) at the cost of up
+    * to one extra under-filled file per salt — the usual
+    * exactness-vs-parallelism dial.
+    */
+  def compactEvents(spark: SparkSession, src: String, dst: String,
+      targetRows: Long): Unit =
+    readEvents(spark, src)
+      .repartition(col("event_date"))
+      // within a day the q107 Morton order degenerates to user order
+      // (the day bits are constant), so the compacted files ALSO gain
+      // tight user_id footer bounds — sequential splitting of the
+      // sorted stream hands each file a near-disjoint user range, and
+      // a (user × date) rectangle prunes compacted files on both
+      // dimensions (spec-gated)
+      .sortWithinPartitions(col("event_date"), col("user_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy("event_date")
+      .parquet(dst)
 }
