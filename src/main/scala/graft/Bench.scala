@@ -169,6 +169,7 @@ object Bench {
     }
     run("q89_keep_ledger") { Dedup.keepLedger(spark, sfDir) }
     run("q130_dedup_savings") { Dedup.dedupSavings(spark, sfDir) }
+    run("q135_incremental_clusters") { Dedup.incrementalClusters(spark, sfDir) }
     run("q102_leakage_safe_split") { Dedup.leakageSafeSplit(spark, sfDir) }
 
     // the staged sections above must jointly cover the whole catalog —

@@ -233,6 +233,85 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** q135 new-batch rate: 1 in [[IncMod]] docs (hash-picked) plays the
+    * newly-ingested slice against the already-clustered remainder.
+    */
+  val IncMod = 4
+
+  /** q135 — INCREMENTAL cluster maintenance: fold a new document batch
+    * into an EXISTING q54 clustering without recomputing the old
+    * corpus's graph — the operation a daily ingest actually needs
+    * (full CC over 100 TB per day is not a plan). Candidates are
+    * generated only where the new slice touches (new×old band join +
+    * new×new pairs — the q78 ingest discipline), verified exactly as
+    * q54 does, and the old clusters enter the fixpoint CONTRACTED to
+    * their representative (sound: members are already connected, and
+    * the rep is the member minimum, so component minima are preserved
+    * under expansion). A new doc bridging two old clusters merges them
+    * through their reps.
+    *
+    * THE GATE IS THE CONTRACT: the oracle is q54's full transitive
+    * closure over ALL documents, so the hash gate literally proves
+    * incremental ≡ full recompute. Scale shape: everything is sized by
+    * the new slice and its collision neighborhood — the old corpus
+    * contributes its (bucketable, q67-style) band index and its
+    * cluster map, never its O(corpus) edge set; the CC rounds run on
+    * the contracted graph only.
+    */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = TextFns.hash32(
+      concat(lit("inc|"), col("doc_id").cast("string"))) % IncMod === 0
+    incrementalClustersOf(
+      dedupClustersFrom(docs.filter(!isNew)),
+      docs.filter(!isNew), docs.filter(isNew))
+  }
+
+  def incrementalClustersOf(oldClusters: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val allDocs = oldDocs.unionByName(newDocs)
+    val bNew = bandsFrom(newDocs)
+    val bOld = bandsFrom(oldDocs)
+    val newOld = bNew.alias("n").hint("shuffle_hash")
+      .join(bOld.alias("o").hint("shuffle_hash"),
+        col("n.band_id") === col("o.band_id") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val verified = ngramJaccardOfPairs(
+      newOld.unionByName(candidatePairsFrom(bNew)), allDocs)
+      .select("doc_a", "doc_b")
+    // contract: old endpoints collapse to their cluster rep (an old doc
+    // with no prior cluster is its own rep via the left-join miss)
+    val nm = oldClusters.select(col("doc_id"), col("cluster_id").as("rep"))
+    val contracted = verified
+      .join(nm.select(col("doc_id").as("doc_a"), col("rep").as("ra")),
+        Seq("doc_a"), "left")
+      .join(nm.select(col("doc_id").as("doc_b"), col("rep").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val comp = clustersOfVerified(contracted)
+      .select(col("doc_id").as("node"), col("cluster_id").as("lbl"))
+    // expand: old-cluster members follow their rep's merged label
+    // (untouched clusters keep theirs); non-rep component nodes are the
+    // previously-unclustered old docs and the new docs
+    val oldFinal = oldClusters.select(col("doc_id"), col("cluster_id").as("rep"))
+      .join(comp.select(col("node").as("rep"), col("lbl")), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("rep")).as("cluster_id"))
+    val repSet = oldClusters.select(col("cluster_id").as("node")).distinct()
+    val fresh = comp.join(repSet, Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    val membership = oldFinal.unionByName(fresh)
+    val sized = membership.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    membership.join(sized, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q130 — dedup TOKEN-SAVINGS report: the q89 keep/cut ledger joined
     * to per-doc token counts and rolled up per cut reason — the number
     * a training-data owner actually asks for ("how many tokens does
@@ -824,6 +903,7 @@ object Dedup {
     "q121_minhash_estimate" -> (minhashEstimate _),
     "q124_record_linkage" -> (recordLinkage _),
     "q130_dedup_savings" -> (dedupSavings _),
+    "q135_incremental_clusters" -> (incrementalClusters _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -920,25 +1000,10 @@ object Dedup {
          |$jaccardSql
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin,
-    "q54_dedup_clusters" ->
-      s"""WITH RECURSIVE $bandsSql,
-         |$candidatePairsSql,
-         |$jaccardSql,
-         |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM verified
-         |  UNION
-         |  SELECT doc_b AS u, doc_a AS v FROM verified),
-         |reach(u, lbl) AS (
-         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
-         |  UNION
-         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
-         |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
-         |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
-         |SELECT cc.doc_id, cc.cluster_id, sized.cluster_size,
-         |  cc.doc_id = cc.cluster_id AS is_canonical
-         |FROM cc JOIN sized USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q54_dedup_clusters" -> fullClustersSql,
+    // incremental ≡ full is the contract: the oracle IS the full
+    // recompute, so the hash gate proves the maintenance path exact
+    "q135_incremental_clusters" -> fullClustersSql,
     "q80_source_mirrors" ->
       s"""WITH $bandsSql,
          |$candidatePairsSql,
@@ -1071,6 +1136,29 @@ object Dedup {
          |  round(CAST(sum(tok.t) AS DOUBLE) / max(tot.total), 9) AS token_share
          |FROM l JOIN tok USING (doc_id) CROSS JOIN tot
          |GROUP BY l.reason ORDER BY l.reason""".stripMargin)
+
+  /** The q54 oracle text — the full-corpus transitive closure, shared
+    * verbatim by q135 (whose gate is exactly "incremental ≡ full").
+    */
+  private def fullClustersSql: String =
+    s"""WITH RECURSIVE $bandsSql,
+       |$candidatePairsSql,
+       |$jaccardSql,
+       |verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardMin),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM verified
+       |  UNION
+       |  SELECT doc_b AS u, doc_a AS v FROM verified),
+       |reach(u, lbl) AS (
+       |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.doc_id, cc.cluster_id, sized.cluster_size,
+       |  cc.doc_id = cc.cluster_id AS is_canonical
+       |FROM cc JOIN sized USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** The q89 oracle text (also embedded by q130 as a subquery). */
   private def keepLedgerSql: String =

@@ -80,7 +80,10 @@ object SqlSurface {
         "transitive-closure fixpoint — use TextAnalysis.dedupSearch"),
     "q130_dedup_savings" ->
       ("rolls up q89's ledger, embedding the same transitive-closure " +
-        "fixpoint — use Dedup.dedupSavings"))
+        "fixpoint — use Dedup.dedupSavings"),
+    "q135_incremental_clusters" ->
+      ("the incremental maintenance twin of q54's fixpoint (same " +
+        "recursive-CTE termination limit) — use Dedup.incrementalClusters"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -307,6 +307,35 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("incrementalClustersOf (q135)") {
+    it("a new doc bridging two old clusters merges them through their reps") {
+      import spark.implicits._
+      // old corpus: {1,2} near-dups, {10,11} near-dups, 20 unclustered
+      val oldDocs = docs(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta"),
+        (10L, "one two three four five six"),
+        (11L, "one two three four five six seven"),
+        (20L, "totally unrelated content lives here"))
+      val oldClusters = Dedup.dedupClustersFrom(oldDocs)
+      assert(oldClusters.collect().map(_.getLong(1)).distinct.sorted.toSeq ==
+        Seq(1L, 10L))
+      // new doc 30 overlaps BOTH old clusters' shingles → bridges them
+      val newDocs = docs(
+        (30L, "alpha beta gamma delta one two three four"),
+        (31L, "completely fresh and unmatched text"))
+      val r = Dedup.incrementalClustersOf(oldClusters, oldDocs, newDocs)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // merged component keeps the global minimum id as the label
+      assert(r == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 30L -> 1L),
+        r.toString)
+      // and the incremental result equals a full recompute over all docs
+      val full = Dedup.dedupClustersFrom(oldDocs.unionByName(newDocs))
+      val inc = Dedup.incrementalClustersOf(oldClusters, oldDocs, newDocs)
+      assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+    }
+  }
+
   describe("dedupSavings (q130)") {
     it("token shares partition the corpus across ledger reasons") {
       val r = Dedup.dedupSavings(spark, graft.TestSpark.Sf).collect()
