@@ -258,13 +258,16 @@ object Dedup {
     * cluster map, never its O(corpus) edge set; the CC rounds run on
     * the contracted graph only.
     */
-  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The q135 old/new corpus split (hash-picked, the q45 discipline). */
+  def incSplit(docs: DataFrame): (DataFrame, DataFrame) = {
     val isNew = TextFns.hash32(
       concat(lit("inc|"), col("doc_id").cast("string"))) % IncMod === 0
-    incrementalClustersOf(
-      dedupClustersFrom(docs.filter(!isNew)),
-      docs.filter(!isNew), docs.filter(isNew))
+    (docs.filter(!isNew), docs.filter(isNew))
+  }
+
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (oldDocs, newDocs) = incSplit(Tables.documents(spark, dir))
+    incrementalClustersOf(dedupClustersFrom(oldDocs), oldDocs, newDocs)
   }
 
   def incrementalClustersOf(oldClusters: DataFrame, oldDocs: DataFrame,
