@@ -263,8 +263,12 @@ object Bench {
     // 60+-query map with full names no longer fits the driver's 2000-char
     // stdout tail (rounds 1-2 lost their numbers to exactly that); full
     // names are on stderr above
+    // leading zeros stripped ("q01" → "q1", the driver-contract example
+    // format): ~1 char × most queries of line budget, numbers stay unique
     val shortKeys = scala.collection.mutable.LinkedHashMap(
-      results.toSeq.map { case (k, v) => k.split("_")(0) -> v }: _*)
+      results.toSeq.map { case (k, v) =>
+        ("q" + k.split("_")(0).drop(1).toInt) -> v
+      }: _*)
     require(shortKeys.size == results.size,
       s"qNN prefixes must stay unique (${results.size} -> ${shortKeys.size})")
     val line = jline(jmap(shortKeys))
