@@ -511,9 +511,13 @@ object Events {
     val before = Window.orderBy("event_date")
       .rowsBetween(Window.unboundedPreceding, -1)
     val planned = perDay
-      .withColumn("out_group",
-        (coalesce(sum("n_rows").over(before), lit(0L)) / CompactTargetRows)
-          .cast("long"))
+      // integer `div` end-to-end (floor division, the oracle's `//`):
+      // double-divide + cast("long") truncates toward zero, which agrees
+      // only while the running total is non-negative — the integer-space
+      // discipline used everywhere else applies here too
+      .withColumn("cum_before", coalesce(sum("n_rows").over(before), lit(0L)))
+      .withColumn("out_group", expr(s"cum_before div $CompactTargetRows"))
+      .drop("cum_before")
     val byGroup = Window.partitionBy("out_group")
     planned
       .withColumn("group_rows", sum("n_rows").over(byGroup))
@@ -741,8 +745,8 @@ object Events {
     "q107_zorder_cells" ->
       s"""WITH cells AS (
          |  SELECT user_id, ts,
-         |    ((user_id // $ZUserCell) % 256) AS uc,
-         |    (((epoch_us(ts) - $ZEpochUs) // $ZDayUs) % 256) AS dc
+         |    (((user_id // $ZUserCell) % 256) + 256) % 256 AS uc,
+         |    ((((epoch_us(ts) - $ZEpochUs) // $ZDayUs) % 256) + 256) % 256 AS dc
          |  FROM events),
          |z AS (
          |  SELECT user_id, ts,

@@ -66,23 +66,70 @@ object Partitioned {
     * pruning are exercised end-to-end under the driver's hash gate, not
     * just in `PartitionedSpec` isolation.
     *
-    * Idempotent and cached: the `_SUCCESS` marker gates re-ingest across
-    * JVMs, the in-process set skips even the marker stat per session.
-    * The fixture corpora are immutable, so no staleness check is needed.
+    * Idempotent and cached: ingest writes to a PRIVATE temp directory
+    * and atomically renames it into place (the [[AtomicWarehouse]]
+    * pointer discipline applied to the layout cache), so a reader can
+    * never observe a half-written layout and concurrent driver JVMs
+    * can't clobber each other mid-write — the loser of the rename race
+    * discards its (bitwise-identical, the write is deterministic) copy.
+    * The `_SUCCESS` marker only ever exists inside a fully-landed
+    * rename, so its presence is a sound re-ingest gate; a directory
+    * WITHOUT it is a crashed pre-rename leftover and is rebuilt. The
+    * cache key fingerprints the source files (name/size/mtime), so a
+    * regenerated fixture at the same path lands a fresh layout instead
+    * of silently serving the stale one.
     */
   def eventsFor(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stamp =
+      if (!java.nio.file.Files.exists(src)) "absent"
+      else if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(src)
+        try s.iterator().asScala
+          .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("|")
+        finally s.close()
+      } else s"${java.nio.file.Files.size(src)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      .digest(s"$dir|$stamp".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
     val path = s"$MaterializeRoot/$key/events"
     materialized.synchronized {
       if (!materialized.contains(path)) {
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          writeEventsByDay(Tables.events(spark, dir), path)
+        val dst = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
+          // a marker-less dst is a crashed pre-rename leftover (no JVM
+          // ever reads one under this discipline) — clear it so the
+          // rename below can land
+          deleteRecursively(dst)
+          val tmp = dst.resolveSibling(
+            s".tmp-events-${java.util.UUID.randomUUID().toString.take(13)}")
+          writeEventsByDay(Tables.events(spark, dir), tmp.toString)
+          try
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // another JVM landed the (deterministic, identical) layout
+            // between our marker check and rename — keep theirs
+            case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
+          }
+        }
         materialized += path
       }
     }
     relCache.computeIfAbsent((spark, path), _ => readEvents(spark, path))
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
 
   /** EXECUTE the q111 compaction plan: rewrite a (possibly
     * trickle-ingested, many-small-files) date-partitioned event layout

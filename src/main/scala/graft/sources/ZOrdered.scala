@@ -33,16 +33,29 @@ object ZOrdered {
     x2.bitwiseOR(shiftleft(x2, 1)).bitwiseAND(lit(0x5555L))
   }
 
+  /** Exact integer FLOOR division (the oracle's `//`): subtracting the
+    * non-negative `pmod` remainder makes the division exact, so the
+    * double-typed `/` introduces no rounding for |x| < 2^53 (any
+    * realistic cell coordinate; a corpus outgrowing that re-tunes the
+    * cell dials long before the arithmetic bound bites).
+    */
+  private def floorDiv(x: Column, d: Long): Column =
+    ((x - pmod(x, lit(d))) / d).cast("long")
+
   /** Morton key for an event: user cell (user_id ÷ `userCell`, odd
     * bits) interleaved with the day cell (days since `epochUs`, even
     * bits). Shared by the writer and the q107 audit so layout and
     * statistics table agree by construction.
+    *
+    * Cells use FLOOR division and non-negative `pmod` — matching the
+    * oracle's `//` + wrapped `%` — so an event before the epoch or a
+    * negative user id lands in the same cell on both engines
+    * (truncate-toward-zero plus a sign-blind bitmask would not).
     */
   def zKeyFor(user: Column, ts: Column, userCell: Long, epochUs: Long): Column = {
     val dayUs = 86400L * 1000000L
-    val uCell = (user / userCell).cast("long").bitwiseAND(lit(255L))
-    val dCell = ((unix_micros(ts) - epochUs) / dayUs).cast("long")
-      .bitwiseAND(lit(255L))
+    val uCell = pmod(floorDiv(user, userCell), lit(256L))
+    val dCell = pmod(floorDiv(unix_micros(ts) - epochUs, dayUs), lit(256L))
     spread8(uCell) * 2 + spread8(dCell)
   }
 
