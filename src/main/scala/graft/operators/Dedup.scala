@@ -830,16 +830,29 @@ object Dedup {
     keepLedgerOf(docs, containmentDedupFrom(docs))
 
   /** Ledger over explicit inputs: `containment` is a q87-shaped
-    * decision relation (needs its `cut_doc` column).
+    * decision relation (needs its `cut_doc` column). Recomputes the
+    * near-dup closure from `docs`; a pipeline that already materialized
+    * the q54 cluster CTAS hands it to the staged overload instead.
     */
-  def keepLedgerOf(docs: DataFrame, containment: DataFrame): DataFrame = {
+  def keepLedgerOf(docs: DataFrame, containment: DataFrame): DataFrame =
+    keepLedgerOf(docs, dedupClustersFrom(docs), containment)
+
+  /** Ledger over FULLY staged inputs: `clusters` is a q54-shaped
+    * membership relation (needs `doc_id`/`is_canonical`). This is the
+    * production read pattern — the closure is resolved once per corpus
+    * (the q54 CTAS) and every consumer (ledger, split, savings) reads
+    * the stored table; re-running the log-round CC fixpoint per
+    * consumer is the anti-pattern the ledger design exists to avoid.
+    */
+  def keepLedgerOf(docs: DataFrame, clusters: DataFrame,
+      containment: DataFrame): DataFrame = {
     val exactCut = docs.select(col("doc_id"), md5(normText).as("fp"))
       .withColumn("keeper", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")))
       .filter(col("doc_id") =!= col("keeper"))
       .select("doc_id").distinct()
       .withColumn("x_exact", lit(true))
-    val nearCut = dedupClustersFrom(docs)
+    val nearCut = clusters
       .filter(!col("is_canonical"))
       .select("doc_id").distinct()
       .withColumn("x_near", lit(true))
@@ -881,8 +894,16 @@ object Dedup {
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
     leakageSafeSplitFrom(Tables.documents(spark, dir))
 
-  def leakageSafeSplitFrom(docs: DataFrame): DataFrame = {
-    val cc = dedupClustersFrom(docs).select(col("doc_id"), col("cluster_id"))
+  def leakageSafeSplitFrom(docs: DataFrame): DataFrame =
+    leakageSafeSplitOf(docs, dedupClustersFrom(docs))
+
+  /** Split over a staged q54-shaped cluster relation (`doc_id`,
+    * `cluster_id`) — the production read pattern, same rationale as the
+    * staged [[keepLedgerOf]]: group identity comes from the stored
+    * cluster CTAS, not a per-consumer closure recompute.
+    */
+  def leakageSafeSplitOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val cc = clusters.select(col("doc_id"), col("cluster_id"))
     val rep = docs.select("doc_id")
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))

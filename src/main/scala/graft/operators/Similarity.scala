@@ -998,6 +998,23 @@ object Similarity {
     semanticDedupFrom(e, codebookOpt = Some(trainCentroids(e)))
   }
 
+  /** q136 — PQ-ADC ANN against TRAINED sub-codebooks: the q75 pattern
+    * applied to the last vector-family member still searching seeded
+    * codebooks — [[trainPqCodebooks]]'s per-subspace Euclidean Lloyd
+    * iterations feed [[annPqFrom]], and the oracle re-derives the
+    * identical sub-codebooks with unrolled SQL CTEs (exact-DECIMAL
+    * means, first-min assignment ties), so training + encode + ADC +
+    * rerank hash-match end to end like q75's trained IVF.
+    *
+    * Scale shape is q100's (encode is map-only, LUTs broadcast) plus
+    * q61's training contract: per iteration ONE corpus pass covers all
+    * [[PqM]] subspaces and only M·K model-sized rows reach the driver.
+    */
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    annPqFrom(e, Some(trainPqCodebooks(e)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_bruteforce" -> (knnBrute _),
     "q119_matryoshka_recall" -> (matryoshkaRecall _),
@@ -1013,7 +1030,8 @@ object Similarity {
     "q75_ann_ivf_trained" -> (annIvfTrained _),
     "q76_semantic_dedup_trained" -> (semanticDedupTrained _),
     "q91_quantized_rerank" -> (quantizedRerank _),
-    "q100_ann_pq" -> (annPq _))
+    "q100_ann_pq" -> (annPq _),
+    "q136_ann_pq_trained" -> (annPqTrained _))
 
   private val eCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -1094,6 +1112,72 @@ object Similarity {
     b.toString
   }
 
+  /** Oracle fragment for [[trainPqCodebooks]]: seed sub-codebooks `pc0`
+    * plus `iters` unrolled per-subspace Euclidean Lloyd iterations
+    * ending in `pc<iters>(k, m, c_emb)`. Expects CTEs `sub(vec_id, m,
+    * v)` (the [[PqM]]-way sliced corpus) in scope. Assignment is the
+    * encoder's `−2·v·c + cc` argmin with first-min tie order (the
+    * row_number window); updates are exact DECIMAL per-dimension means;
+    * emptied (m, cell) pairs carry the previous sub-centroid — the
+    * DataFrame trainer's semantics, re-derived so q136's training is
+    * itself hash-gated like q75's.
+    */
+  private def pqLloydSql(iters: Int): String = {
+    def iterCtes(i: Int): String =
+      s"""ps$i AS (SELECT s.vec_id, s.m, s.v, c.k,
+         |    -2.0 * list_inner_product(s.v, c.c_emb)
+         |      + list_inner_product(c.c_emb, c.c_emb) AS score
+         |  FROM sub s JOIN pc${i - 1} c ON c.m = s.m),
+         |pa$i AS (SELECT vec_id, m, v, k, row_number() OVER
+         |    (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn FROM ps$i),
+         |pm$i AS (SELECT m, k AS cell, v FROM pa$i WHERE rn = 1),
+         |pex$i AS (SELECT m, cell, UNNEST(v) AS x,
+         |    UNNEST(range(len(v))) AS pos FROM pm$i),
+         |pcs$i AS (SELECT m, cell, pos, sum(CAST(x AS DECIMAL(38,12))) AS s
+         |  FROM pex$i GROUP BY m, cell, pos),
+         |pn$i AS (SELECT m, cell, count(*) AS n FROM pm$i GROUP BY m, cell),
+         |pu$i AS (SELECT m, cell, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+         |  FROM pcs$i JOIN pn$i USING (m, cell) GROUP BY m, cell, n),
+         |pc$i AS (SELECT p.k, p.m, COALESCE(u.c, p.c_emb) AS c_emb
+         |  FROM pc${i - 1} p LEFT JOIN pu$i u
+         |    ON u.m = p.m AND u.cell = p.k)""".stripMargin
+    val b = new StringBuilder(
+      s"""pc0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb
+         |        FROM sub
+         |        WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK})""".stripMargin)
+    for (i <- 1 to iters) b.append(",\n" + iterCtes(i))
+    b.toString
+  }
+
+  /** Spark-SQL twin of [[pqLloydSql]] through the registered native
+    * kernels (`dot_product` assignment, `vector_sum_dec` exact-DECIMAL
+    * update) — the plan family the DataFrame trainer runs.
+    */
+  private def pqLloydSparkSql(iters: Int): String = {
+    def iterCtes(i: Int): String =
+      s"""ps$i AS (SELECT s.vec_id, s.m, s.v, c.k,
+         |    -2.0D * dot_product(s.v, c.c_emb)
+         |      + dot_product(c.c_emb, c.c_emb) AS score
+         |  FROM sub s JOIN pc${i - 1} c ON c.m = s.m),
+         |pa$i AS (SELECT vec_id, m, v, k, row_number() OVER
+         |    (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn FROM ps$i),
+         |pm$i AS (SELECT m, k AS cell, v FROM pa$i WHERE rn = 1),
+         |pu$i AS (SELECT m, cell, count(1) AS n,
+         |    vector_sum_dec(CAST(v AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM pm$i GROUP BY m, cell),
+         |puc$i AS (SELECT m, cell,
+         |    transform(sumv, x -> CAST(x AS DOUBLE) / n) AS c FROM pu$i),
+         |pc$i AS (SELECT p.k, p.m, COALESCE(u.c, p.c_emb) AS c_emb
+         |  FROM pc${i - 1} p LEFT JOIN puc$i u
+         |    ON u.m = p.m AND u.cell = p.k)""".stripMargin
+    val b = new StringBuilder(
+      s"""pc0 AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb
+         |        FROM sub
+         |        WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK})""".stripMargin)
+    for (i <- 1 to iters) b.append(",\n" + iterCtes(i))
+    b.toString
+  }
+
   private val eSparkCte =
     "e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings)"
 
@@ -1136,6 +1220,61 @@ object Similarity {
          |cc AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb,
          |    dot_product(v, v) AS cc
          |  FROM sub WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK}),
+         |scs AS (SELECT s.vec_id, s.m, c.k,
+         |    -2.0D * dot_product(s.v, c.c_emb) + c.cc AS score
+         |  FROM sub s JOIN cc c ON c.m = s.m),
+         |codes AS (SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn
+         |    FROM scs) WHERE rn = 1),
+         |wide AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM codes GROUP BY vec_id),
+         |qsub AS (SELECT vec_id AS query_id, m, v, dot_product(v, v) AS qq
+         |  FROM sub WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.query_id, q.m, c.k,
+         |    q.qq - 2.0D * dot_product(q.v, c.c_emb) + c.cc AS adc
+         |  FROM qsub q JOIN cc c ON c.m = q.m),
+         |luta AS (SELECT query_id, m,
+         |    transform(array_sort(collect_list(struct(k, adc))), s -> s.adc) AS l
+         |  FROM lut GROUP BY query_id, m),
+         |lutw AS (SELECT query_id,
+         |    $lutCols
+         |  FROM luta GROUP BY query_id),
+         |ap AS (SELECT l.query_id, w.vec_id, $approxExpr AS approx
+         |  FROM wide w CROSS JOIN lutw l WHERE w.vec_id <> l.query_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY approx ASC, vec_id) AS crn
+         |    FROM ap) WHERE crn <= $PqCand),
+         |scored AS (SELECT c.query_id, n.vec_id AS neighbor_id,
+         |    round(dot_product(q.emb, n.emb) / (q.nrm * n.nrm), 9) AS cosine
+         |  FROM cand c JOIN e n ON n.vec_id = c.vec_id
+         |  JOIN e q ON q.vec_id = c.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    // q100's Spark-SQL body against pqLloydSparkSql's trained
+    // sub-codebooks (the q75 trained-twin discipline)
+    "q136_ann_pq_trained" -> {
+      val codeCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")
+      val lutCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN l END) AS lut$m").mkString(",\n    ")
+      val approxExpr = (0 until PqM)
+        .map(m => s"element_at(l.lut$m, w.code$m + 1)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb,
+         |  sqrt(dot_product(CAST(embedding AS ARRAY<DOUBLE>),
+         |                   CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+         |  FROM embeddings),
+         |ms AS (SELECT explode(sequence(0, ${PqM - 1})) AS m),
+         |sub AS (SELECT vec_id, m, slice(emb, m * $PqD + 1, $PqD) AS v
+         |        FROM e CROSS JOIN ms),
+         |${pqLloydSparkSql(KmIters)},
+         |cc AS (SELECT k, m, c_emb, dot_product(c_emb, c_emb) AS cc
+         |  FROM pc$KmIters),
          |scs AS (SELECT s.vec_id, s.m, c.k,
          |    -2.0D * dot_product(s.v, c.c_emb) + c.cc AS score
          |  FROM sub s JOIN cc c ON c.m = s.m),
@@ -1253,6 +1392,57 @@ object Similarity {
          |cc AS (SELECT CAST(vec_id - $SeedBase AS INT) AS k, m, v AS c_emb,
          |    list_inner_product(v, v) AS cc
          |  FROM sub WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + PqK}),
+         |scs AS (SELECT s.vec_id, s.m, c.k,
+         |    -2.0 * list_inner_product(s.v, c.c_emb) + c.cc AS score
+         |  FROM sub s JOIN cc c ON c.m = s.m),
+         |codes AS (SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id, m ORDER BY score ASC, k) AS rn
+         |    FROM scs) WHERE rn = 1),
+         |wide AS (SELECT vec_id,
+         |    $codeCols
+         |  FROM codes GROUP BY vec_id),
+         |qsub AS (SELECT vec_id AS query_id, m, v, list_inner_product(v, v) AS qq
+         |  FROM sub WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.query_id, q.m, c.k,
+         |    q.qq - 2.0 * list_inner_product(q.v, c.c_emb) + c.cc AS adc
+         |  FROM qsub q JOIN cc c ON c.m = q.m),
+         |luta AS (SELECT query_id, m, list(adc ORDER BY k) AS l
+         |  FROM lut GROUP BY query_id, m),
+         |lutw AS (SELECT query_id,
+         |    $lutCols
+         |  FROM luta GROUP BY query_id),
+         |ap AS (SELECT l.query_id, w.vec_id, $approxExpr AS approx
+         |  FROM wide w CROSS JOIN lutw l WHERE w.vec_id <> l.query_id),
+         |cand AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY approx ASC, vec_id) AS crn
+         |    FROM ap) WHERE crn <= $PqCand),
+         |scored AS (SELECT c.query_id, n.vec_id AS neighbor_id,
+         |    round(list_inner_product(q.emb, n.emb) / (q.nrm * n.nrm), 9) AS cosine
+         |  FROM cand c JOIN e n ON n.vec_id = c.vec_id
+         |  JOIN e q ON q.vec_id = c.query_id),
+         |rk AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    // q100's search body against pqLloydSql's trained sub-codebooks —
+    // cc re-derives from pc<KmIters> instead of the raw seed slices
+    "q136_ann_pq_trained" -> {
+      val codeCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")
+      val lutCols = (0 until PqM)
+        .map(m => s"MAX(CASE WHEN m = $m THEN l END) AS lut$m").mkString(",\n    ")
+      val approxExpr = (0 until PqM)
+        .map(m => s"l.lut$m[w.code$m + 1]").mkString(" + ")
+      s"""WITH $eCte,
+         |ms AS (SELECT unnest(range($PqM)) AS m),
+         |sub AS (SELECT vec_id, m, list_slice(emb, m * $PqD + 1, m * $PqD + $PqD) AS v
+         |        FROM e CROSS JOIN ms),
+         |${pqLloydSql(KmIters)},
+         |cc AS (SELECT k, m, c_emb, list_inner_product(c_emb, c_emb) AS cc
+         |  FROM pc$KmIters),
          |scs AS (SELECT s.vec_id, s.m, c.k,
          |    -2.0 * list_inner_product(s.v, c.c_emb) + c.cc AS score
          |  FROM sub s JOIN cc c ON c.m = s.m),

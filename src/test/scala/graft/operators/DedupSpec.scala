@@ -349,6 +349,25 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("staged closure consumers (bench read pattern, q89/q102/q130)") {
+    // the bench stages these three on the materialized q54 cluster CTAS
+    // (and q89's ledger CTAS feeds q130); pin staged ≡ self-contained so
+    // the bench numbers measure the same relations the driver gates
+    it("ledger, split, and savings match their self-contained gates") {
+      def sameAs(a: DataFrame, b: DataFrame): Unit = {
+        assert(a.columns.toSeq == b.columns.toSeq)
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      }
+      val sf = graft.TestSpark.Sf
+      val d = graft.sources.Tables.documents(spark, sf)
+      val clusters = Dedup.dedupClustersFrom(d)
+      val ledger = Dedup.keepLedgerOf(d, clusters, Dedup.containmentDedup(spark, sf))
+      sameAs(ledger, Dedup.keepLedger(spark, sf))
+      sameAs(Dedup.dedupSavingsOf(ledger, d), Dedup.dedupSavings(spark, sf))
+      sameAs(Dedup.leakageSafeSplitOf(d, clusters), Dedup.leakageSafeSplit(spark, sf))
+    }
+  }
+
   describe("recordLinkage (q124)") {
     it("recovers the true key for every vowel-stripped variant via blocking") {
       import spark.implicits._

@@ -92,14 +92,12 @@ class SimilaritySpec extends AnyFunSpec {
       assert(pq.size == Similarity.NumQueries * Similarity.K)
     }
 
-    it("trained sub-codebooks hold recall on the same fixture") {
+    it("trained sub-codebooks (q136 gate) hold recall on the same fixture") {
       val sf = TestSpark.Sf
-      val emb = graft.sources.Tables.embeddings(spark, sf)
       val exact = Similarity.knnBrute(spark, sf)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val trained = Similarity.annPqFrom(emb,
-          Some(Similarity.trainPqCodebooks(emb)))
+      val trained = Similarity.annPqTrained(spark, sf)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & trained).size.toDouble / exact.size
