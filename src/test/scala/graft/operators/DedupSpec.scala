@@ -305,6 +305,24 @@ class DedupSpec extends AnyFunSpec {
         .map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), r.toString)
     }
+
+    it("driver union-find and distributed star rounds produce identical output") {
+      import spark.implicits._
+      // chain + a separate pair + an isolated merge through a bridge:
+      // exercises multi-round convergence on the distributed path
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (5L, 20L)).toDF("doc_a", "doc_b")
+      val local = Dedup.clustersOfVerified(edges).collect().toSeq
+      val dist =
+        try {
+          spark.conf.set(Dedup.CcLocalEdgeMaxConf, "0")
+          Dedup.clustersOfVerified(edges).collect().toSeq
+        } finally spark.conf.unset(Dedup.CcLocalEdgeMaxConf)
+      assert(local == dist, s"local=$local dist=$dist")
+      assert(local.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+          20L -> 1L, 21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
   }
 
   describe("incrementalClustersOf (q135)") {
@@ -333,6 +351,18 @@ class DedupSpec extends AnyFunSpec {
       val full = Dedup.dedupClustersFrom(oldDocs.unionByName(newDocs))
       val inc = Dedup.incrementalClustersOf(oldClusters, oldDocs, newDocs)
       assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
+      // the bench read pattern: all three old-state artifacts stored and
+      // read back through parquet feed the staged fold identically
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incstate-").toString
+      oldClusters.write.parquet(s"$tmp/clusters")
+      Dedup.bandsFrom(oldDocs).write.parquet(s"$tmp/bands")
+      Dedup.shinglesFrom(oldDocs).write.parquet(s"$tmp/sh")
+      val staged = Dedup.incrementalClustersStaged(
+        spark.read.parquet(s"$tmp/clusters"),
+        spark.read.parquet(s"$tmp/bands"),
+        spark.read.parquet(s"$tmp/sh"), newDocs)
+      assert(staged.exceptAll(full).count() == 0 &&
+        full.exceptAll(staged).count() == 0)
     }
   }
 
