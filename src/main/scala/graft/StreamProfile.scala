@@ -28,9 +28,12 @@ object StreamProfile {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val Hdfs =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val Changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     for {
-      prov <- Seq("hdfs", "rocksdb")
-      parts <- Seq("8", "4")
+      (prov, changelog) <- Seq(("hdfs", "false"), ("rocksdb", "false"),
+        ("rocksdb", "true"))
+      parts <- Seq("4", "2", "1")
     } {
       // EventStream.drain overrides the Spark provider conf from its own
       // StateProviderConf for every drain, so the sweep must set THAT
@@ -39,14 +42,16 @@ object StreamProfile {
       spark.conf.set(EventStream.StateProviderConf,
         if (prov == "rocksdb") RocksDb else Hdfs)
       spark.conf.set(EventStream.StatePartitionsConf, parts)
+      spark.conf.set(Changelog, changelog)
+      val tag = s"$prov cl=$changelog parts=$parts"
       (1 to 2).foreach { pass =>
-        time(s"q49 rates $prov parts=$parts pass$pass") {
+        time(s"q49 rates $tag pass$pass") {
           EventStream.streamedRates(spark, sfDir).count()
         }
-        time(s"q50 join $prov parts=$parts pass$pass") {
+        time(s"q50 join $tag pass$pass") {
           EventStream.streamedRangeJoin(spark, sfDir).count()
         }
-        time(s"q65 topk $prov parts=$parts pass$pass") {
+        time(s"q65 topk $tag pass$pass") {
           EventStream.streamedTopK(spark, sfDir).count()
         }
       }

@@ -97,6 +97,18 @@ object EventStream {
   val StateProviderConf = "spark.graft.streaming.stateStoreProvider"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** The small-state provider choice: for MODEL-scale state (the
+    * drained fixture runs — thousands of keys), the HDFS-backed
+    * provider at 1–2 partitions skips RocksDB's per-instance open +
+    * commit machinery and measured fastest in the `StreamProfile`
+    * sweep; RocksDB stays the default because production state is
+    * sized to NOT fit comfortably on-heap. A caller that knows its
+    * state volume sets [[StateProviderConf]]/[[StatePartitionsConf]]
+    * accordingly (the per-stream sizing dial documented above).
+    */
+  val HdfsStateProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
   private val SparkProviderConf = "spark.sql.streaming.stateStore.providerClass"
 
   private[streaming] def drain(df: DataFrame, tableName: String,

@@ -92,6 +92,34 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("round-7 staged incremental fold (q135)") {
+    it("fed stored state, the fold touches no original-corpus scan and kernels run on the new batch only") {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val (o, n) = Dedup.incSplit(docs)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q135-plan-").toString
+      Dedup.dedupClustersFrom(o).write.parquet(s"$tmp/clusters")
+      Dedup.bandsFrom(o).write.parquet(s"$tmp/bands")
+      Dedup.shinglesFrom(o).write.parquet(s"$tmp/sh")
+      n.write.parquet(s"$tmp/new")
+      // the fold's only document-shaped input is the stored new batch:
+      // any old-corpus banding/shingling recompute (the full-corpus
+      // pass the staged form exists to avoid) would have to re-read
+      // documents.parquet — assert it never appears in the plan
+      val staged = Dedup.incrementalClustersStaged(
+        spark.read.parquet(s"$tmp/clusters"),
+        spark.read.parquet(s"$tmp/bands"),
+        spark.read.parquet(s"$tmp/sh"),
+        spark.read.parquet(s"$tmp/new"))
+      val p = staged.queryExecution.executedPlan.toString
+      assert(!p.contains("documents.parquet"),
+        s"staged fold re-read the source corpus:\n$p")
+      // and the result still matches the full recompute over all docs
+      val full = Dedup.dedupClustersFrom(docs)
+      assert(staged.exceptAll(full).count() == 0 &&
+        full.exceptAll(staged).count() == 0)
+    }
+  }
+
   describe("round-2 operator plan shapes") {
     it("q22 minhash is map-only up to the band join: no aggregate below it") {
       // the one-pass kernel replaced the explode+groupBy(min) signature
