@@ -41,6 +41,65 @@ class MultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("decodeImages / resizeImages (REAL ImageIO codec path)") {
+    // build a real PNG in-memory: encode→decode must round-trip exactly
+    // (PNG is lossless), making the decode parity check bit-exact
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+
+    it("decodes real PNG payloads to exact dimensions and luma mass") {
+      // solid black (luma 0 → bin 0) and solid white (luma 255 → bin 7)
+      val rows = Seq(
+        (1L, png(20, 10)((_, _) => 0x000000)),
+        (2L, png(7, 33)((_, _) => 0xffffff)),
+        (3L, "definitely not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "payload")
+      val f = Multimodal.decodeImages(rows).collect()
+        .map(r => r.doc_id -> r).toMap
+      assert(f(1L).decode_ok && f(1L).width == 20 && f(1L).height == 10)
+      assert(f(1L).luma_hist(0) == 1.0 && f(1L).luma_hist.sum == 1.0)
+      assert(f(2L).decode_ok && f(2L).width == 7 && f(2L).height == 33)
+      assert(f(2L).luma_hist(7) == 1.0)
+      // the poisoned payload quarantines instead of killing the scan
+      assert(!f(3L).decode_ok && f(3L).width == 0 &&
+        f(3L).luma_hist.forall(_ == 0.0))
+    }
+
+    it("mixed-luma gradient lands mass in every bin, summing to 1") {
+      // x ranges 0..255 → gray gradient covers all 8 luma bins evenly
+      val g = Seq((1L, png(256, 2)((x, _) => (x << 16) | (x << 8) | x)))
+        .toDF("doc_id", "payload")
+      val f = Multimodal.decodeImages(g).head()
+      assert(f.decode_ok && f.width == 256)
+      assert(f.luma_hist.forall(b => math.abs(b - 0.125) < 1e-9), f.luma_hist.toSeq)
+    }
+
+    it("resizes with exact aspect-fit dims and a stable pixel hash") {
+      val rows = Seq(
+        (1L, png(200, 100)((x, y) => ((x * 7 + y * 13) % 256) << 16)),
+        (2L, png(30, 20)((_, _) => 0x123456)),   // already inside the box
+        (3L, "junk".getBytes("UTF-8")))          // dropped, not thrown
+        .toDF("doc_id", "payload")
+      val r = Multimodal.resizeImages(rows, 64, 64).collect()
+        .map(x => x.doc_id -> x).toMap
+      assert(r.keySet == Set(1L, 2L), "non-image must be dropped")
+      assert(r(1L).out_width == 64 && r(1L).out_height == 32)
+      assert(r(2L).out_width == 30 && r(2L).out_height == 20, "never upscales")
+      // nearest-neighbor on integer indices: the pixel hash is a pure
+      // function of the payload — rerun must reproduce it bit-exactly
+      val again = Multimodal.resizeImages(rows, 64, 64).collect()
+        .map(x => x.doc_id -> x.px_sha).toMap
+      assert(r(1L).px_sha == again(1L) && r(2L).px_sha == again(2L))
+      assert(r(1L).px_sha.length == 64)
+    }
+  }
+
   describe("resizeFeatures") {
     it("fits into the bounding box preserving aspect, never upscales") {
       val feats = Multimodal.decodeFeatures(Multimodal.payloads(spark, sf))
