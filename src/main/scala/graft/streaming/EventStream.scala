@@ -394,9 +394,19 @@ object EventStream {
     * join into the window aggregate. Gate discipline = q49's horizon
     * filter on the drained sink.
     */
-  def streamedEnrichedRates(spark: SparkSession, dir: String): DataFrame = {
-    drain(enrichedRates(source(spark, dir), userTiers(spark, dir)),
-      "graft_q114_sink")
+  def streamedEnrichedRates(spark: SparkSession, dir: String): DataFrame =
+    streamedEnrichedRatesOf(spark, dir, userTiers(spark, dir))
+
+  /** [[streamedEnrichedRates]] over an explicit (typically MATERIALIZED)
+    * tier dimension — the production read pattern: the slowly-changing
+    * dim is a batch-maintained snapshot table, so each micro-batch
+    * re-broadcasts a cheap scan of it, not a recomputed aggregate +
+    * percentile pass over the fact history (which the self-contained
+    * gate form pays per batch for self-containment).
+    */
+  def streamedEnrichedRatesOf(spark: SparkSession, dir: String,
+      tiers: DataFrame): DataFrame = {
+    drain(enrichedRates(source(spark, dir), tiers), "graft_q114_sink")
     import graft.sources.Tables
     val maxUs = Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)

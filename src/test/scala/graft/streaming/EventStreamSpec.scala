@@ -186,5 +186,15 @@ class EventStreamSpec extends AnyFunSpec {
       assert(streamed.exceptAll(batch).count() == 0)
       assert(streamed.count() > 0)
     }
+
+    it("a materialized tier dim (the bench read pattern) drains identically") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tiers-")
+        .resolve("tiers").toString
+      EventStream.userTiers(spark, sf).write.parquet(tmp)
+      val staged = EventStream.streamedEnrichedRatesOf(
+        spark, sf, spark.read.parquet(tmp))
+      val self = EventStream.streamedEnrichedRates(spark, sf)
+      assert(staged.collect().toSeq == self.collect().toSeq)
+    }
   }
 }
