@@ -248,6 +248,93 @@ object Multimodal {
       }
   }
 
+  /** A 64-bit perceptual average-hash of a decoded image. */
+  final case class ImageHash(doc_id: Long, decode_ok: Boolean, ahash: Long)
+
+  /** PERCEPTUAL image hash (aHash): decode, nearest-neighbor downsample
+    * to an 8×8 luma grid (exact integer indices, as [[resizeImages]]),
+    * then one bit per cell — set iff `64·luma > Σluma` (the mean
+    * comparison kept in integer space, no division). Visually-identical
+    * images — recompressions, small edits, resizes — land within a few
+    * bits; unrelated images differ in ~32. Map-only, no shuffle; the
+    * 64-bit signature is the image twin of q23's text SimHash.
+    */
+  def imageAHash(payloads: DataFrame): Dataset[ImageHash] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth
+              val h = im.getHeight
+              val luma = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                val rgb = im.getRGB(((i % 8).toLong * w / 8).toInt,
+                  ((i / 8).toLong * h / 8).toInt)
+                luma(i) = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                i += 1
+              }
+              val total = luma.sum
+              var hash = 0L
+              i = 0
+              while (i < 64) {
+                if (64L * luma(i) > total) hash |= (1L << i)
+                i += 1
+              }
+              ImageHash(id, decode_ok = true, hash)
+            case None => ImageHash(id, decode_ok = false, 0L)
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate IMAGE pairs: banded Hamming search over the aHash —
+    * the q22→q24 band-then-verify discipline applied to the image
+    * signature. The 64-bit hash splits into 8 exact-match 8-bit bands;
+    * by pigeonhole any pair within Hamming distance ≤ 7 collides on at
+    * least one band, so recall is COMPLETE for the default radius —
+    * never an all-pairs scan. Candidates verify with one codegen
+    * `bit_count(xor)` per pair. Non-decodable payloads are quarantined
+    * upstream by `decode_ok`.
+    *
+    * Scale shape: signature is map-only; the band self-join shuffles
+    * (band_id, band_key) with shuffle-hash on both sides (exchange
+    * reuse, the q22 choice); comparisons are per-bucket occupancy,
+    * bounded exactly like the text LSH path.
+    */
+  def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "8 exact-match bands guarantee recall only to Hamming distance 7")
+    val h = imageAHash(payloads).toDF().filter(col("decode_ok"))
+      .select(col("doc_id"), col("ahash"))
+    val bands = h.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(7))).as("band_id"))
+      .withColumn("band_key",
+        expr("shiftrightunsigned(ahash, band_id * 8) & 255L"))
+    bands.alias("a").hint("shuffle_hash")
+      .join(bands.alias("b").hint("shuffle_hash"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Binary-payload view of the documents table (text bytes as media). */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -100,6 +100,48 @@ class MultimodalSpec extends AnyFunSpec {
     }
   }
 
+  describe("imageAHash / imageNearDupPairs (perceptual image dedup)") {
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    // a half-dark/half-bright pattern gives a non-degenerate hash
+    def pattern(x: Int, y: Int): Int = if ((x / 8 + y / 8) % 2 == 0) 0x202020 else 0xd0d0d0
+
+    it("identical pixels at different sizes hash identically (scale invariance)") {
+      val rows = Seq(
+        (1L, png(64, 64)(pattern)),
+        (2L, png(128, 128)((x, y) => pattern(x / 2, y / 2))))
+        .toDF("doc_id", "payload")
+      val h = Multimodal.imageAHash(rows).collect().map(r => r.doc_id -> r.ahash).toMap
+      assert(h(1L) == h(2L), f"64px ${h(1L)}%x vs 128px ${h(2L)}%x")
+    }
+
+    it("pairs a lightly-edited copy, not an unrelated image, and quarantines junk") {
+      val base = png(64, 64)(pattern)
+      // flip a single 8x8 cell: exactly one aHash bit should move
+      val edited = png(64, 64)((x, y) =>
+        if (x < 8 && y < 8) 0xd0d0d0 else pattern(x, y))
+      val inverse = png(64, 64)((x, y) => pattern(x, y) ^ 0xffffff)
+      val rows = Seq(
+        (1L, base), (2L, edited), (3L, inverse),
+        (4L, "not an image at all".getBytes("UTF-8")))
+        .toDF("doc_id", "payload")
+      val pairs = Multimodal.imageNearDupPairs(rows).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(pairs.contains((1L, 2L)), s"edited copy must pair: $pairs")
+      assert(pairs((1L, 2L)) <= 7 && pairs((1L, 2L)) >= 1)
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+        s"inverse image must not pair: $pairs")
+      assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+        "non-image must be quarantined out of pairing")
+    }
+  }
+
   describe("resizeFeatures") {
     it("fits into the bounding box preserving aspect, never upscales") {
       val feats = Multimodal.decodeFeatures(Multimodal.payloads(spark, sf))
