@@ -446,10 +446,19 @@ object Similarity {
     for (_ <- 0 until iters) {
       val parts = (0 until PqM).map { m =>
         val sub = slice(col("emb"), m * PqD + 1, PqD)
-        val cc = cents(m).map(c => dotSeq(c, c))
-        val scores = array(cents(m).indices.map(k =>
+        // codebook + self-dots as ONE nested-array literal each (data,
+        // not code): unrolling 16 per-centroid array literals × 8
+        // subspaces into the projection blew the generated method past
+        // the JVM's 64 KB limit, so the whole stage silently fell back
+        // to interpreted evaluation (measured ~2× on the training
+        // pass). transform over the literal keeps codegen small and
+        // the arithmetic — kernel dot, −2·d + cc, first-min argmin —
+        // bit-identical.
+        val cbLit = typedlit(cents(m).map(_.toSeq))
+        val ccLit = typedlit(cents(m).map(c => dotSeq(c, c)))
+        val scores = transform(sequence(lit(0), lit(PqK - 1)), k =>
           lit(-2.0) * call_function("dot_product", sub,
-            array(cents(m)(k).map(lit): _*)) + lit(cc(k))): _*)
+            element_at(cbLit, k + 1)) + element_at(ccLit, k + 1))
         struct(lit(m).as("m"),
           (array_position(scores, array_min(scores)) - 1).cast("int").as("cell"),
           sub.as("v"))
@@ -508,12 +517,18 @@ object Similarity {
 
     val e = embDouble(embeddings)
     // encode: per subspace, argmin_k of (−2·v·c + cc) — the vv term is
-    // constant per (row, subspace) and cancels out of the argmin
+    // constant per (row, subspace) and cancels out of the argmin.
+    // Codebook + self-dots ride as nested-array literals (the trainer's
+    // 64 KB-codegen discipline): the earlier per-centroid literal
+    // unrolling pushed the projection past the JVM method limit and the
+    // encode ran interpreted.
     val enc = (0 until PqM).foldLeft(e) { (df, m) =>
       val sub = slice(col("emb"), m * PqD + 1, PqD)
-      val scores = array((0 until PqK).map(k =>
+      val cbLit = typedlit(codebook(m).map(_.toSeq))
+      val ccLit = typedlit(cc(m).toSeq)
+      val scores = transform(sequence(lit(0), lit(PqK - 1)), k =>
         lit(-2.0) * call_function("dot_product", sub,
-          array(codebook(m)(k).map(lit): _*)) + lit(cc(m)(k))): _*)
+          element_at(cbLit, k + 1)) + element_at(ccLit, k + 1))
       df.withColumn(s"s$m", scores)
         .withColumn(s"code$m",
           (expr(s"array_position(s$m, array_min(s$m))") - 1).cast("int"))
