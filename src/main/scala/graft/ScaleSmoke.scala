@@ -154,6 +154,27 @@ object ScaleSmoke {
         f"window_rows_cut=$dupPos")
       require(dis <= pos, "distinct gram rows must not exceed positions")
     }
+    // round-7 operators: trained-PQ search (the 64 KB-codegen
+    // discipline keeps encode/training compiled at any corpus size) and
+    // the staged incremental fold — old-state artifacts are the
+    // PREVIOUS batch's work, so the timed arm is the new slice's
+    // collision neighborhood only
+    t("ann_pq_trained") {
+      Similarity.annPqFrom(emb, Some(Similarity.trainPqCodebooks(emb))).count()
+    }
+    locally {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      val (o, n) = Dedup.incSplit(canonical)
+      Dedup.dedupClustersFrom(o).write.mode("overwrite").parquet(s"$wh/oldclusters")
+      Dedup.bandsFrom(o).write.mode("overwrite").parquet(s"$wh/oldbands")
+      Dedup.shinglesFrom(o).write.mode("overwrite").parquet(s"$wh/oldsh")
+      t("incremental_fold") {
+        Dedup.incrementalClustersStaged(
+          spark.read.parquet(s"$wh/oldclusters"),
+          spark.read.parquet(s"$wh/oldbands"),
+          spark.read.parquet(s"$wh/oldsh"), n).count()
+      }
+    }
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
     // (this VM's clock is too noisy for hard wall-time asserts); times
@@ -195,8 +216,14 @@ object ScaleSmoke {
           val spokes = 20000L * mult
           val edges = spark.range(1, spokes + 1)
             .selectExpr("0L AS doc_a", "id AS doc_b")
-          val r = Dedup.clustersOfVerified(edges)
-          val n = r.count()
+          // force the DISTRIBUTED star rounds: this arm proves the
+          // log-round machinery resolves a hot hub, so the driver
+          // union-find shortcut (which would absorb the whole graph at
+          // smoke scale) is disabled for it
+          spark.conf.set(Dedup.CcLocalEdgeMaxConf, "0")
+          val n =
+            try Dedup.clustersOfVerified(edges).count()
+            finally spark.conf.unset(Dedup.CcLocalEdgeMaxConf)
           require(n == spokes + 1, s"star must resolve whole: $n vs ${spokes + 1}")
           n
         }
