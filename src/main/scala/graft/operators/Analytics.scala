@@ -590,9 +590,15 @@ object Analytics {
     val items = ui.select(col("item")).distinct()
     val nItems = items.count() // one scalar job — item-domain cardinality
     val base = (1.0 - PrDamp) / nItems
+    // materialize the transition relation ONCE (localCheckpoint = the
+    // in-session CTAS): every iteration reads the stored edges instead
+    // of stacking the user-pair self-join subtree PrIters deep in the
+    // final plan — the same iterate-on-stored-state shape as the CC
+    // rounds and the q135 fold
     val trans = edges.join(deg, "u")
       .select(col("u"), col("v"),
         (col("w").cast("double") / col("wu").cast("double")).as("frac"))
+      .localCheckpoint()
     var p = items.select(col("item"), (lit(1.0) / lit(nItems)).as("p"))
     for (_ <- 0 until PrIters) {
       val contrib = trans.join(p, trans("u") === p("item"))
