@@ -364,8 +364,7 @@ object Similarity {
       }
     val qProbes = probeRows.toDF("query_id", "q_emb", "probe_cell")
     val e = embDouble(embeddings)
-    val scores = array(codebook.map(c =>
-      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    val scores = codebookScores(col("emb"), codebook)
     // first-max argmax: same tie order as the oracle's (score DESC, c ASC)
     val ecell = e.withColumn("scores", scores)
       .withColumn("cell",
@@ -584,13 +583,25 @@ object Similarity {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainFrom(Tables.embeddings(spark, dir))
 
+  /** Per-cell kernel scores against a model-constant codebook, shipped
+    * as ONE nested-array literal probed via `transform` — the
+    * 64 KB-codegen discipline (see [[trainPqCodebooks]]): unrolling a
+    * literal array per centroid grows the generated method linearly in
+    * cells × dims and silently de-compiles the stage past the JVM
+    * method limit. Values and evaluation order are identical.
+    */
+  private def codebookScores(v: Column, codebook: Seq[Seq[Double]]): Column = {
+    val cbLit = typedlit(codebook.map(_.toSeq))
+    transform(sequence(lit(0), lit(codebook.size - 1)), k =>
+      call_function("dot_product", v, element_at(cbLit, k + 1)))
+  }
+
   /** First-max argmax assignment against a literal codebook — same
     * (score DESC, c ASC) tie order as the oracle's row_number window
     * (q36 precedent). Pure map work.
     */
   private def assignedCells(e: DataFrame, cent: Seq[Seq[Double]]): DataFrame = {
-    val scores = array(cent.map(c =>
-      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    val scores = codebookScores(col("emb"), cent)
     e.withColumn("scores", scores)
       .withColumn("cell",
         (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
@@ -767,8 +778,7 @@ object Similarity {
     val codebook: Seq[Seq[Double]] =
       codebookOpt.getOrElse(seedCodebook(embeddings, cells))
     val e = embDouble(embeddings)
-    val scores = array(codebook.map(c =>
-      call_function("dot_product", col("emb"), array(c.map(lit): _*))): _*)
+    val scores = codebookScores(col("emb"), codebook)
     // first-max argmax — same (score DESC, c ASC) tie order as the oracle
     val ecell = e.withColumn("scores", scores)
       .withColumn("cell",
