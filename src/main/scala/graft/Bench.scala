@@ -226,6 +226,16 @@ object Bench {
       Dedup.leakageSafeSplitOf(Tables.documents(spark, sfDir),
         spark.read.parquet(s"$wh/clusters"))
     }
+    // incremental containment reads the stored winnow-fp index and
+    // shingle relation (written pre-pass with the q135 state): the
+    // timed work is the new batch's kernel passes + its collision
+    // neighborhood against the stored index
+    run("q137_incremental_containment") {
+      val (_, n) = Dedup.incSplit(Tables.documents(spark, sfDir))
+      Dedup.incrementalContainmentOf(
+        spark.read.parquet(s"$wh/oldfps"),
+        spark.read.parquet(s"$wh/oldsh"), n)
+    }
 
     // the staged sections above must jointly cover the whole catalog —
     // q80 initially slipped through this gap (Dedup is staged by hand,
@@ -249,6 +259,8 @@ object Bench {
         .parquet(s"$wh/oldclusters")
       Dedup.bandsFrom(o).write.mode("overwrite").parquet(s"$wh/oldbands")
       Dedup.shinglesFrom(o).write.mode("overwrite").parquet(s"$wh/oldsh")
+      graft.operators.TextAnalysis.winnowFpsFrom(o)
+        .write.mode("overwrite").parquet(s"$wh/oldfps")
     }
     // The q114 slowly-changing tier dimension, same rationale: batch-
     // maintained snapshot, refreshed between stream batches — building

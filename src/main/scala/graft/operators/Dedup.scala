@@ -860,12 +860,14 @@ object Dedup {
   /** [[containmentDedupFrom]] over pre-materialized candidate pairs —
     * the staged form Bench uses so q87 rides a q85 CTAS.
     */
-  def containmentDedupOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val sh = Tables.widened(docs, col("doc_id"))
-      .select(col("doc_id"),
-        call_function("sorted_shingle_hashes", col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
+  def containmentDedupOf(pairs: DataFrame, docs: DataFrame): DataFrame =
+    containmentDedupOfShingles(pairs, shinglesFrom(docs))
+
+  /** The verify stage over an explicit (possibly stored) shingle
+    * relation — the q135-staging hook for [[incrementalContainment]].
+    */
+  def containmentDedupOfShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    GraftFunctions.register(sh.sparkSession)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -886,6 +888,56 @@ object Dedup {
           .otherwise(col("doc_a")).as("keep_doc"),
         col("cut_doc"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q137 — INCREMENTAL containment maintenance: fold a new document
+    * batch into an EXISTING containment-dedup state — the q135
+    * discipline applied to the q85→q87 family, completing the
+    * incremental set (exact q67, near-dup q78, clusters q135,
+    * containment here). The old corpus contributes its STORED winnow
+    * fingerprint index and shingle relation; the batch pays winnowing +
+    * shingling for the NEW slice only. Document frequencies (the
+    * rare-fp cap) are recomputed over old-index ∪ new-fps — index-scale
+    * aggregation, not a corpus text pass — so the cap binds exactly as
+    * a full run's would. Candidates are restricted to pairs touching
+    * ≥1 new doc; old×old decisions already exist in yesterday's table.
+    *
+    * THE GATE IS THE CONTRACT: the oracle runs the FULL q87 pipeline
+    * over all documents and keeps the pairs with a new endpoint, so the
+    * hash gate proves incremental ≡ full-restricted — a batch fold
+    * surfaces exactly the decisions a recompute would.
+    *
+    * Scale shape: the fp join is rNew (batch-sized) × rare-all
+    * (df-capped), bounded by cap · Σ_new df — never the full fp
+    * self-join; verification joins the (batch-neighborhood-sized) pair
+    * list against the stored shingle arrays.
+    */
+  def incrementalContainment(spark: SparkSession, dir: String): DataFrame = {
+    val (o, n) = incSplit(Tables.documents(spark, dir))
+    incrementalContainmentOf(TextAnalysis.winnowFpsFrom(o), shinglesFrom(o), n)
+  }
+
+  def incrementalContainmentOf(oldFps: DataFrame, oldShingles: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    val newFps = TextAnalysis.winnowFpsFrom(newDocs)
+    val fps = oldFps.unionByName(newFps)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainMaxFpDocs).select("fp")
+    val r = fps.join(rare, Seq("fp"))
+    val rNew = newFps.join(rare, Seq("fp"))
+    // one side anchored on the batch: every emitted pair touches ≥1 new
+    // doc. Canonicalize + distinct per (fp, pair) because a new×new
+    // pair appears from both orientations of the all×new join.
+    val cand = r.select(col("fp"), col("doc_id").as("x"))
+      .join(rNew.select(col("fp"), col("doc_id").as("y")), Seq("fp"))
+      .filter(col("x") =!= col("y"))
+      .select(col("fp"), least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+      .distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContainMinShared)
+    val sh = oldShingles.unionByName(shinglesFrom(newDocs))
+    containmentDedupOfShingles(cand.select("doc_a", "doc_b"), sh)
   }
 
   /** q89 — the dedup DECISION LEDGER: one row per document with the
@@ -1011,6 +1063,7 @@ object Dedup {
     "q124_record_linkage" -> (recordLinkage _),
     "q130_dedup_savings" -> (dedupSavings _),
     "q135_incremental_clusters" -> (incrementalClusters _),
+    "q137_incremental_containment" -> (incrementalContainment _),
     "q21_exact_dedup" -> (exactDedup _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
@@ -1201,6 +1254,47 @@ object Dedup {
          |  cut_doc
          |FROM v WHERE containment >= $ContainVerifyMin
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q87's FULL pipeline restricted to pairs touching the q135
+    // new-batch slice — the gate proves the incremental fold emits
+    // exactly the decisions a full recompute would for the batch's
+    // collision neighborhood (old×old rows live in yesterday's table)
+    "q137_incremental_containment" -> {
+      def isNew(c: String) =
+        s"${TextFns.sql.hash32(s"'inc|' || CAST($c AS VARCHAR)")} % $IncMod = 0"
+      s"""WITH ${TextAnalysis.winnowSql},
+         |f AS (SELECT DISTINCT doc_id,
+         |    list_extract(kh, CAST(pos AS INT) + 1) AS fp FROM u),
+         |d AS (SELECT fp FROM f GROUP BY fp
+         |  HAVING count(*) <= $ContainMaxFpDocs),
+         |r AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)),
+         |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*) >= $ContainMinShared),
+         |p AS (SELECT * FROM p0
+         |  WHERE ${isNew("doc_a")} OR ${isNew("doc_b")}),
+         |exd AS (SELECT doc_id, ${TextFns.sql.hash60("sx")} AS s FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 1),
+         |    i -> w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2]))) AS sx FROM t)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM exd GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_common
+         |  FROM p JOIN exd a ON a.doc_id = p.doc_a
+         |  JOIN exd b ON b.doc_id = p.doc_b AND b.s = a.s
+         |  GROUP BY p.doc_a, p.doc_b),
+         |v AS (SELECT i.doc_a, i.doc_b, i.n_common,
+         |    round(CAST(i.n_common AS DOUBLE) / NULLIF(least(sa.sz, sb.sz), 0), 9)
+         |      AS containment,
+         |    CASE WHEN sa.sz < sb.sz THEN i.doc_a
+         |         WHEN sb.sz < sa.sz THEN i.doc_b
+         |         ELSE greatest(i.doc_a, i.doc_b) END AS cut_doc
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+         |SELECT doc_a, doc_b, n_common, containment,
+         |  CASE WHEN cut_doc = doc_a THEN doc_b ELSE doc_a END AS keep_doc,
+         |  cut_doc
+         |FROM v WHERE containment >= $ContainVerifyMin
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // the three cut sets composed with precedence: exact fp groups
     // (q21's normalization), transitive near-dup clusters (q54's
     // recursive CTE), verified containment cuts (q87's chain with its

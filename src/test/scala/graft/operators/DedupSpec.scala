@@ -398,6 +398,27 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("incrementalContainment (q137)") {
+    it("equals the full containment decisions restricted to new-touching pairs") {
+      val sf = graft.TestSpark.Sf
+      val d = graft.sources.Tables.documents(spark, sf)
+      val (o, n) = Dedup.incSplit(d)
+      val newIds = n.select("doc_id").collect().map(_.getLong(0)).toSet
+      val expected = Dedup.containmentDedupFrom(d).collect().toSeq
+        .filter(r => newIds(r.getLong(0)) || newIds(r.getLong(1)))
+      val inc = Dedup.incrementalContainment(spark, sf).collect().toSeq
+      assert(inc == expected, s"inc=$inc expected=$expected")
+      // and the bench read pattern: stored fp index + shingle relation
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incc-").toString
+      graft.operators.TextAnalysis.winnowFpsFrom(o).write.parquet(s"$tmp/fps")
+      Dedup.shinglesFrom(o).write.parquet(s"$tmp/sh")
+      val staged = Dedup.incrementalContainmentOf(
+        spark.read.parquet(s"$tmp/fps"),
+        spark.read.parquet(s"$tmp/sh"), n).collect().toSeq
+      assert(staged == expected)
+    }
+  }
+
   describe("recordLinkage (q124)") {
     it("recovers the true key for every vowel-stripped variant via blocking") {
       import spark.implicits._
