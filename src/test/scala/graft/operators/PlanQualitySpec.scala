@@ -120,6 +120,49 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("generated code compiles (the 64 KB method-limit guard)") {
+    // The q136 lesson: per-centroid literal unrolling grew a projection's
+    // generated method past the JVM's 64 KB limit — Janino failed and
+    // Spark SILENTLY fell back to interpreted evaluation (a ~2× cost
+    // with no test signal; plans still print WholeStageCodegen). This
+    // gate compiles every codegen stage of the literal-heaviest plans
+    // so the fallback becomes a test failure instead of a perf mystery.
+    // AQE hides physical stages inside QueryStageExec/AdaptiveSparkPlanExec
+    // fields that TreeNode.collect does not traverse — walk them explicitly
+    def allStages(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.WholeStageCodegenExec] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => Seq(w)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allStages)
+    }
+
+    def assertCompiles(q: String): Unit = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // execute THIS plan (count() would build a different one) so AQE
+      // finalizes and the codegen stages exist
+      df.collect()
+      val stages = allStages(df.queryExecution.executedPlan)
+      assert(stages.nonEmpty, s"$q lost whole-stage codegen entirely")
+      stages.foreach { w =>
+        val (_, code) = w.doCodeGen()
+        // throws (test failure) if any generated method exceeds limits
+        org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+          .compile(code)
+      }
+    }
+    it("q100 PQ encode stages compile") { assertCompiles("q100_ann_pq") }
+    it("q36 IVF assignment stages compile") { assertCompiles("q36_ann_ivf") }
+    it("q26 LSH bucket stages compile") { assertCompiles("q26_ann_lsh") }
+  }
+
   describe("round-2 operator plan shapes") {
     it("q22 minhash is map-only up to the band join: no aggregate below it") {
       // the one-pass kernel replaced the explode+groupBy(min) signature
