@@ -544,6 +544,65 @@ object Analytics {
       .orderBy("event_type", "bucket")
   }
 
+  /** q138 sketch size (smaller than q39's [[TextAnalysis.KmvK]]: the
+    * per-day partial tables it bounds are stored per group).
+    */
+  val SkK = 128
+
+  /** q138 — MERGEABLE sketch rollup: per-day KMV partials of distinct
+    * users per event type, merged across days into the full-range
+    * estimate. This is the 100 TB rollup discipline made a first-class
+    * operator: a 1000-day warehouse never recounts distinct users from
+    * raws — it stores a [[SkK]]-row sketch per (type, day) at ingest
+    * and answers any date-range distinct query by merging the range's
+    * partials (state = groups × k rows, independent of corpus size).
+    * KMV merges EXACTLY: the k smallest of a union equal the k smallest
+    * of the per-day k-minima (an element among the global k smallest is
+    * among its own day's k smallest), so the merged estimate is
+    * bit-identical to a direct sketch of the raws — the spec pins that
+    * identity, and the exact per-type distinct count rides alongside as
+    * the error gauge (the q121 discipline).
+    *
+    * Scale shape: the partial build is one distinct + bounded
+    * rank-per-group pass (per-partition partial top-k under the group
+    * exchange); the merge touches only partial rows — days × k per
+    * type, model-scale — and the estimate arithmetic is q39's
+    * deterministic (k−1)·2^60/h_k form. The exact count is the one
+    * corpus-scale aggregate, present only as the gauge.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame =
+    sketchRollupFrom(Tables.events(spark, dir))
+
+  def sketchRollupFrom(events: DataFrame): DataFrame = {
+    val h = TextFns.hash60(concat(lit("sk|"), col("user_id").cast("string")))
+    val dh = events
+      .select(col("event_type"), col("ts").cast("date").as("day"), h.as("h"))
+      .distinct()
+    val daily = dh.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "day").orderBy("h")))
+      .filter(col("rn") <= SkK)
+      .select("event_type", "day", "h")
+    val merged = daily.select("event_type", "h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= SkK)
+    val sk = merged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_k"), max("h").as("kth_min"))
+    val nd = daily.groupBy("event_type")
+      .agg(countDistinct("day").as("n_days"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    // (k-1) * 2^60: 127 has 7 significant bits — exact in double
+    val scale = lit((SkK - 1).toDouble * 1152921504606846976.0)
+    sk.join(nd, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_exact"),
+        col("n_k"), col("kth_min"),
+        when(col("n_k") < SkK, col("n_k").cast("double"))
+          .otherwise(scale / col("kth_min").cast("double"))
+          .as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** PageRank constants for q103: standard damping, fixed unrolled
     * iteration count (enough to differentiate hubs on the fixture
     * graph while keeping the oracle a plain non-recursive SQL text).
@@ -614,6 +673,86 @@ object Analytics {
         round(col("p"), 9).as("pagerank"))
       .orderBy(desc("pagerank"), asc("item"))
       .limit(PrTopK)
+  }
+
+  /** q140 — synchronous rounds, and the edge-weight quantile above
+    * which a co-occurrence pair becomes a graph edge. The cut is a
+    * QUANTILE, not a fixed support floor, because the fixture's
+    * co-occurrence graph is complete at any absolute floor that
+    * survives a 100× scale-up (every pair's count grows with the data;
+    * a constant threshold silently flips the graph from complete to
+    * empty across scales). Keeping the top decile BY DISTRIBUTION
+    * sparsifies identically at every sf — the scale-adaptive
+    * sparsification a production similarity graph needs anyway.
+    */
+  val LpRounds = 3
+  val LpEdgeQuantile = 0.9
+
+  /** Shared q140/q142 graph: canonical (u<v) co-occurrence pairs with
+    * weight above the [[LpEdgeQuantile]] cut of the weight
+    * distribution. One quantile over the pair relation (pair-bounded,
+    * not corpus-bounded), broadcast back as a scalar filter.
+    */
+  private def cooccurEdges(events: DataFrame): DataFrame = {
+    val ui = itemBaskets(events)
+    val pw = ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val thr = pw.agg(percentile(col("w"), lit(LpEdgeQuantile)).as("t"))
+    pw.crossJoin(broadcast(thr)).filter(col("w") > col("t"))
+      .select("u", "v", "w")
+  }
+
+  /** q140 — COMMUNITY detection by weighted label propagation over the
+    * item co-occurrence graph: each node starts as its own label; each
+    * synchronous round every node adopts the label carrying the most
+    * incident edge weight among its neighbors (tie → smallest label);
+    * after [[LpRounds]] rounds each item reports its community and the
+    * community's size. The clustering operator class between q54's
+    * exact connected components (pure reachability) and q103's PageRank
+    * (global centrality): LPA finds densely-linked groups inside one
+    * component — the "related item family" / topic-cluster signal.
+    *
+    * Determinism: classic LPA is order-dependent (async updates, random
+    * tie-breaks); this is the deterministic formulation — synchronous
+    * rounds, exact integer weight sums, total-order tie-break
+    * (score DESC, label ASC) — so a fixed round count is hash-gatable
+    * on any engine.
+    *
+    * Scale shape: the edge relation is built once and checkpointed (the
+    * q103 iterate-on-stored-state discipline); each round is one
+    * edge⋈label join co-partitioned on the node key plus one two-phase
+    * aggregate whose reduce side is (node, label) — bounded by edge
+    * count, never corpus²; rounds are O(1) by construction. The
+    * per-node argmax is a bounded rank-per-group, and isolated nodes
+    * keep their label via the left join (no driver round-trips).
+    */
+  def labelCommunities(spark: SparkSession, dir: String): DataFrame =
+    labelCommunitiesFrom(Tables.events(spark, dir))
+
+  def labelCommunitiesFrom(events: DataFrame): DataFrame = {
+    val pairs = cooccurEdges(events)
+    val edges = pairs.unionByName(
+        pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
+    val items = itemBaskets(events).select(col("item")).distinct()
+    var labels = items.select(col("item"), col("item").cast("int").as("label"))
+    for (_ <- 1 to LpRounds) {
+      val scored = edges.join(labels, edges("v") === labels("item"))
+        .select(col("u"), col("label"), col("w"))
+        .groupBy("u", "label").agg(sum("w").as("s"))
+      val pick = scored.withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(desc("s"), asc("label"))))
+        .filter(col("rn") === 1)
+        .select(col("u").as("item"), col("label").as("newl"))
+      labels = labels.join(pick, Seq("item"), "left")
+        .select(col("item"), coalesce(col("newl"), col("label")).as("label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), Seq("label"))
+      .select(col("item"), col("label").as("community"), col("community_size"))
+      .orderBy("community", "item")
   }
 
   /** q106 thresholds: pairs below [[RuleMinPairs]] users are noise cut
@@ -739,6 +878,50 @@ object Analytics {
       .groupBy("item").agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), asc("item"))
       .limit(TriTopK)
+  }
+
+  /** q142 output cap (predicted links kept). */
+  val LinkTopK = 20
+
+  /** q142 — LINK PREDICTION by neighborhood Jaccard over the item
+    * co-occurrence graph: for every non-adjacent item pair that shares
+    * at least one neighbor, the common-neighbor count and the Jaccard
+    * of the two neighborhoods |N(a)∩N(b)| / |N(a)∪N(b)|; top-
+    * [[LinkTopK]] by (jaccard, common, ids). The recommender /
+    * graph-completion operator class on q110's graph: triangles measure
+    * cohesion that exists, link prediction scores the edges that are
+    * MISSING from dense neighborhoods.
+    *
+    * Scale shape: candidate pairs come from the wedge join (two edge
+    * relations met at the shared neighbor), so generation is bounded by
+    * Σ deg² of the quantile-sparsified graph — never |items|²; adjacency
+    * removal is one hash anti-join against the canonical edge set; the
+    * degree dimension is item-cardinality and broadcast twice (the q106
+    * discipline). Counts stay integer; the Jaccard is one closing IEEE
+    * division; the top-k lowers to TakeOrderedAndProject.
+    */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictFrom(Tables.events(spark, dir))
+
+  def linkPredictFrom(events: DataFrame): DataFrame = {
+    val pairs = cooccurEdges(events).select("u", "v").localCheckpoint()
+    val edges = pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val wedges = edges.alias("x").join(edges.alias("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val cand = wedges.join(pairs.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    val jc = col("n_common").cast("double") /
+      (col("deg_a") + col("deg_b") - col("n_common")).cast("double")
+    cand
+      .join(broadcast(deg.select(col("u").as("a"), col("d").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("u").as("b"), col("d").as("deg_b"))), Seq("b"))
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("n_common"),
+        col("deg_a"), col("deg_b"), round(jc, 9).as("jaccard"))
+      .orderBy(desc("jaccard"), desc("n_common"), asc("item_a"), asc("item_b"))
+      .limit(LinkTopK)
   }
 
   /** q112 hot-key multiple over the median per-key count, and output
@@ -907,6 +1090,9 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_trend_mk" -> (trendAudit _),
+    "q138_sketch_rollup" -> (sketchRollup _),
+    "q140_label_communities" -> (labelCommunities _),
+    "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
     "q110_item_triangles" -> (itemTriangles _),
     "q112_skew_audit" -> (skewAudit _),
@@ -1083,6 +1269,103 @@ object Analytics {
          |WHERE r.w >= $RuleMinPairs
          |ORDER BY lift DESC, confidence DESC, item_a, item_b
          |LIMIT $RuleTopK""".stripMargin,
+    // per-day KMV partials then the exact-merge: k smallest of the
+    // union of per-day k-minima ≡ k smallest overall; ties impossible
+    // (rank orders distinct hashes)
+    "q138_sketch_rollup" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+         |    ${TextFns.sql.hash60("'sk|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |daily AS (
+         |  SELECT event_type, day, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type, day ORDER BY h) AS rn FROM u) x
+         |  WHERE rn <= $SkK),
+         |m AS (SELECT DISTINCT event_type, h FROM daily),
+         |mk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type ORDER BY h) AS rn FROM m) y
+         |  WHERE rn <= $SkK),
+         |sk AS (SELECT event_type, count(*) AS n_k, max(h) AS kth_min
+         |  FROM mk GROUP BY 1),
+         |nd AS (SELECT event_type, count(DISTINCT day) AS n_days
+         |  FROM daily GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT sk.event_type, nd.n_days, ex.n_exact, sk.n_k, sk.kth_min,
+         |  CASE WHEN sk.n_k < $SkK THEN CAST(sk.n_k AS DOUBLE)
+         |       ELSE ${(SkK - 1).toDouble * 1152921504606846976.0} / CAST(sk.kth_min AS DOUBLE)
+         |  END AS est_distinct
+         |FROM sk JOIN nd ON nd.event_type = sk.event_type
+         |JOIN ex ON ex.event_type = sk.event_type
+         |ORDER BY sk.event_type""".stripMargin,
+    "q140_label_communities" -> {
+      // unrolled synchronous rounds: sI scores incident weight per
+      // neighbor label, pI takes the total-order argmax, lI folds
+      // isolated nodes back via the left join — the DataFrame loop
+      // body verbatim
+      val rounds = (1 to LpRounds).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""s$r AS (SELECT e.u, l.label, CAST(sum(e.w) AS BIGINT) AS s
+           |  FROM e JOIN $prev l ON l.item = e.v GROUP BY 1, 2),
+           |p$r AS (SELECT u, label FROM (
+           |    SELECT *, row_number() OVER
+           |      (PARTITION BY u ORDER BY s DESC, label) AS rn FROM s$r) x
+           |  WHERE rn = 1),
+           |l$r AS (SELECT l.item, coalesce(p.label, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$r p ON p.u = l.item)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |pw AS (SELECT a.item AS u, b.item AS v, count(*) AS w
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |thr AS (SELECT quantile_cont(w, $LpEdgeQuantile) AS t FROM pw),
+         |pr AS (SELECT u, v, w FROM pw CROSS JOIN thr WHERE w > t),
+         |e AS (SELECT u, v, w FROM pr UNION ALL SELECT v, u, w FROM pr),
+         |l0 AS (SELECT DISTINCT item, item AS label FROM ui),
+         |$rounds,
+         |sz AS (SELECT label, count(*) AS community_size
+         |  FROM l$LpRounds GROUP BY 1)
+         |SELECT l.item, l.label AS community, sz.community_size
+         |FROM l$LpRounds l JOIN sz ON sz.label = l.label
+         |ORDER BY community, item""".stripMargin
+    },
+    // wedge-generated candidates, adjacency removed by anti join;
+    // integer counts, one closing division
+    "q142_link_prediction" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+         |  FROM events
+         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+         |pw AS (SELECT a.item AS u, b.item AS v, count(*) AS w
+         |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |thr AS (SELECT quantile_cont(w, $LpEdgeQuantile) AS t FROM pw),
+         |pr AS (SELECT u, v FROM pw CROSS JOIN thr WHERE w > t),
+         |e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+         |deg AS (SELECT u, count(*) AS d FROM e GROUP BY 1),
+         |wdg AS (SELECT x.v AS a, y.v AS b, count(*) AS n_common
+         |  FROM e x JOIN e y ON x.u = y.u AND x.v < y.v
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT w.* FROM wdg w
+         |  LEFT JOIN pr p ON p.u = w.a AND p.v = w.b
+         |  WHERE p.u IS NULL)
+         |SELECT c.a AS item_a, c.b AS item_b, c.n_common,
+         |  da.d AS deg_a, db.d AS deg_b,
+         |  round(CAST(c.n_common AS DOUBLE)
+         |    / CAST(da.d + db.d - c.n_common AS DOUBLE), 9) AS jaccard
+         |FROM cand c
+         |JOIN deg da ON da.u = c.a
+         |JOIN deg db ON db.u = c.b
+         |ORDER BY jaccard DESC, n_common DESC, item_a, item_b
+         |LIMIT $LinkTopK""".stripMargin,
     "q103_item_pagerank" -> {
       // unrolled damped iterations: cI/pI mirror the DataFrame loop
       // body exactly (same op order, same DECIMAL accumulator)

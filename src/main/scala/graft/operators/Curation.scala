@@ -120,6 +120,67 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** q141 sample size (the k smallest priorities are kept; the
+    * (k+1)-th becomes the estimator threshold τ).
+    */
+  val PsK = 32
+
+  /** q141 — weight-proportional priority sampling (Duffield–Lund–
+    * Thorup): one deterministic weighted sample without replacement,
+    * plus the unbiased subset-sum estimator that makes such samples
+    * usable for corpus accounting. Per doc: weight w = max(n_chars, 1),
+    * uniform u = (h+1)/2^60 from the md5 hash discipline, priority
+    * w/u; keep the [[PsK]] largest priorities; threshold τ = the
+    * (k+1)-th priority; each kept doc estimates its stratum as
+    * ŵ = max(w, τ), and E[Σŵ] = Σw exactly (DLT 2005) — the output
+    * carries est_total next to exact_total so the estimator itself
+    * sits under the hash gate (the q121 discipline: every approximate
+    * structure ships its error gauge).
+    *
+    * Determinism: u is a pure function of doc_id (re-runs and
+    * repartitions keep the sample; `rand()` never appears — the q45
+    * rule); priority = (w·2^60)/(h+1) is one exact integer-scaled
+    * product and one IEEE division, bit-identical on any engine —
+    * correctly-rounded ops only, never ln/pow (whose libm rounding
+    * differs across engines and would flip near-tied ranks).
+    *
+    * Scale shape: priorities are map-side arithmetic; the (k+1) cut
+    * lowers to TakeOrderedAndProject (per-partition bounded heap,
+    * k+1-row partials merged — never a global sort); τ, ranks, and the
+    * estimator run on the checkpointed (k+1)-row relation (model
+    * scale); the exact total is one columnar aggregate. One corpus
+    * pass for a weighted without-replacement sample at 100 TB.
+    */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleFrom(Tables.documents(spark, dir))
+
+  def prioritySampleFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wt = greatest(col("n_chars"), lit(1L))
+    val h = TextFns.hash60(concat(lit("ps|"), col("doc_id").cast("string")))
+    val p = docs.select(col("doc_id"), wt.as("wt"), h.as("h"))
+      .select(col("doc_id"), col("wt"),
+        ((col("wt").cast("double") * lit(1152921504606846976L).cast("double")) /
+          (col("h") + lit(1L)).cast("double")).as("pr"))
+    val top = p.orderBy(desc("pr"), asc("doc_id")).limit(PsK + 1).localCheckpoint()
+    val tau = top.agg(count(lit(1)).as("n_top"), min("pr").as("mn"))
+      .select(when(col("n_top") === PsK + 1, col("mn"))
+        .otherwise(lit(0d)).as("tau"))
+    val s = top.orderBy(desc("pr"), asc("doc_id")).limit(PsK)
+      .crossJoin(tau)
+      .withColumn("w_hat", greatest(col("wt").cast("double"), col("tau")))
+    val est = s.agg(
+      sum(col("w_hat").cast(DecimalType(38, 12))).cast("double").as("est_total"))
+    val tot = docs.agg(sum(greatest(col("n_chars"), lit(1L))).as("exact_total"))
+    s.withColumn("rank",
+        row_number().over(Window.orderBy(desc("pr"), asc("doc_id"))).cast("int"))
+      .crossJoin(est).crossJoin(tot)
+      .select(col("rank"), col("doc_id"), col("wt").as("weight"),
+        col("pr").as("priority"), col("w_hat"), col("est_total"),
+        col("exact_total"))
+      .orderBy("rank")
+  }
+
   /** q126 Bloom geometry: [[BloomBits]]-bit filter, 2 hash positions
     * per shingle.
     */
@@ -971,7 +1032,8 @@ object Curation {
     "q99_scd2_history" -> (scdSupplierHistory _),
     "q118_pit_join" -> (pitEnrichment _),
     "q126_bloom_decontaminate" -> (bloomDecontaminate _),
-    "q131_stratified_sample" -> (stratifiedSample _))
+    "q131_stratified_sample" -> (stratifiedSample _),
+    "q141_priority_sample" -> (prioritySample _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -1033,6 +1095,37 @@ object Curation {
          |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
          |FROM r WHERE rn <= (n * $StratPct + 99) // 100
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // priority = (w·2^60)/(h+1): exact integer-scaled product, ONE
+    // correctly-rounded IEEE division (never ln/pow — libm rounding
+    // differs across engines); the k-row estimator sum rides the
+    // DECIMAL accumulator
+    "q141_priority_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, greatest(n_chars, 1) AS wt,
+         |    ${TextFns.sql.hash60("'ps|' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, wt,
+         |    (CAST(wt AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))
+         |      / CAST(h + 1 AS DOUBLE) AS pr
+         |  FROM w),
+         |t AS (SELECT * FROM p ORDER BY pr DESC, doc_id LIMIT ${PsK + 1}),
+         |tau AS (SELECT CASE WHEN count(*) = ${PsK + 1} THEN min(pr)
+         |    ELSE CAST(0 AS DOUBLE) END AS tau FROM t),
+         |s AS (
+         |  SELECT t.doc_id, t.wt, t.pr,
+         |    greatest(CAST(t.wt AS DOUBLE), tau.tau) AS w_hat
+         |  FROM (SELECT * FROM t ORDER BY pr DESC, doc_id LIMIT $PsK) t
+         |  CROSS JOIN tau),
+         |est AS (SELECT CAST(sum(CAST(w_hat AS DECIMAL(38,12))) AS DOUBLE)
+         |    AS est_total FROM s),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS exact_total FROM w)
+         |SELECT CAST(row_number() OVER (ORDER BY s.pr DESC, s.doc_id) AS INT)
+         |    AS rank,
+         |  s.doc_id, s.wt AS weight, s.pr AS priority, s.w_hat,
+         |  est.est_total, tot.exact_total
+         |FROM s CROSS JOIN est CROSS JOIN tot
+         |ORDER BY rank""".stripMargin,
     "q126_bloom_decontaminate" -> {
       def h(i: Int) = TextFns.sql.hash32(s"'bf$i|' || CAST(s AS VARCHAR)")
       s"""WITH $shSql,

@@ -354,6 +354,59 @@ object TextAnalysis {
       .orderBy(desc("df"), desc("tf"), asc("token"))
       .limit(VocabTopK)
 
+  /** q139 tokenizer vocabulary size — like [[LmTopV]], deliberately
+    * below the fixture corpus's vocabulary so the OOV mass is
+    * non-trivial at every sf.
+    */
+  val OovVocabK = 24
+
+  /** q139 — vocabulary-coverage / OOV-rate audit (the tokenizer-fit
+    * report of a training-data pipeline: how much of each language
+    * slice's token mass a fixed top-[[OovVocabK]] vocabulary covers,
+    * and how many documents are OOV-heavy enough to distort training).
+    * Vocabulary = top-K corpus tokens by (tf, token) — a stand-in for
+    * the tokenizer's merge table; per language: document count, token
+    * occurrences, OOV occurrences, the OOV rate, and the count of
+    * documents whose own OOV share exceeds 10%.
+    *
+    * Scale shape: the vocabulary cut is a TakeOrderedAndProject over a
+    * vocabulary-bounded aggregate (q53's shape) and comes back as a
+    * K-row broadcast; membership tagging is then a map-side broadcast
+    * left join on the exploded token stream — nothing keyed by token
+    * ever shuffles at corpus scale; the two-level rollup (doc, then
+    * lang) is a pair of two-phase hash aggregates whose reduce sides
+    * are doc- and language-cardinality. The high-OOV flag compares in
+    * integer space (`10·oov > n_tok`), so the only float op is the one
+    * closing division (the determinism discipline of q18/q95).
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateFrom(Tables.documents(spark, dir))
+
+  def oovRateFrom(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("token")).limit(OovVocabK)
+      .select(col("token"), lit(1).as("hit"))
+    val perDoc = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("oov"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("oov").as("n_oov"),
+        sum(when(col("oov") * 10 > col("n_tok"), 1L).otherwise(0L))
+          .as("n_docs_high_oov"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("oov_rate"),
+        col("n_docs_high_oov"))
+      .orderBy("lang")
+  }
+
   /** Unigram-LM vocabulary size for q57 — deliberately below the
     * fixture corpus's ~31-token vocabulary so the OOV floor path is
     * exercised by the driver gate, not just declared.
@@ -724,6 +777,7 @@ object TextAnalysis {
     "q84_winnow_fingerprints" -> (winnowFingerprints _),
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
+    "q139_oov_rate" -> (oovRate _),
     "q97_tfidf_keywords" -> (tfidfKeywords _),
     "q55_bm25_search" -> (bm25Search _),
     "q115_dedup_search" -> (dedupSearch _),
@@ -864,6 +918,27 @@ object TextAnalysis {
          |       ELSE ${(KmvK - 1).toDouble * 1152921504606846976.0} / CAST(kth_min AS DOUBLE)
          |  END AS est_distinct
          |FROM kagg CROSS JOIN eagg""".stripMargin,
+    // vocabulary cut totally ordered by (tf, token); integer counts all
+    // the way down, one closing division (the q18/q95 discipline); sums
+    // cast back to BIGINT (DuckDB widens to HUGEINT)
+    "q139_oov_rate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, unnest(${TextFns.sql.toks}) AS token
+         |  FROM documents),
+         |tt AS (SELECT * FROM t WHERE token <> ''),
+         |v AS (SELECT token FROM tt GROUP BY token
+         |  ORDER BY count(*) DESC, token LIMIT $OovVocabK),
+         |d AS (
+         |  SELECT tt.doc_id, tt.lang, count(*) AS n_tok,
+         |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |  FROM tt LEFT JOIN v ON v.token = tt.token
+         |  GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(oov) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 9) AS oov_rate,
+         |  CAST(sum(CASE WHEN oov * 10 > n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_high_oov
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q53_df_vocab" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents)

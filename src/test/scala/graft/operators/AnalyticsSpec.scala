@@ -429,4 +429,107 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(fk.getAs[Long]("exact_rows") == 6000L)
     }
   }
+
+  describe("sketchRollup (q138)") {
+    def ev(day: String, user: Long, typ: String, id: Long) =
+      (id, ts(s"$day 10:00:00"), user, typ, 1.0, "{}")
+
+    it("is exact below saturation and applies the KMV formula above it") {
+      val rows =
+        (1L to 10L).map(u => ev("2024-01-0" + (u % 3 + 1), u, "a", u)) ++
+          (1L to 300L).map(u => ev("2024-01-01", 1000L + u, "b", 100L + u))
+      val r = Analytics.sketchRollupFrom(events(rows: _*)).collect()
+      val a = r.find(_.getAs[String]("event_type") == "a").get
+      assert(a.getAs[Long]("n_exact") == 10L && a.getAs[Long]("n_k") == 10L)
+      assert(a.getAs[Double]("est_distinct") == 10.0) // unsaturated: exact
+      assert(a.getAs[Long]("n_days") == 3L)
+      val b = r.find(_.getAs[String]("event_type") == "b").get
+      assert(b.getAs[Long]("n_exact") == 300L && b.getAs[Long]("n_k") == Analytics.SkK)
+      // saturated: the declared estimator over the merged kth_min
+      val expect = (Analytics.SkK - 1).toDouble * 1152921504606846976.0 /
+        b.getAs[Long]("kth_min").toDouble
+      assert(b.getAs[Double]("est_distinct") == expect)
+      assert(math.abs(expect - 300.0) / 300.0 < 0.3) // k=128 ⇒ ~9% stderr
+    }
+
+    it("merges per-day partials exactly: rollup ≡ single-day sketch of the union") {
+      // same 400-user population once split across 4 days, once on one
+      // day — the k smallest of the per-day k-minima must equal the k
+      // smallest overall, so the estimates are bit-identical
+      val split = (1L to 400L).map(u =>
+        ev("2024-01-0" + (u % 4 + 1), u, "c", u))
+      val oneDay = (1L to 400L).map(u => ev("2024-01-01", u, "c", u))
+      val em = Analytics.sketchRollupFrom(events(split: _*)).collect()(0)
+      val ed = Analytics.sketchRollupFrom(events(oneDay: _*)).collect()(0)
+      assert(em.getAs[Long]("kth_min") == ed.getAs[Long]("kth_min"))
+      assert(em.getAs[Double]("est_distinct") == ed.getAs[Double]("est_distinct"))
+      assert(em.getAs[Long]("n_days") == 4L && ed.getAs[Long]("n_days") == 1L)
+    }
+  }
+
+  describe("labelCommunities (q140)") {
+    // two 3-item cliques co-viewed by 3 users each (pair weight 3) over
+    // a sea of weight-1 noise pairs: the 0.9-quantile edge cut keeps
+    // exactly the clique edges
+    def clusteredEvents(): DataFrame = {
+      var id = 0L
+      def view(u: Long, item: Int) = {
+        id += 1; (id, ts("2024-01-01 10:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+      }
+      val strong =
+        (for (u <- 101L to 103L; i <- Seq(1, 2, 3)) yield view(u, i)) ++
+          (for (u <- 111L to 113L; i <- Seq(11, 12, 13)) yield view(u, i))
+      val noise = (0 until 54).flatMap(i =>
+        Seq(view(200L + i, 20 + 2 * i), view(200L + i, 21 + 2 * i)))
+      events((strong ++ noise): _*)
+    }
+
+    it("propagates the min label through each clique and leaves noise as singletons") {
+      val r = Analytics.labelCommunitiesFrom(clusteredEvents()).collect()
+      val byItem = r.map(x => x.getAs[Int]("item") ->
+        (x.getAs[Int]("community"), x.getAs[Long]("community_size"))).toMap
+      Seq(1, 2, 3).foreach(i => assert(byItem(i) == (1, 3L)))
+      Seq(11, 12, 13).foreach(i => assert(byItem(i) == (11, 3L)))
+      // noise items fall below the quantile cut: singleton communities
+      assert(byItem(20) == (20, 1L) && byItem(127) == (127, 1L))
+      assert(r.length == 6 + 108)
+    }
+
+    it("is stable under repartitioning (deterministic tie-breaks)") {
+      val e = clusteredEvents()
+      val a = Analytics.labelCommunitiesFrom(e).collect().toSeq
+      val b = Analytics.labelCommunitiesFrom(e.repartition(7)).collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  describe("linkPredict (q142)") {
+    it("predicts the missing edge of a path through a shared neighbor") {
+      var id = 0L
+      def view(u: Long, item: Int) = {
+        id += 1; (id, ts("2024-01-01 10:00:00"), u, "view", 1.0, s"""{"k": $item}""")
+      }
+      // strong path 1–2–3 (each edge weight 3), no 1–3 edge, plus noise
+      val strong =
+        (for (u <- 101L to 103L; i <- Seq(1, 2)) yield view(u, i)) ++
+          (for (u <- 111L to 113L; i <- Seq(2, 3)) yield view(u, i))
+      val noise = (0 until 54).flatMap(i =>
+        Seq(view(200L + i, 20 + 2 * i), view(200L + i, 21 + 2 * i)))
+      val r = Analytics.linkPredictFrom(events((strong ++ noise): _*)).collect()
+      assert(r.length == 1)
+      val x = r(0)
+      assert(x.getAs[Int]("item_a") == 1 && x.getAs[Int]("item_b") == 3)
+      assert(x.getAs[Long]("n_common") == 1L)
+      assert(x.getAs[Long]("deg_a") == 1L && x.getAs[Long]("deg_b") == 1L)
+      assert(x.getAs[Double]("jaccard") == 1.0)
+    }
+
+    it("caps the output and keeps it ordered by jaccard on the fixture") {
+      val r = Analytics.linkPredict(spark, graft.TestSpark.Sf).collect()
+      assert(r.length <= Analytics.LinkTopK)
+      // jaccard is in (0, 1] and ordered
+      val js = r.map(_.getAs[Double]("jaccard")).toSeq
+      assert(js == js.sorted.reverse && js.forall(j => j > 0 && j <= 1))
+    }
+  }
 }

@@ -467,6 +467,52 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("prioritySample (q141)") {
+    it("keeps everything with ŵ = w and an exact estimate when n ≤ k") {
+      val r = Curation.prioritySampleFrom(docs(
+        (1L, "aaa", "en", "s", 3L), (2L, "bbbbb", "en", "s", 5L),
+        (3L, "cc", "en", "s", 2L))).collect()
+      assert(r.length == 3)
+      r.foreach { x =>
+        assert(x.getAs[Double]("w_hat") == x.getAs[Long]("weight").toDouble)
+      }
+      assert(r(0).getAs[Double]("est_total") == 10.0)
+      assert(r(0).getAs[Long]("exact_total") == 10L)
+      // ranks are 1..n by descending priority
+      assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    }
+
+    it("beyond k selects the top-k priorities with the DLT threshold estimator") {
+      val d = (1L to 60L).map(i => (i, "x", "en", "s", 100L + i))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Curation.prioritySampleFrom(d).collect()
+      assert(r.length == Curation.PsK)
+      // replicate priorities independently: top-(k+1) gives the sample
+      // and the threshold
+      val pri = d.selectExpr("doc_id", "greatest(n_chars, 1) AS wt",
+          "(CAST(greatest(n_chars, 1) AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) " +
+            "/ CAST(conv(substring(md5(concat('ps|', CAST(doc_id AS STRING))), 1, 15), 16, 10) + 1 AS DOUBLE) AS pr")
+        .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("wt"),
+          x.getAs[Double]("pr")))
+        .sortBy { case (id, _, pr) => (-pr, id) }
+      val tau = pri(Curation.PsK)._3
+      assert(r.map(_.getAs[Long]("doc_id")).toSeq ==
+        pri.take(Curation.PsK).map(_._1).toSeq)
+      r.zip(pri.take(Curation.PsK)).foreach { case (x, (_, wt, _)) =>
+        assert(x.getAs[Double]("w_hat") == math.max(wt.toDouble, tau))
+      }
+      // the estimator is the sum of the adjusted weights
+      val est = r(0).getAs[Double]("est_total")
+      assert(math.abs(est - r.map(_.getAs[Double]("w_hat")).sum) < 1e-6)
+      assert(r(0).getAs[Long]("exact_total") == (1L to 60L).map(100L + _).sum)
+      // deterministic under repartitioning — the sample is a pure
+      // function of (doc_id, weight), never of layout
+      val again = Curation.prioritySampleFrom(d.repartition(7)).collect()
+      assert(again.map(_.getAs[Long]("doc_id")).toSeq ==
+        r.map(_.getAs[Long]("doc_id")).toSeq)
+    }
+  }
+
   describe("bloomDecontaminate (q126)") {
     it("the Bloom screen is a superset of the exact screen, never a miss") {
       val bloom = Curation.bloomDecontaminate(spark, TestSpark.Sf).collect()

@@ -220,6 +220,39 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("oovRate (q139)") {
+    // multilingual corpus: the helper pins lang="en", so build rows
+    // directly when the language split matters
+    def mdocs(rows: (Long, String, String)*): DataFrame =
+      rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    it("tags token mass outside the top-K vocabulary and rolls up per language") {
+      // 24 vocab tokens appear twice (one 'en' doc, repeated); two rare
+      // tokens appear once each in a second doc — outside the cut
+      val common = (0 until TextAnalysis.OovVocabK).map(i => s"t$i").mkString(" ")
+      val r = TextAnalysis.oovRateFrom(mdocs(
+          (1L, s"$common $common", "en"),
+          (2L, "rare1 rare2", "en"),
+          (3L, "t0 t1", "de"))).collect()
+      val en = r.find(_.getAs[String]("lang") == "en").get
+      assert(en.getAs[Long]("n_docs") == 2L)
+      assert(en.getAs[Long]("n_tokens") == 50L)
+      assert(en.getAs[Long]("n_oov") == 2L)
+      assert(en.getAs[Double]("oov_rate") == 0.04)
+      assert(en.getAs[Long]("n_docs_high_oov") == 1L) // doc 2 is 100% OOV
+      val de = r.find(_.getAs[String]("lang") == "de").get
+      assert(de.getAs[Long]("n_oov") == 0L && de.getAs[Double]("oov_rate") == 0.0)
+      assert(de.getAs[Long]("n_docs_high_oov") == 0L)
+    }
+
+    it("reports zero OOV when the corpus vocabulary fits the cut") {
+      val r = TextAnalysis.oovRateFrom(docs((1L, "a b c"), (2L, "b c d")))
+        .collect()
+      assert(r.map(_.getAs[Long]("n_oov")).sum == 0L)
+    }
+  }
+
   describe("lmScore (q57)") {
     it("scores docs by mean -ln p under the corpus unigram LM") {
       // counts: a=3, b=2, c=1; total=6; all in-vocab (V=16)
