@@ -175,6 +175,20 @@ object ScaleSmoke {
           spark.read.parquet(s"$wh/oldsh"), n).count()
       }
     }
+    // round-7b operators. Replication multiplies EVERY co-occurrence
+    // pair weight ~uniformly, which is exactly the case where a fixed
+    // support floor stays a no-op (complete graph at any scale) — the
+    // 0.9-quantile edge cut keeps the kept-edge count distribution-
+    // stable instead, so wedge work stays bounded as the corpus grows.
+    locally {
+      val kept = Analytics.cooccurEdges(events).count()
+      println(s"[scale] cooccur_quantile_cut: kept_edges=$kept")
+    }
+    t("label_communities") { Analytics.labelCommunitiesFrom(events).count() }
+    t("link_prediction") { Analytics.linkPredictFrom(events).count() }
+    t("sketch_rollup") { Analytics.sketchRollupFrom(events).count() }
+    t("priority_sample") { Curation.prioritySampleFrom(docs).count() }
+    t("oov_rate") { TextAnalysis.oovRateFrom(docs).count() }
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
     // (this VM's clock is too noisy for hard wall-time asserts); times

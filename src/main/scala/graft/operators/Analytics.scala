@@ -693,7 +693,7 @@ object Analytics {
     * distribution. One quantile over the pair relation (pair-bounded,
     * not corpus-bounded), broadcast back as a scalar filter.
     */
-  private def cooccurEdges(events: DataFrame): DataFrame = {
+  private[graft] def cooccurEdges(events: DataFrame): DataFrame = {
     val ui = itemBaskets(events)
     val pw = ui.alias("a").join(ui.alias("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))

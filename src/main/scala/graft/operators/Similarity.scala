@@ -1002,6 +1002,79 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** q143 — LABEL-AGREEMENT audit (confusion matrix + Cohen's kappa):
+    * every vector is re-assigned to its nearest label centroid (exact
+    * DECIMAL means, the q122 discipline) and the assignment is compared
+    * to the annotated label — per label the row/column marginals,
+    * correct count, recall and precision, plus global accuracy and the
+    * chance-corrected kappa. This is the label-NOISE audit of a
+    * training corpus: a label whose own members mostly re-assign
+    * elsewhere is mislabeled or geometrically meaningless (q122 finds
+    * label pairs that collide; this measures how well the labels
+    * explain the geometry at all).
+    *
+    * Determinism: kappa's textbook form is float (p_o−p_e)/(1−p_e);
+    * here both terms stay INTEGER until one closing division —
+    * kappa = (N·Σdiag − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ) — the q132
+    * cross-multiplication discipline, so the statistic never
+    * accumulates a float. Assignment ties break on rounded cosine then
+    * smallest label (bit-stable on any engine).
+    *
+    * Scale shape: one corpus aggregate reduces to the label-cardinality
+    * centroid relation, broadcast back for map-side scoring; the rank-1
+    * assignment is a bounded per-vector window; everything after the
+    * confusion aggregate is label²-at-most, model-scale.
+    */
+  def labelAgreement(spark: SparkSession, dir: String): DataFrame =
+    labelAgreementFrom(Tables.embeddings(spark, dir))
+
+  def labelAgreementFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val cents = e.groupBy("label")
+      .agg(call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("label").as("clabel"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosine(col("emb"), col("centroid")), 9).as("cos"))
+    val pred = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("clabel"))))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("clabel").as("pred"))
+    val conf = pred.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    val rowm = conf.groupBy("label").agg(sum("n").as("n_true"))
+    val colm = conf.groupBy("pred").agg(sum("n").as("n_pred"))
+    val diag = conf.filter(col("label") === col("pred"))
+      .select(col("label"), col("n").as("n_correct"))
+    val perl = rowm
+      .join(colm, rowm("label") === colm("pred"), "left").drop("pred")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val tot = perl.agg(sum("n_true").as("n_total"),
+      sum("n_correct").as("sum_diag"),
+      sum(col("n_true") * col("n_pred")).as("sum_exp"))
+    perl.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_true").cast("double"), 9)
+          .as("recall"),
+        round(col("n_correct").cast("double") /
+          graft.functions.Det.nullIfZero(col("n_pred")).cast("double"), 9)
+          .as("prec"),
+        round(col("sum_diag").cast("double") / col("n_total").cast("double"), 9)
+          .as("accuracy"),
+        round((col("n_total") * col("sum_diag") - col("sum_exp")).cast("double") /
+          (col("n_total") * col("n_total") - col("sum_exp")).cast("double"), 9)
+          .as("kappa"))
+      .orderBy("label")
+  }
+
   /** q75 — IVF-Flat ANN quantized against the TRAINED codebook: the
     * q61 → q36 wiring under the driver's hash gate. `trainCentroids`
     * (seeded init, [[KmIters]] Lloyd iterations, exact-DECIMAL updates)
@@ -1050,6 +1123,7 @@ object Similarity {
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
     "q122_label_centroids" -> (labelCentroidMatrix _),
+    "q143_label_agreement" -> (labelAgreement _),
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
@@ -1348,6 +1422,40 @@ object Similarity {
          |  round(cosine_similarity(a.centroid, b.centroid), 9) AS cosine
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin,
+    "q143_label_agreement" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings),
+         |cs AS (SELECT label, count(1) AS n,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY label),
+         |cent AS (SELECT label AS clabel, transform(sumv, x -> CAST(x AS DOUBLE) / n) AS centroid
+         |  FROM cs),
+         |scored AS (SELECT e.vec_id, e.label, c.clabel,
+         |    round(cosine_similarity(emb, centroid), 9) AS cos
+         |  FROM e CROSS JOIN cent c),
+         |pred AS (SELECT label, clabel AS pred FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored) x
+         |  WHERE rn = 1),
+         |conf AS (SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |rowm AS (SELECT label, sum(n) AS n_true FROM conf GROUP BY 1),
+         |colm AS (SELECT pred, sum(n) AS n_pred FROM conf GROUP BY 1),
+         |diag AS (SELECT label, n AS n_correct FROM conf WHERE label = pred),
+         |perl AS (SELECT r.label, r.n_true, coalesce(c.n_pred, CAST(0 AS BIGINT)) AS n_pred,
+         |    coalesce(d.n_correct, CAST(0 AS BIGINT)) AS n_correct
+         |  FROM rowm r LEFT JOIN colm c ON c.pred = r.label
+         |  LEFT JOIN diag d ON d.label = r.label),
+         |tot AS (SELECT sum(n_true) AS n_total, sum(n_correct) AS sum_diag,
+         |    sum(n_true * n_pred) AS sum_exp
+         |  FROM perl)
+         |SELECT p.label, p.n_true, p.n_pred, p.n_correct,
+         |  round(CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE), 9) AS recall,
+         |  round(CAST(p.n_correct AS DOUBLE) / CAST(NULLIF(p.n_pred, 0) AS DOUBLE), 9) AS prec,
+         |  round(CAST(t.sum_diag AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS accuracy,
+         |  round(CAST(t.n_total * t.sum_diag - t.sum_exp AS DOUBLE)
+         |    / CAST(t.n_total * t.n_total - t.sum_exp AS DOUBLE), 9) AS kappa
+         |FROM perl p CROSS JOIN tot t
+         |ORDER BY p.label""".stripMargin,
     "q56_centroid_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -1699,6 +1807,45 @@ object Similarity {
          |     sqrt(list_inner_product(b.centroid, b.centroid))), 9) AS cosine
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin,
+    // kappa numerator/denominator integer to the one closing division
+    // (q132 discipline); assignment ties break on rounded cosine then
+    // smallest centroid label on both engines
+    "q143_label_agreement" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT label, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY label, pos),
+         |cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+         |cent AS (SELECT label AS clabel, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+         |  FROM csum JOIN cnt USING (label) GROUP BY label, n),
+         |scored AS (SELECT e.vec_id, e.label, c.clabel,
+         |    round(list_inner_product(emb, centroid) /
+         |      (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(centroid, centroid))), 9) AS cos
+         |  FROM e CROSS JOIN cent c),
+         |pred AS (SELECT label, clabel AS pred FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn FROM scored) x
+         |  WHERE rn = 1),
+         |conf AS (SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |rowm AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+         |colm AS (SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+         |diag AS (SELECT label, n AS n_correct FROM conf WHERE label = pred),
+         |perl AS (SELECT r.label, r.n_true, coalesce(c.n_pred, 0) AS n_pred,
+         |    coalesce(d.n_correct, 0) AS n_correct
+         |  FROM rowm r LEFT JOIN colm c ON c.pred = r.label
+         |  LEFT JOIN diag d ON d.label = r.label),
+         |tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS n_total,
+         |    CAST(sum(n_correct) AS BIGINT) AS sum_diag,
+         |    CAST(sum(n_true * n_pred) AS BIGINT) AS sum_exp
+         |  FROM perl)
+         |SELECT p.label, p.n_true, p.n_pred, p.n_correct,
+         |  round(CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE), 9) AS recall,
+         |  round(CAST(p.n_correct AS DOUBLE) / CAST(NULLIF(p.n_pred, 0) AS DOUBLE), 9) AS prec,
+         |  round(CAST(t.sum_diag AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS accuracy,
+         |  round(CAST(t.n_total * t.sum_diag - t.sum_exp AS DOUBLE)
+         |    / CAST(t.n_total * t.n_total - t.sum_exp AS DOUBLE), 9) AS kappa
+         |FROM perl p CROSS JOIN tot t
+         |ORDER BY p.label""".stripMargin,
     "q56_centroid_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),

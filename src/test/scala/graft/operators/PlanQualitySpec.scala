@@ -508,4 +508,38 @@ class PlanQualitySpec extends AnyFunSpec {
         s"three stage windows + per-user reduce must reuse one exchange, got $userEx:\n$p")
     }
   }
+
+  describe("r7b additions") {
+    it("q139 joins the vocabulary by broadcast — no token-keyed corpus shuffle") {
+      val p = plan("q139_oov_rate")
+      assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"a sort-merge join here shuffles the whole token stream:\n$p")
+    }
+
+    it("q141 lowers both priority cuts to TakeOrderedAndProject, never a global sort") {
+      val p = plan("q141_priority_sample")
+      assert(p.contains("TakeOrderedAndProject"), s"top-(k+1) must be a bounded heap:\n$p")
+    }
+
+    it("q142 candidate generation is equi-join work — no nested-loop or cartesian over items") {
+      val p = plan("q142_link_prediction")
+      assert(!p.contains("CartesianProduct"), s"items² cartesian in:\n$p")
+      // the only nested-loop allowed is the 1-row quantile-threshold
+      // broadcast; a data-scale BNLJ would be the all-pairs anti-pattern
+      val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"top-k must bound the output:\n$p")
+    }
+
+    it("q138 bounds every per-group sketch with a rank limit before the merge") {
+      val p = plan("q138_sketch_rollup")
+      // both the per-day and the merged k-min cuts ride WindowGroupLimit:
+      // only rank<=k candidates survive each partial, so partial state
+      // is k-bounded — the property that makes the rollup mergeable at
+      // warehouse scale
+      val wgl = p.linesIterator.count(_.contains("WindowGroupLimit"))
+      assert(wgl >= 2, s"expected both sketch cuts group-limited, got $wgl:\n$p")
+    }
+  }
 }

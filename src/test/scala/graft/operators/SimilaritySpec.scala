@@ -417,6 +417,46 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("labelAgreement (q143)") {
+    it("computes the hand-checked confusion matrix, recall/precision and kappa") {
+      // label 0: four clean vectors on the x-axis plus ONE mislabeled
+      // y-axis vector; label 1: three clean y-axis vectors. The noisy
+      // vector re-assigns to label 1:
+      //   confusion (0,0)=4 (0,1)=1 (1,1)=3 → N=8, Σdiag=7,
+      //   Σ row·col = 5·4 + 3·4 = 32 → kappa = (56-32)/(64-32) = 0.75
+      val e = (Seq.tabulate(4)(i => (i.toLong, Array(1.0f, 0.0f), 0)) ++
+        Seq((4L, Array(0.0f, 1.0f), 0)) ++ // mislabeled
+        Seq.tabulate(3)(i => (10L + i, Array(0.0f, 1.0f), 1)))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.labelAgreementFrom(e).collect()
+      val by = r.map(x => x.getAs[Int]("label") -> x).toMap
+      assert(by(0).getAs[Long]("n_true") == 5L)
+      assert(by(0).getAs[Long]("n_pred") == 4L)
+      assert(by(0).getAs[Long]("n_correct") == 4L)
+      assert(by(0).getAs[Double]("recall") == 0.8)
+      assert(by(0).getAs[Double]("prec") == 1.0)
+      assert(by(1).getAs[Long]("n_true") == 3L)
+      assert(by(1).getAs[Long]("n_correct") == 3L)
+      assert(by(1).getAs[Double]("prec") == 0.75)
+      r.foreach { x =>
+        assert(x.getAs[Double]("accuracy") == 0.875)
+        assert(x.getAs[Double]("kappa") == 0.75)
+      }
+    }
+
+    it("perfectly separable labels score accuracy 1 and kappa 1") {
+      val e = (Seq.tabulate(3)(i => (i.toLong, Array(1.0f, 0.0f), 0)) ++
+        Seq.tabulate(3)(i => (10L + i, Array(0.0f, 1.0f), 1)))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.labelAgreementFrom(e).collect()
+      r.foreach { x =>
+        assert(x.getAs[Double]("accuracy") == 1.0)
+        assert(x.getAs[Double]("kappa") == 1.0)
+        assert(x.getAs[Long]("n_correct") == x.getAs[Long]("n_true"))
+      }
+    }
+  }
+
   describe("matryoshkaRecall (q119)") {
     it("reports per-query prefix recall consistent with its own counts") {
       val r = Similarity.matryoshkaRecall(spark, TestSpark.Sf).collect()
