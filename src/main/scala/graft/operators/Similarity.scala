@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFns
 import graft.plans.GraftFunctions
@@ -1075,6 +1076,91 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q144 — fixed power-iteration count (enough to separate the top
+    * direction on the fixture while keeping the oracle's unrolled CTE
+    * text bounded, the q103/q61 rationale).
+    */
+  val PcaIters = 3
+
+  /** q144 — top PRINCIPAL COMPONENT by power iteration: the dominant
+    * eigenvector of the embedding covariance, its eigenvalue estimate,
+    * and the share of total variance it carries. This is the
+    * "all-but-the-top" embedding post-processing step of an LLM data
+    * pipeline (the dominant direction of an embedding corpus is mostly
+    * frequency/length signal; removing it sharpens cosine retrieval)
+    * and the spectral complement to q51/q100's codecs and q119's
+    * Matryoshka audit: those compress per-vector, this measures the
+    * corpus-level geometry the compressions ride on.
+    *
+    * The covariance matrix is NEVER materialized (dim² at 100 TB is
+    * fine, but the corpus pass to fill it is the cost): each iteration
+    * computes C·w through the identity
+    * `Σ sᵢ(vᵢ−m) = Σ sᵢvᵢ − (Σ sᵢ)·m` with `sᵢ = vᵢ·w − m·w`, i.e. ONE
+    * corpus pass of map-side fused-kernel dot products feeding two
+    * exact DECIMAL aggregates (a dim-length vector sum and a scalar) —
+    * only model-sized rows reach the driver (the q61 Lloyd contract).
+    *
+    * Determinism: every fractional sum rides the DECIMAL(38,12)
+    * accumulator; every scalar step (dot products, −, ·, /, sqrt) is a
+    * correctly-rounded IEEE op applied in the same sequential order by
+    * the Scala driver fold, the Spark SQL twin's kernels, and the
+    * oracle's `list_inner_product` fold — so three independent
+    * evaluation paths produce bit-identical loadings after a fixed
+    * iteration count.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerFrom(Tables.embeddings(spark, dir))
+
+  def pcaPowerFrom(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val dim = e.select(max(size(col("emb"))).as("d")).head().getInt(0)
+    val n = e.count() // one scalar job — corpus cardinality
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val m: Array[Double] = e
+      .agg(call_function("vector_sum_dec",
+        col("emb").cast("array<decimal(38,12)>")).as("sv"))
+      .select(transform(col("sv"), x => x.cast("double") / lit(n)).as("m"))
+      .head().getSeq[Double](0).toArray
+    var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to PcaIters) {
+      val c = dotSeq(m, w)
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+      val g = e
+        .select(col("emb"),
+          (call_function("dot_product", col("emb"), wLit) - lit(c)).as("s"))
+        .agg(call_function("vector_sum_dec",
+            transform(col("emb"), x => col("s") * x)
+              .cast("array<decimal(38,12)>")).as("sa"),
+          sum(col("s").cast(DecimalType(38, 12))).cast("double").as("ss"))
+        .select(transform(col("sa"), x => x.cast("double")).as("sa"), col("ss"))
+        .head()
+      val sa = g.getSeq[Double](0).toArray
+      val ss = g.getDouble(1)
+      val u = Array.tabulate(dim)(p => (sa(p) - ss * m(p)) / n.toDouble)
+      lambda = math.sqrt(dotSeq(u, u))
+      w = u.map(_ / lambda)
+    }
+    val q = e.agg(sum(call_function("dot_product", col("emb"), col("emb"))
+        .cast(DecimalType(38, 12))).cast("double").as("q"))
+      .head().getDouble(0)
+    val tvar = q / n.toDouble - dotSeq(m, m)
+    w.toIndexedSeq.zipWithIndex.map { case (x, p) => (p, x) }
+      .toDF("pos", "loading")
+      .select(col("pos"), round(col("loading"), 9).as("loading"),
+        round(lit(lambda), 9).as("lambda"),
+        round(lit(lambda / tvar), 9).as("var_share"))
+      .orderBy("pos")
+  }
+
   /** q75 — IVF-Flat ANN quantized against the TRAINED codebook: the
     * q61 → q36 wiring under the driver's hash gate. `trainCentroids`
     * (seeded init, [[KmIters]] Lloyd iterations, exact-DECIMAL updates)
@@ -1124,6 +1210,7 @@ object Similarity {
     "q56_centroid_outliers" -> (centroidOutliers _),
     "q122_label_centroids" -> (labelCentroidMatrix _),
     "q143_label_agreement" -> (labelAgreement _),
+    "q144_pca_power" -> (pcaPower _),
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
@@ -1422,6 +1509,40 @@ object Similarity {
          |  round(cosine_similarity(a.centroid, b.centroid), 9) AS cosine
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin,
+    "q144_pca_power" -> {
+      val iters = (1 to PcaIters).map { r =>
+        s"""s$r AS (SELECT e.emb,
+           |    dot_product(e.emb, w.w) - dot_product(m.m, w.w) AS s
+           |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
+           |g$r AS (SELECT vector_sum_dec(CAST(transform(emb, x -> s * x) AS ARRAY<DECIMAL(38,12)>)) AS sa,
+           |    CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
+           |  FROM s$r),
+           |u$r AS (SELECT transform(sequence(0, size(sa) - 1),
+           |      p -> (CAST(element_at(sa, p + 1) AS DOUBLE) - ss * element_at(m.m, p + 1)) / n) AS u
+           |  FROM g$r CROSS JOIN mm m CROSS JOIN nn),
+           |w$r AS (SELECT transform(u, x -> x / sqrt(dot_product(u, u))) AS w,
+           |    sqrt(dot_product(u, u)) AS lambda FROM u$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |dd AS (SELECT max(size(emb)) AS d FROM e),
+         |mm AS (SELECT transform(sv, x -> CAST(x AS DOUBLE) / n) AS m
+         |  FROM (SELECT vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sv FROM e)
+         |  CROSS JOIN nn),
+         |w0 AS (SELECT transform(sequence(0, d - 1), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
+         |$iters,
+         |qq AS (SELECT CAST(sum(CAST(dot_product(emb, emb) AS DECIMAL(38,12))) AS DOUBLE) AS q FROM e),
+         |tv AS (SELECT q / n - dot_product(m.m, m.m) AS tvar FROM qq CROSS JOIN nn CROSS JOIN mm m)
+         |SELECT CAST(x.p AS INT) AS pos,
+         |  round(element_at(x.w, CAST(x.p AS INT) + 1), 9) AS loading,
+         |  round(x.lambda, 9) AS lambda,
+         |  round(x.lambda / tv.tvar, 9) AS var_share
+         |FROM (SELECT w.w, w.lambda, explode(sequence(0, size(w.w) - 1)) AS p
+         |  FROM w$PcaIters w) x
+         |CROSS JOIN tv
+         |ORDER BY pos""".stripMargin
+    },
     "q143_label_agreement" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -1807,6 +1928,45 @@ object Similarity {
          |     sqrt(list_inner_product(b.centroid, b.centroid))), 9) AS cosine
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin,
+    // unrolled power iterations: every fractional sum DECIMAL-exact,
+    // every scalar step one correctly-rounded IEEE op in the same
+    // order as the DataFrame driver fold (C·w via Σs·v − (Σs)·m, the
+    // covariance never materialized)
+    "q144_pca_power" -> {
+      val iters = (1 to PcaIters).map { r =>
+        s"""s$r AS (SELECT e.emb,
+           |    list_inner_product(e.emb, w.w) - list_inner_product(m.m, w.w) AS s
+           |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
+           |a$r AS (SELECT pos, CAST(sum(CAST(s * v AS DECIMAL(38,12))) AS DOUBLE) AS sa
+           |  FROM (SELECT s, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM s$r) x
+           |  GROUP BY pos),
+           |ss$r AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM s$r),
+           |u$r AS (SELECT list((sa - ss * list_extract(m.m, CAST(pos AS INT) + 1)) / n ORDER BY pos) AS u
+           |  FROM a$r CROSS JOIN ss$r CROSS JOIN mm m CROSS JOIN nn),
+           |w$r AS (SELECT list_transform(u, x -> x / sqrt(list_inner_product(u, u))) AS w,
+           |    sqrt(list_inner_product(u, u)) AS lambda FROM u$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |dd AS (SELECT max(len(emb)) AS d FROM e),
+         |ms AS (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s
+         |  FROM (SELECT UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e) x
+         |  GROUP BY pos),
+         |mm AS (SELECT list(s / n ORDER BY pos) AS m FROM ms CROSS JOIN nn GROUP BY n),
+         |w0 AS (SELECT list_transform(range(d), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
+         |$iters,
+         |qq AS (SELECT CAST(sum(CAST(list_inner_product(emb, emb) AS DECIMAL(38,12))) AS DOUBLE) AS q FROM e),
+         |tv AS (SELECT q / n - list_inner_product(m.m, m.m) AS tvar
+         |  FROM qq CROSS JOIN nn CROSS JOIN mm m)
+         |SELECT CAST(p AS INT) AS pos,
+         |  round(list_extract(w.w, CAST(p AS INT) + 1), 9) AS loading,
+         |  round(w.lambda, 9) AS lambda,
+         |  round(w.lambda / tv.tvar, 9) AS var_share
+         |FROM (SELECT w.w, w.lambda, UNNEST(range(len(w.w))) AS p FROM w$PcaIters w) w
+         |CROSS JOIN tv
+         |ORDER BY pos""".stripMargin
+    },
     // kappa numerator/denominator integer to the one closing division
     // (q132 discipline); assignment ties break on rounded cosine then
     // smallest centroid label on both engines

@@ -457,6 +457,39 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("pcaPower (q144)") {
+    it("recovers the dominant axis, eigenvalue and variance share of a hand fixture") {
+      // mean-zero, covariance diag(2, 0.5): top component is the
+      // x-axis with eigenvalue 2; total variance 2.5 ⇒ share 0.8
+      val e = Seq(
+        (1L, Array(2.0f, 0.0f), 0), (2L, Array(-2.0f, 0.0f), 0),
+        (3L, Array(0.0f, 1.0f), 0), (4L, Array(0.0f, -1.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.pcaPowerFrom(e).collect()
+      assert(r.length == 2)
+      val l0 = r(0).getAs[Double]("loading")
+      val l1 = r(1).getAs[Double]("loading")
+      assert(l0 > 0.999, s"x loading $l0") // w0 has +x mass, so +x wins
+      assert(math.abs(l1) < 0.02, s"y loading $l1")
+      assert(math.abs(l0 * l0 + l1 * l1 - 1.0) < 1e-6) // unit norm
+      val lam = r(0).getAs[Double]("lambda")
+      assert(lam > 1.99 && lam <= 2.0, s"lambda $lam")
+      // tvar is exactly 2.5 here, so the share is lambda/2.5
+      assert(math.abs(r(0).getAs[Double]("var_share") - lam / 2.5) < 1e-6)
+    }
+
+    it("emits one unit-norm loading per dimension on the fixture, deterministically") {
+      val a = Similarity.pcaPower(spark, TestSpark.Sf).collect()
+      assert(a.length == 64)
+      val norm = a.map(x => math.pow(x.getAs[Double]("loading"), 2)).sum
+      assert(math.abs(norm - 1.0) < 1e-6)
+      val vs = a(0).getAs[Double]("var_share")
+      assert(vs > 0 && vs < 1)
+      val b = Similarity.pcaPower(spark, TestSpark.Sf).collect()
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    }
+  }
+
   describe("matryoshkaRecall (q119)") {
     it("reports per-query prefix recall consistent with its own counts") {
       val r = Similarity.matryoshkaRecall(spark, TestSpark.Sf).collect()
