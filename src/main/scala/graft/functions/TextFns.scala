@@ -55,6 +55,18 @@ object TextFns {
   def keepIn(w: Column, set: Seq[String]): Column =
     filter(w, t => t.isInCollection(set))
 
+  /** KMV distinct-count estimate from a k-min sketch over [[hash60]]
+    * values: exact below saturation, `(k−1)·2^60 / h_k` above — the
+    * ONE estimator q39 and q138 share (the SQL twins restate it per
+    * dialect; a convention change must touch those texts too).
+    * `(k−1)·2^60` is exact in double for the k's in use (k−1 has few
+    * significant bits).
+    */
+  def kmvEstimate(nK: Column, kthMin: Column, k: Int): Column =
+    when(nK < k, nK.cast("double"))
+      .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+        kthMin.cast("double"))
+
   /** SQL twins, for building oracle text. */
   object sql {
     val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"

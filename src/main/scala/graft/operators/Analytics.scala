@@ -592,13 +592,10 @@ object Analytics {
       .agg(countDistinct("day").as("n_days"))
     val exact = events.groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"))
-    // (k-1) * 2^60: 127 has 7 significant bits — exact in double
-    val scale = lit((SkK - 1).toDouble * 1152921504606846976.0)
     sk.join(nd, Seq("event_type")).join(exact, Seq("event_type"))
       .select(col("event_type"), col("n_days"), col("n_exact"),
         col("n_k"), col("kth_min"),
-        when(col("n_k") < SkK, col("n_k").cast("double"))
-          .otherwise(scale / col("kth_min").cast("double"))
+        TextFns.kmvEstimate(col("n_k"), col("kth_min"), SkK)
           .as("est_distinct"))
       .orderBy("event_type")
   }
@@ -693,8 +690,10 @@ object Analytics {
     * distribution. One quantile over the pair relation (pair-bounded,
     * not corpus-bounded), broadcast back as a scalar filter.
     */
-  private[graft] def cooccurEdges(events: DataFrame): DataFrame = {
-    val ui = itemBaskets(events)
+  private[graft] def cooccurEdges(events: DataFrame): DataFrame =
+    cooccurEdgesOf(itemBaskets(events))
+
+  private def cooccurEdgesOf(ui: DataFrame): DataFrame = {
     val pw = ui.alias("a").join(ui.alias("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
       .select(col("a.item").as("u"), col("b.item").as("v"))
@@ -732,11 +731,15 @@ object Analytics {
     labelCommunitiesFrom(Tables.events(spark, dir))
 
   def labelCommunitiesFrom(events: DataFrame): DataFrame = {
-    val pairs = cooccurEdges(events)
+    // one corpus extraction serves both the edge build and the node
+    // set (the basket relation is the working set; re-deriving it for
+    // `items` would be a second full scan+distinct)
+    val ui = itemBaskets(events).localCheckpoint()
+    val pairs = cooccurEdgesOf(ui)
     val edges = pairs.unionByName(
         pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint()
-    val items = itemBaskets(events).select(col("item")).distinct()
+    val items = ui.select(col("item")).distinct()
     var labels = items.select(col("item"), col("item").cast("int").as("label"))
     for (_ <- 1 to LpRounds) {
       val scored = edges.join(labels, edges("v") === labels("item"))

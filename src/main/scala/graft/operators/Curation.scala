@@ -154,15 +154,25 @@ object Curation {
   def prioritySample(spark: SparkSession, dir: String): DataFrame =
     prioritySampleFrom(Tables.documents(spark, dir))
 
-  def prioritySampleFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** The corpus-side stage of q141 pre-checkpoint: priorities + the
+    * top-(k+1) cut. Package-private so PlanQualitySpec can gate the
+    * stage the checkpoint otherwise hides (a checkpoint truncates
+    * lineage, so the published query's plan shows only the k+1-row
+    * tail — gating THAT would leave the corpus cut unwatched).
+    */
+  private[graft] def priorityCandidates(docs: DataFrame): DataFrame = {
     val wt = greatest(col("n_chars"), lit(1L))
     val h = TextFns.hash60(concat(lit("ps|"), col("doc_id").cast("string")))
-    val p = docs.select(col("doc_id"), wt.as("wt"), h.as("h"))
+    docs.select(col("doc_id"), wt.as("wt"), h.as("h"))
       .select(col("doc_id"), col("wt"),
         ((col("wt").cast("double") * lit(1152921504606846976L).cast("double")) /
           (col("h") + lit(1L)).cast("double")).as("pr"))
-    val top = p.orderBy(desc("pr"), asc("doc_id")).limit(PsK + 1).localCheckpoint()
+      .orderBy(desc("pr"), asc("doc_id")).limit(PsK + 1)
+  }
+
+  def prioritySampleFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val top = priorityCandidates(docs).localCheckpoint()
     val tau = top.agg(count(lit(1)).as("n_top"), min("pr").as("mn"))
       .select(when(col("n_top") === PsK + 1, col("mn"))
         .otherwise(lit(0d)).as("tau"))

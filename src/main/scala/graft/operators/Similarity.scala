@@ -1018,8 +1018,12 @@ object Similarity {
     * here both terms stay INTEGER until one closing division —
     * kappa = (N·Σdiag − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ) — the q132
     * cross-multiplication discipline, so the statistic never
-    * accumulates a float. Assignment ties break on rounded cosine then
-    * smallest label (bit-stable on any engine).
+    * accumulates a float. The products live in exact 128-bit space
+    * (DECIMAL(38,0) / HUGEINT): N² silently wraps a 64-bit long past
+    * ~3.04e9 rows, inside the 100 TB posture. A single-label corpus
+    * has denominator 0 → kappa NULL on both engines (NULLIF guard,
+    * like prec for a never-predicted label). Assignment ties break on
+    * rounded cosine then smallest label (bit-stable on any engine).
     *
     * Scale shape: one corpus aggregate reduces to the label-cardinality
     * centroid relation, broadcast back for map-side scoring; the rank-1
@@ -1052,15 +1056,25 @@ object Similarity {
     val colm = conf.groupBy("pred").agg(sum("n").as("n_pred"))
     val diag = conf.filter(col("label") === col("pred"))
       .select(col("label"), col("n").as("n_correct"))
+    // marginals are label-cardinality — broadcast them so the tail
+    // never plans a sort-merge exchange pair over model-sized rows
     val perl = rowm
-      .join(colm, rowm("label") === colm("pred"), "left").drop("pred")
-      .join(diag, Seq("label"), "left")
+      .join(broadcast(colm), rowm("label") === colm("pred"), "left").drop("pred")
+      .join(broadcast(diag), Seq("label"), "left")
       .select(col("label"), col("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    // kappa products in exact 128-bit space (DECIMAL(38,0) here,
+    // HUGEINT in the oracle): N² overflows a silent Spark BIGINT past
+    // ~3.04e9 rows, well inside the 100 TB posture; NULLIF guards the
+    // single-label corpus (denominator 0 → NULL on both engines)
+    val dec0 = DecimalType(38, 0)
     val tot = perl.agg(sum("n_true").as("n_total"),
       sum("n_correct").as("sum_diag"),
-      sum(col("n_true") * col("n_pred")).as("sum_exp"))
+      sum(col("n_true").cast(DecimalType(19, 0)) *
+        col("n_pred").cast(DecimalType(19, 0))).cast(dec0).as("sum_exp"))
+    val nT = col("n_total").cast(dec0)
+    val kapDen = nT * nT - col("sum_exp")
     perl.crossJoin(broadcast(tot))
       .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
         round(col("n_correct").cast("double") / col("n_true").cast("double"), 9)
@@ -1070,8 +1084,8 @@ object Similarity {
           .as("prec"),
         round(col("sum_diag").cast("double") / col("n_total").cast("double"), 9)
           .as("accuracy"),
-        round((col("n_total") * col("sum_diag") - col("sum_exp")).cast("double") /
-          (col("n_total") * col("n_total") - col("sum_exp")).cast("double"), 9)
+        round((nT * col("sum_diag").cast(dec0) - col("sum_exp")).cast("double") /
+          graft.functions.Det.nullIfZero(kapDen).cast("double"), 9)
           .as("kappa"))
       .orderBy("label")
   }
@@ -1117,18 +1131,29 @@ object Similarity {
     import spark.implicits._
     val e = Tables.widened(embeddings, col("vec_id"))
       .select(col("embedding").cast("array<double>").as("emb"))
-    val dim = e.select(max(size(col("emb"))).as("d")).head().getInt(0)
-    val n = e.count() // one scalar job — corpus cardinality
+    // ONE corpus pass for all model-sized statistics: cardinality,
+    // dimensionality, the DECIMAL mean sum, and Σ‖v‖² (the total-
+    // variance numerator) ride a single fused aggregate
+    val stats = e
+      .agg(count(lit(1)).as("n"),
+        max(size(col("emb"))).as("d"),
+        call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sv"),
+        sum(call_function("dot_product", col("emb"), col("emb"))
+          .cast(DecimalType(38, 12))).cast("double").as("q"))
+      .select(col("n"), col("d"),
+        transform(col("sv"), x => x.cast("double") / col("n")).as("m"),
+        col("q"))
+      .head()
+    val n = stats.getLong(0)
+    val dim = stats.getInt(1)
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val m: Array[Double] = e
-      .agg(call_function("vector_sum_dec",
-        col("emb").cast("array<decimal(38,12)>")).as("sv"))
-      .select(transform(col("sv"), x => x.cast("double") / lit(n)).as("m"))
-      .head().getSeq[Double](0).toArray
+    val m: Array[Double] = stats.getSeq[Double](2).toArray
+    val q = stats.getDouble(3)
     var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lambda = 0.0
     for (_ <- 1 to PcaIters) {
@@ -1147,11 +1172,12 @@ object Similarity {
       val ss = g.getDouble(1)
       val u = Array.tabulate(dim)(p => (sa(p) - ss * m(p)) / n.toDouble)
       lambda = math.sqrt(dotSeq(u, u))
+      // a zero-variance corpus (every vector = the mean) has no
+      // principal direction: fail loudly rather than silently diverge
+      // from the SQL twins' x/0 null semantics
+      require(lambda > 0, "q144 pcaPower needs a corpus with nonzero variance")
       w = u.map(_ / lambda)
     }
-    val q = e.agg(sum(call_function("dot_product", col("emb"), col("emb"))
-        .cast(DecimalType(38, 12))).cast("double").as("q"))
-      .head().getDouble(0)
     val tvar = q / n.toDouble - dotSeq(m, m)
     w.toIndexedSeq.zipWithIndex.map { case (x, p) => (p, x) }
       .toDF("pos", "loading")
@@ -1567,14 +1593,14 @@ object Similarity {
          |  FROM rowm r LEFT JOIN colm c ON c.pred = r.label
          |  LEFT JOIN diag d ON d.label = r.label),
          |tot AS (SELECT sum(n_true) AS n_total, sum(n_correct) AS sum_diag,
-         |    sum(n_true * n_pred) AS sum_exp
+         |    CAST(sum(CAST(n_true AS DECIMAL(19,0)) * CAST(n_pred AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sum_exp
          |  FROM perl)
          |SELECT p.label, p.n_true, p.n_pred, p.n_correct,
          |  round(CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE), 9) AS recall,
          |  round(CAST(p.n_correct AS DOUBLE) / CAST(NULLIF(p.n_pred, 0) AS DOUBLE), 9) AS prec,
          |  round(CAST(t.sum_diag AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS accuracy,
-         |  round(CAST(t.n_total * t.sum_diag - t.sum_exp AS DOUBLE)
-         |    / CAST(t.n_total * t.n_total - t.sum_exp AS DOUBLE), 9) AS kappa
+         |  round(CAST(CAST(t.n_total AS DECIMAL(38,0)) * CAST(t.sum_diag AS DECIMAL(38,0)) - t.sum_exp AS DOUBLE)
+         |    / CAST(NULLIF(CAST(t.n_total AS DECIMAL(38,0)) * CAST(t.n_total AS DECIMAL(38,0)) - t.sum_exp, 0) AS DOUBLE), 9) AS kappa
          |FROM perl p CROSS JOIN tot t
          |ORDER BY p.label""".stripMargin,
     "q56_centroid_outliers" ->
@@ -1996,14 +2022,14 @@ object Similarity {
          |  LEFT JOIN diag d ON d.label = r.label),
          |tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS n_total,
          |    CAST(sum(n_correct) AS BIGINT) AS sum_diag,
-         |    CAST(sum(n_true * n_pred) AS BIGINT) AS sum_exp
+         |    CAST(sum(CAST(n_true AS HUGEINT) * CAST(n_pred AS HUGEINT)) AS HUGEINT) AS sum_exp
          |  FROM perl)
          |SELECT p.label, p.n_true, p.n_pred, p.n_correct,
          |  round(CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE), 9) AS recall,
          |  round(CAST(p.n_correct AS DOUBLE) / CAST(NULLIF(p.n_pred, 0) AS DOUBLE), 9) AS prec,
          |  round(CAST(t.sum_diag AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS accuracy,
-         |  round(CAST(t.n_total * t.sum_diag - t.sum_exp AS DOUBLE)
-         |    / CAST(t.n_total * t.n_total - t.sum_exp AS DOUBLE), 9) AS kappa
+         |  round(CAST(CAST(t.n_total AS HUGEINT) * CAST(t.sum_diag AS HUGEINT) - t.sum_exp AS DOUBLE)
+         |    / CAST(NULLIF(CAST(t.n_total AS HUGEINT) * CAST(t.n_total AS HUGEINT) - t.sum_exp, 0) AS DOUBLE), 9) AS kappa
          |FROM perl p CROSS JOIN tot t
          |ORDER BY p.label""".stripMargin,
     "q56_centroid_outliers" ->

@@ -318,12 +318,9 @@ object TextAnalysis {
     val kmins = fp.orderBy("h").limit(KmvK)
       .agg(count(lit(1)).as("n_k"), max("h").as("kth_min"))
     val exact = fp.agg(count(lit(1)).as("n_exact"))
-    // 255 * 2^60 is exactly representable (8 significant bits)
-    val scale = lit((KmvK - 1).toDouble * 1152921504606846976.0)
     kmins.crossJoin(exact)
       .select(col("n_exact"), col("n_k"), col("kth_min"),
-        when(col("n_k") < KmvK, col("n_k").cast("double"))
-          .otherwise(scale / col("kth_min").cast("double"))
+        TextFns.kmvEstimate(col("n_k"), col("kth_min"), KmvK)
           .as("est_distinct"))
   }
 
@@ -378,6 +375,11 @@ object TextAnalysis {
     * are doc- and language-cardinality. The high-OOV flag compares in
     * integer space (`10·oov > n_tok`), so the only float op is the one
     * closing division (the determinism discipline of q18/q95).
+    *
+    * Scope: `n_docs` counts documents WITH at least one non-empty
+    * token — a token-less document has no coverage to audit and drops
+    * out of the explode on both engines (the oracle's unnest agrees);
+    * all-token-less languages are likewise absent rather than 0/0.
     */
   def oovRate(spark: SparkSession, dir: String): DataFrame =
     oovRateFrom(Tables.documents(spark, dir))

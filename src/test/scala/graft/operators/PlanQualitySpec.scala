@@ -518,18 +518,41 @@ class PlanQualitySpec extends AnyFunSpec {
     }
 
     it("q141 lowers both priority cuts to TakeOrderedAndProject, never a global sort") {
+      // the published plan starts at the localCheckpoint, so gate the
+      // CORPUS-side stage directly (the checkpoint truncates lineage
+      // and would otherwise hide a regression to a global sort)
+      val corpus = Curation.priorityCandidates(
+          graft.sources.Tables.documents(spark, sf))
+        .queryExecution.executedPlan.toString
+      assert(corpus.contains("TakeOrderedAndProject"),
+        s"corpus top-(k+1) must be a bounded heap:\n$corpus")
+      assert(!corpus.contains("Exchange rangepartitioning"),
+        s"a range-partitioned global sort crept into the cut:\n$corpus")
       val p = plan("q141_priority_sample")
-      assert(p.contains("TakeOrderedAndProject"), s"top-(k+1) must be a bounded heap:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"k-row tail cut:\n$p")
     }
 
     it("q142 candidate generation is equi-join work — no nested-loop or cartesian over items") {
+      // gate the pre-checkpoint edge construction (quantile cut) AND
+      // the published wedge/anti-join plan
+      val edges = Analytics.cooccurEdges(graft.sources.Tables.events(spark, sf))
+        .queryExecution.executedPlan.toString
+      assert(!edges.contains("CartesianProduct"), s"items² cartesian in:\n$edges")
+      val ebnlj = edges.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(ebnlj <= 1,
+        s"only the 1-row quantile-threshold broadcast may nested-loop ($ebnlj):\n$edges")
       val p = plan("q142_link_prediction")
       assert(!p.contains("CartesianProduct"), s"items² cartesian in:\n$p")
-      // the only nested-loop allowed is the 1-row quantile-threshold
-      // broadcast; a data-scale BNLJ would be the all-pairs anti-pattern
       val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
       assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$p")
       assert(p.contains("TakeOrderedAndProject"), s"top-k must bound the output:\n$p")
+    }
+
+    it("q143 scores against broadcast centroids — the corpus never sort-merge joins") {
+      val p = plan("q143_label_agreement")
+      assert(!p.contains("SortMergeJoin"),
+        s"label-cardinality sides must broadcast, never shuffle the corpus:\n$p")
+      assert(p.contains("Broadcast"), s"expected a broadcast centroid side:\n$p")
     }
 
     it("q138 bounds every per-group sketch with a rank limit before the merge") {

@@ -444,6 +444,15 @@ class SimilaritySpec extends AnyFunSpec {
       }
     }
 
+    it("a single-label corpus yields NULL kappa (chance term degenerate), not a blow-up") {
+      val e = Seq.tabulate(3)(i => (i.toLong, Array(1.0f, 0.0f), 5))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.labelAgreementFrom(e).collect()
+      assert(r.length == 1)
+      assert(r(0).isNullAt(r(0).fieldIndex("kappa")))
+      assert(r(0).getAs[Double]("accuracy") == 1.0)
+    }
+
     it("perfectly separable labels score accuracy 1 and kappa 1") {
       val e = (Seq.tabulate(3)(i => (i.toLong, Array(1.0f, 0.0f), 0)) ++
         Seq.tabulate(3)(i => (10L + i, Array(0.0f, 1.0f), 1)))
