@@ -600,6 +600,72 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q145 bootstrap replicates, and the Poisson(1) CDF as EXACT
+    * integer thresholds in 2^60 hash space: a row's multiplicity in
+    * replicate b is the number of thresholds its 60-bit hash clears —
+    * the draw is an integer comparison, so no float literal ever
+    * enters the resampling path (the cross-engine risk a
+    * `u < 0.3678…` comparison would carry). Truncation at m = 9 drops
+    * ~1.1e-6 of Poisson mass (statistically irrelevant, and both
+    * engines truncate identically).
+    */
+  val BootB = 32
+  val BootPoisThresh: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L, 1152909688087595836L, 1152920207336574738L)
+
+  /** q145 — POISSON-BOOTSTRAP confidence intervals for the per-type
+    * mean event value: every pipeline metric the engine reports is a
+    * point estimate; this is the uncertainty quantification around
+    * one. The classic bootstrap resamples n rows WITH replacement B
+    * times — a shuffle per replicate, unusable at 100 TB. The Poisson
+    * bootstrap (the MapReduce-era large-scale formulation) replaces
+    * the multinomial with independent per-row Poisson(1)
+    * multiplicities, so ALL B replicates ride ONE corpus pass: each
+    * row fans out to B (replicate, multiplicity) contributions
+    * map-side, the aggregate is keyed (type, replicate) with a
+    * types×B reduce side, and the interval is a percentile over B
+    * replicate means.
+    *
+    * Determinism: the multiplicity draw is a hash-threshold count in
+    * integer space (never `rand()` — q45's rule — and never a float
+    * CDF compare); replicate sums are integer cents with ONE closing
+    * division per replicate; the 2.5%/97.5% cut is the
+    * percentile ≡ quantile_cont identity (q34). Values are reported
+    * in cents (the corpus's exact unit).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiFrom(Tables.events(spark, dir))
+
+  def bootstrapCiFrom(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val h = TextFns.hash60(concat(lit("bs|"), col("b").cast("string"),
+      lit("|"), col("event_id").cast("string")))
+    val thr = array(BootPoisThresh.map(lit(_)): _*)
+    val reps = base
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .select(col("event_type"), col("b"), col("cents"),
+        size(filter(thr, t => h >= t)).cast("long").as("m"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("m") * col("cents")).as("s"), sum("m").as("c"))
+      .select(col("event_type"),
+        (col("s").cast("double") / nullIfZero(col("c")).cast("double"))
+          .as("mean_b"))
+    val ci = reps.groupBy("event_type").agg(
+      round(percentile(col("mean_b"), lit(0.025)), 9).as("ci_lo_cents"),
+      round(percentile(col("mean_b"), lit(0.975)), 9).as("ci_hi_cents"))
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      .select(col("event_type"), col("n"),
+        round(col("sc").cast("double") / col("n").cast("double"), 9)
+          .as("mean_cents"))
+      .join(broadcast(ci), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** PageRank constants for q103: standard damping, fixed unrolled
     * iteration count (enough to differentiate hubs on the fixture
     * graph while keeping the oracle a plain non-recursive SQL text).
@@ -1094,6 +1160,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_trend_mk" -> (trendAudit _),
     "q138_sketch_rollup" -> (sketchRollup _),
+    "q145_bootstrap_ci" -> (bootstrapCi _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
@@ -1272,6 +1339,42 @@ object Analytics {
          |WHERE r.w >= $RuleMinPairs
          |ORDER BY lift DESC, confidence DESC, item_a, item_b
          |LIMIT $RuleTopK""".stripMargin,
+    // Poisson multiplicity = count of 2^60-space integer thresholds
+    // the row hash clears (no float CDF compare); integer cents to one
+    // division per replicate; percentile ≡ quantile_cont
+    "q145_bootstrap_ci" -> {
+      val thr = BootPoisThresh.mkString("list_value(", ", ", ")")
+      s"""WITH base AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |rep AS (
+         |  SELECT event_type, b, cents,
+         |    ${TextFns.sql.hash60(
+              "'bs|' || CAST(b AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)")} AS h
+         |  FROM (SELECT event_type, event_id, cents, UNNEST(range($BootB)) AS b
+         |    FROM base) x),
+         |mrep AS (
+         |  SELECT event_type, b, cents,
+         |    CAST(len(list_filter($thr, t -> h >= t)) AS BIGINT) AS m
+         |  FROM rep),
+         |ag AS (SELECT event_type, b, CAST(sum(m * cents) AS BIGINT) AS s,
+         |    CAST(sum(m) AS BIGINT) AS c
+         |  FROM mrep GROUP BY 1, 2),
+         |means AS (SELECT event_type,
+         |    CAST(s AS DOUBLE) / CAST(NULLIF(c, 0) AS DOUBLE) AS mean_b
+         |  FROM ag),
+         |ci AS (SELECT event_type,
+         |    round(quantile_cont(mean_b, 0.025), 9) AS ci_lo_cents,
+         |    round(quantile_cont(mean_b, 0.975), 9) AS ci_hi_cents
+         |  FROM means GROUP BY 1),
+         |pt AS (SELECT event_type, count(*) AS n,
+         |    round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS mean_cents
+         |  FROM base GROUP BY 1)
+         |SELECT pt.event_type, pt.n, pt.mean_cents, ci.ci_lo_cents, ci.ci_hi_cents
+         |FROM pt JOIN ci ON ci.event_type = pt.event_type
+         |ORDER BY pt.event_type""".stripMargin
+    },
     // per-day KMV partials then the exact-merge: k smallest of the
     // union of per-day k-minima ≡ k smallest overall; ties impossible
     // (rank orders distinct hashes)

@@ -467,6 +467,35 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("bootstrapCi (q145)") {
+    it("collapses to a zero-width interval on a constant-valued type") {
+      val rows = (1L to 200L).map(i =>
+        (i, ts("2024-01-01 10:00:00"), i, "a", 2.0, "{}"))
+      val r = Analytics.bootstrapCiFrom(events(rows: _*)).collect()(0)
+      assert(r.getAs[Long]("n") == 200L)
+      assert(r.getAs[Double]("mean_cents") == 200.0)
+      // every replicate resamples only 200-cent rows, so every
+      // replicate mean — and both interval ends — is exactly 200
+      assert(r.getAs[Double]("ci_lo_cents") == 200.0)
+      assert(r.getAs[Double]("ci_hi_cents") == 200.0)
+    }
+
+    it("brackets the point estimate and is layout-invariant on the fixture") {
+      val e = graft.sources.Tables.events(spark, graft.TestSpark.Sf)
+      val a = Analytics.bootstrapCiFrom(e).collect()
+      assert(a.nonEmpty)
+      a.foreach { x =>
+        assert(x.getAs[Double]("ci_lo_cents") <= x.getAs[Double]("mean_cents"))
+        assert(x.getAs[Double]("ci_hi_cents") >= x.getAs[Double]("mean_cents"))
+        assert(x.getAs[Double]("ci_lo_cents") < x.getAs[Double]("ci_hi_cents"))
+      }
+      // the resample is a pure function of (event_id, replicate) — the
+      // interval cannot move when the corpus is laid out differently
+      val b = Analytics.bootstrapCiFrom(e.repartition(7)).collect()
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    }
+  }
+
   describe("labelCommunities (q140)") {
     // two 3-item cliques co-viewed by 3 users each (pair weight 3) over
     // a sea of weight-1 noise pairs: the 0.9-quantile edge cut keeps
