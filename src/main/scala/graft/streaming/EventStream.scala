@@ -460,7 +460,45 @@ object EventStream {
       .orderBy("user_id", "rank")
   }
 
+  /** q146 — STREAMING KMV distinct-user sketch per event type: the
+    * mergeable-sketch state class (q138's rollup discipline living IN
+    * streaming state). `groupByKey(type).agg(KmvAgg(k))` holds the k
+    * smallest distinct user hashes per type — O(types·k) state and
+    * shuffle regardless of stream volume, where an exact streaming
+    * `count(DISTINCT)` would hold every user id ever seen. The drained
+    * complete-mode run equals the batch KMV of the same corpus exactly
+    * (the merge identity), which is what the shared oracle asserts;
+    * the exact distinct count rides alongside as the batch-side error
+    * gauge (q121 discipline).
+    */
+  def streamedSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val agg = new KmvAgg(graft.operators.Analytics.SkK)
+    val typed = source(spark, dir)
+      .select(col("event_type"),
+        TextFns.hash60(concat(lit("sk|"), col("user_id").cast("string"))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("kmins"))
+      .toDF("event_type", "kmins")
+    drain(typed, "graft_q146_sink", OutputMode.Complete)
+    val exact = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+    spark.table("graft_q146_sink")
+      .select(col("event_type"), size(col("kmins")).cast("long").as("n_k"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_min"))
+      .join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("n_k"), col("kth_min"),
+        TextFns.kmvEstimate(col("n_k"), col("kth_min"),
+          graft.operators.Analytics.SkK).as("est_distinct"),
+        col("n_exact"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_stream_sketch" -> (streamedSketch _),
     "q49_stream_rates" -> (streamedRates _),
     "q50_stream_range_join" -> (streamedRangeJoin _),
     "q93_stream_left_join" -> (streamedLeftJoin _),
@@ -563,6 +601,31 @@ object EventStream {
         |FROM agg a, wm
         |WHERE epoch_us(a.window_start) + 300000000 < wm.wm_us
         |ORDER BY a.window_start, a.tier""".stripMargin,
+    // the drained complete-mode sketch equals the batch KMV exactly
+    // (k-min merge identity); estimator restated per q39's dialect
+    "q146_stream_sketch" -> {
+      val k = graft.operators.Analytics.SkK
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(('0x' || substring(md5('sk|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |mk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type ORDER BY h) AS rn FROM u) x
+         |  WHERE rn <= $k),
+         |sk AS (SELECT event_type, count(*) AS n_k, max(h) AS kth_min
+         |  FROM mk GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT sk.event_type, sk.n_k, sk.kth_min,
+         |  CASE WHEN sk.n_k < $k THEN CAST(sk.n_k AS DOUBLE)
+         |       ELSE ${(graft.operators.Analytics.SkK - 1).toDouble * 1152921504606846976.0} / CAST(sk.kth_min AS DOUBLE)
+         |  END AS est_distinct,
+         |  ex.n_exact
+         |FROM sk JOIN ex ON ex.event_type = sk.event_type
+         |ORDER BY sk.event_type""".stripMargin
+    },
     // the drained complete-mode stream equals the batch window top-k
     "q65_stream_topk" ->
       s"""WITH rk AS (
