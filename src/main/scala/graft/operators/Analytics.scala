@@ -600,6 +600,126 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q148 — QUANTILE rollup from mergeable histogram partials: q138's
+    * store-partials-not-raws discipline applied to percentiles. Exact
+    * quantiles need the raws (or a full re-sort) per queried range; a
+    * warehouse instead stores per-(type, day) equal-width bin counts
+    * (q95's geometry — [[HistBins]] integers per group, and integer
+    * counts merge associatively, unlike quantile sketches whose merge
+    * order changes the answer bit-wise), then answers any date range
+    * by summing the range's partials and interpolating inside the
+    * target bin. The exact percentile rides alongside as the error
+    * gauge (q121 discipline) — on the fixture the 25-unit bins land
+    * the estimate within a bin width of the exact p50/p90.
+    *
+    * Determinism: partial counts are integers; the interpolation
+    * `lo + (p·N − cum_before)/c · width` is a fixed sequence of
+    * correctly-rounded IEEE ops mirrored token-for-token in the
+    * oracle; the target-bin pick compares the same doubles on both
+    * engines.
+    *
+    * Scale shape: the partial build is one two-phase aggregate keyed
+    * (type, day, bin); everything after the merge is types × bins
+    * rows — model scale. A 1000-day range query touches 1000·bins
+    * integers, never the raws.
+    */
+  def quantileRollup(spark: SparkSession, dir: String): DataFrame =
+    quantileRollupFrom(Tables.events(spark, dir))
+
+  def quantileRollupFrom(events: DataFrame): DataFrame = {
+    val bucket = least(greatest(floor(col("value") / HistWidth).cast("int"), lit(0)),
+      lit(HistBins - 1))
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("day"), bucket.as("bucket"))
+      .groupBy("event_type", "day", "bucket").agg(count(lit(1)).as("c"))
+    val merged = daily.groupBy("event_type", "bucket").agg(sum("c").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val cm = merged
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    def estAt(p: Double, name: String): DataFrame = {
+      val t = lit(p) * col("n").cast("double")
+      cm.filter(col("cum").cast("double") >= t)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          round(col("bucket").cast("double") * HistWidth +
+            (t - (col("cum") - col("c")).cast("double")) /
+              col("c").cast("double") * HistWidth, 9).as(name))
+    }
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 9).as("exact_p50"),
+        round(percentile(col("value"), lit(0.9)), 9).as("exact_p90"))
+      .join(broadcast(estAt(0.5, "est_p50")), Seq("event_type"))
+      .join(broadcast(estAt(0.9, "est_p90")), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("est_p50"), col("exact_p50"),
+        col("est_p90"), col("exact_p90"))
+      .orderBy("event_type")
+  }
+
+  /** q147 — the |z| cut for the two-sided 5% significance call, and
+    * the per-user purchase-count conversion threshold (≈ the fixture's
+    * per-user purchase mean at EVERY sf — the per-user event rate is
+    * scale-invariant — so both arms stay non-degenerate; "has any
+    * purchase" would be conversion 1.0 for every user here).
+    */
+  val AbZCrit = 1.96
+  val AbConvMin = 14L
+
+  /** q147 — A/B TWO-PROPORTION z-test on deterministic hash cohorts:
+    * users split 50/50 by md5 of the stable user id (the q45 split
+    * rule applied to EXPERIMENT assignment — a user's arm never moves
+    * under re-runs, repartitions, or corpus growth, which is the
+    * no-rand() contract an experimentation harness needs), conversion
+    * = a user with ≥ [[AbConvMin]] purchases; the pooled two-proportion z
+    * statistic and the two-sided 5% significance call. The
+    * experimentation member of the statistics family (q132 AUC ranks
+    * values, q133 KS compares distributions, this compares RATES).
+    * The fixture's hash split carries no real treatment, so the gate
+    * exercises the insignificant path — by design, like q112's no-hot-
+    * key audit.
+    *
+    * Determinism: the cohort and conversion counts are exact integers
+    * off one distinct-user aggregate; p̂, the pooled rate, and z are a
+    * fixed sequence of correctly-rounded IEEE ops (divisions, one
+    * sqrt) mirrored token-for-token in the oracle; the significance
+    * boolean compares the same doubles on both engines.
+    *
+    * Scale shape: one (user → cohort, converted) aggregate bounded by
+    * user cardinality, then a 2-row rollup — the statistic costs one
+    * corpus pass regardless of event volume.
+    */
+  def conversionZ(spark: SparkSession, dir: String): DataFrame =
+    conversionZFrom(Tables.events(spark, dir))
+
+  def conversionZFrom(events: DataFrame): DataFrame = {
+    val cohort = TextFns.hash32(concat(lit("ab|"), col("user_id").cast("string"))) % 2
+    val users = events
+      .select(col("user_id"), cohort.as("cohort"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+      .groupBy("user_id", "cohort")
+      .agg(when(sum("pur") >= AbConvMin, 1L).otherwise(0L).as("conv"))
+    val arms = users.groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    val a = arms.filter(col("cohort") === 0)
+      .select(col("n").as("n_a"), col("x").as("x_a"))
+    val b = arms.filter(col("cohort") === 1)
+      .select(col("n").as("n_b"), col("x").as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(b)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round(pa, 9).as("p_a"), round(pb, 9).as("p_b"),
+        round(z, 9).as("z"),
+        (abs(z) > AbZCrit).as("significant"))
+  }
+
   /** q145 bootstrap replicates, and the Poisson(1) CDF as EXACT
     * integer thresholds in 2^60 hash space: a row's multiplicity in
     * replicate b is the number of thresholds its 60-bit hash clears —
@@ -1161,6 +1281,8 @@ object Analytics {
     "q128_trend_mk" -> (trendAudit _),
     "q138_sketch_rollup" -> (sketchRollup _),
     "q145_bootstrap_ci" -> (bootstrapCi _),
+    "q147_conversion_z" -> (conversionZ _),
+    "q148_quantile_rollup" -> (quantileRollup _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
@@ -1339,6 +1461,73 @@ object Analytics {
          |WHERE r.w >= $RuleMinPairs
          |ORDER BY lift DESC, confidence DESC, item_a, item_b
          |LIMIT $RuleTopK""".stripMargin,
+    // integer partial counts merged associatively; interpolation
+    // mirrored token-for-token; target-bin pick compares identical
+    // doubles
+    "q148_quantile_rollup" -> {
+      def estCte(p: String, cte: String, name: String) =
+        s"""$cte AS (SELECT event_type, round(CAST(bucket AS DOUBLE) * $HistWidth
+           |      + ($p * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+           |        / CAST(c AS DOUBLE) * $HistWidth, 9) AS $name
+           |  FROM (SELECT *, row_number() OVER
+           |      (PARTITION BY event_type ORDER BY bucket) AS rn
+           |    FROM cm WHERE CAST(cum AS DOUBLE) >= $p * CAST(n AS DOUBLE)) x
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    least(greatest(CAST(floor(value / $HistWidth) AS INT), 0), ${HistBins - 1}) AS bucket
+         |  FROM events),
+         |daily AS (SELECT event_type, day, bucket, count(*) AS c
+         |  FROM b GROUP BY 1, 2, 3),
+         |m AS (SELECT event_type, bucket, CAST(sum(c) AS BIGINT) AS c
+         |  FROM daily GROUP BY 1, 2),
+         |cm AS (SELECT *,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM m),
+         |${estCte("0.5", "e50", "est_p50")},
+         |${estCte("0.9", "e90", "est_p90")},
+         |ex AS (SELECT event_type, count(*) AS n,
+         |    round(quantile_cont(value, 0.5), 9) AS exact_p50,
+         |    round(quantile_cont(value, 0.9), 9) AS exact_p90
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.n, e50.est_p50, ex.exact_p50,
+         |  e90.est_p90, ex.exact_p90
+         |FROM ex
+         |JOIN e50 ON e50.event_type = ex.event_type
+         |JOIN e90 ON e90.event_type = ex.event_type
+         |ORDER BY ex.event_type""".stripMargin
+    },
+    // integer cohort/conversion counts; p̂ and z as one fixed sequence
+    // of correctly-rounded IEEE ops, mirrored token-for-token; the
+    // significance boolean compares the UNROUNDED z on both engines
+    "q147_conversion_z" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    ${TextFns.sql.hash32("'ab|' || CAST(user_id AS VARCHAR)")} % 2 AS cohort,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= $AbConvMin
+         |         THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1, 2),
+         |arms AS (SELECT cohort, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+         |  FROM u GROUP BY 1),
+         |a AS (SELECT n AS n_a, x AS x_a FROM arms WHERE cohort = 0),
+         |b AS (SELECT n AS n_b, x AS x_b FROM arms WHERE cohort = 1),
+         |s AS (
+         |  SELECT n_a, x_a, n_b, x_b,
+         |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM a CROSS JOIN b),
+         |zc AS (
+         |  SELECT *, (pa - pb) / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+         |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |         + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_raw
+         |  FROM s)
+         |SELECT n_a, x_a, n_b, x_b,
+         |  round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+         |  round(z_raw, 9) AS z,
+         |  (abs(z_raw) > CAST($AbZCrit AS DOUBLE)) AS significant
+         |FROM zc""".stripMargin,
     // Poisson multiplicity = count of 2^60-space integer thresholds
     // the row hash clears (no float CDF compare); integer cents to one
     // division per replicate; percentile ≡ quantile_cont

@@ -467,6 +467,82 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("quantileRollup (q148)") {
+    def twoBinEvents(days: Seq[String]): DataFrame = {
+      // 10 rows valued 10.0 (bin 0) + 10 valued 30.0 (bin 1), spread
+      // round-robin over the given days
+      val rows = (1L to 20L).map { i =>
+        val v = if (i <= 10) 10.0 else 30.0
+        (i, ts(s"${days((i % days.size).toInt)} 10:00:00"), i, "a", v, "{}")
+      }
+      events(rows: _*)
+    }
+
+    it("interpolates the hand histogram exactly") {
+      val r = Analytics.quantileRollupFrom(twoBinEvents(Seq("2024-01-01")))
+        .collect()(0)
+      // N=20: p50 target 10 hits bin 0 (cum 10): 0·25 + 10/10·25 = 25
+      // p90 target 18 hits bin 1 (cum 20): 25 + 8/10·25 = 45
+      assert(r.getAs[Double]("est_p50") == 25.0)
+      assert(r.getAs[Double]("est_p90") == 45.0)
+      assert(r.getAs[Long]("n") == 20L)
+    }
+
+    it("day partials merge to the same estimate as a single-day histogram") {
+      val one = Analytics.quantileRollupFrom(twoBinEvents(Seq("2024-01-01"))).collect()
+      val four = Analytics.quantileRollupFrom(twoBinEvents(
+        Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))).collect()
+      assert(one.map(x => (x.getAs[Double]("est_p50"), x.getAs[Double]("est_p90"))).toSeq ==
+        four.map(x => (x.getAs[Double]("est_p50"), x.getAs[Double]("est_p90"))).toSeq)
+    }
+
+    it("lands within one bin width of the exact quantiles on the fixture") {
+      val r = Analytics.quantileRollup(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(math.abs(x.getAs[Double]("est_p50") - x.getAs[Double]("exact_p50")) <=
+          Analytics.HistWidth)
+        assert(math.abs(x.getAs[Double]("est_p90") - x.getAs[Double]("exact_p90")) <=
+          Analytics.HistWidth)
+      }
+    }
+  }
+
+  describe("conversionZ (q147)") {
+    it("flags a forced treatment effect as significant") {
+      // resolve each user's md5 arm first, then give arm-0 users
+      // converting purchase counts and arm-1 users none
+      val coh = spark.range(1, 21).selectExpr("id AS user_id",
+          "CAST(conv(substring(md5('ab|' || CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2 AS c")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var id = 0L
+      val rows = coh.toSeq.flatMap { case (u, c) =>
+        val k = if (c == 0L) Analytics.AbConvMin.toInt else 1
+        (1 to k).map { _ =>
+          id += 1; (id, ts("2024-01-01 10:00:00"), u, "purchase", 1.0, "{}")
+        }
+      }
+      val r = Analytics.conversionZFrom(events(rows: _*)).collect()(0)
+      assert(r.getAs[Long]("x_a") == r.getAs[Long]("n_a")) // arm 0 all convert
+      assert(r.getAs[Long]("x_b") == 0L)
+      assert(r.getAs[Double]("p_a") == 1.0 && r.getAs[Double]("p_b") == 0.0)
+      assert(r.getAs[Boolean]("significant"))
+    }
+
+    it("computes the pooled z consistently with its own counts on the fixture") {
+      val r = Analytics.conversionZ(spark, graft.TestSpark.Sf).collect()(0)
+      val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      val xA = r.getAs[Long]("x_a"); val xB = r.getAs[Long]("x_b")
+      assert(nA + nB == 15L) // the sf0.001 user universe, hash-split
+      val pa = xA.toDouble / nA; val pb = xB.toDouble / nB
+      val pp = (xA + xB).toDouble / (nA + nB)
+      val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB))
+      assert(r.getAs[Double]("z") ==
+        BigDecimal(z).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Boolean]("significant") == (math.abs(z) > Analytics.AbZCrit))
+    }
+  }
+
   describe("bootstrapCi (q145)") {
     it("collapses to a zero-width interval on a constant-valued type") {
       val rows = (1L to 200L).map(i =>
