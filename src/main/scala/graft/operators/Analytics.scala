@@ -600,6 +600,105 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q149 — PEARSON correlation between two per-user metrics (click
+    * count vs purchase spend): the metric-correlation audit a pipeline
+    * runs before trusting one metric as a proxy for another. The
+    * textbook r accumulates float moments; here every moment is an
+    * EXACT integer sum — r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) ·
+    * √(n·Σy² − (Σy)²)) — with the products in 128-bit space
+    * (DECIMAL(38,0) / HUGEINT, the q143 discipline: moment products
+    * wrap a 64-bit long at warehouse scale), so the only float ops are
+    * two sqrts and one closing division. A zero-variance metric yields
+    * NULL r on both engines (NULLIF guard).
+    *
+    * Scale shape: one user-bounded aggregate builds (x, y) per user;
+    * the five moments reduce in a single all-combining aggregate —
+    * map-side partials, one row out. One corpus pass.
+    */
+  def metricCorr(spark: SparkSession, dir: String): DataFrame =
+    metricCorrFrom(Tables.events(spark, dir))
+
+  def metricCorrFrom(events: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val per = events.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    val s = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec0)).cast(dec0).as("sx"),
+      sum(col("y").cast(dec0)).cast(dec0).as("sy"),
+      sum(col("x").cast(dec0) * col("y").cast(dec0)).cast(dec0).as("sxy"),
+      sum(col("x").cast(dec0) * col("x").cast(dec0)).cast(dec0).as("sxx"),
+      sum(col("y").cast(dec0) * col("y").cast(dec0)).cast(dec0).as("syy"))
+    val nD = col("n").cast(dec0)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("n").as("n_users"),
+      col("sx").cast("long").as("sum_clicks"),
+      col("sy").cast("long").as("sum_purchase_cents"),
+      round(num / nullIfZero(sqrt(dx) * sqrt(dy)), 9).as("pearson_r"))
+  }
+
+  /** q150 — Benford first-digit expectations log10(1 + 1/k), k = 1..9,
+    * as shortest-round-trip double literals (identical parse on both
+    * engines), and the total-variation flag threshold.
+    */
+  val BenfordP: Seq[Double] = (1 to 9).map(k => math.log10(1.0 + 1.0 / k))
+  val BenfordTvMax = 0.1
+
+  /** q150 — BENFORD first-digit audit: the forensic data-quality check
+    * (fabricated, capped, or unit-mangled monetary columns drift from
+    * Benford's law). Per event type: the dense digit-1..9 histogram of
+    * first digits of the cent value, each digit's share next to the
+    * Benford expectation, and the total-variation distance with a
+    * conformance flag. The fixture's near-uniform values FAIL Benford
+    * by construction, so the flag path is exercised under the gate
+    * (the q112 no-hot-key rationale inverted).
+    *
+    * Determinism: digit extraction is string-of-integer (engine-
+    * agnostic); shares are one division each; the TV sum rides the
+    * DECIMAL accumulator — a 9-term double sum across a shuffle would
+    * be order-dependent. The digit grid is DENSIFIED (types ×
+    * sequence(1..9)) so absent digits contribute their full |0 − p_k|
+    * to the distance instead of silently vanishing.
+    *
+    * Scale shape: one (type, digit) two-phase aggregate — reduce side
+    * types×9; the dense grid join and the distance are model-scale.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditFrom(Tables.events(spark, dir))
+
+  def benfordAuditFrom(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val d = events.select(col("event_type"), cents.as("cents"))
+      .filter(col("cents") >= 1)
+      .select(col("event_type"),
+        substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("c"))
+    val totals = d.groupBy("event_type").agg(sum("c").as("n"))
+    val bp = array(BenfordP.map(lit(_)): _*)
+    val grid = totals
+      .select(col("event_type"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .join(d, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"), col("n"),
+        coalesce(col("c"), lit(0L)).as("n_d"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n").cast("double"))
+          .as("share"),
+        element_at(bp, col("digit")).as("benford_p"))
+    val tv = grid.groupBy("event_type").agg(
+      sum(abs(col("share") - col("benford_p")).cast(DecimalType(38, 12)))
+        .cast("double").as("tvr"))
+    grid.join(broadcast(tv), Seq("event_type"))
+      .select(col("event_type"), col("digit"), col("n_d"),
+        round(col("share"), 9).as("share"),
+        round(col("benford_p"), 9).as("benford_p"),
+        round(col("tvr"), 9).as("tv_distance"),
+        (col("tvr") <= BenfordTvMax).as("benford_ok"))
+      .orderBy("event_type", "digit")
+  }
+
   /** q148 — QUANTILE rollup from mergeable histogram partials: q138's
     * store-partials-not-raws discipline applied to percentiles. Exact
     * quantiles need the raws (or a full re-sort) per queried range; a
@@ -1283,6 +1382,8 @@ object Analytics {
     "q145_bootstrap_ci" -> (bootstrapCi _),
     "q147_conversion_z" -> (conversionZ _),
     "q148_quantile_rollup" -> (quantileRollup _),
+    "q149_metric_corr" -> (metricCorr _),
+    "q150_benford_audit" -> (benfordAudit _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
@@ -1314,6 +1415,28 @@ object Analytics {
     * real sketches and bounds, exactly like the DataFrame form).
     */
   val sparkSql: Map[String, String] = Map(
+    // 128-bit moments: DECIMAL(38,0) here, HUGEINT in the oracle —
+    // same exact integers, same closing doubles
+    "q149_metric_corr" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+         |  FROM per)
+         |SELECT n AS n_users, CAST(sx AS BIGINT) AS sum_clicks,
+         |  CAST(sy AS BIGINT) AS sum_purchase_cents,
+         |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         |    / NULLIF(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 0), 9) AS pearson_r
+         |FROM s""".stripMargin,
     "q44_approx_stats" ->
       """WITH a AS (
         |  SELECT event_type,
@@ -1461,6 +1584,61 @@ object Analytics {
          |WHERE r.w >= $RuleMinPairs
          |ORDER BY lift DESC, confidence DESC, item_a, item_b
          |LIMIT $RuleTopK""".stripMargin,
+    // five exact integer moments in HUGEINT (the engine's native
+    // 128-bit), two sqrts and one division at the close; NULLIF guards
+    // a zero-variance metric
+    "q149_metric_corr" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+         |  FROM per)
+         |SELECT n AS n_users, CAST(sx AS BIGINT) AS sum_clicks,
+         |  CAST(sy AS BIGINT) AS sum_purchase_cents,
+         |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |    / NULLIF(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 0), 9) AS pearson_r
+         |FROM s""".stripMargin,
+    // dense 1..9 digit grid (absent digits contribute |0 − p_k|);
+    // Benford expectations as CAST(…AS DOUBLE) literals; TV distance
+    // through the DECIMAL accumulator
+    "q150_benford_audit" -> {
+      val bp = BenfordP.map(v => s"CAST($v AS DOUBLE)")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |d AS (SELECT event_type,
+         |    CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         |    count(*) AS c
+         |  FROM c WHERE cents >= 1 GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY 1),
+         |g AS (SELECT t.event_type, t.n, CAST(i + 1 AS INT) AS digit
+         |  FROM t CROSS JOIN (SELECT UNNEST(range(9)) AS i) ii),
+         |gg AS (SELECT g.event_type, g.digit, g.n,
+         |    coalesce(d.c, 0) AS n_d,
+         |    CAST(coalesce(d.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS share,
+         |    list_extract($bp, g.digit) AS benford_p
+         |  FROM g LEFT JOIN d ON d.event_type = g.event_type AND d.digit = g.digit),
+         |tv AS (SELECT event_type,
+         |    CAST(sum(CAST(abs(share - benford_p) AS DECIMAL(38,12))) AS DOUBLE) AS tvr
+         |  FROM gg GROUP BY 1)
+         |SELECT gg.event_type, gg.digit, gg.n_d,
+         |  round(gg.share, 9) AS share,
+         |  round(gg.benford_p, 9) AS benford_p,
+         |  round(tv.tvr, 9) AS tv_distance,
+         |  (tv.tvr <= $BenfordTvMax) AS benford_ok
+         |FROM gg JOIN tv ON tv.event_type = gg.event_type
+         |ORDER BY gg.event_type, gg.digit""".stripMargin
+    },
     // integer partial counts merged associatively; interpolation
     // mirrored token-for-token; target-bin pick compares identical
     // doubles

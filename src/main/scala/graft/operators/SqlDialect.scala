@@ -242,7 +242,7 @@ object SqlDialect {
     s = s.replace(" IGNORE NULLS)", ") IGNORE NULLS")
 
     // no DuckDB-ism may survive: fail at map-build time, not query time
-    val leftovers = Seq("list_", "unnest(", "UNNEST(", "UBIGINT", " // ",
+    val leftovers = Seq("list_", "unnest(", "UNNEST(", "UBIGINT", "HUGEINT", " // ",
       "generate_series",
       "range(", ", 'g')", "time_bucket", "::DOUBLE[]", "date_diff(",
       "epoch_us(", "regexp_split_to_array", " IGNORE NULLS)", "VARCHAR")
