@@ -340,10 +340,16 @@ object Bench {
     // driver RECORDS them (stderr diagnostics fall outside its tail
     // window): pass_sec[1]≫pass_sec[0] or heap at ceiling = memory/GC
     // growth; equal passes with uniformly slow queries = host noise
+    // two tiers: the pass/GC/heap trio is the DIAGNOSTIC payload (it
+    // is what distinguishes host noise from engine regressions in the
+    // recorded JSON) and must outlive the cheap startup/cpu/wall
+    // context on the degradation ladder
+    val coreExtras =
+      s""","pass_sec":${jarr(passSec.toSeq, 1)},"gc_sec":${jarr(passGc.toSeq, 1)}""" +
+        s""","peak_mb":$heapPeakMb"""
     val extras =
       s""","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}""" +
-        s""","pass_sec":${jarr(passSec.toSeq, 1)},"gc_sec":${jarr(passGc.toSeq, 1)}""" +
-        s""","peak_mb":$heapPeakMb"""
+        coreExtras
     def jline(queries: String, tail: String): String =
       s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfName"$tail}"""
     // per-query keys shortened to their unambiguous qNN prefix: the full
@@ -372,6 +378,8 @@ object Bench {
       jline(jmapN(shortKeys, 2), extras),
       jline(jmapA(shortKeys), extras),
       jline(jmapN(shortKeys, 1), extras),
+      jline(jmapA(shortKeys), coreExtras),
+      jline(jmapN(shortKeys, 1), coreExtras),
       jline(jmapN(shortKeys, 1), ""))
       .find(_.length <= 1700)
     line match {
