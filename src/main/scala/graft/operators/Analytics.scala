@@ -514,6 +514,15 @@ object Analytics {
   val HistWidth = 25.0
   val HistBins = 20
 
+  /** The one bucket expression q95 and q148 share — the partials-merge
+    * compatibility between histograms and quantile rollups holds only
+    * while both use literally the same geometry, so it lives in one
+    * place (the SQL twins restate it per dialect).
+    */
+  private def histBucket: Column =
+    least(greatest(floor(col("value") / HistWidth).cast("int"), lit(0)),
+      lit(HistBins - 1))
+
   /** q95 — equi-width value histogram per event type: bucket counts and
     * within-type shares, the distribution profile a drift monitor or
     * join-planner consults (and the missing piece next to q92's
@@ -529,10 +538,8 @@ object Analytics {
     valueHistogramFrom(Tables.events(spark, dir))
 
   def valueHistogramFrom(events: DataFrame): DataFrame = {
-    val bucket = least(greatest(floor(col("value") / HistWidth).cast("int"), lit(0)),
-      lit(HistBins - 1))
     val totals = events.groupBy("event_type").agg(count(lit(1)).as("n_total"))
-    events.select(col("event_type"), bucket.as("bucket"))
+    events.select(col("event_type"), histBucket.as("bucket"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"))
       .join(broadcast(totals), "event_type")
@@ -651,10 +658,12 @@ object Analytics {
     * (fabricated, capped, or unit-mangled monetary columns drift from
     * Benford's law). Per event type: the dense digit-1..9 histogram of
     * first digits of the cent value, each digit's share next to the
-    * Benford expectation, and the total-variation distance with a
-    * conformance flag. The fixture's near-uniform values FAIL Benford
-    * by construction, so the flag path is exercised under the gate
-    * (the q112 no-hot-key rationale inverted).
+    * Benford expectation, and the total-variation distance (half the
+    * L1 — the textbook definition, so [[BenfordTvMax]] reads as a true
+    * TV bound) with a conformance flag. The fixture's monetary values
+    * span decades and genuinely conform (TV 0.03–0.09 at every sf), so
+    * the PASS path runs under the gate; the spec's all-digit-1 hand
+    * corpus pins the failing path.
     *
     * Determinism: digit extraction is string-of-integer (engine-
     * agnostic); shares are one division each; the TV sum rides the
@@ -687,9 +696,11 @@ object Analytics {
         (coalesce(col("c"), lit(0L)).cast("double") / col("n").cast("double"))
           .as("share"),
         element_at(bp, col("digit")).as("benford_p"))
+    // TV distance is HALF the L1 distance (the textbook definition —
+    // the flag threshold reads as a true TV bound)
     val tv = grid.groupBy("event_type").agg(
-      sum(abs(col("share") - col("benford_p")).cast(DecimalType(38, 12)))
-        .cast("double").as("tvr"))
+      (sum(abs(col("share") - col("benford_p")).cast(DecimalType(38, 12)))
+        .cast("double") * lit(0.5)).as("tvr"))
     grid.join(broadcast(tv), Seq("event_type"))
       .select(col("event_type"), col("digit"), col("n_d"),
         round(col("share"), 9).as("share"),
@@ -726,10 +737,13 @@ object Analytics {
     quantileRollupFrom(Tables.events(spark, dir))
 
   def quantileRollupFrom(events: DataFrame): DataFrame = {
-    val bucket = least(greatest(floor(col("value") / HistWidth).cast("int"), lit(0)),
-      lit(HistBins - 1))
+    // NULL values would bucket NULL and sort on DIFFERENT ends of the
+    // cumulative window on the two engines (Spark NULLS FIRST, DuckDB
+    // NULLS LAST), shifting every cum — exclude them on both sides
     val daily = events
-      .select(col("event_type"), col("ts").cast("date").as("day"), bucket.as("bucket"))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        histBucket.as("bucket"))
       .groupBy("event_type", "day", "bucket").agg(count(lit(1)).as("c"))
     val merged = daily.groupBy("event_type", "bucket").agg(sum("c").as("c"))
     val w = Window.partitionBy("event_type").orderBy("bucket")
@@ -746,7 +760,7 @@ object Analytics {
             (t - (col("cum") - col("c")).cast("double")) /
               col("c").cast("double") * HistWidth, 9).as(name))
     }
-    events.groupBy("event_type")
+    events.filter(col("value").isNotNull).groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(percentile(col("value"), lit(0.5)), 9).as("exact_p50"),
         round(percentile(col("value"), lit(0.9)), 9).as("exact_p90"))
@@ -809,9 +823,13 @@ object Analytics {
     val pb = col("x_b").cast("double") / col("n_b").cast("double")
     val pp = (col("x_a") + col("x_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
+    // nullIfZero on the pooled-variance denominator: a degenerate
+    // corpus (pp = 0 or 1) would otherwise produce z = 0/0 = NaN,
+    // which both engines order ABOVE every number — a no-signal test
+    // must report NULL, never significant=true
     val z = (pa - pb) /
-      sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+      nullIfZero(sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
     a.crossJoin(b)
       .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
         round(pa, 9).as("p_a"), round(pb, 9).as("p_b"),
@@ -862,12 +880,21 @@ object Analytics {
       round(col("value") * 100).cast("long").as("cents"))
     val h = TextFns.hash60(concat(lit("bs|"), col("b").cast("string"),
       lit("|"), col("event_id").cast("string")))
-    val thr = array(BootPoisThresh.map(lit(_)): _*)
+    // the multiplicity is a 9-indicator sum over a MATERIALIZED hash
+    // column, not an array-filter lambda: a single-reference lambda
+    // body gets project-collapsed back into the filter and re-computes
+    // the md5 once PER THRESHOLD (9× the query's dominant work), while
+    // nine references to a non-cheap column block the collapse — the
+    // hash is evaluated once per (row, replicate), like the oracle's
+    // rep CTE
+    val m = BootPoisThresh
+      .map(t => when(col("h") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
     val reps = base
       .select(col("event_type"), col("event_id"), col("cents"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .select(col("event_type"), col("b"), col("cents"),
-        size(filter(thr, t => h >= t)).cast("long").as("m"))
+      .select(col("event_type"), col("b"), col("cents"), h.as("h"))
+      .select(col("event_type"), col("b"), col("cents"), m.as("m"))
       .groupBy("event_type", "b")
       .agg(sum(col("m") * col("cents")).as("s"), sum("m").as("c"))
       .select(col("event_type"),
@@ -1629,7 +1656,8 @@ object Analytics {
          |    list_extract($bp, g.digit) AS benford_p
          |  FROM g LEFT JOIN d ON d.event_type = g.event_type AND d.digit = g.digit),
          |tv AS (SELECT event_type,
-         |    CAST(sum(CAST(abs(share - benford_p) AS DECIMAL(38,12))) AS DOUBLE) AS tvr
+         |    CAST(sum(CAST(abs(share - benford_p) AS DECIMAL(38,12))) AS DOUBLE)
+         |      * CAST(0.5 AS DOUBLE) AS tvr
          |  FROM gg GROUP BY 1)
          |SELECT gg.event_type, gg.digit, gg.n_d,
          |  round(gg.share, 9) AS share,
@@ -1654,7 +1682,7 @@ object Analytics {
       s"""WITH b AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
          |    least(greatest(CAST(floor(value / $HistWidth) AS INT), 0), ${HistBins - 1}) AS bucket
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |daily AS (SELECT event_type, day, bucket, count(*) AS c
          |  FROM b GROUP BY 1, 2, 3),
          |m AS (SELECT event_type, bucket, CAST(sum(c) AS BIGINT) AS c
@@ -1668,7 +1696,7 @@ object Analytics {
          |ex AS (SELECT event_type, count(*) AS n,
          |    round(quantile_cont(value, 0.5), 9) AS exact_p50,
          |    round(quantile_cont(value, 0.9), 9) AS exact_p90
-         |  FROM events GROUP BY 1)
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1)
          |SELECT ex.event_type, ex.n, e50.est_p50, ex.exact_p50,
          |  e90.est_p90, ex.exact_p90
          |FROM ex
@@ -1697,9 +1725,9 @@ object Analytics {
          |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
          |  FROM a CROSS JOIN b),
          |zc AS (
-         |  SELECT *, (pa - pb) / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+         |  SELECT *, (pa - pb) / NULLIF(sqrt(pp * (CAST(1 AS DOUBLE) - pp)
          |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-         |         + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_raw
+         |         + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))), 0) AS z_raw
          |  FROM s)
          |SELECT n_a, x_a, n_b, x_b,
          |  round(pa, 9) AS p_a, round(pb, 9) AS p_b,

@@ -13,8 +13,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * This is a distinct state CLASS from [[TopKAgg]]: top-k keeps
   * duplicates (two events may tie), a KMV sketch must NOT (the same
   * user's hash arriving a million times is one distinct value), so
-  * reduce and merge both deduplicate against the sorted buffer —
-  * O(log k) membership via the sort order, O(k) insertion.
+  * reduce and merge both deduplicate against the sorted buffer — an
+  * O(k) scan-and-splice per update (the TopKAgg posture: k is a small
+  * model constant, and the common can't-enter case exits on the first
+  * comparison against the buffer tail).
   */
 class KmvAgg(k: Int)(implicit seqEnc: Encoder[Seq[Long]])
   extends Aggregator[Long, Seq[Long], Seq[Long]] {
