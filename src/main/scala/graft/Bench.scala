@@ -56,7 +56,10 @@ object Bench {
     // high-water heap across the run (sum of per-pool peaks): with the
     // per-pass wall/GC splits below, separates memory growth (pass 2
     // slower, heap near ceiling) from host noise (passes equal, random
-    // queries slow) — the round-6 driver-vs-builder gap diagnostic
+    // queries slow) — the round-6 driver-vs-builder gap diagnostic.
+    // Per-pool peaks can occur at different times, so the sum may
+    // OVERSTATE the true simultaneous high-water mark — acceptable for
+    // this coarse growth-vs-noise signal (diagnostic field only)
     def heapPeakMb: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala

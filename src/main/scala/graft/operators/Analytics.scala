@@ -1442,6 +1442,47 @@ object Analytics {
     * real sketches and bounds, exactly like the DataFrame form).
     */
   val sparkSql: Map[String, String] = Map(
+    // the dialect-derived form would keep the oracle's list_filter
+    // lambda, which Spark project-collapses into re-computing the md5
+    // once PER THRESHOLD (9× the dominant work — the materialized-hash
+    // note on bootstrapCiFrom); this override materializes `h` in its
+    // own SELECT and takes the 9-indicator sum over it, the DataFrame
+    // form's plan
+    "q145_bootstrap_ci" -> {
+      val ind = BootPoisThresh
+        .map(t => s"(CASE WHEN h >= ${t}L THEN 1L ELSE 0L END)")
+        .mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |fan AS (
+         |  SELECT event_type, event_id, cents,
+         |    explode(sequence(0, ${BootB - 1})) AS b
+         |  FROM base),
+         |rep AS (
+         |  SELECT event_type, b, cents,
+         |    CAST(conv(substring(md5('bs|' || CAST(b AS STRING) || '|' ||
+         |      CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h
+         |  FROM fan),
+         |mrep AS (SELECT event_type, b, cents, $ind AS m FROM rep),
+         |ag AS (SELECT event_type, b, CAST(sum(m * cents) AS BIGINT) AS s,
+         |    CAST(sum(m) AS BIGINT) AS c
+         |  FROM mrep GROUP BY 1, 2),
+         |means AS (SELECT event_type,
+         |    CAST(s AS DOUBLE) / CAST(NULLIF(c, 0) AS DOUBLE) AS mean_b
+         |  FROM ag),
+         |ci AS (SELECT event_type,
+         |    round(percentile(mean_b, 0.025), 9) AS ci_lo_cents,
+         |    round(percentile(mean_b, 0.975), 9) AS ci_hi_cents
+         |  FROM means GROUP BY 1),
+         |pt AS (SELECT event_type, count(*) AS n,
+         |    round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS mean_cents
+         |  FROM base GROUP BY 1)
+         |SELECT pt.event_type, pt.n, pt.mean_cents, ci.ci_lo_cents, ci.ci_hi_cents
+         |FROM pt JOIN ci ON ci.event_type = pt.event_type
+         |ORDER BY pt.event_type""".stripMargin
+    },
     // 128-bit moments: DECIMAL(38,0) here, HUGEINT in the oracle —
     // same exact integers, same closing doubles
     "q149_metric_corr" ->

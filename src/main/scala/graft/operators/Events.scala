@@ -800,12 +800,12 @@ object Events {
          |  FROM events GROUP BY 1),
          |planned AS (
          |  SELECT event_date, n_rows,
-         |    coalesce(sum(n_rows) OVER (ORDER BY event_date
+         |    CAST(coalesce(sum(n_rows) OVER (ORDER BY event_date
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      // $CompactTargetRows AS out_group
+         |      // $CompactTargetRows AS BIGINT) AS out_group
          |  FROM perday)
          |SELECT event_date, n_rows, out_group,
-         |  sum(n_rows) OVER (PARTITION BY out_group) AS group_rows,
+         |  CAST(sum(n_rows) OVER (PARTITION BY out_group) AS BIGINT) AS group_rows,
          |  count(*) OVER (PARTITION BY out_group) AS group_days
          |FROM planned ORDER BY event_date""".stripMargin,
     // DuckDB types the DATE+INTERVAL series TIMESTAMP (Spark keeps

@@ -100,22 +100,35 @@ object Partitioned {
     materialized.synchronized {
       if (!materialized.contains(path)) {
         val dst = java.nio.file.Paths.get(path)
-        if (!java.nio.file.Files.exists(dst.resolve("_SUCCESS"))) {
-          // a marker-less dst is a crashed pre-rename leftover (no JVM
-          // ever reads one under this discipline) — clear it so the
-          // rename below can land
-          deleteRecursively(dst)
+        val marker = dst.resolve("_SUCCESS")
+        if (!java.nio.file.Files.exists(marker)) {
+          // build the layout FIRST, then decide whether dst still needs
+          // clearing: the in-process lock doesn't cover other JVMs, so a
+          // concurrent writer's atomic rename can land a valid layout at
+          // any moment — re-checking the marker immediately before the
+          // delete closes the check-then-delete window (we never clobber
+          // a layout that landed after the outer check; marker-less dst
+          // is a crashed pre-rename leftover no JVM ever reads)
           val tmp = dst.resolveSibling(
             s".tmp-events-${java.util.UUID.randomUUID().toString.take(13)}")
           writeEventsByDay(Tables.events(spark, dir), tmp.toString)
-          try
-            java.nio.file.Files.move(tmp, dst,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // another JVM landed the (deterministic, identical) layout
-            // between our marker check and rename — keep theirs
-            case _: java.nio.file.FileSystemException => deleteRecursively(tmp)
-          }
+          if (!java.nio.file.Files.exists(marker)) {
+            deleteRecursively(dst)
+            try
+              java.nio.file.Files.move(tmp, dst,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // either another JVM landed the (deterministic, identical)
+              // layout between our delete and rename — keep theirs — or
+              // the move failed outright (permissions, cross-filesystem
+              // ATOMIC_MOVE): distinguish by the marker, and rethrow the
+              // original failure rather than surfacing later as an
+              // unrelated parquet read error on an absent layout
+              case e: java.nio.file.FileSystemException =>
+                if (java.nio.file.Files.exists(marker)) deleteRecursively(tmp)
+                else throw e
+            }
+          } else deleteRecursively(tmp) // concurrent JVM won; identical bytes
         }
         materialized += path
       }
