@@ -380,11 +380,21 @@ object Bench {
     // (no adaptive+coreExtras rung: with a mostly-sub-second catalog
     // the adaptive map costs more chars than the shed context saves,
     // so that rung could never be the first to fit)
+    // r8 rungs: before shedding the diagnostic trio entirely, try it at
+    // 0 dp (~20 chars cheaper — second resolution is plenty for the
+    // noise-vs-growth read), then pass_sec alone (the single strongest
+    // stall-band discriminator), and only then the bare map
+    val coarseExtras =
+      s""","pass_sec":${jarr(passSec.toSeq, 0)},"gc_sec":${jarr(passGc.toSeq, 0)}""" +
+        s""","peak_mb":$heapPeakMb"""
+    val passOnly = s""","pass_sec":${jarr(passSec.toSeq, 0)}"""
     val line = Seq(
       jline(jmapN(shortKeys, 2), extras),
       jline(jmapA(shortKeys), extras),
       jline(jmapN(shortKeys, 1), extras),
       jline(jmapN(shortKeys, 1), coreExtras),
+      jline(jmapN(shortKeys, 1), coarseExtras),
+      jline(jmapN(shortKeys, 1), passOnly),
       jline(jmapN(shortKeys, 1), ""))
       .find(_.length <= 1700)
     line match {

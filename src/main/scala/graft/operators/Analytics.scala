@@ -607,6 +607,171 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q156 theta upper bound: [[TextFns.hash60]] values live in
+    * [0, 2^60), so an UNSATURATED sketch retains its whole set and its
+    * theta is the full range (the estimate degenerates to the exact
+    * count — the same below-saturation exactness [[TextFns.kmvEstimate]]
+    * encodes for single-set distincts).
+    */
+  val ThetaMax = 1152921504606846976L // 2^60
+
+  /** q156 — audience-overlap matrix via THETA-SKETCH intersection: the
+    * set-OPERATION layer over the q138 sketch family. A KMV sketch
+    * answers "how many distinct users did X" — this operator answers
+    * "how many users did BOTH A and B" (and their union, and Jaccard)
+    * from the SAME stored per-type sketches, never rescanning raws:
+    * the sketch salt and k are q138's, so the per-type sketch here IS
+    * q138's merged rollup artifact read back. Theta semantics: a
+    * saturated sketch's theta is its k-th minimum (the k-th itself is
+    * excluded from the retained set — matching the (k−1)·M/h_k
+    * estimator), an unsaturated sketch's theta is the full range; a
+    * pair intersects under theta = min(theta_a, theta_b), and
+    * `est = |retained_a ∩ retained_b under theta| · M / theta` — exact
+    * whenever both sketches are unsaturated. The exact intersection and
+    * union ride alongside as the error gauge (the q121/q138
+    * discipline).
+    *
+    * Determinism: retained sets are integer hash ranks; n·2^60 is exact
+    * in double for any count (power-of-two scaling), so each estimate
+    * is one correctly-rounded IEEE division; the Jaccard estimate is
+    * one integer-ratio division rounded to 6 dp.
+    *
+    * Scale shape: ONE corpus distinct builds the sketches (the q138
+    * pass); every pairwise stage — theta table, common-hash equi-join,
+    * union count — touches only sketch rows (types × k). The exact
+    * gauges are the one corpus-scale self-join (user-keyed, one
+    * exchange) a production rollup would drop.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlapFrom(Tables.events(spark, dir))
+
+  def audienceOverlapFrom(events: DataFrame): DataFrame = {
+    val h = TextFns.hash60(concat(lit("sk|"), col("user_id").cast("string")))
+    val dh = events.select(col("event_type"), h.as("h")).distinct()
+    val ranked = dh.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= SkK)
+    val th = ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_k"), max("h").as("kth"))
+      .select(col("event_type"),
+        when(col("n_k") < SkK, lit(ThetaMax)).otherwise(col("kth"))
+          .as("theta"))
+    val kept = ranked.join(th, Seq("event_type"))
+      .filter(col("h") < col("theta"))
+      .select(col("event_type"), col("h"))
+    val pairs = th.as("a").join(th.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        least(col("a.theta"), col("b.theta")).as("theta"))
+    val common = kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"), col("x.h").as("h"))
+      .join(pairs, Seq("type_a", "type_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_common"))
+    val union = pairs
+      .select(col("type_a"), col("type_b"), col("theta"),
+        explode(array(col("type_a"), col("type_b"))).as("event_type"))
+      .join(kept, Seq("event_type"))
+      .filter(col("h") < col("theta"))
+      .groupBy("type_a", "type_b")
+      .agg(countDistinct("h").as("n_union"))
+    val ex = events.select(col("event_type"), col("user_id")).distinct()
+    val exInter = ex.as("p").join(ex.as("q"),
+        col("p.user_id") === col("q.user_id") &&
+          col("p.event_type") < col("q.event_type"))
+      .select(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val exN = ex.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val m = lit(ThetaMax.toDouble)
+    pairs
+      .join(union, Seq("type_a", "type_b"))
+      .join(common, Seq("type_a", "type_b"), "left")
+      .join(exInter, Seq("type_a", "type_b"), "left")
+      .join(exN.select(col("event_type").as("type_a"), col("n").as("na")),
+        Seq("type_a"))
+      .join(exN.select(col("event_type").as("type_b"), col("n").as("nb")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        (col("na") + col("nb") - coalesce(col("n_exact_inter"), lit(0L)))
+          .as("n_exact_union"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_union"), col("theta"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") * m /
+          col("theta").cast("double")).as("est_inter"),
+        (col("n_union").cast("double") * m / col("theta").cast("double"))
+          .as("est_union"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_union").cast("double"), 6).as("est_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q155 count-min geometry: [[CmSeeds]] independent hash rows ×
+    * [[CmW]] buckets (w deliberately small so collisions — and the
+    * sketch's one-sided error — actually occur at fixture scale), and
+    * the [[HhK]] heaviest users probed against it.
+    */
+  val CmSeeds = 3
+  val CmW = 64
+  val HhK = 10
+
+  /** q155 — heavy-hitter FREQUENCY rollup via mergeable count-min
+    * partials: the third member of the store-partials-not-raws family
+    * (q138 KMV = distinct counts, q148 histograms = quantiles, this =
+    * per-item frequencies). Per (day, seed, bucket) the partial is a
+    * plain integer event count; partials merge ASSOCIATIVELY (sum), so
+    * any date range answers from days × [[CmSeeds]]·[[CmW]] stored
+    * rows without rescanning raws. A user's estimate is the MIN over
+    * seed rows of their bucket's merged count — never below the truth
+    * (one-sided CM guarantee, spec-pinned), with the exact top-k
+    * riding alongside as the gauge (the q121/q138 discipline).
+    *
+    * Scale shape: the partial build fans each event to [[CmSeeds]]
+    * rows map-side and aggregates with map-side combine — the shuffle
+    * carries day × seed × bucket partials, not events; the merge and
+    * probe run on sketch-sized relations (the 192-row merged sketch
+    * broadcasts to the probe join); the exact gauge is one user-keyed
+    * aggregate whose top-k lowers to TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFrom(Tables.events(spark, dir))
+
+  def heavyHittersFrom(events: DataFrame): DataFrame = {
+    def bucket(seed: Column, user: Column): Column =
+      TextFns.hash32(concat(lit("cm"), seed.cast("string"), lit("|"),
+        user.cast("string"))) % CmW
+    val daily = events.select(col("user_id"), col("ts").cast("date").as("day"))
+    val part = daily
+      .select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(CmSeeds - 1))).as("seed"))
+      .groupBy(col("day"), col("seed"),
+        bucket(col("seed"), col("user_id")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val merged = part.groupBy("seed", "bucket").agg(sum("c").as("c"))
+    val top = daily.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("user_id")).limit(HhK)
+    val probe = top
+      .select(col("user_id"), col("n_exact"),
+        explode(sequence(lit(0), lit(CmSeeds - 1))).as("seed"))
+      .select(col("user_id"), col("n_exact"), col("seed"),
+        bucket(col("seed"), col("user_id")).as("bucket"))
+    probe.join(broadcast(merged), Seq("seed", "bucket"))
+      .groupBy("user_id", "n_exact").agg(min("c").as("est_cm"))
+      .select(
+        row_number().over(Window.orderBy(desc("n_exact"), asc("user_id")))
+          .as("rank"),
+        col("user_id"), col("n_exact"), col("est_cm"),
+        (col("est_cm") - col("n_exact")).as("over_count"))
+      .orderBy("rank")
+  }
+
   /** q149 — PEARSON correlation between two per-user metrics (click
     * count vs purchase spend): the metric-correlation audit a pipeline
     * runs before trusting one metric as a proxy for another. The
@@ -1406,6 +1571,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_trend_mk" -> (trendAudit _),
     "q138_sketch_rollup" -> (sketchRollup _),
+    "q155_heavy_hitters" -> (heavyHitters _),
+    "q156_audience_overlap" -> (audienceOverlap _),
     "q145_bootstrap_ci" -> (bootstrapCi _),
     "q147_conversion_z" -> (conversionZ _),
     "q148_quantile_rollup" -> (quantileRollup _),
@@ -1811,6 +1978,101 @@ object Analytics {
          |FROM pt JOIN ci ON ci.event_type = pt.event_type
          |ORDER BY pt.event_type""".stripMargin
     },
+    // count-min partials per (day, seed, bucket), associative sum
+    // merge, min-over-seeds probe for the exact top-k; counts stay
+    // BIGINT except the merge sum (CAST back from HUGEINT)
+    "q155_heavy_hitters" -> {
+      val seeds = s"(SELECT unnest(range($CmSeeds)) AS seed)"
+      def bkt(user: String) = TextFns.sql.hash32(
+        s"'cm' || CAST(seed AS VARCHAR) || '|' || CAST($user AS VARCHAR)") +
+        s" % $CmW"
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         |part AS (
+         |  SELECT day, seed, ${bkt("user_id")} AS bucket, count(*) AS c
+         |  FROM daily CROSS JOIN $seeds s
+         |  GROUP BY 1, 2, 3),
+         |merged AS (
+         |  SELECT seed, bucket, CAST(sum(c) AS BIGINT) AS c
+         |  FROM part GROUP BY 1, 2),
+         |ex AS (SELECT user_id, count(*) AS n_exact FROM daily GROUP BY 1),
+         |top AS (SELECT * FROM ex ORDER BY n_exact DESC, user_id LIMIT $HhK),
+         |probe AS (
+         |  SELECT t.user_id, t.n_exact, seed, ${bkt("t.user_id")} AS bucket
+         |  FROM top t CROSS JOIN $seeds s),
+         |est AS (
+         |  SELECT p.user_id, p.n_exact, min(m.c) AS est_cm
+         |  FROM probe p JOIN merged m
+         |    ON m.seed = p.seed AND m.bucket = p.bucket
+         |  GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, user_id) AS INT)
+         |    AS rank,
+         |  user_id, n_exact, est_cm, est_cm - n_exact AS over_count
+         |FROM est ORDER BY rank""".stripMargin
+    },
+    // theta-sketch pair algebra over the q138 per-type sketches:
+    // retained = ranks < theta (the saturated kth is excluded),
+    // intersect/union under theta = least of the pair, estimates are
+    // count · 2^60 / theta (count·2^60 exact in double — power-of-two
+    // scaling); exact gauges stay BIGINT (additions don't widen)
+    "q156_audience_overlap" ->
+      s"""WITH dh AS (
+         |  SELECT DISTINCT event_type,
+         |    ${TextFns.sql.hash60("'sk|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type ORDER BY h) AS rn FROM dh) x
+         |  WHERE rn <= $SkK),
+         |th AS (
+         |  SELECT event_type,
+         |    CASE WHEN count(*) < $SkK THEN $ThetaMax ELSE max(h) END AS theta
+         |  FROM rk GROUP BY 1),
+         |kept AS (
+         |  SELECT r.event_type, r.h FROM rk r
+         |  JOIN th t ON t.event_type = r.event_type WHERE r.h < t.theta),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    least(a.theta, b.theta) AS theta
+         |  FROM th a JOIN th b ON a.event_type < b.event_type),
+         |cm AS (
+         |  SELECT p.type_a, p.type_b, count(*) AS n_common
+         |  FROM kept x JOIN kept y
+         |    ON y.h = x.h AND x.event_type < y.event_type
+         |  JOIN pairs p
+         |    ON p.type_a = x.event_type AND p.type_b = y.event_type
+         |  WHERE x.h < p.theta GROUP BY 1, 2),
+         |un AS (
+         |  SELECT p.type_a, p.type_b, count(DISTINCT k.h) AS n_union
+         |  FROM pairs p JOIN kept k
+         |    ON k.event_type IN (p.type_a, p.type_b)
+         |  WHERE k.h < p.theta GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ei AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*) AS n_exact_inter
+         |  FROM ex a JOIN ex b
+         |    ON b.user_id = a.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |en AS (SELECT event_type, count(*) AS n FROM ex GROUP BY 1)
+         |SELECT p.type_a, p.type_b,
+         |  coalesce(ei.n_exact_inter, 0) AS n_exact_inter,
+         |  na.n + nb.n - coalesce(ei.n_exact_inter, 0) AS n_exact_union,
+         |  coalesce(cm.n_common, 0) AS n_common, un.n_union, p.theta,
+         |  CAST(coalesce(cm.n_common, 0) AS DOUBLE) * ${ThetaMax.toDouble}
+         |    / CAST(p.theta AS DOUBLE) AS est_inter,
+         |  CAST(un.n_union AS DOUBLE) * ${ThetaMax.toDouble}
+         |    / CAST(p.theta AS DOUBLE) AS est_union,
+         |  round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+         |    / CAST(un.n_union AS DOUBLE), 6) AS est_jaccard
+         |FROM pairs p
+         |JOIN un ON un.type_a = p.type_a AND un.type_b = p.type_b
+         |LEFT JOIN cm ON cm.type_a = p.type_a AND cm.type_b = p.type_b
+         |LEFT JOIN ei ON ei.type_a = p.type_a AND ei.type_b = p.type_b
+         |JOIN en na ON na.event_type = p.type_a
+         |JOIN en nb ON nb.event_type = p.type_b
+         |ORDER BY p.type_a, p.type_b""".stripMargin,
     // per-day KMV partials then the exact-merge: k smallest of the
     // union of per-day k-minima ≡ k smallest overall; ties impossible
     // (rank orders distinct hashes)

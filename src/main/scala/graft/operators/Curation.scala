@@ -120,6 +120,94 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** q152 absolute per-domain document cap. */
+  val DomainCap = 15L
+
+  /** q152 — per-DOMAIN frequency cap: keep at most [[DomainCap]]
+    * documents per source, chosen as the smallest salted-md5 ranks —
+    * the head-domain suppression every crawl-derived corpus applies
+    * before training (a handful of giant domains otherwise dominate
+    * the token mix). The ABSOLUTE-cap complement of q131's
+    * percentage quota: a quota keeps a share of every stratum however
+    * large it grows; a cap bounds each domain's contribution outright,
+    * so corpus growth concentrates in the tail, not the head. Selection
+    * rides the salted-md5 rank (q131/q45 discipline — never `rand()`):
+    * re-runs, repartitions, and unrelated corpus edits cannot change a
+    * kept doc's fate within its domain, and the kept SET is pinned
+    * under the hash gate via its id-sum checksum.
+    *
+    * Scale shape: one window over the per-source hash distribution —
+    * rank and domain size share the exchange (the q131 plan); at
+    * warehouse scale a giant domain's window is the one skew point,
+    * and the rank-≤-cap predicate is exactly the bounded
+    * per-partition top-k the [[graft.plans.TopKPerKey]] operator
+    * serves — the summary aggregate rides the same partitioning.
+    */
+  def domainCaps(spark: SparkSession, dir: String): DataFrame =
+    domainCapsFrom(Tables.documents(spark, dir))
+
+  def domainCapsFrom(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+    val rk = md5(concat(lit("cap|"), col("doc_id").cast("string")))
+    docs.select(col("source"), col("doc_id"), rk.as("rk"))
+      .withColumn("rn", row_number().over(w.orderBy(asc("rk"), asc("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"),
+        sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= DomainCap, col("doc_id"))).as("kept_id_sum"))
+      .select(col("source"), col("n_docs"), lit(DomainCap).as("cap"),
+        col("n_kept"), (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_id_sum"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("kept_share"))
+      .orderBy("source")
+  }
+
+  /** q153 low-quality threshold on the 6-dp-rounded q18 score. */
+  val LowQuality = 0.5
+
+  /** q153 — per-DOMAIN quality rollup: the q18 per-doc quality score
+    * aggregated by source — the audit that tells a curation pipeline
+    * WHICH domains to cap, downweight, or drop (it composes with q152's
+    * cap and q48's mixture: mixture allocates by token share, this
+    * reports whether a domain's tokens are worth their share). Uses
+    * [[TextAnalysis.qualityFeatures]] — the SAME score expression q18
+    * gates, with `source` passed through instead of `doc_id` — so the
+    * per-doc score and its domain rollup cannot drift.
+    *
+    * Determinism: the mean aggregates the 6-dp-ROUNDED per-doc score
+    * (the value the q18 gate pins) as exact 1e-6-integer units, so the
+    * domain sum is order-independent — one closing IEEE division per
+    * ratio (the q132 integer-moment discipline). The low-quality flag
+    * compares the same rounded score, so the boundary is engine-stable.
+    *
+    * Scale shape: per-doc features are pure map work (one pass, native
+    * codegen); the rollup is ONE source-keyed aggregate with map-side
+    * combine — domains, not documents, cross the wire.
+    */
+  def domainQuality(spark: SparkSession, dir: String): DataFrame =
+    domainQualityFrom(Tables.documents(spark, dir))
+
+  def domainQualityFrom(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityFeatures(docs, Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col("stop_hits").cast("long")).as("stop_hits"),
+        sum(round(col("quality_score") * 1e6).cast("long")).as("q_micro"),
+        sum(when(col("quality_score") < LowQuality, 1L).otherwise(0L))
+          .as("n_low"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("q_micro").cast("double") /
+          (col("n_docs") * 1000000L).cast("double"), 6).as("mean_quality"),
+        col("n_low"),
+        round(col("n_low").cast("double") / col("n_docs").cast("double"), 6)
+          .as("low_share"),
+        round(col("stop_hits").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("stop_ratio"))
+      .orderBy("source")
+
   /** q141 sample size (the k smallest priorities are kept; the
     * (k+1)-th becomes the estimator threshold τ).
     */
@@ -364,6 +452,63 @@ object Curation {
           .as("alloc_tokens"))
   }
 
+  /** q157 — TEMPERATURE-scaled mixture allocation: the q48 budget
+    * distributed proportionally to `n_tokens^α` with α fixed at 1/2 —
+    * the T5/LLaMA-style sampling rule that deliberately flattens the
+    * mixture (head sources are down-weighted, tail sources up-weighted,
+    * relative to their raw token mass) so a handful of giant crawls
+    * can't monopolize the training mix. Completes the mixture-control
+    * trio: q48 allocates by mass, q152 caps the head outright, this
+    * interpolates between them with a tunable flattening exponent.
+    *
+    * Determinism: α = 1/2 is chosen because the weight stays EXACT
+    * integer arithmetic — `floor(sqrt(n_tokens))` rides the correctly-
+    * rounded IEEE sqrt both engines share (a general `pow(x, α)` is
+    * not correctly rounded and can drift cross-engine); the allocation
+    * is q48's largest-remainder scheme verbatim (floor everyone, hand
+    * leftover units to the largest fractional parts, ties by source),
+    * so allocations are integers summing exactly to the budget. The
+    * `mass_share`/`mix_share` columns each close with one IEEE
+    * division, making the flattening auditable under the hash gate.
+    *
+    * Scale shape: identical to q48 — one source-keyed aggregate
+    * (domains, not documents, cross the wire) and single-partition
+    * windows over the handful of source rows.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixtureFrom(Tables.documents(spark, dir))
+
+  def temperatureMixtureFrom(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val perSource = docs
+      .select(col("source"),
+        size(TextFns.toks(col("text"))).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val withBase = perSource
+      .withColumn("tot_n", sum(col("n_tokens")).over(all))
+      .withColumn("raw", (lit(MixBudget) * col("weight")).cast("double") /
+        sum(col("weight")).over(all))
+      .withColumn("base", floor(col("raw")).cast("long"))
+    val rk = row_number().over(
+      Window.partitionBy().orderBy(desc("frac"), asc("source")))
+    withBase
+      .withColumn("frac", col("raw") - col("base"))
+      .withColumn("leftover", lit(MixBudget) - sum(col("base")).over(all))
+      .withColumn("rk", rk)
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_n").cast("double"), 6)
+          .as("mass_share"),
+        round(col("alloc_tokens").cast("double") / lit(MixBudget.toDouble), 6)
+          .as("mix_share"))
+      .orderBy("source")
+  }
+
   /** q58 chunk width in tokens, and the cross-document occurrence
     * threshold above which a chunk counts as boilerplate.
     */
@@ -409,8 +554,17 @@ object Curation {
       .select(col("doc_id"),
         sort_array(array_distinct(transform(chunks,
           c => TextFns.hash60(concat(lit("ck|"), c))))).as("cs"))
+    // explode_OUTER, not explode: InferFiltersFromGenerate only fires on
+    // non-outer generates, and the inferred `size(cs) > 0 AND
+    // isnotnull(cs)` pushes through the cs-projection with the full md5
+    // chunk transform INLINED — two extra per-row copies of the hashing
+    // ahead of the chunk-count exchange (the q84 lesson resurfacing one
+    // rule over). The token-count guard above already makes cs non-empty
+    // and non-null, so outer semantics are identical; the null guard
+    // below only drops the impossible row shape.
     val boiler = perDoc
-      .select(explode(col("cs")).as("s"))
+      .select(explode_outer(col("cs")).as("s"))
+      .filter(col("s").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= BoilerMinDocs)
       .agg(sort_array(collect_list(col("s"))).as("boiler"))
@@ -1043,7 +1197,10 @@ object Curation {
     "q118_pit_join" -> (pitEnrichment _),
     "q126_bloom_decontaminate" -> (bloomDecontaminate _),
     "q131_stratified_sample" -> (stratifiedSample _),
-    "q141_priority_sample" -> (prioritySample _))
+    "q141_priority_sample" -> (prioritySample _),
+    "q152_domain_caps" -> (domainCaps _),
+    "q153_domain_quality" -> (domainQuality _),
+    "q157_temperature_mixture" -> (temperatureMixture _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -1136,6 +1293,58 @@ object Curation {
          |  est.est_total, tot.exact_total
          |FROM s CROSS JOIN est CROSS JOIN tot
          |ORDER BY rank""".stripMargin,
+    // absolute-cap twin of q131's quota: kept set = the DomainCap
+    // smallest salted-md5 ranks per source; sums CAST back from
+    // DuckDB's HUGEINT widening
+    "q152_domain_caps" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    md5('cap|' || CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY source ORDER BY rk, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM k)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  CAST($DomainCap AS BIGINT) AS cap,
+         |  CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(max(n) - sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rn <= $DomainCap THEN doc_id END) AS BIGINT)
+         |    AS kept_id_sum,
+         |  round(CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS kept_share
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // the q18 score expression aggregated by source: the mean sums the
+    // 6-dp-ROUNDED per-doc score in exact 1e-6-integer units, one
+    // closing division per ratio
+    "q153_domain_quality" ->
+      s"""WITH feat AS (
+         |  SELECT source, len(${TextFns.sql.toks}) AS n_tokens,
+         |    len(${TextFns.sql.keepIn(TextFns.sql.toks, TextAnalysis.Stopwords)})
+         |      AS stop_hits,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, n_tokens, stop_hits,
+         |    round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
+         |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
+         |      6) AS qs
+         |  FROM feat)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN qs < $LowQuality THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low,
+         |  round(CAST(sum(CASE WHEN qs < $LowQuality THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS low_share,
+         |  round(CAST(sum(stop_hits) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         |    AS stop_ratio
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q126_bloom_decontaminate" -> {
       def h(i: Int) = TextFns.sql.hash32(s"'bf$i|' || CAST(s AS VARCHAR)")
       s"""WITH $shSql,
@@ -1180,6 +1389,36 @@ object Curation {
          |  CAST(t.n_shingles - s.n_distinct AS DOUBLE) / t.n_shingles AS rep_ratio
          |FROM totals t JOIN sizes s ON s.doc_id = t.doc_id
          |WHERE t.n_shingles >= 1 ORDER BY t.doc_id""".stripMargin,
+    // q48's largest-remainder scheme over floor(sqrt(n_tokens)) weights
+    // — integer except the raw-share division and the two closing share
+    // ratios; window sums CAST back from DuckDB's HUGEINT widening
+    "q157_temperature_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(${TextFns.sql.toks})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT *,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+         |  FROM per),
+         |calc AS (SELECT *,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_n,
+         |    CAST($MixBudget * weight AS DOUBLE)
+         |      / CAST(sum(weight) OVER () AS BIGINT) AS raw
+         |  FROM w),
+         |based AS (SELECT *, CAST(floor(raw) AS BIGINT) AS base FROM calc),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (ORDER BY raw - base DESC, source) AS rk,
+         |    $MixBudget - CAST(sum(base) OVER () AS BIGINT) AS leftover
+         |  FROM based),
+         |alloc AS (SELECT *,
+         |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+         |  FROM ranked)
+         |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE), 6)
+         |    AS mass_share,
+         |  round(CAST(alloc_tokens AS DOUBLE) / ${MixBudget.toDouble}, 6)
+         |    AS mix_share
+         |FROM alloc ORDER BY source""".stripMargin,
     "q48_source_mixture" ->
       s"""WITH per AS (
          |  SELECT source, count(*) AS n_docs,

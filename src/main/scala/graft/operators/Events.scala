@@ -617,6 +617,66 @@ object Events {
       .orderBy("event_type", "win_end")
   }
 
+  /** q151 sketch size for the sliding-window rollup (the q138 choice:
+    * the per-day partial relation is stored per (type, day), so k stays
+    * small).
+    */
+  val SwK = 128
+
+  /** q151 — SLIDING-window distinct via MERGEABLE KMV partials: the
+    * approximate rewrite [[slidingDistinct]]'s docstring promises for
+    * 100 TB, made a first-class gated operator. Per-day KMV k-minima
+    * (the q138 partial) fan out to the 7 windows each day serves — the
+    * q125 fan-out applied to PARTIAL rows, not the day-distinct user
+    * relation — and each window merges its days' partials by taking the
+    * k smallest of the union. The merge is EXACT (an element among a
+    * window's k smallest hashes is among its own day's k smallest —
+    * the q138 identity), so the windowed estimate is bit-identical to
+    * sketching the window's raw hashes directly; the exact windowed
+    * distinct rides alongside as the error gauge (the q121/q138
+    * discipline).
+    *
+    * Scale shape: the only corpus-scale work is the ONE distinct over
+    * (type, day, h) that q125 also pays; the daily rank, 7× fan-out,
+    * and merge rank all touch partial rows only — days × types × k,
+    * model-scale. At 100 TB the daily partials are the stored ingest
+    * artifact and any window answers from partials without rescanning
+    * raws; the exact gauge column is the one piece a production rollup
+    * would drop.
+    */
+  def slidingSketch(spark: SparkSession, dir: String): DataFrame =
+    slidingSketchFrom(Tables.events(spark, dir))
+
+  def slidingSketchFrom(events: DataFrame): DataFrame = {
+    val h = graft.functions.TextFns.hash60(
+      concat(lit("sw|"), col("user_id").cast("string")))
+    val dd = events
+      .select(col("event_type"), col("ts").cast("date").as("day"), h.as("h"))
+      .distinct()
+    val win7 = explode(sequence(col("day"), date_add(col("day"), 6),
+      expr("interval 1 day"))).as("win_end")
+    val daily = dd.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "day").orderBy("h")))
+      .filter(col("rn") <= SwK)
+      .select(col("event_type"), col("day"), col("h"))
+    val merged = daily.select(col("event_type"), win7, col("h"))
+      .distinct() // one user can be a k-min on several days of a window
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type", "win_end").orderBy("h")))
+      .filter(col("rn") <= SwK)
+    val sk = merged.groupBy("event_type", "win_end")
+      .agg(count(lit(1)).as("n_k"), max("h").as("kth_min"))
+    val exact = dd.select(col("event_type"), win7, col("h"))
+      .groupBy("event_type", "win_end")
+      .agg(countDistinct("h").as("n_exact_7d"))
+    sk.join(exact, Seq("event_type", "win_end"))
+      .select(col("event_type"), col("win_end"), col("n_exact_7d"),
+        col("n_k"), col("kth_min"),
+        graft.functions.TextFns.kmvEstimate(col("n_k"), col("kth_min"), SwK)
+          .as("est_7d"))
+      .orderBy("event_type", "win_end")
+  }
+
   /** q127 masking rate: 1 in [[ImputeMod]] events (hash-picked by
     * event_id — the q45 stability discipline) plays the lost-in-transit
     * value.
@@ -664,6 +724,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_impute_audit" -> (imputeAudit _),
     "q125_sliding_distinct" -> (slidingDistinct _),
+    "q151_sliding_sketch" -> (slidingSketch _),
     "q116_seasonal_anomaly" -> (seasonalAnomaly _),
     "q117_conversion_paths" -> (conversionPaths _),
     "q107_zorder_cells" -> (zOrderCellMap _),
@@ -711,6 +772,45 @@ object Events {
         |ex AS (SELECT event_type, user_id, CAST(wts AS DATE) AS win_end FROM ex0)
         |SELECT event_type, win_end, count(DISTINCT user_id) AS n_users_7d
         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-day k-minima fan to their 7 windows; the window merge takes
+    // the k smallest of the union (exact — the q138 merge identity);
+    // counts stay BIGINT (no sum, so no HUGEINT widening)
+    "q151_sliding_sketch" ->
+      s"""WITH dd AS (
+         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+         |    ${graft.functions.TextFns.sql.hash60("'sw|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |daily AS (
+         |  SELECT event_type, day, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type, day ORDER BY h) AS rn FROM dd) x
+         |  WHERE rn <= $SwK),
+         |f0 AS (
+         |  SELECT event_type, h,
+         |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wts
+         |  FROM daily),
+         |f AS (SELECT DISTINCT event_type, CAST(wts AS DATE) AS win_end, h FROM f0),
+         |mk AS (
+         |  SELECT event_type, win_end, h FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY event_type, win_end ORDER BY h) AS rn FROM f) y
+         |  WHERE rn <= $SwK),
+         |sk AS (SELECT event_type, win_end, count(*) AS n_k, max(h) AS kth_min
+         |  FROM mk GROUP BY 1, 2),
+         |e0 AS (
+         |  SELECT event_type, h,
+         |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wts
+         |  FROM dd),
+         |ex AS (
+         |  SELECT event_type, CAST(wts AS DATE) AS win_end,
+         |    count(DISTINCT h) AS n_exact_7d
+         |  FROM e0 GROUP BY 1, 2)
+         |SELECT sk.event_type, sk.win_end, ex.n_exact_7d, sk.n_k, sk.kth_min,
+         |  CASE WHEN sk.n_k < $SwK THEN CAST(sk.n_k AS DOUBLE)
+         |       ELSE ${(SwK - 1).toDouble * 1152921504606846976.0} / CAST(sk.kth_min AS DOUBLE)
+         |  END AS est_7d
+         |FROM sk JOIN ex ON ex.event_type = sk.event_type AND ex.win_end = sk.win_end
+         |ORDER BY sk.event_type, sk.win_end""".stripMargin,
     // dow derived from epoch-day arithmetic ((days+4) % 7, Sunday=0):
     // the engines' native dow functions disagree on the base (DuckDB
     // Sunday=0, Spark Sunday=1), arithmetic cannot

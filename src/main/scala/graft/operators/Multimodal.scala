@@ -340,8 +340,125 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** q154 PCM sample rate (8 kHz telephony mono — 125 µs per frame,
+    * so frame→duration arithmetic is exact in integer microseconds).
+    */
+  val WavRate = 8000
+
+  /** Deterministic 8-bit unsigned PCM mono WAV payload for `doc_id`:
+    * a 44-byte RIFF header + a sawtooth whose length, step, and phase
+    * derive from the id — `n = 800 + (id·37) mod 1600` frames,
+    * sample(i) = `(128 + (1 + id mod 13)·i + id·31) mod 256`. The
+    * closed form is what lets the REAL decode be oracle-gated: DuckDB
+    * regenerates the samples analytically and must agree with what
+    * `javax.sound.sampled` reads back out of the container.
+    */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = (800L + java.lang.Math.floorMod(id * 37L, 1600L)).toInt
+    val step = 1L + java.lang.Math.floorMod(id, 13L)
+    val base = id * 31L
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(WavRate).putInt(WavRate) // byte rate = frame rate at 8-bit mono
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.put(java.lang.Math.floorMod(128L + step * i + base, 256L).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Synthetic audio-payload table: one WAV per document id (the
+    * documents fixture has no real media — the audio twin of
+    * [[payloads]]). Map-only typed generation, partition-preserving.
+    */
+  def wavPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, wavBytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** A REAL decoded audio record produced by [[decodeWav]]. */
+  final case class AudioFeatures(
+      doc_id: Long, decode_ok: Boolean, n_bytes: Int, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_us: Long,
+      peak_dev: Long, sum_dev: Long, checksum: Long)
+
+  /** REAL audio decode — `javax.sound.sampled.AudioSystem` (JDK-native
+    * WAV/PCM, zero external dependencies), the audio twin of
+    * [[decodeImages]]: format metadata (rate/channels/bit depth) and
+    * frame count from the parsed RIFF container, duration in exact
+    * integer microseconds, and integer loudness features over the
+    * decoded samples — peak and summed deviation from the 8-bit
+    * midpoint plus a position-weighted checksum (Σ(i+1)·vᵢ, the
+    * witness that the decoded BYTES, not just their count, are right).
+    *
+    * The quarantine contract of the 100 TB scan ([[decodeImages]]):
+    * a payload that is not decodable audio — truncated header, wrong
+    * magic, non-PCM garbage — yields `decode_ok = false` with zeroed
+    * features, never an exception. Non-8-bit or multi-channel streams
+    * also quarantine: the integer feature definitions are specific to
+    * 8-bit unsigned mono, and a lying header must not produce
+    * plausible-looking numbers. Per-partition typed map, no shuffle.
+    */
+  def decodeWav(payloads: DataFrame): Dataset[AudioFeatures] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val decoded =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+                fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+              else {
+                val data = in.readAllBytes()
+                var peak = 0L
+                var sumDev = 0L
+                var cks = 0L
+                var i = 0
+                while (i < data.length) {
+                  val v = (data(i) & 0xff).toLong
+                  val dev = math.abs(v - 128L)
+                  if (dev > peak) peak = dev
+                  sumDev += dev
+                  cks += (i + 1) * v
+                  i += 1
+                }
+                val rate = fmt.getSampleRate.toInt
+                Some(AudioFeatures(id, decode_ok = true, bytes.length, rate,
+                  fmt.getChannels, fmt.getSampleSizeInBits, data.length.toLong,
+                  data.length.toLong * 1000000L / rate, peak, sumDev, cks))
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(
+            AudioFeatures(id, decode_ok = false, bytes.length, 0, 0, 0, 0L,
+              0L, 0L, 0L, 0L))
+        }
+      }
+  }
+
+  /** q154 — audio audit over the synthetic WAV corpus: REAL container
+    * decode per payload, gated against DuckDB's analytic regeneration
+    * of the same samples. Map-only until the final presentation sort.
+    */
+  def audioAudit(spark: SparkSession, dir: String): DataFrame =
+    decodeWav(wavPayloads(spark, dir)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_media_meta" -> (mediaMeta _))
+    "q30_media_meta" -> (mediaMeta _),
+    "q154_audio_audit" -> (audioAudit _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -358,6 +475,29 @@ object Multimodal {
         |FROM s ORDER BY doc_id""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB REGENERATES the samples analytically (the wavBytes closed
+    // form) and must agree with the real javax.sound decode; the index
+    // spine is a constant-bound range join (lateral range is
+    // unsupported) — max n_frames = 800 + 1599 < 2400. Sums CAST back
+    // from HUGEINT.
+    "q154_audio_audit" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, 800 + (doc_id * 37) % 1600 AS n_frames
+         |  FROM documents),
+         |s AS (
+         |  SELECT f.doc_id, f.n_frames, t.i AS i,
+         |    (128 + (1 + f.doc_id % 13) * t.i + f.doc_id * 31) % 256 AS v
+         |  FROM f JOIN range(0, 2400) t(i) ON t.i < f.n_frames)
+         |SELECT doc_id, TRUE AS decode_ok,
+         |  CAST(44 + n_frames AS INTEGER) AS n_bytes,
+         |  CAST($WavRate AS INTEGER) AS sample_rate,
+         |  CAST(1 AS INTEGER) AS channels, CAST(8 AS INTEGER) AS bits,
+         |  CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(n_frames * 125 AS BIGINT) AS duration_us,
+         |  CAST(max(abs(v - 128)) AS BIGINT) AS peak_dev,
+         |  CAST(sum(abs(v - 128)) AS BIGINT) AS sum_dev,
+         |  CAST(sum((i + 1) * v) AS BIGINT) AS checksum
+         |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
     "q30_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha,

@@ -83,7 +83,12 @@ object SqlSurface {
         "fixpoint — use Dedup.dedupSavings"),
     "q135_incremental_clusters" ->
       ("the incremental maintenance twin of q54's fixpoint (same " +
-        "recursive-CTE termination limit) — use Dedup.incrementalClusters"))
+        "recursive-CTE termination limit) — use Dedup.incrementalClusters"),
+    "q154_audio_audit" ->
+      ("real javax.sound.sampled container decode of binary WAV " +
+        "payloads — a codec call, not a SQL expression; use " +
+        "Multimodal.decodeWav (the oracle regenerates the synthetic " +
+        "samples analytically, which would not exercise the decoder)"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -19,7 +19,7 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "to", "and", "is", "in")
+  val Stopwords = Seq("the", "a", "of", "to", "and", "is", "in")
 
   /** Language marker sets for the n-gram/stopword language-ID heuristic.
     * Order = deterministic tie-break priority.
@@ -56,24 +56,32 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScoreFrom(Tables.documents(spark, dir))
 
-  def qualityScoreFrom(docs: DataFrame): DataFrame = {
+  def qualityScoreFrom(docs: DataFrame): DataFrame =
+    qualityFeatures(docs, Seq("doc_id")).orderBy("doc_id")
+
+  /** The q18 per-doc quality features with caller-chosen key columns
+    * passed through (q18 keeps `doc_id`; q153's per-domain rollup keeps
+    * `source`) — ONE definition of the score expression, so the gated
+    * consumers cannot drift.
+    */
+  def qualityFeatures(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val d = docs
-      .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
-        length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
-      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+      .select(keep.map(col) ++ Seq(TextFns.toks(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).as("nonspace")): _*)
+      .select(keep.map(col) ++ Seq(size(col("w")).as("n_tokens"),
         size(TextFns.keepIn(col("w"), Stopwords)).as("stop_hits"),
-        col("nonspace"))
+        col("nonspace")): _*)
     val stopRatio = col("stop_hits").cast("double") / nullIfZero(col("n_tokens"))
     val meanTok = col("nonspace").cast("double") / nullIfZero(col("n_tokens"))
     d.select(
-        col("doc_id"), col("n_tokens"), col("stop_hits"),
+      keep.map(col) ++ Seq(col("n_tokens"), col("stop_hits"),
         round(stopRatio, 6).as("stop_ratio"),
         round(meanTok, 6).as("mean_token_len"),
         round(
           lit(0.25) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
           lit(0.25) * least(lit(1.0), meanTok / 8.0) +
-          lit(0.5) * (lit(1.0) - least(lit(1.0), stopRatio * 4.0)), 6).as("quality_score"))
-      .orderBy("doc_id")
+          lit(0.5) * (lit(1.0) - least(lit(1.0), stopRatio * 4.0)), 6)
+          .as("quality_score")): _*)
   }
 
   /** q19 — language ID: stopword-marker hit counts per candidate

@@ -692,4 +692,106 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(js == js.sorted.reverse && js.forall(j => j > 0 && j <= 1))
     }
   }
+
+  describe("audienceOverlap (q156)") {
+    it("is EXACT when both sketches are unsaturated (theta = full range)") {
+      // 3 types over a 40-user universe, all < SkK=128: every theta is
+      // 2^60 and the estimates must equal the exact gauges bit-for-bit
+      val ev = events((1L to 120L).map { i =>
+        val t = Seq("click", "view", "purchase")((i % 3).toInt)
+        (i, ts("2024-01-01 10:00:00"), (i % 40) + 1, t, 1.0, "{}")
+      }: _*)
+      val r = Analytics.audienceOverlapFrom(ev).collect()
+      assert(r.length == 3)
+      r.foreach { x =>
+        assert(x.getAs[Long]("theta") == Analytics.ThetaMax)
+        assert(x.getAs[Double]("est_inter") ==
+          x.getAs[Long]("n_exact_inter").toDouble)
+        assert(x.getAs[Double]("est_union") ==
+          x.getAs[Long]("n_exact_union").toDouble)
+      }
+    }
+
+    it("saturated estimates are sane and the pair algebra is consistent on the fixture") {
+      val r = Analytics.audienceOverlap(spark, TestSpark.Sf).collect()
+      assert(r.length == 10) // 5 choose 2 event types
+      r.foreach { x =>
+        val common = x.getAs[Long]("n_common")
+        val union = x.getAs[Long]("n_union")
+        assert(common >= 0 && common <= union)
+        assert(union <= 2L * (Analytics.SkK - 1))
+        assert(x.getAs[Long]("n_exact_inter") <= x.getAs[Long]("n_exact_union"))
+        val j = x.getAs[Double]("est_jaccard")
+        assert(j >= 0.0 && j <= 1.0)
+        // estimates within a loose 3-sigma-ish band of the exact gauges
+        // (k=128 => ~9% relative error; the fixture overlap is heavy)
+        assert(math.abs(x.getAs[Double]("est_inter") -
+          x.getAs[Long]("n_exact_inter")) <=
+          0.35 * x.getAs[Long]("n_exact_union") + 5)
+      }
+    }
+
+    it("the per-type sketch IS q138's merged sketch (same salt, same k)") {
+      // theta of a saturated type must equal q138's kth_min for that
+      // type — the stored-artifact reuse the operator's scale story
+      // depends on (one sketch answers distincts AND intersections)
+      val roll = Analytics.sketchRollup(spark, TestSpark.Sf).collect()
+        .map(x => x.getAs[String]("event_type") ->
+          (x.getAs[Long]("n_k"), x.getAs[Long]("kth_min"))).toMap
+      val th = Analytics.audienceOverlap(spark, TestSpark.Sf).collect()
+        .flatMap(x => Seq(
+          x.getAs[String]("type_a") -> x.getAs[Long]("theta"),
+          x.getAs[String]("type_b") -> x.getAs[Long]("theta")))
+      // theta column is per-PAIR (least of the two): check each type's
+      // contribution bound — every pair theta equals some member's
+      // saturated kth_min or ThetaMax
+      val valid = roll.map { case (t, (nk, kth)) =>
+        t -> (if (nk < Analytics.SkK) Analytics.ThetaMax else kth)
+      }
+      th.foreach { case (t, theta) =>
+        assert(theta <= valid(t),
+          s"pair theta for $t above its own sketch theta")
+      }
+      val pairThetas = Analytics.audienceOverlap(spark, TestSpark.Sf)
+        .collect()
+        .map(x => (x.getAs[String]("type_a"), x.getAs[String]("type_b"),
+          x.getAs[Long]("theta")))
+      pairThetas.foreach { case (a, b, theta) =>
+        assert(theta == math.min(valid(a), valid(b)))
+      }
+    }
+  }
+
+  describe("heavyHitters (q155)") {
+    it("the CM estimate is one-sided: never below the exact count") {
+      val r = Analytics.heavyHitters(spark, graft.TestSpark.Sf).collect()
+      assert(r.length == Analytics.HhK)
+      r.foreach { x =>
+        assert(x.getAs[Long]("est_cm") >= x.getAs[Long]("n_exact"))
+        assert(x.getAs[Long]("over_count") ==
+          x.getAs[Long]("est_cm") - x.getAs[Long]("n_exact"))
+      }
+      // ranks are 1..k ordered by exact count desc
+      assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to Analytics.HhK))
+      val ns = r.map(_.getAs[Long]("n_exact")).toSeq
+      assert(ns == ns.sorted.reverse)
+    }
+
+    it("partials merge associatively: day-split sketch equals the whole-corpus sketch") {
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, graft.TestSpark.Sf)
+      val viaDays = Analytics.heavyHittersFrom(ev).collect()
+      // bypass the per-day partial stage entirely: one global CM build
+      val direct = Analytics.heavyHittersFrom(
+        ev.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00"))))
+        .collect()
+      // collapsing every event onto one day changes ONLY the partial
+      // grouping, not the merged bucket totals, estimates, or exact
+      // counts — the associativity the rollup depends on
+      assert(viaDays.map(x => (x.getAs[Long]("user_id"),
+        x.getAs[Long]("n_exact"), x.getAs[Long]("est_cm"))).toSeq ==
+        direct.map(x => (x.getAs[Long]("user_id"),
+          x.getAs[Long]("n_exact"), x.getAs[Long]("est_cm"))).toSeq)
+    }
+  }
 }

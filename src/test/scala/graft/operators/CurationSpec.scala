@@ -564,4 +564,116 @@ class CurationSpec extends AnyFunSpec {
       assert(total == lines)
     }
   }
+
+  describe("domainCaps (q152)") {
+    it("keeps min(cap, n) per domain and the arithmetic is consistent") {
+      val r = Curation.domainCaps(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        val n = x.getAs[Long]("n_docs")
+        val kept = x.getAs[Long]("n_kept")
+        assert(kept == math.min(Curation.DomainCap, n))
+        assert(x.getAs[Long]("n_dropped") == n - kept)
+        assert(x.getAs[Long]("cap") == Curation.DomainCap)
+        assert(math.abs(x.getAs[Double]("kept_share") -
+          kept.toDouble / n) < 1e-6)
+      }
+      // the fixture's uniform 25-doc domains all get capped
+      assert(r.forall(_.getAs[Long]("n_dropped") > 0))
+    }
+
+    it("the kept set is stable under repartition and unrelated growth") {
+      val base = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      val a = Curation.domainCapsFrom(base)
+        .collect().map(x => x.getString(0) -> x.getAs[Long]("kept_id_sum")).toMap
+      val b = Curation.domainCapsFrom(base.repartition(7))
+        .collect().map(x => x.getString(0) -> x.getAs[Long]("kept_id_sum")).toMap
+      assert(a == b)
+      // adding a NEW domain must not move any existing domain's kept set
+      val grown = base.unionByName(docs(
+        (100001L, "brand new domain doc", "en", "srcNEW", 21L)))
+      val c = Curation.domainCapsFrom(grown)
+        .collect().map(x => x.getString(0) -> x.getAs[Long]("kept_id_sum")).toMap
+      assert((c - "srcNEW") == a)
+      assert(c("srcNEW") == 100001L)
+    }
+  }
+
+  describe("temperatureMixture (q157)") {
+    it("allocations are integers summing exactly to the budget, weights are integer sqrt") {
+      val r = Curation.temperatureMixture(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      assert(r.map(_.getAs[Long]("alloc_tokens")).sum == Curation.MixBudget)
+      r.foreach { x =>
+        assert(x.getAs[Long]("weight") ==
+          math.floor(math.sqrt(x.getAs[Long]("n_tokens").toDouble)).toLong)
+        assert(x.getAs[Long]("alloc_tokens") >= 0L)
+      }
+    }
+
+    it("flattens the mixture: every pairwise mix ratio sits between the mass ratio and 1") {
+      // sqrt weights: for sources a, b with n_a > n_b the allocation
+      // ratio a:b must be <= the token-mass ratio and >= 1 — the
+      // temperature property (head down-weighted, tail up-weighted,
+      // order preserved)
+      val docs = Seq(
+        // big source: 64 docs x ~16 tokens; small source: 4 docs
+        (1L to 64L).map(i => (i, ("tok " * 16).trim, "en", "srcBIG", 1L)),
+        (1L to 4L).map(i => (100L + i, ("tok " * 16).trim, "en", "srcSMALL", 1L)))
+        .flatten.toDF("doc_id", "text", "lang", "source", "n_lines")
+      val r = Curation.temperatureMixtureFrom(docs)
+        .collect().map(x => x.getAs[String]("source") ->
+          (x.getAs[Long]("n_tokens"), x.getAs[Long]("alloc_tokens"))).toMap
+      val (nBig, aBig) = r("srcBIG")
+      val (nSmall, aSmall) = r("srcSMALL")
+      assert(nBig == 16L * nSmall)
+      // sqrt temperature: alloc ratio = 4:1 (+-1 rounding unit) vs mass 16:1
+      assert(aBig > aSmall, "order must be preserved")
+      assert(math.abs(aBig - 4L * aSmall) <= 5L,
+        s"sqrt flattening should give ~4:1, got $aBig:$aSmall")
+      assert(aBig + aSmall == Curation.MixBudget)
+    }
+
+    it("head mix_share < mass_share and tail mix_share > mass_share on the fixture") {
+      val r = Curation.temperatureMixture(spark, TestSpark.Sf).collect()
+      val byMass = r.sortBy(_.getAs[Long]("n_tokens"))
+      val head = byMass.last
+      val tail = byMass.head
+      // equal-mass fixtures would make this vacuous; require real spread
+      if (head.getAs[Long]("n_tokens") > 2 * tail.getAs[Long]("n_tokens")) {
+        assert(head.getAs[Double]("mix_share") <=
+          head.getAs[Double]("mass_share"))
+        assert(tail.getAs[Double]("mix_share") >=
+          tail.getAs[Double]("mass_share"))
+      }
+    }
+  }
+
+  describe("domainQuality (q153)") {
+    it("rolls up exactly the q18 per-doc scores by source") {
+      val base = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      val r = Curation.domainQualityFrom(base).collect()
+      assert(r.map(_.getAs[Long]("n_docs")).sum == base.count())
+      // recompute the mean from the gated q18 per-doc relation
+      val perDoc = TextAnalysis.qualityScoreFrom(base)
+        .join(base.select("doc_id", "source"), "doc_id")
+        .collect()
+        .groupBy(_.getAs[String]("source"))
+        .map { case (s, rows) =>
+          val micro = rows.map(x =>
+            math.round(x.getAs[Double]("quality_score") * 1e6)).sum
+          s -> (micro.toDouble / (rows.length * 1000000L),
+            rows.count(_.getAs[Double]("quality_score") < Curation.LowQuality))
+        }
+      r.foreach { x =>
+        val (mean, nLow) = perDoc(x.getAs[String]("source"))
+        assert(math.abs(x.getAs[Double]("mean_quality") -
+          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) < 1e-9)
+        assert(x.getAs[Long]("n_low") == nLow.toLong)
+        assert(x.getAs[Double]("mean_quality") >= 0.0 &&
+          x.getAs[Double]("mean_quality") <= 1.0)
+      }
+    }
+  }
 }

@@ -398,4 +398,57 @@ class EventsSpec extends AnyFunSpec {
       assert(r.map(_.getAs[Long]("group_days")).toSeq == Seq(2L, 2L, 2L, 2L))
     }
   }
+
+  describe("slidingSketch (q151)") {
+    it("the partial merge is bit-identical to sketching each window's raws directly") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      val viaPartials = Events.slidingSketchFrom(ev)
+        .select("event_type", "win_end", "n_k", "kth_min")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // direct sketch: rank the window's raw day-distinct hashes with
+      // no per-day partial stage at all
+      val h = graft.functions.TextFns.hash60(
+        concat(lit("sw|"), col("user_id").cast("string")))
+      val direct = ev
+        .select(col("event_type"), col("ts").cast("date").as("day"), h.as("h"))
+        .distinct()
+        .select(col("event_type"),
+          explode(sequence(col("day"), date_add(col("day"), 6),
+            expr("interval 1 day"))).as("win_end"), col("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type", "win_end").orderBy("h")))
+        .filter(col("rn") <= Events.SwK)
+        .groupBy("event_type", "win_end")
+        .agg(count(lit(1)).as("n_k"), max("h").as("kth_min"))
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(viaPartials == direct)
+    }
+
+    it("estimate equals the exact count below sketch saturation and windows line up with q125") {
+      val sk = Events.slidingSketch(spark, TestSpark.Sf).collect()
+      val ex = Events.slidingDistinct(spark, TestSpark.Sf).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+      assert(sk.nonEmpty)
+      sk.foreach { r =>
+        val key = (r.getString(0), r.getDate(1).toString)
+        val nExact = r.getAs[Long]("n_exact_7d")
+        val nK = r.getAs[Long]("n_k")
+        val est = r.getAs[Double]("est_7d")
+        // same window grid as q125, and (no hash collisions at this sf)
+        // the gauge column equals q125's exact distinct
+        assert(ex(key) == nExact)
+        if (nK < Events.SwK) assert(est == nExact.toDouble)
+        else assert(est > 0.0 && nK == Events.SwK.toLong)
+      }
+      assert(sk.map(r => (r.getString(0), r.getDate(1).toString)).toSet ==
+        ex.keySet)
+    }
+  }
 }

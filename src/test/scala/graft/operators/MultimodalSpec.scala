@@ -188,4 +188,54 @@ class MultimodalSpec extends AnyFunSpec {
       assert(a == b)
     }
   }
+
+  describe("decodeWav / audioAudit (q154, REAL javax.sound codec path)") {
+    it("the real container decode agrees with the synthesis closed form") {
+      val ids = Seq(0L, 5L, 12L, 499L)
+      val feats = Multimodal.decodeWav(
+          ids.map(id => (id, Multimodal.wavBytes(id))).toDF("doc_id", "payload"))
+        .collect().map(f => f.doc_id -> f).toMap
+      ids.foreach { id =>
+        val f = feats(id)
+        val n = (800L + (id * 37L) % 1600L).toInt
+        val samples = (0 until n).map(i =>
+          java.lang.Math.floorMod(128L + (1L + id % 13L) * i + id * 31L, 256L))
+        assert(f.decode_ok)
+        assert(f.sample_rate == Multimodal.WavRate && f.channels == 1 &&
+          f.bits == 8)
+        assert(f.n_frames == n.toLong && f.n_bytes == 44 + n)
+        assert(f.duration_us == n.toLong * 125L)
+        assert(f.peak_dev == samples.map(v => math.abs(v - 128L)).max)
+        assert(f.sum_dev == samples.map(v => math.abs(v - 128L)).sum)
+        assert(f.checksum ==
+          samples.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+      }
+    }
+
+    it("quarantines poisoned payloads instead of killing the scan") {
+      val good = Multimodal.wavBytes(7L)
+      val poisoned = Seq(
+        1L -> Array.emptyByteArray, // empty
+        2L -> good.take(20), // truncated mid-header
+        3L -> Array.fill[Byte](200)(0x41), // junk, no RIFF magic
+        4L -> { val b = good.clone(); b(34) = 16; b }, // header lies: 16-bit
+        5L -> good) // control: still decodes
+      val f = Multimodal.decodeWav(poisoned.toDF("doc_id", "payload"))
+        .collect().map(x => x.doc_id -> x).toMap
+      assert(!f(1L).decode_ok && !f(2L).decode_ok && !f(3L).decode_ok)
+      assert(!f(4L).decode_ok, "a lying bit-depth header must quarantine")
+      assert(f(5L).decode_ok && f(5L).n_frames > 0)
+      assert(Seq(1L, 2L, 3L, 4L).forall(id =>
+        f(id).n_frames == 0L && f(id).checksum == 0L))
+    }
+
+    it("audits the whole corpus: one decoded row per document, all ok") {
+      val r = Multimodal.audioAudit(spark, sf).collect()
+      assert(r.length == graft.sources.Tables.documents(spark, sf).count())
+      assert(r.forall(_.getAs[Boolean]("decode_ok")))
+      assert(r.map(_.getAs[Long]("n_frames")).distinct.length > 1)
+      assert(r.forall(x => x.getAs[Long]("duration_us") ==
+        x.getAs[Long]("n_frames") * 125L))
+    }
+  }
 }

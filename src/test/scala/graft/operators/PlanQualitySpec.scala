@@ -565,4 +565,76 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(wgl >= 2, s"expected both sketch cuts group-limited, got $wgl:\n$p")
     }
   }
+
+  describe("round-8 operator plan shapes") {
+    it("q151 bounds the daily partial and the window merge with rank limits") {
+      val p = plan("q151_sliding_sketch")
+      // the q138 mergeability property, sliding edition: the per-day
+      // cut AND the per-window merge cut both ride WindowGroupLimit,
+      // so the 7x fan-out only ever multiplies k-bounded partials
+      val wgl = p.linesIterator.count(_.contains("WindowGroupLimit"))
+      assert(wgl >= 2, s"expected both sketch cuts group-limited, got $wgl:\n$p")
+    }
+
+    it("q152 rank and domain size share ONE source exchange") {
+      val p = plan("q152_domain_caps")
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1,
+        s"window rank, window count, and the rollup must ride one source exchange, got $ex:\n$p")
+    }
+
+    it("q153 is map work into one source-keyed aggregate") {
+      val p = plan("q153_domain_quality")
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1, s"expected exactly the source-agg exchange, got $ex:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(doc_id"),
+        s"per-doc shuffle crept in:\n$p")
+    }
+
+    it("q154 audio decode is shuffle-free up to the presentation sort") {
+      val p = plan("q154_audio_audit")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"the decode path must stay map-only:\n$p")
+    }
+
+    it("q155 exact top-k lowers to TakeOrderedAndProject and the sketch broadcasts") {
+      val p = plan("q155_heavy_hitters")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"exact gauge must never global-sort:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"the 192-row merged sketch must broadcast to the probe:\n$p")
+    }
+
+    it("q156 sketch cuts are group-limited and pair algebra never goes quadratic over the corpus") {
+      val p = plan("q156_audience_overlap")
+      // the per-type rank <= k cut must pre-limit map-side
+      assert(p.contains("WindowGroupLimit"),
+        s"sketch cut must ride WindowGroupLimit:\n$p")
+      // the only nested-loop joins allowed are over the 5-row theta
+      // table (inequality pair spine); a CartesianProduct would mean
+      // the corpus-side self-join degenerated
+      assert(!p.contains("CartesianProduct"),
+        s"corpus pair join degenerated to a cartesian:\n$p")
+    }
+
+    it("q58 scans the corpus twice and shuffles only distinct chunk hashes") {
+      val p = plan("q58_chunk_dedup")
+      // the r7->r8 perf-watch gate: boilerplate counting is the ONE
+      // corpus-keyed hash exchange (distinct chunks, not corpus tokens,
+      // cross the wire); widened's REPARTITION_BY_COL on the single-file
+      // fixture is local parallelism, not a corpus re-key (q88 rule)
+      val ex = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS"))
+      assert(ex == 1, s"expected only the chunk-hash exchange, got $ex:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"boilerplate set must broadcast:\n$p")
+      // the explode_outer guard: no Filter may carry an inlined copy of
+      // the md5 chunk transform (InferFiltersFromGenerate + pushdown
+      // would run the hashing 3x per row ahead of the chunk exchange)
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("md5")),
+        s"inferred generate filter re-inlined the chunk hashing:\n$p")
+    }
+  }
 }
