@@ -1030,6 +1030,130 @@ object Similarity {
     * assignment is a bounded per-vector window; everything after the
     * confusion aggregate is label²-at-most, model-scale.
     */
+  /** q158 — batch-hard TRIPLET mining over the labeled embedding
+    * corpus: per anchor, the hardest POSITIVE (same label, LOWEST
+    * cosine — the in-class example the encoder holds furthest away)
+    * and the hardest NEGATIVE (different label, HIGHEST cosine — the
+    * out-of-class example it holds closest), plus the triplet margin
+    * `pos_cos − neg_cos` and its violation flag. This is the mining
+    * stage of FaceNet-style metric training made a gated operator: the
+    * violated triplets ARE the training batch a contrastive run wants,
+    * and the margin distribution is the audit that says whether the
+    * embedding space still separates the label classes.
+    *
+    * Scale shape: ONE q25-shaped pass — broadcast anchor set,
+    * map-side fused-kernel cosine, then a single rank-1 window over
+    * (anchor, side) whose `rn = 1` cut rides WindowGroupLimit (each
+    * scan partition forwards one candidate per anchor-side, so the
+    * exchange carries partitions × anchors × 2 rows, never the scored
+    * corpus); the positive/negative population counts come from the
+    * label histogram (one model-sized aggregate), not a second scored
+    * pass. The per-side hard pick folds to one row per anchor in a
+    * final anchor-keyed aggregate over 2·|anchors| rows.
+    *
+    * Determinism: cosines are the shared 9-dp-rounded kernel; ties
+    * break by candidate id; the margin is one exact IEEE subtraction of
+    * two rounded values, re-rounded; counts are integers.
+    */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame =
+    tripletMiningFrom(Tables.embeddings(spark, dir))
+
+  def tripletMiningFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("other_id"), col("label"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+      .withColumn("is_pos", col("label") === col("q_label"))
+    // hardest of each side in ONE window: within (anchor, side) order
+    // positives by ascending cosine, negatives by ascending -cosine
+    // (= descending cosine); rn = 1 keeps the group-limit pushdown
+    val hardOrder =
+      when(col("is_pos"), col("cosine")).otherwise(-col("cosine"))
+    val picked = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id", "is_pos")
+          .orderBy(hardOrder.asc, asc("other_id"))))
+      .filter(col("rn") === 1)
+    val folded = picked.groupBy("query_id")
+      .agg(max(col("q_label")).as("label"),
+        max(when(col("is_pos"), col("other_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cosine"))).as("pos_cos"),
+        max(when(not(col("is_pos")), col("other_id"))).as("neg_id"),
+        max(when(not(col("is_pos")), col("cosine"))).as("neg_cos"))
+    val lc = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    folded.join(lc, Seq("label")).crossJoin(broadcast(tot))
+      .select(col("query_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 9).as("margin"),
+        (col("pos_cos") < col("neg_cos")).as("violation"),
+        (col("n_label") - 1L).as("n_pos"),
+        (col("n_total") - col("n_label")).as("n_neg"))
+      .orderBy("query_id")
+  }
+
+  /** RRF smoothing constant (the k=60 of Cormack/Clarke/Buettcher). */
+  val RrfK = 60
+
+  /** Fused result size and the dense query vector id for q159. */
+  val HybridTopK = 20
+  val HybridQueryVec = 0L
+
+  /** q159 — HYBRID retrieval via reciprocal rank fusion: the standard
+    * RAG-stack pattern of running a sparse (BM25, q55) and a dense
+    * (cosine top-k, q25-shaped) ranker over the same corpus and fusing
+    * by `Σ 1/(k + rank)` — rank fusion needs no score calibration
+    * between rankers whose scales are incomparable, which is exactly
+    * why production retrieval uses it over score interpolation.
+    * Documents absent from one list contribute 0 from that side.
+    *
+    * Scale shape: each side is ONE corpus pass lowering to
+    * TakeOrderedAndProject (BM25 scores are map-side array-filter
+    * columns against a broadcast 1-row stats aggregate — q55's zero
+    * corpus-shuffle plan; dense cosine is a map-side fused kernel
+    * against the broadcast query vector). Everything after the two
+    * top-k cuts — rank windows, the full-outer fuse, the final sort —
+    * runs on ≤ 2·[[HybridTopK]] rows.
+    *
+    * Determinism: ranks are integers off the ROUNDED scores with id
+    * tie-breaks; RRF is two correctly-rounded IEEE divisions by exact
+    * integers and one addition in fixed order, re-rounded at 9 dp.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchFrom(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  def hybridSearchFrom(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val sparse = TextAnalysis.bm25SearchFrom(docs)
+      .withColumn("sparse_rank", row_number().over(
+        Window.partitionBy().orderBy(desc("bm25"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("sparse_rank"))
+    val e = embDouble(embeddings)
+    val qv = e.filter(col("vec_id") === HybridQueryVec)
+      .select(col("emb").as("q_emb"))
+    val dense = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= HybridQueryVec)
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+      .orderBy(desc("cosine"), asc("doc_id")).limit(HybridTopK)
+      .withColumn("dense_rank", row_number().over(
+        Window.partitionBy().orderBy(desc("cosine"), asc("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 9))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(HybridTopK)
+      .select("doc_id", "sparse_rank", "dense_rank", "rrf")
+  }
+
   def labelAgreement(spark: SparkSession, dir: String): DataFrame =
     labelAgreementFrom(Tables.embeddings(spark, dir))
 
@@ -1236,6 +1360,8 @@ object Similarity {
     "q56_centroid_outliers" -> (centroidOutliers _),
     "q122_label_centroids" -> (labelCentroidMatrix _),
     "q143_label_agreement" -> (labelAgreement _),
+    "q158_triplet_mining" -> (tripletMining _),
+    "q159_hybrid_search" -> (hybridSearch _),
     "q144_pca_power" -> (pcaPower _),
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
@@ -1793,6 +1919,70 @@ object Similarity {
          |FROM (SELECT DISTINCT query_id FROM fr) qq LEFT JOIN c USING (query_id)
          |ORDER BY query_id""".stripMargin
     },
+    // one scored pass, rank-1 per (anchor, side) with the CASE
+    // ordering (positives ascending cosine, negatives descending via
+    // negation), side counts from the label histogram; margin is an
+    // exact subtraction of two 9-dp-rounded kernels, re-rounded
+    "q158_triplet_mining" ->
+      s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |    AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |    label AS q_label FROM el WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT query_id, q_label, el.vec_id AS other_id, el.label,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9)
+         |      AS cosine,
+         |    el.label = q_label AS is_pos
+         |  FROM el CROSS JOIN q WHERE el.vec_id <> q.query_id),
+         |sel AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id, is_pos
+         |      ORDER BY CASE WHEN is_pos THEN cosine ELSE -cosine END,
+         |        other_id) AS rn
+         |    FROM scored) x WHERE rn = 1),
+         |agg AS (SELECT query_id, max(q_label) AS label,
+         |    max(CASE WHEN is_pos THEN other_id END) AS pos_id,
+         |    max(CASE WHEN is_pos THEN cosine END) AS pos_cos,
+         |    max(CASE WHEN NOT is_pos THEN other_id END) AS neg_id,
+         |    max(CASE WHEN NOT is_pos THEN cosine END) AS neg_cos
+         |  FROM sel GROUP BY 1),
+         |lc AS (SELECT label, count(*) AS n_label FROM el GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM el)
+         |SELECT a.query_id, a.label, a.pos_id, a.pos_cos, a.neg_id,
+         |  a.neg_cos, round(a.pos_cos - a.neg_cos, 9) AS margin,
+         |  a.pos_cos < a.neg_cos AS violation,
+         |  lc.n_label - 1 AS n_pos, t.n_total - lc.n_label AS n_neg
+         |FROM agg a JOIN lc ON lc.label = a.label CROSS JOIN tot t
+         |ORDER BY a.query_id""".stripMargin,
+    // both rankers' top-k mirrored verbatim (q55 CTEs, q158's cosine
+    // kernel), ranks off the rounded scores, RRF = two divisions by
+    // exact integers + one addition in fixed order, re-rounded
+    "q159_hybrid_search" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |${TextAnalysis.bm25CtesSql},
+         |sp0 AS (SELECT doc_id, round(sc, 9) AS bm25 FROM scored
+         |  WHERE n_terms > 0 ORDER BY bm25 DESC, doc_id
+         |  LIMIT ${TextAnalysis.Bm25TopK}),
+         |sparse AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INT) AS sparse_rank FROM sp0),
+         |el AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |    AS nrm FROM embeddings),
+         |qv AS (SELECT emb AS q_emb, nrm AS q_nrm FROM el
+         |  WHERE vec_id = $HybridQueryVec),
+         |d0 AS (SELECT vec_id AS doc_id,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS cosine
+         |  FROM el CROSS JOIN qv WHERE vec_id <> $HybridQueryVec
+         |  ORDER BY cosine DESC, doc_id LIMIT $HybridTopK),
+         |dense AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cosine DESC, doc_id) AS INT) AS dense_rank FROM d0)
+         |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         |  s.sparse_rank, d.dense_rank,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + s.sparse_rank), 0.0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + d.dense_rank), 0.0), 9)
+         |    AS rrf
+         |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $HybridTopK""".stripMargin,
     "q25_knn_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM e

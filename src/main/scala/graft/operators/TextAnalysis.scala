@@ -90,16 +90,64 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame =
     langIdFrom(Tables.documents(spark, dir))
 
-  def langIdFrom(docs: DataFrame): DataFrame = {
+  def langIdFrom(docs: DataFrame): DataFrame =
+    langScored(docs, Seq("doc_id", "lang")).orderBy("doc_id")
+
+  /** Shared q19/q160 scorer: per-language marker hit counts + argmax
+    * `pred_lang`, with caller-chosen key columns passed through (q19
+    * keeps `doc_id`; q160's mismatch rollup keeps `source`) — ONE
+    * definition of the predictor, so the gated consumers cannot drift.
+    */
+  private def langScored(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val w = TextFns.toks(col("text"))
     val scored = docs.select(
-      col("doc_id") +: col("lang") +:
+      keep.map(col) ++
         LangMarkers.map { case (l, ms) => size(TextFns.keepIn(w, ms)).as(s"s_$l") }: _*)
     val best = greatest(LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
     val pred = LangMarkers.init.foldRight(lit(LangMarkers.last._1): Column) {
       case ((l, _), els) => when(col(s"s_$l") === best, l).otherwise(els)
     }
-    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** q160 — declared-vs-predicted language MISMATCH audit: the
+    * confusion relation between the `lang` column a crawl source
+    * claims and what q19's marker predictor actually sees, rolled up
+    * with a per-source mismatch rate. A feed whose declared language
+    * drifts from its content (wrong-language injection, template
+    * change, mislabeled shard) is the standard upstream failure that
+    * poisons per-language training mixes — this is the audit that
+    * catches it at the (source, lang) grain where the fix is applied.
+    *
+    * Scale shape: marker scores are map-side array-filter columns (the
+    * q19 kernel, shared via [[langScored]] so the two gated consumers
+    * cannot drift), then ONE (source, declared, predicted) aggregate —
+    * languages² × sources rows at most cross the wire, never documents;
+    * the per-source totals ride a window over that model-sized relation.
+    *
+    * Determinism: counts are integers; the rate is one closing division
+    * rounded at 6 dp; the oracle CASTs its window sums back to BIGINT
+    * (DuckDB widens sum(BIGINT) to HUGEINT — the q111 lesson).
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    langMismatchFrom(Tables.documents(spark, dir))
+
+  def langMismatchFrom(docs: DataFrame): DataFrame = {
+    val conf = langScored(docs, Seq("source", "lang"))
+      .groupBy("source", "lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val srcW = Window.partitionBy("source")
+    conf
+      .withColumn("source_total", sum("n_docs").over(srcW))
+      .withColumn("source_mismatch",
+        sum(when(col("lang") =!= col("pred_lang"), col("n_docs"))
+          .otherwise(0L)).over(srcW))
+      .select(col("source"), col("lang"), col("pred_lang"), col("n_docs"),
+        (col("lang") =!= col("pred_lang")).as("is_mismatch"),
+        col("source_total"),
+        round(col("source_mismatch").cast("double") / col("source_total"), 6)
+          .as("source_mismatch_rate"))
+      .orderBy("source", "lang", "pred_lang")
   }
 
   /** q20 — fingerprinting: normalized-text md5, a 60-bit numeric
@@ -783,6 +831,7 @@ object TextAnalysis {
     "q18_quality_score" -> (qualityScore _),
     "q88_filter_funnel" -> (filterFunnel _),
     "q19_lang_id" -> (langId _),
+    "q160_lang_mismatch" -> (langMismatch _),
     "q20_fingerprint" -> (fingerprint _),
     "q84_winnow_fingerprints" -> (winnowFingerprints _),
     "q39_kmv_distinct" -> (kmvDistinct _),
@@ -898,6 +947,34 @@ object TextAnalysis {
          |    $scores
          |  FROM toks)
          |SELECT scored.*, $pred AS pred_lang FROM scored ORDER BY doc_id""".stripMargin
+    },
+    // window sums CAST back to BIGINT (DuckDB widens to HUGEINT — the
+    // q111 lesson); the rate divides the cast values
+    "q160_lang_mismatch" -> {
+      val scores = LangMarkers.map { case (l, ms) =>
+        s"len(${TextFns.sql.keepIn("w", ms)}) AS s_$l" }.mkString(",\n    ")
+      val best = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val pred = LangMarkers.init
+        .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", s" ELSE '${LangMarkers.last._1}' END")
+      s"""WITH st AS (SELECT source, lang, ${TextFns.sql.toks} AS w FROM documents),
+         |scored AS (SELECT source, lang,
+         |    $scores
+         |  FROM st),
+         |conf AS (SELECT source, lang, $pred AS pred_lang,
+         |    count(*) AS n_docs
+         |  FROM scored GROUP BY 1, 2, 3),
+         |win AS (SELECT *,
+         |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+         |      AS source_total,
+         |    CAST(sum(CASE WHEN lang <> pred_lang THEN n_docs ELSE 0 END)
+         |      OVER (PARTITION BY source) AS BIGINT) AS source_mismatch
+         |  FROM conf)
+         |SELECT source, lang, pred_lang, n_docs,
+         |  lang <> pred_lang AS is_mismatch, source_total,
+         |  round(CAST(source_mismatch AS DOUBLE) / source_total, 6)
+         |    AS source_mismatch_rate
+         |FROM win ORDER BY source, lang, pred_lang""".stripMargin
     },
     "q20_fingerprint" ->
       s"""WITH normd AS (

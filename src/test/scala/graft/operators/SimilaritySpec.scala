@@ -466,6 +466,94 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("tripletMining (q158)") {
+    it("picks the hardest positive (lowest cosine) and hardest negative (highest) per anchor") {
+      // anchor 0 (label 0, x-axis). positives: 20 nearly parallel
+      // (cos≈0.995), 21 orthogonal (cos 0 → HARDEST). negatives
+      // (label 1): 30 anti-parallel (cos −1), 31 nearly parallel
+      // (cos 1/√1.04 → HARDEST). pos_cos 0 < neg_cos ⇒ violation.
+      val e = Seq(
+        (0L, Array(1.0f, 0.0f), 0),
+        (20L, Array(1.0f, 0.1f), 0),
+        (21L, Array(0.0f, 1.0f), 0),
+        (30L, Array(-1.0f, 0.0f), 1),
+        (31L, Array(1.0f, 0.2f), 1))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.tripletMiningFrom(e).collect()
+      assert(r.length == 1)
+      val x = r(0)
+      assert(x.getAs[Long]("query_id") == 0L)
+      assert(x.getAs[Long]("pos_id") == 21L)
+      assert(x.getAs[Double]("pos_cos") == 0.0)
+      assert(x.getAs[Long]("neg_id") == 31L)
+      // 1/√(1+0.2f²) with 0.2f widened from float32, @9dp
+      assert(x.getAs[Double]("neg_cos") == 0.980580675)
+      assert(x.getAs[Double]("margin") == -0.980580675)
+      assert(x.getAs[Boolean]("violation"))
+      assert(x.getAs[Long]("n_pos") == 2L) // label-0 peers minus self
+      assert(x.getAs[Long]("n_neg") == 2L)
+    }
+
+    it("a separated class yields a positive margin and no violation") {
+      // anchor 1 (label 1, y-axis): both positives cluster near it
+      // (worst cos 1/√1.01), both negatives sit at/below cosine 0.
+      val e = Seq(
+        (1L, Array(0.0f, 1.0f), 1),
+        (40L, Array(0.0f, 2.0f), 1),
+        (41L, Array(0.1f, 1.0f), 1),
+        (50L, Array(1.0f, 0.0f), 0),
+        (51L, Array(1.0f, -0.1f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.tripletMiningFrom(e).collect()
+      assert(r.length == 1)
+      val x = r(0)
+      assert(x.getAs[Long]("pos_id") == 41L)
+      assert(x.getAs[Double]("pos_cos") == 0.995037190) // 1/√1.01 @9dp
+      assert(x.getAs[Long]("neg_id") == 50L)
+      assert(x.getAs[Double]("neg_cos") == 0.0)
+      assert(x.getAs[Double]("margin") == 0.995037190)
+      assert(!x.getAs[Boolean]("violation"))
+    }
+  }
+
+  describe("hybridSearch (q159)") {
+    it("fuses sparse and dense ranks by RRF, 0 from a side a doc is absent from") {
+      // doc 1 hits all four BM25 terms AND is the dense near-neighbor
+      // (both ranks 1); doc 2 hits one term but has NO embedding
+      // (sparse-only); doc 3 has no query terms but an embedding
+      // (dense-only, anti-parallel → dense rank 2); doc 0 is the dense
+      // query vector itself and matches no terms → absent entirely.
+      val docs = Seq(
+        (0L, "quarterly report"),
+        (1L, "spark join vector customer"),
+        (2L, "banana banana banana spark"),
+        (3L, "apple pear"))
+        .toDF("doc_id", "text")
+      val embs = Seq(
+        (0L, Array(1.0f, 0.0f), 0),
+        (1L, Array(1.0f, 0.1f), 0),
+        (3L, Array(-1.0f, 0.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.hybridSearchFrom(docs, embs).collect()
+      def rrf(rs: Int*): Double =
+        BigDecimal(rs.map(x => 1.0 / (60 + x)).sum)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+      val by = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+      assert(by(1L).getAs[Int]("sparse_rank") == 1)
+      assert(by(1L).getAs[Int]("dense_rank") == 1)
+      assert(by(1L).getAs[Double]("rrf") == rrf(1, 1))
+      assert(by(2L).getAs[Int]("sparse_rank") == 2)
+      assert(by(2L).isNullAt(by(2L).fieldIndex("dense_rank")))
+      assert(by(2L).getAs[Double]("rrf") == rrf(2))
+      assert(by(3L).isNullAt(by(3L).fieldIndex("sparse_rank")))
+      assert(by(3L).getAs[Int]("dense_rank") == 2)
+      assert(by(3L).getAs[Double]("rrf") == rrf(2))
+      // docs 2 and 3 tie on rrf (1/62 each) → doc_id breaks the tie
+      assert(by(2L).getAs[Double]("rrf") == by(3L).getAs[Double]("rrf"))
+    }
+  }
+
   describe("pcaPower (q144)") {
     it("recovers the dominant axis, eigenvalue and variance share of a hand fixture") {
       // mean-zero, covariance diag(2, 0.5): top component is the

@@ -97,6 +97,31 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("langMismatch (q160)") {
+    it("rolls declared-vs-predicted confusion up to a per-source rate") {
+      // crawlA: one true en, one de text mislabeled en, one true de →
+      // 1 of 3 mismatched; crawlB: clean fr → rate 0
+      val d = Seq(
+        ("crawlA", "en", "the cat is on the mat"),
+        ("crawlA", "en", "der hund und die katze ist"),
+        ("crawlA", "de", "der hund und die katze ist"),
+        ("crawlB", "fr", "le chien et les maisons des"))
+        .toDF("source", "lang", "text")
+      val r = TextAnalysis.langMismatchFrom(d).collect()
+      val keys = r.map(x => (x.getAs[String]("source"),
+        x.getAs[String]("lang"), x.getAs[String]("pred_lang"))).toSeq
+      assert(keys == Seq(
+        ("crawlA", "de", "de"), ("crawlA", "en", "de"),
+        ("crawlA", "en", "en"), ("crawlB", "fr", "fr")))
+      assert(r.map(_.getAs[Long]("n_docs")).toSeq == Seq(1L, 1L, 1L, 1L))
+      assert(r.map(_.getAs[Boolean]("is_mismatch")).toSeq ==
+        Seq(false, true, false, false))
+      assert(r.map(_.getAs[Long]("source_total")).toSeq == Seq(3L, 3L, 3L, 1L))
+      assert(r.map(_.getAs[Double]("source_mismatch_rate")).toSeq ==
+        Seq(0.333333, 0.333333, 0.333333, 0.0))
+    }
+  }
+
   describe("fingerprint (q20)") {
     it("is invariant to case and punctuation") {
       val r = TextAnalysis.fingerprintFrom(docs(
