@@ -91,6 +91,7 @@ object Bench {
     run("q03_lines_without_order") { Integrity.linesWithoutOrder(spark, sfDir) }
     run("q105_expectations") { Integrity.expectations(spark, sfDir) }
     run("q120_fd_audit") { Integrity.fdAudit(spark, sfDir) }
+    run("q162_deletion_cascade") { Integrity.deletionCascade(spark, sfDir) }
 
     // stage 2: KPI CTAS (reference compute_kpis.py). The KPI table is
     // one row per supplier — tiny relative to its input at any scale —

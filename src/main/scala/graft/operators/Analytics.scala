@@ -336,6 +336,63 @@ object Analytics {
   /** Co-occurring item pairs kept by q66. */
   val CoocTopK = 20
 
+  /** Items kept by q161's decayed-popularity ranking. */
+  val DecayTopK = 20
+
+  /** q161 — EXPONENTIAL time-decay popularity, exactly: per item
+    * (`props.k`), the decayed event mass under two half-lives — daily
+    * (weight 2^−age_days) and weekly (2^−⌊age_days/7⌋) — ranked by the
+    * weekly score. The freshness-weighted ranking every feed/trending
+    * surface runs, but with a twist that makes it hash-gateable: the
+    * usual `exp(−λ·age)` is libm territory (not correctly rounded,
+    * drifts cross-engine), so the half-life is fixed at a POWER OF TWO
+    * and each event's weight is the exact integer `1 << (60 − age)` —
+    * the decayed sum is pure integer arithmetic in DECIMAL(38,0) space
+    * (the q149 move), and the presentation score is ONE closing
+    * division by 2^60 off the exact sum. Ages beyond the 60-step
+    * horizon contribute exactly 0 (a 2^−60 weight is below any
+    * ranking's noise floor).
+    *
+    * Scale shape: the max-day anchor is a 1-row aggregate broadcast
+    * back; weights are map-side expressions; ONE item-keyed aggregate
+    * with combine-heavy integer partials; the top-k cut lowers to
+    * TakeOrderedAndProject on (weekly, daily, item) — items never
+    * collect, documents never re-shuffle.
+    */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame =
+    decayedPopularityFrom(Tables.events(spark, dir))
+
+  def decayedPopularityFrom(events: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val base = events.select(item.as("item"), col("ts").cast("date").as("d"))
+      .filter(col("item").isNotNull)
+    val mx = base.agg(max("d").as("mxd"))
+    // exact dyadic weight: 1 << shift for shift in [0, 60], else 0
+    def dyadic(shift: Column): Column =
+      when(shift.between(0, 60),
+        call_function("shiftleft", lit(1L), shift.cast("int")).cast(dec0))
+        .otherwise(lit(0).cast(dec0))
+    val agg = base.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("mxd"), col("d")))
+      .groupBy("item").agg(
+        count(lit(1)).as("n_events"),
+        sum(dyadic(lit(60) - col("age"))).cast(dec0).as("w_daily"),
+        sum(dyadic(lit(60) - floor(col("age") / lit(7)).cast("int")))
+          .cast(dec0).as("w_weekly"))
+    val scale = lit(math.pow(2, 60)) // exact in double
+    agg.orderBy(desc("w_weekly"), desc("w_daily"), asc("item"))
+      .limit(DecayTopK)
+      .withColumn("rank", row_number().over(Window.partitionBy()
+        .orderBy(desc("w_weekly"), desc("w_daily"), asc("item"))).cast("int"))
+      .select(col("rank"), col("item"), col("n_events"),
+        col("w_daily"), col("w_weekly"),
+        round(col("w_daily").cast("double") / scale, 9).as("score_daily"),
+        round(col("w_weekly").cast("double") / scale, 9).as("score_weekly"))
+      .orderBy("rank")
+  }
+
   /** q66 — market-basket item co-occurrence: the top item pairs (the
     * `props.k` attribute) appearing together in the same user's events,
     * with the number of distinct users supporting each pair — the
@@ -1578,6 +1635,7 @@ object Analytics {
     "q148_quantile_rollup" -> (quantileRollup _),
     "q149_metric_corr" -> (metricCorr _),
     "q150_benford_audit" -> (benfordAudit _),
+    "q161_decayed_popularity" -> (decayedPopularity _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
@@ -1689,6 +1747,35 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // exact dyadic weights (1 << shift) summed in DECIMAL(38,0) — the
+    // q149 discipline; both engines share the << operator and the
+    // closing division by the exact double 2^60
+    "q161_decayed_popularity" ->
+      s"""WITH it AS (SELECT CAST(NULLIF(regexp_extract(props,
+         |      '"k":\\s*(\\d+)', 1), '') AS INT) AS item,
+         |    CAST(ts AS DATE) AS d FROM events),
+         |base AS (SELECT item, d FROM it WHERE item IS NOT NULL),
+         |mx AS (SELECT max(d) AS mxd FROM base),
+         |aged AS (SELECT item, date_diff('day', d, mxd) AS age
+         |  FROM base CROSS JOIN mx),
+         |agg AS (SELECT item, count(*) AS n_events,
+         |    CAST(sum(CAST(CASE WHEN 60 - age BETWEEN 0 AND 60
+         |      THEN (CAST(1 AS BIGINT) << CAST(60 - age AS INT))
+         |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w_daily,
+         |    CAST(sum(CAST(CASE WHEN 60 - (age // 7) BETWEEN 0 AND 60
+         |      THEN (CAST(1 AS BIGINT) << CAST(60 - (age // 7) AS INT))
+         |      ELSE 0 END AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS w_weekly
+         |  FROM aged GROUP BY 1),
+         |top AS (SELECT * FROM agg
+         |  ORDER BY w_weekly DESC, w_daily DESC, item LIMIT $DecayTopK)
+         |SELECT CAST(row_number() OVER
+         |    (ORDER BY w_weekly DESC, w_daily DESC, item) AS INT) AS rank,
+         |  item, n_events, w_daily, w_weekly,
+         |  round(CAST(w_daily AS DOUBLE) / 1152921504606846976.0, 9)
+         |    AS score_daily,
+         |  round(CAST(w_weekly AS DOUBLE) / 1152921504606846976.0, 9)
+         |    AS score_weekly
+         |FROM top ORDER BY rank""".stripMargin,
     // weekly cent-exact sums; mean comparisons cross-multiplied to
     // integers, so the statistic never accumulates a float
     "q128_trend_mk" ->

@@ -151,7 +151,67 @@ object Integrity {
       .orderBy("dependency")
   }
 
+  /** Tombstone selectivity for q162: 1-in-[[DeleteMod]] customers. */
+  val DeleteMod = 20
+
+  /** q162 — DELETION-CASCADE audit (right-to-be-forgotten): given a
+    * deterministic tombstone set of customers (salted-md5 1-in-
+    * [[DeleteMod]] — the q45 no-rand() selection, so the same users
+    * tombstone on every engine and re-run), report per table how many
+    * rows the cascade purges and what remains, with an exact
+    * DECIMAL(38,0) retained-key checksum that downstream re-runs can
+    * diff to PROVE the purge happened and touched nothing else. The
+    * cascade follows the relational chain customer → orders (by
+    * custkey) → lineitem (by purged orderkey) and events (by user id —
+    * the fixture's shared customer/user key space).
+    *
+    * Scale shape: the tombstone set is selectivity-bounded (|customer|
+    * / [[DeleteMod]]) and joins broadcast against every table; the
+    * lineitem leg keys on the purged-orders relation (itself
+    * tombstone-bounded); each table contributes ONE scan folded to a
+    * single audit row of conditional integer sums — the checksum rides
+    * the same aggregate, so the whole audit is 4 scans total, no
+    * re-reads, nothing row-scale crosses the wire.
+    */
+  def deletionCascade(spark: SparkSession, dir: String): DataFrame =
+    deletionCascadeFrom(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), Tables.events(spark, dir))
+
+  def deletionCascadeFrom(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, events: DataFrame): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tomb = customer
+      .filter(graft.functions.TextFns.hash32(
+        concat(lit("forget|"), col("c_custkey").cast("string")))
+        % DeleteMod === 0)
+      .select(col("c_custkey").as("tk"))
+    def leg(df: DataFrame, name: String, joinKey: Column, probe: DataFrame,
+        probeKey: Column, rowKey: Column): DataFrame =
+      df.join(broadcast(probe), joinKey === probeKey, "left")
+        .select(lit(name).as("table_name"),
+          probeKey.isNotNull.as("purge"), rowKey.cast(dec0).as("key"))
+    val purgedOrders = orders
+      .join(broadcast(tomb), col("o_custkey") === col("tk"), "left_semi")
+      .select(col("o_orderkey").as("pok"))
+    leg(customer, "customer", col("c_custkey"), tomb, col("tk"),
+        col("c_custkey"))
+      .union(leg(orders, "orders", col("o_custkey"), tomb, col("tk"),
+        col("o_orderkey")))
+      .union(leg(lineitem, "lineitem", col("l_orderkey"), purgedOrders,
+        col("pok"), col("l_orderkey") * 10 + col("l_linenumber")))
+      .union(leg(events, "events", col("user_id"), tomb, col("tk"),
+        col("event_id")))
+      .groupBy("table_name")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("purge"), 1L).otherwise(0L)).as("n_purged"),
+        sum(when(!col("purge"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(!col("purge"), col("key")).otherwise(lit(0).cast(dec0)))
+          .cast(dec0).as("retained_key_sum"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_deletion_cascade" -> (deletionCascade _),
     "q01_row_counts" -> (rowCounts _),
     "q02_orders_without_lines" -> (ordersWithoutLines _),
     "q03_lines_without_order" -> (linesWithoutOrder _),
@@ -159,6 +219,38 @@ object Integrity {
     "q120_fd_audit" -> (fdAudit _))
 
   val oracle: Map[String, String] = Map(
+    // same salted-md5 tombstone selection; retained checksum summed in
+    // DECIMAL(38,0) (key sums wrap BIGINT at warehouse scale)
+    "q162_deletion_cascade" -> {
+      val h = graft.functions.TextFns.sql.hash32(
+        "'forget|' || CAST(c_custkey AS VARCHAR)")
+      s"""WITH tomb AS (SELECT c_custkey AS tk FROM customer
+         |  WHERE $h % $DeleteMod = 0),
+         |po AS (SELECT o_orderkey AS pok FROM orders
+         |  JOIN tomb ON o_custkey = tk),
+         |u AS (
+         |  SELECT 'customer' AS table_name, tk IS NOT NULL AS purge,
+         |    CAST(c_custkey AS DECIMAL(38,0)) AS key
+         |  FROM customer LEFT JOIN tomb ON c_custkey = tk
+         |  UNION ALL
+         |  SELECT 'orders', tk IS NOT NULL, CAST(o_orderkey AS DECIMAL(38,0))
+         |  FROM orders LEFT JOIN tomb ON o_custkey = tk
+         |  UNION ALL
+         |  SELECT 'lineitem', pok IS NOT NULL,
+         |    CAST(l_orderkey * 10 + l_linenumber AS DECIMAL(38,0))
+         |  FROM lineitem LEFT JOIN po ON l_orderkey = pok
+         |  UNION ALL
+         |  SELECT 'events', tk IS NOT NULL, CAST(event_id AS DECIMAL(38,0))
+         |  FROM events LEFT JOIN tomb ON user_id = tk)
+         |SELECT table_name, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |  CAST(sum(CASE WHEN NOT purge THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retained,
+         |  CAST(sum(CASE WHEN NOT purge THEN key
+         |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+         |    AS retained_key_sum
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q120_fd_audit" -> {
       def one(name: String, tbl: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS dependency, count(*) AS n_lhs,

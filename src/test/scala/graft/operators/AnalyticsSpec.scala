@@ -16,6 +16,35 @@ class AnalyticsSpec extends AnyFunSpec {
   private def events(rows: (Long, Timestamp, Long, String, Double, String)*): DataFrame =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  describe("decayedPopularity (q161)") {
+    it("sums exact dyadic weights per half-life and ranks weekly-first") {
+      // max day 2024-01-10. item 1: two age-0 events (daily 2·2^60);
+      // item 2: ages 0+1 (daily 1.5·2^60, weekly still 2·2^60 — ties
+      // item 1 on weekly, loses the daily tie-break); item 3: age 7
+      // (daily 2^53, weekly 2^59); item 4: age 61 — BEYOND the daily
+      // horizon (weight exactly 0) but weekly ⌊61/7⌋=8 → 2^52.
+      def e(id: Long, day: String, item: Int) =
+        (id, ts(s"$day 12:00:00"), 1L, "click", 1.0, s"""{"k": $item}""")
+      val r = Analytics.decayedPopularityFrom(events(
+        e(1, "2024-01-10", 1), e(2, "2024-01-10", 1),
+        e(3, "2024-01-10", 2), e(4, "2024-01-09", 2),
+        e(5, "2024-01-03", 3),
+        e(6, "2023-11-10", 4))).collect()
+      assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+      assert(r.map(_.getAs[Int]("item")).toSeq == Seq(1, 2, 3, 4))
+      val p60 = BigDecimal(2).pow(60)
+      assert(r.map(x => BigDecimal(x.getAs[java.math.BigDecimal]("w_daily"))).toSeq ==
+        Seq(p60 * 2, p60 * 3 / 2, BigDecimal(2).pow(53), BigDecimal(0)))
+      assert(r.map(x => BigDecimal(x.getAs[java.math.BigDecimal]("w_weekly"))).toSeq ==
+        Seq(p60 * 2, p60 * 2, BigDecimal(2).pow(59), BigDecimal(2).pow(52)))
+      assert(r.map(_.getAs[Double]("score_daily")).toSeq ==
+        Seq(2.0, 1.5, 0.0078125, 0.0))
+      assert(r.map(_.getAs[Double]("score_weekly")).toSeq ==
+        Seq(2.0, 2.0, 0.5, 0.00390625))
+      assert(r.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 2L, 1L, 1L))
+    }
+  }
+
   describe("revenueCube (q42)") {
     it("emits all four grouping sets with the cube grouping ids") {
       val li = Seq(

@@ -18,6 +18,47 @@ class IntegritySpec extends AnyFunSpec {
     }
   }
 
+  describe("deletionCascade (q162)") {
+    it("purges the salted-md5 tombstones down the relational chain, exactly") {
+      import spark.implicits._
+      // independent reimplementation of the selection hash: first 8 md5
+      // hex chars as an unsigned int — pins the engine-side TextFns
+      // kernel against a from-scratch oracle
+      def h32(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val keys = (1L to 60L).toSeq
+      val tomb = keys.filter(k => h32(s"forget|$k") % Integrity.DeleteMod == 0).toSet
+      assert(tomb.nonEmpty, "fixture must tombstone at least one customer")
+      val customer = keys.map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      val orders = keys.map(k => (k * 100, k)).toDF("o_orderkey", "o_custkey")
+      val lineitem = keys.flatMap(k => Seq((k * 100, 1L), (k * 100, 2L)))
+        .toDF("l_orderkey", "l_linenumber")
+      val events = keys.map(k => (k, k)).toDF("event_id", "user_id")
+      val r = Integrity
+        .deletionCascadeFrom(customer, orders, lineitem, events)
+        .collect()
+        .map(x => x.getAs[String]("table_name") -> x).toMap
+      def dec(t: String, c: String) =
+        BigDecimal(r(t).getAs[java.math.BigDecimal](c))
+      val kept = keys.filterNot(tomb)
+      assert(r("customer").getAs[Long]("n_purged") == tomb.size.toLong)
+      assert(r("orders").getAs[Long]("n_purged") == tomb.size.toLong)
+      assert(r("lineitem").getAs[Long]("n_purged") == 2L * tomb.size)
+      assert(r("events").getAs[Long]("n_purged") == tomb.size.toLong)
+      assert(r("lineitem").getAs[Long]("n_total") == 120L)
+      assert(r("customer").getAs[Long]("n_retained") == kept.size.toLong)
+      assert(dec("customer", "retained_key_sum") == BigDecimal(kept.sum))
+      assert(dec("orders", "retained_key_sum") == BigDecimal(kept.map(_ * 100).sum))
+      assert(dec("lineitem", "retained_key_sum") ==
+        BigDecimal(kept.map(k => (k * 100 * 10 + 1) + (k * 100 * 10 + 2)).sum))
+      assert(dec("events", "retained_key_sum") == BigDecimal(kept.sum))
+    }
+  }
+
   describe("orphan checks (q02/q03)") {
     it("anti-join equals left-join + IS NULL formulation") {
       val anti = Integrity.ordersWithoutLines(spark, sf).collect()(0).getLong(0)
