@@ -358,6 +358,73 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** q163 flag threshold: drift flags when the one-sided CUSUM exceeds
+    * [[CusumH]] × the type's corpus total — with residuals scaled by
+    * n_days that reads as "H mean-days of accumulated drift".
+    */
+  val CusumH = 2L
+
+  /** q163 — CUSUM drift detection on daily event rates: the SEQUENTIAL
+    * changepoint detector (Page 1954) that catches a slow feed drift
+    * q116's per-point z-score cannot — each day's residual accumulates,
+    * so a persistent small shift trips the alarm even when no single
+    * day is anomalous. Per (event_type, day): the gap-filled daily
+    * count, the one-sided up/down CUSUM statistics, and the drift
+    * flags.
+    *
+    * Determinism — ALL-INTEGER, no rounding anywhere: the residual is
+    * cross-multiplied (`n_days·c_i − total` instead of `c_i − mean`),
+    * and the max(0, S+r) recurrence — not window-expressible as
+    * written — is rewritten through the prefix identity
+    * `S_i = cum_i − min(0, min_{j≤i} cum_j)` (and mirrored for the
+    * down side), turning the sequential fold into cumulative-sum +
+    * cumulative-extremum windows.
+    *
+    * Scale shape: ONE (type, day) count aggregate (map-side combined,
+    * types×days rows out); the day spine is a 1-row bounds aggregate
+    * exploded and broadcast (the q104 gap-fill move, so silent-feed
+    * days read count 0 — exactly the days a drift detector must see);
+    * all four windows share the one type-keyed exchange over the
+    * model-sized grid. The oracle CASTs every window sum back to
+    * BIGINT (the q111 lesson).
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame =
+    cusumDriftFrom(Tables.events(spark, dir))
+
+  def cusumDriftFrom(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val days = events
+      .agg(min(col("ts").cast("date")).as("d0"),
+        max(col("ts").cast("date")).as("d1"))
+      .select(
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n_days"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+    val filled = spine.join(byDay, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n_days"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+    val tot = Window.partitionBy("event_type")
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("type_total", sum("n_events").over(tot))
+      .withColumn("r", col("n_days") * col("n_events") - col("type_total"))
+      .withColumn("cum", sum("r").over(wc))
+      .withColumn("cusum_up",
+        col("cum") - least(min(col("cum")).over(wc), lit(0L)))
+      .withColumn("cusum_dn",
+        greatest(max(col("cum")).over(wc), lit(0L)) - col("cum"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("type_total"), col("r"), col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > lit(CusumH) * col("type_total")).as("drift_up"),
+        (col("cusum_dn") > lit(CusumH) * col("type_total")).as("drift_dn"))
+      .orderBy("event_type", "day")
+  }
+
   /** q107 cell geometry: [[ZUserCell]] users × one day per grid cell,
     * day index anchored at the FIXED [[ZEpoch]] (an operator dial like
     * [[ZoneLoDate]] — a data-derived anchor would make cell identity
@@ -731,6 +798,7 @@ object Events {
     "q109_session_overlap" -> (sessionOverlap _),
     "q111_compaction_plan" -> (compactionPlan _),
     "q104_user_day_gapfill" -> (userDayGapfill _),
+    "q163_cusum_drift" -> (cusumDrift _),
     "q101_zone_map" -> (partitionZoneMap _),
     "q74_event_day_slice" -> (eventDaySlice _),
     "q27_event_windows" -> (eventWindows _),
@@ -910,6 +978,43 @@ object Events {
          |FROM planned ORDER BY event_date""".stripMargin,
     // DuckDB types the DATE+INTERVAL series TIMESTAMP (Spark keeps
     // DATE); the explicit CAST in `days` aligns both engines
+    // every window sum CAST back to BIGINT (the q111 lesson); the
+    // max(0, S+r) fold rides the prefix identity, all-integer output
+    "q163_cusum_drift" ->
+      s"""WITH bounds AS (
+         |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1,
+         |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+         |      CAST(max(ts) AS DATE)) + 1 AS BIGINT) AS n_days
+         |  FROM events),
+         |raw AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |    AS dts, n_days FROM bounds),
+         |days AS (SELECT CAST(dts AS DATE) AS day, n_days FROM raw),
+         |td AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (SELECT t.event_type, d.day, d.n_days
+         |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN days d),
+         |filled AS (SELECT s.event_type, s.day, s.n_days,
+         |    coalesce(td.n, 0) AS n_events
+         |  FROM spine s
+         |  LEFT JOIN td ON s.event_type = td.event_type AND s.day = td.day),
+         |wt AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY event_type)
+         |    AS BIGINT) AS type_total FROM filled),
+         |rr AS (SELECT *, n_days * n_events - type_total AS r FROM wt),
+         |cc AS (SELECT *, CAST(sum(r) OVER (PARTITION BY event_type
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM rr),
+         |ss AS (SELECT *,
+         |    cum - least(min(cum) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |      AS cusum_up,
+         |    greatest(max(cum) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - cum
+         |      AS cusum_dn
+         |  FROM cc)
+         |SELECT event_type, day, n_events, type_total, r, cusum_up, cusum_dn,
+         |  cusum_up > $CusumH * type_total AS drift_up,
+         |  cusum_dn > $CusumH * type_total AS drift_dn
+         |FROM ss ORDER BY event_type, day""".stripMargin,
     "q104_user_day_gapfill" ->
       """WITH bounds AS (
         |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),

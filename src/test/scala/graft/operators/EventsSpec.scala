@@ -195,6 +195,38 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("cusumDrift (q163)") {
+    it("accumulates gap-filled residuals and flags both drift directions") {
+      // type b over 4 days: counts 1, (absent→0), 1, 13; total 15,
+      // residual r = 4c−15 → −11, −15, −11, 37; cum −11, −26, −37, 0.
+      // up-CUSUM 0,0,0,37 (37 > 2·15 → drift_up on day 4);
+      // down-CUSUM 11,26,37,0 (37 > 30 → drift_dn on day 3).
+      // type a: 3 events every day → zero residuals, no flags.
+      def e(id: Long, day: String, tpe: String) =
+        (id, ts(s"2024-01-0$day 10:00:00"), 1L, tpe, 1.0, "{}")
+      var id = 0L
+      def n(day: String, tpe: String, k: Int) =
+        Seq.fill(k) { id += 1; e(id, day, tpe) }
+      val r = Events.cusumDriftFrom(events(
+        (n("1", "b", 1) ++ n("3", "b", 1) ++ n("4", "b", 13) ++
+          Seq("1", "2", "3", "4").flatMap(d => n(d, "a", 3))): _*))
+        .collect()
+      val b = r.filter(_.getAs[String]("event_type") == "b")
+      assert(b.map(_.getAs[Long]("n_events")).toSeq == Seq(1L, 0L, 1L, 13L))
+      assert(b.map(_.getAs[Long]("r")).toSeq == Seq(-11L, -15L, -11L, 37L))
+      assert(b.map(_.getAs[Long]("cusum_up")).toSeq == Seq(0L, 0L, 0L, 37L))
+      assert(b.map(_.getAs[Long]("cusum_dn")).toSeq == Seq(11L, 26L, 37L, 0L))
+      assert(b.map(_.getAs[Boolean]("drift_up")).toSeq ==
+        Seq(false, false, false, true))
+      assert(b.map(_.getAs[Boolean]("drift_dn")).toSeq ==
+        Seq(false, false, true, false))
+      val a = r.filter(_.getAs[String]("event_type") == "a")
+      assert(a.forall(_.getAs[Long]("r") == 0L))
+      assert(a.forall(x => !x.getAs[Boolean]("drift_up") &&
+        !x.getAs[Boolean]("drift_dn")))
+    }
+  }
+
   describe("userDayGapfill (q104)") {
     it("densifies every user to the full corpus horizon with zero-fill") {
       val r = Events.userDayGapfillFrom(events(

@@ -92,6 +92,55 @@ class PlanQualitySpec extends AnyFunSpec {
     }
   }
 
+  describe("round-8 operator plan shapes") {
+    it("q158 forwards one candidate per anchor-side per partition (WindowGroupLimit)") {
+      // the exchange must carry partitions × anchors × 2 rows, never
+      // the scored corpus — the rank-limit pushdown is what bounds it
+      val p = plan("q158_triplet_mining")
+      assert(p.contains("WindowGroupLimit"), s"rank-1 pushdown lost:\n$p")
+      assert(p.contains("Broadcast"), "anchor set must broadcast")
+    }
+
+    it("q159 lowers both ranker top-k cuts to TakeOrderedAndProject") {
+      // each side is one corpus pass ending in a k-row cut; a global
+      // Sort before the limit would be the 100 TB regression
+      val p = plan("q159_hybrid_search")
+      assert(p.split("TakeOrderedAndProject").length - 1 >= 2,
+        s"expected both BM25 and dense top-k as TakeOrderedAndProject:\n$p")
+    }
+
+    it("q161 cuts its ranking with TakeOrderedAndProject off one item aggregate") {
+      val p = plan("q161_decayed_popularity")
+      assert(p.contains("TakeOrderedAndProject"), s"top-k cut lost:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        "max-day anchor must broadcast, not cartesian")
+      val itemAggExchanges = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning(item"))
+      assert(itemAggExchanges == 1,
+        s"expected exactly 1 item-keyed exchange, plan:\n$p")
+    }
+
+    it("q163 runs all four CUSUM windows on one type-keyed exchange of the model-sized grid") {
+      val p = plan("q163_cusum_drift")
+      val typeExchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning(event_type"))
+      // (type,day) count aggregate + distinct-type spine + the shared
+      // window exchange — four Window operators must NOT add one each
+      assert(typeExchanges <= 3,
+        s"expected <=3 event_type hash exchanges (windows must share), plan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        "the day spine must broadcast, not cartesian")
+    }
+
+    it("q162 probes every cascade leg with a broadcast, never shuffling a fact table") {
+      val p = plan("q162_deletion_cascade")
+      assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+        s"all four legs + the purged-orders semi-join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        "a sort-merge leg would shuffle a fact table on the probe key")
+    }
+  }
+
   describe("round-7 staged incremental fold (q135)") {
     it("fed stored state, the fold touches no original-corpus scan and kernels run on the new batch only") {
       val docs = graft.sources.Tables.documents(spark, sf)
