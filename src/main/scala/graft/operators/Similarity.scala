@@ -1003,6 +1003,71 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** q164 collapse threshold: flag a label when its isotropy ratio
+    * (mean pairwise squared distance over twice the mean squared norm —
+    * ~1 for centered isotropic embeddings) drops below this.
+    */
+  val CollapseMin = 0.1
+
+  /** q164 — embedding-COLLAPSE audit: per label (and the corpus-wide
+    * `-1` row) the mean squared norm, the mean pairwise squared
+    * distance, and their isotropy ratio with a collapse flag. A
+    * degenerating encoder maps distinct inputs to one point; this is
+    * the audit that catches it BEFORE a training mix inherits the
+    * collapsed geometry. All-pairs distance is corpus²-impossible, so
+    * the operator rides the moment identity
+    * `Σᵢⱼ ‖xᵢ−xⱼ‖² / (n(n−1)) = 2·(n·Σ‖x‖² − ‖Σx‖²) / (n(n−1))` —
+    * ONE corpus pass collecting Σ‖x‖² (9-dp-rounded kernel dots summed
+    * in DECIMAL(38,12)) and the exact DECIMAL vector sum Σx
+    * ([[graft.plans.VectorSumDec]], the q122 machinery); the global row
+    * re-aggregates the label PARTIALS (decimal sums are associative),
+    * so it costs label-count rows, not a second corpus pass.
+    *
+    * Determinism: both moments are exact decimals; the close is a
+    * fixed correctly-rounded IEEE sequence mirrored token-for-token in
+    * the oracle (the q147 discipline), the flag compares UNROUNDED
+    * values via cross-multiplication (`mps < 0.2·msn`, never a
+    * division), and single-member labels yield NULL statistics, not a
+    * divide-by-zero.
+    */
+  def collapseAudit(spark: SparkSession, dir: String): DataFrame =
+    collapseAuditFrom(Tables.embeddings(spark, dir))
+
+  def collapseAuditFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val dec12 = DecimalType(38, 12)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    val per = e.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      sum(round(call_function("dot_product", col("emb"), col("emb")), 9)
+        .cast(dec12)).cast(dec12).as("ssum"),
+      call_function("vector_sum_dec",
+        col("emb").cast("array<decimal(38,12)>")).as("sumv"))
+    val glob = per.agg(
+      sum(col("n")).as("n"),
+      sum(col("ssum")).cast(dec12).as("ssum"),
+      call_function("vector_sum_dec", col("sumv")).as("sumv"))
+      .select(lit(-1).as("label"), col("n"), col("ssum"), col("sumv"))
+    val both = per.select(col("label"), col("n"), col("ssum"), col("sumv"))
+      .union(glob)
+    val sumd = transform(col("sumv"), x => x.cast("double"))
+    both
+      .withColumn("csum2", call_function("dot_product", sumd, sumd))
+      .withColumn("msn_u", col("ssum").cast("double") / col("n"))
+      .withColumn("mps_u", when(col("n") > 1,
+        (lit(2.0) * (col("n").cast("double") * col("ssum").cast("double")
+          - col("csum2")))
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .select(col("label"), col("n"),
+        round(col("msn_u"), 9).as("mean_sq_norm"),
+        round(col("mps_u"), 9).as("mean_pairwise_sq"),
+        round(col("mps_u") / (lit(2.0) * col("msn_u")), 9).as("isotropy_ratio"),
+        when(col("n") > 1, col("mps_u") < lit(0.2) * col("msn_u"))
+          .as("collapsed"))
+      .orderBy("label")
+  }
+
   /** q143 — LABEL-AGREEMENT audit (confusion matrix + Cohen's kappa):
     * every vector is re-assigned to its nearest label centroid (exact
     * DECIMAL means, the q122 discipline) and the assignment is compared
@@ -1359,6 +1424,7 @@ object Similarity {
     "q51_quantize_int8" -> (quantizeInt8 _),
     "q56_centroid_outliers" -> (centroidOutliers _),
     "q122_label_centroids" -> (labelCentroidMatrix _),
+    "q164_collapse_audit" -> (collapseAudit _),
     "q143_label_agreement" -> (labelAgreement _),
     "q158_triplet_mining" -> (tripletMining _),
     "q159_hybrid_search" -> (hybridSearch _),
@@ -1649,6 +1715,34 @@ object Similarity {
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
+    // kernel-driven twin of the q164 oracle (its parallel-UNNEST vector
+    // sums are override territory); same IEEE close, same flag
+    "q164_collapse_audit" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings),
+         |per AS (SELECT label, count(1) AS n,
+         |    CAST(sum(CAST(round(dot_product(emb, emb), 9)
+         |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ssum,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY label),
+         |u AS (SELECT label, n, ssum, sumv FROM per
+         |  UNION ALL
+         |  SELECT -1, sum(n), CAST(sum(ssum) AS DECIMAL(38,12)),
+         |    vector_sum_dec(sumv)
+         |  FROM per),
+         |m AS (SELECT label, n,
+         |    CAST(ssum AS DOUBLE) / n AS msn_u,
+         |    CASE WHEN n > 1 THEN
+         |      (2.0D * (CAST(n AS DOUBLE) * CAST(ssum AS DOUBLE)
+         |        - dot_product(transform(sumv, x -> CAST(x AS DOUBLE)),
+         |                      transform(sumv, x -> CAST(x AS DOUBLE)))))
+         |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END AS mps_u
+         |  FROM u)
+         |SELECT label, n, round(msn_u, 9) AS mean_sq_norm,
+         |  round(mps_u, 9) AS mean_pairwise_sq,
+         |  round(mps_u / (2.0D * msn_u), 9) AS isotropy_ratio,
+         |  CASE WHEN n > 1 THEN mps_u < 0.2D * msn_u END AS collapsed
+         |FROM m ORDER BY label""".stripMargin,
     "q122_label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -2130,6 +2224,40 @@ object Similarity {
          |FROM q ORDER BY vec_id""".stripMargin,
     // the q56 centroid CTEs, then the pairwise cosine over the
     // label-cardinality relation
+    // per-pos decimal sums reproduce vector_sum_dec; the IEEE close and
+    // the cross-multiplied flag mirror the DataFrame token-for-token
+    "q164_collapse_audit" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ex AS (SELECT label, UNNEST(emb) AS v,
+         |  UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT label, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY 1, 2),
+         |per AS (SELECT label, count(*) AS n,
+         |    CAST(sum(CAST(round(list_inner_product(emb, emb), 9)
+         |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ssum
+         |  FROM e GROUP BY 1),
+         |pv AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS sumd
+         |  FROM csum GROUP BY 1),
+         |gper AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(ssum) AS DECIMAL(38,12)) AS ssum FROM per),
+         |gv AS (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS sumd
+         |  FROM (SELECT pos, sum(s) AS s FROM csum GROUP BY 1) g),
+         |u AS (SELECT p.label, p.n, p.ssum, v.sumd
+         |    FROM per p JOIN pv v USING (label)
+         |  UNION ALL
+         |  SELECT -1, g.n, g.ssum, gv.sumd FROM gper g CROSS JOIN gv),
+         |m AS (SELECT label, n,
+         |    CAST(ssum AS DOUBLE) / n AS msn_u,
+         |    CASE WHEN n > 1 THEN
+         |      (2.0 * (CAST(n AS DOUBLE) * CAST(ssum AS DOUBLE)
+         |        - list_inner_product(sumd, sumd)))
+         |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) END AS mps_u
+         |  FROM u)
+         |SELECT label, n, round(msn_u, 9) AS mean_sq_norm,
+         |  round(mps_u, 9) AS mean_pairwise_sq,
+         |  round(mps_u / (2.0 * msn_u), 9) AS isotropy_ratio,
+         |  CASE WHEN n > 1 THEN mps_u < 0.2 * msn_u END AS collapsed
+         |FROM m ORDER BY label""".stripMargin,
     "q122_label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),

@@ -554,6 +554,46 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("collapseAudit (q164)") {
+    it("flags the collapsed label, clears the isotropic one, NULLs the singleton") {
+      // label 0: three IDENTICAL vectors → pairwise distance 0,
+      // collapsed. label 1: the four unit axis vectors → Σx = 0, mean
+      // pairwise sq = 2·n·msn/(n−1) = 8/3, ratio 4/3, healthy.
+      // label 2: one member → NULL statistics, never a divide-by-zero.
+      val e = Seq(
+        (1L, Array(2.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+        (3L, Array(2.0f, 0.0f), 0),
+        (10L, Array(1.0f, 0.0f), 1), (11L, Array(-1.0f, 0.0f), 1),
+        (12L, Array(0.0f, 1.0f), 1), (13L, Array(0.0f, -1.0f), 1),
+        (20L, Array(5.0f, 0.0f), 2))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.collapseAuditFrom(e).collect()
+      assert(r.map(_.getAs[Int]("label")).toSeq == Seq(-1, 0, 1, 2))
+      val by = r.map(x => x.getAs[Int]("label") -> x).toMap
+      def rnd(v: Double) =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(by(0).getAs[Double]("mean_sq_norm") == 4.0)
+      assert(by(0).getAs[Double]("mean_pairwise_sq") == 0.0)
+      assert(by(0).getAs[Double]("isotropy_ratio") == 0.0)
+      assert(by(0).getAs[Boolean]("collapsed"))
+      assert(by(1).getAs[Double]("mean_sq_norm") == 1.0)
+      assert(by(1).getAs[Double]("mean_pairwise_sq") == rnd(32.0 / 12.0))
+      assert(by(1).getAs[Double]("isotropy_ratio") == rnd(32.0 / 12.0 / 2.0))
+      assert(!by(1).getAs[Boolean]("collapsed"))
+      assert(by(2).getAs[Double]("mean_sq_norm") == 25.0)
+      assert(by(2).isNullAt(by(2).fieldIndex("mean_pairwise_sq")))
+      assert(by(2).isNullAt(by(2).fieldIndex("collapsed")))
+      // global row: n=8, Σ‖x‖²=41, Σx=(11,0) → the moment identity
+      val mps = 2.0 * (8.0 * 41.0 - 121.0) / (8.0 * 7.0)
+      assert(by(-1).getAs[Long]("n") == 8L)
+      assert(by(-1).getAs[Double]("mean_sq_norm") == rnd(41.0 / 8.0))
+      assert(by(-1).getAs[Double]("mean_pairwise_sq") == rnd(mps))
+      assert(by(-1).getAs[Double]("isotropy_ratio") ==
+        rnd(mps / (2.0 * (41.0 / 8.0))))
+      assert(!by(-1).getAs[Boolean]("collapsed"))
+    }
+  }
+
   describe("pcaPower (q144)") {
     it("recovers the dominant axis, eigenvalue and variance share of a hand fixture") {
       // mean-zero, covariance diag(2, 0.5): top component is the
