@@ -150,6 +150,57 @@ object TextAnalysis {
       .orderBy("source", "lang", "pred_lang")
   }
 
+  /** q165 — quality-score BIAS audit: per language, the AUC of the q18
+    * quality score as a one-vs-rest discriminator — `auc < 0.5` means
+    * the score systematically ranks that language's documents LOWER
+    * than the rest of the corpus, which is exactly how an
+    * English-tuned heuristic (stopword lists, token-length priors)
+    * silently starves other languages out of a filtered training mix.
+    * This is the fairness gauge for every consumer of the score
+    * (q88's funnel, q153's domain rollup).
+    *
+    * Determinism: AUC is computed as the tie-corrected Mann-Whitney
+    * rank sum (the q132 machinery — DOUBLED average ranks keep ties
+    * integer), over the 6-dp-ROUNDED score so rank ties are
+    * engine-independent; everything is integer until the one closing
+    * division, NULLIF-guarded for a single-language corpus.
+    *
+    * Scale shape: the score is ONE map-side pass ([[qualityFeatures]],
+    * the shared definition — the audit can never drift from the score
+    * it audits); ranks ride a (score, lang) aggregate bounded by score
+    * cardinality × languages (metadata-scale: the 6-dp score has ≤1e6
+    * values), never documents; the rank window orders the score-level
+    * relation and the per-language rollup is languages-sized.
+    */
+  def scoreBiasAuc(spark: SparkSession, dir: String): DataFrame =
+    scoreBiasAucFrom(Tables.documents(spark, dir))
+
+  def scoreBiasAucFrom(docs: DataFrame): DataFrame = {
+    val scored = qualityFeatures(docs, Seq("lang"))
+      .select(col("lang"), col("quality_score").as("qs"))
+      .filter(col("qs").isNotNull)
+    val byLS = scored.groupBy("qs", "lang").agg(count(lit(1)).as("c"))
+    val byS = byLS.groupBy("qs").agg(sum("c").as("cv"))
+    val before = Window.orderBy("qs")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byS.withColumn("st",
+      coalesce(sum("cv").over(before), lit(0L)) + 1)
+    val tot = scored.agg(count(lit(1)).as("n_all"))
+    val u2 = col("r2pos") - col("n_pos") * (col("n_pos") + 1)
+    byLS.join(ranked, Seq("qs"))
+      .groupBy("lang").agg(
+        sum("c").as("n_pos"),
+        sum(col("c") * (lit(2L) * col("st") + col("cv") - 1)).as("r2pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_pos"),
+        (col("n_all") - col("n_pos")).as("n_neg"),
+        u2.as("u2"),
+        round(u2.cast("double") /
+          (lit(2.0) * nullIfZero(col("n_pos") * (col("n_all") - col("n_pos")))),
+          9).as("auc"))
+      .orderBy("lang")
+  }
+
   /** q20 — fingerprinting: normalized-text md5, a 60-bit numeric
     * fingerprint, and a winnowing-style min rolling-hash over char
     * 8-grams (the minimum salted hash across all 8-char windows — the
@@ -829,6 +880,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
+    "q165_score_bias_auc" -> (scoreBiasAuc _),
     "q88_filter_funnel" -> (filterFunnel _),
     "q19_lang_id" -> (langId _),
     "q160_lang_mismatch" -> (langMismatch _),
@@ -874,6 +926,39 @@ object TextAnalysis {
          |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
          |        / NULLIF(len(w), 0), 6) AS avg_token_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // the q132 doubled-rank identity over the 6-dp score; integer to
+    // one NULLIF-guarded closing division
+    "q165_score_bias_auc" ->
+      s"""WITH feat AS (
+         |  SELECT lang, len(${TextFns.sql.toks}) AS n_tokens,
+         |    len(${TextFns.sql.keepIn(TextFns.sql.toks, Stopwords)})
+         |      AS stop_hits,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+         |  FROM documents),
+         |q AS (
+         |  SELECT lang,
+         |    round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
+         |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
+         |      6) AS qs
+         |  FROM feat),
+         |f AS (SELECT * FROM q WHERE qs IS NOT NULL),
+         |ls AS (SELECT qs, lang, count(*) AS c FROM f GROUP BY 1, 2),
+         |s AS (SELECT qs, CAST(sum(c) AS BIGINT) AS cv FROM ls GROUP BY 1),
+         |rk AS (SELECT qs, cv,
+         |    CAST(coalesce(sum(cv) OVER (ORDER BY qs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         |      AS BIGINT) AS st
+         |  FROM s),
+         |tot AS (SELECT count(*) AS n_all FROM f),
+         |ag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_pos,
+         |    CAST(sum(c * (2 * st + cv - 1)) AS BIGINT) AS r2pos
+         |  FROM ls JOIN rk USING (qs) GROUP BY 1)
+         |SELECT lang, n_pos, n_all - n_pos AS n_neg,
+         |  r2pos - n_pos * (n_pos + 1) AS u2,
+         |  round(CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / (2.0 * NULLIF(n_pos * (n_all - n_pos), 0)), 9) AS auc
+         |FROM ag CROSS JOIN tot ORDER BY lang""".stripMargin,
     "q18_quality_score" ->
       s"""$toksCte, feat AS (
          |  SELECT doc_id, len(w) AS n_tokens,

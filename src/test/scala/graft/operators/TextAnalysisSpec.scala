@@ -122,6 +122,30 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("scoreBiasAuc (q165)") {
+    it("computes the tie-corrected one-vs-rest AUC per language") {
+      // score ordering by construction: x1 < (x2 = y1, identical text
+      // ⇒ exact tie) < y2. Doubled ranks: st 1 (cv 1), st 2 (cv 2),
+      // st 4 (cv 1). lang x: r2 = 1·2 + 1·5 = 7, U2 = 7 − 2·3 = 1,
+      // AUC = 1/8; lang y: r2 = 5 + 8 = 13, U2 = 7, AUC = 7/8 —
+      // complements sum to 1 as a two-class AUC must.
+      val d = Seq(
+        ("x", "alpha beta"),
+        ("x", "gamma delta epsilon zeta"),
+        ("y", "gamma delta epsilon zeta"),
+        ("y", "abcdefgh ijklmnop qrstuvwx yzabcdef"))
+        .toDF("lang", "text")
+      val r = TextAnalysis.scoreBiasAucFrom(d).collect()
+        .map(x => x.getAs[String]("lang") -> x).toMap
+      assert(r("x").getAs[Long]("n_pos") == 2L)
+      assert(r("x").getAs[Long]("n_neg") == 2L)
+      assert(r("x").getAs[Long]("u2") == 1L)
+      assert(r("x").getAs[Double]("auc") == 0.125)
+      assert(r("y").getAs[Long]("u2") == 7L)
+      assert(r("y").getAs[Double]("auc") == 0.875)
+    }
+  }
+
   describe("fingerprint (q20)") {
     it("is invariant to case and punctuation") {
       val r = TextAnalysis.fingerprintFrom(docs(
