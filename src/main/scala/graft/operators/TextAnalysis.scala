@@ -778,6 +778,58 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  /** q166 noise floor and result size: pairs below [[CollocMin]]
+    * occurrences are lift-unstable (one co-occurrence of two rare
+    * tokens scores arbitrarily high), so they never rank.
+    */
+  val CollocMin = 5L
+  val CollocTopK = 50
+
+  /** q166 — COLLOCATION mining: the top adjacent token pairs by LIFT
+    * `c_xy·N² / (M·c_x·c_y)` — the phrase-discovery pass (multi-word
+    * entities, domain terms, boilerplate idioms) a tokenizer-training
+    * or vocabulary-curation pipeline runs before deciding merge rules.
+    * Lift is the monotone equivalent of PMI without the `ln` (libm
+    * territory, the repo-wide ban): ordering by lift IS ordering by
+    * PMI, and the raw ratio is the more interpretable number anyway
+    * (how many times more often than independence).
+    *
+    * Determinism: all counts integer; lift is a FIXED left-associative
+    * chain of correctly-rounded IEEE ops mirrored token-for-token in
+    * the oracle (never `c_xy·N²` as an integer — that wraps 64 bits at
+    * warehouse scale), rounded 9 dp, ties broken (x, y).
+    *
+    * Scale shape: one explode pass each for unigrams and bigrams (both
+    * combine-heavy counts bounded by vocabulary, not corpus); the
+    * [[CollocMin]] cut bounds the join relation BEFORE the two
+    * vocab-keyed count joins; top-k lowers to TakeOrderedAndProject.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsFrom(Tables.documents(spark, dir))
+
+  def collocationsFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val toks = docs.select(explode(w).as("t")).filter(col("t") =!= "")
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val biRel = docs.select(w.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(element_at(col("w"), col("i")).as("x"),
+        element_at(col("w"), col("i") + 1).as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+    val totals = toks.agg(count(lit(1)).as("n_tokens"))
+      .crossJoin(biRel.agg(count(lit(1)).as("n_bigrams")))
+    biRel.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CollocMin)
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("c_xy").cast("double") * col("n_tokens") / col("c_x")
+          * col("n_tokens") / col("c_y") / col("n_bigrams"), 9).as("lift"))
+      .orderBy(desc("lift"), asc("x"), asc("y"))
+      .limit(CollocTopK)
+  }
+
   /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
     * get one synthetic PII span appended (email / phone / IPv4), the
     * rest stay clean — so the driver gate exercises both the hit and
@@ -895,7 +947,8 @@ object TextAnalysis {
     "q57_lm_score" -> (lmScore _),
     "q62_pii_scrub" -> (piiScrub _),
     "q68_source_kl" -> (sourceKl _),
-    "q69_bpe_pairs" -> (bpePairs _))
+    "q69_bpe_pairs" -> (bpePairs _),
+    "q166_collocations" -> (collocations _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -959,6 +1012,30 @@ object TextAnalysis {
          |  round(CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
          |    / (2.0 * NULLIF(n_pos * (n_all - n_pos), 0)), 9) AS auc
          |FROM ag CROSS JOIN tot ORDER BY lang""".stripMargin,
+    // lift = the same left-associative IEEE chain; counts integer;
+    // the CollocMin cut applies before the joins on both engines
+    "q166_collocations" ->
+      s"""WITH tk AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
+         |toks AS (SELECT UNNEST(w) AS t FROM tk),
+         |ft AS (SELECT t FROM toks WHERE t <> ''),
+         |uni AS (SELECT t, count(*) AS c FROM ft GROUP BY 1),
+         |bi AS (SELECT list_extract(w, CAST(i AS INT) + 1) AS x,
+         |    list_extract(w, CAST(i AS INT) + 2) AS y
+         |  FROM (SELECT w, UNNEST(range(len(w) - 1)) AS i FROM tk
+         |    WHERE len(w) >= 2) z),
+         |fb AS (SELECT x, y FROM bi WHERE x <> '' AND y <> ''),
+         |tot AS (SELECT (SELECT count(*) FROM ft) AS n_tokens,
+         |    (SELECT count(*) FROM fb) AS n_bigrams),
+         |cb AS (SELECT x, y, count(*) AS c_xy FROM fb GROUP BY 1, 2)
+         |SELECT cb.x, cb.y, cb.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |  round(CAST(cb.c_xy AS DOUBLE) * n_tokens / ux.c
+         |    * n_tokens / uy.c / n_bigrams, 9) AS lift
+         |FROM cb
+         |JOIN uni ux ON ux.t = cb.x
+         |JOIN uni uy ON uy.t = cb.y
+         |CROSS JOIN tot
+         |WHERE cb.c_xy >= $CollocMin
+         |ORDER BY lift DESC, cb.x, cb.y LIMIT $CollocTopK""".stripMargin,
     "q18_quality_score" ->
       s"""$toksCte, feat AS (
          |  SELECT doc_id, len(w) AS n_tokens,

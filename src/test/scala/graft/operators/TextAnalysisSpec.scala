@@ -146,6 +146,24 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("collocations (q166)") {
+    it("ranks the repeated pair by lift and cuts below the noise floor") {
+      // one doc of "new york" ×5: N=10 tokens, M=9 bigrams,
+      // c(new,york)=5 ≥ CollocMin, c(york,new)=4 < CollocMin (cut).
+      // lift = ((5·10/5)·10)/5/9 = 20/9 in that exact IEEE order.
+      val r = TextAnalysis.collocationsFrom(docs(
+        (1L, "new york new york new york new york new york"))).collect()
+      assert(r.length == 1)
+      val x = r(0)
+      assert(x.getAs[String]("x") == "new" && x.getAs[String]("y") == "york")
+      assert(x.getAs[Long]("c_xy") == 5L)
+      assert(x.getAs[Long]("c_x") == 5L && x.getAs[Long]("c_y") == 5L)
+      assert(x.getAs[Double]("lift") ==
+        BigDecimal(5.0 * 10 / 5 * 10 / 5 / 9)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   describe("fingerprint (q20)") {
     it("is invariant to case and punctuation") {
       val r = TextAnalysis.fingerprintFrom(docs(
