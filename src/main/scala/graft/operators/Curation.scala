@@ -681,6 +681,63 @@ object Curation {
       .orderBy("change_class")
   }
 
+  /** q167 CDC batch selection moduli (stable-hash, the q45/q59
+    * discipline) and the insert-id offset.
+    */
+  val CdcDelMod = 13
+  val CdcUpdMod = 7
+  val CdcInsMod = 11
+  val CdcInsBase = 1000000L
+
+  /** q167 — CDC MERGE (upsert) audit: apply a deterministic
+    * change-data-capture batch — deletes, updates (text reversed) and
+    * inserts (offset ids, upper-cased text) — to the document base and
+    * report the op counts plus an exact DECIMAL(38,0) CONTENT checksum
+    * (Σ hash60(id ‖ md5(text)) over the merged table). This is the
+    * warehouse MERGE INTO semantics under the hash gate: the checksum
+    * proves updated text actually replaced in place, deletes actually
+    * vanished, and inserts landed once — the property a streaming-CDC
+    * consumer (Debezium-class) must re-verify after every apply.
+    * Deletes win over updates on the same key (the MERGE WHEN MATCHED
+    * ordering), spec-pinned.
+    *
+    * Scale shape: flags are map-side hash expressions on ONE base scan
+    * (the batch never materializes); the merge is the same scan's
+    * filter/projection plus a union with the insert slice — no join at
+    * all, because the batch derives from the base (a real CDC batch
+    * joins on the key; the audit's shape is the post-join apply); the
+    * audit is two 1-row aggregates cross-joined.
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeFrom(Tables.documents(spark, dir))
+
+  def cdcMergeFrom(docs: DataFrame): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def sel(salt: String, mod: Int) =
+      (TextFns.hash32(concat(lit(salt), col("doc_id").cast("string")))
+        % mod) === 0
+    val flags = docs.select(col("doc_id"), col("text"),
+      sel("cdc_del|", CdcDelMod).as("is_del"),
+      sel("cdc_upd|", CdcUpdMod).as("is_upd"),
+      sel("cdc_ins|", CdcInsMod).as("is_ins"))
+    val a = flags.agg(count(lit(1)).as("n_base"),
+      sum(when(col("is_del"), 1L).otherwise(0L)).as("n_deletes"),
+      sum(when(col("is_upd") && !col("is_del"), 1L).otherwise(0L))
+        .as("n_updates"),
+      sum(when(col("is_ins"), 1L).otherwise(0L)).as("n_inserts"))
+    val merged = flags.filter(!col("is_del"))
+      .select(col("doc_id"),
+        when(col("is_upd"), reverse(col("text"))).otherwise(col("text"))
+          .as("text"))
+      .union(flags.filter(col("is_ins"))
+        .select((col("doc_id") + CdcInsBase).as("doc_id"),
+          upper(col("text")).as("text")))
+    val m = merged.agg(count(lit(1)).as("n_final"),
+      sum(TextFns.hash60(concat(col("doc_id").cast("string"), lit("|"),
+        md5(col("text")))).cast(dec0)).cast(dec0).as("merged_checksum"))
+    a.crossJoin(m)
+  }
+
   /** SCD2 fixture knobs: 1 in [[ScdUpdMod]] suppliers (stable-hash
     * selected, the q45/q59 discipline) arrives in the day-2 update
     * batch with a changed balance; snapshot validity dates are fixed.
@@ -1200,7 +1257,8 @@ object Curation {
     "q141_priority_sample" -> (prioritySample _),
     "q152_domain_caps" -> (domainCaps _),
     "q153_domain_quality" -> (domainQuality _),
-    "q157_temperature_mixture" -> (temperatureMixture _))
+    "q157_temperature_mixture" -> (temperatureMixture _),
+    "q167_cdc_merge" -> (cdcMerge _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -1239,6 +1297,39 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same stable-hash batch; checksum summed in DECIMAL(38,0);
+    // deletes win over updates on the same key
+    "q167_cdc_merge" -> {
+      def sel(salt: String, mod: Int) =
+        s"${TextFns.sql.hash32(s"'$salt' || CAST(doc_id AS VARCHAR)")} % $mod = 0"
+      s"""WITH flags AS (SELECT doc_id, text,
+         |    ${sel("cdc_del|", CdcDelMod)} AS is_del,
+         |    ${sel("cdc_upd|", CdcUpdMod)} AS is_upd,
+         |    ${sel("cdc_ins|", CdcInsMod)} AS is_ins
+         |  FROM documents),
+         |a AS (SELECT count(*) AS n_base,
+         |    CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_deletes,
+         |    CAST(sum(CASE WHEN is_upd AND NOT is_del THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_updates,
+         |    CAST(sum(CASE WHEN is_ins THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_inserts
+         |  FROM flags),
+         |merged AS (
+         |  SELECT doc_id,
+         |    CASE WHEN is_upd THEN reverse(text) ELSE text END AS text
+         |  FROM flags WHERE NOT is_del
+         |  UNION ALL
+         |  SELECT doc_id + $CdcInsBase, upper(text) FROM flags WHERE is_ins),
+         |m AS (SELECT count(*) AS n_final,
+         |    CAST(sum(CAST(${TextFns.sql.hash60(
+               "CAST(doc_id AS VARCHAR) || '|' || md5(text)")}
+         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS merged_checksum
+         |  FROM merged)
+         |SELECT n_base, n_deletes, n_updates, n_inserts, n_final,
+         |  merged_checksum
+         |FROM a CROSS JOIN m""".stripMargin
+    },
     "q45_hash_split" ->
       s"""WITH b AS (
          |  SELECT ${TextFns.sql.hash32("'split|' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,

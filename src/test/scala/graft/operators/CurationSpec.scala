@@ -104,6 +104,42 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("cdcMerge (q167)") {
+    it("applies deletes-over-updates and the checksum matches a from-scratch replay") {
+      // independent md5 reimplementation of hash32/hash60 and the whole
+      // merge, so the engine's apply is pinned against a replay that
+      // shares no code with it
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      def h32(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+      def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+      val base = (1L to 40L).map(k => k -> s"doc text number $k").toMap
+      def sel(salt: String, mod: Int)(k: Long) = h32(s"$salt$k") % mod == 0
+      val dels = base.keySet.filter(sel("cdc_del|", Curation.CdcDelMod))
+      val upds = base.keySet.filter(sel("cdc_upd|", Curation.CdcUpdMod))
+      val inss = base.keySet.filter(sel("cdc_ins|", Curation.CdcInsMod))
+      assert(dels.nonEmpty && upds.nonEmpty && inss.nonEmpty,
+        "fixture must exercise all three op paths")
+      val replay =
+        base.filterKeys(!dels(_)).map { case (k, t) =>
+          k -> (if (upds(k)) t.reverse else t) }.toMap ++
+        inss.map(k => (k + Curation.CdcInsBase) ->
+          base(k).toUpperCase).toMap
+      val expChk = replay.map { case (k, t) =>
+        BigDecimal(h60(s"$k|${md5hex(t)}")) }.sum
+      val d = base.toSeq.map { case (k, t) => (k, t, "en", "s", 1L) }
+      val r = Curation.cdcMergeFrom(docs(d: _*)).collect()(0)
+      assert(r.getAs[Long]("n_base") == 40L)
+      assert(r.getAs[Long]("n_deletes") == dels.size.toLong)
+      assert(r.getAs[Long]("n_updates") == (upds -- dels).size.toLong)
+      assert(r.getAs[Long]("n_inserts") == inss.size.toLong)
+      assert(r.getAs[Long]("n_final") == replay.size.toLong)
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("merged_checksum"))
+        == expChk)
+    }
+  }
+
   describe("snapshotDiff (q59)") {
     it("classifies added/removed/changed/unchanged across two snapshots") {
       val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
