@@ -1222,6 +1222,64 @@ object Similarity {
   def labelAgreement(spark: SparkSession, dir: String): DataFrame =
     labelAgreementFrom(Tables.embeddings(spark, dir))
 
+  /** Ambiguous vectors returned by q168. */
+  val UncertainTopK = 20
+
+  /** q168 — margin-based UNCERTAINTY sampling: the active-learning
+    * batch selector — the [[UncertainTopK]] vectors whose best and
+    * second-best label-centroid cosines are closest (smallest margin),
+    * i.e. the examples a human labeling budget buys the most from.
+    * Completes the label-QA family: q122 finds colliding label PAIRS,
+    * q143 scores the labels globally, this picks the individual
+    * EXAMPLES to send back for annotation.
+    *
+    * Scale shape: centroids are the q143 aggregate (label-cardinality
+    * rows, exact DECIMAL means) broadcast back; scoring is map-side
+    * over labels; the rank-2 cut rides WindowGroupLimit so the
+    * vec-keyed exchange carries ≤2 rows per vector, and the final
+    * bottom-k lowers to TakeOrderedAndProject. Vectors with no second
+    * centroid (single-label corpus) are excluded — margin ordering on
+    * NULL diverges between engines, and "no ambiguity measurable" is
+    * the honest answer anyway.
+    *
+    * Determinism: the 9-dp kernel cosine, (cos desc, label asc) rank
+    * ties, margin = one exact IEEE subtraction of rounded values
+    * re-rounded, bottom-k ties broken by vec_id.
+    */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame =
+    uncertaintySampleFrom(Tables.embeddings(spark, dir))
+
+  def uncertaintySampleFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val cents = e.groupBy("label")
+      .agg(call_function("vector_sum_dec",
+          col("emb").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("label").as("clabel"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("centroid"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosine(col("emb"), col("centroid")), 9).as("cos"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("clabel"))))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(col("label")).as("label"),
+        max(when(col("rn") === 1, col("clabel"))).as("pred_label"),
+        max(when(col("rn") === 1, col("cos"))).as("best_cos"),
+        max(when(col("rn") === 2, col("clabel"))).as("second_label"),
+        max(when(col("rn") === 2, col("cos"))).as("second_cos"))
+      .filter(col("second_cos").isNotNull)
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        col("best_cos"), col("second_label"), col("second_cos"),
+        round(col("best_cos") - col("second_cos"), 9).as("margin"))
+      .orderBy(asc("margin"), asc("vec_id"))
+      .limit(UncertainTopK)
+  }
+
   def labelAgreementFrom(embeddings: DataFrame): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val e = Tables.widened(embeddings, col("vec_id"))
@@ -1426,6 +1484,7 @@ object Similarity {
     "q122_label_centroids" -> (labelCentroidMatrix _),
     "q164_collapse_audit" -> (collapseAudit _),
     "q143_label_agreement" -> (labelAgreement _),
+    "q168_uncertainty_sample" -> (uncertaintySample _),
     "q158_triplet_mining" -> (tripletMining _),
     "q159_hybrid_search" -> (hybridSearch _),
     "q144_pca_power" -> (pcaPower _),
@@ -1789,6 +1848,33 @@ object Similarity {
          |CROSS JOIN tv
          |ORDER BY pos""".stripMargin
     },
+    // the q143 centroid + scored CTEs, rank cut at 2, margin close
+    "q168_uncertainty_sample" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings),
+         |cs AS (SELECT label, count(1) AS n,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY label),
+         |cent AS (SELECT label AS clabel,
+         |    transform(sumv, x -> CAST(x AS DOUBLE) / n) AS centroid
+         |  FROM cs),
+         |scored AS (SELECT e.vec_id, e.label, c.clabel,
+         |    round(cosine_similarity(emb, centroid), 9) AS cos
+         |  FROM e CROSS JOIN cent c),
+         |t2 AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+         |    FROM scored) x WHERE rn <= 2),
+         |f AS (SELECT vec_id, max(label) AS label,
+         |    max(CASE WHEN rn = 1 THEN clabel END) AS pred_label,
+         |    max(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+         |    max(CASE WHEN rn = 2 THEN clabel END) AS second_label,
+         |    max(CASE WHEN rn = 2 THEN cos END) AS second_cos
+         |  FROM t2 GROUP BY 1)
+         |SELECT vec_id, label, pred_label, best_cos, second_label,
+         |  second_cos, round(best_cos - second_cos, 9) AS margin
+         |FROM f WHERE second_cos IS NOT NULL
+         |ORDER BY margin, vec_id LIMIT $UncertainTopK""".stripMargin,
     "q143_label_agreement" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
          |  FROM embeddings),
@@ -2314,6 +2400,35 @@ object Similarity {
     // kappa numerator/denominator integer to the one closing division
     // (q132 discipline); assignment ties break on rounded cosine then
     // smallest centroid label on both engines
+    // q143's positional-unnest centroids, rank cut at 2, margin close
+    "q168_uncertainty_sample" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT label, pos, sum(CAST(v AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY label, pos),
+         |cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+         |cent AS (SELECT label AS clabel,
+         |    list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+         |  FROM csum JOIN cnt USING (label) GROUP BY label, n),
+         |scored AS (SELECT e.vec_id, e.label, c.clabel,
+         |    round(list_inner_product(emb, centroid) /
+         |      (sqrt(list_inner_product(emb, emb)) *
+         |       sqrt(list_inner_product(centroid, centroid))), 9) AS cos
+         |  FROM e CROSS JOIN cent c),
+         |t2 AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+         |    FROM scored) x WHERE rn <= 2),
+         |f AS (SELECT vec_id, max(label) AS label,
+         |    max(CASE WHEN rn = 1 THEN clabel END) AS pred_label,
+         |    max(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+         |    max(CASE WHEN rn = 2 THEN clabel END) AS second_label,
+         |    max(CASE WHEN rn = 2 THEN cos END) AS second_cos
+         |  FROM t2 GROUP BY 1)
+         |SELECT vec_id, label, pred_label, best_cos, second_label,
+         |  second_cos, round(best_cos - second_cos, 9) AS margin
+         |FROM f WHERE second_cos IS NOT NULL
+         |ORDER BY margin, vec_id LIMIT $UncertainTopK""".stripMargin,
     "q143_label_agreement" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |ex AS (SELECT label, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e),

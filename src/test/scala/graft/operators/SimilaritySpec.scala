@@ -594,6 +594,34 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("uncertaintySample (q168)") {
+    it("ranks the equidistant vector first with margin exactly 0, ties to the smaller label") {
+      // centroids stay exact: label 0 = {(1,0),(1,0),(1,1),(1,-1)} →
+      // (1,0); label 1 = {(0,1),(0,1)} → (0,1). Vector 5 = (1,1) is
+      // equidistant (cos 1/√2 to both) → margin 0, pred ties to label
+      // 0; vector 6 = (1,-1) is the LEAST ambiguous (second cos is
+      // negative) → margin √2.
+      val e = Seq(
+        (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+        (5L, Array(1.0f, 1.0f), 0), (6L, Array(1.0f, -1.0f), 0),
+        (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.uncertaintySampleFrom(e).collect()
+      assert(r.length == 6)
+      val first = r(0)
+      assert(first.getAs[Long]("vec_id") == 5L)
+      assert(first.getAs[Double]("margin") == 0.0)
+      assert(first.getAs[Int]("pred_label") == 0)
+      assert(first.getAs[Int]("second_label") == 1)
+      assert(first.getAs[Double]("best_cos") == 0.707106781)
+      assert(r.slice(1, 5).forall(_.getAs[Double]("margin") == 1.0))
+      val last = r(5)
+      assert(last.getAs[Long]("vec_id") == 6L)
+      assert(last.getAs[Double]("margin") == 1.414213562)
+      assert(last.getAs[Double]("second_cos") == -0.707106781)
+    }
+  }
+
   describe("pcaPower (q144)") {
     it("recovers the dominant axis, eigenvalue and variance share of a hand fixture") {
       // mean-zero, covariance diag(2, 0.5): top component is the
