@@ -339,6 +339,58 @@ object Analytics {
   /** Items kept by q161's decayed-popularity ranking. */
   val DecayTopK = 20
 
+  /** q169 — categorical ASSOCIATION audit: Cramér's V between the
+    * document corpus's `lang` and `source` columns — the profiling
+    * question q120's functional dependencies answer only at the
+    * extremes (FD holds / FD broken): HOW strongly does one
+    * categorical determine the other? V ≈ 0 means sources are
+    * language-balanced; V → 1 means language is a function of source —
+    * the stratification warning for every per-source mixture decision
+    * (q48/q152/q157).
+    *
+    * Determinism: χ² = Σ (o·N − r·c)²/(N·r·c) over the DENSE
+    * langs × sources grid (absent cells contribute their full
+    * expectation — the q150 dense-grid lesson); each cell term is a
+    * fixed 6-op correctly-rounded IEEE sequence rounded at 9 dp, the
+    * sum crosses the shuffle as DECIMAL(38,12) (order-independent),
+    * and V closes with one division and one sqrt.
+    *
+    * Scale shape: ONE (lang, source) corpus aggregate; the dense grid
+    * is marginal × marginal (model-sized) built from broadcast
+    * marginals; everything after is grid-cardinality rows.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVFrom(Tables.documents(spark, dir))
+
+  def cramersVFrom(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cm = cells.groupBy("source").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"),
+      count(lit(1)).as("n_filled")) // filled cells (diagnostic)
+    val grid = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val dims = rm.agg(count(lit(1)).as("n_langs"))
+      .crossJoin(cm.agg(count(lit(1)).as("n_sources")))
+    // fixed IEEE order: (o·N − r·c)² / ((N·r)·c), rounded per cell
+    val term = {
+      val num = (col("o").cast("double") * col("n")
+        - col("r").cast("double") * col("c"))
+      round(num * num / (col("n").cast("double") * col("r") * col("c")), 9)
+    }
+    grid.crossJoin(broadcast(tot))
+      .agg(sum(term.cast(DecimalType(38, 12))).cast("double").as("chi2"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("n_langs"), col("n_sources"), col("n_filled"),
+        round(col("chi2"), 9).as("chi2"),
+        round(sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))),
+          9).as("cramers_v"))
+  }
+
   /** q161 — EXPONENTIAL time-decay popularity, exactly: per item
     * (`props.k`), the decayed event mass under two half-lives — daily
     * (weight 2^−age_days) and weekly (2^−⌊age_days/7⌋) — ranked by the
@@ -1636,6 +1688,7 @@ object Analytics {
     "q149_metric_corr" -> (metricCorr _),
     "q150_benford_audit" -> (benfordAudit _),
     "q161_decayed_popularity" -> (decayedPopularity _),
+    "q169_cramers_v" -> (cramersV _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
     "q123_decile_bins" -> (decileBins _),
@@ -1776,6 +1829,33 @@ object Analytics {
          |  round(CAST(w_weekly AS DOUBLE) / 1152921504606846976.0, 9)
          |    AS score_weekly
          |FROM top ORDER BY rank""".stripMargin,
+    // dense grid (absent cells contribute their expectation), per-cell
+    // term the same fixed IEEE sequence rounded 9 dp, summed in
+    // DECIMAL(38,12); V closes with one division and one sqrt
+    "q169_cramers_v" ->
+      s"""WITH cells AS (SELECT lang, source, count(*) AS o
+         |  FROM documents GROUP BY 1, 2),
+         |rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    count(*) AS n_filled FROM cells),
+         |dims AS (SELECT (SELECT count(*) FROM rm) AS n_langs,
+         |    (SELECT count(*) FROM cm) AS n_sources),
+         |grid AS (SELECT rm.lang, cm.source, rm.r, cm.c,
+         |    coalesce(cells.o, 0) AS o
+         |  FROM rm CROSS JOIN cm
+         |  LEFT JOIN cells ON cells.lang = rm.lang AND cells.source = cm.source),
+         |x AS (SELECT CAST(sum(CAST(round(
+         |      (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+         |      * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+         |      / (CAST(n AS DOUBLE) * r * c), 9) AS DECIMAL(38,12)))
+         |    AS DOUBLE) AS chi2
+         |  FROM grid CROSS JOIN tot)
+         |SELECT n, n_langs, n_sources, n_filled, round(chi2, 9) AS chi2,
+         |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(least(n_langs - 1, n_sources - 1) AS DOUBLE))), 9)
+         |    AS cramers_v
+         |FROM x CROSS JOIN tot CROSS JOIN dims""".stripMargin,
     // weekly cent-exact sums; mean comparisons cross-multiplied to
     // integers, so the statistic never accumulates a float
     "q128_trend_mk" ->

@@ -45,6 +45,31 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("cramersV (q169)") {
+    it("scores perfect association 1 (dense grid: absent cells count)") {
+      // lang fully determines source → χ² = N·min(R−1,C−1) = 10, V = 1;
+      // the two ABSENT cells contribute their full expectation (2.5
+      // each) — dropping them would read V ≈ 0.7
+      val d = (Seq.fill(5)(("en", "A")) ++ Seq.fill(5)(("de", "B")))
+        .toDF("lang", "source")
+      val r = Analytics.cramersVFrom(d).collect()(0)
+      assert(r.getAs[Long]("n") == 10L)
+      assert(r.getAs[Long]("n_filled") == 2L)
+      assert(r.getAs[Long]("n_langs") == 2L && r.getAs[Long]("n_sources") == 2L)
+      assert(r.getAs[Double]("chi2") == 10.0)
+      assert(r.getAs[Double]("cramers_v") == 1.0)
+    }
+
+    it("scores exact independence 0") {
+      val d = Seq(("en", "A"), ("en", "B"), ("de", "A"), ("de", "B"))
+        .toDF("lang", "source")
+      val r = Analytics.cramersVFrom(d).collect()(0)
+      assert(r.getAs[Long]("n_filled") == 4L)
+      assert(r.getAs[Double]("chi2") == 0.0)
+      assert(r.getAs[Double]("cramers_v") == 0.0)
+    }
+  }
+
   describe("revenueCube (q42)") {
     it("emits all four grouping sets with the cube grouping ids") {
       val li = Seq(
