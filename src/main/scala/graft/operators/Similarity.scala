@@ -1068,6 +1068,59 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q170 drift flag threshold on the source-vs-corpus centroid cosine. */
+  val DriftCosMin = 0.8
+
+  /** q170 — per-source EMBEDDING drift: each source's centroid compared
+    * to the corpus centroid (cosine + norm ratio) — the embedding-space
+    * twin of q68's token-distribution KL. A crawl source whose content
+    * silently shifts (spam injection, template change, language flip)
+    * moves its centroid before sample-level audits notice; this is the
+    * per-source gauge over the SAME documents↔embeddings id space q159
+    * joins.
+    *
+    * Scale shape: ONE doc-keyed join carries `source` onto the vectors
+    * (both sides corpus-scale but the join is the only corpus
+    * exchange), then one source-keyed aggregate (exact DECIMAL vector
+    * sums, source-cardinality rows out); the corpus centroid
+    * re-aggregates the source PARTIALS (the q164 move — no second
+    * corpus pass); all scoring is model-sized arithmetic on broadcast
+    * rows.
+    *
+    * Determinism: centroids are exact-decimal means cast to double
+    * per component (the q122 cast), cosine is the shared 9-dp fused
+    * kernel, the norm ratio is one IEEE division of two sqrts
+    * re-rounded, and the flag compares the ROUNDED cosine (both
+    * engines see the identical rounded value).
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftFrom(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  def sourceDriftFrom(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val per = e.groupBy("source").agg(
+      count(lit(1)).as("n_vecs"),
+      call_function("vector_sum_dec",
+        col("emb").cast("array<decimal(38,12)>")).as("sumv"))
+    val glob = per.agg(sum(col("n_vecs")).as("n_all"),
+      call_function("vector_sum_dec", col("sumv")).as("sumv_all"))
+    def mean(sv: Column, n: Column): Column =
+      transform(sv, x => x.cast("double") / n)
+    val norm = (c: Column) => sqrt(call_function("dot_product", c, c))
+    per.crossJoin(broadcast(glob))
+      .withColumn("cs", mean(col("sumv"), col("n_vecs")))
+      .withColumn("ca", mean(col("sumv_all"), col("n_all")))
+      .withColumn("cos", round(cosine(col("cs"), col("ca")), 9))
+      .select(col("source"), col("n_vecs"), col("cos").as("centroid_cos"),
+        round(norm(col("cs")) / norm(col("ca")), 9).as("norm_ratio"),
+        (col("cos") < DriftCosMin).as("drifted"))
+      .orderBy("source")
+  }
+
   /** q143 — LABEL-AGREEMENT audit (confusion matrix + Cohen's kappa):
     * every vector is re-assigned to its nearest label centroid (exact
     * DECIMAL means, the q122 discipline) and the assignment is compared
@@ -1485,6 +1538,7 @@ object Similarity {
     "q164_collapse_audit" -> (collapseAudit _),
     "q143_label_agreement" -> (labelAgreement _),
     "q168_uncertainty_sample" -> (uncertaintySample _),
+    "q170_source_drift" -> (sourceDrift _),
     "q158_triplet_mining" -> (tripletMining _),
     "q159_hybrid_search" -> (hybridSearch _),
     "q144_pca_power" -> (pcaPower _),
@@ -1848,6 +1902,28 @@ object Similarity {
          |CROSS JOIN tv
          |ORDER BY pos""".stripMargin
     },
+    // kernel-driven twin of the q170 oracle (positional-unnest vector
+    // sums are override territory); corpus centroid from source partials
+    "q170_source_drift" ->
+      s"""WITH e AS (SELECT d.source, CAST(v.embedding AS ARRAY<DOUBLE>) AS emb
+         |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+         |per AS (SELECT source, count(1) AS n_vecs,
+         |    vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sumv
+         |  FROM e GROUP BY source),
+         |g AS (SELECT sum(n_vecs) AS n_all, vector_sum_dec(sumv) AS sumv_all
+         |  FROM per),
+         |m AS (SELECT source, n_vecs,
+         |    transform(sumv, x -> CAST(x AS DOUBLE) / n_vecs) AS cs,
+         |    transform(sumv_all, x -> CAST(x AS DOUBLE) / n_all) AS ca
+         |  FROM per CROSS JOIN g),
+         |s AS (SELECT source, n_vecs,
+         |    round(cosine_similarity(cs, ca), 9) AS centroid_cos,
+         |    round(sqrt(dot_product(cs, cs)) / sqrt(dot_product(ca, ca)), 9)
+         |      AS norm_ratio
+         |  FROM m)
+         |SELECT source, n_vecs, centroid_cos, norm_ratio,
+         |  centroid_cos < $DriftCosMin AS drifted
+         |FROM s ORDER BY source""".stripMargin,
     // the q143 centroid + scored CTEs, rank cut at 2, margin close
     "q168_uncertainty_sample" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS emb
@@ -2400,6 +2476,33 @@ object Similarity {
     // kappa numerator/denominator integer to the one closing division
     // (q132 discipline); assignment ties break on rounded cosine then
     // smallest centroid label on both engines
+    // per-pos decimal sums reproduce vector_sum_dec; corpus centroid
+    // from the per-source position sums (the partial re-aggregation)
+    "q170_source_drift" ->
+      s"""WITH e AS (SELECT d.source, v.embedding::DOUBLE[] AS emb
+         |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id),
+         |ex AS (SELECT source, UNNEST(emb) AS val,
+         |  UNNEST(range(len(emb))) AS pos FROM e),
+         |csum AS (SELECT source, pos, sum(CAST(val AS DECIMAL(38,12))) AS s
+         |  FROM ex GROUP BY 1, 2),
+         |cnt AS (SELECT source, count(*) AS n_vecs FROM e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_all FROM cnt),
+         |pv AS (SELECT source, list(CAST(s AS DOUBLE) / n_vecs ORDER BY pos)
+         |    AS cs
+         |  FROM csum JOIN cnt USING (source) GROUP BY source, n_vecs),
+         |gv AS (SELECT list(CAST(s AS DOUBLE) / n_all ORDER BY pos) AS ca
+         |  FROM (SELECT pos, sum(s) AS s FROM csum GROUP BY 1) z
+         |  CROSS JOIN tot),
+         |s AS (SELECT c.source, c.n_vecs,
+         |    round(list_inner_product(cs, ca) /
+         |      (sqrt(list_inner_product(cs, cs)) *
+         |       sqrt(list_inner_product(ca, ca))), 9) AS centroid_cos,
+         |    round(sqrt(list_inner_product(cs, cs)) /
+         |      sqrt(list_inner_product(ca, ca)), 9) AS norm_ratio
+         |  FROM cnt c JOIN pv USING (source) CROSS JOIN gv)
+         |SELECT source, n_vecs, centroid_cos, norm_ratio,
+         |  centroid_cos < $DriftCosMin AS drifted
+         |FROM s ORDER BY source""".stripMargin,
     // q143's positional-unnest centroids, rank cut at 2, margin close
     "q168_uncertainty_sample" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

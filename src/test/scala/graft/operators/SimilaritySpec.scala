@@ -622,6 +622,38 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("sourceDrift (q170)") {
+    it("scores each source centroid against the corpus centroid and flags drift") {
+      // source A along the x-axis (centroid (2,0)), source B one vector
+      // at (0,2); corpus centroid (4/3, 2/3). B's cosine ≈ 0.447 < 0.8
+      // → drifted; A ≈ 0.894 → clean. Both norm ratios 6/√20.
+      val docs = Seq((1L, "s", "en", "A", 1L), (2L, "s", "en", "A", 1L),
+        (3L, "s", "en", "B", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val embs = Seq(
+        (1L, Array(1.0f, 0.0f), 0), (2L, Array(3.0f, 0.0f), 0),
+        (3L, Array(0.0f, 2.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.sourceDriftFrom(docs, embs).collect()
+        .map(x => x.getAs[String]("source") -> x).toMap
+      def rnd(v: Double) =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val ca = Array(4.0 / 3, 2.0 / 3)
+      def cosTo(cs: Array[Double]) =
+        rnd(dot(cs, ca) / (math.sqrt(dot(cs, cs)) * math.sqrt(dot(ca, ca))))
+      assert(r("A").getAs[Long]("n_vecs") == 2L)
+      assert(r("A").getAs[Double]("centroid_cos") == cosTo(Array(2.0, 0.0)))
+      assert(!r("A").getAs[Boolean]("drifted"))
+      assert(r("B").getAs[Double]("centroid_cos") == cosTo(Array(0.0, 2.0)))
+      assert(r("B").getAs[Boolean]("drifted"))
+      val ratio = rnd(2.0 / math.sqrt(dot(ca, ca)))
+      assert(r("A").getAs[Double]("norm_ratio") == ratio)
+      assert(r("B").getAs[Double]("norm_ratio") == ratio)
+    }
+  }
+
   describe("pcaPower (q144)") {
     it("recovers the dominant axis, eigenvalue and variance share of a hand fixture") {
       // mean-zero, covariance diag(2, 0.5): top component is the
