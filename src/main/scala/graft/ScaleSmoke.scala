@@ -189,6 +189,23 @@ object ScaleSmoke {
     t("sketch_rollup") { Analytics.sketchRollupFrom(events).count() }
     t("priority_sample") { Curation.prioritySampleFrom(docs).count() }
     t("oov_rate") { TextAnalysis.oovRateFrom(docs).count() }
+    // round-8 operators: all linear-shaped — q158/q168 are q25-shaped
+    // broadcast scans whose rank cuts ride WindowGroupLimit (the
+    // exchange carries ≤2 rows per vector, never the scored corpus);
+    // q161/q163 are event-keyed aggregates + model-sized windows;
+    // q164/q170 one-pass moment/centroid audits (replication preserves
+    // the doc_id↔vec_id alignment, so the q170 join stays 1:1);
+    // q166's counts are vocab-bounded; q167 is one scan + a union.
+    t("triplet_mining") { Similarity.tripletMiningFrom(emb).count() }
+    t("uncertainty_sample") { Similarity.uncertaintySampleFrom(emb).count() }
+    t("collapse_audit") { Similarity.collapseAuditFrom(emb).count() }
+    t("source_drift") { Similarity.sourceDriftFrom(docs, emb).count() }
+    t("hybrid_search") { Similarity.hybridSearchFrom(docs, emb).count() }
+    t("decayed_popularity") { Analytics.decayedPopularityFrom(events).count() }
+    t("cusum_drift") { Events.cusumDriftFrom(events).count() }
+    t("collocations") { TextAnalysis.collocationsFrom(docs).count() }
+    t("cdc_merge") { Curation.cdcMergeFrom(docs).count() }
+
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
     // (this VM's clock is too noisy for hard wall-time asserts); times
