@@ -356,6 +356,11 @@ class PlanQualitySpec extends AnyFunSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
 
+    // (no threshold-degradation arm for q162: its cascade legs broadcast
+    // via EXPLICIT hints — the tombstone side is selectivity-bounded by
+    // construction, so the hint is the scale-correct call and threshold
+    // confs deliberately cannot un-broadcast it)
+
     it("AQE splits the skewed partition of the q22 band self-join") {
       // one mega-hot band bucket (400 identical docs) — the shape a
       // replica-heavy crawl produces. With cluster-realistic thresholds
