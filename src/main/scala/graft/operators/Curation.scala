@@ -86,6 +86,48 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q171 — contamination BLAST RADIUS: q46's benchmark-overlap
+    * detection rolled to the (source) grain where the remediation
+    * decision is made — per source the contaminated doc count/rate,
+    * the contaminated TOKEN mass (what actually leaks into a trained
+    * model), and the worst per-doc overlap. q46 lists the documents;
+    * this is the report a curation team reads to decide whether to
+    * drop, re-crawl, or re-filter a feed ("which source leaked the
+    * eval set, and how much of its mass is tainted").
+    *
+    * Scale shape: the contaminated relation is q46's broadcast-bench
+    * sorted-merge intersect (ONE definition, two gated consumers — the
+    * report cannot drift from the detector); the rollup adds one
+    * source-keyed aggregate over the non-bench corpus with a doc-keyed
+    * left join against the contamination hits (hit-bounded relation);
+    * integer counts to two 6-dp closing divisions.
+    */
+  def contaminationRadius(spark: SparkSession, dir: String): DataFrame =
+    contaminationRadiusFrom(Tables.documents(spark, dir))
+
+  def contaminationRadiusFrom(docs: DataFrame): DataFrame = {
+    val cont = decontaminateFrom(docs).select(col("doc_id"), col("n_overlap"))
+    val corpus = docs.filter(col("doc_id") >= BenchDocs)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.toks(col("text"))).cast("long").as("tok"))
+    val hit = col("n_overlap").isNotNull
+    corpus.join(cont, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_contaminated"),
+        sum("tok").as("n_tokens"),
+        sum(when(hit, col("tok")).otherwise(0L)).as("tokens_contaminated"),
+        coalesce(max(col("n_overlap")), lit(0L)).as("max_overlap"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          .as("doc_rate"),
+        col("n_tokens"), col("tokens_contaminated"),
+        round(col("tokens_contaminated").cast("double") /
+          graft.functions.Det.nullIfZero(col("n_tokens")), 6).as("token_share"),
+        col("max_overlap"))
+      .orderBy("source")
+  }
+
   /** q131 per-stratum keep percentage. */
   val StratPct = 30L
 
@@ -1258,7 +1300,8 @@ object Curation {
     "q152_domain_caps" -> (domainCaps _),
     "q153_domain_quality" -> (domainQuality _),
     "q157_temperature_mixture" -> (temperatureMixture _),
-    "q167_cdc_merge" -> (cdcMerge _))
+    "q167_cdc_merge" -> (cdcMerge _),
+    "q171_contamination_radius" -> (contaminationRadius _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -1470,6 +1513,30 @@ object Curation {
          |FROM (SELECT * FROM exd WHERE doc_id >= $BenchDocs) d
          |JOIN bench b ON d.s = b.s
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // q46's detection CTEs verbatim, rolled to the source grain;
+    // integer counts to two 6-dp closing divisions
+    "q171_contamination_radius" ->
+      s"""WITH $shSql,
+         |bench AS (SELECT DISTINCT s FROM exd WHERE doc_id < $BenchDocs),
+         |cont AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM (SELECT * FROM exd WHERE doc_id >= $BenchDocs) d
+         |  JOIN bench b ON d.s = b.s GROUP BY d.doc_id),
+         |corpus AS (SELECT doc_id, source,
+         |    CAST(len(${TextFns.sql.toks}) AS BIGINT) AS tok
+         |  FROM documents WHERE doc_id >= $BenchDocs)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_overlap IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN n_overlap IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS doc_rate,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN n_overlap IS NOT NULL THEN tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_contaminated,
+         |  round(CAST(sum(CASE WHEN n_overlap IS NOT NULL THEN tok ELSE 0 END)
+         |    AS DOUBLE) / NULLIF(sum(tok), 0), 6) AS token_share,
+         |  coalesce(max(n_overlap), 0) AS max_overlap
+         |FROM corpus LEFT JOIN cont USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q47_repetition" ->
       s"""WITH $shSql,
          |sizes AS (SELECT doc_id, CAST(count(*) AS INT) AS n_distinct

@@ -140,6 +140,34 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("contaminationRadius (q171)") {
+    it("rolls q46's hits to per-source doc and token mass") {
+      // bench doc 0 carries "alpha beta". source A: one doc sharing the
+      // bigram (4 tokens) + one clean (3 tokens); source B: clean only.
+      val d = docs(
+        (0L, "alpha beta gamma delta", "en", "bench", 22L),
+        (10L, "xx alpha beta yy", "en", "A", 16L),
+        (11L, "one two three", "en", "A", 13L),
+        (12L, "clean text here", "en", "B", 15L))
+      val r = Curation.contaminationRadiusFrom(d).collect()
+        .map(x => x.getAs[String]("source") -> x).toMap
+      assert(r("A").getAs[Long]("n_docs") == 2L)
+      assert(r("A").getAs[Long]("n_contaminated") == 1L)
+      assert(r("A").getAs[Double]("doc_rate") == 0.5)
+      assert(r("A").getAs[Long]("n_tokens") == 7L)
+      assert(r("A").getAs[Long]("tokens_contaminated") == 4L)
+      assert(r("A").getAs[Double]("token_share") ==
+        BigDecimal(4.0 / 7.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r("A").getAs[Long]("max_overlap") == 1L)
+      assert(r("B").getAs[Long]("n_contaminated") == 0L)
+      assert(r("B").getAs[Double]("token_share") == 0.0)
+      assert(r("B").getAs[Long]("max_overlap") == 0L)
+      // the bench doc itself never appears as a source row
+      assert(!r.contains("bench"))
+    }
+  }
+
   describe("snapshotDiff (q59)") {
     it("classifies added/removed/changed/unchanged across two snapshots") {
       val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
