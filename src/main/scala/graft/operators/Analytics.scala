@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Det.nullIfZero
-import graft.functions.TextFns
+import graft.functions.{TextFns, Wide}
 import graft.sources.Tables
 
 /** Analytic operator coverage beyond the reference surface: set
@@ -401,7 +401,9 @@ object Analytics {
     * and each event's weight is the exact integer `1 << (60 − age)` —
     * the decayed sum is pure integer arithmetic in DECIMAL(38,0) space
     * (the q149 move), and the presentation score is ONE closing
-    * division by 2^60 off the exact sum. Ages beyond the 60-step
+    * division by 2^60 off the exact sum. The exact weights ship as
+    * hi/lo BIGINT halves ([[graft.functions.Wide]] — decimals stay
+    * internal, never in the output schema). Ages beyond the 60-step
     * horizon contribute exactly 0 (a 2^−60 weight is below any
     * ranking's noise floor).
     *
@@ -439,7 +441,10 @@ object Analytics {
       .withColumn("rank", row_number().over(Window.partitionBy()
         .orderBy(desc("w_weekly"), desc("w_daily"), asc("item"))).cast("int"))
       .select(col("rank"), col("item"), col("n_events"),
-        col("w_daily"), col("w_weekly"),
+        Wide.hi62(col("w_daily")).as("w_daily_hi"),
+        Wide.lo62(col("w_daily")).as("w_daily_lo"),
+        Wide.hi62(col("w_weekly")).as("w_weekly_hi"),
+        Wide.lo62(col("w_weekly")).as("w_weekly_lo"),
         round(col("w_daily").cast("double") / scale, 9).as("score_daily"),
         round(col("w_weekly").cast("double") / scale, 9).as("score_weekly"))
       .orderBy("rank")
@@ -1800,7 +1805,8 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
-    // exact dyadic weights (1 << shift) summed in DECIMAL(38,0) — the
+    // exact dyadic weights (1 << shift) summed in DECIMAL(38,0),
+    // shipped as hi/lo BIGINT halves (Wide.sql, gate-safe) — the
     // q149 discipline; both engines share the << operator and the
     // closing division by the exact double 2^60
     "q161_decayed_popularity" ->
@@ -1823,7 +1829,11 @@ object Analytics {
          |  ORDER BY w_weekly DESC, w_daily DESC, item LIMIT $DecayTopK)
          |SELECT CAST(row_number() OVER
          |    (ORDER BY w_weekly DESC, w_daily DESC, item) AS INT) AS rank,
-         |  item, n_events, w_daily, w_weekly,
+         |  item, n_events,
+         |  ${Wide.sql.hi62("w_daily")} AS w_daily_hi,
+         |  ${Wide.sql.lo62("w_daily")} AS w_daily_lo,
+         |  ${Wide.sql.hi62("w_weekly")} AS w_weekly_hi,
+         |  ${Wide.sql.lo62("w_weekly")} AS w_weekly_lo,
          |  round(CAST(w_daily AS DOUBLE) / 1152921504606846976.0, 9)
          |    AS score_daily,
          |  round(CAST(w_weekly AS DOUBLE) / 1152921504606846976.0, 9)

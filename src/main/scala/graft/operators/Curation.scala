@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, Wide}
 import graft.plans.GraftFunctions
 import graft.sources.Tables
 
@@ -734,8 +734,10 @@ object Curation {
   /** q167 — CDC MERGE (upsert) audit: apply a deterministic
     * change-data-capture batch — deletes, updates (text reversed) and
     * inserts (offset ids, upper-cased text) — to the document base and
-    * report the op counts plus an exact DECIMAL(38,0) CONTENT checksum
-    * (Σ hash60(id ‖ md5(text)) over the merged table). This is the
+    * report the op counts plus an exact CONTENT checksum
+    * (Σ hash60(id ‖ md5(text)) over the merged table, accumulated in
+    * DECIMAL(38,0), shipped as two BIGINT halves —
+    * [[graft.functions.Wide]]). This is the
     * warehouse MERGE INTO semantics under the hash gate: the checksum
     * proves updated text actually replaced in place, deletes actually
     * vanished, and inserts landed once — the property a streaming-CDC
@@ -775,8 +777,11 @@ object Curation {
         .select((col("doc_id") + CdcInsBase).as("doc_id"),
           upper(col("text")).as("text")))
     val m = merged.agg(count(lit(1)).as("n_final"),
-      sum(TextFns.hash60(concat(col("doc_id").cast("string"), lit("|"),
-        md5(col("text")))).cast(dec0)).cast(dec0).as("merged_checksum"))
+        sum(TextFns.hash60(concat(col("doc_id").cast("string"), lit("|"),
+          md5(col("text")))).cast(dec0)).cast(dec0).as("chk"))
+      .select(col("n_final"),
+        Wide.hi62(col("chk")).as("checksum_hi"),
+        Wide.lo62(col("chk")).as("checksum_lo"))
     a.crossJoin(m)
   }
 
@@ -1340,8 +1345,9 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // same stable-hash batch; checksum summed in DECIMAL(38,0);
-    // deletes win over updates on the same key
+    // same stable-hash batch; checksum summed in DECIMAL(38,0) and
+    // shipped as hi/lo BIGINT halves (Wide.sql, gate-safe); deletes
+    // win over updates on the same key
     "q167_cdc_merge" -> {
       def sel(salt: String, mod: Int) =
         s"${TextFns.sql.hash32(s"'$salt' || CAST(doc_id AS VARCHAR)")} % $mod = 0"
@@ -1367,10 +1373,11 @@ object Curation {
          |m AS (SELECT count(*) AS n_final,
          |    CAST(sum(CAST(${TextFns.sql.hash60(
                "CAST(doc_id AS VARCHAR) || '|' || md5(text)")}
-         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS merged_checksum
+         |      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS chk
          |  FROM merged)
          |SELECT n_base, n_deletes, n_updates, n_inserts, n_final,
-         |  merged_checksum
+         |  ${Wide.sql.hi62("chk")} AS checksum_hi,
+         |  ${Wide.sql.lo62("chk")} AS checksum_lo
          |FROM a CROSS JOIN m""".stripMargin
     },
     "q45_hash_split" ->

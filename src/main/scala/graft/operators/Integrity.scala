@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Wide
 import graft.sources.Tables
 
 /** Load-time integrity checks (reference load_duckdb.py:98-128):
@@ -159,8 +160,9 @@ object Integrity {
     * [[DeleteMod]] — the q45 no-rand() selection, so the same users
     * tombstone on every engine and re-run), report per table how many
     * rows the cascade purges and what remains, with an exact
-    * DECIMAL(38,0) retained-key checksum that downstream re-runs can
-    * diff to PROVE the purge happened and touched nothing else. The
+    * retained-key checksum (summed in DECIMAL(38,0), shipped as two
+    * BIGINT halves — [[graft.functions.Wide]]) that downstream re-runs
+    * can diff to PROVE the purge happened and touched nothing else. The
     * cascade follows the relational chain customer → orders (by
     * custkey) → lineitem (by purged orderkey) and events (by user id —
     * the fixture's shared customer/user key space).
@@ -206,7 +208,11 @@ object Integrity {
         sum(when(col("purge"), 1L).otherwise(0L)).as("n_purged"),
         sum(when(!col("purge"), 1L).otherwise(0L)).as("n_retained"),
         sum(when(!col("purge"), col("key")).otherwise(lit(0).cast(dec0)))
-          .cast(dec0).as("retained_key_sum"))
+          .cast(dec0).as("rk_sum"))
+      .select(col("table_name"), col("n_total"), col("n_purged"),
+        col("n_retained"),
+        Wide.hi62(col("rk_sum")).as("retained_sum_hi"),
+        Wide.lo62(col("rk_sum")).as("retained_sum_lo"))
       .orderBy("table_name")
   }
 
@@ -220,7 +226,8 @@ object Integrity {
 
   val oracle: Map[String, String] = Map(
     // same salted-md5 tombstone selection; retained checksum summed in
-    // DECIMAL(38,0) (key sums wrap BIGINT at warehouse scale)
+    // DECIMAL(38,0) (key sums wrap BIGINT at warehouse scale) and
+    // shipped as hi/lo BIGINT halves (Wide.sql — gate-safe output)
     "q162_deletion_cascade" -> {
       val h = graft.functions.TextFns.sql.hash32(
         "'forget|' || CAST(c_custkey AS VARCHAR)")
@@ -241,15 +248,19 @@ object Integrity {
          |  FROM lineitem LEFT JOIN po ON l_orderkey = pok
          |  UNION ALL
          |  SELECT 'events', tk IS NOT NULL, CAST(event_id AS DECIMAL(38,0))
-         |  FROM events LEFT JOIN tomb ON user_id = tk)
-         |SELECT table_name, count(*) AS n_total,
+         |  FROM events LEFT JOIN tomb ON user_id = tk),
+         |g AS (SELECT table_name, count(*) AS n_total,
          |  CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
          |  CAST(sum(CASE WHEN NOT purge THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_retained,
          |  CAST(sum(CASE WHEN NOT purge THEN key
          |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
-         |    AS retained_key_sum
-         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+         |    AS rk_sum
+         |FROM u GROUP BY 1)
+         |SELECT table_name, n_total, n_purged, n_retained,
+         |  ${graft.functions.Wide.sql.hi62("rk_sum")} AS retained_sum_hi,
+         |  ${graft.functions.Wide.sql.lo62("rk_sum")} AS retained_sum_lo
+         |FROM g ORDER BY 1""".stripMargin
     },
     "q120_fd_audit" -> {
       def one(name: String, tbl: String, lhs: String, rhs: String) =

@@ -231,6 +231,12 @@ object SqlDialect {
     // CAST(x AS VARCHAR) — DuckDB's unsized varchar is Spark's STRING
     s = "(?<!\\w)AS\\s+VARCHAR(?!\\w)".r.replaceAllIn(s, "AS STRING")
 
+    // CAST(x AS HUGEINT) — Spark's widest exact integer is
+    // DECIMAL(38,0) (enough for every catalog value: Wide.sql routes
+    // DECIMAL(38,0) ≤ 10^38−1 through HUGEINT only to force DuckDB's
+    // exact-int division path; Spark's `div`/`%` are exact on decimals)
+    s = "(?<!\\w)AS\\s+HUGEINT(?!\\w)".r.replaceAllIn(s, "AS DECIMAL(38,0)")
+
     // the SRP unit-scale constant: Spark parses a bare fractional
     // literal as DECIMAL (DuckDB divides to DOUBLE), which would type
     // the plane arrays ARRAY<DECIMAL> — pin the double the DataFrame

@@ -33,9 +33,14 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
       assert(r.map(_.getAs[Int]("item")).toSeq == Seq(1, 2, 3, 4))
       val p60 = BigDecimal(2).pow(60)
-      assert(r.map(x => BigDecimal(x.getAs[java.math.BigDecimal]("w_daily"))).toSeq ==
+      // outputs are hi/lo BIGINT halves of the exact decimal sum
+      // (hi·2^62 + lo — the Wide.hi62/lo62 gate-safe presentation)
+      def wide(x: org.apache.spark.sql.Row, c: String) =
+        BigDecimal(x.getAs[Long](s"${c}_hi")) * BigDecimal(2).pow(62) +
+          BigDecimal(x.getAs[Long](s"${c}_lo"))
+      assert(r.map(x => wide(x, "w_daily")).toSeq ==
         Seq(p60 * 2, p60 * 3 / 2, BigDecimal(2).pow(53), BigDecimal(0)))
-      assert(r.map(x => BigDecimal(x.getAs[java.math.BigDecimal]("w_weekly"))).toSeq ==
+      assert(r.map(x => wide(x, "w_weekly")).toSeq ==
         Seq(p60 * 2, p60 * 2, BigDecimal(2).pow(59), BigDecimal(2).pow(52)))
       assert(r.map(_.getAs[Double]("score_daily")).toSeq ==
         Seq(2.0, 1.5, 0.0078125, 0.0))

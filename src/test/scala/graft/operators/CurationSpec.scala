@@ -135,8 +135,10 @@ class CurationSpec extends AnyFunSpec {
       assert(r.getAs[Long]("n_updates") == (upds -- dels).size.toLong)
       assert(r.getAs[Long]("n_inserts") == inss.size.toLong)
       assert(r.getAs[Long]("n_final") == replay.size.toLong)
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("merged_checksum"))
-        == expChk)
+      // checksum ships as hi/lo BIGINT halves (Wide.hi62/lo62)
+      assert(BigDecimal(r.getAs[Long]("checksum_hi")) *
+        BigDecimal(2).pow(62) +
+        BigDecimal(r.getAs[Long]("checksum_lo")) == expChk)
     }
   }
 
