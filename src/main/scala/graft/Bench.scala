@@ -309,108 +309,25 @@ object Bench {
       s"dashboard stage drift: listed=${dashFromRisk.sorted} map=${fromRiskKeys.toSeq.sorted}")
 
     val total = results.values.sum
-    // explicit Locale.ROOT: a comma-decimal default locale (e.g. de_DE)
-    // would make the JSON line unparseable
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // per-query values at `dp` decimals with trailing zeros stripped
-    // ("0.50" → "0.5", "2.00" → "2"): 10 ms resolution is plenty for
-    // query times ≥0.1 s, and the stripping buys ~100 chars of line
-    // budget at 130+ queries (the driver's 2000-char stdout tail is the
-    // hard wall); the ladder below degrades to 1 dp before dropping data
-    def fN(v: Double, dp: Int): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      if (!s.contains('.')) s
-      else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    }
-    def f2(v: Double): String = fN(v, 2)
-    def jmapN(m: scala.collection.Map[String, Double], dp: Int): String =
-      m.map { case (k, v) => "\"" + k + "\":" + fN(v, dp) }.mkString("{", ",", "}")
-    def jmap(m: scala.collection.Map[String, Double]): String = jmapN(m, 2)
-    def jarr(vs: Seq[Double], dp: Int): String =
-      vs.map(fN(_, dp)).mkString("[", ",", "]")
-    // Diagnostics (GC attribution, methodology) go to stderr: the driver
-    // captures only the LAST 2000 chars of stdout, so the final JSON line
-    // must stay compact (3-dp floats, no extras) or it is truncated
-    // mid-line and recorded as unparseable — which is exactly what
-    // happened to rounds 1 and 2.
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + BenchLine.f3(v) }.mkString("{", ",", "}")
+    // Diagnostics (GC attribution, full names, methodology) go to
+    // stderr: the driver captures only the LAST 2000 chars of stdout,
+    // so the final JSON line must stay inside BenchLine.MaxLen or it is
+    // truncated mid-line and recorded as unparseable — which is exactly
+    // what happened to rounds 1 and 2.
     System.err.println(s"""[bench] gc_sec ${jmap(gcShare)}""")
     System.err.println(s"""[bench] full_names ${jmap(results)}""")
     System.err.println("[bench] methodology: staged pipeline (kpis/risk/candidates materialized once), 2 full suite passes, per-query min; see SURVEY.md 6.1")
     // basename only: the full path costs ~16 chars of the driver's
     // 2000-char stdout-tail budget that the growing per-query map needs
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    // per-pass wall/GC splits + peak heap ride the JSON line so the
-    // driver RECORDS them (stderr diagnostics fall outside its tail
-    // window): pass_sec[1]≫pass_sec[0] or heap at ceiling = memory/GC
-    // growth; equal passes with uniformly slow queries = host noise
-    // two tiers: the pass/GC/heap trio is the DIAGNOSTIC payload (it
-    // is what distinguishes host noise from engine regressions in the
-    // recorded JSON) and must outlive the cheap startup/cpu/wall
-    // context on the degradation ladder
-    val coreExtras =
-      s""","pass_sec":${jarr(passSec.toSeq, 1)},"gc_sec":${jarr(passGc.toSeq, 1)}""" +
-        s""","peak_mb":$heapPeakMb"""
-    val extras =
-      s""","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}""" +
-        coreExtras
-    def jline(queries: String, tail: String): String =
-      s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec","queries":$queries,"sf":"$sfName"$tail}"""
-    // per-query keys shortened to their unambiguous qNN prefix: the full
-    // 60+-query map with full names no longer fits the driver's 2000-char
-    // stdout tail (rounds 1-2 lost their numbers to exactly that); full
-    // names are on stderr above
-    // leading zeros stripped ("q01" → "q1", the driver-contract example
-    // format): ~1 char × most queries of line budget, numbers stay unique
-    val shortKeys = scala.collection.mutable.LinkedHashMap(
-      results.toSeq.map { case (k, v) =>
-        ("q" + k.split("_")(0).drop(1).toInt) -> v
-      }: _*)
-    require(shortKeys.size == results.size,
-      s"qNN prefixes must stay unique (${results.size} -> ${shortKeys.size})")
-    // Degradation ladder — sized for 160+ queries without discarding a
-    // finished suite run: full precision first, then ADAPTIVE precision
-    // (sub-second queries keep their 10 ms resolution — that's where a
-    // second digit carries information — while multi-second ones drop
-    // to 100 ms), then 1 dp everywhere, then drop the diagnostic
-    // extras, and only as a last resort ship the map to stderr and keep
-    // the headline JSON parseable.
-    def jmapA(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) =>
-        "\"" + k + "\":" + fN(v, if (v < 1) 2 else 1) }.mkString("{", ",", "}")
-    // (no adaptive+coreExtras rung: with a mostly-sub-second catalog
-    // the adaptive map costs more chars than the shed context saves,
-    // so that rung could never be the first to fit)
-    // r8 rungs: before shedding the diagnostic trio entirely, try it at
-    // 0 dp (~20 chars cheaper — second resolution is plenty for the
-    // noise-vs-growth read), then pass_sec alone (the single strongest
-    // stall-band discriminator), and only then the bare map
-    val coarseExtras =
-      s""","pass_sec":${jarr(passSec.toSeq, 0)},"gc_sec":${jarr(passGc.toSeq, 0)}""" +
-        s""","peak_mb":$heapPeakMb"""
-    val passOnly = s""","pass_sec":${jarr(passSec.toSeq, 0)}"""
-    // Cap calibrated from the driver's RECORDED r7 tail (BENCH_r07.json):
-    // the capture window is the last 2000 chars of stdout and the only
-    // text after the JSON line is sbt's "\n[success] Total time: …" ≈
-    // 74 chars — so a line ≤1860 leaves ≥60 chars of slack for a longer
-    // trailer while keeping the opening '{' inside the window. The old
-    // 1700 cap silently shed the whole per-query map at 158 queries
-    // (sf0.01 bare 1-dp line = 1701 chars — one char over).
-    val line = Seq(
-      jline(jmapN(shortKeys, 2), extras),
-      jline(jmapA(shortKeys), extras),
-      jline(jmapN(shortKeys, 1), extras),
-      jline(jmapN(shortKeys, 1), coreExtras),
-      jline(jmapN(shortKeys, 1), coarseExtras),
-      jline(jmapN(shortKeys, 1), passOnly),
-      jline(jmapN(shortKeys, 1), ""))
-      .find(_.length <= 1860)
-    line match {
-      case Some(l) => println(l)
-      case None =>
-        System.err.println(s"[bench] per-query map overflowed the line budget even at 1 dp: ${jmap(results)}")
-        println(jline("{}", extras))
-    }
+    // The degradation ladder (precision → extras → slowest-K map with
+    // the pass/GC/heap trio always intact) lives in BenchLine so
+    // BenchLineSpec can pin it at 200-query scale without a Spark run.
+    println(BenchLine.render(total, results.toSeq, sfName, startup, cpus,
+      wall, passSec.toSeq, passGc.toSeq, heapPeakMb))
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft
+
+/** Renders the Bench JSON line under the driver's stdout-tail budget.
+  *
+  * The driver records only the LAST 2000 chars of stdout; after the
+  * JSON line sbt prints a "\n[success] Total time: …" trailer ≈ 74
+  * chars, so a line ≤ [[MaxLen]] keeps its opening '{' inside the
+  * window with ≥60 chars of slack (calibrated from the recorded r7
+  * tail — rounds 1–2 lost all perf credit to an over-long line, and
+  * the old 1700 cap silently shed the whole per-query map at 158
+  * queries).
+  *
+  * Degradation ladder (first fitting rung wins):
+  *  1. full 2-dp map + startup/cpus/wall + the telemetry trio
+  *  2. adaptive map (sub-second queries keep 2 dp, the rest 1 dp)
+  *  3. 1-dp map + full extras
+  *  4. 1-dp map + the trio at 1 dp
+  *  5. 1-dp map + the trio at 0 dp
+  *  6. TERMINAL: the slowest-K queries (K maximal to fit) + one
+  *     `rest_n`/`rest_sec` aggregate for the shed fast tail + the trio
+  *     at 0 dp. This rung fits ANY catalog size, so the diagnostic
+  *     trio (pass_sec / gc_sec / peak_mb — what distinguishes host
+  *     noise from engine regressions in the recorded JSON) is never
+  *     shed again: by r8 the catalog had outgrown every trio-bearing
+  *     rung and both recorded scales were already down to the bare
+  *     map. The shed entries are exactly the fastest — the ones whose
+  *     1-dp value (0.1–0.5 s) carries the least regression signal —
+  *     and their count+sum survive in the aggregate.
+  */
+object BenchLine {
+  /** Hard line cap — see the calibration note above. */
+  val MaxLen = 1860
+
+  /** Explicit Locale.ROOT throughout: a comma-decimal default locale
+    * (e.g. de_DE) would make the JSON line unparseable.
+    */
+  def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** `dp` decimals with trailing zeros stripped ("0.50" → "0.5",
+    * "2.00" → "2") — 10 ms resolution is plenty for ≥0.1 s queries and
+    * the stripping buys ~100 chars at 170+ queries.
+    */
+  private def fN(v: Double, dp: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+  }
+
+  private def jmapN(m: collection.Seq[(String, Double)], dp: Int): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fN(v, dp) }
+      .mkString("{", ",", "}")
+
+  private def jmapA(m: collection.Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fN(v, if (v < 1) 2 else 1) }
+      .mkString("{", ",", "}")
+
+  private def jarr(vs: collection.Seq[Double], dp: Int): String =
+    vs.map(fN(_, dp)).mkString("[", ",", "]")
+
+  /** Build the line from full-name suite results (insertion order).
+    * Keys shorten to their unambiguous `qNN` prefix with leading zeros
+    * stripped ("q01_row_counts" → "q1", the driver-contract example
+    * format); full names go to stderr by the caller.
+    */
+  def render(
+      total: Double,
+      results: collection.Seq[(String, Double)],
+      sfName: String,
+      startup: Double,
+      cpus: String,
+      wall: Double,
+      passSec: collection.Seq[Double],
+      passGc: collection.Seq[Double],
+      peakMb: Long): String = {
+    val short = results.map { case (k, v) =>
+      ("q" + k.split("_")(0).drop(1).toInt) -> v }
+    require(short.map(_._1).distinct.size == short.size,
+      s"qNN prefixes must stay unique (${results.size} -> " +
+        s"${short.map(_._1).distinct.size})")
+    val coreExtras =
+      s""","pass_sec":${jarr(passSec, 1)},"gc_sec":${jarr(passGc, 1)}""" +
+        s""","peak_mb":$peakMb"""
+    val coarseExtras =
+      s""","pass_sec":${jarr(passSec, 0)},"gc_sec":${jarr(passGc, 0)}""" +
+        s""","peak_mb":$peakMb"""
+    val extras =
+      s""","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}""" +
+        coreExtras
+    def jline(queries: String, tail: String): String =
+      s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec"""" +
+        s""","queries":$queries,"sf":"$sfName"$tail}"""
+    Seq(
+      jline(jmapN(short, 2), extras),
+      jline(jmapA(short), extras),
+      jline(jmapN(short, 1), extras),
+      jline(jmapN(short, 1), coreExtras),
+      jline(jmapN(short, 1), coarseExtras))
+      .find(_.length <= MaxLen)
+      .getOrElse {
+        // terminal rung: slowest-K, ordered slowest-first (value desc,
+        // key asc tiebreak for determinism)
+        val desc = short.sortBy { case (k, v) => (-v, k) }
+        def lineFor(k: Int): String = {
+          val rest = desc.drop(k)
+          val tail =
+            (if (rest.isEmpty) ""
+             else s""","rest_n":${rest.size},"rest_sec":${
+               fN(rest.map(_._2).sum, 1)}""") + coarseExtras
+          jline(jmapN(desc.take(k), 1), tail)
+        }
+        var k = desc.size
+        while (k > 0 && lineFor(k).length > MaxLen) k -= 1
+        lineFor(k)
+      }
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Curation, Dedup, Events, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Sessionize
 
@@ -205,6 +205,16 @@ object ScaleSmoke {
     t("cusum_drift") { Events.cusumDriftFrom(events).count() }
     t("collocations") { TextAnalysis.collocationsFrom(docs).count() }
     t("cdc_merge") { Curation.cdcMergeFrom(docs).count() }
+    // round-9: q172 is a per-payload bounded codec flatMap (≤8 tiny
+    // frames per doc) — pure map work, linear by construction
+    t("video_frames") {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val payloads = docs.select(org.apache.spark.sql.functions
+        .col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.gifBytes(id))).toDF("doc_id", "payload")
+      Multimodal.sampleGifFrames(payloads, Multimodal.VideoPerDoc).count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

@@ -15,6 +15,14 @@ import graft.sources.Tables
   * handling, metadata projection, per-partition batched decode with a
   * typed schema, and partition-preserving plans (no shuffle until an
   * aggregate asks for one).
+  *
+  * Each modality also has a REAL JDK-native codec twin over a
+  * synthetic media corpus with a closed-form content spec, so the
+  * actual decoder is oracle-gated: images via `javax.imageio`
+  * ([[decodeImages]]/[[resizeImages]]/[[imageAHash]]), audio via
+  * `javax.sound.sampled` ([[decodeWav]], q154), and multi-frame video
+  * via `ImageReader` frame seeks over animated GIF containers
+  * ([[sampleGifFrames]], q172).
   */
 object Multimodal {
 
@@ -104,8 +112,9 @@ object Multimodal {
     * per payload (frame count from the stub decode). The generator runs
     * per partition with one digest instance — the 1→N row expansion is
     * local (flatMap, no shuffle), so downstream per-frame transforms
-    * parallelize over the exploded records. A real deployment replaces
-    * the hash with a codec frame-seek + decode.
+    * parallelize over the exploded records. The REAL codec twin is
+    * [[sampleGifFrames]] (q172): same spacing rule, actual
+    * `javax.imageio` frame seeks over multi-frame containers.
     */
   def sampleFrames(payloads: DataFrame, perDoc: Int): Dataset[FrameSample] = {
     val spark = payloads.sparkSession
@@ -456,9 +465,171 @@ object Multimodal {
   def audioAudit(spark: SparkSession, dir: String): DataFrame =
     decodeWav(wavPayloads(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Frames sampled per video payload by q172 (evenly spaced over the
+    * container's frame count, the [[sampleFrames]] spacing rule).
+    */
+  val VideoPerDoc = 4
+
+  /** Deterministic animated-GIF payload for `doc_id`: `2 + id mod 7`
+    * full-size frames of `(8 + id mod 9) × (6 + id mod 5)` pixels on a
+    * 256-entry grayscale palette; pixel `p` (row-major) of frame `k`
+    * holds gray `(id·31 + k·17 + p) mod 256`. The closed form is what
+    * lets the REAL multi-frame decode be oracle-gated, exactly like
+    * [[wavBytes]]: DuckDB regenerates every sampled frame's features
+    * analytically and must agree with what `javax.imageio`'s GIF
+    * reader seeks back out of the container. GIF is lossless and the
+    * indexed palette maps gray k → (k,k,k), so the BT.601 luma of a
+    * decoded pixel equals its palette index exactly
+    * ((299+587+114)·v / 1000 = v).
+    */
+  def gifBytes(id: Long): Array[Byte] = {
+    val n = (2 + java.lang.Math.floorMod(id, 7L)).toInt
+    val w = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+    val h = (6 + java.lang.Math.floorMod(id, 5L)).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < n) {
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val raster = im.getRaster
+        var p = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(id * 31L + k * 17L + p, 256L).toInt)
+            p += 1
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(im, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Synthetic video-payload table: one animated GIF per document id
+    * (the video twin of [[wavPayloads]]). Map-only typed generation.
+    */
+  def gifPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, gifBytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** One REALLY-decoded sampled video frame from [[sampleGifFrames]]. */
+  final case class VideoFrames(
+      doc_id: Long, frame_idx: Int, n_frames: Int, width: Int, height: Int,
+      decode_ok: Boolean, sum_luma: Long, checksum: Long)
+
+  /** REAL video frame sampling — `javax.imageio.ImageReader` over
+    * multi-frame GIF containers (JDK-native, zero external deps),
+    * retiring the [[sampleFrames]] hash stub's decode: the frame count
+    * comes from the container directory (`getNumImages(true)`), and
+    * ≤ `perDoc` evenly-spaced frames are SEEKED (`reader.read(idx)` —
+    * random access, not a sequential drain) and decoded to integer
+    * luma features: Σ luma plus a position-weighted checksum
+    * (Σ(p+1)·luma, the q154 witness that the decoded PIXELS, not just
+    * the frame geometry, are right).
+    *
+    * Quarantine contract ([[decodeImages]]/[[decodeWav]]): a payload
+    * that is not a decodable container — no registered reader,
+    * truncated stream, corrupt LZW mid-frame — yields ONE
+    * `decode_ok = false` row (frame_idx −1, zeroed features), never an
+    * exception; a poisoned record must not kill the 100 TB scan.
+    *
+    * Scale shape: per-partition typed flatMap with one reader per
+    * payload and the ImageIO disk cache off — the 1→k row expansion
+    * is local, no shuffle until a downstream aggregate asks for one.
+    */
+  def sampleGifFrames(payloads: DataFrame, perDoc: Int): Dataset[VideoFrames] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val decoded: Option[Seq[VideoFrames]] =
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false, true)
+                  val n = reader.getNumImages(true)
+                  if (n <= 0) None
+                  else {
+                    val take = math.min(perDoc, n)
+                    Some((0 until take).map { i =>
+                      val idx = (i.toLong * n / take).toInt // even spacing
+                      val im = reader.read(idx) // random-access seek
+                      val w = im.getWidth
+                      val h = im.getHeight
+                      var sumLuma = 0L
+                      var cks = 0L
+                      var p = 0
+                      var y = 0
+                      while (y < h) {
+                        var x = 0
+                        while (x < w) {
+                          val rgb = im.getRGB(x, y)
+                          val luma = (299 * ((rgb >> 16) & 0xff) +
+                            587 * ((rgb >> 8) & 0xff) +
+                            114 * (rgb & 0xff)) / 1000
+                          sumLuma += luma
+                          cks += (p + 1).toLong * luma
+                          p += 1
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      VideoFrames(id, idx, n, w, h, decode_ok = true,
+                        sumLuma, cks)
+                    })
+                  }
+                } finally reader.dispose()
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(Seq(
+            VideoFrames(id, -1, 0, 0, 0, decode_ok = false, 0L, 0L)))
+        }
+      }
+  }
+
+  /** q172 — video frame audit over the synthetic animated-GIF corpus:
+    * REAL multi-frame container decode with random-access frame seeks,
+    * gated against DuckDB's analytic regeneration of every sampled
+    * frame's geometry and pixel features. Map-only until the final
+    * presentation sort.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleGifFrames(gifPayloads(spark, dir), VideoPerDoc).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
-    "q154_audio_audit" -> (audioAudit _))
+    "q154_audio_audit" -> (audioAudit _),
+    "q172_video_frames" -> (videoFrames _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -475,6 +646,36 @@ object Multimodal {
         |FROM s ORDER BY doc_id""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB REGENERATES every sampled frame analytically (the gifBytes
+    // closed form) and must agree with the real javax.imageio
+    // multi-frame decode: same evenly-spaced frame indices
+    // (i·n // take), same row-major pixel values, same position-weighted
+    // checksum. Pixel spine is a constant-bound range join — max
+    // w·h = 16·10 = 160.
+    "q172_video_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(2 + doc_id % 7 AS INTEGER) AS n_frames,
+         |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
+         |    CAST(6 + doc_id % 5 AS INTEGER) AS height
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_frames, width, height,
+         |    CAST(t.i * n_frames // least($VideoPerDoc, n_frames)
+         |      AS INTEGER) AS frame_idx
+         |  FROM f JOIN range(0, $VideoPerDoc) t(i)
+         |    ON t.i < least($VideoPerDoc, n_frames)),
+         |px AS (
+         |  SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width,
+         |    fr.height, p.p AS p,
+         |    (fr.doc_id * 31 + fr.frame_idx * 17 + p.p) % 256 AS v
+         |  FROM fr JOIN range(0, 160) p(p) ON p.p < fr.width * fr.height)
+         |SELECT doc_id, frame_idx, n_frames, width, height,
+         |  TRUE AS decode_ok,
+         |  CAST(sum(v) AS BIGINT) AS sum_luma,
+         |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
+         |FROM px GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // DuckDB REGENERATES the samples analytically (the wavBytes closed
     // form) and must agree with the real javax.sound decode; the index
     // spine is a constant-bound range join (lateral range is

@@ -88,7 +88,13 @@ object SqlSurface {
       ("real javax.sound.sampled container decode of binary WAV " +
         "payloads — a codec call, not a SQL expression; use " +
         "Multimodal.decodeWav (the oracle regenerates the synthetic " +
-        "samples analytically, which would not exercise the decoder)"))
+        "samples analytically, which would not exercise the decoder)"),
+    "q172_video_frames" ->
+      ("real javax.imageio multi-frame GIF decode with random-access " +
+        "frame seeks — a codec call, not a SQL expression; use " +
+        "Multimodal.sampleGifFrames (the oracle regenerates the " +
+        "sampled frames analytically, which would not exercise the " +
+        "decoder)"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -23,7 +23,7 @@ object QTime {
     val names = if (args.nonEmpty) args.toSeq else Seq("q58_chunk_dedup")
     for (pass <- 1 to 2; n <- names) {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(n)(spark, sfDir)
+      SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[qtime] pass=$pass $n%-28s ${s}%.2f s")

@@ -238,4 +238,77 @@ class MultimodalSpec extends AnyFunSpec {
         x.getAs[Long]("n_frames") * 125L))
     }
   }
+
+  describe("sampleGifFrames / videoFrames (q172, REAL ImageReader frame seeks)") {
+    /** The gifBytes closed form, re-derived independently. */
+    def expected(id: Long, perDoc: Int): Seq[(Int, Int, Int, Int, Long, Long)] = {
+      val n = (2 + java.lang.Math.floorMod(id, 7L)).toInt
+      val w = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+      val h = (6 + java.lang.Math.floorMod(id, 5L)).toInt
+      val take = math.min(perDoc, n)
+      (0 until take).map { i =>
+        val idx = (i.toLong * n / take).toInt
+        val vs = (0 until w * h).map(p =>
+          java.lang.Math.floorMod(id * 31L + idx * 17L + p, 256L))
+        (idx, n, w, h, vs.sum,
+          vs.zipWithIndex.map { case (v, p) => (p + 1).toLong * v }.sum)
+      }
+    }
+
+    it("the real multi-frame decode agrees with the synthesis closed form") {
+      val ids = Seq(0L, 1L, 5L, 13L, 123L, 499L)
+      val rows = Multimodal.sampleGifFrames(
+          ids.map(id => (id, Multimodal.gifBytes(id))).toDF("doc_id", "payload"),
+          Multimodal.VideoPerDoc)
+        .collect().groupBy(_.doc_id)
+      ids.foreach { id =>
+        val got = rows(id).sortBy(_.frame_idx)
+          .map(f => (f.frame_idx, f.n_frames, f.width, f.height,
+            f.sum_luma, f.checksum))
+        assert(got.forall(_ => rows(id).forall(_.decode_ok)))
+        assert(got.toSeq == expected(id, Multimodal.VideoPerDoc),
+          s"doc $id: frame features must match the closed form")
+      }
+    }
+
+    it("samples evenly: frame indices span the container, never repeat") {
+      // id 13 → 2 + 13%7 = 8 frames, perDoc 4 → seeks 0,2,4,6 (true
+      // random access: the evenly-spaced set skips frames, so a
+      // sequential-only reader would decode the wrong ones)
+      val r = Multimodal.sampleGifFrames(
+          Seq((13L, Multimodal.gifBytes(13L))).toDF("doc_id", "payload"), 4)
+        .collect().sortBy(_.frame_idx)
+      assert(r.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+      assert(r.forall(_.n_frames == 8))
+    }
+
+    it("quarantines poisoned containers instead of killing the scan") {
+      val good = Multimodal.gifBytes(3L)
+      val poisoned = Seq(
+        1L -> Array.emptyByteArray, // empty
+        2L -> "not a gif, just text bytes".getBytes("UTF-8"), // no reader
+        3L -> good.take(10), // truncated mid-header
+        4L -> good) // control: still decodes
+      val f = Multimodal.sampleGifFrames(
+          poisoned.toDF("doc_id", "payload"), Multimodal.VideoPerDoc)
+        .collect().groupBy(_.doc_id)
+      Seq(1L, 2L, 3L).foreach { id =>
+        assert(f(id).length == 1 && !f(id).head.decode_ok)
+        assert(f(id).head.frame_idx == -1 && f(id).head.checksum == 0L)
+      }
+      assert(f(4L).forall(_.decode_ok) && f(4L).nonEmpty)
+    }
+
+    it("audits the whole corpus: sampled frames for every document") {
+      val r = Multimodal.videoFrames(spark, sf).collect()
+      val nDocs = graft.sources.Tables.documents(spark, sf).count()
+      assert(r.forall(_.getAs[Boolean]("decode_ok")))
+      assert(r.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+      // per doc: min(perDoc, n_frames) rows
+      r.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, fs) =>
+        assert(fs.length ==
+          math.min(Multimodal.VideoPerDoc, fs.head.getAs[Int]("n_frames")))
+      }
+    }
+  }
 }
