@@ -724,12 +724,15 @@ object Curation {
   }
 
   /** q167 CDC batch selection moduli (stable-hash, the q45/q59
-    * discipline) and the insert-id offset.
+    * discipline). Insert ids offset by `max(doc_id)+1` (a 1-row
+    * broadcast aggregate) rather than a constant: a fixed base would
+    * collide inserted ids with retained base ids once the corpus
+    * outgrows it, silently weakening the "inserts landed once"
+    * checksum semantics at warehouse scale.
     */
   val CdcDelMod = 13
   val CdcUpdMod = 7
   val CdcInsMod = 11
-  val CdcInsBase = 1000000L
 
   /** q167 — CDC MERGE (upsert) audit: apply a deterministic
     * change-data-capture batch — deletes, updates (text reversed) and
@@ -769,12 +772,14 @@ object Curation {
       sum(when(col("is_upd") && !col("is_del"), 1L).otherwise(0L))
         .as("n_updates"),
       sum(when(col("is_ins"), 1L).otherwise(0L)).as("n_inserts"))
+    val off = docs.agg((coalesce(max("doc_id"), lit(0L)) + lit(1L))
+      .as("ins_off"))
     val merged = flags.filter(!col("is_del"))
       .select(col("doc_id"),
         when(col("is_upd"), reverse(col("text"))).otherwise(col("text"))
           .as("text"))
-      .union(flags.filter(col("is_ins"))
-        .select((col("doc_id") + CdcInsBase).as("doc_id"),
+      .union(flags.filter(col("is_ins")).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("ins_off")).as("doc_id"),
           upper(col("text")).as("text")))
     val m = merged.agg(count(lit(1)).as("n_final"),
         sum(TextFns.hash60(concat(col("doc_id").cast("string"), lit("|"),
@@ -1356,6 +1361,8 @@ object Curation {
          |    ${sel("cdc_upd|", CdcUpdMod)} AS is_upd,
          |    ${sel("cdc_ins|", CdcInsMod)} AS is_ins
          |  FROM documents),
+         |off AS (SELECT coalesce(max(doc_id), 0) + 1 AS ins_off
+         |  FROM documents),
          |a AS (SELECT count(*) AS n_base,
          |    CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_deletes,
@@ -1369,7 +1376,8 @@ object Curation {
          |    CASE WHEN is_upd THEN reverse(text) ELSE text END AS text
          |  FROM flags WHERE NOT is_del
          |  UNION ALL
-         |  SELECT doc_id + $CdcInsBase, upper(text) FROM flags WHERE is_ins),
+         |  SELECT doc_id + ins_off, upper(text)
+         |  FROM flags CROSS JOIN off WHERE is_ins),
          |m AS (SELECT count(*) AS n_final,
          |    CAST(sum(CAST(${TextFns.sql.hash60(
                "CAST(doc_id AS VARCHAR) || '|' || md5(text)")}

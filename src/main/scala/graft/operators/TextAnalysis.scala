@@ -186,17 +186,28 @@ object TextAnalysis {
     val ranked = byS.withColumn("st",
       coalesce(sum("cv").over(before), lit(0L)) + 1)
     val tot = scored.agg(count(lit(1)).as("n_all"))
-    val u2 = col("r2pos") - col("n_pos") * (col("n_pos") + 1)
+    // rank-sum terms accumulate in DECIMAL(38,0) (HUGEINT in the
+    // oracle): r2pos ~ 2n² per language wraps BIGINT near 2e9 rows,
+    // where Spark's Long sum would silently diverge from DuckDB's
+    // erroring CAST. The u2 OUTPUT stays BIGINT (SchemaGateSpec) via a
+    // closing cast that now fails LOUDLY on both engines at the same
+    // ~4e9-rows-per-language ceiling instead of wrapping on one side.
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u2 = col("r2pos") -
+      col("n_pos").cast(dec0) * (col("n_pos") + lit(1L)).cast(dec0)
     byLS.join(ranked, Seq("qs"))
       .groupBy("lang").agg(
         sum("c").as("n_pos"),
-        sum(col("c") * (lit(2L) * col("st") + col("cv") - 1)).as("r2pos"))
+        sum(col("c").cast(dec0) *
+            (lit(2L) * col("st") + col("cv") - 1).cast(dec0))
+          .cast(dec0).as("r2pos"))
       .crossJoin(broadcast(tot))
       .select(col("lang"), col("n_pos"),
         (col("n_all") - col("n_pos")).as("n_neg"),
-        u2.as("u2"),
+        u2.cast("long").as("u2"),
         round(u2.cast("double") /
-          (lit(2.0) * nullIfZero(col("n_pos") * (col("n_all") - col("n_pos")))),
+          (lit(2.0) * nullIfZero(col("n_pos").cast(dec0) *
+            (col("n_all") - col("n_pos")).cast(dec0)).cast("double")),
           9).as("auc"))
       .orderBy("lang")
   }
@@ -1005,12 +1016,13 @@ object TextAnalysis {
          |  FROM s),
          |tot AS (SELECT count(*) AS n_all FROM f),
          |ag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_pos,
-         |    CAST(sum(c * (2 * st + cv - 1)) AS BIGINT) AS r2pos
+         |    sum(CAST(c AS HUGEINT) * (2 * st + cv - 1)) AS r2pos
          |  FROM ls JOIN rk USING (qs) GROUP BY 1)
          |SELECT lang, n_pos, n_all - n_pos AS n_neg,
-         |  r2pos - n_pos * (n_pos + 1) AS u2,
-         |  round(CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
-         |    / (2.0 * NULLIF(n_pos * (n_all - n_pos), 0)), 9) AS auc
+         |  CAST(r2pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+         |  round(CAST(r2pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+         |    / (2.0 * CAST(NULLIF(CAST(n_pos AS HUGEINT)
+         |      * (n_all - n_pos), 0) AS DOUBLE)), 9) AS auc
          |FROM ag CROSS JOIN tot ORDER BY lang""".stripMargin,
     // lift = the same left-associative IEEE chain; counts integer;
     // the CollocMin cut applies before the joins on both engines

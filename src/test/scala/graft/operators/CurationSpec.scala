@@ -124,7 +124,7 @@ class CurationSpec extends AnyFunSpec {
       val replay =
         base.filterKeys(!dels(_)).map { case (k, t) =>
           k -> (if (upds(k)) t.reverse else t) }.toMap ++
-        inss.map(k => (k + Curation.CdcInsBase) ->
+        inss.map(k => (k + base.keySet.max + 1) -> // ins_off = max(doc_id)+1
           base(k).toUpperCase).toMap
       val expChk = replay.map { case (k, t) =>
         BigDecimal(h60(s"$k|${md5hex(t)}")) }.sum
