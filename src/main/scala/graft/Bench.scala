@@ -230,6 +230,13 @@ object Bench {
       Dedup.leakageSafeSplitOf(Tables.documents(spark, sfDir),
         spark.read.parquet(s"$wh/clusters"))
     }
+    // medoid selection reads the materialized q54 cluster CTAS like
+    // q89/q102/q115 (the SparkEntry form recomputes the closure for
+    // self-containment)
+    run("q176_cluster_medoids") {
+      Dedup.clusterMedoidsOf(spark.read.parquet(s"$wh/clusters"),
+        Tables.embeddings(spark, sfDir))
+    }
     // incremental containment reads the stored winnow-fp index and
     // shingle relation (written pre-pass with the q135 state): the
     // timed work is the new batch's kernel passes + its collision

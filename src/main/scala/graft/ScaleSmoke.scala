@@ -215,6 +215,21 @@ object ScaleSmoke {
         .map(id => (id, Multimodal.gifBytes(id))).toDF("doc_id", "payload")
       Multimodal.sampleGifFrames(payloads, Multimodal.VideoPerDoc).count()
     }
+    // round-9: q173 folds to a metadata-scale QI-class relation; q174
+    // is one per-user window + one type aggregate; q175's counts are
+    // source-gram-vocabulary-bounded; q176 pairs form within clusters
+    // only (synthetic id-derived clusters of 3 — the operator's join/
+    // window shape at scale without re-running the q54 fixpoint here)
+    t("k_anonymity") { Curation.kAnonymityFrom(docs).count() }
+    t("event_disorder") { Events.eventDisorderFrom(events).count() }
+    t("boilerplate_templates") {
+      TextAnalysis.boilerplateTemplatesFrom(docs).count()
+    }
+    t("cluster_medoids") {
+      val cl = emb.select(col("vec_id").as("doc_id"),
+        expr("vec_id div 3").as("cluster_id"), lit(3L).as("cluster_size"))
+      Dedup.clusterMedoidsOf(cl, emb).count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

@@ -790,6 +790,51 @@ object Curation {
     a.crossJoin(m)
   }
 
+  /** q173 k-thresholds audited (ascending) and the length-bucket width
+    * of the quasi-identifier.
+    */
+  val KAnonThresholds = Seq(2, 5, 10)
+  val KAnonBucket = 100
+
+  /** q173 — K-ANONYMITY audit over the release quasi-identifiers: with
+    * QI = (lang, source, length-bucket), how many equivalence classes
+    * fall below each k threshold, how many rows sit in them (the
+    * re-identifiable population), and the suppression rate a k-anonymous
+    * release would pay. PII scrubbing (q62) removes DIRECT identifiers;
+    * this measures the INDIRECT ones — the combination of innocuous
+    * attributes that singles a document out, the metric privacy review
+    * actually asks for before a corpus ships.
+    *
+    * Scale shape: ONE corpus aggregate to the QI-class relation
+    * (metadata-scale: |langs|·|sources|·|buckets|); the per-k rollup
+    * replicates only that class relation (explode × 3), never
+    * documents. Map-side combine carries the class counts.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityFrom(Tables.documents(spark, dir))
+
+  def kAnonymityFrom(docs: DataFrame): DataFrame = {
+    val cls = docs.select(col("lang"), col("source"),
+        (call_function("div", col("n_chars"), lit(KAnonBucket))
+          * KAnonBucket).as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("sz"))
+    cls.select(explode(
+        array(KAnonThresholds.map(k => lit(k)): _*)).as("k"), col("sz"))
+      .groupBy("k").agg(
+        count(lit(1)).as("n_classes"),
+        sum("sz").cast("long").as("n_rows"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+          .as("classes_at_risk"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+          .cast("long").as("rows_at_risk"))
+      .select(col("k"), col("n_classes"), col("n_rows"),
+        col("classes_at_risk"), col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 9)
+          .as("risk_rate"))
+      .orderBy("k")
+  }
+
   /** SCD2 fixture knobs: 1 in [[ScdUpdMod]] suppliers (stable-hash
     * selected, the q45/q59 discipline) arrives in the day-2 update
     * batch with a changed balance; snapshot validity dates are fixed.
@@ -1311,7 +1356,8 @@ object Curation {
     "q153_domain_quality" -> (domainQuality _),
     "q157_temperature_mixture" -> (temperatureMixture _),
     "q167_cdc_merge" -> (cdcMerge _),
-    "q171_contamination_radius" -> (contaminationRadius _))
+    "q171_contamination_radius" -> (contaminationRadius _),
+    "q173_k_anonymity" -> (kAnonymity _))
 
   /** Shared q63/q81 oracle fragment: `c` = per-doc token counts with
     * the exact running total in doc_id order (the single-threaded twin
@@ -1350,6 +1396,25 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // QI classes once, replicated per k threshold; the denominator is
+    // the same Σ sz in every k group (each class appears once per k)
+    "q173_k_anonymity" ->
+      s"""WITH cls AS (
+         |  SELECT lang, source, (n_chars // $KAnonBucket) * $KAnonBucket
+         |      AS len_bucket, count(*) AS sz
+         |  FROM documents GROUP BY 1, 2, 3),
+         |x AS (SELECT k, sz FROM cls
+         |  CROSS JOIN (SELECT UNNEST(list_value(${
+             KAnonThresholds.mkString(", ")})) AS k) ks)
+         |SELECT k, count(*) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS classes_at_risk,
+         |  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(sz) AS DOUBLE), 9) AS risk_rate
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // same stable-hash batch; checksum summed in DECIMAL(38,0) and
     // shipped as hi/lo BIGINT halves (Wide.sql, gate-safe); deletes
     // win over updates on the same key

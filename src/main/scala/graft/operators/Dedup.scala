@@ -956,6 +956,66 @@ object Dedup {
     * corpus id projection by doc_id — hash joins on the primary key,
     * reasons as a precedence CASE, no new corpus-squared work.
     */
+  /** q176 — MEDOID representative per near-dup cluster: for every
+    * multi-member q54 cluster, the member whose embedding maximizes
+    * total cosine similarity to the rest of its cluster (ties → min
+    * doc_id) — the semantically most CENTRAL copy. This upgrades the
+    * keep rule from syntactic (q89's ledger keeps by cluster id) to
+    * semantic: when near-dups differ by truncation or boilerplate, the
+    * medoid is the fullest, most representative text, which is what a
+    * training mix should retain.
+    *
+    * Determinism: each pairwise cosine rounds at 9 dp and accumulates
+    * in DECIMAL(38,12) (the q169 move — order-independent across the
+    * shuffle); the argmax is a fully tie-broken rank-1 window on the
+    * exact decimal.
+    *
+    * Scale shape: clusters are dup-mass-scale, so the member relation
+    * broadcasts into the embedding join; pairwise cosines form within
+    * clusters only (Σ cluster² — near-dup clusters are small by
+    * construction; a pathological mega-cluster is a dedup-threshold
+    * bug upstream, not this operator's load); the rank-1 cut rides
+    * WindowGroupLimit.
+    */
+  def clusterMedoids(spark: SparkSession, dir: String): DataFrame =
+    clusterMedoidsOf(dedupClusters(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  def clusterMedoidsOf(clusters: DataFrame, embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val multi = clusters.filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    // member relation is ids+sizes only (dup-mass-scale) — AQE picks
+    // broadcast when it fits; the pair join shuffles BOTH sides on
+    // cluster_id (never broadcasts embedding payloads), so pairs form
+    // bucket-locally within each cluster's partition
+    val m = embeddings
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(multi, Seq("doc_id"))
+    val pairs = m.alias("a").hint("shuffle_hash")
+      .join(m.alias("b").hint("shuffle_hash"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.doc_id").as("doc_id"),
+        col("a.cluster_size").as("cluster_size"),
+        round(call_function("cosine_similarity",
+          col("a.emb"), col("b.emb")), 9).cast(dec).as("cos"))
+    pairs.groupBy("cluster_id", "doc_id", "cluster_size")
+      .agg(sum("cos").cast(dec).as("sum_cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(desc("sum_cos"), asc("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("medoid_doc"),
+        col("cluster_size"),
+        round(col("sum_cos").cast("double") / (col("cluster_size") - 1), 9)
+          .as("mean_cos"))
+      .orderBy("cluster_id")
+  }
+
   def keepLedger(spark: SparkSession, dir: String): DataFrame =
     // containment cuts via the shared winnow index (one winnow pass per
     // corpus across q85/q87/q89)
@@ -1069,6 +1129,7 @@ object Dedup {
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
     "q54_dedup_clusters" -> (dedupClusters _),
+    "q176_cluster_medoids" -> (clusterMedoids _),
     "q80_source_mirrors" -> (sourceMirrors _),
     "q82_dup_spans" -> (dupSpans _),
     "q85_containment_pairs" -> (containmentPairs _),
@@ -1161,6 +1222,48 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin,
     "q54_dedup_clusters" -> fullClustersSql,
+    // embeds the q54 closure; cosines round 9 dp into DECIMAL(38,12)
+    // partials (order-independent), argmax fully tie-broken
+    "q176_cluster_medoids" ->
+      s"""WITH RECURSIVE $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |verified AS (SELECT doc_a, doc_b FROM jac
+         |  WHERE jaccard >= $JaccardMin),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION
+         |  SELECT doc_b AS u, doc_a AS v FROM verified),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v),
+         |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |csz AS (SELECT cluster_id, count(*) AS cluster_size
+         |  FROM cc GROUP BY 1),
+         |emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |mem AS (SELECT cc.doc_id, cc.cluster_id, csz.cluster_size,
+         |    emb.emb
+         |  FROM cc JOIN csz USING (cluster_id) JOIN emb USING (doc_id)
+         |  WHERE cluster_size >= 2),
+         |p AS (SELECT a.cluster_id, a.doc_id, a.cluster_size,
+         |    CAST(round(list_inner_product(a.emb, b.emb)
+         |      / (sqrt(list_inner_product(a.emb, a.emb))
+         |        * sqrt(list_inner_product(b.emb, b.emb))), 9)
+         |      AS DECIMAL(38,12)) AS cos
+         |  FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
+         |    AND a.doc_id <> b.doc_id),
+         |s AS (SELECT cluster_id, doc_id, cluster_size,
+         |    CAST(sum(cos) AS DECIMAL(38,12)) AS sum_cos
+         |  FROM p GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY sum_cos DESC, doc_id) AS rn FROM s)
+         |SELECT cluster_id, doc_id AS medoid_doc, cluster_size,
+         |  round(CAST(sum_cos AS DOUBLE) / (cluster_size - 1), 9)
+         |    AS mean_cos
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // incremental ≡ full is the contract: the oracle IS the full
     // recompute, so the hash gate proves the maintenance path exact
     "q135_incremental_clusters" -> fullClustersSql,

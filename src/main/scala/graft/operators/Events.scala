@@ -788,7 +788,57 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q174 lateness exceedance thresholds (seconds, ascending). */
+  val DisorderBucketsSec = Seq(1L, 60L, 600L)
+
+  /** q174 — EVENT-TIME DISORDER audit (watermark sizing): per event
+    * type, how far events arrive out of event-time order within their
+    * user's arrival sequence (`event_id` is the ingest sequence; the
+    * per-key running max of event time is exactly the state a
+    * per-partition watermark tracks). Reports the disorder rate, the
+    * exceedance count at each candidate watermark delay (1 s / 60 s /
+    * 600 s — the rows a `withWatermark` of that delay would DROP), and
+    * the max observed delay. This is the measurement that turns the
+    * streaming drains' watermark constants (q49/q50/q86/q93) from
+    * guesses into a sized dial — the standard pre-deploy audit for any
+    * event-time pipeline.
+    *
+    * Scale shape: ONE shuffle on user_id for the running-max window
+    * (per-user partitions, no global ordering anywhere), then one
+    * event-type aggregate with map-side combine; all features integer
+    * microseconds until the closing rate division.
+    */
+  def eventDisorder(spark: SparkSession, dir: String): DataFrame =
+    eventDisorderFrom(Tables.events(spark, dir))
+
+  def eventDisorderFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val delay = greatest(lit(0L),
+      coalesce(max(col("tus")).over(w), col("tus")) - col("tus"))
+    val d = events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("delay_us", delay)
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      sum(when(col("delay_us") > 0L, 1L).otherwise(0L)).as("n_disordered")) ++
+      DisorderBucketsSec.map(s =>
+        sum(when(col("delay_us") > s * 1000000L, 1L).otherwise(0L))
+          .as(s"n_late_${s}s")) :+
+      max("delay_us").as("max_delay_us")
+    d.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_events"), col("n_disordered"),
+        col("n_late_1s"), col("n_late_60s"), col("n_late_600s"),
+        col("max_delay_us"),
+        round(col("n_disordered").cast("double") / col("n_events"), 9)
+          .as("disorder_rate"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_event_disorder" -> (eventDisorder _),
     "q127_impute_audit" -> (imputeAudit _),
     "q125_sliding_distinct" -> (slidingDistinct _),
     "q151_sliding_sketch" -> (slidingSketch _),
@@ -812,6 +862,28 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // same per-user running-max window keyed on the event_id ingest
+    // sequence; all-integer microsecond features, one closing division
+    "q174_event_disorder" ->
+      s"""WITH e AS (SELECT event_type, user_id, event_id,
+         |    epoch_us(ts) AS tus FROM events),
+         |d AS (SELECT event_type,
+         |    greatest(0, coalesce(max(tus) OVER (PARTITION BY user_id
+         |      ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tus)
+         |      - tus) AS delay_us
+         |  FROM e)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN delay_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disordered,
+         |${DisorderBucketsSec.map(s =>
+             s"""  CAST(sum(CASE WHEN delay_us > ${s * 1000000L} THEN 1
+                |    ELSE 0 END) AS BIGINT) AS n_late_${s}s,""".stripMargin)
+             .mkString("\n")}
+         |  CAST(max(delay_us) AS BIGINT) AS max_delay_us,
+         |  round(CAST(sum(CASE WHEN delay_us > 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 9) AS disorder_rate
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // deviations summed in half-cent integers; MAE = one final division
     "q127_impute_audit" ->
       s"""WITH e AS (

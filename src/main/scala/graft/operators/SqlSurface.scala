@@ -94,7 +94,11 @@ object SqlSurface {
         "frame seeks — a codec call, not a SQL expression; use " +
         "Multimodal.sampleGifFrames (the oracle regenerates the " +
         "sampled frames analytically, which would not exercise the " +
-        "decoder)"))
+        "decoder)"),
+    "q176_cluster_medoids" ->
+      ("keys the medoid selection on q54's cluster relation, embedding " +
+        "the same transitive-closure fixpoint — use " +
+        "Dedup.clusterMedoids"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

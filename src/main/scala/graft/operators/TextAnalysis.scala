@@ -841,6 +841,53 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** q175 template geometry: token-gram width, the document-frequency
+    * threshold as an exact rational (df/n_docs ≥ Num/Den — integer
+    * cross-multiplied on both engines, never a float compare), and the
+    * report cap.
+    */
+  val BoilerGramK = 2
+  val BoilerFracNum = 1
+  val BoilerFracDen = 5
+  val BoilerTopK = 50
+
+  /** q175 — per-source BOILERPLATE template mining: token n-grams that
+    * recur across ≥ [[BoilerFracNum]]/[[BoilerFracDen]] of a source's
+    * documents — the shared headers/footers/navigation idioms a
+    * crawl-curation pipeline strips BEFORE dedup and quality scoring
+    * (boilerplate inflates near-dup similarity and stuffs the token
+    * budget with zero-information mass). Source-scoped document
+    * frequency is the discriminator: a phrase can be globally common
+    * (q166's collocations) yet template-like only where one SOURCE
+    * stamps it on most of its pages.
+    *
+    * Scale shape: one explode pass to DISTINCT per-doc grams (the
+    * per-doc `array_distinct` bounds each doc's contribution to df at
+    * 1); the (source, gram) count combines map-side and is bounded by
+    * source-local gram vocabulary, not corpus size; per-source doc
+    * counts broadcast; the top-k cut lowers to TakeOrderedAndProject.
+    */
+  def boilerplateTemplates(spark: SparkSession, dir: String): DataFrame =
+    boilerplateTemplatesFrom(Tables.documents(spark, dir))
+
+  def boilerplateTemplatesFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val grams = docs.select(col("source"), w.as("w"))
+      .filter(size(col("w")) >= BoilerGramK)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (BoilerGramK - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(BoilerGramK))))))
+        .as("gram"))
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+      .join(broadcast(srcDocs), Seq("source"))
+      .filter(col("df") * BoilerFracDen >= col("n_docs") * BoilerFracNum)
+      .select(col("source"), col("gram"), col("df"), col("n_docs"),
+        round(col("df").cast("double") / col("n_docs"), 9).as("frac"))
+      .orderBy(desc("df"), asc("source"), asc("gram"))
+      .limit(BoilerTopK)
+  }
+
   /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
     * get one synthetic PII span appended (email / phone / IPv4), the
     * rest stay clean — so the driver gate exercises both the hit and
@@ -959,7 +1006,8 @@ object TextAnalysis {
     "q62_pii_scrub" -> (piiScrub _),
     "q68_source_kl" -> (sourceKl _),
     "q69_bpe_pairs" -> (bpePairs _),
-    "q166_collocations" -> (collocations _))
+    "q166_collocations" -> (collocations _),
+    "q175_boilerplate_templates" -> (boilerplateTemplates _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -982,6 +1030,24 @@ object TextAnalysis {
        |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // per-doc distinct grams bound df at 1 per doc; the frac threshold
+    // is integer cross-multiplied (never a float compare)
+    "q175_boilerplate_templates" ->
+      s"""WITH t AS (SELECT doc_id, source, ${TextFns.sql.toks} AS w
+         |  FROM documents),
+         |g AS (SELECT source, UNNEST(list_distinct(list_transform(
+         |    range(len(w) - ${BoilerGramK - 1}), i ->
+         |    array_to_string(list_slice(w, CAST(i AS BIGINT) + 1,
+         |      CAST(i AS BIGINT) + $BoilerGramK), ' ')))) AS gram
+         |  FROM t WHERE len(w) >= $BoilerGramK),
+         |sd AS (SELECT source, count(*) AS n_docs FROM documents
+         |  GROUP BY 1),
+         |d AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2)
+         |SELECT d.source, gram, df, n_docs,
+         |  round(CAST(df AS DOUBLE) / n_docs, 9) AS frac
+         |FROM d JOIN sd USING (source)
+         |WHERE df * $BoilerFracDen >= n_docs * $BoilerFracNum
+         |ORDER BY df DESC, source, gram LIMIT $BoilerTopK""".stripMargin,
     "q17_token_stats" ->
       s"""$toksCte
          |SELECT doc_id, len(w) AS n_tokens_ws,

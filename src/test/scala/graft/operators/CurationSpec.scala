@@ -742,4 +742,27 @@ class CurationSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("kAnonymity (q173)") {
+    it("counts classes and rows below each k over the (lang,source,bucket) QI") {
+      // 4 equivalence classes of sizes 1 / 2 / 5 / 10 (n_chars buckets
+      // 0, 0, 100, 200) over 18 rows
+      var id = 0L
+      def mk(n: Int, lang: String, src: String, chars: Long) =
+        (1 to n).map { _ => id += 1; (id, "t", lang, src, chars) }
+      val d = docs((mk(1, "en", "A", 10L) ++ mk(2, "en", "B", 20L) ++
+        mk(5, "de", "A", 150L) ++ mk(10, "de", "B", 250L)): _*)
+      val r = Curation.kAnonymityFrom(d).collect()
+      assert(r.map(_.getAs[Int]("k")).toSeq == Seq(2, 5, 10))
+      assert(r.forall(_.getAs[Long]("n_classes") == 4L))
+      assert(r.forall(_.getAs[Long]("n_rows") == 18L))
+      val byK = r.map(x => x.getAs[Int]("k") ->
+        (x.getAs[Long]("classes_at_risk"), x.getAs[Long]("rows_at_risk"))).toMap
+      assert(byK(2) == (1L, 1L))
+      assert(byK(5) == (2L, 3L))
+      assert(byK(10) == (3L, 8L))
+      assert(r.find(_.getAs[Int]("k") == 10).get
+        .getAs[Double]("risk_rate") == math.rint(8.0 / 18.0 * 1e9) / 1e9)
+    }
+  }
 }

@@ -488,4 +488,38 @@ class DedupSpec extends AnyFunSpec {
       assert(r(0).getAs[Double]("edit_sim") == 1.0)
     }
   }
+
+  describe("clusterMedoids (q176)") {
+    it("picks the most-central member, breaks two-member ties by min id") {
+      val clusters = Seq(
+        (10L, 1L, 3L), (11L, 1L, 3L), (12L, 1L, 3L), // triangle
+        (20L, 2L, 2L), (21L, 2L, 2L), // symmetric pair
+        (30L, 3L, 1L)) // singleton — excluded
+        .toDF("doc_id", "cluster_id", "cluster_size")
+      val emb = Seq(
+        (10L, Array(1f, 0f, 0f), 0),
+        (11L, Array(0.9f, 0.1f, 0f), 0), // between 10 and 12 → medoid
+        (12L, Array(0f, 1f, 0f), 0),
+        (20L, Array(1f, 0f, 0f), 0),
+        (21L, Array(1f, 1f, 0f), 0),
+        (30L, Array(0f, 0f, 1f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Dedup.clusterMedoidsOf(clusters, emb).collect()
+      assert(r.map(_.getAs[Long]("cluster_id")).toSeq == Seq(1L, 2L))
+      val byC = r.map(x => x.getAs[Long]("cluster_id") -> x).toMap
+      assert(byC(1L).getAs[Long]("medoid_doc") == 11L)
+      assert(byC(1L).getAs[Long]("cluster_size") == 3L)
+      // symmetric pair: identical sums on both sides → min doc_id
+      assert(byC(2L).getAs[Long]("medoid_doc") == 20L)
+      // pair mean = the single pairwise cosine, rounded at 9 dp
+      val v20 = Array(1.0, 0.0, 0.0)
+      val v21 = Seq(1f, 1f, 0f).map(_.toDouble).toArray
+      val cos = v20.zip(v21).map { case (a, b) => a * b }.sum /
+        (math.sqrt(v20.map(x => x * x).sum) *
+          math.sqrt(v21.map(x => x * x).sum))
+      val expected = BigDecimal(cos)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(byC(2L).getAs[Double]("mean_cos") == expected)
+    }
+  }
 }

@@ -483,4 +483,41 @@ class EventsSpec extends AnyFunSpec {
         ex.keySet)
     }
   }
+
+  describe("eventDisorder (q174)") {
+    it("measures per-user out-of-order delays against the ingest sequence") {
+      // user 1 (clicks), ingest order = event_id: ts 10:00, 10:05,
+      // 10:03 (2 min late), 09:50 (15 min late vs the 10:05 high-water)
+      // user 2 (purchases): perfectly ordered
+      val r = Events.eventDisorderFrom(events(
+          (1, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+          (2, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+          (3, ts("2024-01-01 10:03:00"), 1L, "click", 1.0, "{}"),
+          (4, ts("2024-01-01 09:50:00"), 1L, "click", 1.0, "{}"),
+          (5, ts("2024-01-01 10:00:00"), 2L, "purchase", 1.0, "{}"),
+          (6, ts("2024-01-01 10:01:00"), 2L, "purchase", 1.0, "{}")))
+        .collect().map(x => x.getAs[String]("event_type") -> x).toMap
+      val c = r("click")
+      assert(c.getAs[Long]("n_events") == 4L)
+      assert(c.getAs[Long]("n_disordered") == 2L)
+      assert(c.getAs[Long]("n_late_1s") == 2L) // both delays exceed 1 s
+      assert(c.getAs[Long]("n_late_60s") == 2L) // 120 s and 900 s
+      assert(c.getAs[Long]("n_late_600s") == 1L) // only the 900 s one
+      assert(c.getAs[Long]("max_delay_us") == 900L * 1000000L)
+      assert(c.getAs[Double]("disorder_rate") == 0.5)
+      val p = r("purchase")
+      assert(p.getAs[Long]("n_disordered") == 0L &&
+        p.getAs[Long]("max_delay_us") == 0L)
+    }
+
+    it("delays are measured within a user, not across users") {
+      // user 2's early event lands AFTER user 1's late one in the
+      // ingest sequence but is not late relative to user 1's clock
+      val r = Events.eventDisorderFrom(events(
+          (1, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"),
+          (2, ts("2024-01-01 08:00:00"), 2L, "click", 1.0, "{}")))
+        .collect()
+      assert(r.head.getAs[Long]("n_disordered") == 0L)
+    }
+  }
 }

@@ -527,4 +527,34 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(cl.distinct.length == cl.length)
     }
   }
+
+  describe("boilerplateTemplates (q175)") {
+    it("counts source-scoped document frequency with per-doc distinct grams") {
+      // source A (4 docs): "alpha beta" in 3 docs — one of them TWICE
+      // (must count df once); "beta gamma" rides along in 2.
+      // source B (1 doc): every bigram trivially passes df*5 >= n_docs.
+      val d = Seq(
+        (1L, "alpha beta gamma", "en", "A", 16L),
+        (2L, "alpha beta alpha beta", "en", "A", 21L), // dup gram in doc
+        (3L, "x alpha beta gamma", "en", "A", 18L),
+        (4L, "one two", "en", "A", 7L),
+        (5L, "solo text", "en", "B", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = TextAnalysis.boilerplateTemplatesFrom(d).collect()
+      val byKey = r.map(x => (x.getAs[String]("source"),
+        x.getAs[String]("gram")) -> x.getAs[Long]("df")).toMap
+      assert(byKey(("A", "alpha beta")) == 3L) // distinct per doc, not 4
+      assert(byKey(("A", "beta gamma")) == 2L)
+      assert(byKey(("B", "solo text")) == 1L)
+      // threshold: df*5 >= n_docs — "one two" (df 1 of 4 docs) passes
+      // 5 >= 4; every emitted row satisfies the exact rational cut
+      r.foreach { x =>
+        assert(x.getAs[Long]("df") * TextAnalysis.BoilerFracDen >=
+          x.getAs[Long]("n_docs") * TextAnalysis.BoilerFracNum)
+      }
+      // ordering: df desc, then source, gram; "alpha beta" leads
+      assert(r.head.getAs[String]("gram") == "alpha beta")
+      assert(r.head.getAs[Double]("frac") == 0.75)
+    }
+  }
 }
