@@ -484,6 +484,81 @@ object Analytics {
       .limit(CoocTopK)
   }
 
+  /** q177 cutoff ranks evaluated (ascending) and the minimum pair
+    * support a candidate edge needs.
+    */
+  val RecEvalKs = Seq(1, 5, 10)
+  val RecMinSupport = 2
+
+  /** q177 — LEAVE-LAST-OUT recommender evaluation: hold out each
+    * user's LAST item (by event time, event-id tie-break), recommend
+    * by summed co-occurrence support between the user's HISTORY items
+    * and candidate items, and report hit-rate@k for k ∈
+    * [[RecEvalKs]] — the offline eval loop behind every "related
+    * items" surface built on q66's co-occurrence statistics. The
+    * support pool is built from history events ONLY (every user's last
+    * event is excluded globally), so a user's own held-out interaction
+    * never leaks into the scores that rank it. Eval users = those
+    * whose target is genuinely novel (∉ history) and who have ≥1
+    * history item; candidates already in the history are excluded.
+    *
+    * Scale shape: the hold-out split is one per-user window; pair
+    * support is the q66 basket self-join (Σ basket² — the irreducible
+    * exact-co-occurrence cost) with a support cut bounding the edge
+    * relation; scoring joins history rows to the item-keyed edge
+    * relation and folds per (user, candidate); the hit rank is one
+    * per-user rank-1-style window; the k-arm rollup replicates only
+    * the per-user hit ranks (× |Ks|), never events.
+    */
+  def recHitRate(spark: SparkSession, dir: String): DataFrame =
+    recHitRateFrom(Tables.events(spark, dir))
+
+  def recHitRateFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ev = events
+      .select(col("user_id"), item.as("item"), col("ts"), col("event_id"))
+      .filter(col("item").isNotNull)
+    val wu = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val ranked = ev.withColumn("rn", row_number().over(wu))
+    val last = ranked.filter(col("rn") === 1)
+      .select(col("user_id"), col("item").as("target"))
+    val hist = ranked.filter(col("rn") > 1)
+      .select("user_id", "item").distinct()
+    val evalU = last
+      .join(hist.select(col("user_id"), col("item").as("target")),
+        Seq("user_id", "target"), "left_anti")
+      .join(hist.select("user_id").distinct(), Seq("user_id"), "left_semi")
+    val pairSupport = hist.alias("a").join(hist.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= RecMinSupport)
+    val scores = hist.join(evalU, Seq("user_id"))
+      .join(pairSupport, col("item") === col("src"))
+      .groupBy(col("user_id"), col("target"), col("dst"))
+      .agg(sum("support").as("score"))
+      .join(hist.select(col("user_id"), col("item").as("dst")),
+        Seq("user_id", "dst"), "left_anti")
+    val hitRank = scores
+      .withColumn("rk", row_number().over(Window.partitionBy("user_id")
+        .orderBy(desc("score"), asc("dst"))))
+      .filter(col("dst") === col("target"))
+      .groupBy("user_id").agg(min("rk").as("hit_rk"))
+    evalU.join(hitRank, Seq("user_id"), "left")
+      .select(explode(array(RecEvalKs.map(k => lit(k)): _*)).as("k"),
+        col("hit_rk"))
+      .groupBy("k").agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("hit_rk") <= col("k"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("k"), col("n_users"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_users"), 9)
+          .as("hit_rate"))
+      .orderBy("k")
+  }
+
   /** q73 MAD multiplier: production pipelines run 3–5; the fixture's
     * near-uniform `value` has no tail beyond ~2 scaled MADs, so the
     * gate uses 1.0 to exercise the flag path (same fixture rationale as
@@ -1693,6 +1768,7 @@ object Analytics {
     "q149_metric_corr" -> (metricCorr _),
     "q150_benford_audit" -> (benfordAudit _),
     "q161_decayed_popularity" -> (decayedPopularity _),
+    "q177_rec_hit_rate" -> (recHitRate _),
     "q169_cramers_v" -> (cramersV _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
@@ -1805,6 +1881,52 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // leave-last-out protocol: the support pool is history-only (rn>1),
+    // exclusions via LEFT JOIN ... IS NULL (the q162 anti-join
+    // spelling), rank ties broken (score DESC, dst)
+    "q177_rec_hit_rate" ->
+      s"""WITH it AS (SELECT user_id, CAST(NULLIF(regexp_extract(props,
+         |      '"k":\\s*(\\d+)', 1), '') AS INT) AS item, ts, event_id
+         |  FROM events),
+         |ev AS (SELECT * FROM it WHERE item IS NOT NULL),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev),
+         |lst AS (SELECT user_id, item AS target FROM rk WHERE rn = 1),
+         |hist AS (SELECT DISTINCT user_id, item FROM rk WHERE rn > 1),
+         |hu AS (SELECT DISTINCT user_id FROM hist),
+         |ej AS (SELECT l.user_id, l.target, h.item AS seen
+         |  FROM lst l LEFT JOIN hist h
+         |    ON h.user_id = l.user_id AND h.item = l.target),
+         |evalu AS (SELECT ej.user_id, ej.target FROM ej
+         |  JOIN hu ON hu.user_id = ej.user_id WHERE seen IS NULL),
+         |ps AS (SELECT a.item AS src, b.item AS dst, count(*) AS support
+         |  FROM hist a JOIN hist b
+         |    ON a.user_id = b.user_id AND a.item <> b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $RecMinSupport),
+         |sc AS (SELECT e.user_id, e.target, p.dst,
+         |    CAST(sum(p.support) AS BIGINT) AS score
+         |  FROM hist h JOIN evalu e ON h.user_id = e.user_id
+         |  JOIN ps p ON h.item = p.src
+         |  GROUP BY 1, 2, 3),
+         |scx AS (SELECT s.user_id, s.target, s.dst, s.score
+         |  FROM sc s LEFT JOIN hist h
+         |    ON h.user_id = s.user_id AND h.item = s.dst
+         |  WHERE h.item IS NULL),
+         |rr AS (SELECT user_id, target, dst, row_number() OVER
+         |    (PARTITION BY user_id ORDER BY score DESC, dst) AS rk2
+         |  FROM scx),
+         |hr AS (SELECT user_id, min(rk2) AS hit_rk FROM rr
+         |  WHERE dst = target GROUP BY 1),
+         |arms AS (SELECT e.user_id, h.hit_rk, k
+         |  FROM evalu e LEFT JOIN hr h USING (user_id)
+         |  CROSS JOIN (SELECT UNNEST(list_value(${
+             RecEvalKs.mkString(", ")})) AS k) ks)
+         |SELECT k, count(*) AS n_users,
+         |  CAST(sum(CASE WHEN hit_rk <= k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN hit_rk <= k THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 9) AS hit_rate
+         |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact dyadic weights (1 << shift) summed in DECIMAL(38,0),
     // shipped as hi/lo BIGINT halves (Wide.sql, gate-safe) — the
     // q149 discipline; both engines share the << operator and the

@@ -841,6 +841,67 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** q178 keep-cut: retain docs at or above the Num/Den percentile of
+    * the quality score (top 30%), compared under two policies.
+    */
+  val CalibKeepNum = 7
+  val CalibKeepDen = 10
+
+  /** q178 — CALIBRATED quality cut: per language, how many documents a
+    * top-30% quality filter keeps under (a) one GLOBAL raw-score
+    * threshold versus (b) a WITHIN-LANGUAGE percentile threshold
+    * (quantile calibration). This quantifies exactly the failure q165's
+    * AUC diagnoses: an English-tuned score under a global cut starves
+    * low-scoring languages out of the mix, while the calibrated cut
+    * keeps ~30% of every language by construction. Percentiles are
+    * mid-rank exact rationals at the score level — p = (2·(st−1)+cv) /
+    * (2·n) — and the keep test cross-multiplies integers (never a
+    * float compare), so ties share one fate on both engines.
+    *
+    * Scale shape: docs fold once to the (lang, score) relation (score
+    * cardinality ≤ 1e6 at 6 dp × languages); the within-language
+    * cumulative rides lang-partitioned windows; the global cumulative
+    * orders the score-level relation only (the q165 precedent — never
+    * documents); output is languages-sized.
+    */
+  def calibratedCut(spark: SparkSession, dir: String): DataFrame =
+    calibratedCutFrom(Tables.documents(spark, dir))
+
+  def calibratedCutFrom(docs: DataFrame): DataFrame = {
+    val scored = qualityFeatures(docs, Seq("lang"))
+      .select(col("lang"), col("quality_score").as("qs"))
+      .filter(col("qs").isNotNull)
+    val byLS = scored.groupBy("lang", "qs").agg(count(lit(1)).as("c"))
+    val wL = Window.partitionBy("lang").orderBy("qs")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lang = byLS
+      .withColumn("stL", coalesce(sum("c").over(wL), lit(0L)) + 1)
+      .withColumn("nL", sum("c").over(Window.partitionBy("lang")))
+    val wG = Window.orderBy("qs")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val glob = byLS.groupBy("qs").agg(sum("c").as("cg"))
+      .withColumn("stG", coalesce(sum("cg").over(wG), lit(0L)) + 1)
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_all"))))
+    val j = lang.join(glob.select(col("qs"), col("stG"), col("cg"),
+      col("n_all")), Seq("qs"))
+    val p2L = lit(2L) * (col("stL") - 1) + col("c")
+    val p2G = lit(2L) * (col("stG") - 1) + col("cg")
+    def kept(p2: Column, n: Column): Column =
+      sum(when(p2 * CalibKeepDen >= lit(2L * CalibKeepNum) * n,
+        col("c")).otherwise(0L)).cast("long")
+    j.groupBy("lang").agg(
+        sum("c").cast("long").as("n_docs"),
+        kept(p2G, col("n_all")).as("kept_raw"),
+        kept(p2L, col("nL")).as("kept_calib"))
+      .select(col("lang"), col("n_docs"), col("kept_raw"),
+        col("kept_calib"),
+        round(col("kept_raw").cast("double") / col("n_docs"), 9)
+          .as("rate_raw"),
+        round(col("kept_calib").cast("double") / col("n_docs"), 9)
+          .as("rate_calib"))
+      .orderBy("lang")
+  }
+
   /** q175 template geometry: token-gram width, the document-frequency
     * threshold as an exact rational (df/n_docs ≥ Num/Den — integer
     * cross-multiplied on both engines, never a float compare), and the
@@ -1007,7 +1068,8 @@ object TextAnalysis {
     "q68_source_kl" -> (sourceKl _),
     "q69_bpe_pairs" -> (bpePairs _),
     "q166_collocations" -> (collocations _),
-    "q175_boilerplate_templates" -> (boilerplateTemplates _))
+    "q175_boilerplate_templates" -> (boilerplateTemplates _),
+    "q178_calibrated_cut" -> (calibratedCut _))
 
   private val toksCte =
     s"WITH toks AS (SELECT doc_id, text, lang, ${TextFns.sql.toks} AS w FROM documents)"
@@ -1029,7 +1091,64 @@ object TextAnalysis {
        |  FROM k WHERE len(kh) >= $WinnowW),
        |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)""".stripMargin
 
+  /** Shared q165/q178 oracle fragment: `f` = per-doc (lang, 6-dp
+    * quality score qs), the SQL twin of `qualityFeatures(_, Seq("lang"))`.
+    */
+  private val langQualitySql =
+    s"""feat AS (
+       |  SELECT lang, len(${TextFns.sql.toks}) AS n_tokens,
+       |    len(${TextFns.sql.keepIn(TextFns.sql.toks, Stopwords)})
+       |      AS stop_hits,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+       |  FROM documents),
+       |q AS (
+       |  SELECT lang,
+       |    round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
+       |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
+       |      6) AS qs
+       |  FROM feat),
+       |f AS (SELECT * FROM q WHERE qs IS NOT NULL)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // mid-rank percentiles as exact rationals at the score level; the
+    // keep test cross-multiplies integers; window sums CAST back from
+    // HUGEINT (the q165 discipline)
+    "q178_calibrated_cut" ->
+      s"""WITH $langQualitySql,
+         |ls AS (SELECT lang, qs, count(*) AS c FROM f GROUP BY 1, 2),
+         |lr AS (SELECT lang, qs, c,
+         |    CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY qs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         |      AS BIGINT) AS stl,
+         |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS nl
+         |  FROM ls),
+         |gs AS (SELECT qs, CAST(sum(c) AS BIGINT) AS cg FROM ls
+         |  GROUP BY 1),
+         |gr AS (SELECT qs, cg,
+         |    CAST(coalesce(sum(cg) OVER (ORDER BY qs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         |      AS BIGINT) AS stg
+         |  FROM gs),
+         |tot AS (SELECT count(*) AS n_all FROM f),
+         |j AS (SELECT lr.lang, lr.c,
+         |    2 * (lr.stl - 1) + lr.c AS p2l, lr.nl,
+         |    2 * (gr.stg - 1) + gr.cg AS p2g
+         |  FROM lr JOIN gr USING (qs))
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p2g * $CalibKeepDen >=
+         |    ${2 * CalibKeepNum} * n_all THEN c ELSE 0 END) AS BIGINT)
+         |    AS kept_raw,
+         |  CAST(sum(CASE WHEN p2l * $CalibKeepDen >=
+         |    ${2 * CalibKeepNum} * nl THEN c ELSE 0 END) AS BIGINT)
+         |    AS kept_calib,
+         |  round(CAST(sum(CASE WHEN p2g * $CalibKeepDen >=
+         |    ${2 * CalibKeepNum} * n_all THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS BIGINT), 9) AS rate_raw,
+         |  round(CAST(sum(CASE WHEN p2l * $CalibKeepDen >=
+         |    ${2 * CalibKeepNum} * nl THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS BIGINT), 9) AS rate_calib
+         |FROM j CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-doc distinct grams bound df at 1 per doc; the frac threshold
     // is integer cross-multiplied (never a float compare)
     "q175_boilerplate_templates" ->
@@ -1059,20 +1178,7 @@ object TextAnalysis {
     // the q132 doubled-rank identity over the 6-dp score; integer to
     // one NULLIF-guarded closing division
     "q165_score_bias_auc" ->
-      s"""WITH feat AS (
-         |  SELECT lang, len(${TextFns.sql.toks}) AS n_tokens,
-         |    len(${TextFns.sql.keepIn(TextFns.sql.toks, Stopwords)})
-         |      AS stop_hits,
-         |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
-         |  FROM documents),
-         |q AS (
-         |  SELECT lang,
-         |    round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-         |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
-         |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
-         |      6) AS qs
-         |  FROM feat),
-         |f AS (SELECT * FROM q WHERE qs IS NOT NULL),
+      s"""WITH $langQualitySql,
          |ls AS (SELECT qs, lang, count(*) AS c FROM f GROUP BY 1, 2),
          |s AS (SELECT qs, CAST(sum(c) AS BIGINT) AS cv FROM ls GROUP BY 1),
          |rk AS (SELECT qs, cv,

@@ -853,4 +853,40 @@ class AnalyticsSpec extends AnyFunSpec {
           x.getAs[Long]("n_exact"), x.getAs[Long]("est_cm"))).toSeq)
     }
   }
+
+  describe("recHitRate (q177)") {
+    it("leave-last-out over a history-only support pool") {
+      def e(id: Long, t: String, user: Long, item: Int) =
+        (id, ts(s"2024-01-01 $t"), user, "click", 1.0, s"""{"k": $item}""")
+      // history baskets: u1{1,2} u2{1,3} u3{1} u4{2} u5{1,3} u6{2,3};
+      // only pair (1,3) reaches support 2 (u2, u5). Targets: u1→3 (hit
+      // via 1→3), u2→2 (candidates all already-seen), u3→3 (hit),
+      // u4→3 (item 2 has no surviving edge), u5→9 (novel item),
+      // u6→1 (hit via 3→1). 3 hits of 6 eval users at every k.
+      val r = Analytics.recHitRateFrom(events(
+          e(1, "10:00:00", 1, 1), e(2, "10:01:00", 1, 2), e(3, "10:02:00", 1, 3),
+          e(4, "10:00:00", 2, 1), e(5, "10:01:00", 2, 3), e(6, "10:02:00", 2, 2),
+          e(7, "10:00:00", 3, 1), e(8, "10:01:00", 3, 3),
+          e(9, "10:00:00", 4, 2), e(10, "10:01:00", 4, 3),
+          e(11, "10:00:00", 5, 1), e(12, "10:01:00", 5, 3), e(13, "10:02:00", 5, 9),
+          e(14, "10:00:00", 6, 2), e(15, "10:01:00", 6, 3), e(16, "10:02:00", 6, 1)))
+        .collect()
+      assert(r.map(_.getAs[Int]("k")).toSeq == Seq(1, 5, 10))
+      assert(r.forall(_.getAs[Long]("n_users") == 6L))
+      assert(r.forall(_.getAs[Long]("n_hits") == 3L))
+      assert(r.forall(_.getAs[Double]("hit_rate") == 0.5))
+    }
+
+    it("a user whose target was already in their history is excluded") {
+      def e(id: Long, t: String, user: Long, item: Int) =
+        (id, ts(s"2024-01-01 $t"), user, "click", 1.0, s"""{"k": $item}""")
+      // u7 revisits item 1 at the end → target ∈ history → not an eval
+      // user; u8 has no history at all → also excluded
+      val r = Analytics.recHitRateFrom(events(
+          e(1, "10:00:00", 7, 1), e(2, "10:01:00", 7, 2), e(3, "10:02:00", 7, 1),
+          e(4, "10:00:00", 8, 5)))
+        .collect()
+      assert(r.isEmpty, "no eval users -> no k-arm rows")
+    }
+  }
 }

@@ -557,4 +557,31 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(r.head.getAs[Double]("frac") == 0.75)
     }
   }
+
+  describe("calibratedCut (q178)") {
+    it("global raw cut starves the minority language; calibrated keeps ~30% each") {
+      // score is strictly increasing in token count ("data" is not a
+      // stopword): en gets 10 distinct score levels (1..10 tokens), de
+      // gets the SAME first 5 levels (scores tie across languages).
+      // Top-30% mid-rank math: global cut keeps token counts >= 6 —
+      // all en, ZERO de; the within-language cut keeps en ranks
+      // 8,9,10 (3 of 10) and de ranks 4,5 (2 of 5).
+      val rows =
+        (1 to 10).map(k => (k.toLong, Seq.fill(k)("data").mkString(" "),
+          "en", "s", 5L * k)) ++
+        (1 to 5).map(k => (100L + k, Seq.fill(k)("data").mkString(" "),
+          "de", "s", 5L * k))
+      val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = TextAnalysis.calibratedCutFrom(d).collect()
+        .map(x => x.getAs[String]("lang") -> x).toMap
+      assert(r("en").getAs[Long]("n_docs") == 10L)
+      assert(r("en").getAs[Long]("kept_raw") == 5L)
+      assert(r("en").getAs[Long]("kept_calib") == 3L)
+      assert(r("de").getAs[Long]("n_docs") == 5L)
+      assert(r("de").getAs[Long]("kept_raw") == 0L) // starved
+      assert(r("de").getAs[Long]("kept_calib") == 2L) // rescued
+      assert(r("de").getAs[Double]("rate_calib") == 0.4)
+      assert(r("en").getAs[Double]("rate_calib") == 0.3)
+    }
+  }
 }
