@@ -68,6 +68,68 @@ object Dedup {
         (sum("c") - count(lit(1))).as("n_dup_docs"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_clusters"))
 
+  /** q179 weight scale: per-doc weights are round-half-up(1e9 / size)
+    * fixed-point integers, so sums stay exact and order-independent.
+    */
+  val SoftW9 = 1000000000L
+
+  /** q179 — SOFT-dedup sampling weights: instead of cutting duplicate
+    * documents (q89), downweight them — each doc weighs 1/size of its
+    * exact-duplicate cluster (q21's normalized-fp groups), so every
+    * unique content unit contributes total weight 1 split across its
+    * corpus-WIDE copies. Per source this reports the effective
+    * document and token mass a weight-aware sampler would draw
+    * (mirrored boilerplate collapses, unique content keeps full mass)
+    * and the effective/raw fractions — the soft alternative to hard
+    * dedup when near-identical copies still carry signal.
+    *
+    * Determinism/scale: weights are fixed-point integers
+    * w9 = ⌊(2·10⁹ + size) / (2·size)⌋ (round-half-up of 10⁹/size —
+    * both engines share the integral-divide spelling), summed in
+    * DECIMAL(38,0) and shipped as [[graft.functions.Wide]] hi/lo
+    * BIGINT halves; the closing fractions round half-up in INTEGER
+    * math (another integral divide) before one identical double
+    * division, so no engine ever rounds a double near a boundary. One
+    * fp-partitioned window (the q21 shuffle) then one source-grained
+    * aggregate; output is sources-sized.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeightsFrom(Tables.documents(spark, dir))
+
+  def softDedupWeightsFrom(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val sized = Tables.widened(docs, col("doc_id"))
+      .select(col("source"), md5(normText).as("fp"),
+        size(TextFns.toks(col("text"))).cast("long").as("t"))
+      .withColumn("cs", count(lit(1)).over(w))
+    val w9 = call_function("div",
+      lit(2L * SoftW9) + col("cs"), lit(2L) * col("cs"))
+    // exact round-half-up((tot/n) in 1e-9 units) as an integral divide,
+    // then ONE identical double division on both engines — a round()
+    // over ed/(1e9·n) would sit exactly on half-up boundaries whenever
+    // the rational terminates (cluster sizes 2, 5, …), where the two
+    // engines' double rounding can split
+    def frac(tot: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("div", tot * lit(2) + n.cast(dec), (n * lit(2)).cast(dec))
+        .cast("double") / lit(1.0e9)
+    sized.select(col("source"), col("t"), w9.as("w9"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("t").as("n_tokens"),
+        sum(col("w9").cast(dec)).as("ed"),
+        sum(col("t").cast(dec) * col("w9")).as("et"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Wide.hi62(col("ed")).as("eff_docs_hi"),
+        graft.functions.Wide.lo62(col("ed")).as("eff_docs_lo"),
+        graft.functions.Wide.hi62(col("et")).as("eff_tokens_hi"),
+        graft.functions.Wide.lo62(col("et")).as("eff_tokens_lo"),
+        frac(col("ed"), col("n_docs")).as("eff_doc_frac"),
+        frac(col("et"), col("n_tokens")).as("eff_token_frac"))
+      .orderBy("source")
+  }
+
   /** Per-doc (band_id, band_key) rows: minhash signature split into
     * bands, each band keyed by the md5 of its concatenated minhashes.
     */
@@ -1125,6 +1187,7 @@ object Dedup {
     "q135_incremental_clusters" -> (incrementalClusters _),
     "q137_incremental_containment" -> (incrementalContainment _),
     "q21_exact_dedup" -> (exactDedup _),
+    "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
@@ -1197,6 +1260,30 @@ object Dedup {
          |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
          |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters
          |FROM grouped""".stripMargin,
+    // w9 = round-half-up(1e9/size) via integral divide; HUGEINT sums
+    // shipped as Wide hi/lo halves; the closing fractions rebuild the
+    // double from the halves with the identical expression Spark uses
+    "q179_soft_dedup_weights" ->
+      s"""WITH d AS (SELECT source, md5($normSql) AS fp,
+         |    CAST(len(${TextFns.sql.toks}) AS BIGINT) AS t FROM documents),
+         |s AS (SELECT source, t, count(*) OVER (PARTITION BY fp) AS cs FROM d),
+         |w AS (SELECT source, t, (${2 * SoftW9} + cs) // (2 * cs) AS w9 FROM s),
+         |a AS (SELECT source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens,
+         |    sum(CAST(w9 AS HUGEINT)) AS ed, sum(CAST(t AS HUGEINT) * w9) AS et
+         |  FROM w GROUP BY 1),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |    ${graft.functions.Wide.sql.hi62("ed")} AS eff_docs_hi,
+         |    ${graft.functions.Wide.sql.lo62("ed")} AS eff_docs_lo,
+         |    ${graft.functions.Wide.sql.hi62("et")} AS eff_tokens_hi,
+         |    ${graft.functions.Wide.sql.lo62("et")} AS eff_tokens_lo
+         |  FROM a)
+         |SELECT p.source, p.n_docs, p.n_tokens, eff_docs_hi, eff_docs_lo,
+         |  eff_tokens_hi, eff_tokens_lo,
+         |  CAST(CAST((2 * a.ed + a.n_docs) // (2 * a.n_docs) AS BIGINT)
+         |    AS DOUBLE) / 1.0e9 AS eff_doc_frac,
+         |  CAST(CAST((2 * a.et + a.n_tokens) // (2 * a.n_tokens) AS BIGINT)
+         |    AS DOUBLE) / 1.0e9 AS eff_token_frac
+         |FROM p JOIN a ON a.source = p.source ORDER BY p.source""".stripMargin,
     "q22_minhash_candidates" ->
       s"""WITH $bandsSql,
          |$candidatePairsSql

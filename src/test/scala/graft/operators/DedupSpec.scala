@@ -44,6 +44,47 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("softDedupWeights (q179)") {
+    it("splits each content unit's weight across its corpus-wide copies") {
+      // cluster "alpha beta" has 3 copies (1 in A, 2 in B) → each
+      // weighs round(1e9/3) = 333333333; singletons weigh 1e9
+      val d = Seq(
+          (1L, "alpha beta", "en", "A", 10L),
+          (4L, "unique one two three", "en", "A", 20L),
+          (2L, "alpha beta", "en", "B", 10L),
+          (3L, "Alpha  beta!", "en", "B", 12L), // normalizes identical
+          (5L, "solo", "en", "B", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.softDedupWeightsFrom(d).collect()
+        .map(x => x.getAs[String]("source") -> x).toMap
+      val a = r("A")
+      assert(a.getAs[Long]("n_docs") == 2L)
+      assert(a.getAs[Long]("n_tokens") == 6L) // 2 + 4
+      assert(a.getAs[Long]("eff_docs_hi") == 0L)
+      assert(a.getAs[Long]("eff_docs_lo") == 333333333L + 1000000000L)
+      assert(a.getAs[Long]("eff_tokens_lo") ==
+        2L * 333333333L + 4L * 1000000000L)
+      // 1333333333 / 2 rounds half-up to 666666667 in INTEGER math —
+      // the boundary a double round() could split across engines
+      assert(a.getAs[Double]("eff_doc_frac") == 666666667.0 / 1.0e9)
+      val b = r("B")
+      assert(b.getAs[Long]("n_docs") == 3L)
+      assert(b.getAs[Long]("n_tokens") == 5L) // 2 + 2 + 1
+      assert(b.getAs[Long]("eff_docs_lo") == 2L * 333333333L + 1000000000L)
+      assert(b.getAs[Long]("eff_tokens_lo") == 4L * 333333333L + 1000000000L)
+      // (2·1666666666 + 3) div 6 = 555555555 (rounds down from .33)
+      assert(b.getAs[Double]("eff_doc_frac") == 555555555.0 / 1.0e9)
+    }
+
+    it("an all-unique corpus keeps full mass: frac exactly 1.0") {
+      val r = Dedup.softDedupWeightsFrom(docs(
+          (1L, "aa bb"), (2L, "cc dd ee"))).collect()(0)
+      assert(r.getAs[Long]("eff_docs_lo") == 2000000000L)
+      assert(r.getAs[Double]("eff_doc_frac") == 1.0)
+      assert(r.getAs[Double]("eff_token_frac") == 1.0)
+    }
+  }
+
   describe("minhashCandidates (q22)") {
     it("finds exact and near duplicates, not unrelated docs") {
       val pairs = Dedup.candidatePairsFrom(Dedup.bandsFrom(corpus))
