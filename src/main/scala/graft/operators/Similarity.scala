@@ -174,6 +174,66 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q180 — how many in-bucket nearest neighbors vote on each label. */
+  val NoiseK = 5
+
+  /** q180 — kNN LABEL-NOISE audit (confident-learning-lite): for every
+    * labeled vector, its [[NoiseK]] nearest neighbors inside its SRP
+    * bucket vote; when the majority neighbor label disagrees with the
+    * vector's own label, the vector is flagged as probably mislabeled.
+    * Reported per label: vectors audited (those with ≥1 in-bucket
+    * neighbor), vectors flagged, and the noise rate — the table an
+    * annotation team triages before training on the labels. Majority =
+    * highest vote count, ties to the smaller label; ranks tie-break on
+    * (cosine desc, neighbor id), with cosine rounded at 9 dp, so the
+    * neighbor sets are bit-reproducible cross-engine.
+    *
+    * Scale shape: the q26/q38 posture — candidate pairs form ONLY
+    * within SRP buckets (Σ bucket², never corpus²; more planes shrink
+    * buckets), the per-vector K-cutoff rides a WindowGroupLimit so
+    * ~K rows per vector cross the wire, votes and the final rollup are
+    * label-cardinality-sized. The noise rate is one exact-int double
+    * division (no rounding boundary on either engine).
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame =
+    labelNoiseFrom(Tables.embeddings(spark, dir))
+
+  def labelNoiseFrom(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val bucket = (0 until NumPlanes)
+      .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
+        lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = Tables.widened(embeddings, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .withColumn("bucket", bucket)
+    val scored = b.select(col("vec_id").as("aid"), col("emb").as("a_emb"),
+        col("label").as("a_label"), col("bucket"))
+      .join(b.select(col("vec_id").as("nid"), col("emb").as("n_emb"),
+        col("label").as("n_label"), col("bucket")), Seq("bucket"))
+      .filter(col("aid") =!= col("nid"))
+      .select(col("aid"), col("a_label"), col("nid"), col("n_label"),
+        round(cosine(col("a_emb"), col("n_emb")), 9).as("cos"))
+    val votes = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("aid").orderBy(desc("cos"), asc("nid"))))
+      .filter(col("rk") <= NoiseK)
+      .groupBy("aid", "a_label", "n_label")
+      .agg(count(lit(1)).as("v"))
+    votes
+      .withColumn("mr", row_number().over(
+        Window.partitionBy("aid").orderBy(desc("v"), asc("n_label"))))
+      .filter(col("mr") === 1)
+      .groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("n_label") =!= col("a_label"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("noise_rate",
+        col("n_flagged").cast("double") / col("n_vectors"))
+      .orderBy("label")
+  }
+
   /** q83 coarse space dims and per-query candidate pool width. */
   val RerankDims = 16
   val RerankCand = 100
@@ -1529,6 +1589,7 @@ object Similarity {
     "q25_knn_bruteforce" -> (knnBrute _),
     "q119_matryoshka_recall" -> (matryoshkaRecall _),
     "q26_ann_lsh" -> (annLsh _),
+    "q180_label_noise" -> (labelNoise _),
     "q36_ann_ivf" -> (annIvf _),
     "q83_ann_rerank" -> (annRerank _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
@@ -2298,6 +2359,35 @@ object Similarity {
          |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank
          |FROM rk WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    // same bucket/cosine machinery as q26, labels riding along; the
+    // rate is one exact-int double division (no round boundary)
+    "q180_label_noise" -> {
+      val bucket = (0 until NumPlanes)
+        .map(p => s"CASE WHEN list_inner_product(emb, ${planeSql(p)}) > 0 THEN ${1 << p} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |    label
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, nrm, label, $bucket AS bucket FROM e),
+         |scored AS (
+         |  SELECT a.vec_id AS aid, a.label AS a_label,
+         |    n.vec_id AS nid, n.label AS n_label,
+         |    round(list_inner_product(a.emb, n.emb) / (a.nrm * n.nrm), 9) AS cos
+         |  FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id),
+         |top AS (SELECT *, row_number() OVER
+         |    (PARTITION BY aid ORDER BY cos DESC, nid) AS rk FROM scored),
+         |votes AS (SELECT aid, a_label, n_label, count(*) AS v
+         |  FROM top WHERE rk <= $NoiseK GROUP BY 1, 2, 3),
+         |maj AS (SELECT *, row_number() OVER
+         |    (PARTITION BY aid ORDER BY v DESC, n_label) AS mr FROM votes)
+         |SELECT a_label AS label, count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN n_label <> a_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(CASE WHEN n_label <> a_label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS noise_rate
+         |FROM maj WHERE mr = 1 GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q83_ann_rerank" -> {
       val cvecSql = (0 until RerankDims)

@@ -701,4 +701,44 @@ class SimilaritySpec extends AnyFunSpec {
       assert(r.map(_.getAs[Long]("n_common")).sum > 0)
     }
   }
+
+  describe("labelNoise (q180)") {
+    it("flags the vector whose in-bucket neighbor majority disagrees") {
+      // identical vectors share an SRP bucket by construction, and
+      // in-group cos=1.0 outranks any cross-group intruder, so top-5
+      // neighbor sets are exactly the groups regardless of how the
+      // md5-derived planes bucket them
+      val x = vec(0 -> 1.0f, 5 -> 0.25f)
+      val y = vec(1 -> 1.0f, 9 -> 0.5f)
+      val rows =
+        (1L to 5L).map(i => (i, x, 0)) ++ Seq((6L, x, 1)) ++ // 6 mislabeled
+        (11L to 14L).map(i => (i, y, 7))
+      val r = Similarity.labelNoiseFrom(
+          rows.toDF("vec_id", "embedding", "label")).collect()
+        .map(x => x.getAs[Int]("label") -> x).toMap
+      assert(r(0).getAs[Long]("n_vectors") == 5L)
+      assert(r(0).getAs[Long]("n_flagged") == 0L)
+      assert(r(1).getAs[Long]("n_vectors") == 1L)
+      assert(r(1).getAs[Long]("n_flagged") == 1L) // outvoted 5:0
+      assert(r(1).getAs[Double]("noise_rate") == 1.0)
+      assert(r(7).getAs[Long]("n_vectors") == 4L)
+      assert(r(7).getAs[Long]("n_flagged") == 0L)
+      assert(r(7).getAs[Double]("noise_rate") == 0.0)
+    }
+
+    it("majority ties break to the smaller label") {
+      // 1 anchor + 2 neighbors with labels 3 and 5: votes 1:1 → the
+      // smaller label (3) wins the majority; anchor label 3 → clean
+      val x = vec(2 -> 1.0f)
+      val r = Similarity.labelNoiseFrom(Seq(
+          (1L, x, 3), (2L, x, 3), (3L, x, 5))
+        .toDF("vec_id", "embedding", "label")).collect()
+        .map(x => x.getAs[Int]("label") -> x).toMap
+      // anchor 1 (label 3): neighbors {3, 5} tie → majority 3 → clean;
+      // anchor 2 symmetric; anchor 3 (label 5): neighbors {3, 3} →
+      // majority 3 ≠ 5 → flagged
+      assert(r(3).getAs[Long]("n_flagged") == 0L)
+      assert(r(5).getAs[Long]("n_flagged") == 1L)
+    }
+  }
 }
