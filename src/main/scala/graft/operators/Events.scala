@@ -788,6 +788,75 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q181 thresholds: a user is automation-suspect on the cadence leg
+    * when they have ≥ [[BotMinEvents]] events and a median inter-event
+    * gap ≤ [[BotMedGapUs]] µs, and on the burst leg when any single
+    * hour holds ≥ [[BotBurstPerHour]] of their events.
+    */
+  val BotMinEvents = 10L
+  val BotMedGapUs = 20000000000L // 2e10 µs ≈ 5.6 h
+  val BotBurstPerHour = 4L
+
+  /** q181 — BOT/AUTOMATION audit: segments users by behavioral cadence
+    * — a median inter-event gap too fast to be human and/or a burst
+    * hour too dense — and reports each segment's user count, event
+    * count, and event share. This is the traffic-hygiene cut a
+    * training pipeline applies to interaction logs before using them
+    * as supervision (automated traffic poisons popularity, co-occurrence
+    * and recommender evals like q177). The median is exact mid-rank
+    * integer math: med2 = the SUM of the two middle gaps (2× the
+    * middle for odd counts), compared against 2× the threshold, so no
+    * float ever enters the verdict; the event share is one exact-int
+    * double division.
+    *
+    * Scale shape: one shuffle on user_id for the gap/rank windows
+    * (per-user partitions), the burst leg a (user, hour) count with
+    * map-side combine, verdict rollup is segments-sized. No global
+    * windows, no driver state.
+    */
+  def botAudit(spark: SparkSession, dir: String): DataFrame =
+    botAuditFrom(Tables.events(spark, dir))
+
+  def botAuditFrom(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("ts"), col("event_id"),
+      unix_micros(col("ts")).as("tus"))
+    val wOrd = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    // event_id tie-break keeps rn deterministic; equal gap VALUES make
+    // the mid-rank picks order-insensitive anyway
+    val wGap = Window.partitionBy("user_id").orderBy("gap", "event_id")
+    val half = (c: Column) => call_function("div", c, lit(2L))
+    val med = e
+      .withColumn("gap", col("tus") - lag("tus", 1).over(wOrd))
+      .filter(col("gap").isNotNull)
+      .withColumn("rn", row_number().over(wGap))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg((sum(when(col("rn") === half(col("k") + 1), col("gap"))
+          .otherwise(0L)) +
+        sum(when(col("rn") === half(col("k") + 2), col("gap"))
+          .otherwise(0L))).as("med2"))
+    val burst = e
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(max("c").as("max_hour"))
+    val users = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .join(med, Seq("user_id"), "left")
+      .join(burst, Seq("user_id"))
+    val fast = col("n") >= BotMinEvents &&
+      coalesce(col("med2") <= 2L * BotMedGapUs, lit(false))
+    val bursty = col("max_hour") >= BotBurstPerHour
+    val verdict = when(fast && bursty, "fast_median+burst")
+      .when(fast, "fast_median").when(bursty, "burst").otherwise("human")
+    val tot = e.agg(count(lit(1)).as("total"))
+    users.select(verdict.as("verdict"), col("n"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("verdict"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("total")).as("event_share"))
+      .orderBy("verdict")
+  }
+
   /** q174 lateness exceedance thresholds (seconds, ascending). */
   val DisorderBucketsSec = Seq(1L, 60L, 600L)
 
@@ -839,6 +908,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_event_disorder" -> (eventDisorder _),
+    "q181_bot_audit" -> (botAudit _),
     "q127_impute_audit" -> (imputeAudit _),
     "q125_sliding_distinct" -> (slidingDistinct _),
     "q151_sliding_sketch" -> (slidingSketch _),
@@ -864,6 +934,48 @@ object Events {
   val oracle: Map[String, String] = Map(
     // same per-user running-max window keyed on the event_id ingest
     // sequence; all-integer microsecond features, one closing division
+    // exact mid-rank med2 (sum of the two middle gaps), integer verdict
+    // legs, one exact-int division for the share
+    "q181_bot_audit" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS tus
+         |  FROM events),
+         |g AS (SELECT user_id, event_id,
+         |    tus - lag(tus) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id) AS gap
+         |  FROM e),
+         |r AS (SELECT user_id, gap,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY gap, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS k
+         |  FROM g WHERE gap IS NOT NULL),
+         |med AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN rn = (k + 1) // 2 THEN gap ELSE 0 END)
+         |      + sum(CASE WHEN rn = (k + 2) // 2 THEN gap ELSE 0 END)
+         |      AS BIGINT) AS med2
+         |  FROM r GROUP BY 1),
+         |b AS (SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |mx AS (SELECT user_id, max(c) AS max_hour FROM b GROUP BY 1),
+         |u AS (SELECT n.user_id, n.n, med.med2, mx.max_hour
+         |  FROM (SELECT user_id, count(*) AS n FROM e GROUP BY 1) n
+         |  LEFT JOIN med ON med.user_id = n.user_id
+         |  JOIN mx ON mx.user_id = n.user_id),
+         |v AS (SELECT
+         |    CASE
+         |      WHEN n >= $BotMinEvents
+         |        AND coalesce(med2 <= ${2L * BotMedGapUs}, false)
+         |        AND max_hour >= $BotBurstPerHour THEN 'fast_median+burst'
+         |      WHEN n >= $BotMinEvents
+         |        AND coalesce(med2 <= ${2L * BotMedGapUs}, false)
+         |        THEN 'fast_median'
+         |      WHEN max_hour >= $BotBurstPerHour THEN 'burst'
+         |      ELSE 'human' END AS verdict, n
+         |  FROM u),
+         |tot AS (SELECT count(*) AS total FROM e)
+         |SELECT verdict, count(*) AS n_users,
+         |  CAST(sum(n) AS BIGINT) AS n_events,
+         |  CAST(sum(n) AS DOUBLE) / max(total) AS event_share
+         |FROM v CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin,
     "q174_event_disorder" ->
       s"""WITH e AS (SELECT event_type, user_id, event_id,
          |    epoch_us(ts) AS tus FROM events),

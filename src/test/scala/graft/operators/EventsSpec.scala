@@ -520,4 +520,47 @@ class EventsSpec extends AnyFunSpec {
       assert(r.head.getAs[Long]("n_disordered") == 0L)
     }
   }
+
+  describe("botAudit (q181)") {
+    it("segments cadence bots, burst bots, and humans") {
+      var id = 0L
+      def ev(user: Long, t: String) = {
+        id += 1; (id, ts(t), user, "click", 1.0, "{}")
+      }
+      val rows =
+        // user 1: 10 events 61m1s apart — median gap 3661 s (fast),
+        // never more than 1 event per hour (no burst)
+        (0 until 10).map(i => ev(1L, f"2024-01-0${1 + (i * 3661) / 86400}%d " +
+          f"${((i * 3661) % 86400) / 3600}%02d:${((i * 3661) % 3600) / 60}%02d:${(i * 3661) % 60}%02d")) ++
+        // user 2: 5 events in one hour (burst) but n < BotMinEvents,
+        // so the fast leg cannot fire despite tiny gaps
+        (0 until 5).map(i => ev(2L, f"2024-01-01 10:${i * 10}%02d:00")) ++
+        // user 3: 10 events a day apart — plainly human
+        (1 to 10).map(d => ev(3L, f"2024-01-$d%02d 09:00:00")) ++
+        // user 4: a single event — no gaps, med2 null → human
+        Seq(ev(4L, "2024-01-01 12:00:00"))
+      val r = Events.botAuditFrom(events(rows: _*)).collect()
+        .map(x => x.getAs[String]("verdict") -> x).toMap
+      assert(r.keySet == Set("fast_median", "burst", "human"))
+      assert(r("fast_median").getAs[Long]("n_users") == 1L)
+      assert(r("fast_median").getAs[Long]("n_events") == 10L)
+      assert(r("burst").getAs[Long]("n_users") == 1L)
+      assert(r("burst").getAs[Long]("n_events") == 5L)
+      assert(r("human").getAs[Long]("n_users") == 2L)
+      assert(r("human").getAs[Long]("n_events") == 11L)
+      assert(r("human").getAs[Double]("event_share") == 11.0 / 26.0)
+    }
+
+    it("both legs firing together get the combined verdict") {
+      var id = 0L
+      def ev(user: Long, t: String) = {
+        id += 1; (id, ts(t), user, "click", 1.0, "{}")
+      }
+      // 10 events 1 s apart: median gap 1 s (fast) AND 10 in one hour
+      val rows = (0 until 10).map(i => ev(9L, f"2024-01-01 10:00:$i%02d"))
+      val r = Events.botAuditFrom(events(rows: _*)).collect()
+      assert(r.map(_.getAs[String]("verdict")).toSeq ==
+        Seq("fast_median+burst"))
+    }
+  }
 }
