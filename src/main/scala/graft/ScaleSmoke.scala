@@ -230,6 +230,17 @@ object ScaleSmoke {
         expr("vec_id div 3").as("cluster_id"), lit(3L).as("cluster_size"))
       Dedup.clusterMedoidsOf(cl, emb).count()
     }
+    // round-9b: q177's support pool is the q66 basket self-join with a
+    // support cut bounding the edge relation; q178/q179 fold docs once
+    // to score-/fp-grained relations; q180 pairs form only within SRP
+    // buckets (smoked at 8 planes = 256 buckets — the scale dial the
+    // gated 4-plane query documents); q181 is one user_id shuffle plus
+    // an hour-grain map-side count.
+    t("rec_hit_rate") { Analytics.recHitRateFrom(events).count() }
+    t("calibrated_cut") { TextAnalysis.calibratedCutFrom(docs).count() }
+    t("soft_dedup_weights") { Dedup.softDedupWeightsFrom(docs).count() }
+    t("label_noise") { Similarity.labelNoiseFrom(emb, planes = 8).count() }
+    t("bot_audit") { Events.botAuditFrom(events).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

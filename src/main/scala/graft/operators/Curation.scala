@@ -453,6 +453,61 @@ object Curation {
   /** Token budget distributed across sources in q48. */
   val MixBudget = 100000L
 
+  /** q182 — how many head sources the top-share diagnostics cover. */
+  val GiniTopK = 5
+
+  /** q182 — SOURCE-CONCENTRATION audit: the Gini coefficient of token
+    * mass across sources plus the top-1/top-[[GiniTopK]] shares — the
+    * diversity gauge read before trusting any per-source mixture
+    * decision (q48/q152/q157): a corpus whose token mass is one giant
+    * crawl with a long tail of slivers needs capping and upsampling,
+    * not proportional allocation. Gini rides the sorted-rank identity
+    * G = (2·Σ i·mᵢ − (n+1)·Σm) / (n·Σm) with ranks ascending by mass —
+    * tie order cannot change the sum (equal masses commute), numerator
+    * and denominator are EXACT integers accumulated in DECIMAL(38,0),
+    * and presentation is the q179 move: round-half-up at 9 dp in
+    * integer math, then one identical double division. Top shares are
+    * single exact-int divisions.
+    *
+    * Scale shape: documents fold ONCE to the source-mass relation;
+    * everything after (rank windows included) runs on source
+    * cardinality — metadata-scale, the q157 precedent. Output is one
+    * row.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    sourceConcentrationFrom(Tables.documents(spark, dir))
+
+  def sourceConcentrationFrom(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = docs
+      .select(col("source"), size(TextFns.toks(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("m"))
+    // unpartitioned windows over the sources relation only
+    val ranked = m
+      .withColumn("i", row_number().over(
+        Window.partitionBy().orderBy(asc("m"), asc("source"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(desc("m"), asc("source"))))
+    val a = ranked.agg(
+      count(lit(1)).as("n"),
+      sum("m").as("total"),
+      sum(col("i").cast(dec) * col("m")).as("im"),
+      sum(when(col("rk") <= 1, col("m")).otherwise(0L)).as("m1"),
+      sum(when(col("rk") <= GiniTopK, col("m")).otherwise(0L)).as("mk"))
+    val num = lit(2).cast(dec) * col("im") -
+      (col("n") + 1).cast(dec) * col("total")
+    val den = graft.functions.Det.nullIfZero(
+      col("n").cast(dec) * col("total"))
+    val g9 = call_function("div",
+      lit(2L * 1000000000L).cast(dec) * num + den, lit(2).cast(dec) * den)
+    a.select(col("n").as("n_sources"), col("total").as("total_tokens"),
+      (g9.cast("double") / lit(1.0e9)).as("gini"),
+      (col("m1").cast("double") /
+        graft.functions.Det.nullIfZero(col("total"))).as("top1_share"),
+      (col("mk").cast("double") /
+        graft.functions.Det.nullIfZero(col("total"))).as("topk_share"))
+  }
+
   /** q48 — source mixture allocation: distribute a fixed token budget
     * across sources proportionally to their token mass, with
     * largest-remainder rounding (floor everyone, hand the leftover units
@@ -1336,6 +1391,7 @@ object Curation {
     "q46_decontaminate" -> (decontaminate _),
     "q47_repetition" -> (repetition _),
     "q48_source_mixture" -> (sourceMixture _),
+    "q182_source_concentration" -> (sourceConcentration _),
     "q52_mixture_sample" -> (mixtureSample _),
     "q58_chunk_dedup" -> (chunkDedup _),
     "q59_snapshot_diff" -> (snapshotDiff _),
@@ -1396,6 +1452,29 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Gini by the sorted-rank identity in exact HUGEINT arithmetic,
+    // presented via the q179 integral-divide + single-division move
+    "q182_source_concentration" ->
+      s"""WITH tok AS (SELECT source,
+         |    CAST(sum(len(${TextFns.sql.toks})) AS BIGINT) AS m
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT source, m,
+         |    row_number() OVER (ORDER BY m, source) AS i,
+         |    row_number() OVER (ORDER BY m DESC, source) AS rk FROM tok),
+         |a AS (SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS total,
+         |    sum(CAST(i AS HUGEINT) * m) AS im,
+         |    CAST(sum(CASE WHEN rk <= 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+         |    CAST(sum(CASE WHEN rk <= $GiniTopK THEN m ELSE 0 END) AS BIGINT)
+         |      AS mk
+         |  FROM r)
+         |SELECT n AS n_sources, total AS total_tokens,
+         |  CAST(CAST((2000000000 * (2 * im - (n + 1) * CAST(total AS HUGEINT))
+         |      + NULLIF(CAST(n AS HUGEINT) * total, 0))
+         |    // (2 * NULLIF(CAST(n AS HUGEINT) * total, 0)) AS BIGINT)
+         |    AS DOUBLE) / 1.0e9 AS gini,
+         |  CAST(m1 AS DOUBLE) / NULLIF(total, 0) AS top1_share,
+         |  CAST(mk AS DOUBLE) / NULLIF(total, 0) AS topk_share
+         |FROM a""".stripMargin,
     // QI classes once, replicated per k threshold; the denominator is
     // the same Σ sz in every k group (each class appears once per k)
     "q173_k_anonymity" ->

@@ -198,9 +198,15 @@ object Similarity {
   def labelNoise(spark: SparkSession, dir: String): DataFrame =
     labelNoiseFrom(Tables.embeddings(spark, dir))
 
-  def labelNoiseFrom(embeddings: DataFrame): DataFrame = {
+  /** `planes` is the scale dial: buckets = 2^planes, candidate pairs
+    * ≈ N²/2^planes — the gated query uses [[NumPlanes]] (the q26
+    * family); a 100 TB corpus raises it until buckets are cache-sized
+    * (ScaleSmoke drives 8).
+    */
+  def labelNoiseFrom(embeddings: DataFrame,
+      planes: Int = NumPlanes): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val bucket = (0 until NumPlanes)
+    val bucket = (0 until planes)
       .map(p => when(call_function("dot_product", col("emb"), planeVec(p)) > 0,
         lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)

@@ -765,4 +765,27 @@ class CurationSpec extends AnyFunSpec {
         .getAs[Double]("risk_rate") == math.rint(8.0 / 18.0 * 1e9) / 1e9)
     }
   }
+
+  describe("sourceConcentration (q182)") {
+    it("Gini over masses 1/2/3 by the sorted-rank identity") {
+      val r = Curation.sourceConcentrationFrom(docs(
+          (1L, "a", "en", "A", 1L),
+          (2L, "b b", "en", "B", 3L),
+          (3L, "c c c", "en", "C", 5L))).collect()(0)
+      assert(r.getAs[Long]("n_sources") == 3L)
+      assert(r.getAs[Long]("total_tokens") == 6L)
+      // G = (2·(1+4+9) − 4·6) / (3·6) = 4/18 → 222222222 at 9 dp
+      assert(r.getAs[Double]("gini") == 222222222.0 / 1.0e9)
+      assert(r.getAs[Double]("top1_share") == 0.5)
+      assert(r.getAs[Double]("topk_share") == 1.0)
+    }
+
+    it("perfectly balanced sources score zero") {
+      val r = Curation.sourceConcentrationFrom(docs(
+          (1L, "x y", "en", "A", 3L),
+          (2L, "p q", "en", "B", 3L))).collect()(0)
+      assert(r.getAs[Double]("gini") == 0.0)
+      assert(r.getAs[Double]("top1_share") == 0.5)
+    }
+  }
 }
