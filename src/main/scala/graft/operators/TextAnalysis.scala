@@ -460,6 +460,61 @@ object TextAnalysis {
   def dfVocab(spark: SparkSession, dir: String): DataFrame =
     dfVocabFrom(Tables.documents(spark, dir))
 
+  /** q183 — corpus prefix buckets for the growth curve. */
+  val GrowthBuckets = 10
+
+  /** q183 — VOCABULARY GROWTH curve (Heaps-law audit): split the
+    * corpus into [[GrowthBuckets]] doc-id-range deciles (ingest
+    * order), and per decile report doc/token mass, the NEW token types
+    * first seen there, cumulative token/vocab counts, and the
+    * new-type rate — the diminishing-returns measurement behind "does
+    * more of this feed still buy vocabulary?", and a flattening curve
+    * is also the template/duplication smell q175 then localizes.
+    * Deciles cut the doc_id RANGE (one broadcast min/max + a map-side
+    * integral divide), not a global rank — no total-order sort exists
+    * anywhere in the plan, which is what makes the curve computable on
+    * an unbounded corpus.
+    *
+    * Scale shape: one explode pass with map-side combine for decile
+    * token mass; the first-occurrence relation is ONE vocab-bounded
+    * aggregate (min doc_id per token); cumulative windows run on the
+    * 10-row decile relation. Rates are single exact-int divisions.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthFrom(Tables.documents(spark, dir))
+
+  def vocabGrowthFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    def decile(id: Column): Column =
+      lit(1) + call_function("div",
+        (id - col("lo")) * lit(GrowthBuckets.toLong),
+        col("hi") - col("lo") + lit(1L))
+    val nDocs = docs.select(col("doc_id")).crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("d"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nToks = toks.crossJoin(broadcast(bounds))
+      .groupBy(decile(col("doc_id")).as("d"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy("token").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(decile(col("fd")).as("d"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs.join(nToks, Seq("d"), "left").join(newTypes, Seq("d"), "left")
+      .na.fill(0L, Seq("n_tokens", "new_types"))
+      .select(col("d").as("decile"), col("n_docs"), col("n_tokens"),
+        col("new_types"),
+        sum("n_tokens").over(w).as("cum_tokens"),
+        sum("new_types").over(w).as("cum_vocab"),
+        (col("new_types").cast("double") / nullIfZero(col("n_tokens")))
+          .as("new_type_rate"))
+      .orderBy("decile")
+  }
+
   def dfVocabFrom(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextFns.toks(col("text"))).as("token"))
@@ -1059,6 +1114,7 @@ object TextAnalysis {
     "q84_winnow_fingerprints" -> (winnowFingerprints _),
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
+    "q183_vocab_growth" -> (vocabGrowth _),
     "q139_oov_rate" -> (oovRate _),
     "q97_tfidf_keywords" -> (tfidfKeywords _),
     "q55_bm25_search" -> (bm25Search _),
@@ -1378,6 +1434,36 @@ object TextAnalysis {
          |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t WHERE token <> ''
          |GROUP BY token ORDER BY df DESC, tf DESC, token LIMIT $VocabTopK""".stripMargin,
+    // id-range deciles via integral divide (no global rank), vocab
+    // firsts one min-aggregate, cumulative windows on the 10-row grid
+    "q183_vocab_growth" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents),
+         |tkx AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |nd AS (SELECT CAST(1 + ((doc_id - lo) * $GrowthBuckets)
+         |      // (hi - lo + 1) AS BIGINT) AS d, count(*) AS n_docs
+         |  FROM documents CROSS JOIN b GROUP BY 1),
+         |nt AS (SELECT CAST(1 + ((doc_id - lo) * $GrowthBuckets)
+         |      // (hi - lo + 1) AS BIGINT) AS d, count(*) AS n_tokens
+         |  FROM tkx CROSS JOIN b GROUP BY 1),
+         |fd AS (SELECT token, min(doc_id) AS f FROM tkx GROUP BY 1),
+         |nv AS (SELECT CAST(1 + ((f - lo) * $GrowthBuckets)
+         |      // (hi - lo + 1) AS BIGINT) AS d, count(*) AS new_types
+         |  FROM fd CROSS JOIN b GROUP BY 1),
+         |j AS (SELECT nd.d, nd.n_docs,
+         |    CAST(coalesce(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(nv.new_types, 0) AS BIGINT) AS new_types
+         |  FROM nd LEFT JOIN nt ON nt.d = nd.d LEFT JOIN nv ON nv.d = nd.d)
+         |SELECT d AS decile, n_docs, n_tokens, new_types,
+         |  CAST(sum(n_tokens) OVER (ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens,
+         |  CAST(sum(new_types) OVER (ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_vocab,
+         |  CAST(new_types AS DOUBLE) / NULLIF(n_tokens, 0) AS new_type_rate
+         |FROM j ORDER BY decile""".stripMargin,
     "q97_tfidf_keywords" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(${TextFns.sql.toks}) AS token FROM documents),

@@ -584,4 +584,32 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(r("en").getAs[Double]("rate_calib") == 0.3)
     }
   }
+
+  describe("vocabGrowth (q183)") {
+    it("attributes each token type to the decile of its first document") {
+      // ids 1..10 with lo=1, hi=10 → decile(id) = id exactly
+      val rows = Seq((1L, "aa bb"), (2L, "aa cc"), (3L, "aa bb")) ++
+        (4L to 10L).map(i => (i, "aa"))
+      val r = TextAnalysis.vocabGrowthFrom(docs(rows: _*)).collect()
+      assert(r.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+      assert(r.map(_.getAs[Long]("new_types")).toSeq ==
+        Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      assert(r.map(_.getAs[Long]("cum_vocab")).toSeq ==
+        Seq(2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
+      assert(r.map(_.getAs[Long]("n_tokens")).toSeq ==
+        Seq(2L, 2L, 2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+      assert(r.last.getAs[Long]("cum_tokens") == 13L)
+      assert(r.head.getAs[Double]("new_type_rate") == 1.0)
+      assert(r(1).getAs[Double]("new_type_rate") == 0.5)
+    }
+
+    it("sparse id ranges leave empty deciles absent, curve still monotone") {
+      // ids 1..5 over a 10-decile grid → deciles 1,3,5,7,9
+      val r = TextAnalysis.vocabGrowthFrom(docs(
+          (1L to 5L).map(i => (i, s"t$i")): _*)).collect()
+      assert(r.map(_.getAs[Long]("decile")).toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+      assert(r.map(_.getAs[Long]("cum_vocab")).toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
 }
