@@ -691,4 +691,61 @@ class PlanQualitySpec extends AnyFunSpec {
         s"inferred generate filter re-inlined the chunk hashing:\n$p")
     }
   }
+
+  describe("round-9b operator plan shapes") {
+    it("q177 never goes quadratic over events; hold-out ranks are group-limited") {
+      val p = plan("q177_rec_hit_rate")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"q177 must stay equi-join work:\n$p")
+      assert(p.contains("WindowGroupLimit"))
+    }
+
+    it("q178 exchanges only score-level relations, never documents") {
+      // docs fold to (lang, qs) before any exchange: no shuffle may be
+      // keyed by doc_id
+      val p = plan("q178_calibrated_cut")
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("doc_id")),
+        s"q178 shuffled a doc-keyed relation:\n$p")
+    }
+
+    it("q179 is pure window+aggregate work: one fp exchange, no join") {
+      val p = plan("q179_soft_dedup_weights")
+      assert(!p.contains("Join"), s"q179 needs no join:\n$p")
+      val fpEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(fp"))
+      assert(fpEx == 1, s"expected exactly one fp exchange, got $fpEx:\n$p")
+    }
+
+    it("q180 pairs meet per SRP bucket and the K-cut rides WindowGroupLimit") {
+      val p = plan("q180_label_noise")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"q180 must join on the bucket key:\n$p")
+      assert(p.contains("WindowGroupLimit"))
+    }
+
+    it("q181 shuffles only on user_id (plus the verdict rollup)") {
+      val p = plan("q181_bot_audit")
+      assert(!p.contains("CartesianProduct"))
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("user_id") && !l.contains("verdict")).toSeq
+      assert(bad.isEmpty, s"unexpected exchange keys:\n${bad.mkString("\n")}")
+    }
+
+    it("q182 folds the corpus once: a single source-keyed exchange") {
+      val p = plan("q182_source_concentration")
+      val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex == 1, s"expected only the source exchange, got $ex:\n$p")
+    }
+
+    it("q183 has no global rank: deciles are map-side integral divides") {
+      val p = plan("q183_vocab_growth")
+      assert(!p.contains("rangepartitioning(doc_id"),
+        s"q183 must not total-order documents:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
 }
