@@ -312,6 +312,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** q184 Jaccard thresholds swept, as exact rationals (num, den). */
+  val SweepThresholds = Seq((1, 2), (7, 10), (9, 10))
+
+  /** q184 — DEDUP-THRESHOLD SENSITIVITY sweep: how many verified
+    * near-dup pairs and distinct affected documents each candidate
+    * Jaccard threshold (0.5 / 0.7 / 0.9) would keep — the dial-setting
+    * report read before committing to a threshold (a cliff between two
+    * arms means the corpus has a near-dup band exactly there, and the
+    * chosen cut decides whether it collapses). One shared candidate +
+    * intersection computation (q24's sorted-hash merge kernels), each
+    * arm an integer CROSS-MULTIPLIED keep test — no float compare
+    * decides membership, so arms agree bit-exactly cross-engine.
+    *
+    * Scale shape: candidates from the banded LSH join (never
+    * all-pairs), intersections once per candidate pair, the 3-arm
+    * replication happens AFTER the pair relation is computed (×|arms|
+    * on pairs only); per-arm rollups are arm-cardinality-sized.
+    */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame =
+    dedupSensitivityFrom(Tables.documents(spark, dir))
+
+  def dedupSensitivityFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = ngramJaccardDetail(candidatePairsFrom(bandsFrom(docs)), docs)
+    val armCol = explode(array(SweepThresholds.map { case (n, dn) =>
+      struct(lit(n).as("num"), lit(dn).as("den")) }: _*))
+    val armed = d.select(armCol.as("t"), col("doc_a"), col("doc_b"),
+        col("n_common"), col("n_union"))
+      .filter(col("n_common") * col("t.den") >= col("t.num") * col("n_union"))
+      .select(col("t.num").as("num"), col("t.den").as("den"),
+        col("doc_a"), col("doc_b"))
+    val nPairs = armed.groupBy("num", "den").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = armed
+      .select(col("num"), col("den"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .distinct()
+      .groupBy("num", "den").agg(count(lit(1)).as("n_dup_docs"))
+    val arms = spark.range(1).select(armCol.as("t"))
+      .select(col("t.num").as("num"), col("t.den").as("den"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    arms.join(nPairs, Seq("num", "den"), "left")
+      .join(nDocs, Seq("num", "den"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+      .crossJoin(broadcast(total))
+      .select((col("num").cast("double") / col("den")).as("threshold"),
+        col("n_pairs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") /
+          nullIfZero(col("n_docs"))).as("dup_doc_rate"))
+      .orderBy("threshold")
+  }
+
   /** q135 new-batch rate: 1 in [[IncMod]] docs (hash-picked) plays the
     * newly-ingested slice against the already-clustered remainder.
     */
@@ -1188,6 +1239,7 @@ object Dedup {
     "q137_incremental_containment" -> (incrementalContainment _),
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
+    "q184_dedup_sensitivity" -> (dedupSensitivity _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
@@ -1288,6 +1340,36 @@ object Dedup {
       s"""WITH $bandsSql,
          |$candidatePairsSql
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // one shared candidate+intersection pass; each arm an integer
+    // cross-multiplied keep test on the exact (n_common, n_union)
+    "q184_dedup_sensitivity" ->
+      s"""WITH $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |iv AS (SELECT i.doc_a, i.doc_b, i.n_common,
+         |    sa.sz + sb.sz - i.n_common AS n_union
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b),
+         |arms AS (${SweepThresholds.map { case (n, dn) =>
+             s"SELECT $n AS num, $dn AS den" }.mkString(" UNION ALL ")}),
+         |armed AS (SELECT arms.num, arms.den, doc_a, doc_b
+         |  FROM iv CROSS JOIN arms
+         |  WHERE n_common * arms.den >= arms.num * n_union),
+         |p AS (SELECT num, den, count(*) AS n_pairs FROM armed GROUP BY 1, 2),
+         |dd AS (SELECT num, den, count(*) AS n_dup_docs FROM (
+         |    SELECT DISTINCT num, den, doc FROM (
+         |      SELECT num, den, doc_a AS doc FROM armed
+         |      UNION ALL SELECT num, den, doc_b AS doc FROM armed))
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT CAST(arms.num AS DOUBLE) / arms.den AS threshold,
+         |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(dd.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(coalesce(dd.n_dup_docs, 0) AS DOUBLE) / NULLIF(n_docs, 0)
+         |    AS dup_doc_rate
+         |FROM arms LEFT JOIN p ON p.num = arms.num AND p.den = arms.den
+         |LEFT JOIN dd ON dd.num = arms.num AND dd.den = arms.den
+         |CROSS JOIN tot ORDER BY threshold""".stripMargin,
     "q23_simhash" -> {
       val votes = (0 until SimBits).map(b =>
         s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")

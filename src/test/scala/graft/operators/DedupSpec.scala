@@ -85,6 +85,27 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("dedupSensitivity (q184)") {
+    it("arms keep exactly the pairs their cross-multiplied test admits") {
+      // A and C identical (J=1.0); B differs in the last token of 10 →
+      // 8 shared shingles of 10 distinct → J=0.8 against both
+      val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+      val tenB = "w1 w2 w3 w4 w5 w6 w7 w8 w9 qq"
+      val r = Dedup.dedupSensitivityFrom(docs(
+          (1L, ten), (2L, tenB), (3L, ten),
+          (4L, "utterly unrelated content entirely elsewhere")))
+        .collect().map(x => x.getAs[Double]("threshold") -> x).toMap
+      assert(r.keySet == Set(0.5, 0.7, 0.9))
+      // 0.8 passes 0.5 and 0.7 (8·10 ≥ 7·10), fails 0.9 (8·10 < 9·10)
+      assert(r(0.5).getAs[Long]("n_pairs") == 3L)
+      assert(r(0.5).getAs[Long]("n_dup_docs") == 3L)
+      assert(r(0.7).getAs[Long]("n_pairs") == 3L)
+      assert(r(0.9).getAs[Long]("n_pairs") == 1L)
+      assert(r(0.9).getAs[Long]("n_dup_docs") == 2L)
+      assert(r(0.9).getAs[Double]("dup_doc_rate") == 0.5)
+    }
+  }
+
   describe("minhashCandidates (q22)") {
     it("finds exact and near duplicates, not unrelated docs") {
       val pairs = Dedup.candidatePairsFrom(Dedup.bandsFrom(corpus))
