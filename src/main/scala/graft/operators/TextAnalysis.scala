@@ -986,7 +986,11 @@ object TextAnalysis {
   def boilerplateTemplates(spark: SparkSession, dir: String): DataFrame =
     boilerplateTemplatesFrom(Tables.documents(spark, dir))
 
-  def boilerplateTemplatesFrom(docs: DataFrame): DataFrame = {
+  /** Shared q175/q185 core: the (source, gram, df, n_docs) relation of
+    * TEMPLATE grams — those at or above the df-fraction threshold
+    * within their source (integer cross-multiplied).
+    */
+  private def sourceGramTemplates(docs: DataFrame): DataFrame = {
     val w = TextFns.toks(col("text"))
     val grams = docs.select(col("source"), w.as("w"))
       .filter(size(col("w")) >= BoilerGramK)
@@ -998,11 +1002,46 @@ object TextAnalysis {
     grams.groupBy("source", "gram").agg(count(lit(1)).as("df"))
       .join(broadcast(srcDocs), Seq("source"))
       .filter(col("df") * BoilerFracDen >= col("n_docs") * BoilerFracNum)
+  }
+
+  def boilerplateTemplatesFrom(docs: DataFrame): DataFrame =
+    sourceGramTemplates(docs)
       .select(col("source"), col("gram"), col("df"), col("n_docs"),
         round(col("df").cast("double") / col("n_docs"), 9).as("frac"))
       .orderBy(desc("df"), asc("source"), asc("gram"))
       .limit(BoilerTopK)
-  }
+
+  /** q185 — a gram must be template-frequent in at least this many
+    * sources to count as syndicated.
+    */
+  val SyndMinSources = 2
+
+  /** q185 — cross-source SYNDICATION detector: grams that are
+    * template-frequent (q175's integer-cross-multiplied df threshold)
+    * in ≥ [[SyndMinSources]] DISTINCT sources — wire-service chrome,
+    * content-farm templates, scraped-and-rehosted boilerplate. q175
+    * finds each source's own stamp; this finds the stamp that
+    * propagates ACROSS feeds, which is the strongest signal that two
+    * "independent" sources share a pipeline (and that per-source
+    * dedup/caps under-count the duplication between them — the gram
+    * twin of q80's doc-level mirror matrix). Shares
+    * [[sourceGramTemplates]] verbatim so detector and rollup cannot
+    * drift.
+    *
+    * Scale shape: q175's bounded (source, gram) relation is the only
+    * input; the gram rollup is template-vocabulary-sized; top-k lowers
+    * to TakeOrderedAndProject.
+    */
+  def syndication(spark: SparkSession, dir: String): DataFrame =
+    syndicationFrom(Tables.documents(spark, dir))
+
+  def syndicationFrom(docs: DataFrame): DataFrame =
+    sourceGramTemplates(docs)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_sources"), sum("df").as("total_df"))
+      .filter(col("n_sources") >= SyndMinSources)
+      .orderBy(desc("n_sources"), desc("total_df"), asc("gram"))
+      .limit(BoilerTopK)
 
   /** q62 PII-injection modulus: docs with hash mod [[PiiMod]] ∈ {0,1,2}
     * get one synthetic PII span appended (email / phone / IPv4), the
@@ -1115,6 +1154,7 @@ object TextAnalysis {
     "q39_kmv_distinct" -> (kmvDistinct _),
     "q53_df_vocab" -> (dfVocab _),
     "q183_vocab_growth" -> (vocabGrowth _),
+    "q185_syndication" -> (syndication _),
     "q139_oov_rate" -> (oovRate _),
     "q97_tfidf_keywords" -> (tfidfKeywords _),
     "q55_bm25_search" -> (bm25Search _),
@@ -1146,6 +1186,24 @@ object TextAnalysis {
        |      list_min(list_slice(kh, j + 1, j + $WinnowW))) - 1)) AS selpos
        |  FROM k WHERE len(kh) >= $WinnowW),
        |u AS (SELECT doc_id, kh, unnest(selpos) AS pos FROM s)""".stripMargin
+
+  /** Shared q175/q185 oracle fragment: `tmpl` = the (source, gram, df,
+    * n_docs) template relation, the SQL twin of [[sourceGramTemplates]].
+    */
+  private val boilerSql =
+    s"""t AS (SELECT doc_id, source, ${TextFns.sql.toks} AS w
+       |  FROM documents),
+       |g AS (SELECT source, UNNEST(list_distinct(list_transform(
+       |    range(len(w) - ${BoilerGramK - 1}), i ->
+       |    array_to_string(list_slice(w, CAST(i AS BIGINT) + 1,
+       |      CAST(i AS BIGINT) + $BoilerGramK), ' ')))) AS gram
+       |  FROM t WHERE len(w) >= $BoilerGramK),
+       |sd AS (SELECT source, count(*) AS n_docs FROM documents
+       |  GROUP BY 1),
+       |d AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2),
+       |tmpl AS (SELECT d.source, gram, df, n_docs
+       |  FROM d JOIN sd USING (source)
+       |  WHERE df * $BoilerFracDen >= n_docs * $BoilerFracNum)""".stripMargin
 
   /** Shared q165/q178 oracle fragment: `f` = per-doc (lang, 6-dp
     * quality score qs), the SQL twin of `qualityFeatures(_, Seq("lang"))`.
@@ -1208,21 +1266,19 @@ object TextAnalysis {
     // per-doc distinct grams bound df at 1 per doc; the frac threshold
     // is integer cross-multiplied (never a float compare)
     "q175_boilerplate_templates" ->
-      s"""WITH t AS (SELECT doc_id, source, ${TextFns.sql.toks} AS w
-         |  FROM documents),
-         |g AS (SELECT source, UNNEST(list_distinct(list_transform(
-         |    range(len(w) - ${BoilerGramK - 1}), i ->
-         |    array_to_string(list_slice(w, CAST(i AS BIGINT) + 1,
-         |      CAST(i AS BIGINT) + $BoilerGramK), ' ')))) AS gram
-         |  FROM t WHERE len(w) >= $BoilerGramK),
-         |sd AS (SELECT source, count(*) AS n_docs FROM documents
-         |  GROUP BY 1),
-         |d AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2)
-         |SELECT d.source, gram, df, n_docs,
+      s"""WITH $boilerSql
+         |SELECT source, gram, df, n_docs,
          |  round(CAST(df AS DOUBLE) / n_docs, 9) AS frac
-         |FROM d JOIN sd USING (source)
-         |WHERE df * $BoilerFracDen >= n_docs * $BoilerFracNum
+         |FROM tmpl
          |ORDER BY df DESC, source, gram LIMIT $BoilerTopK""".stripMargin,
+    // q175's template relation rolled to the gram grain across sources
+    "q185_syndication" ->
+      s"""WITH $boilerSql
+         |SELECT gram, count(*) AS n_sources,
+         |  CAST(sum(df) AS BIGINT) AS total_df
+         |FROM tmpl GROUP BY 1 HAVING count(*) >= $SyndMinSources
+         |ORDER BY n_sources DESC, total_df DESC, gram
+         |LIMIT $BoilerTopK""".stripMargin,
     "q17_token_stats" ->
       s"""$toksCte
          |SELECT doc_id, len(w) AS n_tokens_ws,

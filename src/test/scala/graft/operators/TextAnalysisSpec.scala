@@ -585,6 +585,28 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("syndication (q185)") {
+    it("keeps only grams template-frequent in at least two sources") {
+      // 10 docs/source → template threshold df ≥ 2; "click here" stamps
+      // 2 docs in EACH source, "footer text" 2 docs in A only; filler
+      // bigrams are unique (df=1 < 2)
+      def src(s: String, shared: Int, aOnly: Int) =
+        (1 to 10).map { i =>
+          val t =
+            if (i <= shared) s"click here f$s$i"
+            else if (i <= shared + aOnly) s"footer text f$s$i"
+            else s"g$s${i}a g$s${i}b"
+          (s.hashCode.toLong * 100 + i, t, "en", s, t.length.toLong)
+        }
+      val d = (src("A", 2, 2) ++ src("B", 2, 0))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = TextAnalysis.syndicationFrom(d).collect()
+      assert(r.map(_.getAs[String]("gram")).toSeq == Seq("click here"))
+      assert(r.head.getAs[Long]("n_sources") == 2L)
+      assert(r.head.getAs[Long]("total_df") == 4L)
+    }
+  }
+
   describe("vocabGrowth (q183)") {
     it("attributes each token type to the decile of its first document") {
       // ids 1..10 with lo=1, hi=10 → decile(id) = id exactly
