@@ -241,6 +241,15 @@ object ScaleSmoke {
     t("soft_dedup_weights") { Dedup.softDedupWeightsFrom(docs).count() }
     t("label_noise") { Similarity.labelNoiseFrom(emb, planes = 8).count() }
     t("bot_audit") { Events.botAuditFrom(events).count() }
+    // round-9c: q182/q183 fold docs once to source-/decile-grained
+    // relations; q184 is the q22/q24 candidate+intersection pass with
+    // arm replication on the pair relation only (replica-heavy smoke
+    // corpora inflate candidates exactly like the raw minhash arm);
+    // q185 rolls q175's bounded template relation to the gram grain
+    t("source_concentration") { Curation.sourceConcentrationFrom(docs).count() }
+    t("vocab_growth") { TextAnalysis.vocabGrowthFrom(docs).count() }
+    t("dedup_sensitivity") { Dedup.dedupSensitivityFrom(docs).count() }
+    t("syndication") { TextAnalysis.syndicationFrom(docs).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

@@ -287,6 +287,15 @@ object Dedup {
       .where(size(col("sh")) > 0)
   }
 
+  /** [[ngramJaccardDetail]] without the jaccard floor — for consumers
+    * (q184) whose own integer threshold tests subsume it; the floor's
+    * filter would otherwise re-inline the intersection kernel into the
+    * pair-join predicate.
+    */
+  private[operators] def ngramJaccardDetailRaw(pairs: DataFrame,
+      docs: DataFrame): DataFrame =
+    ngramJaccardDetail(pairs, docs, Double.NegativeInfinity)
+
   def ngramJaccardDetail(pairs: DataFrame, docs: DataFrame,
       minJaccard: Double = JaccardMin): DataFrame =
     ngramJaccardDetailOfShingles(pairs, shinglesFrom(docs), minJaccard)
@@ -297,7 +306,7 @@ object Dedup {
   def ngramJaccardDetailOfShingles(pairs: DataFrame, sh: DataFrame,
       minJaccard: Double = JaccardMin): DataFrame = {
     GraftFunctions.register(sh.sparkSession)
-    pairs
+    withJaccardFloor(pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -308,9 +317,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"),
         round(col("n_common").cast("double") /
-          nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+          nullIfZero(col("sz_a") + col("sz_b") - col("n_common")), 9).as("jaccard")),
+      minJaccard)
   }
+
+  private def withJaccardFloor(d: DataFrame, minJaccard: Double): DataFrame =
+    if (minJaccard.isNegInfinity) d else d.filter(col("jaccard") >= minJaccard)
 
   /** q184 Jaccard thresholds swept, as exact rationals (num, den). */
   val SweepThresholds = Seq((1, 2), (7, 10), (9, 10))
@@ -335,25 +347,34 @@ object Dedup {
 
   def dedupSensitivityFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val d = ngramJaccardDetail(candidatePairsFrom(bandsFrom(docs)), docs)
     val armCol = explode(array(SweepThresholds.map { case (n, dn) =>
       struct(lit(n).as("num"), lit(dn).as("den")) }: _*))
-    val armed = d.select(armCol.as("t"), col("doc_a"), col("doc_b"),
+    // the RAW detail (no 0.1 prefilter): a jaccard filter here would
+    // re-inline the intersection kernel into the join predicate (the
+    // q58 triple-hashing class of regression); the arms' integer tests
+    // subsume it anyway
+    val d = ngramJaccardDetailRaw(candidatePairsFrom(bandsFrom(docs)), docs)
+    // ONE aggregation serves both metrics (pairs contribute 2 exploded
+    // rows each), so the candidate+intersection pipeline is not
+    // duplicated per rollup
+    // coalesce keeps the predicate null-TOLERANT: a bare >= would let
+    // constraint propagation infer isnotnull(n_common) and push the
+    // intersection kernel into the pair-join predicate (re-evaluating
+    // it per joined row)
+    val agg = d.select(armCol.as("t"), col("doc_a"), col("doc_b"),
         col("n_common"), col("n_union"))
-      .filter(col("n_common") * col("t.den") >= col("t.num") * col("n_union"))
+      .filter(coalesce(
+        col("n_common") * col("t.den") >= col("t.num") * col("n_union"),
+        lit(false)))
       .select(col("t.num").as("num"), col("t.den").as("den"),
-        col("doc_a"), col("doc_b"))
-    val nPairs = armed.groupBy("num", "den").agg(count(lit(1)).as("n_pairs"))
-    val nDocs = armed
-      .select(col("num"), col("den"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc"))
-      .distinct()
-      .groupBy("num", "den").agg(count(lit(1)).as("n_dup_docs"))
+      .groupBy("num", "den")
+      .agg(call_function("div", count(lit(1)), lit(2L)).as("n_pairs"),
+        countDistinct(col("doc")).as("n_dup_docs"))
     val arms = spark.range(1).select(armCol.as("t"))
       .select(col("t.num").as("num"), col("t.den").as("den"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    arms.join(nPairs, Seq("num", "den"), "left")
-      .join(nDocs, Seq("num", "den"), "left")
+    arms.join(agg, Seq("num", "den"), "left")
       .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
       .crossJoin(broadcast(total))
       .select((col("num").cast("double") / col("den")).as("threshold"),

@@ -747,5 +747,22 @@ class PlanQualitySpec extends AnyFunSpec {
         s"q183 must not total-order documents:\n$p")
       assert(!p.contains("CartesianProduct"))
     }
+
+    it("q184 computes the intersection exactly once, arms replicate after it") {
+      // one kernel site = one candidate pipeline AND no inferred
+      // isnotnull pushing the kernel into the pair-join predicate (the
+      // null-tolerant arm filter exists for exactly this)
+      val p = plan("q184_dedup_sensitivity")
+      assert(!p.contains("CartesianProduct"))
+      val kernels = p.split("sorted_intersect_count").length - 1
+      assert(kernels == 1,
+        s"intersection kernel must appear once, found $kernels sites:\n$p")
+    }
+
+    it("q185 rolls the bounded template relation with a lowered top-k") {
+      val p = plan("q185_syndication")
+      assert(p.contains("TakeOrderedAndProject"))
+      assert(!p.contains("CartesianProduct"))
+    }
   }
 }
