@@ -508,6 +508,67 @@ object Curation {
         graft.functions.Det.nullIfZero(col("total"))).as("topk_share"))
   }
 
+  /** q186 — the curriculum budget is this fraction of corpus tokens
+    * (denominator of an integral divide, so it scales with the corpus
+    * and every status leg is exercised at every sf).
+    */
+  val CurriculumDen = 2
+
+  /** q186 — QUALITY-CURRICULUM budget fill: rank sources by mean
+    * quality score and fill a token budget (half the corpus) from the
+    * top — whole sources until the boundary, a partial take there,
+    * zero below — completing the mixture-control family with the
+    * GREEDY counterpart of q48's proportional, q152's capped and
+    * q157's temperature allocations (the "train on the best half
+    * first" curriculum). The mean is exact fixed-point: per-doc 6-dp
+    * scores become integers (×10⁶), sum and count fold per source, and
+    * mean6 = ⌊(2·Σ + n)/(2n)⌋ — the q179 integral-divide half-up — so
+    * the quality ORDER is pure integer comparison, never a float sort
+    * key; unscored docs contribute token mass but not score.
+    *
+    * Scale shape: docs fold ONCE to the source relation (map-side
+    * combine); ranking, the cumulative-fill window and the budget
+    * aggregate all run at source cardinality (the q157 precedent);
+    * allocations are exact integers summing to ≤ budget by
+    * construction.
+    */
+  def curriculumFill(spark: SparkSession, dir: String): DataFrame =
+    curriculumFillFrom(Tables.documents(spark, dir))
+
+  def curriculumFillFrom(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityFeatures(docs, Seq("source"))
+    val perSource = q.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens").cast("long")).as("n_tokens"),
+      sum(round(col("quality_score") * 1e6).cast("long")).as("sum6"),
+      count(col("quality_score")).as("n_scored"))
+    val mean6 = call_function("div",
+      lit(2L) * col("sum6") + col("n_scored"),
+      graft.functions.Det.nullIfZero(lit(2L) * col("n_scored")))
+    val ranked = perSource
+      .withColumn("mean6", mean6)
+      .withColumn("qrank", row_number().over(Window.partitionBy()
+        .orderBy(coalesce(col("mean6"), lit(-1L)).desc, col("source").asc)))
+    val all = Window.partitionBy()
+    val before = Window.partitionBy().orderBy("qrank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = call_function("div",
+      sum(col("n_tokens")).over(all), lit(CurriculumDen.toLong))
+    val alloc = greatest(lit(0L), least(col("n_tokens"),
+      col("budget") - coalesce(sum(col("n_tokens")).over(before), lit(0L))))
+    ranked
+      .withColumn("budget", budget)
+      .withColumn("alloc_tokens", alloc)
+      .select(col("source"), col("qrank"),
+        (col("mean6").cast("double") / lit(1.0e6)).as("mean_quality"),
+        col("n_tokens"), col("alloc_tokens"),
+        when(col("n_tokens") > 0 && col("alloc_tokens") === col("n_tokens"),
+          "full")
+          .when(col("alloc_tokens") > 0, "partial")
+          .otherwise("excluded").as("status"))
+      .orderBy("qrank")
+  }
+
   /** q48 — source mixture allocation: distribute a fixed token budget
     * across sources proportionally to their token mass, with
     * largest-remainder rounding (floor everyone, hand the leftover units
@@ -1392,6 +1453,7 @@ object Curation {
     "q47_repetition" -> (repetition _),
     "q48_source_mixture" -> (sourceMixture _),
     "q182_source_concentration" -> (sourceConcentration _),
+    "q186_curriculum_fill" -> (curriculumFill _),
     "q52_mixture_sample" -> (mixtureSample _),
     "q58_chunk_dedup" -> (chunkDedup _),
     "q59_snapshot_diff" -> (snapshotDiff _),
@@ -1452,6 +1514,36 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // fixed-point mean (×1e6) ranked by integer comparison; the fill is
+    // a cumulative window over the source relation; allocations exact
+    "q186_curriculum_fill" ->
+      s"""WITH ${TextAnalysis.qualityDocSql("source")},
+         |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS BIGINT) AS sum6,
+         |    count(qs) AS n_scored
+         |  FROM q GROUP BY 1),
+         |r AS (SELECT source, n_tokens,
+         |    CAST((2 * sum6 + n_scored) // NULLIF(2 * n_scored, 0)
+         |      AS BIGINT) AS mean6
+         |  FROM ps),
+         |rk AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY coalesce(mean6, -1) DESC, source) AS INT) AS qrank
+         |  FROM r),
+         |fill AS (SELECT *,
+         |    CAST(sum(n_tokens) OVER () // $CurriculumDen AS BIGINT) AS budget,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY qrank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM rk),
+         |al AS (SELECT source, qrank, mean6, n_tokens,
+         |    greatest(0, least(n_tokens, budget - cum_before)) AS alloc_tokens
+         |  FROM fill)
+         |SELECT source, qrank, CAST(mean6 AS DOUBLE) / 1.0e6 AS mean_quality,
+         |  n_tokens, alloc_tokens,
+         |  CASE WHEN n_tokens > 0 AND alloc_tokens = n_tokens THEN 'full'
+         |    WHEN alloc_tokens > 0 THEN 'partial'
+         |    ELSE 'excluded' END AS status
+         |FROM al ORDER BY qrank""".stripMargin,
     // Gini by the sorted-rank identity in exact HUGEINT arithmetic,
     // presented via the q179 integral-divide + single-division move
     "q182_source_concentration" ->

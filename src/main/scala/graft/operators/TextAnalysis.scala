@@ -1205,23 +1205,32 @@ object TextAnalysis {
        |  FROM d JOIN sd USING (source)
        |  WHERE df * $BoilerFracDen >= n_docs * $BoilerFracNum)""".stripMargin
 
-  /** Shared q165/q178 oracle fragment: `f` = per-doc (lang, 6-dp
-    * quality score qs), the SQL twin of `qualityFeatures(_, Seq("lang"))`.
+  /** Shared quality-score oracle fragment, grouped-column
+    * parameterized: `q` = per-doc (groupCol, n_tokens, 6-dp qs), the
+    * SQL twin of `qualityFeatures(_, Seq(groupCol))`. q165/q178 read
+    * the null-filtered `f` view of it; q186 reads `q` (token mass
+    * counts even for unscored docs).
     */
-  private val langQualitySql =
+  private[operators] def qualityDocSql(groupCol: String): String =
     s"""feat AS (
-       |  SELECT lang, len(${TextFns.sql.toks}) AS n_tokens,
+       |  SELECT $groupCol, len(${TextFns.sql.toks}) AS n_tokens,
        |    len(${TextFns.sql.keepIn(TextFns.sql.toks, Stopwords)})
        |      AS stop_hits,
        |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
        |  FROM documents),
        |q AS (
-       |  SELECT lang,
+       |  SELECT $groupCol, n_tokens,
        |    round(0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
        |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(n_tokens, 0)) / 8.0)
        |      + 0.5 * (1.0 - least(1.0, (CAST(stop_hits AS DOUBLE) / NULLIF(n_tokens, 0)) * 4.0)),
        |      6) AS qs
-       |  FROM feat),
+       |  FROM feat)""".stripMargin
+
+  /** Shared q165/q178 oracle fragment: `f` = per-doc (lang, 6-dp
+    * quality score qs), the SQL twin of `qualityFeatures(_, Seq("lang"))`.
+    */
+  private val langQualitySql =
+    s"""${qualityDocSql("lang")},
        |f AS (SELECT * FROM q WHERE qs IS NOT NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -766,6 +766,38 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("curriculumFill (q186)") {
+    it("fills whole sources in quality order, partial at the boundary") {
+      // score is monotone in token count ("data" is no stopword):
+      // A(8 tokens) > B(6) = C(6), tie broken by source name.
+      // total=20 → budget=10: A full (8), B partial (2), C excluded.
+      def d(id: Long, s: String, k: Int) =
+        (id, Seq.fill(k)("data").mkString(" "), "en", s, 5L * k)
+      val r = Curation.curriculumFillFrom(Seq(
+          d(1, "A", 8), d(2, "B", 6), d(3, "C", 6))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      assert(r.map(x => (x.getAs[String]("source"), x.getAs[Int]("qrank"),
+        x.getAs[Long]("alloc_tokens"), x.getAs[String]("status"))).toSeq ==
+        Seq(("A", 1, 8L, "full"), ("B", 2, 2L, "partial"),
+          ("C", 3, 0L, "excluded")))
+      // 0.25·(8/100) + 0.25·(4/8 mean-len ratio) + 0.5·(no stopwords)
+      assert(r.head.getAs[Double]("mean_quality") == 0.645)
+      assert(r(1).getAs[Double]("mean_quality") == 0.64)
+    }
+
+    it("allocations sum exactly to the budget when mass suffices") {
+      def d(id: Long, s: String, k: Int) =
+        (id, Seq.fill(k)("data").mkString(" "), "en", s, 5L * k)
+      val r = Curation.curriculumFillFrom(Seq(
+          d(1, "A", 7), d(2, "B", 5))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+      // total 12 → budget 6: A partial 6, B excluded
+      assert(r.map(_.getAs[Long]("alloc_tokens")).sum == 6L)
+      assert(r.map(_.getAs[String]("status")).toSeq ==
+        Seq("partial", "excluded"))
+    }
+  }
+
   describe("sourceConcentration (q182)") {
     it("Gini over masses 1/2/3 by the sorted-rank identity") {
       val r = Curation.sourceConcentrationFrom(docs(
