@@ -250,6 +250,7 @@ object ScaleSmoke {
     t("vocab_growth") { TextAnalysis.vocabGrowthFrom(docs).count() }
     t("dedup_sensitivity") { Dedup.dedupSensitivityFrom(docs).count() }
     t("syndication") { TextAnalysis.syndicationFrom(docs).count() }
+    t("curriculum_fill") { Curation.curriculumFillFrom(docs).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

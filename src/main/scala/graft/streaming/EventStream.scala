@@ -233,6 +233,45 @@ object EventStream {
       .orderBy("window_start", "event_type")
   }
 
+  /** q187 — alert when one user lands this many events in one hour
+    * window (3 exercises both paths at every fixture sf; the batch
+    * q181 audit sizes the production value).
+    */
+  val StreamBurstPerHour = 3L
+  private val HourUs = 3600L * 1000000
+
+  /** q187 — streaming BURST-ALERT drain: the real-time leg of q181's
+    * bot/automation audit — per (hour window, user) event counts over a
+    * watermarked tumbling window, alerting where a single user's hour
+    * reaches [[StreamBurstPerHour]] events, drained under AvailableNow
+    * through the same memory-sink + horizon-filter discipline as q49.
+    * Batch q181 is the forensic audit; this is the online monitor that
+    * flags the feed while it is still ingesting (quarantine-before-
+    * training instead of scrub-after).
+    *
+    * Scale shape: watermark-evicted (user, hour) counter state — one
+    * compact entry per active pair inside the 10-minute horizon; the
+    * alert filter runs on finalized append-mode rows, so the sink
+    * carries alerts only, never the per-user counter stream.
+    */
+  def streamedBurstAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val alerts = source(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= StreamBurstPerHour)
+      .select(col("win.start").as("hour_start"), col("user_id"),
+        col("n_events"))
+    drain(alerts, "graft_q187_sink")
+    import graft.sources.Tables
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000 - WatermarkMs) * 1000
+    spark.table("graft_q187_sink")
+      .filter(unix_micros(col("hour_start")) + HourUs < wmUs)
+      .orderBy("hour_start", "user_id")
+  }
+
   /** 1 in [[ReplayMod]] event ids is re-delivered verbatim in the q79
     * fixture — the at-least-once duplicate a real event bus produces.
     * Hash-picked by stable event_id, never rand(): the replay set must
@@ -500,6 +539,7 @@ object EventStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_stream_sketch" -> (streamedSketch _),
     "q49_stream_rates" -> (streamedRates _),
+    "q187_stream_burst" -> (streamedBurstAlerts _),
     "q50_stream_range_join" -> (streamedRangeJoin _),
     "q93_stream_left_join" -> (streamedLeftJoin _),
     "q65_stream_topk" -> (streamedTopK _),
@@ -526,6 +566,21 @@ object EventStream {
 
   val oracle: Map[String, String] = Map(
     "q49_stream_rates" -> ratesOracle,
+    // q49's horizon arithmetic over hour buckets; the alert threshold
+    // filters finalized windows on both engines identically
+    "q187_stream_burst" ->
+      s"""WITH wm AS (
+         |  SELECT (epoch_us(max(ts)) // 1000 - $WatermarkMs) * 1000 AS wm_us
+         |  FROM events),
+         |agg AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, user_id,
+         |    count(*) AS n_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT a.hour_start, a.user_id, a.n_events
+         |FROM agg a, wm
+         |WHERE a.n_events >= $StreamBurstPerHour
+         |  AND epoch_us(a.hour_start) + $HourUs < wm.wm_us
+         |ORDER BY a.hour_start, a.user_id""".stripMargin,
     // the replayed duplicates must vanish, so the reference answer is
     // the SAME raw-table aggregation as q49 — a broken dedup inflates
     // 1-in-ReplayMod counts and hash-mismatches

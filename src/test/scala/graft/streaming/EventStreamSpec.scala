@@ -33,6 +33,49 @@ class EventStreamSpec extends AnyFunSpec {
     }
   }
 
+  describe("streamedBurstAlerts (q187)") {
+    it("a drained run equals the batch hour-bucket alert set inside the horizon") {
+      val streamed = EventStream.streamedBurstAlerts(spark, sf).collect().toSeq
+      val ev = graft.sources.Tables.events(spark, sf)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val wmUs = (maxUs / 1000 - 10L * 60 * 1000) * 1000
+      val batch = ev
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= EventStream.StreamBurstPerHour)
+        .select(col("win.start").as("hour_start"), col("user_id"),
+          col("n_events"))
+        .filter(unix_micros(col("hour_start")) + 3600L * 1000000 < wmUs)
+        .orderBy("hour_start", "user_id").collect().toSeq
+      assert(streamed == batch)
+    }
+
+    it("a planted burst alerts; sub-threshold users stay silent") {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-q187-").toString
+      def e(id: Long, t: String, u: Long) =
+        (id, java.sql.Timestamp.valueOf(t), u, "click", 1.0, "{}")
+      val rows =
+        (1 to 5).map(i => e(i, s"2024-01-05 10:1$i:00", 1L)) ++
+        Seq(e(6, "2024-01-05 10:20:00", 2L), e(7, "2024-01-05 10:40:00", 2L),
+          // watermark anchor far past the burst hour
+          e(8, "2024-01-10 00:00:00", 3L))
+      // the source expects a FILE named events.parquet (the fixture
+      // layout), not a Spark output directory
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stage")
+      val part = new java.io.File(s"$dir/_stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val r = EventStream.streamedBurstAlerts(spark, dir).collect()
+      assert(r.map(x => (x.getAs[java.sql.Timestamp]("hour_start").toString,
+        x.getAs[Long]("user_id"), x.getAs[Long]("n_events"))).toSeq ==
+        Seq(("2024-01-05 10:00:00.0", 1L, 5L)))
+    }
+  }
+
   describe("streamedDedupRates (q79)") {
     it("planted replays vanish: the duplicated stream equals the clean one") {
       val clean = EventStream.streamedRates(spark, sf).collect().toSeq
