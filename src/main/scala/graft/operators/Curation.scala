@@ -508,6 +508,43 @@ object Curation {
         graft.functions.Det.nullIfZero(col("total"))).as("topk_share"))
   }
 
+  /** q188 context-length arms (tokens): the fixture's length
+    * distribution (p10≈21, p90≈88) puts real mass on every side of
+    * each arm.
+    */
+  val TruncCtxLengths = Seq(32, 64, 128)
+
+  /** q188 — TRUNCATION-LOSS audit: for each candidate context length,
+    * how many documents a hard truncation clips and what fraction of
+    * the corpus token mass falls off the end — the report read next to
+    * q63's packing when choosing a training context length (truncation
+    * loses the documents' TAILS; packing loses padding — this
+    * quantifies the first so the two can be traded off). All integer:
+    * kept = min(len, ctx) per doc, arm membership replicated on the
+    * per-doc token-count relation (one long per doc, map-side
+    * combine), one closing exact-int division per arm.
+    */
+  def truncationLoss(spark: SparkSession, dir: String): DataFrame =
+    truncationLossFrom(Tables.documents(spark, dir))
+
+  def truncationLossFrom(docs: DataFrame): DataFrame = {
+    val t = docs.select(size(TextFns.toks(col("text"))).cast("long").as("t"))
+    t.select(explode(array(TruncCtxLengths.map(c => lit(c.toLong)): _*))
+        .as("ctx"), col("t"))
+      .groupBy("ctx").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("t") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"),
+        sum("t").as("tokens_total"),
+        sum(least(col("t"), col("ctx"))).as("tokens_kept"))
+      .select(col("ctx"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_lost"),
+        ((col("tokens_total") - col("tokens_kept")).cast("double") /
+          graft.functions.Det.nullIfZero(col("tokens_total")))
+          .as("loss_rate"))
+      .orderBy("ctx")
+  }
+
   /** q186 — the curriculum budget is this fraction of corpus tokens
     * (denominator of an integral divide, so it scales with the corpus
     * and every status leg is exercised at every sf).
@@ -1454,6 +1491,7 @@ object Curation {
     "q48_source_mixture" -> (sourceMixture _),
     "q182_source_concentration" -> (sourceConcentration _),
     "q186_curriculum_fill" -> (curriculumFill _),
+    "q188_truncation_loss" -> (truncationLoss _),
     "q52_mixture_sample" -> (mixtureSample _),
     "q58_chunk_dedup" -> (chunkDedup _),
     "q59_snapshot_diff" -> (snapshotDiff _),
@@ -1514,6 +1552,24 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // arms replicated on the per-doc token-count relation; kept =
+    // min(len, ctx); one exact-int closing division
+    "q188_truncation_loss" ->
+      s"""WITH t AS (SELECT CAST(len(${TextFns.sql.toks}) AS BIGINT) AS t
+         |  FROM documents),
+         |armed AS (SELECT ctx, t FROM t CROSS JOIN (SELECT
+         |    UNNEST(list_value(${TruncCtxLengths.mkString(", ")})) AS ctx) c),
+         |a AS (SELECT CAST(ctx AS BIGINT) AS ctx, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN t > ctx THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_truncated,
+         |    CAST(sum(t) AS BIGINT) AS tokens_total,
+         |    CAST(sum(least(t, ctx)) AS BIGINT) AS tokens_kept
+         |  FROM armed GROUP BY 1)
+         |SELECT ctx, n_docs, n_truncated, tokens_total, tokens_kept,
+         |  tokens_total - tokens_kept AS tokens_lost,
+         |  CAST(tokens_total - tokens_kept AS DOUBLE)
+         |    / NULLIF(tokens_total, 0) AS loss_rate
+         |FROM a ORDER BY ctx""".stripMargin,
     // fixed-point mean (×1e6) ranked by integer comparison; the fill is
     // a cumulative window over the source relation; allocations exact
     "q186_curriculum_fill" ->

@@ -766,6 +766,25 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("truncationLoss (q188)") {
+    it("clips exactly the tail mass at each context arm") {
+      // docs of 10, 40, 100 tokens against arms 32/64/128
+      def d(id: Long, k: Int) =
+        (id, Seq.fill(k)("w").mkString(" "), "en", "s", k.toLong)
+      val r = Curation.truncationLossFrom(Seq(d(1, 10), d(2, 40), d(3, 100))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+        .map(x => x.getAs[Long]("ctx") -> x).toMap
+      assert(r(32L).getAs[Long]("n_truncated") == 2L)
+      assert(r(32L).getAs[Long]("tokens_kept") == 10L + 32L + 32L)
+      assert(r(32L).getAs[Long]("tokens_lost") == 150L - 74L)
+      assert(r(64L).getAs[Long]("n_truncated") == 1L)
+      assert(r(64L).getAs[Long]("tokens_kept") == 10L + 40L + 64L)
+      assert(r(128L).getAs[Long]("n_truncated") == 0L)
+      assert(r(128L).getAs[Double]("loss_rate") == 0.0)
+      assert(r(64L).getAs[Double]("loss_rate") == 36.0 / 150.0)
+    }
+  }
+
   describe("curriculumFill (q186)") {
     it("fills whole sources in quality order, partial at the boundary") {
       // score is monotone in token count ("data" is no stopword):
