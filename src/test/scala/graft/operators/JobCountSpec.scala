@@ -45,11 +45,20 @@ class JobCountSpec extends AnyFunSpec {
     cur
   }
 
-  private def run(name: String): Int =
-    jobsOf(s"jobcount-$name") {
+  /** Count the STEADY-STATE job structure: one untimed warm-up run
+    * absorbs whatever one-time session/layout materialization work is
+    * still pending (which otherwise makes the count depend on suite
+    * ORDER — the full-suite run had warmed state the isolated run had
+    * not), then the second run's count is pinned.
+    */
+  private def run(name: String): Int = {
+    def once(tag: String): Int = jobsOf(tag) {
       SparkEntry.queries(name)(spark, sf)
         .write.format("noop").mode("overwrite").save()
     }
+    once(s"jobcount-warm-$name")
+    once(s"jobcount-$name")
+  }
 
   private def pin(name: String, expected: Int): Unit =
     it(s"$name: job structure is pinned at $expected") {
@@ -61,8 +70,9 @@ class JobCountSpec extends AnyFunSpec {
     }
 
   // 3 rounds × (edge join + DECIMAL agg stages) + checkpoint + nItems
-  // count + the final rank/write chain
-  pin("q103_item_pagerank", 26)
+  // count + the final rank/write chain (steady-state: the cold first
+  // run pays one extra one-time job, absorbed by the warm-up)
+  pin("q103_item_pagerank", 25)
   // degree relation + wedge join + closing hash join, one pass
   pin("q110_item_triangles", 9)
   // 3 LPA rounds over the checkpointed co-occurrence graph
