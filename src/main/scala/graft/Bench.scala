@@ -147,6 +147,7 @@ object Bench {
       case (name, fn) => if (!stagedBelow.contains(name)) run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
+    run("q179_soft_dedup_weights") { Dedup.softDedupWeights(spark, sfDir) }
     time("q22_minhash_candidates") {
       Dedup.minhashCandidates(spark, sfDir)
         .write.mode("overwrite").parquet(s"$wh/pairs")
@@ -160,6 +161,7 @@ object Bench {
       Dedup.editVerifyOf(
         spark.read.parquet(s"$wh/pairs"), Tables.documents(spark, sfDir))
     }
+    run("q184_dedup_sensitivity") { Dedup.dedupSensitivity(spark, sfDir) }
     run("q124_record_linkage") { Dedup.recordLinkage(spark, sfDir) }
     run("q121_minhash_estimate") {
       Dedup.minhashEstimateOf(

@@ -251,6 +251,7 @@ object ScaleSmoke {
     t("dedup_sensitivity") { Dedup.dedupSensitivityFrom(docs).count() }
     t("syndication") { TextAnalysis.syndicationFrom(docs).count() }
     t("curriculum_fill") { Curation.curriculumFillFrom(docs).count() }
+    t("truncation_loss") { Curation.truncationLossFrom(docs).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
