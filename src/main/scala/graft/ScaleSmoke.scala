@@ -252,6 +252,7 @@ object ScaleSmoke {
     t("syndication") { TextAnalysis.syndicationFrom(docs).count() }
     t("curriculum_fill") { Curation.curriculumFillFrom(docs).count() }
     t("truncation_loss") { Curation.truncationLossFrom(docs).count() }
+    t("ivf_balance") { Similarity.ivfBalanceFrom(emb).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

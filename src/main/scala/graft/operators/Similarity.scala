@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.Det.nullIfZero
 import graft.functions.TextFns
 import graft.plans.GraftFunctions
 import graft.sources.Tables
@@ -238,6 +239,53 @@ object Similarity {
       .withColumn("noise_rate",
         col("n_flagged").cast("double") / col("n_vectors"))
       .orderBy("label")
+  }
+
+  /** q189 — IVF INDEX-HEALTH audit: per cell of the seeded q36
+    * codebook, the occupancy count, corpus share, and load factor
+    * (occupancy × cells / corpus — 1.0 means perfectly balanced);
+    * empty cells appear explicitly with zero. Cell occupancy IS an IVF
+    * index's latency model — probing a cell costs its occupancy, so a
+    * hot cell makes every query that probes it slow and a skewed
+    * histogram says "retrain the codebook" (q75's trained path) before
+    * any query regresses. The measurement half of the IVF playbook,
+    * the way q112 is for join salting.
+    *
+    * Scale shape: cell assignment is pure map work (codebook broadcast
+    * as literals, fused codegen dot products + argmax per row); ONE
+    * cell-keyed aggregate with map-side combine; the spine join,
+    * window total and closing divisions all run on the 16-row cell
+    * relation.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame =
+    ivfBalanceFrom(Tables.embeddings(spark, dir))
+
+  def ivfBalanceFrom(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val codebook: Seq[Seq[Double]] = embeddings
+      .filter(col("vec_id") >= SeedBase &&
+        col("vec_id") < SeedBase + NumCells)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val counts = embDouble(embeddings)
+      .withColumn("scores", codebookScores(col("emb"), codebook))
+      .withColumn("cell",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val spine = spark.range(NumCells)
+      .select(col("id").cast("int").as("cell"))
+    val all = Window.partitionBy()
+    spine.join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+      .withColumn("total", sum("n_vectors").over(all))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / nullIfZero(col("total")))
+          .as("share"),
+        ((col("n_vectors") * NumCells).cast("double") /
+          nullIfZero(col("total"))).as("load_factor"))
+      .orderBy("cell")
   }
 
   /** q83 coarse space dims and per-query candidate pool width. */
@@ -1596,6 +1644,7 @@ object Similarity {
     "q119_matryoshka_recall" -> (matryoshkaRecall _),
     "q26_ann_lsh" -> (annLsh _),
     "q180_label_noise" -> (labelNoise _),
+    "q189_ivf_balance" -> (ivfBalance _),
     "q36_ann_ivf" -> (annIvf _),
     "q83_ann_rerank" -> (annRerank _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
@@ -1621,6 +1670,20 @@ object Similarity {
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
       |  sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** Shared q36/q189 oracle fragment: seeded-codebook cell assignment
+    * ending in `ecell(vec_id, emb, nrm, cell)`; `scs` (per-cell scores)
+    * stays in scope for probe selection. Expects `e` from [[eCte]].
+    */
+  private def ivfCellSql: String =
+    s"""cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
+       |         WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
+       |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
+       |    list_inner_product(e.emb, c_emb) AS score
+       |  FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+       |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1)""".stripMargin
 
   private def planeSql(p: Int): String =
     s"""list_transform(range(64), j ->
@@ -2442,16 +2505,25 @@ object Similarity {
          |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
          |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+    // the q36 cell assignment, rolled to occupancy; spine keeps empty
+    // cells visible; closing divisions exact-int
+    "q189_ivf_balance" ->
+      s"""WITH $eCte,
+         |$ivfCellSql,
+         |counts AS (SELECT cell, count(*) AS n FROM ecell GROUP BY 1),
+         |spine AS (SELECT UNNEST(range($NumCells)) AS cell),
+         |j AS (SELECT CAST(s.cell AS INT) AS cell,
+         |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_vectors
+         |  FROM spine s LEFT JOIN counts c ON c.cell = s.cell),
+         |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM j)
+         |SELECT cell, n_vectors,
+         |  CAST(n_vectors AS DOUBLE) / NULLIF(total, 0) AS share,
+         |  CAST(n_vectors * $NumCells AS DOUBLE) / NULLIF(total, 0)
+         |    AS load_factor
+         |FROM j CROSS JOIN t ORDER BY cell""".stripMargin,
     "q36_ann_ivf" ->
       s"""WITH $eCte,
-         |cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb FROM e
-         |         WHERE vec_id >= $SeedBase AND vec_id < ${SeedBase + NumCells}),
-         |scs AS (SELECT e.vec_id, e.emb, e.nrm, c,
-         |    list_inner_product(e.emb, c_emb) AS score
-         |  FROM e CROSS JOIN cent),
-         |asg AS (SELECT vec_id, emb, nrm, c AS cell, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
-         |ecell AS (SELECT vec_id, emb, nrm, cell FROM asg WHERE rn = 1),
+         |$ivfCellSql,
          |qp AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, c,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS prn
          |  FROM scs WHERE vec_id < $NumQueries),

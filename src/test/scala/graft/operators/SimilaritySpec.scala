@@ -702,6 +702,33 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("ivfBalance (q189)") {
+    it("counts occupancy per cell, keeps empty cells visible") {
+      // seeds (vec_ids 10..25) are basis vectors e_0..e_15, EXCEPT seed
+      // 15 duplicates seed 14 (both e_4): the tie argmaxes to cell 4,
+      // leaving cell 5 empty. Queries (0..9) copy e_0; 26..28 copy e_3.
+      def e(i: Int) = vec(i -> 1.0f)
+      val rows =
+        (0L to 9L).map(q => (q, e(0), 0)) ++
+        (10L to 25L).map(s =>
+          (s, e(if (s == 15L) 4 else (s - 10).toInt), 0)) ++
+        (26L to 28L).map(c => (c, e(3), 0))
+      val r = Similarity.ivfBalanceFrom(
+          rows.toDF("vec_id", "embedding", "label")).collect()
+      assert(r.length == Similarity.NumCells)
+      val n = r.map(x => x.getAs[Int]("cell") -> x.getAs[Long]("n_vectors")).toMap
+      assert(n(0) == 11L) // seed + 10 queries
+      assert(n(3) == 4L)  // seed + 3 copies
+      assert(n(4) == 2L)  // its seed + the duplicated one
+      assert(n(5) == 0L)  // orphaned by the duplicate
+      assert((1 to 15).filterNot(Set(3, 4, 5)).forall(c => n(c) == 1L))
+      assert(n.values.sum == 29L)
+      val c0 = r.find(_.getAs[Int]("cell") == 0).get
+      assert(c0.getAs[Double]("load_factor") == 11.0 * 16 / 29)
+      assert(c0.getAs[Double]("share") == 11.0 / 29)
+    }
+  }
+
   describe("labelNoise (q180)") {
     it("flags the vector whose in-bucket neighbor majority disagrees") {
       // identical vectors share an SRP bucket by construction, and
