@@ -148,6 +148,8 @@ object Bench {
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
     run("q179_soft_dedup_weights") { Dedup.softDedupWeights(spark, sfDir) }
+    run("q190_dup_geography") { Dedup.dupGeography(spark, sfDir) }
+    run("q191_dup_size_histogram") { Dedup.dupSizeHistogram(spark, sfDir) }
     time("q22_minhash_candidates") {
       Dedup.minhashCandidates(spark, sfDir)
         .write.mode("overwrite").parquet(s"$wh/pairs")

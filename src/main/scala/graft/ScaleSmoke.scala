@@ -253,6 +253,10 @@ object ScaleSmoke {
     t("curriculum_fill") { Curation.curriculumFillFrom(docs).count() }
     t("truncation_loss") { Curation.truncationLossFrom(docs).count() }
     t("ivf_balance") { Similarity.ivfBalanceFrom(emb).count() }
+    // replica-heavy smoke corpora exercise the dup paths the raw
+    // fixture lacks (every doc has mult-1 exact copies here)
+    t("dup_geography") { Dedup.dupGeographyFrom(docs).count() }
+    t("dup_size_histogram") { Dedup.dupSizeHistogramFrom(docs).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

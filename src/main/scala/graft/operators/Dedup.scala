@@ -324,6 +324,75 @@ object Dedup {
   private def withJaccardFloor(d: DataFrame, minJaccard: Double): DataFrame =
     if (minJaccard.isNegInfinity) d else d.filter(col("jaccard") >= minJaccard)
 
+  /** q190 — DUPLICATION GEOGRAPHY per source: of each source's
+    * documents living in exact-duplicate clusters (q21's normalized-fp
+    * groups of size ≥ 2), how many sit in clusters CONTAINED in this
+    * source versus clusters SPANNING other sources. Internal
+    * duplication is the source's own re-posting (fix: dedup the feed);
+    * cross-source duplication is syndication/mirroring (fix: pick a
+    * canonical feed — q80/q185 find WHO mirrors whom, this sizes the
+    * per-source mass). Integer counts to two closing exact-int
+    * divisions.
+    *
+    * Scale shape: one fp-keyed aggregate builds the (fp, copies,
+    * n_sources) cluster profile, one broadcast-friendly join carries
+    * it back onto the (source, fp) copy counts — both relations are
+    * fingerprint-bounded; output is sources-sized.
+    */
+  def dupGeography(spark: SparkSession, dir: String): DataFrame =
+    dupGeographyFrom(Tables.documents(spark, dir))
+
+  def dupGeographyFrom(docs: DataFrame): DataFrame = {
+    val d = Tables.widened(docs, col("doc_id"))
+      .select(col("source"), md5(normText).as("fp"))
+    val bySrcFp = d.groupBy("source", "fp").agg(count(lit(1)).as("c"))
+    val byFp = bySrcFp.groupBy("fp").agg(
+      sum("c").as("copies"), count(lit(1)).as("n_sources"))
+    bySrcFp.join(byFp, Seq("fp"))
+      .groupBy("source").agg(
+        sum("c").as("n_docs"),
+        sum(when(col("copies") >= 2 && col("n_sources") === 1, col("c"))
+          .otherwise(0L)).as("dup_internal"),
+        sum(when(col("n_sources") >= 2, col("c")).otherwise(0L))
+          .as("dup_cross"))
+      .select(col("source"), col("n_docs"), col("dup_internal"),
+        col("dup_cross"),
+        (col("dup_internal").cast("double") / nullIfZero(col("n_docs")))
+          .as("internal_rate"),
+        (col("dup_cross").cast("double") / nullIfZero(col("n_docs")))
+          .as("cross_rate"))
+      .orderBy("source")
+  }
+
+  /** q191 — duplicate-cluster SIZE histogram: for each exact-dup
+    * cluster size ≥ 2, how many clusters and documents live there and
+    * the doc share — "how deep is the duplication" (a head of huge
+    * clusters means template/boilerplate mass that q175 should catch;
+    * a long tail of pairs means organic re-posts), the sizing detail
+    * behind q21's four summary counts and the savings behind q130's
+    * ledger rollup. One fp aggregate, one size-keyed rollup; output is
+    * distinct-sizes-sized.
+    */
+  def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dupSizeHistogramFrom(Tables.documents(spark, dir))
+
+  def dupSizeHistogramFrom(docs: DataFrame): DataFrame = {
+    val d = Tables.widened(docs, col("doc_id"))
+      .select(md5(normText).as("fp"))
+    val total = d.agg(count(lit(1)).as("n_all"))
+    d.groupBy("fp").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .groupBy("sz").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("n_docs"),
+        (col("n_docs").cast("double") / nullIfZero(col("n_all")))
+          .as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
   /** q184 Jaccard thresholds swept, as exact rationals (num, den). */
   val SweepThresholds = Seq((1, 2), (7, 10), (9, 10))
 
@@ -1261,6 +1330,8 @@ object Dedup {
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q184_dedup_sensitivity" -> (dedupSensitivity _),
+    "q190_dup_geography" -> (dupGeography _),
+    "q191_dup_size_histogram" -> (dupSizeHistogram _),
     "q22_minhash_candidates" -> (minhashCandidates _),
     "q23_simhash" -> (simhash _),
     "q24_ngram_jaccard" -> (ngramJaccard _),
@@ -1361,6 +1432,34 @@ object Dedup {
       s"""WITH $bandsSql,
          |$candidatePairsSql
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // fp cluster profile joined back onto per-(source, fp) copy counts
+    "q190_dup_geography" ->
+      s"""WITH d AS (SELECT source, md5($normSql) AS fp FROM documents),
+         |sf AS (SELECT source, fp, count(*) AS c FROM d GROUP BY 1, 2),
+         |f AS (SELECT fp, CAST(sum(c) AS BIGINT) AS copies,
+         |    count(*) AS n_sources FROM sf GROUP BY 1)
+         |SELECT sf.source, CAST(sum(sf.c) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN f.copies >= 2 AND f.n_sources = 1
+         |    THEN sf.c ELSE 0 END) AS BIGINT) AS dup_internal,
+         |  CAST(sum(CASE WHEN f.n_sources >= 2 THEN sf.c ELSE 0 END)
+         |    AS BIGINT) AS dup_cross,
+         |  CAST(sum(CASE WHEN f.copies >= 2 AND f.n_sources = 1
+         |    THEN sf.c ELSE 0 END) AS DOUBLE)
+         |    / NULLIF(CAST(sum(sf.c) AS BIGINT), 0) AS internal_rate,
+         |  CAST(sum(CASE WHEN f.n_sources >= 2 THEN sf.c ELSE 0 END)
+         |    AS DOUBLE) / NULLIF(CAST(sum(sf.c) AS BIGINT), 0) AS cross_rate
+         |FROM sf JOIN f USING (fp)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cluster sizes ≥ 2 rolled to a size histogram
+    "q191_dup_size_histogram" ->
+      s"""WITH d AS (SELECT md5($normSql) AS fp FROM documents),
+         |tot AS (SELECT count(*) AS n_all FROM d),
+         |g AS (SELECT fp, count(*) AS sz FROM d GROUP BY 1)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz) AS DOUBLE) / NULLIF(max(n_all), 0) AS doc_share
+         |FROM g CROSS JOIN tot WHERE sz >= 2
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // one shared candidate+intersection pass; each arm an integer
     // cross-multiplied keep test on the exact (n_common, n_union)
     "q184_dedup_sensitivity" ->

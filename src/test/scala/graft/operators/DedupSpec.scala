@@ -85,6 +85,43 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("dupGeography (q190)") {
+    it("splits each source's dup mass into internal vs cross-source") {
+      val d = Seq(
+          (1L, "x x", "en", "A", 3L),  // cross: copy in B
+          (2L, "a a", "en", "A", 3L),  // internal pair in A
+          (3L, "a a", "en", "A", 3L),
+          (4L, "uniq one", "en", "A", 8L),
+          (5L, "x x", "en", "B", 3L),
+          (6L, "other text", "en", "B", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Dedup.dupGeographyFrom(d).collect()
+        .map(x => x.getAs[String]("source") -> x).toMap
+      assert(r("A").getAs[Long]("n_docs") == 4L)
+      assert(r("A").getAs[Long]("dup_internal") == 2L)
+      assert(r("A").getAs[Long]("dup_cross") == 1L)
+      assert(r("A").getAs[Double]("internal_rate") == 0.5)
+      assert(r("B").getAs[Long]("dup_internal") == 0L)
+      assert(r("B").getAs[Long]("dup_cross") == 1L)
+      assert(r("B").getAs[Double]("cross_rate") == 0.5)
+    }
+  }
+
+  describe("dupSizeHistogram (q191)") {
+    it("one row per cluster size >= 2 with exact doc shares") {
+      val d = docs(
+        (1L, "z z"), (2L, "z z"), (3L, "z z"),      // size 3
+        (4L, "p q"), (5L, "p q"),                   // size 2
+        (6L, "r s"), (7L, "r s"),                   // size 2
+        (8L, "u1"), (9L, "u2"), (10L, "u3"), (11L, "u4"))
+      val r = Dedup.dupSizeHistogramFrom(d).collect()
+      assert(r.map(x => (x.getAs[Long]("cluster_size"),
+        x.getAs[Long]("n_clusters"), x.getAs[Long]("n_docs"))).toSeq ==
+        Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+      assert(r.head.getAs[Double]("doc_share") == 4.0 / 11.0)
+    }
+  }
+
   describe("dedupSensitivity (q184)") {
     it("arms keep exactly the pairs their cross-multiplied test admits") {
       // A and C identical (J=1.0); B differs in the last token of 10 →
