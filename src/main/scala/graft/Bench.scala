@@ -92,6 +92,7 @@ object Bench {
     run("q105_expectations") { Integrity.expectations(spark, sfDir) }
     run("q120_fd_audit") { Integrity.fdAudit(spark, sfDir) }
     run("q162_deletion_cascade") { Integrity.deletionCascade(spark, sfDir) }
+    run("q192_subject_access") { Integrity.subjectAccess(spark, sfDir) }
 
     // stage 2: KPI CTAS (reference compute_kpis.py). The KPI table is
     // one row per supplier — tiny relative to its input at any scale —

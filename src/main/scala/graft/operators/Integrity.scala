@@ -175,6 +175,59 @@ object Integrity {
     * the same aggregate, so the whole audit is 4 scans total, no
     * re-reads, nothing row-scale crosses the wire.
     */
+  /** q192 — SUBJECT-ACCESS report (the READ twin of q162's deletion
+    * cascade, completing the GDPR pair: article 15 before article 17):
+    * for the SAME deterministic subject set q162 tombstones, one row
+    * per subject assembling everything the warehouse holds on them —
+    * order/line counts, exact total spend, event count, distinct event
+    * types, first/last activity. Sharing the selection hash with q162
+    * means the access report and the deletion audit can never disagree
+    * about WHO a request covers.
+    *
+    * Scale shape: subjects are selectivity-bounded and broadcast into
+    * every leg; the lineitem leg keys on the subject-bounded order
+    * relation; each table contributes one scan folded to subject-keyed
+    * aggregates; output is subjects-sized. Spend sums in exact
+    * DECIMAL(18,2) money and ships one deterministic double cast.
+    */
+  def subjectAccess(spark: SparkSession, dir: String): DataFrame =
+    subjectAccessFrom(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), Tables.events(spark, dir))
+
+  def subjectAccessFrom(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, events: DataFrame): DataFrame = {
+    val tomb = customer
+      .filter(graft.functions.TextFns.hash32(
+        concat(lit("forget|"), col("c_custkey").cast("string")))
+        % DeleteMod === 0)
+      .select(col("c_custkey").as("tk"))
+    val subjOrders = orders
+      .join(broadcast(tomb), col("o_custkey") === col("tk"))
+      .select(col("tk"), col("o_orderkey"))
+    val ordAgg = subjOrders.groupBy("tk")
+      .agg(count(lit(1)).as("n_orders"))
+    val liAgg = lineitem
+      .join(broadcast(subjOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("tk")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(graft.functions.Det.money(col("l_extendedprice")))
+          .cast("double").as("total_spend"))
+    val evAgg = events
+      .join(broadcast(tomb), col("user_id") === col("tk"))
+      .groupBy("tk")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        min(col("ts")).as("first_event"),
+        max(col("ts")).as("last_event"))
+    tomb.join(ordAgg, Seq("tk"), "left")
+      .join(liAgg, Seq("tk"), "left")
+      .join(evAgg, Seq("tk"), "left")
+      .na.fill(0L, Seq("n_orders", "n_lines", "n_events", "n_event_types"))
+      .na.fill(0.0, Seq("total_spend"))
+      .withColumnRenamed("tk", "subject_key")
+      .orderBy("subject_key")
+  }
+
   def deletionCascade(spark: SparkSession, dir: String): DataFrame =
     deletionCascadeFrom(Tables.customer(spark, dir), Tables.orders(spark, dir),
       Tables.lineitem(spark, dir), Tables.events(spark, dir))
@@ -218,6 +271,7 @@ object Integrity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_deletion_cascade" -> (deletionCascade _),
+    "q192_subject_access" -> (subjectAccess _),
     "q01_row_counts" -> (rowCounts _),
     "q02_orders_without_lines" -> (ordersWithoutLines _),
     "q03_lines_without_order" -> (linesWithoutOrder _),
@@ -228,6 +282,36 @@ object Integrity {
     // same salted-md5 tombstone selection; retained checksum summed in
     // DECIMAL(38,0) (key sums wrap BIGINT at warehouse scale) and
     // shipped as hi/lo BIGINT halves (Wide.sql — gate-safe output)
+    // q162's subject selection verbatim; per-subject aggregates with
+    // exact DECIMAL money and one deterministic double cast
+    "q192_subject_access" -> {
+      val h = graft.functions.TextFns.sql.hash32(
+        "'forget|' || CAST(c_custkey AS VARCHAR)")
+      s"""WITH tomb AS (SELECT c_custkey AS tk FROM customer
+         |  WHERE $h % $DeleteMod = 0),
+         |so AS (SELECT tk, o_orderkey FROM orders
+         |  JOIN tomb ON o_custkey = tk),
+         |oa AS (SELECT tk, count(*) AS n_orders FROM so GROUP BY 1),
+         |la AS (SELECT tk, count(*) AS n_lines,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS total_spend
+         |  FROM lineitem JOIN so ON l_orderkey = o_orderkey GROUP BY 1),
+         |ea AS (SELECT tk, count(*) AS n_events,
+         |    count(DISTINCT event_type) AS n_event_types,
+         |    min(ts) AS first_event, max(ts) AS last_event
+         |  FROM events JOIN tomb ON user_id = tk GROUP BY 1)
+         |SELECT tomb.tk AS subject_key,
+         |  CAST(coalesce(oa.n_orders, 0) AS BIGINT) AS n_orders,
+         |  CAST(coalesce(la.n_lines, 0) AS BIGINT) AS n_lines,
+         |  coalesce(la.total_spend, 0.0) AS total_spend,
+         |  CAST(coalesce(ea.n_events, 0) AS BIGINT) AS n_events,
+         |  CAST(coalesce(ea.n_event_types, 0) AS BIGINT) AS n_event_types,
+         |  ea.first_event, ea.last_event
+         |FROM tomb LEFT JOIN oa ON oa.tk = tomb.tk
+         |LEFT JOIN la ON la.tk = tomb.tk
+         |LEFT JOIN ea ON ea.tk = tomb.tk
+         |ORDER BY subject_key""".stripMargin
+    },
     "q162_deletion_cascade" -> {
       val h = graft.functions.TextFns.sql.hash32(
         "'forget|' || CAST(c_custkey AS VARCHAR)")

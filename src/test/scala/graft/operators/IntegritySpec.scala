@@ -62,6 +62,46 @@ class IntegritySpec extends AnyFunSpec {
     }
   }
 
+  describe("subjectAccess (q192)") {
+    it("assembles one complete row per q162-selected subject") {
+      import spark.implicits._
+      def h32(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val keys = (1L to 60L).toSeq
+      val subj = keys.filter(k => h32(s"forget|$k") % Integrity.DeleteMod == 0)
+      assert(subj.nonEmpty)
+      val customer = keys.map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      // 2 orders per customer, 2 lines per order at price o + 0.25
+      val orders = keys.flatMap(k => Seq((k * 10 + 1, k), (k * 10 + 2, k)))
+        .toDF("o_orderkey", "o_custkey")
+      val lineitem = keys.flatMap(k => Seq(k * 10 + 1, k * 10 + 2))
+        .flatMap(o => Seq((o, 1L, o + 0.25), (o, 2L, o + 0.25)))
+        .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      val events = keys.map(k =>
+          (k, java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0${k % 10}"), k, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val r = Integrity
+        .subjectAccessFrom(customer, orders, lineitem, events)
+        .collect()
+      assert(r.map(_.getAs[Long]("subject_key")).toSeq == subj)
+      r.foreach { x =>
+        val k = x.getAs[Long]("subject_key")
+        assert(x.getAs[Long]("n_orders") == 2L)
+        assert(x.getAs[Long]("n_lines") == 4L)
+        assert(x.getAs[Double]("total_spend") ==
+          2 * ((k * 10 + 1) + 0.25) + 2 * ((k * 10 + 2) + 0.25))
+        assert(x.getAs[Long]("n_events") == 1L)
+        assert(x.getAs[Long]("n_event_types") == 1L)
+        assert(x.getAs[java.sql.Timestamp]("first_event") ==
+          x.getAs[java.sql.Timestamp]("last_event"))
+      }
+    }
+  }
+
   describe("orphan checks (q02/q03)") {
     it("anti-join equals left-join + IS NULL formulation") {
       val anti = Integrity.ordersWithoutLines(spark, sf).collect()(0).getLong(0)
