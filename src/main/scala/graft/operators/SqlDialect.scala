@@ -218,12 +218,14 @@ object SqlDialect {
       case other => s"regexp_replace(${other.mkString(", ")})"
     }
 
-    // time_bucket(INTERVAL 'N minutes', ts) → epoch-aligned floor
+    // time_bucket(INTERVAL 'N minutes|hours', ts) → epoch-aligned floor
     s = rewriteCall(s, "time_bucket") {
       case Seq(iv, ts) =>
-        val m = "INTERVAL\\s+'(\\d+)\\s+minutes?'".r.findFirstMatchIn(iv)
+        val m = "INTERVAL\\s+'(\\d+)\\s+(minute|hour)s?'".r.findFirstMatchIn(iv)
           .getOrElse(sys.error(s"unsupported time_bucket interval: $iv"))
-        val us = m.group(1).toLong * 60L * 1000000L
+        val unitUs = if (m.group(2) == "hour") 3600L * 1000000L
+          else 60L * 1000000L
+        val us = m.group(1).toLong * unitUs
         s"timestamp_micros(unix_micros($ts) - pmod(unix_micros($ts), ${us}L))"
       case other => sys.error(s"unsupported time_bucket args: $other")
     }
