@@ -50,6 +50,40 @@ class SchedulerSpec extends AnyFunSpec {
     }
   }
 
+  describe("nextFire vs brute-force minute scan (property)") {
+    it("agrees with a linear scan for a spread of field grammars") {
+      // deterministic pseudo-random corpus: crons over every field
+      // grammar × start instants across month/DST-free UTC boundaries
+      val crons = Seq(
+        "0 9 * * *", "*/7 * * * *", "30 1-3 * * *", "15 12 1 * *",
+        "0 0 13 * 5", "45 6 * * 1-5", "5,35 8,20 * * 0",
+        "59 23 28-31 * *", "10 4 */9 * *", "0 */5 * * 6,7",
+        "20 7 15 3,6,9,12 *")
+      val starts = Seq(
+        "2025-01-01T00:00:00", "2025-02-27T23:58:00", "2025-03-31T12:34:00",
+        "2025-06-13T00:00:00", "2024-02-28T09:00:00", "2025-12-31T23:59:00")
+      for (cs <- crons; st <- starts) {
+        val c = parseCron(cs)
+        val t0 = t(st)
+        // brute force: scan minute-by-minute up to 500 days
+        var bf = t0.withSecond(0).withNano(0).plusMinutes(1)
+        var n = 0
+        while (!c.matches(bf) && n < 500 * 24 * 60) {
+          bf = bf.plusMinutes(1); n += 1
+        }
+        assert(c.matches(bf), s"no match within horizon for '$cs' from $st")
+        assert(c.nextFire(t0) == bf, s"cron '$cs' from $st")
+        // and firing again from the result gives a strictly later match
+        assert(c.nextFire(bf).isAfter(bf))
+      }
+    }
+
+    it("Feb 29 jumps to the next leap year (past the scan horizon)") {
+      assert(parseCron("0 0 29 2 *").nextFire(t("2025-01-01T00:00:00")) ==
+        t("2028-02-29T00:00:00"))
+    }
+  }
+
   describe("dueRun (catchup=False)") {
     val c = parseCron("0 9 * * *")
     val start = t("2025-01-01T00:00:00")
