@@ -510,6 +510,46 @@ object Analytics {
     * per-user rank-1-style window; the k-arm rollup replicates only
     * the per-user hit ranks (× |Ks|), never events.
     */
+  /** q193 — ITEM-NOVELTY curve: per (Monday-aligned) week of the event
+    * stream, the events observed, the distinct items active, the items
+    * seen for the FIRST time ever, the cumulative catalog size, and
+    * the novelty rate (new/active) — q183's vocabulary-growth question
+    * asked of the interaction log instead of the corpus: a flattening
+    * curve means the catalog saturated (recommendation/co-occurrence
+    * models stop learning new items); a spike means an ingest or
+    * catalog-drop event worth correlating with q163's CUSUM.
+    *
+    * Scale shape: one item-keyed min-aggregate for first occurrences
+    * (item-cardinality-bounded), one week-keyed count with map-side
+    * combine; the cumulative window rides the weeks relation
+    * (timeline-bounded). The rate is a single exact-int division.
+    */
+  def itemNovelty(spark: SparkSession, dir: String): DataFrame =
+    itemNoveltyFrom(Tables.events(spark, dir))
+
+  def itemNoveltyFrom(events: DataFrame): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
+    val ev = events
+      .select(date_trunc("week", col("ts")).as("wk"), item.as("item"))
+      .filter(col("item").isNotNull)
+    val perWeek = ev.groupBy("wk").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("item")).as("n_active"))
+    val newItems = ev.groupBy("item").agg(min("wk").as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("new_items"))
+    val w = Window.orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWeek.join(newItems, Seq("wk"), "left")
+      .na.fill(0L, Seq("new_items"))
+      .select(col("wk").as("week_start"), col("n_events"), col("n_active"),
+        col("new_items"),
+        sum("new_items").over(w).as("cum_items"),
+        (col("new_items").cast("double") / col("n_active"))
+          .as("novelty_rate"))
+      .orderBy("week_start")
+  }
+
   def recHitRate(spark: SparkSession, dir: String): DataFrame =
     recHitRateFrom(Tables.events(spark, dir))
 
@@ -1769,6 +1809,7 @@ object Analytics {
     "q150_benford_audit" -> (benfordAudit _),
     "q161_decayed_popularity" -> (decayedPopularity _),
     "q177_rec_hit_rate" -> (recHitRate _),
+    "q193_item_novelty" -> (itemNovelty _),
     "q169_cramers_v" -> (cramersV _),
     "q140_label_communities" -> (labelCommunities _),
     "q142_link_prediction" -> (linkPredict _),
@@ -1881,6 +1922,28 @@ object Analytics {
         |FROM a ORDER BY event_type""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // first occurrences one item-keyed min; cumulative rides the weeks
+    // relation; Monday-aligned date_trunc on both engines
+    "q193_item_novelty" ->
+      s"""WITH it AS (SELECT
+         |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+         |      AS INT) AS item
+         |  FROM events),
+         |ev AS (SELECT * FROM it WHERE item IS NOT NULL),
+         |pw AS (SELECT wk, count(*) AS n_events,
+         |    count(DISTINCT item) AS n_active FROM ev GROUP BY 1),
+         |fw AS (SELECT item, min(wk) AS wk FROM ev GROUP BY 1),
+         |ni AS (SELECT wk, count(*) AS new_items FROM fw GROUP BY 1)
+         |SELECT pw.wk AS week_start, pw.n_events, pw.n_active,
+         |  CAST(coalesce(ni.new_items, 0) AS BIGINT) AS new_items,
+         |  CAST(sum(coalesce(ni.new_items, 0)) OVER (ORDER BY pw.wk
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_items,
+         |  CAST(coalesce(ni.new_items, 0) AS DOUBLE) / pw.n_active
+         |    AS novelty_rate
+         |FROM pw LEFT JOIN ni ON ni.wk = pw.wk
+         |ORDER BY week_start""".stripMargin,
     // leave-last-out protocol: the support pool is history-only (rn>1),
     // exclusions via LEFT JOIN ... IS NULL (the q162 anti-join
     // spelling), rank ties broken (score DESC, dst)

@@ -854,6 +854,30 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("itemNovelty (q193)") {
+    it("first occurrences land in their week; the cumulative catalog grows") {
+      def e(id: Long, t: String, item: Int) =
+        (id, ts(t), 1L, "click", 1.0, s"""{"k": $item}""")
+      // 2024-01-01 is a Monday: week1 sees items {1,2}, week2 {2,3}
+      val r = Analytics.itemNoveltyFrom(events(
+          e(1, "2024-01-01 10:00:00", 1), e(2, "2024-01-02 10:00:00", 2),
+          e(3, "2024-01-03 10:00:00", 1),
+          e(4, "2024-01-08 10:00:00", 2), e(5, "2024-01-09 10:00:00", 3)))
+        .collect()
+      assert(r.length == 2)
+      assert(r(0).getAs[Long]("n_events") == 3L)
+      assert(r(0).getAs[Long]("n_active") == 2L)
+      assert(r(0).getAs[Long]("new_items") == 2L)
+      assert(r(0).getAs[Long]("cum_items") == 2L)
+      assert(r(0).getAs[Double]("novelty_rate") == 1.0)
+      assert(r(1).getAs[Long]("new_items") == 1L) // only item 3 is new
+      assert(r(1).getAs[Long]("cum_items") == 3L)
+      assert(r(1).getAs[Double]("novelty_rate") == 0.5)
+      assert(r(0).getAs[java.sql.Timestamp]("week_start").toString
+        .startsWith("2024-01-01"))
+    }
+  }
+
   describe("recHitRate (q177)") {
     it("leave-last-out over a history-only support pool") {
       def e(id: Long, t: String, user: Long, item: Int) =
