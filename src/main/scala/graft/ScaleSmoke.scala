@@ -257,6 +257,7 @@ object ScaleSmoke {
     // fixture lacks (every doc has mult-1 exact copies here)
     t("dup_geography") { Dedup.dupGeographyFrom(docs).count() }
     t("dup_size_histogram") { Dedup.dupSizeHistogramFrom(docs).count() }
+    t("item_novelty") { Analytics.itemNoveltyFrom(events).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
