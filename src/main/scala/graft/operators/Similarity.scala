@@ -175,6 +175,40 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q194 — EMBEDDING COVERAGE audit: the q02/q03 orphan check for the
+    * ML tables — documents without a vector (can't be semantically
+    * deduped, searched, or SemDeDup'd: they silently bypass every
+    * embedding-gated filter), vectors without a document (stale index
+    * entries that surface deleted content), duplicate vector ids
+    * (which double-count in every centroid/aggregate), and the
+    * coverage rate. The precondition audit for the whole q25–q176
+    * embedding family.
+    *
+    * Scale shape: two anti-joins on the id columns (AQE broadcasts the
+    * smaller id projection; only ids cross the wire, never payloads)
+    * plus two count aggregates folded to one row.
+    */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame =
+    embeddingCoverageFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  def embeddingCoverageFrom(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
+    val v = embeddings.select(col("vec_id"))
+    val docStats = d.join(v, col("doc_id") === col("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_without_vec"))
+    val vecStats = v.join(d, col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("vecs_without_doc"))
+    val totals = d.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(v.agg(count(lit(1)).as("n_vecs"),
+        (count(lit(1)) - countDistinct(col("vec_id"))).as("dup_vec_ids")))
+    totals.crossJoin(broadcast(docStats)).crossJoin(broadcast(vecStats))
+      .select(col("n_docs"), col("n_vecs"), col("docs_without_vec"),
+        col("vecs_without_doc"), col("dup_vec_ids"),
+        ((col("n_docs") - col("docs_without_vec")).cast("double") /
+          nullIfZero(col("n_docs"))).as("coverage_rate"))
+  }
+
   /** q180 — how many in-bucket nearest neighbors vote on each label. */
   val NoiseK = 5
 
@@ -1645,6 +1679,7 @@ object Similarity {
     "q26_ann_lsh" -> (annLsh _),
     "q180_label_noise" -> (labelNoise _),
     "q189_ivf_balance" -> (ivfBalance _),
+    "q194_embedding_coverage" -> (embeddingCoverage _),
     "q36_ann_ivf" -> (annIvf _),
     "q83_ann_rerank" -> (annRerank _),
     "q38_embedding_neardup" -> (embeddingNearDup _),
@@ -2505,6 +2540,22 @@ object Similarity {
          |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
          |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+    // two anti-joins + two counts folded to one row
+    "q194_embedding_coverage" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |v AS (SELECT vec_id FROM embeddings),
+         |dw AS (SELECT count(*) AS docs_without_vec FROM d
+         |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE vec_id = doc_id)),
+         |vw AS (SELECT count(*) AS vecs_without_doc FROM v
+         |  WHERE NOT EXISTS (SELECT 1 FROM d WHERE doc_id = vec_id)),
+         |t AS (SELECT (SELECT count(*) FROM d) AS n_docs,
+         |  (SELECT count(*) FROM v) AS n_vecs,
+         |  (SELECT count(*) - count(DISTINCT vec_id) FROM v) AS dup_vec_ids)
+         |SELECT n_docs, n_vecs, docs_without_vec, vecs_without_doc,
+         |  CAST(dup_vec_ids AS BIGINT) AS dup_vec_ids,
+         |  CAST(n_docs - docs_without_vec AS DOUBLE) / NULLIF(n_docs, 0)
+         |    AS coverage_rate
+         |FROM t CROSS JOIN dw CROSS JOIN vw""".stripMargin,
     // the q36 cell assignment, rolled to occupancy; spine keeps empty
     // cells visible; closing divisions exact-int
     "q189_ivf_balance" ->

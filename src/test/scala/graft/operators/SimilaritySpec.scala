@@ -702,6 +702,24 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("embeddingCoverage (q194)") {
+    it("counts orphans on both sides and duplicate vector ids") {
+      import spark.implicits._
+      val docs = Seq(1L, 2L, 3L, 4L).map(i => (i, s"t$i", "en", "s", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // vec 9 orphaned, doc 4 uncovered, vec 2 duplicated
+      val embs = Seq(1L, 2L, 2L, 3L, 9L).map(i => (i, vec(0 -> 1.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.embeddingCoverageFrom(docs, embs).collect()(0)
+      assert(r.getAs[Long]("n_docs") == 4L)
+      assert(r.getAs[Long]("n_vecs") == 5L)
+      assert(r.getAs[Long]("docs_without_vec") == 1L)
+      assert(r.getAs[Long]("vecs_without_doc") == 1L)
+      assert(r.getAs[Long]("dup_vec_ids") == 1L)
+      assert(r.getAs[Double]("coverage_rate") == 0.75)
+    }
+  }
+
   describe("ivfBalance (q189)") {
     it("counts occupancy per cell, keeps empty cells visible") {
       // seeds (vec_ids 10..25) are basis vectors e_0..e_15, EXCEPT seed
