@@ -258,6 +258,9 @@ object ScaleSmoke {
     t("dup_geography") { Dedup.dupGeographyFrom(docs).count() }
     t("dup_size_histogram") { Dedup.dupSizeHistogramFrom(docs).count() }
     t("item_novelty") { Analytics.itemNoveltyFrom(events).count() }
+    t("embedding_coverage") {
+      Similarity.embeddingCoverageFrom(docs, emb).count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
