@@ -508,6 +508,40 @@ object Curation {
         graft.functions.Det.nullIfZero(col("total"))).as("topk_share"))
   }
 
+  /** q195 — dataset COMPOSITION grid: the (lang × source) table a
+    * corpus datasheet ships under q71's one-row card — per cell the
+    * doc/token mass, the exact fixed-point mean quality (the q186
+    * integral-divide mean, so cells order by pure integers), and the
+    * doc share. The grid is what q169's Cramér's V summarizes to one
+    * number and what q48/q152/q157/q186's mixture decisions slice by —
+    * this is the raw table those consumers read.
+    *
+    * Scale shape: docs fold ONCE to the grid (map-side combine;
+    * languages × sources cells), the share denominator is a window
+    * over the grid relation, shares single exact-int divisions.
+    */
+  def compositionGrid(spark: SparkSession, dir: String): DataFrame =
+    compositionGridFrom(Tables.documents(spark, dir))
+
+  def compositionGridFrom(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityFeatures(docs, Seq("lang", "source"))
+    val all = Window.partitionBy()
+    q.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(round(col("quality_score") * 1e6).cast("long")).as("sum6"),
+        count(col("quality_score")).as("n_scored"))
+      .withColumn("mean_quality",
+        call_function("div", lit(2L) * col("sum6") + col("n_scored"),
+          graft.functions.Det.nullIfZero(lit(2L) * col("n_scored")))
+          .cast("double") / lit(1.0e6))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / sum("n_docs").over(all))
+      .select("lang", "source", "n_docs", "n_tokens", "mean_quality",
+        "doc_share")
+      .orderBy("lang", "source")
+  }
+
   /** q188 context-length arms (tokens): the fixture's length
     * distribution (p10≈21, p90≈88) puts real mass on every side of
     * each arm.
@@ -1492,6 +1526,7 @@ object Curation {
     "q182_source_concentration" -> (sourceConcentration _),
     "q186_curriculum_fill" -> (curriculumFill _),
     "q188_truncation_loss" -> (truncationLoss _),
+    "q195_composition_grid" -> (compositionGrid _),
     "q52_mixture_sample" -> (mixtureSample _),
     "q58_chunk_dedup" -> (chunkDedup _),
     "q59_snapshot_diff" -> (snapshotDiff _),
@@ -1552,6 +1587,20 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the q186 fixed-point mean per grid cell; share over a grid window
+    "q195_composition_grid" ->
+      s"""WITH ${TextAnalysis.qualityDocSql("lang, source")},
+         |g AS (SELECT lang, source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS BIGINT) AS sum6,
+         |    count(qs) AS n_scored
+         |  FROM q GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  CAST(CAST((2 * sum6 + n_scored) // NULLIF(2 * n_scored, 0)
+         |    AS BIGINT) AS DOUBLE) / 1.0e6 AS mean_quality,
+         |  CAST(n_docs AS DOUBLE) / total AS doc_share
+         |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
     // arms replicated on the per-doc token-count relation; kept =
     // min(len, ctx); one exact-int closing division
     "q188_truncation_loss" ->

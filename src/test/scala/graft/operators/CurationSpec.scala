@@ -766,6 +766,25 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("compositionGrid (q195)") {
+    it("one cell per (lang, source) with exact masses and shares") {
+      val d = Seq(
+          (1L, "data data data data", "en", "A", 19L),
+          (2L, "data data", "en", "A", 9L),
+          (3L, "data data data", "en", "B", 14L),
+          (4L, "data", "de", "A", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = Curation.compositionGridFrom(d).collect()
+      assert(r.map(x => (x.getAs[String]("lang"), x.getAs[String]("source"),
+        x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"))).toSeq ==
+        Seq(("de", "A", 1L, 1L), ("en", "A", 2L, 6L), ("en", "B", 1L, 3L)))
+      assert(r.map(_.getAs[Double]("doc_share")).toSeq ==
+        Seq(0.25, 0.5, 0.25))
+      // (en, B): 3 "data" tokens → 0.25·0.03 + 0.25·(12/3/8) + 0.5
+      assert(r(2).getAs[Double]("mean_quality") == 0.6325)
+    }
+  }
+
   describe("truncationLoss (q188)") {
     it("clips exactly the tail mass at each context arm") {
       // docs of 10, 40, 100 tokens against arms 32/64/128
