@@ -261,6 +261,7 @@ object ScaleSmoke {
     t("embedding_coverage") {
       Similarity.embeddingCoverageFrom(docs, emb).count()
     }
+    t("composition_grid") { Curation.compositionGridFrom(docs).count() }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
