@@ -313,6 +313,30 @@ object Bench {
     }
     val wall = (System.nanoTime() - t0) / 1e9
 
+    // Core q01–q16 re-measure: 3 additional INTERLEAVED passes, each
+    // running the whole core stage chain in CTAS order, so one host
+    // stall (this VM stalls for tens of seconds at random) taints at
+    // most one of a query's three samples. The line carries Σ per-query
+    // min and Σ per-query median — the stable core-vs-baseline signal
+    // the single sample per round never gave (the recorded band was
+    // 0.82×–1.51× across identical plans).
+    def coreId(n: String): Int = n.drop(1).takeWhile(_.isDigit).toInt
+    val coreSuite = suite.filter { case (n, _) => coreId(n) <= 16 }
+    val coreSamples =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    (1 to 3).foreach { pass =>
+      coreSuite.foreach { case (name, f) =>
+        val s0 = System.nanoTime()
+        f()
+        val dt = (System.nanoTime() - s0) / 1e9
+        coreSamples(name) = coreSamples.getOrElse(name, Vector.empty) :+ dt
+        System.err.println(f"[bench] core pass $pass $name $dt%.2f s")
+      }
+    }
+    val coreMin = coreSamples.values.map(_.min).sum
+    val coreMed = coreSamples.values.map(v => v.sorted.apply(v.size / 2)).sum
+    System.err.println(f"[bench] core q01-q16: min_sum=$coreMin%.2f s med_sum=$coreMed%.2f s over 3 passes")
+
     // the static stage-4 list above must track the map's real key set —
     // a query added to queriesFromRisk but not the list would otherwise
     // silently vanish from the benchmark
@@ -339,7 +363,7 @@ object Bench {
     // the pass/GC/heap trio always intact) lives in BenchLine so
     // BenchLineSpec can pin it at 200-query scale without a Spark run.
     println(BenchLine.render(total, results.toSeq, sfName, startup, cpus,
-      wall, passSec.toSeq, passGc.toSeq, heapPeakMb))
+      wall, passSec.toSeq, passGc.toSeq, heapPeakMb, coreMin, coreMed))
     spark.stop()
   }
 }

@@ -72,7 +72,9 @@ object BenchLine {
       wall: Double,
       passSec: collection.Seq[Double],
       passGc: collection.Seq[Double],
-      peakMb: Long): String = {
+      peakMb: Long,
+      coreMin: Double = -1,
+      coreMed: Double = -1): String = {
     val short = results.map { case (k, v) =>
       ("q" + k.split("_")(0).drop(1).toInt) -> v }
     require(short.map(_._1).distinct.size == short.size,
@@ -87,9 +89,16 @@ object BenchLine {
     val extras =
       s""","startup_sec":${f3(startup)},"cpus":$cpus,"wall_sec":${f3(wall)}""" +
         coreExtras
+    // core_min_sec / core_med_sec (Σ per-query min / median over the
+    // 3 interleaved core passes) ride the FIXED part of every rung:
+    // they are the stable round-over-round core signal and must never
+    // be shed by the degradation ladder
+    val core =
+      if (coreMin < 0) ""
+      else s""","core_min_sec":${fN(coreMin, 2)},"core_med_sec":${fN(coreMed, 2)}"""
     def jline(queries: String, tail: String): String =
       s"""{"metric":"pipeline_total","value":${f3(total)},"unit":"sec"""" +
-        s""","queries":$queries,"sf":"$sfName"$tail}"""
+        s""","queries":$queries,"sf":"$sfName"$core$tail}"""
     Seq(
       jline(jmapN(short, 2), extras),
       jline(jmapA(short), extras),
@@ -109,9 +118,19 @@ object BenchLine {
                fN(rest.map(_._2).sum, 1)}""") + coarseExtras
           jline(jmapN(desc.take(k), 1), tail)
         }
-        var k = desc.size
-        while (k > 0 && lineFor(k).length > MaxLen) k -= 1
-        lineFor(k)
+        // binary-search the largest fitting K (length is monotone in K
+        // up to ±a digit of the shrinking rest_sec, so a short linear
+        // fix-up after the search keeps the result exact without the
+        // O(n²) full-line rebuild per step at 200 queries)
+        var lo = 0
+        var hi = desc.size
+        while (lo < hi) { // invariant: lineFor(lo) fits
+          val mid = lo + (hi - lo + 1) / 2
+          if (lineFor(mid).length <= MaxLen) lo = mid else hi = mid - 1
+        }
+        while (lo < desc.size && lineFor(lo + 1).length <= MaxLen) lo += 1
+        while (lo > 0 && lineFor(lo).length > MaxLen) lo -= 1
+        lineFor(lo)
       }
   }
 }

@@ -262,6 +262,23 @@ object ScaleSmoke {
       Similarity.embeddingCoverageFrom(docs, emb).count()
     }
     t("composition_grid") { Curation.compositionGridFrom(docs).count() }
+    // round-10: the q89→q52→q63→q81 chain as ONE job on the replicated
+    // corpus — the composition proof at smoke scale (the ledger's exact
+    // cut absorbs the replicas; packing + shard deal ride the
+    // survivors). A driver-side cliff between stages would surface here
+    // as a stall, not in the per-operator arms.
+    t("training_shards_chained") {
+      graft.app.CorpusPipeline.trainingShards(docs).count()
+    }
+    // round-10: q196's AVI parse + JPEG decode is per-payload bounded
+    // codec work like q172 — pure map, linear by construction
+    t("avi_frames") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.aviBytes(id))).toDF("doc_id", "payload")
+      Multimodal.sampleAviFrames(payloads, Multimodal.AviPerDoc).count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output
@@ -333,6 +350,33 @@ object ScaleSmoke {
           require(out.length == Analytics.CoocTopK,
             s"skewed fixture must still fill the top-k: ${out.length}")
           out.length.toLong
+        }
+        // (c2) planted POWER-LAW user: one bot holding ~all of a
+        // 100k-item catalog. Uncapped, that single user mints
+        // C(100k,2) ≈ 5·10⁹ pairs inside ONE user-keyed task — the
+        // round-9 verdict's 100× hazard. The PairUserCap basket prune
+        // bounds every user at C(256,2) = 32 640 pairs, so the arm
+        // both finishes and pins the bound.
+        t("skew_powerlaw_user_capped_pairs") {
+          val items = 100000L
+          val bot = spark.range(0, items).selectExpr(
+            "id AS event_id", "0L AS user_id",
+            "concat('{\"k\": ', id, '}') AS props")
+          val tail = spark.range(0, 20000L * mult).selectExpr(
+            s"$items + id AS event_id",
+            "1 + id % 2000 AS user_id",
+            "concat('{\"k\": ', id % 50, '}') AS props")
+          val ev = bot.unionByName(tail)
+          val ui = Analytics.itemBaskets(ev)
+          val botBasket = ui.filter(col("user_id") === 0L).count()
+          require(botBasket == Analytics.PairUserCap,
+            s"bot basket must prune to the cap: $botBasket")
+          val cap = Analytics.PairUserCap.toLong
+          val bound = cap * (cap - 1) / 2 + 50L * 49 / 2
+          val n = Analytics.itemPairsOf(ui).count()
+          require(n <= bound,
+            s"capped pair relation must stay under C(cap,2)+tail: $n vs $bound")
+          n
         }
         t("skew_salted_join") {
           val big = spark.range(0, 200000L * mult).selectExpr(

@@ -143,6 +143,25 @@ object CorpusPipeline {
       nSeqs, nShards, nOut)
   }
 
+  /** The q89→q52→q63→q81 CHAINED training-shard artifact, composed as
+    * ONE job over explicit inputs: the dedup decision ledger keeps the
+    * canonical survivors, the mixture downsamples each source to its
+    * token allocation, the packing prefix-scan lays the survivors into
+    * fixed-length training sequences, and the shard deal assigns each
+    * sequence a dense (shard, position) slot. Every stage is an
+    * already-gated operator; this chain is the composition proof — the
+    * verified plans must fuse into one lineage without a driver-side
+    * cliff between them (the q54 fixpoint inside the ledger is the one
+    * deliberately iterative stage, already bounded by its own rounds).
+    */
+  def trainingShards(docs: DataFrame): DataFrame = {
+    val ledger = Dedup.keepLedgerFrom(docs) // q89
+    val kept = docs.join(
+      ledger.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+    val mixed = Curation.mixtureKeepDocs(kept) // q52
+    Curation.shuffleShardsFrom(Curation.packSequencesFrom(mixed)) // q63→q81
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/dev/shm/graft-corpus-out"

@@ -59,16 +59,17 @@ object Scheduler {
   final case class Cron(min: Set[Int], hour: Set[Int], dom: Set[Int],
       month: Set[Int], dow: Set[Int], domStar: Boolean, dowStar: Boolean) {
 
-    /** Vixie day rule: when BOTH day fields are restricted, a day
-      * matches if EITHER does; otherwise the restricted one decides.
+    /** Vixie day rule: when BOTH day fields are restricted (neither
+      * starts with '*'), a day matches if EITHER does; otherwise both
+      * must match — and a star-flagged '*\/n' field still filters by
+      * its step inside the AND (the flag picks the rule, it does not
+      * blank the field).
       */
     private def dayMatches(t: LocalDateTime): Boolean = {
       val domOk = dom.contains(t.getDayOfMonth)
       // java DayOfWeek: MONDAY=1..SUNDAY=7 → cron 0=Sunday
       val dowOk = dow.contains(t.getDayOfWeek.getValue % 7)
-      if (domStar && dowStar) true
-      else if (domStar) dowOk
-      else if (dowStar) domOk
+      if (domStar || dowStar) domOk && dowOk
       else domOk || dowOk
     }
 
@@ -107,7 +108,11 @@ object Scheduler {
     val dowRaw = parseField(f(4), 0, 7).map(d => if (d == 7) 0 else d)
     Cron(parseField(f(0), 0, 59), parseField(f(1), 0, 23),
       parseField(f(2), 1, 31), parseField(f(3), 1, 12), dowRaw,
-      domStar = f(2) == "*", dowStar = f(4) == "*")
+      // Vixie sets the day star flags whenever the field STARTS with
+      // '*' ('*' and '*/n' both count), not only on a literal '*' —
+      // the flag drives the dom/dow OR-vs-AND rule, so '*/n' spellings
+      // must take the star-flagged path
+      domStar = f(2).startsWith("*"), dowStar = f(4).startsWith("*"))
   }
 
   /** `catchup=False` (`dags/supplier_pipeline_dag.py:34`): of all fire
@@ -155,8 +160,12 @@ object Scheduler {
     tasks.foreach(t => t.upstream.foreach(u =>
       require(byId.contains(u), s"unknown upstream '$u' of '${t.id}'")))
 
-    // Kahn's algorithm, declaration-order tie-break
-    val indeg = mutable.Map(tasks.map(t => t.id -> t.upstream.size): _*)
+    // Kahn's algorithm, declaration-order tie-break. Indegree counts
+    // DISTINCT upstream ids: the completion loop below decrements at
+    // most once per finished upstream, so a duplicated declaration
+    // (Seq("a","a")) would otherwise strand a valid DAG at indegree 1
+    // and misreport it as a cycle.
+    val indeg = mutable.Map(tasks.map(t => t.id -> t.upstream.distinct.size): _*)
     val order = mutable.ArrayBuffer[Task]()
     val ready = mutable.Queue(tasks.filter(_.upstream.isEmpty): _*)
     while (ready.nonEmpty) {

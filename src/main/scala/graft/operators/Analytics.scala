@@ -463,26 +463,19 @@ object Analytics {
     * Σ_user basket² — the irreducible cost of exact pair counting
     * (a-priori support pruning composes on top by filtering the item
     * relation first); the pair aggregate combines map-side and the
-    * top-k lowers to TakeOrderedAndProject. Hot users are capped by the
-    * item-domain cardinality, so basket² stays bounded; the salted
-    * `SkewJoin` composes if the item domain itself grows.
+    * top-k lowers to TakeOrderedAndProject. Hot users are bounded by
+    * the [[PairUserCap]] basket prune inside [[itemBaskets]], so one
+    * bot/power user can never mint a basket² straggler task.
     */
   def itemCooccurrence(spark: SparkSession, dir: String): DataFrame =
     itemCooccurrenceFrom(Tables.events(spark, dir))
 
-  def itemCooccurrenceFrom(events: DataFrame): DataFrame = {
-    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
-    val ui = events.select(col("user_id"), item.as("item"))
-      .filter(col("item").isNotNull).distinct()
-    ui.alias("a").join(ui.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("n_users"))
+  def itemCooccurrenceFrom(events: DataFrame): DataFrame =
+    itemPairsOf(itemBaskets(events))
+      .select(col("u").as("item_a"), col("v").as("item_b"),
+        col("w").as("n_users"))
       .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
       .limit(CoocTopK)
-  }
 
   /** q177 cutoff ranks evaluated (ascending) and the minimum pair
     * support a candidate edge needs.
@@ -1337,14 +1330,12 @@ object Analytics {
     itemPagerankFrom(Tables.events(spark, dir))
 
   def itemPagerankFrom(events: DataFrame): DataFrame = {
-    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
-    val ui = events.select(col("user_id"), item.as("item"))
-      .filter(col("item").isNotNull).distinct()
-    val pairs = ui.alias("a").join(ui.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    // one corpus extraction serves the pair build (2 refs), the node
+    // set, and the teleport count — the q140 discipline: checkpoint the
+    // capped basket relation instead of recomputing its distinct +
+    // count + window chain per consumer
+    val ui = itemBaskets(events).localCheckpoint()
+    val pairs = itemPairsOf(ui)
     val edges = pairs.unionByName(
       pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
     val deg = edges.groupBy("u")
@@ -1400,10 +1391,7 @@ object Analytics {
     cooccurEdgesOf(itemBaskets(events))
 
   private def cooccurEdgesOf(ui: DataFrame): DataFrame = {
-    val pw = ui.alias("a").join(ui.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val pw = itemPairsOf(ui)
     val thr = pw.agg(percentile(col("w"), lit(LpEdgeQuantile)).as("t"))
     pw.crossJoin(broadcast(thr)).filter(col("w") > col("t"))
       .select("u", "v", "w")
@@ -1459,7 +1447,7 @@ object Analytics {
         .select(col("item"), coalesce(col("newl"), col("label")).as("label"))
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), Seq("label"))
+    labels.join(dimBroadcast(sizes), Seq("label"))
       .select(col("item"), col("label").as("community"), col("community_size"))
       .orderBy("community", "item")
   }
@@ -1490,22 +1478,16 @@ object Analytics {
     assocRulesFrom(Tables.events(spark, dir))
 
   def assocRulesFrom(events: DataFrame): DataFrame = {
-    val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
-    val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
-    val ui = events.select(col("user_id"), item.as("item"))
-      .filter(col("item").isNotNull).distinct()
+    val ui = itemBaskets(events)
     val nUsers = ui.select("user_id").distinct().count() // one scalar job
     val icnt = ui.groupBy("item").agg(count(lit(1)).as("cnt"))
-    val pairs = ui.alias("a").join(ui.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val pairs = itemPairsOf(ui)
     val rules = pairs.unionByName(
       pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
     val conf = col("w").cast("double") / col("ca")
     rules.filter(col("w") >= RuleMinPairs)
-      .join(broadcast(icnt.select(col("item").as("u"), col("cnt").as("ca"))), "u")
-      .join(broadcast(icnt.select(col("item").as("v"), col("cnt").as("cb"))), "v")
+      .join(dimBroadcast(icnt.select(col("item").as("u"), col("cnt").as("ca"))), "u")
+      .join(dimBroadcast(icnt.select(col("item").as("v"), col("cnt").as("cb"))), "v")
       .select(col("u").as("item_a"), col("v").as("item_b"),
         col("w").as("n_both"), col("ca").as("n_a"),
         round(col("w").cast("double") / lit(nUsers), 9).as("support"),
@@ -1521,13 +1503,74 @@ object Analytics {
   val TriMinSupport = 2L
   val TriTopK = 20
 
-  /** The q66/q103/q106 item extraction, shared. */
-  private def itemBaskets(events: DataFrame): DataFrame = {
+  /** Per-user distinct-item cap applied to every basket that feeds a
+    * pair self-join (q66/q103/q106/q110/q134/q140/q142). The self-join
+    * emits Σ_user basket² rows; on a production catalog (10⁵–10⁷
+    * items) ONE bot/power user with a huge distinct-item basket turns
+    * that into a single ~basket² straggler task. The cap bounds every
+    * user's contribution at [[PairUserCap]]² pairs by keeping the
+    * user's [[PairUserCap]] globally most-frequent items (a-priori
+    * discipline: frequent items are the ones that can reach any
+    * support/quantile cut downstream; rare tail items of a bot basket
+    * produce support-1 pairs every consumer filters out anyway). The
+    * tie-break (count DESC, item ASC) is a total order per user, so
+    * the kept set is deterministic and the DuckDB oracle replicates it
+    * with the same `row_number()` text. The fixtures' item domain
+    * (≤ 25) never reaches the cap, so fixture results are unchanged;
+    * the cap exists for the 100× story (see ScaleSmoke's planted
+    * power-law arm).
+    */
+  val PairUserCap = 256
+
+  /** Broadcast hint for item-domain-sized dimension relations (degree
+    * vectors, item counts, community sizes). These are tiny on the
+    * fixtures but a 10⁷-item production catalog would make a forced
+    * broadcast oversized — so the hint is dropped when the session
+    * declares a large catalog via `spark.graft.graph.domainSizeHint`
+    * (items; default unset = hint applies) against
+    * [[DimBroadcastMax]], and AQE's runtime stats pick the join
+    * strategy instead. A conf hint, not a count job: sizing the dim
+    * with an action would recompute the corpus subtree that feeds it.
+    */
+  val DimBroadcastMax = 4000000L
+
+  private def dimBroadcast(dim: DataFrame): DataFrame = {
+    val hint = dim.sparkSession.conf
+      .getOption("spark.graft.graph.domainSizeHint").map(_.toLong)
+    if (hint.exists(_ > DimBroadcastMax)) dim else broadcast(dim)
+  }
+
+  /** The shared item-basket extraction feeding every pair self-join:
+    * DISTINCT (user, item) rows (basket semantics — one shuffle with
+    * map-side combine), then the [[PairUserCap]] prune: one item-keyed
+    * count, one user-keyed `row_number` window ordered (count DESC,
+    * item ASC). The window's user_id exchange is exactly the
+    * partitioning the downstream self-join needs, so the cap costs one
+    * item-cardinality aggregate, not an extra corpus shuffle.
+    */
+  private[graft] def itemBaskets(events: DataFrame): DataFrame = {
     val raw = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
     val item = when(raw === "", lit(null)).otherwise(raw).cast("int")
-    events.select(col("user_id"), item.as("item"))
+    val ui0 = events.select(col("user_id"), item.as("item"))
       .filter(col("item").isNotNull).distinct()
+    val icnt = ui0.groupBy("item").agg(count(lit(1)).as("__ic"))
+    ui0.join(dimBroadcast(icnt), Seq("item"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("__ic"), asc("item"))))
+      .filter(col("__rn") <= PairUserCap)
+      .select("user_id", "item")
   }
+
+  /** The shared canonical co-occurrence pair relation: (u < v, w =
+    * supporting users), built from the CAPPED baskets — Σ_user basket²
+    * with basket ≤ [[PairUserCap]], the one pair build every graph
+    * query (q66/q103/q106/q110/q134/q140/q142) rides.
+    */
+  private[graft] def itemPairsOf(ui: DataFrame): DataFrame =
+    ui.alias("a").join(ui.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("u"), col("b.item").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
 
   /** q110 — TRIANGLE counting over the item co-occurrence graph
     * (edges = item pairs sharing ≥ [[TriMinSupport]] users): per-item
@@ -1552,19 +1595,15 @@ object Analytics {
     * and the exact triangle relation (a,b,c), a<b<c each once.
     */
   private def triangleParts(events: DataFrame): (DataFrame, DataFrame) = {
-    val ui = itemBaskets(events)
-    val edges = ui.alias("a").join(ui.alias("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("u"), col("b.item").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = itemPairsOf(itemBaskets(events))
       .filter(col("w") >= TriMinSupport)
       .select("u", "v")
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val e = edges
-      .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
-      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
+      .join(dimBroadcast(deg.select(col("x").as("u"), col("d").as("du"))), Seq("u"))
+      .join(dimBroadcast(deg.select(col("x").as("v"), col("d").as("dv"))), Seq("v"))
     // u < v throughout, so the tie-break on equal degree keeps u first
     val oriented = e.select(
       when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
@@ -1625,8 +1664,8 @@ object Analytics {
     val jc = col("n_common").cast("double") /
       (col("deg_a") + col("deg_b") - col("n_common")).cast("double")
     cand
-      .join(broadcast(deg.select(col("u").as("a"), col("d").as("deg_a"))), Seq("a"))
-      .join(broadcast(deg.select(col("u").as("b"), col("d").as("deg_b"))), Seq("b"))
+      .join(dimBroadcast(deg.select(col("u").as("a"), col("d").as("deg_a"))), Seq("a"))
+      .join(dimBroadcast(deg.select(col("u").as("b"), col("d").as("deg_b"))), Seq("b"))
       .select(col("a").as("item_a"), col("b").as("item_b"), col("n_common"),
         col("deg_a"), col("deg_b"), round(jc, 9).as("jaccard"))
       .orderBy(desc("jaccard"), desc("n_common"), asc("item_a"), asc("item_b"))
@@ -1921,6 +1960,27 @@ object Analytics {
         |  (p90_approx >= p85_exact AND p90_approx <= p95_exact) AS p90_ok
         |FROM a ORDER BY event_type""".stripMargin)
 
+  /** Shared oracle CTE chain for the CAPPED item baskets (the SQL twin
+    * of [[itemBaskets]]): raw distinct (user, item) rows, the global
+    * item counts, and the per-user top-[[PairUserCap]] prune ordered
+    * (count DESC, item ASC) — every pair-building oracle
+    * (q66/q103/q106/q110/q134/q140/q142) opens with `WITH $uiCte`.
+    */
+  private def uiCte: String =
+    s"""ui0 AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
+       |  FROM events
+       |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+       |uic AS (SELECT item, count(*) AS ic FROM ui0 GROUP BY 1),
+       |ui AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT ui0.user_id, ui0.item,
+       |      row_number() OVER (PARTITION BY ui0.user_id
+       |        ORDER BY uic.ic DESC, ui0.item) AS rn
+       |    FROM ui0 JOIN uic ON uic.item = ui0.item) capped
+       |  WHERE rn <= $PairUserCap)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // first occurrences one item-keyed min; cumulative rides the weeks
     // relation; Monday-aligned date_trunc on both engines
@@ -2096,11 +2156,7 @@ object Analytics {
     // engine's degree-oriented plan exists for the m^{3/2} bound, not
     // for different answers
     "q110_item_triangles" ->
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |e AS (
          |  SELECT a.item AS u, b.item AS v
          |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
@@ -2159,11 +2215,7 @@ object Analytics {
          |ORDER BY join_name""".stripMargin
     },
     "q106_assoc_rules" ->
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |n AS (SELECT count(DISTINCT user_id) AS n FROM ui),
          |icnt AS (SELECT item, count(*) AS cnt FROM ui GROUP BY 1),
          |pr AS (SELECT a.item AS u, b.item AS v, count(*) AS w
@@ -2483,11 +2535,7 @@ object Analytics {
            |l$r AS (SELECT l.item, coalesce(p.label, l.label) AS label
            |  FROM $prev l LEFT JOIN p$r p ON p.u = l.item)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |pw AS (SELECT a.item AS u, b.item AS v, count(*) AS w
          |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
          |  GROUP BY 1, 2),
@@ -2505,11 +2553,7 @@ object Analytics {
     // wedge-generated candidates, adjacency removed by anti join;
     // integer counts, one closing division
     "q142_link_prediction" ->
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |pw AS (SELECT a.item AS u, b.item AS v, count(*) AS w
          |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
          |  GROUP BY 1, 2),
@@ -2545,11 +2589,7 @@ object Analytics {
            |  FROM items i CROSS JOIN n LEFT JOIN c$i ON c$i.v = i.item)"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |pr AS (SELECT a.item AS u, b.item AS v, count(*) AS w
          |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
          |  GROUP BY 1, 2),
@@ -2638,11 +2678,7 @@ object Analytics {
          |FROM d JOIN md USING (event_type)
          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q66_item_cooccurrence" ->
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL)
+      s"""WITH $uiCte
          |SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
          |FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
          |GROUP BY 1, 2
@@ -2691,11 +2727,7 @@ object Analytics {
         |  round(CAST(d_num AS DOUBLE) / NULLIF(na * nb, 0), 9) AS ks_d
         |FROM a""".stripMargin,
     "q134_clustering_coeff" ->
-      s"""WITH ui AS (
-         |  SELECT DISTINCT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS item
-         |  FROM events
-         |  WHERE NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NOT NULL),
+      s"""WITH $uiCte,
          |e AS (
          |  SELECT a.item AS u, b.item AS v
          |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item

@@ -824,21 +824,36 @@ object Curation {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSampleFrom(Tables.documents(spark, dir))
 
-  def mixtureSampleFrom(docs: DataFrame): DataFrame = {
-    val alloc = mixtureAlloc(docs, total => (total / lit(2)).cast("long"))
+  /** The shared q52 rate table + keep predicate. */
+  private def mixtureRates(docs: DataFrame): DataFrame =
+    mixtureAlloc(docs, total => (total / lit(2)).cast("long"))
       .withColumn("rate_bp", expr(s"alloc_tokens * $SampleBp div n_tokens"))
       .select("source", "rate_bp")
-    val keep = TextFns.hash32(
+
+  private def mixtureKeep: Column =
+    TextFns.hash32(
       concat(lit("sample|"), col("doc_id").cast("string"))) % SampleBp < col("rate_bp")
+
+  /** The q52 keep rule at DOC grain: the rows the mixture retains,
+    * full document columns preserved — the composable form the
+    * end-to-end training pipeline chains between the q89 ledger cut
+    * and the q63 packing layout ([[mixtureSampleFrom]] aggregates the
+    * same rule into the gated per-source report).
+    */
+  def mixtureKeepDocs(docs: DataFrame): DataFrame =
+    docs.join(broadcast(mixtureRates(docs)), Seq("source"))
+      .filter(mixtureKeep)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
+  def mixtureSampleFrom(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("doc_id"),
         size(TextFns.toks(col("text"))).cast("long").as("tok"))
-      .join(broadcast(alloc), Seq("source"))
-      .filter(keep)
+      .join(broadcast(mixtureRates(docs)), Seq("source"))
+      .filter(mixtureKeep)
       .groupBy("source", "rate_bp")
       .agg(count(lit(1)).as("n_kept"), sum("tok").as("kept_tokens"))
       .orderBy("source")
-  }
 
   /** q59 snapshot fixture rates: 9 of [[SnapKeepMod]] docs present per
     * snapshot (independent draws per side), 1 in [[SnapMutMod]] of the

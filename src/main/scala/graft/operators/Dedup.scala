@@ -1207,14 +1207,20 @@ object Dedup {
         col("a.cluster_size").as("cluster_size"),
         round(call_function("cosine_similarity",
           col("a.emb"), col("b.emb")), 9).cast(dec).as("cos"))
+    // mean_cos divides by the EMBEDDED neighbors actually summed (the
+    // per-doc pair count), not cluster_size−1: members lacking an
+    // embedding row drop out of the pair join, and charging their
+    // absence to the mean would deflate it under partial coverage
+    // (the gap q194's coverage audit flags)
     pairs.groupBy("cluster_id", "doc_id", "cluster_size")
-      .agg(sum("cos").cast(dec).as("sum_cos"))
+      .agg(sum("cos").cast(dec).as("sum_cos"),
+        count(lit(1)).as("n_nbrs"))
       .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
         .orderBy(desc("sum_cos"), asc("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id").as("medoid_doc"),
         col("cluster_size"),
-        round(col("sum_cos").cast("double") / (col("cluster_size") - 1), 9)
+        round(col("sum_cos").cast("double") / col("n_nbrs"), 9)
           .as("mean_cos"))
       .orderBy("cluster_id")
   }
@@ -1545,12 +1551,13 @@ object Dedup {
          |  FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
          |    AND a.doc_id <> b.doc_id),
          |s AS (SELECT cluster_id, doc_id, cluster_size,
-         |    CAST(sum(cos) AS DECIMAL(38,12)) AS sum_cos
+         |    CAST(sum(cos) AS DECIMAL(38,12)) AS sum_cos,
+         |    count(*) AS n_nbrs
          |  FROM p GROUP BY 1, 2, 3),
          |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY sum_cos DESC, doc_id) AS rn FROM s)
          |SELECT cluster_id, doc_id AS medoid_doc, cluster_size,
-         |  round(CAST(sum_cos AS DOUBLE) / (cluster_size - 1), 9)
+         |  round(CAST(sum_cos AS DOUBLE) / n_nbrs, 9)
          |    AS mean_cos
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // incremental ≡ full is the contract: the oracle IS the full

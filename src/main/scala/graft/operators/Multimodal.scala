@@ -626,10 +626,231 @@ object Multimodal {
     sampleGifFrames(gifPayloads(spark, dir), VideoPerDoc).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Frames sampled per AVI payload by q196, and the MJPEG frame
+    * grid: widths/heights are MULTIPLES OF 8 so every JPEG block is
+    * constant-valued — the one pixel pattern whose lossy JPEG
+    * roundtrip is mathematically EXACT (a constant 8×8 block has
+    * DC-only DCT with integer coefficients; at compression quality
+    * 1.0 the quantization tables are all-ones, so encode→decode
+    * reproduces every sample bit-exactly — probe-verified across all
+    * 256 grays). Exactness is what lets a LOSSY codec sit under the
+    * analytic DuckDB oracle at all.
+    */
+  val AviPerDoc = 4
+
+  /** Deterministic MJPEG-in-AVI payload for `doc_id`: `2 + id mod 6`
+    * frames of `8·(1 + id mod 3) × 8·(1 + id mod 2)` pixels; frame k
+    * is a grid of constant 8×8 blocks, block b (row-major) holding
+    * gray `(id·31 + k·17 + b·11) mod 256`, each frame independently
+    * JPEG-encoded (grayscale, quality 1.0) and framed in a hand-built
+    * RIFF AVI container — `hdrl` (avih + strl/strh 'vids'/'MJPG' +
+    * strf BITMAPINFOHEADER), `movi` with word-aligned `00dc` chunks,
+    * and the `idx1` frame directory whose offsets are relative to the
+    * `movi` fourcc (the standard convention). The wavBytes RIFF
+    * machinery applied to video; the closed form is what lets the
+    * REAL decode be oracle-gated.
+    */
+  def aviBytes(id: Long): Array[Byte] = {
+    val n = (2 + java.lang.Math.floorMod(id, 6L)).toInt
+    val w = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
+    val h = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
+    val bw = w / 8
+    val frames = (0 until n).map { k =>
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = im.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = (y / 8) * bw + (x / 8)
+          raster.setSample(x, y, 0,
+            java.lang.Math.floorMod(id * 31L + k * 17L + b * 11L, 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = jw.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        jw.setOutput(ios)
+        jw.write(null, new javax.imageio.IIOImage(im, null, null), p)
+      } finally { jw.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + 8 + 56 + 8 + (4 + 8 + 56 + 8 + 40)
+    val idx1Body = 16 * n
+    val riffBody = 4 + 8 + hdrlBody + 8 + moviBody + 8 + idx1Body
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fcc("RIFF")).putInt(riffBody).put(fcc("AVI "))
+    // hdrl: main header + one video stream
+    bb.put(fcc("LIST")).putInt(hdrlBody).put(fcc("hdrl"))
+    bb.put(fcc("avih")).putInt(56)
+      .putInt(100000).putInt(0).putInt(0).putInt(0x10) // µs/frame, -, -, HASINDEX
+      .putInt(n).putInt(0).putInt(1).putInt(0) // totalFrames, -, streams, -
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(fcc("LIST")).putInt(4 + 8 + 56 + 8 + 40).put(fcc("strl"))
+    bb.put(fcc("strh")).putInt(56)
+      .put(fcc("vids")).put(fcc("MJPG")).putInt(0)
+      .putShort(0).putShort(0).putInt(0) // priority+language, initialFrames
+      .putInt(1).putInt(10).putInt(0).putInt(n) // scale, rate, start, length
+      .putInt(0).putInt(0).putInt(0) // bufSize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    bb.put(fcc("strf")).putInt(40)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put(fcc("MJPG")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi: 00dc chunk per frame, word-aligned; idx1 offsets point at
+    // each chunk's ckid, measured from the movi fourcc position
+    bb.put(fcc("LIST")).putInt(moviBody)
+    val offsets = new Array[Int](n)
+    var off = 4 // first chunk lands right after the movi fourcc
+    bb.put(fcc("movi"))
+    frames.zipWithIndex.foreach { case (f, k) =>
+      offsets(k) = off
+      bb.put(fcc("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+      off += 8 + f.length + (f.length & 1)
+    }
+    bb.put(fcc("idx1")).putInt(idx1Body)
+    frames.zipWithIndex.foreach { case (f, k) =>
+      bb.put(fcc("00dc")).putInt(0x10).putInt(offsets(k)).putInt(f.length)
+    }
+    bb.array()
+  }
+
+  /** Synthetic AVI-payload table: one MJPEG AVI per document id (the
+    * production-container twin of [[gifPayloads]]). Map-only typed
+    * generation.
+    */
+  def aviPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, aviBytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** REAL production-container video decode — a hand-written RIFF/AVI
+    * parser (top-level chunk walk → `movi` LIST position + the `idx1`
+    * frame directory) over MJPEG payloads: the frame count comes from
+    * the `idx1` directory, ≤ `perDoc` evenly-spaced frames are SEEKED
+    * by their directory offset (random access into the byte range —
+    * the container is never drained sequentially) and their JPEG
+    * bitstreams decoded by the real `javax.imageio` JPEG reader
+    * (Huffman + DCT, not a stub) to the q172 luma features.
+    *
+    * Quarantine contract ([[sampleGifFrames]]): wrong magic, truncated
+    * stream, a directory pointing outside the payload, or a corrupt
+    * JPEG yields ONE `decode_ok = false` row, never an exception.
+    *
+    * Scale shape: per-partition typed flatMap, one directory parse +
+    * `perDoc` bounded decodes per payload, no shuffle.
+    */
+  def sampleAviFrames(payloads: DataFrame, perDoc: Int): Dataset[VideoFrames] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def u32(b: Array[Byte], at: Int): Long =
+          (b(at) & 0xffL) | (b(at + 1) & 0xffL) << 8 |
+            (b(at + 2) & 0xffL) << 16 | (b(at + 3) & 0xffL) << 24
+        def fcc(b: Array[Byte], at: Int): String =
+          new String(b, at, 4, "US-ASCII")
+        it.flatMap { case (id, bytes) =>
+          val decoded: Option[Seq[VideoFrames]] =
+            try {
+              if (bytes.length < 12 || fcc(bytes, 0) != "RIFF" ||
+                fcc(bytes, 8) != "AVI ") None
+              else {
+                // top-level chunk walk: movi LIST fourcc position +
+                // the idx1 directory
+                var pos = 12
+                var moviAt = -1
+                var idxAt = -1
+                var idxLen = 0
+                while (pos + 8 <= bytes.length) {
+                  val ck = fcc(bytes, pos)
+                  val sz = u32(bytes, pos + 4).toInt
+                  if (ck == "LIST" && pos + 12 <= bytes.length &&
+                    fcc(bytes, pos + 8) == "movi") moviAt = pos + 8
+                  if (ck == "idx1") { idxAt = pos + 8; idxLen = sz }
+                  pos += 8 + sz + (sz & 1)
+                }
+                val n = idxLen / 16
+                if (moviAt < 0 || idxAt < 0 || n <= 0) None
+                else {
+                  val take = math.min(perDoc, n)
+                  Some((0 until take).map { i =>
+                    val idx = (i.toLong * n / take).toInt // even spacing
+                    val e = idxAt + 16 * idx
+                    val off = u32(bytes, e + 8).toInt
+                    val len = u32(bytes, e + 12).toInt
+                    val at = moviAt + off + 8 // skip the chunk header
+                    val im = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes, at, len))
+                    if (im == null) throw new java.io.IOException("bad frame")
+                    val w = im.getWidth
+                    val h = im.getHeight
+                    val raster = im.getRaster
+                    val gray = raster.getNumBands == 1
+                    var sumLuma = 0L
+                    var cks = 0L
+                    var p = 0
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val luma =
+                          if (gray) raster.getSample(x, y, 0)
+                          else {
+                            val rgb = im.getRGB(x, y)
+                            (299 * ((rgb >> 16) & 0xff) +
+                              587 * ((rgb >> 8) & 0xff) +
+                              114 * (rgb & 0xff)) / 1000
+                          }
+                        sumLuma += luma
+                        cks += (p + 1).toLong * luma
+                        p += 1
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    VideoFrames(id, idx, n, w, h, decode_ok = true,
+                      sumLuma, cks)
+                  })
+                }
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(Seq(
+            VideoFrames(id, -1, 0, 0, 0, decode_ok = false, 0L, 0L)))
+        }
+      }
+  }
+
+  /** q196 — video frame audit over the synthetic MJPEG-AVI corpus:
+    * REAL production-container parse (idx1 directory + offset seeks)
+    * and REAL lossy-codec JPEG decode, gated against DuckDB's analytic
+    * regeneration of every sampled frame's block-grid features (exact
+    * because constant 8×8 blocks survive quality-1.0 JPEG bit-exactly
+    * — see [[AviPerDoc]]). Map-only until the presentation sort.
+    */
+  def aviFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleAviFrames(aviPayloads(spark, dir), AviPerDoc).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
     "q154_audio_audit" -> (audioAudit _),
-    "q172_video_frames" -> (videoFrames _))
+    "q172_video_frames" -> (videoFrames _),
+    "q196_avi_frames" -> (aviFrames _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -646,6 +867,37 @@ object Multimodal {
         |FROM s ORDER BY doc_id""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB REGENERATES every sampled MJPEG frame analytically (the
+    // aviBytes closed form) and must agree with the real idx1-seek +
+    // javax.imageio JPEG decode — exact despite the lossy codec
+    // because every 8×8 block is constant (see AviPerDoc). Pixel spine
+    // is a constant-bound range join — max w·h = 24·16 = 384.
+    "q196_avi_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
+         |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+         |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_frames, width, height,
+         |    CAST(t.i * n_frames // least($AviPerDoc, n_frames)
+         |      AS INTEGER) AS frame_idx
+         |  FROM f JOIN range(0, $AviPerDoc) t(i)
+         |    ON t.i < least($AviPerDoc, n_frames)),
+         |px AS (
+         |  SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width,
+         |    fr.height, p.p AS p,
+         |    (fr.doc_id * 31 + fr.frame_idx * 17
+         |      + (((p.p // fr.width) // 8) * (fr.width // 8)
+         |        + (p.p % fr.width) // 8) * 11) % 256 AS v
+         |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height)
+         |SELECT doc_id, frame_idx, n_frames, width, height,
+         |  TRUE AS decode_ok,
+         |  CAST(sum(v) AS BIGINT) AS sum_luma,
+         |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
+         |FROM px GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // DuckDB REGENERATES every sampled frame analytically (the gifBytes
     // closed form) and must agree with the real javax.imageio
     // multi-frame decode: same evenly-spaced frame indices

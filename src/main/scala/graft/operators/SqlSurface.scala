@@ -98,7 +98,13 @@ object SqlSurface {
     "q176_cluster_medoids" ->
       ("keys the medoid selection on q54's cluster relation, embedding " +
         "the same transitive-closure fixpoint — use " +
-        "Dedup.clusterMedoids"))
+        "Dedup.clusterMedoids"),
+    "q196_avi_frames" ->
+      ("real RIFF/AVI container parse (idx1 directory + offset seeks) " +
+        "plus javax.imageio JPEG decode of binary MJPEG payloads — a " +
+        "codec call, not a SQL expression; use Multimodal.sampleAviFrames " +
+        "(the oracle regenerates the sampled frames analytically, which " +
+        "would not exercise the parser or the decoder)"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -94,6 +94,21 @@ class BenchLineSpec extends AnyFunSpec {
     assert(kept + restN == 172)
   }
 
+  it("core_min_sec/core_med_sec ride every rung, including the terminal slowest-K") {
+    // 500 queries forces the terminal rung; the core pair must survive
+    val big = synth(500)
+    val line = BenchLine.render(big.map(_._2).sum, big, "sf0.1", 7.1,
+      "32", 300.4, Seq(160.2, 140.8), Seq(12.3, 11.1), 24576L,
+      coreMin = 4.32, coreMed = 5.01)
+    assert(line.length <= BenchLine.MaxLen)
+    val j = mapper.readTree(line)
+    assert(j.has("rest_n"), "500 queries must hit the terminal rung")
+    assert(j.get("core_min_sec").asDouble() == 4.32)
+    assert(j.get("core_med_sec").asDouble() == 5.01)
+    // and the default (-1) renders no core fields at all
+    assert(!mapper.readTree(renderN(16)).has("core_min_sec"))
+  }
+
   it("shortens keys to qNN and fails loudly on a prefix collision") {
     val line = BenchLine.render(1.0,
       Seq("q01_row_counts" -> 0.5, "q172_video_frames" -> 0.5),

@@ -65,4 +65,40 @@ class CorpusPipelineSpec extends AnyFunSpec {
       assert(a == b)
     }
   }
+
+  describe("trainingShards (q89→q52→q63→q81 as ONE chained job)") {
+    it("the one-lineage chain hashes identically to the stage-materialized run, and is deterministic") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      def hashOf(df: org.apache.spark.sql.DataFrame): String = {
+        val rows = df.orderBy("shard", "shard_pos").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).mkString("\n")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val end = CorpusPipeline.trainingShards(docs)
+      val chained = hashOf(end)
+      assert(end.count() > 0, "the chained artifact must not be empty")
+      // staged twin: materialize every stage boundary like the
+      // production CTAS flow; compose ≡ staged is the proof that the
+      // verified per-operator plans fuse into one lineage without a
+      // driver-side cliff between them
+      val out = "/dev/shm/graft-test-chain"
+      graft.operators.Dedup.keepLedgerFrom(docs)
+        .write.mode("overwrite").parquet(s"$out/ledger")
+      val kept = docs.join(spark.read.parquet(s"$out/ledger")
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      graft.operators.Curation.mixtureKeepDocs(kept)
+        .write.mode("overwrite").parquet(s"$out/mixed")
+      graft.operators.Curation.packSequencesFrom(
+          spark.read.parquet(s"$out/mixed"))
+        .write.mode("overwrite").parquet(s"$out/packing")
+      val staged = hashOf(graft.operators.Curation.shuffleShardsFrom(
+        spark.read.parquet(s"$out/packing")))
+      assert(chained == staged,
+        "chained artifact must hash-match the stage-materialized run")
+      assert(hashOf(CorpusPipeline.trainingShards(docs)) == chained,
+        "the chain must be deterministic across runs")
+    }
+  }
 }

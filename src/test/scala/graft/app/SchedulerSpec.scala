@@ -37,6 +37,20 @@ class SchedulerSpec extends AnyFunSpec {
       assert(fri.nextFire(t("2025-06-07T00:00:00")) == t("2025-06-13T00:00:00"))
     }
 
+    it("Vixie day rule: a '*/n' day field is star-flagged (AND path), not OR") {
+      // dom='*/2' starts with '*' → Vixie star-flags it: the day rule
+      // is dom AND dow (the step still filters), not the both-
+      // restricted OR. Fridays: 2025-06-06 (even, cut by the step),
+      // 2025-06-13 (odd, fires). The OR reading would fire 06-03.
+      val c = parseCron("0 0 */2 * 5")
+      assert(c.nextFire(t("2025-06-01T00:00:00")) == t("2025-06-13T00:00:00"))
+      // mirrored: dow='*/3' star-flagged → 13th AND dow∈{0,3,6}; June
+      // 13 2025 is a Friday (cut), July 13 is a Sunday (fires). The OR
+      // reading would fire June 4 (Wednesday).
+      val m = parseCron("0 0 13 * */3")
+      assert(m.nextFire(t("2025-06-01T00:00:00")) == t("2025-07-13T00:00:00"))
+    }
+
     it("dow 7 is Sunday, same as 0") {
       assert(parseCron("0 0 * * 7").nextFire(t("2025-06-06T00:00:00")) ==
         t("2025-06-08T00:00:00"))
@@ -146,6 +160,15 @@ class SchedulerSpec extends AnyFunSpec {
       runDag(Seq(task("a", Nil), task("l", Seq("a")), task("r", Seq("a")),
         task("j", Seq("l", "r"))))
       assert(log.toSeq == Seq("a", "l", "r", "j"))
+    }
+
+    it("a duplicated upstream id is one dependency, not a phantom cycle") {
+      val log = collection.mutable.ArrayBuffer[String]()
+      val runs = runDag(Seq(
+        Task("a")(() => { log += "a"; () }),
+        Task("b", Seq("a", "a"))(() => { log += "b"; () })))
+      assert(log.toSeq == Seq("a", "b"))
+      assert(runs.forall(_.state == Success))
     }
 
     it("cycles and unknown upstreams throw") {

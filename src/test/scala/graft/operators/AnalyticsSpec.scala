@@ -279,6 +279,30 @@ class AnalyticsSpec extends AnyFunSpec {
       val supports = r.map(_.getAs[Long]("n_users")).toSeq
       assert(supports == supports.sorted.reverse)
     }
+
+    it("caps a power-law user's basket at PairUserCap, keeping the " +
+      "globally most frequent items (count DESC, item ASC)") {
+      val t = ts("2024-01-01 00:00:00")
+      // bot: user 1 holds items 0..299 (> cap). user 2 holds 250..259,
+      // lifting those items to global count 2 — they must all survive
+      // the bot's prune ahead of any count-1 item.
+      val bot = (0 until 300).map(k =>
+        (k.toLong, t, 1L, "view", 0.0, s"""{"k": $k}"""))
+      val other = (250 until 260).map(k =>
+        (1000L + k, t, 2L, "view", 0.0, s"""{"k": $k}"""))
+      val ui = Analytics.itemBaskets(events(bot ++ other: _*))
+      val botItems = ui.filter(ui("user_id") === 1L)
+        .collect().map(_.getAs[Int]("item")).toSet
+      assert(botItems.size == Analytics.PairUserCap)
+      // count-2 items all kept; count-1 tail kept ascending up to 245
+      assert((250 until 260).forall(botItems.contains))
+      assert((0 to 245).forall(botItems.contains))
+      assert(!botItems.contains(246) && !botItems.contains(299))
+      // the pair relation is bounded at cap·(cap−1)/2 for the bot
+      val botPairs = Analytics.itemPairsOf(ui.filter(ui("user_id") === 1L))
+      val cap = Analytics.PairUserCap.toLong
+      assert(botPairs.count() == cap * (cap - 1) / 2)
+    }
   }
 
   describe("assocRules (q106)") {

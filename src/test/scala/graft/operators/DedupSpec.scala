@@ -620,5 +620,22 @@ class DedupSpec extends AnyFunSpec {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(byC(2L).getAs[Double]("mean_cos") == expected)
     }
+
+    it("divides mean_cos by the embedded neighbors, not cluster_size-1") {
+      // 3-member cluster, but doc 12 has NO embedding row: the two
+      // embedded members see exactly one neighbor each, so mean_cos is
+      // the single pairwise cosine (=1.0 here), not cos/2
+      val clusters = Seq((10L, 1L, 3L), (11L, 1L, 3L), (12L, 1L, 3L))
+        .toDF("doc_id", "cluster_id", "cluster_size")
+      val emb = Seq(
+        (10L, Array(1f, 0f, 0f), 0),
+        (11L, Array(2f, 0f, 0f), 0))
+        .toDF("vec_id", "embedding", "label")
+      val r = Dedup.clusterMedoidsOf(clusters, emb).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("medoid_doc") == 10L) // tie → min id
+      assert(r(0).getAs[Long]("cluster_size") == 3L)
+      assert(r(0).getAs[Double]("mean_cos") == 1.0)
+    }
   }
 }

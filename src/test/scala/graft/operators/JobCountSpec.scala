@@ -69,14 +69,17 @@ class JobCountSpec extends AnyFunSpec {
           "or a deliberate re-baseline; wall-time noise cannot move this")
     }
 
-  // 3 rounds × (edge join + DECIMAL agg stages) + checkpoint + nItems
+  // capped-basket checkpoint (icnt agg + cap window) + 3 rounds ×
+  // (edge join + DECIMAL agg stages) + transition checkpoint + nItems
   // count + the final rank/write chain (steady-state: the cold first
   // run pays one extra one-time job, absorbed by the warm-up)
-  pin("q103_item_pagerank", 25)
-  // degree relation + wedge join + closing hash join, one pass
-  pin("q110_item_triangles", 9)
-  // 3 LPA rounds over the checkpointed co-occurrence graph
-  pin("q140_label_communities", 26)
+  pin("q103_item_pagerank", 28)
+  // capped-basket stages + degree relation + wedge join + closing
+  // hash join, one pass
+  pin("q110_item_triangles", 13)
+  // capped-basket checkpoint + 3 LPA rounds over the checkpointed
+  // co-occurrence graph
+  pin("q140_label_communities", 28)
   // binned interval self-join + exact post-filter + DISTINCT
   pin("q109_session_overlap", 9)
 }

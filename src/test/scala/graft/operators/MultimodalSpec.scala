@@ -311,4 +311,76 @@ class MultimodalSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("sampleAviFrames / aviFrames (q196, REAL AVI parse + MJPEG decode)") {
+    /** The aviBytes closed form, re-derived independently. */
+    def expected(id: Long, perDoc: Int): Seq[(Int, Int, Int, Int, Long, Long)] = {
+      val n = (2 + java.lang.Math.floorMod(id, 6L)).toInt
+      val w = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
+      val h = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
+      val take = math.min(perDoc, n)
+      (0 until take).map { i =>
+        val idx = (i.toLong * n / take).toInt
+        val vs = (0 until w * h).map { p =>
+          val b = ((p / w) / 8) * (w / 8) + (p % w) / 8
+          java.lang.Math.floorMod(id * 31L + idx * 17L + b * 11L, 256L)
+        }
+        (idx, n, w, h, vs.sum,
+          vs.zipWithIndex.map { case (v, p) => (p + 1).toLong * v }.sum)
+      }
+    }
+
+    it("the real idx1-seek + lossy JPEG decode agrees with the closed form bit-exactly") {
+      val ids = Seq(0L, 1L, 5L, 13L, 123L, 499L)
+      val rows = Multimodal.sampleAviFrames(
+          ids.map(id => (id, Multimodal.aviBytes(id))).toDF("doc_id", "payload"),
+          Multimodal.AviPerDoc)
+        .collect().groupBy(_.doc_id)
+      ids.foreach { id =>
+        assert(rows(id).forall(_.decode_ok), s"doc $id must decode")
+        val got = rows(id).sortBy(_.frame_idx)
+          .map(f => (f.frame_idx, f.n_frames, f.width, f.height,
+            f.sum_luma, f.checksum))
+        assert(got.toSeq == expected(id, Multimodal.AviPerDoc),
+          s"doc $id: JPEG-decoded block-grid features must match the " +
+            "closed form (constant 8×8 blocks roundtrip exactly)")
+      }
+    }
+
+    it("samples evenly via the idx1 directory: skipping seeks, never a sequential drain") {
+      // id 5 → 2 + 5%6 = 7 frames, perDoc 4 → seeks 0,1,3,5
+      val r = Multimodal.sampleAviFrames(
+          Seq((5L, Multimodal.aviBytes(5L))).toDF("doc_id", "payload"), 4)
+        .collect().sortBy(_.frame_idx)
+      assert(r.map(_.frame_idx).toSeq == Seq(0, 1, 3, 5))
+      assert(r.forall(_.n_frames == 7))
+    }
+
+    it("quarantines poisoned containers: bad magic, truncation, corrupt frame bytes") {
+      val good = Multimodal.aviBytes(3L)
+      val corruptFrame = good.clone()
+      // zap the first frame's JPEG SOI marker: the RIFF walk still
+      // finds idx1, but the seeked bitstream is no longer a JPEG
+      val soi = corruptFrame.indices.find(i =>
+        i + 2 < corruptFrame.length &&
+          (corruptFrame(i) & 0xff) == 0xff &&
+          (corruptFrame(i + 1) & 0xff) == 0xd8 &&
+          (corruptFrame(i + 2) & 0xff) == 0xff).get
+      java.util.Arrays.fill(corruptFrame, soi, soi + 4, 0.toByte)
+      val poisoned = Seq(
+        1L -> Array.emptyByteArray, // empty
+        2L -> "not an avi, just text bytes".getBytes("UTF-8"), // bad magic
+        3L -> good.take(40), // truncated before movi/idx1
+        4L -> corruptFrame, // directory ok, frame bytes poisoned
+        5L -> good) // control: still decodes
+      val f = Multimodal.sampleAviFrames(
+          poisoned.toDF("doc_id", "payload"), Multimodal.AviPerDoc)
+        .collect().groupBy(_.doc_id)
+      Seq(1L, 2L, 3L, 4L).foreach { id =>
+        assert(f(id).length == 1 && !f(id).head.decode_ok, s"doc $id")
+        assert(f(id).head.frame_idx == -1 && f(id).head.checksum == 0L)
+      }
+      assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
+    }
+  }
 }

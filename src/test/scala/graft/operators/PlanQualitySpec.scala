@@ -602,6 +602,49 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("TakeOrderedAndProject"), s"top-k must bound the output:\n$p")
     }
 
+    it("q66 item-pair build carries the PairUserCap basket prune (window + rank filter)") {
+      // the 100×-scale guard: every pair self-join consumer rides the
+      // capped basket relation, so one power-law user can never mint a
+      // basket² straggler task. The cap shows in the plan as the
+      // row_number window plus the rank filter at the cap constant,
+      // with WindowGroupLimit pruning to top-cap per user BEFORE the
+      // shuffle (map-side, so a bot's raw basket never crosses the
+      // wire whole). q103/q140/q142 consume the same relation behind a
+      // localCheckpoint (the window runs at checkpoint time), so the
+      // gate reads the in-plan consumers.
+      for (q <- Seq("q66_item_cooccurrence", "q110_item_triangles",
+          "q134_clustering_coeff")) {
+        val p = plan(q)
+        assert(p.contains("row_number()"), s"$q lost the cap window:\n$p")
+        assert(p.contains(s"<= ${Analytics.PairUserCap}"),
+          s"$q lost the rank filter at PairUserCap:\n$p")
+        assert(p.contains(s"row_number(), ${Analytics.PairUserCap}, Partial"),
+          s"$q lost the map-side WindowGroupLimit prune:\n$p")
+      }
+    }
+
+    it("q110 degree joins broadcast via hint on a small catalog but drop the hint when the session declares a large one") {
+      // isolate HINT-driven broadcasts from stats-driven ones: with
+      // autoBroadcast disabled, any BroadcastHashJoin left comes from
+      // dimBroadcast's explicit hint
+      val auto = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = spark.conf.get(auto)
+      spark.conf.set(auto, "-1")
+      try {
+        val small = plan("q110_item_triangles")
+        assert(small.contains("BroadcastHashJoin"),
+          s"item-domain degree dims must broadcast by default:\n$small")
+        val key = "spark.graft.graph.domainSizeHint"
+        spark.conf.set(key, (Analytics.DimBroadcastMax + 1).toString)
+        try {
+          val large = plan("q110_item_triangles")
+          assert(!large.contains("BroadcastHashJoin"),
+            s"a declared 10⁷-item catalog must not force dim broadcasts " +
+              s"(AQE decides at runtime instead):\n$large")
+        } finally spark.conf.unset(key)
+      } finally spark.conf.set(auto, saved)
+    }
+
     it("q143 scores against broadcast centroids — the corpus never sort-merge joins") {
       val p = plan("q143_label_agreement")
       assert(!p.contains("SortMergeJoin"),
