@@ -67,11 +67,23 @@ object ScaleCurve {
     val reps = spark.range(mult).select(col("id").as("__rep"))
     val shift = lit(100000000L) * col("__rep")
 
+    // events must land as ONE FILE literally named events.parquet: the
+    // streaming source's pathGlobFilter matches LEAF file names, so a
+    // directory of part-files would stream zero rows and fake a flat
+    // curve for the drained queries
     val ev = Tables.events(spark, sf).crossJoin(reps)
       .withColumn("event_id", col("event_id") + shift)
       .withColumn("user_id", col("user_id") + shift)
       .drop("__rep")
-    ev.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$out/_events_tmp")
+    val tmp = new java.io.File(s"$out/_events_tmp")
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tgt = new java.io.File(s"$out/events.parquet")
+    if (tgt.exists()) tgt.delete()
+    java.nio.file.Files.move(part.toPath, tgt.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
 
     val docs = Tables.documents(spark, sf).crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + shift)
