@@ -279,6 +279,16 @@ object ScaleSmoke {
         .map(id => (id, Multimodal.aviBytes(id))).toDF("doc_id", "payload")
       Multimodal.sampleAviFrames(payloads, Multimodal.AviPerDoc).count()
     }
+    // q197: fingerprint relation checkpointed (one decode pass), pairs
+    // confined to equal-fingerprint buckets — the replicated ids land
+    // in the same mod-96 classes, so dup mass grows linearly here
+    t("video_neardup") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.aviBytes(id))).toDF("doc_id", "payload")
+      Multimodal.videoNearDupFrom(payloads).count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

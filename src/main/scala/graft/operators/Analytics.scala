@@ -471,7 +471,10 @@ object Analytics {
     itemCooccurrenceFrom(Tables.events(spark, dir))
 
   def itemCooccurrenceFrom(events: DataFrame): DataFrame =
-    itemPairsOf(itemBaskets(events))
+    // checkpoint the capped baskets: the self-join references the
+    // relation twice (and a broadcast build side would otherwise
+    // recompute the whole distinct+count+window chain)
+    itemPairsOf(itemBaskets(events).localCheckpoint())
       .select(col("u").as("item_a"), col("v").as("item_b"),
         col("w").as("n_users"))
       .orderBy(desc("n_users"), asc("item_a"), asc("item_b"))
@@ -1388,7 +1391,9 @@ object Analytics {
     * not corpus-bounded), broadcast back as a scalar filter.
     */
   private[graft] def cooccurEdges(events: DataFrame): DataFrame =
-    cooccurEdgesOf(itemBaskets(events))
+    // checkpointed: cooccurEdgesOf references the pair relation twice
+    // (quantile + filter), each side expanding the basket subtree twice
+    cooccurEdgesOf(itemBaskets(events).localCheckpoint())
 
   private def cooccurEdgesOf(ui: DataFrame): DataFrame = {
     val pw = itemPairsOf(ui)
@@ -1478,7 +1483,7 @@ object Analytics {
     assocRulesFrom(Tables.events(spark, dir))
 
   def assocRulesFrom(events: DataFrame): DataFrame = {
-    val ui = itemBaskets(events)
+    val ui = itemBaskets(events).localCheckpoint()
     val nUsers = ui.select("user_id").distinct().count() // one scalar job
     val icnt = ui.groupBy("item").agg(count(lit(1)).as("cnt"))
     val pairs = itemPairsOf(ui)
@@ -1595,7 +1600,7 @@ object Analytics {
     * and the exact triangle relation (a,b,c), a<b<c each once.
     */
   private def triangleParts(events: DataFrame): (DataFrame, DataFrame) = {
-    val edges = itemPairsOf(itemBaskets(events))
+    val edges = itemPairsOf(itemBaskets(events).localCheckpoint())
       .filter(col("w") >= TriMinSupport)
       .select("u", "v")
     val deg = edges.select(col("u").as("x"))

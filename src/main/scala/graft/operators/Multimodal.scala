@@ -641,7 +641,10 @@ object Multimodal {
   /** Deterministic MJPEG-in-AVI payload for `doc_id`: `2 + id mod 6`
     * frames of `8·(1 + id mod 3) × 8·(1 + id mod 2)` pixels; frame k
     * is a grid of constant 8×8 blocks, block b (row-major) holding
-    * gray `(id·31 + k·17 + b·11) mod 256`, each frame independently
+    * gray `((id mod 96)·31 + k·17 + b·11) mod 256` — the mod-96 luma
+    * period (divisible by every geometry modulus) plants exact video
+    * duplicates at every fixture scale, the corpus q197's near-dup
+    * join exists to find. Each frame is independently
     * JPEG-encoded (grayscale, quality 1.0) and framed in a hand-built
     * RIFF AVI container — `hdrl` (avih + strl/strh 'vids'/'MJPG' +
     * strf BITMAPINFOHEADER), `movi` with word-aligned `00dc` chunks,
@@ -665,7 +668,9 @@ object Multimodal {
         while (x < w) {
           val b = (y / 8) * bw + (x / 8)
           raster.setSample(x, y, 0,
-            java.lang.Math.floorMod(id * 31L + k * 17L + b * 11L, 256L).toInt)
+            java.lang.Math.floorMod(
+              java.lang.Math.floorMod(id, 96L) * 31L + k * 17L + b * 11L,
+              256L).toInt)
           x += 1
         }
         y += 1
@@ -846,11 +851,62 @@ object Multimodal {
     sampleAviFrames(aviPayloads(spark, dir), AviPerDoc).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  /** Sampled frames two videos must share (at the same frame index,
+    * bit-identical geometry + pixel features) before q197 calls them
+    * near-duplicates.
+    */
+  val VideoDupMinFrames = 3
+
+  /** q197 — CROSS-VIDEO near-dup by sampled-frame fingerprints: decode
+    * each video's q196 frame samples ONCE, fingerprint every frame by
+    * its exact feature tuple (frame_idx, geometry, Σluma, positional
+    * checksum), and match videos sharing at least [[VideoDupMinFrames]]
+    * fingerprints at the same sampled index — the video leg of the
+    * dedup family (a re-encoded or re-uploaded copy of a clip lands in
+    * the same fingerprint buckets; q21/q22 do this for text, q38 for
+    * embeddings, r7's aHash for images). Composes the real container
+    * parse + JPEG decode into the pair machinery.
+    *
+    * Scale shape: the fingerprint relation is ≤ perDoc rows per video
+    * and is checkpointed so the self-join does not re-run the codec;
+    * pairs form ONLY inside equal-fingerprint buckets (the join key is
+    * the full feature tuple — bucket size = the video-duplicate mass,
+    * never corpus²); the per-pair rollup is a bounded aggregate.
+    */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupFrom(aviPayloads(spark, dir))
+
+  def videoNearDupFrom(payloads: DataFrame): DataFrame = {
+    val fp = sampleAviFrames(payloads, AviPerDoc).toDF()
+      .filter(col("decode_ok"))
+      .select("doc_id", "frame_idx", "n_frames", "width", "height",
+        "sum_luma", "checksum")
+      .localCheckpoint()
+    val key = Seq("frame_idx", "n_frames", "width", "height",
+      "sum_luma", "checksum")
+    val sampled = fp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"))
+    fp.alias("a").join(fp.alias("b"),
+        key.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("video_a"), col("b.doc_id").as("video_b"))
+      .groupBy("video_a", "video_b")
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= VideoDupMinFrames)
+      .join(sampled.select(col("doc_id").as("video_a"),
+        col("n_sampled")), Seq("video_a"))
+      .select(col("video_a"), col("video_b"), col("n_match"),
+        col("n_sampled"),
+        (col("n_match") === col("n_sampled")).as("full_match"))
+      .orderBy("video_a", "video_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
     "q154_audio_audit" -> (audioAudit _),
     "q172_video_frames" -> (videoFrames _),
-    "q196_avi_frames" -> (aviFrames _))
+    "q196_avi_frames" -> (aviFrames _),
+    "q197_video_neardup" -> (videoNearDup _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -866,38 +922,67 @@ object Multimodal {
         |  1 + CAST(conv(substring(sha, 13, 6), 16, 10) AS BIGINT) % 32 AS n_frames
         |FROM s ORDER BY doc_id""".stripMargin)
 
+  /** Shared analytic regeneration of the q196 sampled-frame features
+    * (the aviBytes closed form — see the q196 entry for why the lossy
+    * codec is exact): the `feat` CTE both q196 and q197 open with.
+    * Pixel spine is a constant-bound range join — max w·h = 24·16 =
+    * 384.
+    */
+  private def aviFeatCte: String =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
+       |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+       |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, n_frames, width, height,
+       |    CAST(t.i * n_frames // least($AviPerDoc, n_frames)
+       |      AS INTEGER) AS frame_idx
+       |  FROM f JOIN range(0, $AviPerDoc) t(i)
+       |    ON t.i < least($AviPerDoc, n_frames)),
+       |px AS (
+       |  SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width,
+       |    fr.height, p.p AS p,
+       |    ((fr.doc_id % 96) * 31 + fr.frame_idx * 17
+       |      + (((p.p // fr.width) // 8) * (fr.width // 8)
+       |        + (p.p % fr.width) // 8) * 11) % 256 AS v
+       |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height),
+       |feat AS (
+       |  SELECT doc_id, frame_idx, n_frames, width, height,
+       |    CAST(sum(v) AS BIGINT) AS sum_luma,
+       |    CAST(sum((p + 1) * v) AS BIGINT) AS checksum
+       |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // DuckDB REGENERATES every sampled MJPEG frame analytically (the
     // aviBytes closed form) and must agree with the real idx1-seek +
     // javax.imageio JPEG decode — exact despite the lossy codec
-    // because every 8×8 block is constant (see AviPerDoc). Pixel spine
-    // is a constant-bound range join — max w·h = 24·16 = 384.
+    // because every 8×8 block is constant (see AviPerDoc).
     "q196_avi_frames" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(2 + doc_id % 6 AS INTEGER) AS n_frames,
-         |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
-         |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
-         |  FROM documents),
-         |fr AS (
-         |  SELECT doc_id, n_frames, width, height,
-         |    CAST(t.i * n_frames // least($AviPerDoc, n_frames)
-         |      AS INTEGER) AS frame_idx
-         |  FROM f JOIN range(0, $AviPerDoc) t(i)
-         |    ON t.i < least($AviPerDoc, n_frames)),
-         |px AS (
-         |  SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width,
-         |    fr.height, p.p AS p,
-         |    (fr.doc_id * 31 + fr.frame_idx * 17
-         |      + (((p.p // fr.width) // 8) * (fr.width // 8)
-         |        + (p.p % fr.width) // 8) * 11) % 256 AS v
-         |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height)
+      s"""WITH $aviFeatCte
          |SELECT doc_id, frame_idx, n_frames, width, height,
-         |  TRUE AS decode_ok,
-         |  CAST(sum(v) AS BIGINT) AS sum_luma,
-         |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
-         |FROM px GROUP BY 1, 2, 3, 4, 5
-         |ORDER BY doc_id, frame_idx""".stripMargin,
+         |  TRUE AS decode_ok, sum_luma, checksum
+         |FROM feat ORDER BY doc_id, frame_idx""".stripMargin,
+    // the q197 pair semantics on the same analytic features: videos
+    // sharing >= VideoDupMinFrames bit-identical sampled frames at the
+    // same index
+    "q197_video_neardup" ->
+      s"""WITH $aviFeatCte,
+         |ns AS (SELECT doc_id, count(*) AS n_sampled FROM feat GROUP BY 1),
+         |m AS (SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         |    count(*) AS n_match
+         |  FROM feat a JOIN feat b
+         |    ON a.frame_idx = b.frame_idx AND a.n_frames = b.n_frames
+         |    AND a.width = b.width AND a.height = b.height
+         |    AND a.sum_luma = b.sum_luma AND a.checksum = b.checksum
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT m.video_a, m.video_b, m.n_match, ns.n_sampled,
+         |  m.n_match = ns.n_sampled AS full_match
+         |FROM m JOIN ns ON ns.doc_id = m.video_a
+         |WHERE m.n_match >= $VideoDupMinFrames
+         |ORDER BY video_a, video_b""".stripMargin,
     // DuckDB REGENERATES every sampled frame analytically (the gifBytes
     // closed form) and must agree with the real javax.imageio
     // multi-frame decode: same evenly-spaced frame indices

@@ -104,7 +104,11 @@ object SqlSurface {
         "plus javax.imageio JPEG decode of binary MJPEG payloads — a " +
         "codec call, not a SQL expression; use Multimodal.sampleAviFrames " +
         "(the oracle regenerates the sampled frames analytically, which " +
-        "would not exercise the parser or the decoder)"))
+        "would not exercise the parser or the decoder)"),
+    "q197_video_neardup" ->
+      ("fingerprints the q196 REAL container decode before the pair " +
+        "join — the same codec call; use Multimodal.videoNearDup (the " +
+        "oracle regenerates the frame fingerprints analytically)"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

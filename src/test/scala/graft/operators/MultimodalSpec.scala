@@ -323,7 +323,8 @@ class MultimodalSpec extends AnyFunSpec {
         val idx = (i.toLong * n / take).toInt
         val vs = (0 until w * h).map { p =>
           val b = ((p / w) / 8) * (w / 8) + (p % w) / 8
-          java.lang.Math.floorMod(id * 31L + idx * 17L + b * 11L, 256L)
+          java.lang.Math.floorMod(
+            java.lang.Math.floorMod(id, 96L) * 31L + idx * 17L + b * 11L, 256L)
         }
         (idx, n, w, h, vs.sum,
           vs.zipWithIndex.map { case (v, p) => (p + 1).toLong * v }.sum)
@@ -354,6 +355,25 @@ class MultimodalSpec extends AnyFunSpec {
         .collect().sortBy(_.frame_idx)
       assert(r.map(_.frame_idx).toSeq == Seq(0, 1, 3, 5))
       assert(r.forall(_.n_frames == 7))
+    }
+
+    it("q197: matches videos sharing all sampled fingerprints, cuts below the floor, skips poison") {
+      // aviBytes features repeat exactly iff ids agree mod 96 (the
+      // luma period, divisible by every geometry modulus). 1~769 (n=3
+      // frames, take 3 — exactly the floor), 5~773 (n=7, take 4);
+      // 11 shares geometry with 5 but different pixel values; 99 is
+      // poison and must neither crash nor pair.
+      val ids = Seq(5L, 773L, 11L, 1L, 769L)
+      val payloads = ids.map(id => (id, Multimodal.aviBytes(id))) :+
+        (99L -> "definitely not an avi".getBytes("UTF-8"))
+      val r = Multimodal.videoNearDupFrom(
+          payloads.toDF("doc_id", "payload")).collect()
+        .map(x => (x.getAs[Long]("video_a"), x.getAs[Long]("video_b"),
+          x.getAs[Long]("n_match"), x.getAs[Long]("n_sampled"),
+          x.getAs[Boolean]("full_match")))
+      assert(r.toSeq == Seq(
+        (1L, 769L, 3L, 3L, true),
+        (5L, 773L, 4L, 4L, true)))
     }
 
     it("quarantines poisoned containers: bad magic, truncation, corrupt frame bytes") {

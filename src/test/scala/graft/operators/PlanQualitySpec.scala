@@ -602,25 +602,24 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("TakeOrderedAndProject"), s"top-k must bound the output:\n$p")
     }
 
-    it("q66 item-pair build carries the PairUserCap basket prune (window + rank filter)") {
-      // the 100×-scale guard: every pair self-join consumer rides the
-      // capped basket relation, so one power-law user can never mint a
-      // basket² straggler task. The cap shows in the plan as the
-      // row_number window plus the rank filter at the cap constant,
-      // with WindowGroupLimit pruning to top-cap per user BEFORE the
-      // shuffle (map-side, so a bot's raw basket never crosses the
-      // wire whole). q103/q140/q142 consume the same relation behind a
-      // localCheckpoint (the window runs at checkpoint time), so the
-      // gate reads the in-plan consumers.
-      for (q <- Seq("q66_item_cooccurrence", "q110_item_triangles",
-          "q134_clustering_coeff")) {
-        val p = plan(q)
-        assert(p.contains("row_number()"), s"$q lost the cap window:\n$p")
-        assert(p.contains(s"<= ${Analytics.PairUserCap}"),
-          s"$q lost the rank filter at PairUserCap:\n$p")
-        assert(p.contains(s"row_number(), ${Analytics.PairUserCap}, Partial"),
-          s"$q lost the map-side WindowGroupLimit prune:\n$p")
-      }
+    it("the shared item-basket build carries the PairUserCap prune (window + rank filter)") {
+      // the 100×-scale guard: every pair self-join consumer
+      // (q66/q103/q106/q110/q134/q140/q142) rides this one capped
+      // relation, so one power-law user can never mint a basket²
+      // straggler task. The consumers checkpoint it (the window runs
+      // at checkpoint time and leaves their final plans), so the gate
+      // reads the builder relation itself: the row_number window, the
+      // rank filter at the cap constant, and the MAP-SIDE
+      // WindowGroupLimit prune (a bot's raw basket never crosses the
+      // wire whole).
+      val p = Analytics.itemBaskets(
+        graft.sources.Tables.events(spark, sf))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("row_number()"), s"lost the cap window:\n$p")
+      assert(p.contains(s"<= ${Analytics.PairUserCap}"),
+        s"lost the rank filter at PairUserCap:\n$p")
+      assert(p.contains(s"row_number(), ${Analytics.PairUserCap}, Partial"),
+        s"lost the map-side WindowGroupLimit prune:\n$p")
     }
 
     it("q110 degree joins broadcast via hint on a small catalog but drop the hint when the session declares a large one") {
