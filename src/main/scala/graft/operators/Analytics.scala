@@ -498,13 +498,15 @@ object Analytics {
     * whose target is genuinely novel (∉ history) and who have ≥1
     * history item; candidates already in the history are excluded.
     *
-    * Scale shape: the hold-out split is one per-user window; pair
-    * support is the q66 basket self-join (Σ basket² — the irreducible
-    * exact-co-occurrence cost) with a support cut bounding the edge
-    * relation; scoring joins history rows to the item-keyed edge
-    * relation and folds per (user, candidate); the hit rank is one
-    * per-user rank-1-style window; the k-arm rollup replicates only
-    * the per-user hit ranks (× |Ks|), never events.
+    * Scale shape: the hold-out split is one per-user window; the
+    * SCORING relations (pair-support self-join + per-user score fold)
+    * ride the [[PairUserCap]] history prune — the q66 discipline, so
+    * Σ basket² is bounded at cap² per user — with a support cut
+    * bounding the edge relation; the hold-out/eval logic keeps the
+    * FULL history (novelty of the target must not depend on the cap);
+    * the hit rank is one per-user rank-1-style window; the k-arm
+    * rollup replicates only the per-user hit ranks (× |Ks|), never
+    * events.
     */
   /** q193 — ITEM-NOVELTY curve: per (Monday-aligned) week of the event
     * stream, the events observed, the distinct items active, the items
@@ -561,17 +563,29 @@ object Analytics {
       .select(col("user_id"), col("item").as("target"))
     val hist = ranked.filter(col("rn") > 1)
       .select("user_id", "item").distinct()
+    // the SCORING relations ride the PairUserCap prune (the q66
+    // discipline — the support self-join and the per-user score fold
+    // are the Σ basket² terms a bot history would blow up); the
+    // hold-out/eval logic keeps the FULL history: whether the target
+    // is novel must not depend on the cap
+    val hic = hist.groupBy("item").agg(count(lit(1)).as("__ic"))
+    val histCap = hist.join(dimBroadcast(hic), Seq("item"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("__ic"), asc("item"))))
+      .filter(col("__rn") <= PairUserCap)
+      .select("user_id", "item")
+      .localCheckpoint()
     val evalU = last
       .join(hist.select(col("user_id"), col("item").as("target")),
         Seq("user_id", "target"), "left_anti")
       .join(hist.select("user_id").distinct(), Seq("user_id"), "left_semi")
-    val pairSupport = hist.alias("a").join(hist.alias("b"),
+    val pairSupport = histCap.alias("a").join(histCap.alias("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.item") =!= col("b.item"))
       .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= RecMinSupport)
-    val scores = hist.join(evalU, Seq("user_id"))
+    val scores = histCap.join(evalU, Seq("user_id"))
       .join(pairSupport, col("item") === col("src"))
       .groupBy(col("user_id"), col("target"), col("dst"))
       .agg(sum("support").as("score"))
@@ -2021,6 +2035,13 @@ object Analytics {
          |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev),
          |lst AS (SELECT user_id, item AS target FROM rk WHERE rn = 1),
          |hist AS (SELECT DISTINCT user_id, item FROM rk WHERE rn > 1),
+         |hic AS (SELECT item, count(*) AS ic FROM hist GROUP BY 1),
+         |histc AS (SELECT user_id, item FROM (
+         |    SELECT hist.user_id, hist.item,
+         |      row_number() OVER (PARTITION BY hist.user_id
+         |        ORDER BY hic.ic DESC, hist.item) AS hrn
+         |    FROM hist JOIN hic ON hic.item = hist.item) capped
+         |  WHERE hrn <= $PairUserCap),
          |hu AS (SELECT DISTINCT user_id FROM hist),
          |ej AS (SELECT l.user_id, l.target, h.item AS seen
          |  FROM lst l LEFT JOIN hist h
@@ -2028,12 +2049,12 @@ object Analytics {
          |evalu AS (SELECT ej.user_id, ej.target FROM ej
          |  JOIN hu ON hu.user_id = ej.user_id WHERE seen IS NULL),
          |ps AS (SELECT a.item AS src, b.item AS dst, count(*) AS support
-         |  FROM hist a JOIN hist b
+         |  FROM histc a JOIN histc b
          |    ON a.user_id = b.user_id AND a.item <> b.item
          |  GROUP BY 1, 2 HAVING count(*) >= $RecMinSupport),
          |sc AS (SELECT e.user_id, e.target, p.dst,
          |    CAST(sum(p.support) AS BIGINT) AS score
-         |  FROM hist h JOIN evalu e ON h.user_id = e.user_id
+         |  FROM histc h JOIN evalu e ON h.user_id = e.user_id
          |  JOIN ps p ON h.item = p.src
          |  GROUP BY 1, 2, 3),
          |scx AS (SELECT s.user_id, s.target, s.dst, s.score
