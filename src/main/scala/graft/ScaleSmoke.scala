@@ -262,6 +262,10 @@ object ScaleSmoke {
       Similarity.embeddingCoverageFrom(docs, emb).count()
     }
     t("composition_grid") { Curation.compositionGridFrom(docs).count() }
+    // round-10: BPE training is one corpus pass to the word-frequency
+    // table, then vocabulary-bounded rounds — replicas share the vocab
+    // so round cost is flat in corpus size by construction
+    t("bpe_train") { TextAnalysis.bpeTrainFrom(docs).count() }
     // round-10: the q89→q52→q63→q81 chain as ONE job on the replicated
     // corpus — the composition proof at smoke scale (the ledger's exact
     // cut absorbs the replicas; packing + shard deal ride the
@@ -280,8 +284,11 @@ object ScaleSmoke {
       Multimodal.sampleAviFrames(payloads, Multimodal.AviPerDoc).count()
     }
     // q197: fingerprint relation checkpointed (one decode pass), pairs
-    // confined to equal-fingerprint buckets — the replicated ids land
-    // in the same mod-96 classes, so dup mass grows linearly here
+    // confined to equal-fingerprint buckets. NOTE the replicated ids
+    // pile into the same mod-96 classes, so the PAIR OUTPUT here is
+    // Σ class² — quadratic in the replication factor by fixture
+    // construction (the raw-minhash replica caveat), not a plan
+    // property; real corpora's dup classes are small
     t("video_neardup") {
       val sp = docs.sparkSession
       import sp.implicits._

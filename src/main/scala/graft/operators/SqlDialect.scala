@@ -212,9 +212,14 @@ object SqlDialect {
       case other => s"regexp_extract_all(${other.mkString(", ")})"
     }
 
-    // drop DuckDB's explicit global-replace flag (Spark is global)
+    // drop DuckDB's explicit global-replace flag (Spark is global) and
+    // convert RE2 backreferences in the REPLACEMENT ('\1'..'\9') to
+    // Java's '$1' syntax — under escapedStringLiterals Spark would read
+    // '\1' as an escape for a literal '1'
+    def bref(r: String): String = r.replaceAll("\\\\(\\d)", "\\$$1")
     s = rewriteCall(s, "regexp_replace") {
-      case Seq(a, p, r, "'g'") => s"regexp_replace($a, $p, $r)"
+      case Seq(a, p, r, "'g'") => s"regexp_replace($a, $p, ${bref(r)})"
+      case Seq(a, p, r) => s"regexp_replace($a, $p, ${bref(r)})"
       case other => s"regexp_replace(${other.mkString(", ")})"
     }
 

@@ -108,7 +108,15 @@ object SqlSurface {
     "q197_video_neardup" ->
       ("fingerprints the q196 REAL container decode before the pair " +
         "join — the same codec call; use Multimodal.videoNearDup (the " +
-        "oracle regenerates the frame fingerprints analytically)"))
+        "oracle regenerates the frame fingerprints analytically)"),
+    "q198_bpe_train" ->
+      ("iterative argmax-dependent rewrite: each BPE round's merge " +
+        "constant is an aggregate over the PREVIOUS round's vocab, so " +
+        "an unrolled CTE chain re-references each round's state and " +
+        "explodes exponentially without CTE materialization — DuckDB " +
+        "has AS MATERIALIZED (the oracle uses it), Spark SQL does not; " +
+        "the DataFrame loop's driver-side argmax collect is the linear " +
+        "form — use TextAnalysis.bpeTrain"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -814,6 +814,79 @@ object TextAnalysis {
   /** Merge-pair rows kept by q69. */
   val BpeTopK = 20
 
+  /** Merge rounds trained by q198. */
+  val BpeMerges = 8
+
+  /** q198 — BPE TOKENIZER TRAINING (the full iterative loop q69's
+    * single pair count is the inner step of): [[BpeMerges]] greedy
+    * merge rounds over the corpus's word-frequency table, each round
+    * (1) counting adjacent symbol pairs weighted by word frequency,
+    * (2) picking the argmax (count DESC, pair ASC — fully tie-broken),
+    * (3) merging every non-overlapping occurrence left-to-right. The
+    * output IS the tokenizer model: the ordered merge table
+    * (merge_round, pair, merged, n).
+    *
+    * Symbol sequences ride a BRACKETED-STRING encoding (`low` →
+    * `<l><o><w>`): adjacent pairs fall out of two non-overlapping
+    * `regexp_extract_all` passes (one phase-shifted by stripping the
+    * first symbol), and the merge is ONE literal `replace` — whose
+    * left-to-right non-overlapping semantics, identical in Spark and
+    * DuckDB, are exactly BPE's merge rule (`<a><a><a>` under (a,a) →
+    * `<aa><a>`, never `<a><aa>`). No UDF, no array lambda, no
+    * per-engine list dialect — the whole loop is portable string
+    * algebra, so the oracle runs the SAME unrolled rounds.
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table
+    * (map-side combine; BPE trains on the vocabulary, not the corpus —
+    * the classic Sennrich formulation); every round is then
+    * vocabulary-bounded (pair aggregate + one driver-side argmax row,
+    * the q61 Lloyd contract) and the merge is a narrow map. All counts
+    * integer end to end.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(Tables.documents(spark, dir))
+
+  def bpeTrainFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairRe = lit("<[^>]*><[^>]*>")
+    val vocab0 = docs
+      .select(explode(TextFns.toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("seq"),
+        col("wcnt"))
+      .localCheckpoint()
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMerges && !exhausted) {
+      val odd = vocab.select(
+        explode(regexp_extract_all(col("seq"), pairRe, lit(0))).as("pr"),
+        col("wcnt"))
+      val even = vocab.select(
+        explode(regexp_extract_all(
+          regexp_replace(col("seq"), "^<[^>]*>", ""), pairRe, lit(0))).as("pr"),
+        col("wcnt"))
+      // model-scale argmax row to the driver (the q61 Lloyd contract)
+      val best = odd.unionByName(even)
+        .groupBy("pr").agg(sum("wcnt").as("n"))
+        .orderBy(desc("n"), asc("pr")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pr = best(0).getString(0)
+        val merged = "<" + pr.replace("<", "").replace(">", "") + ">"
+        merges += ((round, pr, merged, best(0).getLong(1)))
+        vocab = vocab.select(
+          replace(col("seq"), lit(pr), lit(merged)).as("seq"), col("wcnt"))
+        round += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_round", "pair", "merged", "n")
+      .orderBy("merge_round")
+  }
+
   /** q69 — BPE merge-pair counting (the inner loop of byte-pair-
     * encoding tokenizer training): count every adjacent character pair
     * inside whitespace tokens across the corpus and rank the top
@@ -1163,6 +1236,7 @@ object TextAnalysis {
     "q62_pii_scrub" -> (piiScrub _),
     "q68_source_kl" -> (sourceKl _),
     "q69_bpe_pairs" -> (bpePairs _),
+    "q198_bpe_train" -> (bpeTrain _),
     "q166_collocations" -> (collocations _),
     "q175_boilerplate_templates" -> (boilerplateTemplates _),
     "q178_calibrated_cut" -> (calibratedCut _))
@@ -1563,6 +1637,43 @@ object TextAnalysis {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the SAME unrolled merge rounds as the DataFrame loop: identical
+    // bracketed-string algebra (replace is left-to-right non-overlap
+    // in both engines), integer counts, total-order argmax per round;
+    // a round with no pairs left leaves bK empty and every later CTE
+    // empties through the CROSS JOIN, exactly like the loop's early
+    // stop. The per-round CTEs are AS MATERIALIZED: every round
+    // references the previous vocab relation from two places, so the
+    // default inlining would expand the base subtree 3^rounds times —
+    // materialization is what the DataFrame loop gets for free from
+    // its driver-side argmax collect (and why this query has no Spark
+    // SQL text: Spark cannot materialize a CTE).
+    "q198_bpe_train" -> {
+      def roundCte(r: Int): String =
+        s"""p$r AS MATERIALIZED (SELECT pr, CAST(sum(wcnt) AS BIGINT) AS n FROM (
+           |    SELECT unnest(regexp_extract_all(seq,
+           |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}
+           |    UNION ALL
+           |    SELECT unnest(regexp_extract_all(
+           |        regexp_replace(seq, '^<[^>]*>', ''),
+           |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}) q$r
+           |  GROUP BY 1),
+           |b$r AS MATERIALIZED (SELECT $r AS merge_round, pr,
+           |    '<' || replace(replace(pr, '<', ''), '>', '') || '>' AS merged,
+           |    n
+           |  FROM p$r ORDER BY n DESC, pr LIMIT 1),
+           |v$r AS MATERIALIZED (SELECT replace(v.seq, b.pr, b.merged) AS seq, v.wcnt
+           |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+      s"""WITH toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
+         |wrd AS (SELECT unnest(w) AS t FROM toks),
+         |voc AS (SELECT t AS word, count(*) AS wcnt FROM wrd GROUP BY 1),
+         |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
+         |    wcnt FROM voc),
+         |${(1 to BpeMerges).map(roundCte).mkString(",\n")}
+         |SELECT merge_round, pr AS pair, merged, n FROM (
+         |  ${(1 to BpeMerges).map(r => s"SELECT * FROM b$r").mkString("\n  UNION ALL ")}) u
+         |ORDER BY merge_round""".stripMargin
+    },
     "q69_bpe_pairs" ->
       s"""WITH toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
          |wrd AS (SELECT unnest(w) AS t FROM toks),

@@ -462,6 +462,38 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("bpeTrain (q198)") {
+    it("runs the greedy merge loop with frequency-weighted counts and BPE's left-to-right merge rule") {
+      // vocab: "aaab"×3, "ab"×2. Round 1 pair counts: (a,a) = 2·3 = 6,
+      // (a,b) = 3+2 = 5 → merge (a,a); "aaab" → <aa><a><b> (left-to-
+      // right non-overlap: never <a><aa>). Round 2: (a,b) = 5 beats
+      // (aa,a) = 3 → merge (a,b). Round 3: only (aa,ab) = 3 remains.
+      // Round 4: no pairs anywhere → the loop stops early at 3 rows.
+      val r = TextAnalysis.bpeTrainFrom(docs(
+          (1L, "aaab aaab aaab ab ab")))
+        .collect().map(x => (x.getAs[Int]("merge_round"),
+          x.getAs[String]("pair"), x.getAs[String]("merged"),
+          x.getAs[Long]("n")))
+      assert(r.toSeq == Seq(
+        (1, "<a><a>", "<aa>", 6L),
+        (2, "<a><b>", "<ab>", 5L),
+        (3, "<aa><ab>", "<aaab>", 3L)))
+    }
+
+    it("trains the full budget on the fixture with rounds numbered densely") {
+      val r = TextAnalysis.bpeTrain(spark, graft.TestSpark.Sf).collect()
+      assert(r.length == TextAnalysis.BpeMerges)
+      assert(r.map(_.getAs[Int]("merge_round")).toSeq ==
+        (1 to TextAnalysis.BpeMerges))
+      // every merged symbol is the concatenation of its pair's parts
+      r.foreach { x =>
+        val parts = x.getAs[String]("pair").split("><")
+          .map(_.stripPrefix("<").stripSuffix(">"))
+        assert(x.getAs[String]("merged") == "<" + parts.mkString + ">")
+      }
+    }
+  }
+
   describe("piiScrub (q62)") {
     // the same md5-derived class the operator's hash32 computes
     def piiClass(id: Long): Long = {
