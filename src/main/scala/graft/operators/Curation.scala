@@ -1533,7 +1533,88 @@ object Curation {
     parts.reduce(_ unionByName _).orderBy("col_name")
   }
 
+  /** q202 — ORC storage-format roundtrip gate: the per-source rollup
+    * computed THROUGH [[graft.sources.OrcMirror]] (documents written to
+    * ORC once per corpus, read back) while the DuckDB oracle computes
+    * the identical rollup over the ORIGINAL parquet — hash equality
+    * proves the ORC write→read path preserves every value class the
+    * table carries (BIGINT ids, STRING text — witnessed by a summed
+    * content hash, not just lengths — and the lang/source dimensions).
+    * The format twin of the CSV (SupplierCsv) and JSONL (Jsonl) gates.
+    *
+    * Scale shape: the mirror is written once per corpus fingerprint
+    * (atomic rename, `_SUCCESS`-gated) with one writer task per source
+    * and `source,doc_id`-sorted stripes (tight stripe min/max → ORC
+    * stripe pruning on source predicates); the rollup is one
+    * map-side-combined aggregate bounded by |sources|.
+    */
+  def orcMirror(spark: SparkSession, dir: String): DataFrame =
+    orcRollupOf(graft.sources.OrcMirror.documentsFor(spark, dir))
+
+  def orcRollupOf(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum(TextFns.hash32(col("text"))).as("text_hash_sum"))
+      .orderBy("source")
+
+  /** Shard counts for q204: the fleet grows [[HrwOld]] → [[HrwNew]]. */
+  val HrwOld = 8
+  val HrwNew = 9
+
+  /** q204 — RENDEZVOUS (highest-random-weight) shard assignment and the
+    * minimal-movement audit: each document scores every shard with
+    * `hash60("hrw|" + doc_id + "|" + shard)` and lands on the argmax;
+    * when the fleet grows 8 → 9 the ONLY documents that move are those
+    * whose new shard-8 score beats their old maximum (≈ 1/9 of the
+    * corpus, each moving TO the new shard) — the consistent-hashing
+    * contract that makes resharding a 100 TB corpus an O(1/n) copy
+    * instead of the near-total reshuffle mod-hashing (q81's static
+    * shards) would cause. Output: per old shard, how many docs it holds
+    * and how many the expansion takes from it.
+    *
+    * Determinism: argmax over 9 md5-60bit scores, ties CASE-broken by
+    * shard index in the same order in both engines (md5 prefix ties
+    * never occur, the tie-break is pure discipline).
+    *
+    * Scale shape: ZERO corpus shuffle — the 9 scores and both argmaxes
+    * are one map-side expression per row; the only exchange carries the
+    * 8-row (shard, counts) rollup. The q45/q81 family completes:
+    * mod-hash split, static shards, and now movement-minimal resharding.
+    */
+  def rendezvousShards(spark: SparkSession, dir: String): DataFrame =
+    rendezvousShardsFrom(Tables.documents(spark, dir))
+
+  def rendezvousShardsFrom(docs: DataFrame): DataFrame = {
+    def hk(k: Int) = TextFns.hash60(
+      concat(lit("hrw|"), col("doc_id").cast("string"), lit(s"|$k")))
+    val base = docs.select(
+      col("doc_id") +: (0 until HrwNew).map(k => hk(k).as(s"h$k")): _*)
+    def argmax(n: Int): Column = {
+      val m = greatest((0 until n).map(k => col(s"h$k")): _*)
+      (0 until n).foldLeft(lit(null).cast("int")) { (acc, k) =>
+        if (k == 0) when(col(s"h$k") === m, lit(k))
+        else acc.when(col(s"h$k") === m, lit(k))
+      }
+    }
+    base
+      .select(argmax(HrwOld).as("shard"), argmax(HrwNew).as("shard_after"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_after") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("shard"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 9)
+          .as("moved_frac"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_orc_mirror" -> (orcMirror _),
+    "q204_rendezvous_shards" -> (rendezvousShards _),
     "q45_hash_split" -> (hashSplit _),
     "q46_decontaminate" -> (decontaminate _),
     "q47_repetition" -> (repetition _),
@@ -1602,6 +1683,38 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet; the Spark side reads
+    // through the ORC mirror — hash equality gates the format roundtrip
+    "q202_orc_mirror" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  count(DISTINCT lang) AS n_langs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  CAST(sum(${TextFns.sql.hash32("text")}) AS BIGINT) AS text_hash_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical 9-score argmax with the same CASE-order tie discipline
+    "q204_rendezvous_shards" -> {
+      val hs = (0 until HrwNew).map(k =>
+        s"${TextFns.sql.hash60(s"'hrw|' || CAST(doc_id AS VARCHAR) || '|$k'")} AS h$k")
+        .mkString(",\n    ")
+      def argmax(n: Int): String = {
+        val m = (0 until n).map(k => s"h$k").mkString("greatest(", ", ", ")")
+        (0 until n).map(k => s"WHEN h$k = $m THEN $k")
+          .mkString("CASE ", " ", " END")
+      }
+      s"""WITH h AS (SELECT doc_id,
+         |    $hs
+         |  FROM documents),
+         |a AS (SELECT ${argmax(HrwOld)} AS shard,
+         |    ${argmax(HrwNew)} AS shard_after
+         |  FROM h)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN shard_after <> shard THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  round(CAST(sum(CASE WHEN shard_after <> shard THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 9) AS moved_frac
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    },
     // the q186 fixed-point mean per grid cell; share over a grid window
     "q195_composition_grid" ->
       s"""WITH ${TextAnalysis.qualityDocSql("lang, source")},

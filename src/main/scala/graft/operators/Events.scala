@@ -906,7 +906,86 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** HLL register count for q201 (m = 2^6; registers hold leading-zero
+    * ranks of the 54 bits left after bucketing the 60-bit hash, so a
+    * register value is 1..55 and an EMPTY register is rank 0).
+    */
+  val HllM = 64
+
+  /** Numerator of the raw HLL estimate `α·m² / Σ 2^-reg`, pre-scaled by
+    * 2^55 so the register sum stays an exact BIGINT (see [[hllDistinct]]):
+    * `α₆₄ · m² · 2^55` with α₆₄ = 0.7213/(1 + 1.079/m) — the standard
+    * bias constant. Computed ONCE here and interpolated verbatim into
+    * the oracle text, so both engines divide the identical double.
+    */
+  val HllNum: Double = 0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM) *
+    36028797018963968.0 // 2^55
+
+  /** q201 — HyperLogLog distinct-user sketch per event type, plus the
+    * register-MERGED `ALL` row: the mergeable-sketch contract that makes
+    * HLL the 100 TB distinct-count operator (per-partition registers
+    * combine by element-wise max — the `ALL` row is computed by MERGING
+    * the per-type registers, never by re-scanning events). KMV (q39)
+    * estimates from the k smallest hashes; HLL from leading-zero ranks
+    * in 2^6 = [[HllM]] registers — the two classic sketch families, both
+    * deterministic here via the md5-60bit hash so the DuckDB oracle
+    * reproduces every register exactly.
+    *
+    * Determinism discipline: the register sum is Σ 2^(55−reg), an EXACT
+    * integer (≤ 64·2^55 < 2^62) — never a float sum whose partial order
+    * could wobble the low bits. The raw estimate is ONE division of the
+    * shared [[HllNum]] literal by that integer; the small-range
+    * correction (E ≤ 2.5m with empty registers) is linear counting
+    * `m·ln(m/V)` — `ln` is libm territory, absorbed by round 6 (the
+    * q55/q57 discipline). `rel_err` divides the ALREADY-ROUNDED estimate
+    * so both engines subtract identical canonical values.
+    *
+    * Scale shape: one pass over events (map-side rho), ONE aggregate to
+    * (type, bucket) registers — reduce side bounded by |types|·m, a
+    * model constant — then a register-grain merge for `ALL` and a
+    * |types|-bounded rollup. Nothing keyed by user ever crosses the
+    * wire; at 100 TB the shuffle carries ≤ |types|·m·partitions rows.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllDistinctFrom(Tables.events(spark, dir))
+
+  def hllDistinctFrom(events: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val h = TextFns.hash60(concat(lit("hll|"), col("user_id").cast("string")))
+    val w = shiftright(col("h"), 6)
+    val rho = when(w === 0L, lit(55)).otherwise(lit(55) - length(bin(w)))
+    val reg = events
+      .select(col("event_type"), h.as("h"))
+      .select(col("event_type"), col("h").bitwiseAND(lit(63L)).as("bucket"),
+        rho.as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("reg"))
+      .localCheckpoint() // registers feed both the per-type and ALL rows
+    val merged = reg.groupBy("bucket").agg(max("reg").as("reg"))
+      .select(lit("ALL").as("event_type"), col("bucket"), col("reg"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .unionByName(events.agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(lit("ALL").as("event_type"), col("n_exact")))
+    val s = reg.unionByName(merged)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_regs"),
+        (sum(expr("shiftleft(1L, CAST(55 - reg AS INT))")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(36028797018963968L))
+          .as("s_int"))
+    val eRaw = lit(HllNum) / col("s_int")
+    val nZero = lit(HllM.toLong) - col("n_regs")
+    val estU = when(eRaw <= 2.5 * HllM && nZero > 0L,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / nZero)).otherwise(eRaw)
+    s.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_regs"),
+        nZero.as("n_zero_regs"), round(estU, 6).as("est_hll"))
+      .withColumn("rel_err",
+        round((col("est_hll") - col("n_exact")) / col("n_exact"), 6))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_hll_distinct" -> (hllDistinct _),
     "q174_event_disorder" -> (eventDisorder _),
     "q181_bot_audit" -> (botAudit _),
     "q127_impute_audit" -> (imputeAudit _),
@@ -932,6 +1011,42 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB rebuilds every HLL register exactly (same md5-60bit hash,
+    // same bucket/rank split), merges the ALL row register-wise, and
+    // divides the identical HllNum literal by the same exact integer
+    // register sum; linear counting's ln is absorbed by round 6 and
+    // rel_err divides the already-rounded estimate (see hllDistinct).
+    "q201_hll_distinct" ->
+      s"""WITH h AS (SELECT event_type,
+         |    ${graft.functions.TextFns.sql.hash60("'hll|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h % 64 AS bucket,
+         |    CASE WHEN h // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(h // 64)) END AS rho
+         |  FROM h),
+         |reg AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+         |mrg AS (SELECT 'ALL' AS event_type, bucket, max(reg) AS reg
+         |  FROM reg GROUP BY 2),
+         |allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM mrg),
+         |s AS (SELECT event_type, count(*) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT)
+         |      + ($HllM - count(*)) * 36028797018963968 AS s_int
+         |  FROM allreg GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |    FROM events GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT user_id) FROM events),
+         |est AS (SELECT s.event_type, ex.n_exact, s.n_regs,
+         |    $HllM - s.n_regs AS n_zero_regs,
+         |    round(CASE WHEN $HllNum / s_int <= ${2.5 * HllM}
+         |            AND $HllM - s.n_regs > 0
+         |          THEN $HllM * ln(${HllM.toDouble} / ($HllM - s.n_regs))
+         |          ELSE $HllNum / s_int END, 6) AS est_hll
+         |  FROM s JOIN ex ON ex.event_type = s.event_type)
+         |SELECT event_type, n_exact, CAST(n_regs AS BIGINT) AS n_regs,
+         |  CAST(n_zero_regs AS BIGINT) AS n_zero_regs, est_hll,
+         |  round((est_hll - n_exact) / n_exact, 6) AS rel_err
+         |FROM est ORDER BY event_type""".stripMargin,
     // same per-user running-max window keyed on the event_id ingest
     // sequence; all-integer microsecond features, one closing division
     // exact mid-rank med2 (sum of the two middle gaps), integer verdict

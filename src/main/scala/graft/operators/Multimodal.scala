@@ -901,12 +901,322 @@ object Multimodal {
       .orderBy("video_a", "video_b")
   }
 
+  /** Keyframes sampled per MP4 payload by q199. */
+  val Mp4PerDoc = 3
+
+  /** Deterministic MP4 (ISO-BMFF) payload for `doc_id`: `3 + id mod 5`
+    * JPEG samples of `8·(1 + id mod 2) × 8·(1 + id mod 3)` pixels at
+    * 10 fps (movie timescale 1000, sample delta 100), every 3rd sample
+    * a SYNC sample (`stss` = 1-based {1, 4, 7, …} — the keyframe
+    * cadence a real encoder's GOP structure produces). Sample k is a
+    * grid of constant 8×8 blocks, block b holding gray
+    * `((id mod 48)·29 + k·13 + b·7) mod 256` — the same
+    * exact-JPEG-roundtrip trick as [[aviBytes]] (constant blocks are
+    * DC-only, quality-1.0 tables are all-ones; see [[AviPerDoc]]).
+    *
+    * Box layout is the standard recorder shape — `ftyp` (isom), `mdat`
+    * FIRST, `moov` LAST (non-faststart: a parser must walk to the
+    * trailing `moov`, then seek BACK into `mdat`): `moov`{`mvhd`,
+    * `trak`{`tkhd`, `mdia`{`mdhd`, `hdlr` vide, `minf`{`vmhd`,
+    * `dinf`{`dref` self-contained}, `stbl`{`stsd` 'jpeg'
+    * VisualSampleEntry, `stts`, `stss`, `stsc`, `stsz`, `stco`
+    * absolute offsets}}}}}. Big-endian throughout (ISO-BMFF), vs the
+    * little-endian RIFF of [[aviBytes]] — the two production container
+    * families, both hand-built, zero external deps.
+    */
+  def mp4Bytes(id: Long): Array[Byte] = {
+    val n = (3 + java.lang.Math.floorMod(id, 5L)).toInt
+    val w = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
+    val h = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
+    val bw = w / 8
+    val frames = (0 until n).map { k =>
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = im.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = (y / 8) * bw + (x / 8)
+          raster.setSample(x, y, 0,
+            java.lang.Math.floorMod(
+              java.lang.Math.floorMod(id, 48L) * 29L + k * 13L + b * 7L,
+              256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = jw.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        jw.setOutput(ios)
+        jw.write(null, new javax.imageio.IIOImage(im, null, null), p)
+      } finally { jw.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(8 + body) // big-endian default
+      bb.putInt(8 + body).put(fcc(typ))
+      parts.foreach(bb.put)
+      bb.array()
+    }
+    def u32s(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val ftyp = box("ftyp", fcc("isom"), u32s(0x200), fcc("isom"), fcc("mp41"))
+    // mdat directly after ftyp: sample s begins at 24 + 8 + Σ sizes
+    val offsets = frames.scanLeft(ftyp.length + 8)(_ + _.length).init
+    val mdat = box("mdat", frames.flatten.toArray)
+    val dur = n * 100
+    val syncs = (0 until n by 3).map(_ + 1) // 1-based sync table
+    val mvhd = box("mvhd", u32s(0, 0, 0, 1000, dur, 0x00010000),
+      u32s(0x01000000, 0, 0), // volume 1.0 + reserved(2) + reserved(8)
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000), // unity matrix
+      u32s(0, 0, 0, 0, 0, 0, 2)) // predefineds + next track id
+    val tkhd = box("tkhd", u32s(0x00000007, 0, 0, 1, 0, dur, 0, 0, 0, 0),
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      u32s(w << 16, h << 16)) // 16.16 fixed
+    val mdhd = box("mdhd", u32s(0, 0, 0, 1000, dur), u32s(0x55c40000))
+    val hdlr = box("hdlr", u32s(0, 0), fcc("vide"), u32s(0, 0, 0),
+      "GraftVideo".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = box("vmhd", u32s(1, 0, 0)) // flags 1 + graphicsmode/opcolor
+    val dinf = box("dinf", box("dref", u32s(0, 1), box("url ", u32s(1))))
+    // VisualSampleEntry: 6 reserved + dref idx, 16 predef/reserved,
+    // w/h, 72dpi ×2, reserved, frame_count 1, 32-char compressorname,
+    // depth 24, predefined -1
+    val sampleEntry = box("jpeg", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1),
+      u32s(0, 0, 0, 0), u32s((w << 16) | h, 0x00480000, 0x00480000, 0),
+      u32s(1 << 16), new Array[Byte](30), u32s((24 << 16) | 0xffff))
+    val stsd = box("stsd", u32s(0, 1), sampleEntry)
+    val stts = box("stts", u32s(0, 1, n, 100))
+    val stss = box("stss", u32s(0 +: syncs.length +: syncs: _*))
+    val stsc = box("stsc", u32s(0, 1, 1, 1, 1)) // 1 sample per chunk
+    val stsz = box("stsz", u32s(0 +: 0 +: n +: frames.map(_.length): _*))
+    val stco = box("stco", u32s(0 +: n +: offsets: _*))
+    val stbl = box("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthetic MP4-payload table: one ISO-BMFF/JPEG video per document
+    * id (the MP4 twin of [[aviPayloads]]). Map-only typed generation.
+    */
+  def mp4Payloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, mp4Bytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** One REALLY-decoded sampled MP4 keyframe from [[sampleMp4Keyframes]]. */
+  final case class Mp4Frames(
+      doc_id: Long, sample_idx: Int, n_frames: Int, n_sync: Int,
+      width: Int, height: Int, duration_ms: Long, codec: String,
+      decode_ok: Boolean, sum_luma: Long, checksum: Long)
+
+  /** REAL ISO-BMFF (MP4) parse + KEYFRAME-only decode — a hand-written
+    * box walker over the production container family AVI's RIFF is not:
+    * big-endian `size|fourcc` boxes (64-bit `largesize` and
+    * to-end-of-file sizes handled), top-level walk to the TRAILING
+    * `moov` (non-faststart layout — the parser random-accesses back
+    * into `mdat`), recursive descent `moov → trak → mdia → minf → stbl`
+    * selecting the first `hdlr = vide` track, then the full sample-table
+    * machinery: `stsd` (codec fourcc), `mdhd` (v0/v1 timescale +
+    * duration → `duration_ms`), `stsz` (sample sizes), `stsc` run
+    * expansion (samples-per-chunk map), `stco`/`co64` (chunk offsets),
+    * and `stss` (sync table). Only SYNC samples are decoded — ≤ `perDoc`
+    * evenly spaced over the keyframe list, each one seeked via
+    * stsc/stco/stsz offset arithmetic and fed to the real
+    * `javax.imageio` JPEG decoder. Sampling keyframes (not arbitrary
+    * frames) is the production contract: in a predictive codec only
+    * sync samples decode standalone, so a 100 TB frame-sampling scan
+    * reads exactly the stss-listed byte ranges and nothing else.
+    *
+    * Quarantine contract ([[sampleAviFrames]]): wrong magic, truncated
+    * boxes, a sample table pointing outside the payload, or corrupt
+    * JPEG bytes yield ONE `decode_ok = false` row, never an exception.
+    *
+    * Scale shape: per-partition typed flatMap, one box walk + ≤ perDoc
+    * bounded decodes per payload, no shuffle.
+    */
+  def sampleMp4Keyframes(payloads: DataFrame, perDoc: Int): Dataset[Mp4Frames] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def u32(b: Array[Byte], at: Int): Long =
+          (b(at) & 0xffL) << 24 | (b(at + 1) & 0xffL) << 16 |
+            (b(at + 2) & 0xffL) << 8 | (b(at + 3) & 0xffL)
+        def u64(b: Array[Byte], at: Int): Long =
+          u32(b, at) << 32 | u32(b, at + 4)
+        def fcc(b: Array[Byte], at: Int): String =
+          new String(b, at, 4, "US-ASCII")
+        // walk the children of [from, until) → (type → (payloadAt, payloadEnd))
+        def walk(b: Array[Byte], from: Int, until: Int): List[(String, (Int, Int))] = {
+          var pos = from
+          var bad = false // truncated box: stop the walk, keep what parsed
+          val out = List.newBuilder[(String, (Int, Int))]
+          while (!bad && pos + 8 <= until) {
+            val sz0 = u32(b, pos)
+            val typ = fcc(b, pos + 4)
+            val (hdr, sz) =
+              if (sz0 == 1L && pos + 16 <= until) (16, u64(b, pos + 8))
+              else if (sz0 == 0L) (8, (until - pos).toLong) // to end of file
+              else (8, sz0)
+            if (sz < hdr || pos + sz > until) bad = true
+            else {
+              out += typ -> (pos + hdr, pos + sz.toInt)
+              pos += sz.toInt
+            }
+          }
+          out.result()
+        }
+        def child(kids: List[(String, (Int, Int))], typ: String): Option[(Int, Int)] =
+          kids.collectFirst { case (`typ`, span) => span }
+        it.flatMap { case (id, bytes) =>
+          val decoded: Option[Seq[Mp4Frames]] =
+            try {
+              val top = walk(bytes, 0, bytes.length)
+              if (child(top, "ftyp").isEmpty) None
+              else child(top, "moov").flatMap { case (mAt, mEnd) =>
+                val moov = walk(bytes, mAt, mEnd)
+                // first video track: hdlr handler_type == 'vide'
+                val stblOpt = moov.collect { case ("trak", (tAt, tEnd)) =>
+                  val trak = walk(bytes, tAt, tEnd)
+                  child(trak, "mdia").map(m => (m, walk(bytes, m._1, m._2)))
+                }.flatten.collectFirst {
+                  case ((_, _), mdia)
+                      if child(mdia, "hdlr").exists(h => fcc(bytes, h._1 + 8) == "vide") =>
+                    (mdia, child(mdia, "minf").map(m => walk(bytes, m._1, m._2)))
+                }
+                stblOpt.flatMap { case (mdia, minfKids) =>
+                  val stbl = minfKids.flatMap(child(_, "stbl"))
+                    .map(s => walk(bytes, s._1, s._2))
+                  val mdhd = child(mdia, "mdhd")
+                  if (stbl.isEmpty || mdhd.isEmpty) None
+                  else {
+                    val kids = stbl.get
+                    val hAt = mdhd.get._1
+                    val v1 = bytes(hAt) == 1
+                    val timescale = u32(bytes, hAt + (if (v1) 20 else 12))
+                    val duration = if (v1) u64(bytes, hAt + 24) else u32(bytes, hAt + 16)
+                    val durMs = duration * 1000L / math.max(timescale, 1L)
+                    val codec = child(kids, "stsd")
+                      .map(s => fcc(bytes, s._1 + 8 + 4)).getOrElse("")
+                    val szAt = child(kids, "stsz").get._1
+                    val fixedSz = u32(bytes, szAt + 4)
+                    val n = u32(bytes, szAt + 8).toInt
+                    val sizes = (0 until n).map(i =>
+                      if (fixedSz != 0L) fixedSz else u32(bytes, szAt + 12 + 4 * i))
+                    // chunk offsets: stco (u32) or co64 (u64)
+                    val offs: IndexedSeq[Long] =
+                      child(kids, "stco").map { case (at, _) =>
+                        (0 until u32(bytes, at + 4).toInt)
+                          .map(i => u32(bytes, at + 8 + 4 * i))
+                      }.orElse(child(kids, "co64").map { case (at, _) =>
+                        (0 until u32(bytes, at + 4).toInt)
+                          .map(i => u64(bytes, at + 8 + 8 * i))
+                      }).get
+                    // stsc run expansion → absolute byte offset per sample
+                    val scAt = child(kids, "stsc").get._1
+                    val runs = (0 until u32(bytes, scAt + 4).toInt).map { i =>
+                      (u32(bytes, scAt + 8 + 12 * i).toInt, // first_chunk, 1-based
+                        u32(bytes, scAt + 12 + 12 * i).toInt) // samples_per_chunk
+                    }
+                    val sampleOffsets = new Array[Long](n)
+                    var s = 0
+                    var c = 0 // 0-based chunk
+                    while (s < n && c < offs.length) {
+                      val spc = runs.lastIndexWhere(_._1 <= c + 1) match {
+                        case -1 => 1
+                        case i => runs(i)._2
+                      }
+                      var within = 0
+                      var at = offs(c)
+                      while (within < spc && s < n) {
+                        sampleOffsets(s) = at
+                        at += sizes(s)
+                        s += 1
+                        within += 1
+                      }
+                      c += 1
+                    }
+                    if (s < n) None
+                    else {
+                      val sync = child(kids, "stss").map { case (at, _) =>
+                        (0 until u32(bytes, at + 4).toInt)
+                          .map(i => u32(bytes, at + 8 + 4 * i).toInt - 1)
+                      }.getOrElse(0 until n) // no stss → every sample is sync
+                      val take = math.min(perDoc, sync.length)
+                      Some((0 until take).map { i =>
+                        val kf = sync((i * sync.length / take).toInt)
+                        val off = sampleOffsets(kf)
+                        val len = sizes(kf).toInt
+                        val im = javax.imageio.ImageIO.read(
+                          new java.io.ByteArrayInputStream(bytes, off.toInt, len))
+                        if (im == null) throw new java.io.IOException("bad sample")
+                        val w = im.getWidth
+                        val h = im.getHeight
+                        val raster = im.getRaster
+                        var sumLuma = 0L
+                        var cks = 0L
+                        var p = 0
+                        var y = 0
+                        while (y < h) {
+                          var x = 0
+                          while (x < w) {
+                            val luma = raster.getSample(x, y, 0)
+                            sumLuma += luma
+                            cks += (p + 1).toLong * luma
+                            p += 1
+                            x += 1
+                          }
+                          y += 1
+                        }
+                        Mp4Frames(id, kf, n, sync.length, w, h, durMs, codec,
+                          decode_ok = true, sumLuma, cks)
+                      })
+                    }
+                  }
+                }
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(Seq(Mp4Frames(id, -1, 0, 0, 0, 0, 0L, "",
+            decode_ok = false, 0L, 0L)))
+        }
+      }
+  }
+
+  /** q199 — MP4 keyframe audit over the synthetic ISO-BMFF corpus:
+    * REAL box-tree parse (trailing moov, full stsc/stco/stsz offset
+    * arithmetic, stss sync table) and REAL JPEG decode of ONLY the sync
+    * samples, gated against DuckDB's analytic regeneration (exact
+    * because constant 8×8 blocks survive quality-1.0 JPEG bit-exactly
+    * — see [[AviPerDoc]]). Map-only until the presentation sort.
+    */
+  def mp4Keyframes(spark: SparkSession, dir: String): DataFrame =
+    sampleMp4Keyframes(mp4Payloads(spark, dir), Mp4PerDoc).toDF()
+      .orderBy("doc_id", "sample_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
     "q154_audio_audit" -> (audioAudit _),
     "q172_video_frames" -> (videoFrames _),
     "q196_avi_frames" -> (aviFrames _),
-    "q197_video_neardup" -> (videoNearDup _))
+    "q197_video_neardup" -> (videoNearDup _),
+    "q199_mp4_keyframes" -> (mp4Keyframes _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -955,6 +1265,41 @@ object Multimodal {
        |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB REGENERATES every sampled keyframe analytically (the
+    // mp4Bytes closed form: n = 3+id%5 samples, sync at 0,3,6 → n_sync
+    // = (n+2)//3, ≤ Mp4PerDoc evenly spaced over the SYNC LIST, block
+    // gray ((id%48)·29 + k·13 + b·7) % 256) and must agree with the
+    // real box-tree parse + stss-seeked javax.imageio JPEG decode —
+    // exact despite the lossy codec because every 8×8 block is
+    // constant (see AviPerDoc). Pixel spine max w·h = 16·24 = 384.
+    "q199_mp4_keyframes" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+         |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS width,
+         |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height,
+         |    CAST((5 + doc_id % 5) // 3 AS INTEGER) AS n_sync
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_frames, n_sync, width, height,
+         |    CAST((t.i * n_sync // least($Mp4PerDoc, n_sync)) * 3
+         |      AS INTEGER) AS sample_idx
+         |  FROM f JOIN range(0, $Mp4PerDoc) t(i)
+         |    ON t.i < least($Mp4PerDoc, n_sync)),
+         |px AS (
+         |  SELECT fr.doc_id, fr.sample_idx, fr.n_frames, fr.n_sync,
+         |    fr.width, fr.height, p.p AS p,
+         |    ((fr.doc_id % 48) * 29 + fr.sample_idx * 13
+         |      + (((p.p // fr.width) // 8) * (fr.width // 8)
+         |        + (p.p % fr.width) // 8) * 7) % 256 AS v
+         |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height)
+         |SELECT doc_id, sample_idx, n_frames, n_sync, width, height,
+         |  CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+         |  'jpeg' AS codec, TRUE AS decode_ok,
+         |  CAST(sum(v) AS BIGINT) AS sum_luma,
+         |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
+         |FROM px GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY doc_id, sample_idx""".stripMargin,
     // DuckDB REGENERATES every sampled MJPEG frame analytically (the
     // aviBytes closed form) and must agree with the real idx1-seek +
     // javax.imageio JPEG decode — exact despite the lossy codec

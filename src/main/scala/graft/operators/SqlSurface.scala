@@ -109,6 +109,13 @@ object SqlSurface {
       ("fingerprints the q196 REAL container decode before the pair " +
         "join — the same codec call; use Multimodal.videoNearDup (the " +
         "oracle regenerates the frame fingerprints analytically)"),
+    "q199_mp4_keyframes" ->
+      ("real ISO-BMFF (MP4) box-tree parse (trailing moov, " +
+        "stsc/stco/stsz offset arithmetic, stss sync table) plus " +
+        "javax.imageio JPEG decode of the sync samples — a codec call, " +
+        "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
+        "oracle regenerates the sampled keyframes analytically, which " +
+        "would not exercise the parser or the decoder)"),
     "q198_bpe_train" ->
       ("iterative argmax-dependent rewrite: each BPE round's merge " +
         "constant is an aggregate over the PREVIOUS round's vocab, so " +
@@ -116,7 +123,12 @@ object SqlSurface {
         "explodes exponentially without CTE materialization — DuckDB " +
         "has AS MATERIALIZED (the oracle uses it), Spark SQL does not; " +
         "the DataFrame loop's driver-side argmax collect is the linear " +
-        "form — use TextAnalysis.bpeTrain"))
+        "form — use TextAnalysis.bpeTrain"),
+    "q200_bpe_tokenize" ->
+      ("applies q198's trained merges, embedding the same iterative " +
+        "argmax-dependent rounds (the merge literals are DATA, collected " +
+        "by the training loop) — a static SQL text cannot contain them; " +
+        "use TextAnalysis.bpeTokenize"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

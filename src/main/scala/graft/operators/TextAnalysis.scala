@@ -849,6 +849,18 @@ object TextAnalysis {
   def bpeTrainFrom(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergesOf(docs)
+      .toDF("merge_round", "pair", "merged", "n")
+      .orderBy("merge_round")
+  }
+
+  /** The trained merge table as a driver-side list (model-scale —
+    * [[BpeMerges]] rows): the q198 loop factored out so q200 can APPLY
+    * the same merges without re-spelling the training.
+    */
+  def bpeMergesOf(docs: DataFrame): Seq[(Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairRe = lit("<[^>]*><[^>]*>")
     val vocab0 = docs
       .select(explode(TextFns.toks(col("text"))).as("word"))
@@ -883,8 +895,57 @@ object TextAnalysis {
       }
     }
     merges.result()
-      .toDF("merge_round", "pair", "merged", "n")
-      .orderBy("merge_round")
+  }
+
+  /** q200 — BPE TOKENIZER APPLICATION (the inference half of q198's
+    * training): apply the trained merge table, in merge order, to every
+    * corpus word and report per-language tokenizer FERTILITY — the
+    * chars-per-token / tokens-per-word numbers a training-data pipeline
+    * checks before committing to a tokenizer (a language the merges
+    * under-serve shows low chars-per-token, i.e. more tokens for the
+    * same text, inflating its effective training cost).
+    *
+    * Application rides the q198 bracketed-string algebra: each word's
+    * `<c><h><a><r>` encoding goes through the [[BpeMerges]] literal
+    * `replace` calls IN MERGE ORDER (a fixed chain of narrow codegen'd
+    * string ops — BPE inference is priority-ordered merging, exactly
+    * left-to-right non-overlapping `replace`), and the surviving token
+    * count is the number of `<` openers left.
+    *
+    * Scale shape: tokenization runs on the (lang, word)-grain count
+    * relation, NOT the corpus — the classic vocabulary trick (apply the
+    * tokenizer to each distinct word once, weight by frequency); one
+    * explode + one combine-heavy aggregate bounded by |lang|·|vocab|,
+    * then the merge chain as a narrow map and a |lang|-bounded rollup.
+    * All counts integer; the two fertility ratios are single exact
+    * divisions rounded 9 dp.
+    */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeFrom(Tables.documents(spark, dir))
+
+  def bpeTokenizeFrom(docs: DataFrame): DataFrame = {
+    val merges = bpeMergesOf(docs)
+    val wcnt = docs
+      .select(col("lang"), explode(TextFns.toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val seq0 = regexp_replace(col("word"), "(.)", "<$1>")
+    val applied = merges.foldLeft(seq0) { case (s, (_, pr, m, _)) =>
+      replace(s, lit(pr), lit(m))
+    }
+    wcnt
+      .select(col("lang"), col("n"), length(col("word")).as("n_chars"),
+        (length(applied) - length(replace(applied, lit("<"), lit("")))).as("n_toks"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_words"),
+        sum(col("n") * col("n_chars")).as("n_chars"),
+        sum(col("n") * col("n_toks")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 9)
+          .as("chars_per_token"),
+        round(col("n_tokens").cast("double") / col("n_words"), 9)
+          .as("tokens_per_word"))
+      .orderBy("lang")
   }
 
   /** q69 — BPE merge-pair counting (the inner loop of byte-pair-
@@ -915,6 +976,72 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("pair"))
       .limit(BpeTopK)
+  }
+
+  /** q203 bigram-table prune: transitions observed fewer times train
+    * nothing (the hapax mass a real LM prunes before shipping), so the
+    * bigram model keeps counts ≥ this floor and scoring falls back to
+    * the unigram term below it.
+    */
+  val BigramMin = 2L
+
+  /** q203 interpolation weight on the bigram MLE term. */
+  val LmLambda = 0.75
+
+  /** q203 — INTERPOLATED BIGRAM LM scoring (the conditional-probability
+    * step up from q57's unigram perplexity): train unigram + pruned
+    * bigram tables on the corpus, then score every document's token
+    * transitions with `λ·P(y|x) + (1−λ)·P(y)` — Jelinek-Mercer
+    * interpolation, the smoothing that lets a pruned/unseen transition
+    * fall back to the unigram floor instead of −∞. The perplexity
+    * filter a CCNet-style curation pipeline runs (theirs is a 5-gram
+    * KenLM; the in-engine analogue is the 2-gram with the same
+    * interpolation algebra), surfacing word-salad documents whose
+    * unigrams look fine but whose TRANSITIONS are noise.
+    *
+    * Determinism (the q57 discipline): probabilities are single exact
+    * divisions of integer counts in a fixed left-associative chain
+    * mirrored token-for-token in the oracle; `ln`/`exp` are libm,
+    * absorbed by round 6 on the per-doc mean.
+    *
+    * Scale shape: bigram extraction is one explode pass (map work); the
+    * count tables are combine-heavy aggregates bounded by vocabulary²
+    * (observed, [[BigramMin]]-pruned) — model relations, not corpus
+    * relations; scoring joins the doc-transition relation to the three
+    * count tables on their keys (broadcast-able at production vocab
+    * sizes) and the per-doc rollup rides one doc-keyed aggregate. Docs
+    * with fewer than 2 tokens have no transitions and are absent, like
+    * every LM scorer.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmFrom(Tables.documents(spark, dir))
+
+  def bigramLmFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val tk = docs.select(col("doc_id"), w.as("w"))
+    val uni = tk.select(explode(col("w")).as("t")).filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum("c").as("n_total"))
+    val docBi = tk.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("x"),
+        element_at(col("w"), col("i") + 1).as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+    val biCnt = docBi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= BigramMin)
+    val p = lit(LmLambda) * coalesce(col("c_xy"), lit(0L)) / col("c_x") +
+      lit(1.0 - LmLambda) * col("c_y") / col("n_total")
+    docBi
+      .join(biCnt, Seq("x", "y"), "left")
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (-log(p)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 6).as("nll"),
+        round(exp(avg("nll")), 6).as("ppl"))
+      .orderBy("doc_id")
   }
 
   /** q166 noise floor and result size: pairs below [[CollocMin]]
@@ -1237,6 +1364,8 @@ object TextAnalysis {
     "q68_source_kl" -> (sourceKl _),
     "q69_bpe_pairs" -> (bpePairs _),
     "q198_bpe_train" -> (bpeTrain _),
+    "q200_bpe_tokenize" -> (bpeTokenize _),
+    "q203_bigram_lm" -> (bigramLm _),
     "q166_collocations" -> (collocations _),
     "q175_boilerplate_templates" -> (boilerplateTemplates _),
     "q178_calibrated_cut" -> (calibratedCut _))
@@ -1306,6 +1435,39 @@ object TextAnalysis {
   private val langQualitySql =
     s"""${qualityDocSql("lang")},
        |f AS (SELECT * FROM q WHERE qs IS NOT NULL)""".stripMargin
+
+  /** The q198 training rounds as DuckDB CTE text (through `b1..bK` —
+    * each round's argmax merge row — and `v1..vK`, the merged vocab),
+    * shared by the q198 and q200 oracles. Every per-round CTE is
+    * AS MATERIALIZED: each round references the previous vocab from two
+    * places, so default inlining would expand the base subtree 3^rounds
+    * times — materialization is what the DataFrame loop gets for free
+    * from its driver-side argmax collect (and why neither query has a
+    * Spark SQL text: Spark cannot materialize a CTE).
+    */
+  private def bpeTrainCtes: String = {
+    def roundCte(r: Int): String =
+      s"""p$r AS MATERIALIZED (SELECT pr, CAST(sum(wcnt) AS BIGINT) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(seq,
+         |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}
+         |    UNION ALL
+         |    SELECT unnest(regexp_extract_all(
+         |        regexp_replace(seq, '^<[^>]*>', ''),
+         |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}) q$r
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT $r AS merge_round, pr,
+         |    '<' || replace(replace(pr, '<', ''), '>', '') || '>' AS merged,
+         |    n
+         |  FROM p$r ORDER BY n DESC, pr LIMIT 1),
+         |v$r AS MATERIALIZED (SELECT replace(v.seq, b.pr, b.merged) AS seq, v.wcnt
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    s"""toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
+       |wrd AS (SELECT unnest(w) AS t FROM toks),
+       |voc AS (SELECT t AS word, count(*) AS wcnt FROM wrd GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
+       |    wcnt FROM voc),
+       |${(1 to BpeMerges).map(roundCte).mkString(",\n")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // mid-rank percentiles as exact rationals at the score level; the
@@ -1621,6 +1783,32 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
          |FROM rk WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    // same unigram/pruned-bigram tables, same left-associative
+    // interpolation chain; ln/exp absorbed by round 6 on the mean
+    "q203_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |ft AS (SELECT t FROM (SELECT unnest(w) AS t FROM tk) WHERE t <> ''),
+         |uni AS (SELECT t, count(*) AS c FROM ft GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+         |db AS (SELECT doc_id, list_extract(w, CAST(i AS INT) + 1) AS x,
+         |    list_extract(w, CAST(i AS INT) + 2) AS y
+         |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM tk
+         |    WHERE len(w) >= 2) z
+         |  WHERE list_extract(w, CAST(i AS INT) + 1) <> ''
+         |    AND list_extract(w, CAST(i AS INT) + 2) <> ''),
+         |cb AS (SELECT x, y, count(*) AS c_xy FROM db GROUP BY 1, 2
+         |  HAVING count(*) >= $BigramMin),
+         |sc AS (SELECT db.doc_id,
+         |    -ln($LmLambda * COALESCE(cb.c_xy, 0) / ux.c
+         |      + ${1.0 - LmLambda} * uy.c / n_total) AS nll
+         |  FROM db
+         |  LEFT JOIN cb ON cb.x = db.x AND cb.y = db.y
+         |  JOIN uni ux ON ux.t = db.x
+         |  JOIN uni uy ON uy.t = db.y
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_lm_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(${TextFns.sql.toks}, t -> t <> '') AS w
@@ -1648,31 +1836,41 @@ object TextAnalysis {
     // materialization is what the DataFrame loop gets for free from
     // its driver-side argmax collect (and why this query has no Spark
     // SQL text: Spark cannot materialize a CTE).
-    "q198_bpe_train" -> {
-      def roundCte(r: Int): String =
-        s"""p$r AS MATERIALIZED (SELECT pr, CAST(sum(wcnt) AS BIGINT) AS n FROM (
-           |    SELECT unnest(regexp_extract_all(seq,
-           |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}
-           |    UNION ALL
-           |    SELECT unnest(regexp_extract_all(
-           |        regexp_replace(seq, '^<[^>]*>', ''),
-           |        '<[^>]*><[^>]*>')) AS pr, wcnt FROM v${r - 1}) q$r
-           |  GROUP BY 1),
-           |b$r AS MATERIALIZED (SELECT $r AS merge_round, pr,
-           |    '<' || replace(replace(pr, '<', ''), '>', '') || '>' AS merged,
-           |    n
-           |  FROM p$r ORDER BY n DESC, pr LIMIT 1),
-           |v$r AS MATERIALIZED (SELECT replace(v.seq, b.pr, b.merged) AS seq, v.wcnt
-           |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
-      s"""WITH toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),
-         |wrd AS (SELECT unnest(w) AS t FROM toks),
-         |voc AS (SELECT t AS word, count(*) AS wcnt FROM wrd GROUP BY 1),
-         |v0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq,
-         |    wcnt FROM voc),
-         |${(1 to BpeMerges).map(roundCte).mkString(",\n")}
+    "q198_bpe_train" ->
+      s"""WITH $bpeTrainCtes
          |SELECT merge_round, pr AS pair, merged, n FROM (
          |  ${(1 to BpeMerges).map(r => s"SELECT * FROM b$r").mkString("\n  UNION ALL ")}) u
-         |ORDER BY merge_round""".stripMargin
+         |ORDER BY merge_round""".stripMargin,
+    // the SAME unrolled training rounds as q198, then application: every
+    // (lang, word) vocab row's bracketed encoding goes through the
+    // trained replaces in merge order (scalar subqueries against each
+    // round's argmax row; chr(1) is the never-occurring identity
+    // fallback for rounds past an early exhaustion, mirroring the
+    // DataFrame loop's shorter merge list), token count = surviving '<'
+    // openers. Integer sums cast back from HUGEINT; two exact closing
+    // divisions rounded 9 dp.
+    "q200_bpe_tokenize" -> {
+      val applied = (1 to BpeMerges).foldLeft(
+        "regexp_replace(word, '(.)', '<\\1>', 'g')") { (s, r) =>
+        s"replace($s,\n      COALESCE((SELECT pr FROM b$r), chr(1)), COALESCE((SELECT merged FROM b$r), chr(1)))"
+      }
+      s"""WITH $bpeTrainCtes,
+         |wl AS (SELECT lang, t AS word, count(*) AS n
+         |  FROM (SELECT lang, unnest(${TextFns.sql.toks}) AS t FROM documents) u
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |ap AS (SELECT lang, n, length(word) AS n_chars,
+         |    $applied AS seq2
+         |  FROM wl),
+         |tk AS (SELECT lang, n, n_chars,
+         |    length(seq2) - length(replace(seq2, '<', '')) AS n_toks FROM ap),
+         |agg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |    CAST(sum(n * n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(n * n_toks) AS BIGINT) AS n_tokens
+         |  FROM tk GROUP BY 1)
+         |SELECT lang, n_words, n_chars, n_tokens,
+         |  round(CAST(n_chars AS DOUBLE) / n_tokens, 9) AS chars_per_token,
+         |  round(CAST(n_tokens AS DOUBLE) / n_words, 9) AS tokens_per_word
+         |FROM agg ORDER BY lang""".stripMargin
     },
     "q69_bpe_pairs" ->
       s"""WITH toks AS (SELECT ${TextFns.sql.toks} AS w FROM documents),

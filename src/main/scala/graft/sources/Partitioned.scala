@@ -39,13 +39,6 @@ object Partitioned {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Root for materialized layouts: tmpfs, like the bench warehouse —
-    * derived data, safe to drop.
-    */
-  private val MaterializeRoot = "/dev/shm/graft-partitioned"
-
-  private val materialized = scala.collection.mutable.Set[String]()
-
   /** Analyzed-relation cache for [[eventsFor]]'s materializations: the
     * layout is write-once per corpus (`_SUCCESS`-gated, fixtures
     * immutable), yet partition DISCOVERY walks every day directory — a
@@ -54,7 +47,7 @@ object Partitioned {
     * `InMemoryFileIndex` per (session, path) serves every read;
     * partition PRUNING still happens per query against the cached index.
     */
-  private val relCache =
+  private[sources] val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The `events` table of corpus `dir` THROUGH the date-partitioned
@@ -66,83 +59,15 @@ object Partitioned {
     * pruning are exercised end-to-end under the driver's hash gate, not
     * just in `PartitionedSpec` isolation.
     *
-    * Idempotent and cached: ingest writes to a PRIVATE temp directory
-    * and atomically renames it into place (the [[AtomicWarehouse]]
-    * pointer discipline applied to the layout cache), so a reader can
-    * never observe a half-written layout and concurrent driver JVMs
-    * can't clobber each other mid-write — the loser of the rename race
-    * discards its (bitwise-identical, the write is deterministic) copy.
-    * The `_SUCCESS` marker only ever exists inside a fully-landed
-    * rename, so its presence is a sound re-ingest gate; a directory
-    * WITHOUT it is a crashed pre-rename leftover and is rebuilt. The
-    * cache key fingerprints the source files (name/size/mtime), so a
-    * regenerated fixture at the same path lands a fresh layout instead
-    * of silently serving the stale one.
+    * Idempotent and cached via [[Materialize.once]] (the atomic-rename +
+    * `_SUCCESS`-gate + source-fingerprint discipline, shared with the
+    * ORC mirror).
     */
   def eventsFor(spark: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val stamp =
-      if (!java.nio.file.Files.exists(src)) "absent"
-      else if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.list(src)
-        try s.iterator().asScala
-          .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-          .toSeq.sorted.mkString("|")
-        finally s.close()
-      } else s"${java.nio.file.Files.size(src)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$stamp".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(12)
-    val path = s"$MaterializeRoot/$key/events"
-    materialized.synchronized {
-      if (!materialized.contains(path)) {
-        val dst = java.nio.file.Paths.get(path)
-        val marker = dst.resolve("_SUCCESS")
-        if (!java.nio.file.Files.exists(marker)) {
-          // build the layout FIRST, then decide whether dst still needs
-          // clearing: the in-process lock doesn't cover other JVMs, so a
-          // concurrent writer's atomic rename can land a valid layout at
-          // any moment — re-checking the marker immediately before the
-          // delete closes the check-then-delete window (we never clobber
-          // a layout that landed after the outer check; marker-less dst
-          // is a crashed pre-rename leftover no JVM ever reads)
-          val tmp = dst.resolveSibling(
-            s".tmp-events-${java.util.UUID.randomUUID().toString.take(13)}")
-          writeEventsByDay(Tables.events(spark, dir), tmp.toString)
-          if (!java.nio.file.Files.exists(marker)) {
-            deleteRecursively(dst)
-            try
-              java.nio.file.Files.move(tmp, dst,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              // either another JVM landed the (deterministic, identical)
-              // layout between our delete and rename — keep theirs — or
-              // the move failed outright (permissions, cross-filesystem
-              // ATOMIC_MOVE): distinguish by the marker, and rethrow the
-              // original failure rather than surfacing later as an
-              // unrelated parquet read error on an absent layout
-              case e: java.nio.file.FileSystemException =>
-                if (java.nio.file.Files.exists(marker)) deleteRecursively(tmp)
-                else throw e
-            }
-          } else deleteRecursively(tmp) // concurrent JVM won; identical bytes
-        }
-        materialized += path
-      }
-    }
+    val path = Materialize.once(dir, "events", s"$dir/events.parquet")(
+      tmp => writeEventsByDay(Tables.events(spark, dir), tmp))
     relCache.computeIfAbsent((spark, path), _ => readEvents(spark, path))
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
-    }
 
   /** EXECUTE the q111 compaction plan: rewrite a (possibly
     * trickle-ingested, many-small-files) date-partitioned event layout

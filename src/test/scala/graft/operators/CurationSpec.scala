@@ -858,4 +858,77 @@ class CurationSpec extends AnyFunSpec {
       assert(r.getAs[Double]("top1_share") == 0.5)
     }
   }
+
+  describe("orcMirror (q202)") {
+    it("the ORC roundtrip preserves every row and value of the parquet original") {
+      val pq = graft.sources.Tables.documents(spark, TestSpark.Sf)
+      val orc = graft.sources.OrcMirror.documentsFor(spark, TestSpark.Sf)
+      assert(orc.count() == pq.count())
+      // the gated rollup agrees column-for-column with the same rollup
+      // computed over the parquet original
+      val viaOrc = Curation.orcMirror(spark, TestSpark.Sf).collect().toSeq
+      val viaPq = Curation.orcRollupOf(pq).collect().toSeq
+      assert(viaOrc == viaPq)
+    }
+
+    it("lands real .orc files behind a _SUCCESS marker and pushes source predicates") {
+      graft.sources.OrcMirror.documentsFor(spark, TestSpark.Sf).count()
+      // the layout landed under the materialization root
+      val root = java.nio.file.Paths.get(graft.sources.Materialize.Root)
+      val walk = java.nio.file.Files.walk(root)
+      val files =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.map(_.toString)
+            .filter(_.contains("documents-orc")).toList
+        } finally walk.close()
+      assert(files.exists(_.endsWith("_SUCCESS")))
+      assert(files.exists(f => f.endsWith(".orc") || f.contains(".orc")))
+      // source predicate reaches the ORC scan
+      val plan = graft.sources.OrcMirror.documentsFor(spark, TestSpark.Sf)
+        .filter($"source" === "s0").queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(source"))
+    }
+  }
+
+  describe("rendezvousShards (q204)") {
+    // the operator's score/argmax math, re-derived independently
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def shardOf(id: Long, n: Int): Int =
+      (0 until n).maxBy(k => h60(s"hrw|$id|$k"))
+
+    it("assigns by highest score and movers all land on the NEW shard") {
+      val ids = 0L until 200L
+      val byShard = ids.groupBy(shardOf(_, Curation.HrwOld))
+      val expected = byShard.map { case (s, ds) =>
+        (s, ds.size.toLong,
+          ds.count(d => shardOf(d, Curation.HrwNew) != s).toLong)
+      }.toSeq.sortBy(_._1)
+      // HRW contract, checked on the raw assignments: a doc moves iff
+      // its 9th score wins, so every mover's new home IS shard 8
+      ids.foreach { d =>
+        val (s8, s9) = (shardOf(d, Curation.HrwOld), shardOf(d, Curation.HrwNew))
+        assert(s9 == s8 || s9 == Curation.HrwOld)
+      }
+      val r = Curation.rendezvousShardsFrom(docs(
+          ids.map(id => (id, "t", "en", "s", 1L)): _*))
+        .collect().map(x => (x.getAs[Int]("shard"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("n_moved")))
+      assert(r.toSeq == expected)
+    }
+
+    it("moves ~1/9 of the fixture corpus when the fleet grows 8 to 9") {
+      val r = Curation.rendezvousShards(spark, TestSpark.Sf).collect()
+      val nDocs = r.map(_.getAs[Long]("n_docs")).sum
+      val nMoved = r.map(_.getAs[Long]("n_moved")).sum
+      assert(nDocs == graft.sources.Tables.documents(spark, TestSpark.Sf).count())
+      val frac = nMoved.toDouble / nDocs
+      assert(frac > 0.04 && frac < 0.20, s"moved frac $frac, expected ~1/9")
+      assert(r.map(_.getAs[Int]("shard")).toSeq == (0 until Curation.HrwOld))
+    }
+  }
 }

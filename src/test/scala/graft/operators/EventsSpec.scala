@@ -563,4 +563,61 @@ class EventsSpec extends AnyFunSpec {
         Seq("fast_median+burst"))
     }
   }
+
+  describe("hllDistinct (q201)") {
+    // the operator's hash/bucket/rank math, re-derived independently
+    def h60(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hll|$u".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def rho(h: Long): Int = {
+      val w = h >> 6
+      if (w == 0L) 55 else 55 - java.lang.Long.toBinaryString(w).length
+    }
+
+    it("builds exactly the md5-derived registers and linear-counts the small range") {
+      val users = Seq(11L, 22L, 33L, 44L, 55L)
+      val rows = users.zipWithIndex.map { case (u, i) =>
+        (i.toLong, ts("2024-01-01 10:00:00"), u, "a", 1.0, "{}")
+      } :+ (99L, ts("2024-01-01 11:00:00"), 11L, "a", 1.0, "{}") // repeat
+      val r = Events.hllDistinctFrom(events(rows: _*)).collect()
+        .map(x => x.getAs[String]("event_type") -> x).toMap
+      val regs = users.map(h60).groupBy(_ % 64)
+        .map { case (b, hs) => b -> hs.map(rho).max }
+      val a = r("a")
+      assert(a.getAs[Long]("n_exact") == 5L) // the repeat never inflates
+      assert(a.getAs[Long]("n_regs") == regs.size.toLong)
+      assert(a.getAs[Long]("n_zero_regs") == 64L - regs.size)
+      val expected = BigDecimal(64.0 * math.log(64.0 / (64 - regs.size)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(a.getAs[Double]("est_hll") == expected)
+      // merging a single type's registers is the identity
+      assert(r("ALL").getAs[Double]("est_hll") == a.getAs[Double]("est_hll"))
+    }
+
+    it("the ALL row IS the register merge: equals a direct one-type computation") {
+      import org.apache.spark.sql.functions.lit
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      val all = Events.hllDistinct(spark, TestSpark.Sf).collect()
+        .find(_.getAs[String]("event_type") == "ALL").get
+      val z = Events.hllDistinctFrom(ev.withColumn("event_type", lit("z")))
+        .collect().find(_.getAs[String]("event_type") == "z").get
+      assert(all.getAs[Double]("est_hll") == z.getAs[Double]("est_hll"))
+      assert(all.getAs[Long]("n_exact") == z.getAs[Long]("n_exact"))
+      assert(all.getAs[Long]("n_regs") == z.getAs[Long]("n_regs"))
+    }
+
+    it("estimates within the m=64 error envelope on the fixture") {
+      val r = Events.hllDistinct(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Long]("n_regs") <= 64L)
+        // 1.04/sqrt(64) = 13% standard error; 3σ guard
+        assert(math.abs(x.getAs[Double]("rel_err")) < 0.4,
+          s"${x.getAs[String]("event_type")}: rel_err out of envelope")
+      }
+    }
+  }
 }

@@ -376,6 +376,75 @@ class MultimodalSpec extends AnyFunSpec {
         (5L, 773L, 4L, 4L, true)))
     }
 
+    it("q199: the real box-tree parse + keyframe JPEG decode agrees with the closed form") {
+      /** The mp4Bytes closed form, re-derived independently. */
+      def expected(id: Long, perDoc: Int): Seq[(Int, Int, Int, Int, Int, Long, Long, Long)] = {
+        val n = (3 + java.lang.Math.floorMod(id, 5L)).toInt
+        val w = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
+        val h = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
+        val sync = 0 until n by 3
+        val take = math.min(perDoc, sync.length)
+        (0 until take).map { i =>
+          val kf = sync(i * sync.length / take)
+          val vs = (0 until w * h).map { p =>
+            val b = ((p / w) / 8) * (w / 8) + (p % w) / 8
+            java.lang.Math.floorMod(
+              java.lang.Math.floorMod(id, 48L) * 29L + kf * 13L + b * 7L, 256L)
+          }
+          (kf, n, sync.length, w, h, n * 100L, vs.sum,
+            vs.zipWithIndex.map { case (v, p) => (p + 1).toLong * v }.sum)
+        }
+      }
+      val ids = Seq(0L, 1L, 4L, 7L, 29L, 123L, 500L)
+      val rows = Multimodal.sampleMp4Keyframes(
+          ids.map(id => (id, Multimodal.mp4Bytes(id))).toDF("doc_id", "payload"),
+          Multimodal.Mp4PerDoc)
+        .collect().groupBy(_.doc_id)
+      ids.foreach { id =>
+        assert(rows(id).forall(f => f.decode_ok && f.codec == "jpeg"), s"doc $id")
+        val got = rows(id).sortBy(_.sample_idx)
+          .map(f => (f.sample_idx, f.n_frames, f.n_sync, f.width, f.height,
+            f.duration_ms, f.sum_luma, f.checksum))
+        assert(got.toSeq == expected(id, Multimodal.Mp4PerDoc),
+          s"doc $id: stss-seeked keyframe decode must match the closed form")
+      }
+    }
+
+    it("q199: decodes ONLY sync samples, evenly spaced over the stss list") {
+      // id 4 → n = 7 frames, stss = {0,3,6}; perDoc 2 → keyframes 0, 3
+      // (never a non-sync frame, never a sequential drain)
+      val r = Multimodal.sampleMp4Keyframes(
+          Seq((4L, Multimodal.mp4Bytes(4L))).toDF("doc_id", "payload"), 2)
+        .collect().sortBy(_.sample_idx)
+      assert(r.map(_.sample_idx).toSeq == Seq(0, 3))
+      assert(r.forall(f => f.n_frames == 7 && f.n_sync == 3))
+    }
+
+    it("q199: quarantines poisoned MP4s: bad magic, truncated moov, corrupt sample bytes") {
+      val good = Multimodal.mp4Bytes(6L)
+      val corruptSample = good.clone()
+      val soi = corruptSample.indices.find(i =>
+        i + 2 < corruptSample.length &&
+          (corruptSample(i) & 0xff) == 0xff &&
+          (corruptSample(i + 1) & 0xff) == 0xd8 &&
+          (corruptSample(i + 2) & 0xff) == 0xff).get
+      java.util.Arrays.fill(corruptSample, soi, soi + 4, 0.toByte)
+      val poisoned = Seq(
+        1L -> Array.emptyByteArray,
+        2L -> "not an mp4, just text bytes".getBytes("UTF-8"),
+        3L -> good.dropRight(200), // moov truncated mid-box
+        4L -> corruptSample, // sample table ok, JPEG bytes poisoned
+        5L -> good)
+      val f = Multimodal.sampleMp4Keyframes(
+          poisoned.toDF("doc_id", "payload"), Multimodal.Mp4PerDoc)
+        .collect().groupBy(_.doc_id)
+      Seq(1L, 2L, 3L, 4L).foreach { id =>
+        assert(f(id).length == 1 && !f(id).head.decode_ok, s"doc $id")
+        assert(f(id).head.sample_idx == -1 && f(id).head.checksum == 0L)
+      }
+      assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
+    }
+
     it("quarantines poisoned containers: bad magic, truncation, corrupt frame bytes") {
       val good = Multimodal.aviBytes(3L)
       val corruptFrame = good.clone()

@@ -494,6 +494,77 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("bpeTokenize (q200)") {
+    it("applies the trained merges in order: the q198 hand-example tokenizes to 1 token/word") {
+      // Training on "aaab"×3 + "ab"×2 yields merges (a,a)→aa, (a,b)→ab,
+      // (aa,ab)→aaab (see the q198 spec). Applying them IN ORDER:
+      // aaab → <aa><a><b> → <aa><ab> → <aaab> (1 token), ab → <ab>
+      // (1 token). So: 5 words, 3·4+2·2 = 16 chars, 5 tokens.
+      val r = TextAnalysis.bpeTokenizeFrom(docs(
+          (1L, "aaab aaab aaab ab ab")))
+        .collect().map(x => (x.getAs[String]("lang"),
+          x.getAs[Long]("n_words"), x.getAs[Long]("n_chars"),
+          x.getAs[Long]("n_tokens"), x.getAs[Double]("chars_per_token"),
+          x.getAs[Double]("tokens_per_word")))
+      assert(r.toSeq == Seq(("en", 5L, 16L, 5L, 3.2, 1.0)))
+    }
+
+    it("an unmergeable corpus tokenizes to one token per char") {
+      // single-char words → no adjacent pairs → zero merges → every
+      // char is its own token (chars_per_token = 1)
+      val r = TextAnalysis.bpeTokenizeFrom(docs((1L, "a b c a"))).collect()(0)
+      assert(r.getAs[Long]("n_chars") == 4L)
+      assert(r.getAs[Long]("n_tokens") == 4L)
+      assert(r.getAs[Double]("chars_per_token") == 1.0)
+    }
+
+    it("reports fertility per language on the fixture, compression ≥ 1") {
+      val langs = graft.sources.Tables.documents(spark, graft.TestSpark.Sf)
+        .select("lang").distinct().collect().map(_.getString(0)).sorted
+      val r = TextAnalysis.bpeTokenize(spark, graft.TestSpark.Sf).collect()
+      assert(r.map(_.getAs[String]("lang")).toSeq == langs.toSeq)
+      r.foreach { x =>
+        // merging can only shrink: tokens ≤ chars, and ≥ words
+        assert(x.getAs[Long]("n_tokens") <= x.getAs[Long]("n_chars"))
+        assert(x.getAs[Long]("n_tokens") >= x.getAs[Long]("n_words"))
+        assert(x.getAs[Double]("chars_per_token") >= 1.0)
+      }
+    }
+  }
+
+  describe("bigramLm (q203)") {
+    it("interpolates pruned-bigram MLE with the unigram floor, hand-checked") {
+      // unigrams: a:3 b:2 c:1 z:1, N = 7; bigram (a,b):2 kept, (a,c):1 pruned
+      val r = TextAnalysis.bigramLmFrom(docs(
+          (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")))
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          (x.getAs[Long]("n_bigrams"), x.getAs[Double]("nll"),
+            x.getAs[Double]("ppl"))).toMap
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pAB = 0.75 * 2 / 3.0 + 0.25 * 2 / 7.0 // seen transition
+      val pAC = 0.75 * 0 / 3.0 + 0.25 * 1 / 7.0 // pruned → unigram floor
+      assert(r(1L) == ((1L, r6(-math.log(pAB)), r6(math.exp(-math.log(pAB))))))
+      assert(r(2L) == r(1L))
+      assert(r(3L)._1 == 1L)
+      assert(r(3L)._2 == r6(-math.log(pAC)))
+      // word-salad transitions score far worse than fluent ones
+      assert(r(3L)._2 > r(1L)._2)
+      // the single-token doc has no transitions and is absent
+      assert(!r.contains(4L))
+    }
+
+    it("scores every multi-token fixture doc with positive nll and ppl >= 1") {
+      val r = TextAnalysis.bigramLm(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Long]("n_bigrams") >= 1L)
+        assert(x.getAs[Double]("nll") > 0.0)
+        assert(x.getAs[Double]("ppl") >= 1.0)
+      }
+    }
+  }
+
   describe("piiScrub (q62)") {
     // the same md5-derived class the operator's hash32 computes
     def piiClass(id: Long): Long = {
