@@ -978,6 +978,91 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  /** Vocabulary ranks fitted by the q205 Zipf regression. */
+  val ZipfTopV = 100
+
+  /** q205 — ZIPF rank-frequency audit per source: fit
+    * `ln f = a + b·ln r` by least squares over each source's top-
+    * [[ZipfTopV]] token ranks and report the slope. Natural text sits
+    * near the Zipf ideal b ≈ −1; a source whose slope collapses toward
+    * 0 (flat — machine-generated id soup, base64 blobs) or dives steep
+    * (template spam repeating a tiny vocabulary) is flagged by
+    * `zipf_dev = |b + 1|` before it pollutes a training mix — the
+    * corpus-linguistics twin of q68's KL drift (distribution vs shape).
+    *
+    * Determinism: ranks are integer row_numbers fully tie-broken
+    * (count DESC, token ASC); the regression moments are double sums of
+    * ~[[ZipfTopV]] ln-scale terms whose error (≤ 1e-12 relative) sits
+    * four orders below the round-6 gate (the q57 avg discipline).
+    *
+    * Scale shape: per-source token counts are one combine-heavy
+    * aggregate bounded by |sources|·vocab; the rank window partitions
+    * by source over that model-sized relation (map-side
+    * WindowGroupLimit prunes to top-V per source); the regression is a
+    * |sources|-bounded rollup. The corpus is touched once.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    zipfSlopeFrom(Tables.documents(spark, dir))
+
+  def zipfSlopeFrom(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(TextFns.toks(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(desc("c"), asc("t"))
+    val ranked = cnt
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= ZipfTopV)
+      .select(col("source"), log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("v_used"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("v_used"),
+        ((col("v_used") * col("sxy") - col("sx") * col("sy")) /
+          (col("v_used") * col("sxx") - col("sx") * col("sx"))).as("b"))
+      .select(col("source"), col("v_used"), round(col("b"), 6).as("slope"),
+        round(abs(col("b") + 1.0), 6).as("zipf_dev"))
+      .orderBy("source")
+  }
+
+  /** q206 — character-level ENTROPY per source: Shannon entropy (nats)
+    * of each source's character distribution, with the distinct-char
+    * count alongside. Natural language sits in a narrow entropy band;
+    * base64/hex blobs run hot (near-uniform bytes), template spam runs
+    * cold (a few characters dominate) — the cheapest pre-filter a crawl
+    * pipeline runs before tokenization, catching mojibake and binary
+    * junk that token-level audits (q18/q19) never see because the
+    * tokenizer already mangled it.
+    *
+    * Determinism: character counts are exact integers; each entropy
+    * term is one division + one `ln` (libm, absorbed by round 6) and
+    * the sum spans ≤ |charset| terms (the q57 avg discipline).
+    *
+    * Scale shape: the per-character explode is map work feeding one
+    * combine-heavy aggregate bounded by |sources|·|charset| (a model
+    * constant — the reduce side never sees corpus scale); the entropy
+    * rollup is |sources|-bounded. One corpus pass.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(Tables.documents(spark, dir))
+
+  def charEntropyFrom(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n_chars"))
+    cnt.join(tot, Seq("source"))
+      .select(col("source"), col("n_chars"), col("c"),
+        (-(col("c") / col("n_chars")) * log(col("c") / col("n_chars")))
+          .as("term"))
+      .groupBy("source")
+      .agg(max("n_chars").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+        round(sum("term"), 6).as("entropy_nats"))
+      .orderBy("source")
+  }
+
   /** q203 bigram-table prune: transitions observed fewer times train
     * nothing (the hapax mass a real LM prunes before shipping), so the
     * bigram model keeps counts ≥ this floor and scoring falls back to
@@ -1366,6 +1451,8 @@ object TextAnalysis {
     "q198_bpe_train" -> (bpeTrain _),
     "q200_bpe_tokenize" -> (bpeTokenize _),
     "q203_bigram_lm" -> (bigramLm _),
+    "q205_zipf_slope" -> (zipfSlope _),
+    "q206_char_entropy" -> (charEntropy _),
     "q166_collocations" -> (collocations _),
     "q175_boilerplate_templates" -> (boilerplateTemplates _),
     "q178_calibrated_cut" -> (calibratedCut _))
@@ -1783,6 +1870,44 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
          |FROM rk WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
+    // integer ranks fully tie-broken (c DESC, t ASC); the regression
+    // moments are ln-scale double sums whose error sits far below the
+    // round-6 gate; identical moment formula both engines
+    "q205_zipf_slope" ->
+      s"""WITH tok AS (SELECT source, unnest(${TextFns.sql.toks}) AS t
+         |  FROM documents),
+         |cnt AS (SELECT source, t, count(*) AS c FROM tok
+         |  WHERE t <> '' GROUP BY 1, 2),
+         |rk AS (SELECT source, t, c, row_number() OVER (
+         |    PARTITION BY source ORDER BY c DESC, t) AS r FROM cnt),
+         |xy AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+         |    ln(CAST(c AS DOUBLE)) AS y
+         |  FROM rk WHERE r <= $ZipfTopV),
+         |m AS (SELECT source, count(*) AS v_used, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM xy GROUP BY 1),
+         |b AS (SELECT source, v_used,
+         |    (v_used * sxy - sx * sy) / (v_used * sxx - sx * sx) AS b
+         |  FROM m)
+         |SELECT source, v_used, round(b, 6) AS slope,
+         |  round(abs(b + 1.0), 6) AS zipf_dev
+         |FROM b ORDER BY source""".stripMargin,
+    // exact integer char counts; each entropy term is one division and
+    // one ln (libm, absorbed by round 6 over <= |charset| terms)
+    "q206_char_entropy" ->
+      s"""WITH cs AS (SELECT source,
+         |    unnest(regexp_split_to_array(text, '')) AS ch FROM documents),
+         |cnt AS (SELECT source, ch, count(*) AS c FROM cs
+         |  WHERE ch <> '' GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_chars
+         |  FROM cnt GROUP BY 1),
+         |tm AS (SELECT cnt.source, n_chars,
+         |    -(c / n_chars) * ln(c / n_chars) AS term
+         |  FROM cnt JOIN tot ON tot.source = cnt.source)
+         |SELECT source, CAST(max(n_chars) AS BIGINT) AS n_chars,
+         |  count(*) AS n_distinct_chars,
+         |  round(sum(term), 6) AS entropy_nats
+         |FROM tm GROUP BY source ORDER BY source""".stripMargin,
     // same unigram/pruned-bigram tables, same left-associative
     // interpolation chain; ln/exp absorbed by round 6 on the mean
     "q203_bigram_lm" ->

@@ -565,6 +565,70 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("zipfSlope (q205)") {
+    it("fits the least-squares slope over ranked token frequencies, hand-checked") {
+      // counts a:4 b:2 c:1 → ranks 1,2,3
+      val r = TextAnalysis.zipfSlopeFrom(docs((1L, "a a a a b b c")))
+        .collect()(0)
+      val x = Seq(1.0, 2.0, 3.0).map(math.log)
+      val y = Seq(4.0, 2.0, 1.0).map(math.log)
+      val n = 3.0
+      val b = (n * x.zip(y).map { case (a, c) => a * c }.sum - x.sum * y.sum) /
+        (n * x.map(v => v * v).sum - x.sum * x.sum)
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("v_used") == 3L)
+      assert(r.getAs[Double]("slope") == r6(b))
+      assert(r.getAs[Double]("zipf_dev") == r6(math.abs(b + 1.0)))
+    }
+
+    it("a flat source (every token once) slopes to 0 with deviation 1") {
+      val r = TextAnalysis.zipfSlopeFrom(docs((1L, "q w e r t y")))
+        .collect()(0)
+      assert(r.getAs[Double]("slope") == 0.0)
+      assert(r.getAs[Double]("zipf_dev") == 1.0)
+    }
+
+    it("audits every fixture source with a negative slope") {
+      val r = TextAnalysis.zipfSlope(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Long]("v_used") <= TextAnalysis.ZipfTopV.toLong)
+        assert(x.getAs[Double]("slope") < 0.0,
+          s"${x.getAs[String]("source")}: natural text must slope down")
+      }
+    }
+  }
+
+  describe("charEntropy (q206)") {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    it("one repeated char has zero entropy; uniform chars hit ln(k)") {
+      val r = TextAnalysis.charEntropyFrom(docs(
+          (1L, "aaaa")))
+        .collect()(0)
+      assert(r.getAs[Long]("n_chars") == 4L)
+      assert(r.getAs[Long]("n_distinct_chars") == 1L)
+      assert(r.getAs[Double]("entropy_nats") == 0.0)
+      val u = TextAnalysis.charEntropyFrom(docs((1L, "abcd"))).collect()(0)
+      assert(u.getAs[Long]("n_distinct_chars") == 4L)
+      assert(u.getAs[Double]("entropy_nats") == r6(math.log(4.0)))
+    }
+
+    it("counts spaces as characters and stays within the ln(charset) bound") {
+      val r = TextAnalysis.charEntropyFrom(docs((1L, "ab ab"))).collect()(0)
+      assert(r.getAs[Long]("n_chars") == 5L) // 'a','b',' ','a','b'
+      assert(r.getAs[Long]("n_distinct_chars") == 3L)
+      val fx = TextAnalysis.charEntropy(spark, graft.TestSpark.Sf).collect()
+      fx.foreach { x =>
+        val hMax = math.log(x.getAs[Long]("n_distinct_chars").toDouble)
+        val h = x.getAs[Double]("entropy_nats")
+        assert(h >= 0.0 && h <= hMax + 1e-9)
+      }
+    }
+  }
+
   describe("piiScrub (q62)") {
     // the same md5-derived class the operator's hash32 computes
     def piiClass(id: Long): Long = {
