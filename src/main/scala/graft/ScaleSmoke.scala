@@ -296,6 +296,39 @@ object ScaleSmoke {
         .map(id => (id, Multimodal.aviBytes(id))).toDF("doc_id", "payload")
       Multimodal.videoNearDupFrom(payloads).count()
     }
+    // round-10: MP4 box parse + keyframe-only JPEG decode — per-payload
+    // bounded codec work like the AVI arm, pure map, linear by
+    // construction (only stss-listed byte ranges are ever decoded)
+    t("mp4_keyframes") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.mp4Bytes(id))).toDF("doc_id", "payload")
+      Multimodal.sampleMp4Keyframes(payloads, Multimodal.Mp4PerDoc).count()
+    }
+    // round-10: tokenizer application runs on the (lang, word) vocab
+    // grain — replicas share the vocabulary, so the merge-chain cost is
+    // flat in corpus size; only the word-count pass scales with rows
+    t("bpe_tokenize") { TextAnalysis.bpeTokenizeFrom(docs).count() }
+    // round-10: HLL reduce side is |types|·64 registers no matter how
+    // many events flow (the n_exact audit column is the only
+    // user-keyed aggregate in the arm)
+    t("hll_distinct") { Events.hllDistinctFrom(events).count() }
+    // round-10: LM count tables bounded by the observed-bigram
+    // vocabulary (shared across replicas); scoring joins key on bigrams
+    t("bigram_lm") { TextAnalysis.bigramLmFrom(docs).count() }
+    // round-10: rendezvous scoring is map-only — zero corpus shuffle,
+    // the exchange carries an 8-row rollup
+    t("rendezvous_shards") { Curation.rendezvousShardsFrom(docs).count() }
+    // round-10: model-bounded reduce sides (|sources|·vocab / charset)
+    t("zipf_slope") { TextAnalysis.zipfSlopeFrom(docs).count() }
+    t("char_entropy") { TextAnalysis.charEntropyFrom(docs).count() }
+    // round-10: the ORC format write→read roundtrip at 10× corpus
+    t("orc_roundtrip") {
+      docs.write.mode("overwrite").option("compression", "zlib")
+        .orc(s"$wh/documents_orc")
+      spark.read.orc(s"$wh/documents_orc").count()
+    }
 
     // ---- skewed-key arm: power-law hot keys the uniform replication
     // above cannot produce. Assertions are on plan shape + output

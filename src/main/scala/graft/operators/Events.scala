@@ -113,6 +113,35 @@ object Events {
       .toDF()
       .orderBy("user_id", "session_start")
 
+  /** q207 — NATIVE session windows: Spark's built-in `session_window`
+    * aggregation over the event stream, gated against the SQL-standard
+    * island algorithm (lag → flag → running sum → group) in DuckDB —
+    * the proof that the native operator's merge semantics equal the
+    * portable SQL form. The q37 TRIO completes: custom
+    * `flatMapGroupsWithState` sessionizer (q37, streaming semantics —
+    * drops the still-open last session per user), the island-algorithm
+    * SQL oracle, and now the built-in operator (batch semantics — ALL
+    * sessions, `session_end = last event + gap`; touching windows MERGE,
+    * so a new session starts only at ts strictly past prev + gap —
+    * probe-verified, the same `>` rule as q37).
+    *
+    * Scale shape: `session_window` plans as one exchange on user_id +
+    * a sort-merge of each user's events into windows — the same
+    * single-shuffle cost as the window-function form, with the merge
+    * done by the native operator instead of three window passes.
+    */
+  def nativeSessions(spark: SparkSession, dir: String): DataFrame =
+    nativeSessionsFrom(Tables.events(spark, dir))
+
+  def nativeSessionsFrom(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Range-join bucket width == the range length, so every probe row
     * lands in exactly 2 consecutive buckets.
     */
@@ -986,6 +1015,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_hll_distinct" -> (hllDistinct _),
+    "q207_native_sessions" -> (nativeSessions _),
     "q174_event_disorder" -> (eventDisorder _),
     "q181_bot_audit" -> (botAudit _),
     "q127_impute_audit" -> (imputeAudit _),
@@ -1387,6 +1417,27 @@ object Events {
     // lag/cumulative-sum sessionization; strict > gap matches the
     // operator, each user's max sess_no (the open trailing session) is
     // dropped; sum_value rounds to 2 dp like the operator's close()
+    // the island algorithm with session_window's batch semantics: ALL
+    // sessions kept, end = last + gap; touching windows merge (same
+    // strict-> boundary as q37, probe-verified)
+    "q207_native_sessions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ordered),
+        |numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, session_start""".stripMargin,
     "q37_sessions" ->
       """WITH ordered AS (
         |  SELECT user_id, ts, value, event_id,

@@ -564,6 +564,36 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("nativeSessions (q207)") {
+    it("merges events within the gap (touching windows merge), splits past it, ends at last + gap") {
+      val r = Events.nativeSessionsFrom(events(
+          (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+          (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0, "{}"),
+          // exactly prev + 30 min: windows TOUCH, so they merge (the
+          // same strict-> boundary as q37)
+          (3L, ts("2024-01-01 10:50:00"), 7L, "click", 4.0, "{}"),
+          // 30 min + 1 s past the previous event: a new session
+          (4L, ts("2024-01-01 11:20:01"), 7L, "click", 8.0, "{}"),
+          (5L, ts("2024-01-01 23:00:00"), 8L, "buy", 16.0, "{}")))
+        .collect().map(x => (x.getAs[Long]("user_id"),
+          x.getAs[Timestamp]("session_start").toString,
+          x.getAs[Timestamp]("session_end").toString,
+          x.getAs[Int]("n_events"), x.getAs[Double]("sum_value")))
+      assert(r.toSeq == Seq(
+        (7L, "2024-01-01 10:00:00.0", "2024-01-01 11:20:00.0", 3, 7.0),
+        (7L, "2024-01-01 11:20:01.0", "2024-01-01 11:50:01.0", 1, 8.0),
+        (8L, "2024-01-01 23:00:00.0", "2024-01-01 23:30:00.0", 1, 16.0)))
+    }
+
+    it("keeps ALL sessions (batch semantics): more rows than q37's watermark form drops") {
+      val native = Events.nativeSessions(spark, TestSpark.Sf).collect()
+      val custom = Events.sessions(spark, TestSpark.Sf).collect()
+      // q37 drops each user's final open session; batch keeps it
+      val users = native.map(_.getAs[Long]("user_id")).distinct.length
+      assert(native.length == custom.length + users)
+    }
+  }
+
   describe("hllDistinct (q201)") {
     // the operator's hash/bucket/rank math, re-derived independently
     def h60(u: Long): Long = {

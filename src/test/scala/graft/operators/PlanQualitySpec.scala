@@ -807,4 +807,46 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(!p.contains("CartesianProduct"))
     }
   }
+
+  describe("round-10 additions: plan shapes") {
+    it("q199 MP4 sampling is map-only until the presentation sort: no joins, no aggregates") {
+      val p = plan("q199_mp4_keyframes")
+      assert(!p.contains("Join"), s"q199 must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"q199 must not aggregate:\n$p")
+    }
+
+    it("q201 HLL registers never shuffle user-keyed rows: exchanges carry (type, bucket) only") {
+      val p = plan("q201_hll_distinct")
+      // the register aggregate partials combine map-side; the only
+      // corpus-wide exchanges key on (event_type, bucket) or event_type
+      // — never user_id (that shuffle exists only in the n_exact audit
+      // column, which a production run would drop)
+      val regExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning"))
+        .filter(l => l.contains("bucket")).toSeq
+      assert(regExchanges.nonEmpty, s"register exchange missing:\n$p")
+      assert(p.contains("partial_max"), s"registers must combine map-side:\n$p")
+    }
+
+    it("q204 rendezvous scoring is one map expression: zero corpus joins, one 8-row rollup") {
+      val p = plan("q204_rendezvous_shards")
+      assert(!p.contains("Join"), s"q204 must not join:\n$p")
+      assert(p.split("Exchange").length - 1 <= 2,
+        s"q204 shuffles only the shard rollup:\n$p")
+    }
+
+    it("q205 prunes each source's vocabulary to top-V map-side before the rank window") {
+      val p = plan("q205_zipf_slope")
+      assert(p.contains("WindowGroupLimit"),
+        s"q205 must prune to top-V per source before the exchange:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+
+    it("q203 joins the transition relation to count tables without a cartesian") {
+      val p = plan("q203_bigram_lm")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"the one-row totals must broadcast:\n$p")
+    }
+  }
 }
