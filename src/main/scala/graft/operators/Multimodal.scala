@@ -465,6 +465,89 @@ object Multimodal {
   def audioAudit(spark: SparkSession, dir: String): DataFrame =
     decodeWav(wavPayloads(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Samples per q208 analysis window. */
+  val AudioWin = 200
+
+  /** One windowed-feature row from [[windowAudio]]. */
+  final case class AudioWindows(
+      doc_id: Long, win_idx: Int, decode_ok: Boolean, n_samples: Long,
+      sum_dev: Long, sum_sq: Long, crossings: Long)
+
+  /** q208 — windowed AUDIO FEATURE EXTRACTION (the DSP step past
+    * q154's whole-file audit): the real `javax.sound` decode cut into
+    * [[AudioWin]]-sample analysis windows, each reporting integer
+    * energy features — Σ|v−128| (mean-absolute loudness), Σ(v−128)²
+    * (the RMS energy numerator, kept as the exact integer instead of
+    * the libm sqrt) and the zero-crossing count (the classic
+    * voiced/unvoiced + spectral-centroid proxy) — the frame-level
+    * feature table a speech-data pipeline filters on (silence trims,
+    * clipping detection, tone/DTMF screens) before paying for a real
+    * acoustic model. Crossings count strict sign flips WITHIN the
+    * window (windows are self-contained — no cross-window state, so
+    * the row set is embarrassingly parallel).
+    *
+    * Determinism: every feature is an exact integer; the oracle
+    * regenerates the samples analytically (the wavBytes closed form)
+    * and computes identical window sums.
+    *
+    * Scale shape: per-partition typed flatMap (one decode per payload,
+    * ≤ n/[[AudioWin]] + 1 rows out), no shuffle until the presentation
+    * sort. Quarantine: undecodable/non-8-bit-mono payloads yield ONE
+    * `decode_ok = false` row (win_idx −1), never an exception.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    windowAudio(wavPayloads(spark, dir), AudioWin).toDF()
+      .orderBy("doc_id", "win_idx")
+
+  def windowAudio(payloads: DataFrame, win: Int): Dataset[AudioWindows] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val decoded: Option[Seq[AudioWindows]] =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+                fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+              else {
+                val data = in.readAllBytes()
+                val out = Seq.newBuilder[AudioWindows]
+                var start = 0
+                var w = 0
+                while (start < data.length) {
+                  val end = math.min(start + win, data.length)
+                  var sumDev = 0L
+                  var sumSq = 0L
+                  var crossings = 0L
+                  var prev = 0L
+                  var i = start
+                  while (i < end) {
+                    val d = (data(i) & 0xff).toLong - 128L
+                    sumDev += math.abs(d)
+                    sumSq += d * d
+                    if (i > start && d * prev < 0L) crossings += 1
+                    prev = d
+                    i += 1
+                  }
+                  out += AudioWindows(id, w, decode_ok = true,
+                    (end - start).toLong, sumDev, sumSq, crossings)
+                  start = end
+                  w += 1
+                }
+                Some(out.result())
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(Seq(
+            AudioWindows(id, -1, decode_ok = false, 0L, 0L, 0L, 0L)))
+        }
+      }
+  }
+
   /** Frames sampled per video payload by q172 (evenly spaced over the
     * container's frame count, the [[sampleFrames]] spacing rule).
     */
@@ -1216,7 +1299,8 @@ object Multimodal {
     "q172_video_frames" -> (videoFrames _),
     "q196_avi_frames" -> (aviFrames _),
     "q197_video_neardup" -> (videoNearDup _),
-    "q199_mp4_keyframes" -> (mp4Keyframes _))
+    "q199_mp4_keyframes" -> (mp4Keyframes _),
+    "q208_audio_energy" -> (audioEnergy _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -1381,6 +1465,29 @@ object Multimodal {
          |  CAST(sum(abs(v - 128)) AS BIGINT) AS sum_dev,
          |  CAST(sum((i + 1) * v) AS BIGINT) AS checksum
          |FROM s GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+    // DuckDB regenerates the samples analytically (the wavBytes closed
+    // form, the q154 spine) and computes identical per-window integer
+    // sums; crossings count strict sign flips WITHIN each window (the
+    // lag partitions by (doc, window))
+    "q208_audio_energy" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, 800 + (doc_id * 37) % 1600 AS n_frames
+         |  FROM documents),
+         |s AS (
+         |  SELECT f.doc_id, t.i AS i, CAST(t.i // $AudioWin AS INT) AS win_idx,
+         |    (128 + (1 + f.doc_id % 13) * t.i + f.doc_id * 31) % 256 - 128 AS d
+         |  FROM f JOIN range(0, 2400) t(i) ON t.i < f.n_frames),
+         |w AS (
+         |  SELECT doc_id, win_idx, d,
+         |    lag(d) OVER (PARTITION BY doc_id, win_idx ORDER BY i) AS pd
+         |  FROM s)
+         |SELECT doc_id, win_idx, TRUE AS decode_ok,
+         |  count(*) AS n_samples,
+         |  CAST(sum(abs(d)) AS BIGINT) AS sum_dev,
+         |  CAST(sum(d * d) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN pd IS NOT NULL AND d * pd < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+         |FROM w GROUP BY 1, 2 ORDER BY doc_id, win_idx""".stripMargin,
     "q30_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  sha256(text) AS sha,

@@ -116,6 +116,11 @@ object SqlSurface {
         "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the parser or the decoder)"),
+    "q208_audio_energy" ->
+      ("real javax.sound.sampled decode cut into analysis windows — a " +
+        "codec call, not a SQL expression; use Multimodal.windowAudio " +
+        "(the oracle regenerates the window sums analytically, which " +
+        "would not exercise the decoder)"),
     "q198_bpe_train" ->
       ("iterative argmax-dependent rewrite: each BPE round's merge " +
         "constant is an aggregate over the PREVIOUS round's vocab, so " +

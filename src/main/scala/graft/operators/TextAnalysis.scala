@@ -1129,6 +1129,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q209 — HELD-OUT perplexity (the evaluation-hygiene composition of
+    * q45's hash split and q203's interpolated bigram LM): the LM trains
+    * ONLY on `train`-bucket documents and scores ONLY `val`-bucket
+    * documents — the protocol that makes a perplexity number mean
+    * generalization instead of memorization (q203 scores the corpus
+    * under itself, the curation-filter use; this is the model-eval
+    * use, and the split rule is BYTE-IDENTICAL to q45's
+    * `md5("split|"+doc_id) mod 100`, so the split ledger and the eval
+    * protocol can never disagree about which side a document is on).
+    * Held-out scoring forces real smoothing: val tokens unseen in
+    * train get the Laplace unigram floor `(c+1)/(N+V)` (q203's
+    * train-on-self setup never hits OOV; this does), and an unseen
+    * bigram CONTEXT zeroes the bigram term entirely.
+    *
+    * Determinism: the q203 discipline — integer-count divisions in a
+    * fixed left-associative chain mirrored token-for-token, ln/exp
+    * absorbed by round 6 on the per-doc mean.
+    *
+    * Scale shape: q203's — count tables are train-bounded model
+    * relations, scoring joins key on token/bigram, one doc-keyed
+    * rollup; the split filter is a map-side predicate on both passes.
+    */
+  def heldoutPpl(spark: SparkSession, dir: String): DataFrame =
+    heldoutPplFrom(Tables.documents(spark, dir))
+
+  def heldoutPplFrom(docs: DataFrame): DataFrame = {
+    val bucket = TextFns.hash32(
+      concat(lit("split|"), col("doc_id").cast("string"))) % 100
+    val train = docs.filter(bucket < Curation.TrainPct)
+    val valDocs = docs.filter(bucket >= Curation.TrainPct &&
+      bucket < Curation.ValPct)
+    val w = TextFns.toks(col("text"))
+    def uniOf(d: DataFrame) = d.select(explode(w).as("t"))
+      .filter(col("t") =!= "").groupBy("t").agg(count(lit(1)).as("c"))
+    def biOf(d: DataFrame) = d.select(col("doc_id"),
+        explode(sequence(lit(1), size(w) - 1)).as("i"), w.as("w"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("x"),
+        element_at(col("w"), col("i") + 1).as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+    val uni = uniOf(train)
+    val stats = uni.agg(sum("c").as("n_total"),
+      count(lit(1)).as("v_size"))
+    val biCnt = biOf(train.filter(size(w) >= 2))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= BigramMin)
+    val docBi = biOf(valDocs.filter(size(w) >= 2))
+    // unseen context (c_x null) nulls the bigram term → coalesce to 0;
+    // the Laplace floor keeps every probability positive
+    val p = coalesce(
+      lit(LmLambda) * coalesce(col("c_xy"), lit(0L)) / col("c_x"),
+      lit(0.0)) +
+      lit(1.0 - LmLambda) * (coalesce(col("c_y"), lit(0L)) + 1L) /
+        (col("n_total") + col("v_size"))
+    docBi
+      .join(biCnt, Seq("x", "y"), "left")
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"), "left")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (-log(p)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 6).as("nll"),
+        round(exp(avg("nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** q166 noise floor and result size: pairs below [[CollocMin]]
     * occurrences are lift-unstable (one co-occurrence of two rare
     * tokens scores arbitrarily high), so they never rank.
@@ -1453,6 +1518,7 @@ object TextAnalysis {
     "q203_bigram_lm" -> (bigramLm _),
     "q205_zipf_slope" -> (zipfSlope _),
     "q206_char_entropy" -> (charEntropy _),
+    "q209_heldout_ppl" -> (heldoutPpl _),
     "q166_collocations" -> (collocations _),
     "q175_boilerplate_templates" -> (boilerplateTemplates _),
     "q178_calibrated_cut" -> (calibratedCut _))
@@ -1908,6 +1974,46 @@ object TextAnalysis {
          |  count(*) AS n_distinct_chars,
          |  round(sum(term), 6) AS entropy_nats
          |FROM tm GROUP BY source ORDER BY source""".stripMargin,
+    // q203's tables restricted to the q45 train bucket, scored on the
+    // val bucket; Laplace unigram floor, unseen-context bigram term
+    // coalesced to 0 — the same fixed-order chain as the DataFrame form
+    "q209_heldout_ppl" ->
+      s"""WITH sp AS (SELECT doc_id, ${TextFns.sql.toks} AS w,
+         |    ${TextFns.sql.hash32("'split|' || CAST(doc_id AS VARCHAR)")} % 100
+         |      AS bucket
+         |  FROM documents),
+         |tr AS (SELECT * FROM sp WHERE bucket < ${Curation.TrainPct}),
+         |vl AS (SELECT * FROM sp WHERE bucket >= ${Curation.TrainPct}
+         |  AND bucket < ${Curation.ValPct}),
+         |uni AS (SELECT t, count(*) AS c
+         |  FROM (SELECT unnest(w) AS t FROM tr) u WHERE t <> '' GROUP BY 1),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         |    count(*) AS v_size FROM uni),
+         |cb AS (SELECT x, y, count(*) AS c_xy FROM (
+         |    SELECT list_extract(w, CAST(i AS INT) + 1) AS x,
+         |      list_extract(w, CAST(i AS INT) + 2) AS y
+         |    FROM (SELECT w, unnest(range(len(w) - 1)) AS i FROM tr
+         |      WHERE len(w) >= 2) z) b
+         |  WHERE x <> '' AND y <> '' GROUP BY 1, 2
+         |  HAVING count(*) >= $BigramMin),
+         |db AS (SELECT doc_id, list_extract(w, CAST(i AS INT) + 1) AS x,
+         |    list_extract(w, CAST(i AS INT) + 2) AS y
+         |  FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM vl
+         |    WHERE len(w) >= 2) z
+         |  WHERE list_extract(w, CAST(i AS INT) + 1) <> ''
+         |    AND list_extract(w, CAST(i AS INT) + 2) <> ''),
+         |sc AS (SELECT db.doc_id,
+         |    -ln(COALESCE($LmLambda * COALESCE(cb.c_xy, 0) / ux.c, 0)
+         |      + ${1.0 - LmLambda} * (COALESCE(uy.c, 0) + 1) / (n_total + v_size))
+         |      AS nll
+         |  FROM db
+         |  LEFT JOIN cb ON cb.x = db.x AND cb.y = db.y
+         |  LEFT JOIN uni ux ON ux.t = db.x
+         |  LEFT JOIN uni uy ON uy.t = db.y
+         |  CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(nll), 6) AS nll, round(exp(avg(nll)), 6) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same unigram/pruned-bigram tables, same left-associative
     // interpolation chain; ln/exp absorbed by round 6 on the mean
     "q203_bigram_lm" ->

@@ -445,6 +445,45 @@ class MultimodalSpec extends AnyFunSpec {
       assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
     }
 
+    it("q208: window sums match the closed form, crossings stay within windows") {
+      val ids = Seq(0L, 3L, 12L, 123L)
+      val rows = Multimodal.windowAudio(
+          ids.map(id => (id, Multimodal.wavBytes(id))).toDF("doc_id", "payload"),
+          Multimodal.AudioWin)
+        .collect().groupBy(_.doc_id)
+      ids.foreach { id =>
+        val n = (800L + java.lang.Math.floorMod(id * 37L, 1600L)).toInt
+        val step = 1L + java.lang.Math.floorMod(id, 13L)
+        val samples = (0 until n).map(i =>
+          java.lang.Math.floorMod(128L + step * i + id * 31L, 256L) - 128L)
+        val expected = samples.grouped(Multimodal.AudioWin).zipWithIndex.map {
+          case (wsamples, w) =>
+            val crossings = wsamples.sliding(2).count {
+              case Seq(a, b) => a * b < 0L
+              case _ => false
+            }
+            (w, wsamples.length.toLong, wsamples.map(math.abs).sum,
+              wsamples.map(d => d * d).sum, crossings.toLong)
+        }.toSeq
+        val got = rows(id).sortBy(_.win_idx).map(x =>
+          (x.win_idx, x.n_samples, x.sum_dev, x.sum_sq, x.crossings))
+        assert(rows(id).forall(_.decode_ok), s"doc $id")
+        assert(got.toSeq == expected, s"doc $id window features")
+      }
+    }
+
+    it("q208: quarantines undecodable audio as one row, windows are AudioWin-sized") {
+      val r = Multimodal.windowAudio(
+          Seq((1L, "not audio".getBytes("UTF-8")),
+            (2L, Multimodal.wavBytes(2L))).toDF("doc_id", "payload"),
+          Multimodal.AudioWin)
+        .collect().groupBy(_.doc_id)
+      assert(r(1L).length == 1 && !r(1L).head.decode_ok &&
+        r(1L).head.win_idx == -1)
+      val full = r(2L).filter(_.n_samples == Multimodal.AudioWin.toLong)
+      assert(full.length >= r(2L).length - 1) // at most one partial tail
+    }
+
     it("quarantines poisoned containers: bad magic, truncation, corrupt frame bytes") {
       val good = Multimodal.aviBytes(3L)
       val corruptFrame = good.clone()

@@ -565,6 +565,51 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("heldoutPpl (q209)") {
+    // the q45 split rule, re-derived (hash32("split|"+id) % 100)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100
+    }
+
+    it("trains on the train bucket only and Laplace-floors unseen val tokens") {
+      // pick one val-bucket id and two train-bucket ids from the rule
+      val valId = (0L until 200L).find(id =>
+        bucket(id) >= 80 && bucket(id) < 90).get
+      val trainIds = (0L until 200L).filter(bucket(_) < 80).take(2)
+      // train corpus: "a b" twice (per doc) → uni a:2 b:2, N=4, V=2;
+      // bigram (a,b):2 kept. val doc: "a q" — (a,q): unseen bigram,
+      // q unseen token → p = 0 + 0.25·(0+1)/(4+2)
+      val r = TextAnalysis.heldoutPplFrom(docs(
+          (trainIds(0), "a b"), (trainIds(1), "a b"), (valId, "a q")))
+        .collect()
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val p = 0.25 * (0 + 1) / (4 + 2).toDouble
+      assert(r.length == 1 && r(0).getAs[Long]("doc_id") == valId)
+      assert(r(0).getAs[Double]("nll") == r6(-math.log(p)))
+    }
+
+    it("scores only val-bucket docs on the fixture, all finite and positive") {
+      val r = TextAnalysis.heldoutPpl(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(bucket(x.getAs[Long]("doc_id")) >= 80 &&
+          bucket(x.getAs[Long]("doc_id")) < 90)
+        assert(x.getAs[Double]("nll") > 0.0 && !x.getAs[Double]("ppl").isNaN)
+      }
+      // held-out ppl must exceed train-on-self ppl for the same docs
+      val self = TextAnalysis.bigramLm(spark, graft.TestSpark.Sf).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("ppl")).toMap
+      val worse = r.count(x =>
+        x.getAs[Double]("ppl") >= self(x.getAs[Long]("doc_id")))
+      assert(worse * 10 >= r.length * 7,
+        s"held-out ppl should usually exceed train-on-self ppl ($worse/${r.length})")
+    }
+  }
+
   describe("zipfSlope (q205)") {
     it("fits the least-squares slope over ranked token frequencies, hand-checked") {
       // counts a:4 b:2 c:1 → ranks 1,2,3
