@@ -323,6 +323,11 @@ object ScaleSmoke {
     // round-10: model-bounded reduce sides (|sources|·vocab / charset)
     t("zipf_slope") { TextAnalysis.zipfSlopeFrom(docs).count() }
     t("char_entropy") { TextAnalysis.charEntropyFrom(docs).count() }
+    // round-10: OOF encoding folds to a |types|·5 model relation —
+    // one combine-heavy pass regardless of event volume (q211's
+    // streaming HLL twin is state-bounded by construction: 64 ints per
+    // type, the HllAggSpec drain-equality gate)
+    t("oof_encoding") { Events.oofEncodingFrom(events).count() }
     // round-10: the ORC format write→read roundtrip at 10× corpus
     t("orc_roundtrip") {
       docs.write.mode("overwrite").option("compression", "zlib")

@@ -142,6 +142,52 @@ object Events {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Folds for the q210 out-of-fold protocol. */
+  val OofFolds = 5
+
+  /** q210 — OUT-OF-FOLD target encoding: the leakage-safe categorical
+    * feature every tabular-ML pipeline builds — each (event_type, fold)
+    * cell's encoding is the mean `value` of its type computed EXCLUDING
+    * the fold's own rows (`(S_type − S_fold) / (N_type − N_fold)`), so
+    * a row never sees its own target in its feature. Folds are the
+    * deterministic `md5("fold|"+event_id) mod 5` (the q45 split
+    * discipline applied to cross-validation); q102 keeps GROUPS from
+    * leaking across splits, this keeps TARGETS from leaking into
+    * features.
+    *
+    * Determinism: fold sums ride the exact DECIMAL(12,2) accumulator
+    * (graft.functions.Det discipline — order-independent), the
+    * out-of-fold difference is exact decimal subtraction, and the one
+    * closing division is double, rounded 9 dp; NULLIF guards a fold
+    * that holds the type's entire mass.
+    *
+    * Scale shape: one map-side-combined aggregate to the
+    * (type × fold) grain — a model relation (|types|·5 rows) — then a
+    * broadcast-sized self-rollup and join. One corpus pass.
+    */
+  def oofEncoding(spark: SparkSession, dir: String): DataFrame =
+    oofEncodingFrom(Tables.events(spark, dir))
+
+  def oofEncodingFrom(events: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val fold = TextFns.hash32(
+      concat(lit("fold|"), col("event_id").cast("string"))) % OofFolds
+    val perFold = events
+      .select(col("event_type"), fold.cast("int").as("fold"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .groupBy("event_type", "fold")
+      .agg(count(lit(1)).as("n_fold"), sum("v").as("s_fold"))
+    val perType = perFold.groupBy("event_type")
+      .agg(sum("n_fold").as("n_type"), sum("s_fold").as("s_type"))
+    val nOof = col("n_type") - col("n_fold")
+    perFold.join(perType, Seq("event_type"))
+      .select(col("event_type"), col("fold"), col("n_fold"), nOof.as("n_oof"),
+        round((col("s_type") - col("s_fold")).cast("double") /
+          when(nOof === 0L, lit(null).cast("long")).otherwise(nOof), 9)
+          .as("oof_mean"))
+      .orderBy("event_type", "fold")
+  }
+
   /** Range-join bucket width == the range length, so every probe row
     * lands in exactly 2 consecutive buckets.
     */
@@ -989,12 +1035,28 @@ object Events {
         rho.as("rho"))
       .groupBy("event_type", "bucket").agg(max("rho").as("reg"))
       .localCheckpoint() // registers feed both the per-type and ALL rows
-    val merged = reg.groupBy("bucket").agg(max("reg").as("reg"))
-      .select(lit("ALL").as("event_type"), col("bucket"), col("reg"))
-    val exact = events.groupBy("event_type")
+    hllReport(reg, hllExactOf(events))
+  }
+
+  /** Exact per-type distinct users + the `ALL` audit row (the q201/q211
+    * error gauge).
+    */
+  private[graft] def hllExactOf(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"))
       .unionByName(events.agg(countDistinct(col("user_id")).as("n_exact"))
         .select(lit("ALL").as("event_type"), col("n_exact")))
+
+  /** The HLL estimator over a PRESENT-register relation
+    * `(event_type, bucket, reg)` (reg ≥ 1; empty registers are absent
+    * rows): merges the register-wise `ALL` row, forms the exact-integer
+    * register sum, applies the raw/linear-counting estimate, and joins
+    * the exact audit counts. Shared by the batch (q201) and drained
+    * streaming (q211) forms — the merge identity is the point.
+    */
+  private[graft] def hllReport(reg: DataFrame, exact: DataFrame): DataFrame = {
+    val merged = reg.groupBy("bucket").agg(max("reg").as("reg"))
+      .select(lit("ALL").as("event_type"), col("bucket"), col("reg"))
     val s = reg.unionByName(merged)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_regs"),
@@ -1016,6 +1078,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_hll_distinct" -> (hllDistinct _),
     "q207_native_sessions" -> (nativeSessions _),
+    "q210_oof_encoding" -> (oofEncoding _),
     "q174_event_disorder" -> (eventDisorder _),
     "q181_bot_audit" -> (botAudit _),
     "q127_impute_audit" -> (imputeAudit _),
@@ -1417,6 +1480,25 @@ object Events {
     // lag/cumulative-sum sessionization; strict > gap matches the
     // operator, each user's max sess_no (the open trailing session) is
     // dropped; sum_value rounds to 2 dp like the operator's close()
+    // exact DECIMAL fold sums, exact decimal difference, one double
+    // division rounded 9 (NULLIF-guarded); identical fold rule
+    "q210_oof_encoding" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(${graft.functions.TextFns.sql.hash32("'fold|' || CAST(event_id AS VARCHAR)")} % $OofFolds AS INT) AS fold,
+         |    CAST(value AS DECIMAL(12,2)) AS v
+         |  FROM events),
+         |pf AS (SELECT event_type, fold, count(*) AS n_fold,
+         |    sum(v) AS s_fold
+         |  FROM e GROUP BY 1, 2),
+         |pt AS (SELECT event_type, CAST(sum(n_fold) AS BIGINT) AS n_type,
+         |    sum(s_fold) AS s_type
+         |  FROM pf GROUP BY 1)
+         |SELECT pf.event_type, pf.fold, pf.n_fold,
+         |  n_type - pf.n_fold AS n_oof,
+         |  round(CAST(s_type - s_fold AS DOUBLE)
+         |    / NULLIF(n_type - pf.n_fold, 0), 9) AS oof_mean
+         |FROM pf JOIN pt ON pt.event_type = pf.event_type
+         |ORDER BY 1, 2""".stripMargin,
     // the island algorithm with session_window's batch semantics: ALL
     // sessions kept, end = last + gap; touching windows merge (same
     // strict-> boundary as q37, probe-verified)

@@ -536,7 +536,45 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** q211 — STREAMING HyperLogLog distinct-user registers per event
+    * type (q201's sketch living in streaming state, the way KMV lives
+    * there as q146): `groupByKey(type).agg(HllAgg(64))` holds exactly
+    * 64 register ints per type — O(types·m) state and shuffle no matter
+    * how many events flow, where exact streaming `count(DISTINCT)`
+    * would hold every user id ever seen. The drained complete-mode
+    * registers are fed to the SAME estimator as the batch form
+    * (Events.hllReport — per-type rows plus the register-merged `ALL`
+    * row), and the shared q201 oracle asserts the drained stream equals
+    * the batch sketch EXACTLY: the element-wise-max merge identity,
+    * across micro-batches this time instead of partitions.
+    */
+  def streamedHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val agg = new HllAgg(graft.operators.Events.HllM)
+    val typed = source(spark, dir)
+      .select(col("event_type"),
+        TextFns.hash60(concat(lit("hll|"), col("user_id").cast("string"))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("regs"))
+      .toDF("event_type", "regs")
+    drain(typed, "graft_q211_sink", OutputMode.Complete)
+    // register file → present-register relation (reg ≥ 1), then the
+    // shared batch estimator + exact audit counts
+    val reg = spark.table("graft_q211_sink")
+      .select(col("event_type"), posexplode(col("regs")).as(Seq("bucket", "reg")))
+      .filter(col("reg") > 0)
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("reg"))
+    graft.operators.Events.hllReport(reg,
+      graft.operators.Events.hllExactOf(
+        graft.sources.Tables.events(spark, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_stream_hll" -> (streamedHll _),
     "q146_stream_sketch" -> (streamedSketch _),
     "q49_stream_rates" -> (streamedRates _),
     "q187_stream_burst" -> (streamedBurstAlerts _),
@@ -565,6 +603,10 @@ object EventStream {
       |ORDER BY a.window_start, a.event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the batch q201 oracle VERBATIM: the drained complete-mode stream
+    // must equal the batch sketch exactly (the register-merge identity
+    // across micro-batches)
+    "q211_stream_hll" -> graft.operators.Events.oracle("q201_hll_distinct"),
     "q49_stream_rates" -> ratesOracle,
     // q49's horizon arithmetic over hour buckets; the alert threshold
     // filters finalized windows on both engines identically

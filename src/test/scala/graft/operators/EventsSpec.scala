@@ -594,6 +594,54 @@ class EventsSpec extends AnyFunSpec {
     }
   }
 
+  describe("oofEncoding (q210)") {
+    // the operator's fold rule, re-derived (hash32("fold|"+id) % 5)
+    def foldOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"fold|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % Events.OofFolds
+    }
+
+    it("each cell's encoding is the mean of the OTHER folds' targets") {
+      val rows = (1L to 40L).map(id =>
+        (id, ts("2024-01-01 10:00:00"), id, "a", (id % 7).toDouble, "{}"))
+      val r = Events.oofEncodingFrom(events(rows: _*)).collect()
+        .map(x => x.getAs[Int]("fold") ->
+          (x.getAs[Long]("n_fold"), x.getAs[Long]("n_oof"),
+            x.getAs[Double]("oof_mean"))).toMap
+      def r9(v: Double) =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val byFold = rows.groupBy(e => foldOf(e._1))
+      byFold.foreach { case (f, in) =>
+        val out = rows.filterNot(e => foldOf(e._1) == f)
+        val (nF, nO, enc) = r(f.toInt)
+        assert(nF == in.size.toLong && nO == out.size.toLong, s"fold $f sizes")
+        // exact decimal sum then one double division, like the operator
+        val s = out.map(e => BigDecimal(e._5).setScale(2)).sum
+        assert(enc == r9((s.toDouble / out.size)), s"fold $f encoding")
+      }
+      // no row's own target leaks: each fold's encoding differs from
+      // the all-in mean whenever the fold's mass is unbalanced
+      val allMean = rows.map(_._5).sum / rows.size
+      assert(r.values.exists(v => v._3 != allMean))
+    }
+
+    it("covers every (type, fold) cell on the fixture with n_fold + n_oof = n_type") {
+      val r = Events.oofEncoding(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.groupBy(_.getAs[String]("event_type")).foreach { case (_, cells) =>
+        val total = cells.head.getAs[Long]("n_fold") + cells.head.getAs[Long]("n_oof")
+        cells.foreach { c =>
+          assert(c.getAs[Long]("n_fold") + c.getAs[Long]("n_oof") == total)
+          assert(!c.getAs[Double]("oof_mean").isNaN)
+        }
+        assert(cells.map(_.getAs[Int]("fold")).sorted.toSeq ==
+          (0 until Events.OofFolds))
+      }
+    }
+  }
+
   describe("hllDistinct (q201)") {
     // the operator's hash/bucket/rank math, re-derived independently
     def h60(u: Long): Long = {

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.scalatest.funspec.AnyFunSpec
+
+import graft.TestSpark
+
+class HllAggSpec extends AnyFunSpec {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  describe("HllAgg typed aggregator") {
+    it("updates the right register with the leading-zero rank, monotonically") {
+      val agg = new HllAgg(64)
+      assert(agg.zero == Seq.fill(64)(0))
+      // h = bucket 5, remainder 1 → bit length 1 → rho 54
+      val b1 = agg.reduce(agg.zero, (1L << 6) | 5L)
+      assert(b1(5) == 54 && b1.count(_ != 0) == 1)
+      // a smaller rank for the same bucket never downgrades it
+      val b2 = agg.reduce(b1, (3L << 6) | 5L) // remainder 3 → rho 53
+      assert(b2(5) == 54)
+      // remainder 0 → all 54 zero bits → rho 55
+      val b3 = agg.reduce(b2, 7L) // bucket 7, w = 0
+      assert(b3(7) == 55)
+    }
+
+    it("merge is the element-wise max: union of sketches, order-free") {
+      val agg = new HllAgg(64)
+      val hs = Seq(0x123456789abL, 0xfedcba987L, 0x42L, 0x1L << 59)
+      val one = hs.foldLeft(agg.zero)(agg.reduce)
+      val (a, b) = hs.splitAt(2)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == one)
+      assert(agg.merge(one, agg.zero) == one)
+      assert(agg.merge(merged, one) == one) // idempotent
+    }
+
+    it("q211: the drained streaming registers equal the batch q201 sketch exactly") {
+      val streamed = EventStream.streamedHll(spark, TestSpark.Sf).collect()
+        .map(_.toSeq).toSeq
+      val batch = graft.operators.Events.hllDistinct(spark, TestSpark.Sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch,
+        "complete-mode drain must reproduce the batch register file")
+    }
+  }
+}
