@@ -445,6 +445,31 @@ class MultimodalSpec extends AnyFunSpec {
       assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
     }
 
+    it("q199: survives byte-mutation fuzzing — every mutant decodes or quarantines, never throws") {
+      // deterministic LCG so the fuzz corpus is reproducible
+      var seed = 0x5eedL
+      def nextInt(bound: Int): Int = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (((seed >>> 33) % bound + bound) % bound).toInt
+      }
+      val base = Multimodal.mp4Bytes(9L)
+      val mutants = (0 until 64).map { i =>
+        val b = base.clone()
+        // flip 1-8 random bytes anywhere in the container
+        (0 until 1 + nextInt(8)).foreach { _ =>
+          b(nextInt(b.length)) = nextInt(256).toByte
+        }
+        (i.toLong, b)
+      } ++ Seq((64L, base.take(nextInt(base.length))), (65L, base))
+      val rows = Multimodal.sampleMp4Keyframes(
+          mutants.toDF("doc_id", "payload"), Multimodal.Mp4PerDoc)
+        .collect()
+      // every mutant produced SOME row; the control still decodes
+      assert(rows.map(_.doc_id).distinct.length == mutants.length)
+      assert(rows.filter(_.doc_id == 65L).forall(_.decode_ok))
+      rows.foreach(r => assert(r.decode_ok || r.sample_idx == -1))
+    }
+
     it("q208: window sums match the closed form, crossings stay within windows") {
       val ids = Seq(0L, 3L, 12L, 123L)
       val rows = Multimodal.windowAudio(

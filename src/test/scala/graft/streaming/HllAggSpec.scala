@@ -35,6 +35,28 @@ class HllAggSpec extends AnyFunSpec {
       assert(agg.merge(merged, one) == one) // idempotent
     }
 
+    it("any split of a hash stream merges to the same registers as one pass (property)") {
+      val agg = new HllAgg(64)
+      var seed = 42L
+      def nextLong(): Long = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 4) & ((1L << 60) - 1) // non-negative 60-bit, like hash60
+      }
+      (0 until 20).foreach { trial =>
+        val hs = Seq.fill(50 + trial)(nextLong())
+        val whole = hs.foldLeft(agg.zero)(agg.reduce)
+        val cut = 1 + (trial * 7) % (hs.length - 1)
+        val (a, b) = hs.splitAt(cut)
+        val split = agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+        assert(split == whole, s"trial $trial cut $cut")
+        // commutativity: merge order never matters
+        assert(agg.merge(
+          b.foldLeft(agg.zero)(agg.reduce),
+          a.foldLeft(agg.zero)(agg.reduce)) == whole)
+      }
+    }
+
     it("q211: the drained streaming registers equal the batch q201 sketch exactly") {
       val streamed = EventStream.streamedHll(spark, TestSpark.Sf).collect()
         .map(_.toSeq).toSeq
