@@ -1575,8 +1575,24 @@ object Similarity {
 
   def pcaPowerFrom(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
-    GraftFunctions.register(spark)
     import spark.implicits._
+    val (w, lambda, tvar) = pcaComponentOf(embeddings)
+    w.toIndexedSeq.zipWithIndex.map { case (x, p) => (p, x) }
+      .toDF("pos", "loading")
+      .select(col("pos"), round(col("loading"), 9).as("loading"),
+        round(lit(lambda), 9).as("lambda"),
+        round(lit(lambda / tvar), 9).as("var_share"))
+      .orderBy("pos")
+  }
+
+  /** The q144 power iteration as a driver-side model result
+    * `(w, λ, total variance)` — factored so q212 can APPLY the trained
+    * component with the identical bit-level loadings.
+    */
+  private[operators] def pcaComponentOf(
+      embeddings: DataFrame): (Array[Double], Double, Double) = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
     val e = Tables.widened(embeddings, col("vec_id"))
       .select(col("embedding").cast("array<double>").as("emb"))
     // ONE corpus pass for all model-sized statistics: cardinality,
@@ -1627,12 +1643,53 @@ object Similarity {
       w = u.map(_ / lambda)
     }
     val tvar = q / n.toDouble - dotSeq(m, m)
-    w.toIndexedSeq.zipWithIndex.map { case (x, p) => (p, x) }
-      .toDF("pos", "loading")
-      .select(col("pos"), round(col("loading"), 9).as("loading"),
-        round(lit(lambda), 9).as("lambda"),
-        round(lit(lambda / tvar), 9).as("var_share"))
-      .orderBy("pos")
+    (w, lambda, tvar)
+  }
+
+  /** q212 — "ALL-BUT-THE-TOP" APPLICATION (the inference half of q144's
+    * training, the q198→q200 symmetry for the spectral family): remove
+    * the trained dominant component from every embedding and report the
+    * per-label energy ledger — mean ‖v‖² before, mean ‖v − (v·w)w‖²
+    * after (via the expansion `b − 2p² + p²·(w·w)`, the identical
+    * fixed-order IEEE chain in both engines, never a materialized v′),
+    * and the mean removed energy `p²`. The dominant direction of an
+    * embedding corpus is mostly frequency/length signal (Mu &
+    * Viswanath's observation); a label whose energy is CONCENTRATED in
+    * it gains the most retrieval sharpness from the removal — this is
+    * the table that says which.
+    *
+    * Determinism: `w` comes to the driver via [[pcaComponentOf]]
+    * (bit-identical across engines by q144's three-path argument) and
+    * re-enters as literals; per-vector scalars are fused-kernel dot
+    * products (sequential fold ≡ DuckDB `list_inner_product`); the
+    * per-label means are double avgs rounded 6 (the q57 discipline).
+    *
+    * Scale shape: training is q144's one-pass-per-iteration contract;
+    * application is ONE corpus pass of map-side kernels into a
+    * |labels|-bounded aggregate. Nothing vector-sized shuffles.
+    */
+  def embedWhiten(spark: SparkSession, dir: String): DataFrame =
+    embedWhitenFrom(Tables.embeddings(spark, dir))
+
+  def embedWhitenFrom(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val (w, _, _) = pcaComponentOf(embeddings)
+    var ww = 0.0
+    w.foreach(x => ww += x * x)
+    val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+    val e = Tables.widened(embeddings, col("vec_id"))
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    val b = call_function("dot_product", col("emb"), col("emb"))
+    val p = call_function("dot_product", col("emb"), wLit)
+    e.select(col("label"), b.as("b"), p.as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("b")), 6).as("msq_before"),
+        round(avg(col("b") - lit(2.0) * col("p") * col("p") +
+          col("p") * col("p") * lit(ww)), 6).as("msq_after"),
+        round(avg(col("p") * col("p")), 6).as("msq_removed"))
+      .orderBy("label")
   }
 
   /** q75 — IVF-Flat ANN quantized against the TRAINED codebook: the
@@ -1693,6 +1750,7 @@ object Similarity {
     "q158_triplet_mining" -> (tripletMining _),
     "q159_hybrid_search" -> (hybridSearch _),
     "q144_pca_power" -> (pcaPower _),
+    "q212_embed_whiten" -> (embedWhiten _),
     "q60_semantic_dedup" -> (semanticDedup _),
     "q61_kmeans_train" -> (kmeansTrain _),
     "q75_ann_ivf_trained" -> (annIvfTrained _),
@@ -2033,29 +2091,8 @@ object Similarity {
          |  round(cosine_similarity(a.centroid, b.centroid), 9) AS cosine
          |FROM cent a JOIN cent b ON a.label < b.label
          |ORDER BY label_a, label_b""".stripMargin,
-    "q144_pca_power" -> {
-      val iters = (1 to PcaIters).map { r =>
-        s"""s$r AS (SELECT e.emb,
-           |    dot_product(e.emb, w.w) - dot_product(m.m, w.w) AS s
-           |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
-           |g$r AS (SELECT vector_sum_dec(CAST(transform(emb, x -> s * x) AS ARRAY<DECIMAL(38,12)>)) AS sa,
-           |    CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
-           |  FROM s$r),
-           |u$r AS (SELECT transform(sequence(0, size(sa) - 1),
-           |      p -> (CAST(element_at(sa, p + 1) AS DOUBLE) - ss * element_at(m.m, p + 1)) / n) AS u
-           |  FROM g$r CROSS JOIN mm m CROSS JOIN nn),
-           |w$r AS (SELECT transform(u, x -> x / sqrt(dot_product(u, u))) AS w,
-           |    sqrt(dot_product(u, u)) AS lambda FROM u$r)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM e),
-         |dd AS (SELECT max(size(emb)) AS d FROM e),
-         |mm AS (SELECT transform(sv, x -> CAST(x AS DOUBLE) / n) AS m
-         |  FROM (SELECT vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sv FROM e)
-         |  CROSS JOIN nn),
-         |w0 AS (SELECT transform(sequence(0, d - 1), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
-         |$iters,
+    "q144_pca_power" ->
+      s"""WITH $pcaSparkCtes,
          |qq AS (SELECT CAST(sum(CAST(dot_product(emb, emb) AS DECIMAL(38,12))) AS DOUBLE) AS q FROM e),
          |tv AS (SELECT q / n - dot_product(m.m, m.m) AS tvar FROM qq CROSS JOIN nn CROSS JOIN mm m)
          |SELECT CAST(x.p AS INT) AS pos,
@@ -2065,8 +2102,23 @@ object Similarity {
          |FROM (SELECT w.w, w.lambda, explode(sequence(0, size(w.w) - 1)) AS p
          |  FROM w$PcaIters w) x
          |CROSS JOIN tv
-         |ORDER BY pos""".stripMargin
-    },
+         |ORDER BY pos""".stripMargin,
+    // the q144 kernel-driven training CTEs, then the b − 2p² + p²·(w·w)
+    // application (the DuckDB oracle's ordered-list aggregates are
+    // override territory)
+    "q212_embed_whiten" ->
+      s"""WITH $pcaSparkCtes,
+         |lb AS (SELECT label, CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings),
+         |sc AS (SELECT lb.label,
+         |    dot_product(lb.emb, lb.emb) AS b,
+         |    dot_product(lb.emb, w.w) AS p,
+         |    dot_product(w.w, w.w) AS ww
+         |  FROM lb CROSS JOIN w$PcaIters w)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(b), 6) AS msq_before,
+         |  round(avg(b - 2 * p * p + p * p * ww), 6) AS msq_after,
+         |  round(avg(p * p), 6) AS msq_removed
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     // kernel-driven twin of the q170 oracle (positional-unnest vector
     // sums are override territory); corpus centroid from source partials
     "q170_source_drift" ->
@@ -2203,6 +2255,65 @@ object Similarity {
          |  (g.min_p IS NULL OR g.min_p > e.vec_id) AS is_kept
          |FROM ecell e LEFT JOIN g ON g.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin)
+
+  /** The q144 power-iteration training as SPARK SQL CTE text (kernel
+    * forms — `vector_sum_dec`, `dot_product`), through `w$PcaIters`;
+    * shared by the q144 and q212 sparkSql overrides.
+    */
+  private def pcaSparkCtes: String = {
+    val iters = (1 to PcaIters).map { r =>
+      s"""s$r AS (SELECT e.emb,
+         |    dot_product(e.emb, w.w) - dot_product(m.m, w.w) AS s
+         |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
+         |g$r AS (SELECT vector_sum_dec(CAST(transform(emb, x -> s * x) AS ARRAY<DECIMAL(38,12)>)) AS sa,
+         |    CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss
+         |  FROM s$r),
+         |u$r AS (SELECT transform(sequence(0, size(sa) - 1),
+         |      p -> (CAST(element_at(sa, p + 1) AS DOUBLE) - ss * element_at(m.m, p + 1)) / n) AS u
+         |  FROM g$r CROSS JOIN mm m CROSS JOIN nn),
+         |w$r AS (SELECT transform(u, x -> x / sqrt(dot_product(u, u))) AS w,
+         |    sqrt(dot_product(u, u)) AS lambda FROM u$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |dd AS (SELECT max(size(emb)) AS d FROM e),
+       |mm AS (SELECT transform(sv, x -> CAST(x AS DOUBLE) / n) AS m
+       |  FROM (SELECT vector_sum_dec(CAST(emb AS ARRAY<DECIMAL(38,12)>)) AS sv FROM e)
+       |  CROSS JOIN nn),
+       |w0 AS (SELECT transform(sequence(0, d - 1), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
+       |$iters""".stripMargin
+  }
+
+  /** The q144 power-iteration training as DuckDB CTE text (through
+    * `w$PcaIters` = the trained component + λ), shared by the q144 and
+    * q212 oracles — the bpeTrainCtes pattern for the spectral family.
+    */
+  private def pcaOracleCtes: String = {
+    val iters = (1 to PcaIters).map { r =>
+      s"""s$r AS (SELECT e.emb,
+         |    list_inner_product(e.emb, w.w) - list_inner_product(m.m, w.w) AS s
+         |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
+         |a$r AS (SELECT pos, CAST(sum(CAST(s * v AS DECIMAL(38,12))) AS DOUBLE) AS sa
+         |  FROM (SELECT s, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM s$r) x
+         |  GROUP BY pos),
+         |ss$r AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM s$r),
+         |u$r AS (SELECT list((sa - ss * list_extract(m.m, CAST(pos AS INT) + 1)) / n ORDER BY pos) AS u
+         |  FROM a$r CROSS JOIN ss$r CROSS JOIN mm m CROSS JOIN nn),
+         |w$r AS (SELECT list_transform(u, x -> x / sqrt(list_inner_product(u, u))) AS w,
+         |    sqrt(list_inner_product(u, u)) AS lambda FROM u$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |dd AS (SELECT max(len(emb)) AS d FROM e),
+       |ms AS (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s
+       |  FROM (SELECT UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e) x
+       |  GROUP BY pos),
+       |mm AS (SELECT list(s / n ORDER BY pos) AS m FROM ms CROSS JOIN nn GROUP BY n),
+       |w0 AS (SELECT list_transform(range(d), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
+       |$iters""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q100_ann_pq" -> {
@@ -2657,30 +2768,8 @@ object Similarity {
     // every scalar step one correctly-rounded IEEE op in the same
     // order as the DataFrame driver fold (C·w via Σs·v − (Σs)·m, the
     // covariance never materialized)
-    "q144_pca_power" -> {
-      val iters = (1 to PcaIters).map { r =>
-        s"""s$r AS (SELECT e.emb,
-           |    list_inner_product(e.emb, w.w) - list_inner_product(m.m, w.w) AS s
-           |  FROM e CROSS JOIN w${r - 1} w CROSS JOIN mm m),
-           |a$r AS (SELECT pos, CAST(sum(CAST(s * v AS DECIMAL(38,12))) AS DOUBLE) AS sa
-           |  FROM (SELECT s, UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM s$r) x
-           |  GROUP BY pos),
-           |ss$r AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM s$r),
-           |u$r AS (SELECT list((sa - ss * list_extract(m.m, CAST(pos AS INT) + 1)) / n ORDER BY pos) AS u
-           |  FROM a$r CROSS JOIN ss$r CROSS JOIN mm m CROSS JOIN nn),
-           |w$r AS (SELECT list_transform(u, x -> x / sqrt(list_inner_product(u, u))) AS w,
-           |    sqrt(list_inner_product(u, u)) AS lambda FROM u$r)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM e),
-         |dd AS (SELECT max(len(emb)) AS d FROM e),
-         |ms AS (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s
-         |  FROM (SELECT UNNEST(emb) AS v, UNNEST(range(len(emb))) AS pos FROM e) x
-         |  GROUP BY pos),
-         |mm AS (SELECT list(s / n ORDER BY pos) AS m FROM ms CROSS JOIN nn GROUP BY n),
-         |w0 AS (SELECT list_transform(range(d), i -> CAST(1 AS DOUBLE) / sqrt(CAST(d AS DOUBLE))) AS w FROM dd),
-         |$iters,
+    "q144_pca_power" ->
+      s"""WITH $pcaOracleCtes,
          |qq AS (SELECT CAST(sum(CAST(list_inner_product(emb, emb) AS DECIMAL(38,12))) AS DOUBLE) AS q FROM e),
          |tv AS (SELECT q / n - list_inner_product(m.m, m.m) AS tvar
          |  FROM qq CROSS JOIN nn CROSS JOIN mm m)
@@ -2690,8 +2779,22 @@ object Similarity {
          |  round(w.lambda / tv.tvar, 9) AS var_share
          |FROM (SELECT w.w, w.lambda, UNNEST(range(len(w.w))) AS p FROM w$PcaIters w) w
          |CROSS JOIN tv
-         |ORDER BY pos""".stripMargin
-    },
+         |ORDER BY pos""".stripMargin,
+    // the q144 training CTEs verbatim, then application: the identical
+    // b − 2p² + p²·(w·w) expansion and double avgs rounded 6
+    "q212_embed_whiten" ->
+      s"""WITH $pcaOracleCtes,
+         |lb AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sc AS (SELECT lb.label,
+         |    list_inner_product(lb.emb, lb.emb) AS b,
+         |    list_inner_product(lb.emb, w.w) AS p,
+         |    list_inner_product(w.w, w.w) AS ww
+         |  FROM lb CROSS JOIN w$PcaIters w)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(b), 6) AS msq_before,
+         |  round(avg(b - 2 * p * p + p * p * ww), 6) AS msq_after,
+         |  round(avg(p * p), 6) AS msq_removed
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
     // kappa numerator/denominator integer to the one closing division
     // (q132 discipline); assignment ties break on rounded cosine then
     // smallest centroid label on both engines

@@ -687,6 +687,37 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("embedWhiten (q212)") {
+    it("removes ALL energy when every vector lies on the trained axis") {
+      // x-axis corpus with nonzero variance: w = ±e1, so v = (v·w)·w
+      // exactly and the residual energy is 0 for both labels
+      val e = Seq(
+        (1L, Array(1.0f, 0.0f), 0), (2L, Array(2.0f, 0.0f), 0),
+        (3L, Array(3.0f, 0.0f), 1), (4L, Array(-1.0f, 0.0f), 1))
+        .toDF("vec_id", "embedding", "label")
+      val r = Similarity.embedWhitenFrom(e).collect()
+      assert(r.length == 2)
+      r.foreach { x =>
+        assert(math.abs(x.getAs[Double]("msq_after")) < 1e-6)
+        assert(math.abs(x.getAs[Double]("msq_before") -
+          x.getAs[Double]("msq_removed")) < 1e-6)
+      }
+    }
+
+    it("the energy ledger balances per label on the fixture and removal is real") {
+      val r = Similarity.embedWhiten(spark, TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        val (before, after, removed) = (x.getAs[Double]("msq_before"),
+          x.getAs[Double]("msq_after"), x.getAs[Double]("msq_removed"))
+        // after + removed = before up to the (2 − ‖w‖²) ulp and round 6
+        assert(math.abs(before - after - removed) < 1e-4,
+          s"label ${x.getAs[Int]("label")} ledger")
+        assert(removed > 0.0 && after < before)
+      }
+    }
+  }
+
   describe("matryoshkaRecall (q119)") {
     it("reports per-query prefix recall consistent with its own counts") {
       val r = Similarity.matryoshkaRecall(spark, TestSpark.Sf).collect()
