@@ -57,6 +57,40 @@ class HllAggSpec extends AnyFunSpec {
       }
     }
 
+    it("derives the bucket shift and rank base from m (m=16 / m=256 vs scalar reference)") {
+      // scalar reference: the 60-bit hash splits into log2(m) bucket
+      // bits (low) and a 60-log2(m)-bit remainder; rank = leading
+      // zeros of the remainder within its own width, plus one
+      def reference(m: Int, hs: Seq[Long]): Seq[Int] = {
+        val b = Integer.numberOfTrailingZeros(m)
+        val regs = Array.fill(m)(0)
+        hs.foreach { h =>
+          val bucket = (h & (m - 1)).toInt
+          val w = h >>> b
+          val width = 60 - b
+          val rho = width - BigInt(w).bitLength + 1
+          if (rho > regs(bucket)) regs(bucket) = rho
+        }
+        regs.toSeq
+      }
+      var seed = 7L
+      def nextLong(): Long = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 4) & ((1L << 60) - 1)
+      }
+      Seq(16, 64, 256).foreach { m =>
+        val agg = new HllAgg(m)
+        val hs = Seq.fill(400)(nextLong()) ++ Seq(0L, 1L, (1L << 59) | 3L)
+        assert(hs.foldLeft(agg.zero)(agg.reduce) == reference(m, hs),
+          s"m=$m registers must match the scalar reference")
+      }
+      // an all-zero remainder saturates at the full remainder width + 1
+      val a16 = new HllAgg(16)
+      assert(a16.reduce(a16.zero, 3L)(3) == 57) // 60-4 zero bits → rho 57
+      val a256 = new HllAgg(256)
+      assert(a256.reduce(a256.zero, 5L)(5) == 53) // 60-8 zero bits → rho 53
+    }
+
     it("q211: the drained streaming registers equal the batch q201 sketch exactly") {
       val streamed = EventStream.streamedHll(spark, TestSpark.Sf).collect()
         .map(_.toSeq).toSeq
