@@ -433,6 +433,39 @@ object ScaleSmoke {
             s"capped pair relation must stay under C(cap,2)+tail: $n vs $bound")
           n
         }
+        // (d) Zipf corpus for the q203/q209 scoring joins: token ranks
+        // drawn log-uniform (freq ∝ 1/rank over 50k types), so "t1"
+        // alone is several percent of all transitions — the named
+        // 100× hazard key. With broadcast disabled (above) and heads
+        // sized BELOW the vocab/bigram tables, the pre-r11 shape would
+        // shuffle every transition keyed by Zipf-hot tokens; the
+        // head/tail discipline must keep the hot mass map-side (plan
+        // asserts the 6 head probes + ≤3 rare-tail SMJs) and the cold
+        // residual's keys are sub-head-rare by construction.
+        t("skew_zipf_bigram_lm") {
+          import graft.operators.TextAnalysis
+          val zipf = spark.range(0, 20000L * mult).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(1, 30), i -> concat('t', " +
+              "cast(exp(ln(50000.0d) * (pmod(xxhash64(id, i), 1000000) " +
+              "/ 1000000.0d)) AS int)))) AS text")
+          spark.conf.set(TextAnalysis.LmHeadVConf, "512")
+          spark.conf.set(TextAnalysis.LmHeadBConf, "4096")
+          try {
+            val scored = TextAnalysis.bigramLmFrom(zipf)
+            val n = scored.count()
+            val p = scored.queryExecution.executedPlan.toString
+            require(p.split("BroadcastHashJoin").length - 1 >= 6,
+              "head probes must broadcast despite the disabled threshold")
+            require(p.split("SortMergeJoin").length - 1 <= 3,
+              "only the 3 rare-tail lookups may shuffle-join")
+            require(n == 20000L * mult, s"every doc must score: $n")
+            n
+          } finally {
+            spark.conf.unset(TextAnalysis.LmHeadVConf)
+            spark.conf.unset(TextAnalysis.LmHeadBConf)
+          }
+        }
         t("skew_salted_join") {
           val big = spark.range(0, 200000L * mult).selectExpr(
             "CASE WHEN id % 4 < 3 THEN 0L ELSE 1 + id % 997 END AS key",

@@ -1007,7 +1007,10 @@ object Multimodal {
     * little-endian RIFF of [[aviBytes]] — the two production container
     * families, both hand-built, zero external deps.
     */
-  def mp4Bytes(id: Long): Array[Byte] = {
+  /** The shared JPEG sample set of [[mp4Bytes]]/[[mp4FragBytes]]:
+    * `(n, w, h, frames)` per the closed form in the [[mp4Bytes]] doc.
+    */
+  private def mp4JpegFrames(id: Long): (Int, Int, Int, IndexedSeq[Array[Byte]]) = {
     val n = (3 + java.lang.Math.floorMod(id, 5L)).toInt
     val w = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
     val h = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
@@ -1041,19 +1044,30 @@ object Multimodal {
       } finally { jw.dispose(); ios.close() }
       bos.toByteArray
     }
-    def fcc(s: String) = s.getBytes("US-ASCII")
-    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
-      val body = parts.map(_.length).sum
-      val bb = java.nio.ByteBuffer.allocate(8 + body) // big-endian default
-      bb.putInt(8 + body).put(fcc(typ))
-      parts.foreach(bb.put)
-      bb.array()
-    }
-    def u32s(vs: Int*): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
-      vs.foreach(bb.putInt)
-      bb.array()
-    }
+    (n, w, h, frames)
+  }
+
+  private def mp4Fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def mp4Box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(8 + body) // big-endian default
+    bb.putInt(8 + body).put(mp4Fcc(typ))
+    parts.foreach(bb.put)
+    bb.array()
+  }
+
+  private def mp4U32s(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  def mp4Bytes(id: Long): Array[Byte] = {
+    val (n, w, h, frames) = mp4JpegFrames(id)
+    def fcc(s: String) = mp4Fcc(s)
+    def box(typ: String, parts: Array[Byte]*) = mp4Box(typ, parts: _*)
+    def u32s(vs: Int*) = mp4U32s(vs: _*)
     val ftyp = box("ftyp", fcc("isom"), u32s(0x200), fcc("isom"), fcc("mp41"))
     // mdat directly after ftyp: sample s begins at 24 + 8 + Σ sizes
     val offsets = frames.scanLeft(ftyp.length + 8)(_ + _.length).init
@@ -1092,6 +1106,87 @@ object Multimodal {
     ftyp ++ mdat ++ moov
   }
 
+  /** Extra presentation milliseconds the q213 edit list adds. */
+  val Mp4ElstPadMs = 500
+
+  /** FRAGMENTED-MP4 (fMP4 — the DASH/HLS/streaming-upload layout) twin
+    * of [[mp4Bytes]]: identical JPEG samples, but the `moov` carries an
+    * EMPTY sample table (zero-entry `stsz`/`stsc`/`stco`, no `stss`)
+    * plus `mvex`{`mehd` fragment duration, `trex` track defaults}, and
+    * every pair of samples ships in its own
+    * `moof`{`mfhd`, `traf`{`tfhd` (default-base-is-moof), `tfdt`,
+    * `trun` (data_offset + per-sample duration/size/flags)}} + `mdat`
+    * pair. Keyframe cadence rides the trun SAMPLE FLAGS (sample k:
+    * `0x02000000` = I-frame every 3rd sample, `0x01010000` =
+    * non-sync otherwise) — fragmented files have no `stss`. Files with
+    * `id % 3 == 0` additionally carry `edts`{`elst`} extending the
+    * presentation by [[Mp4ElstPadMs]] ms (one v0 edit of
+    * `n·100 + 500` movie-timescale units) — the duration contract the
+    * edit list owns; the rest read their duration from `mehd`
+    * (`mdhd`/`mvhd` durations are 0, as a live recorder leaves them).
+    */
+  def mp4FragBytes(id: Long): Array[Byte] = {
+    val (n, w, h, frames) = mp4JpegFrames(id)
+    def fcc(s: String) = mp4Fcc(s)
+    def box(typ: String, parts: Array[Byte]*) = mp4Box(typ, parts: _*)
+    def u32s(vs: Int*) = mp4U32s(vs: _*)
+    val ftyp = box("ftyp", fcc("iso5"), u32s(0x200), fcc("iso5"), fcc("mp41"))
+    val dur = n * 100
+    val mvhd = box("mvhd", u32s(0, 0, 0, 1000, 0, 0x00010000),
+      u32s(0x01000000, 0, 0),
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      u32s(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = box("tkhd", u32s(0x00000007, 0, 0, 1, 0, 0, 0, 0, 0, 0),
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      u32s(w << 16, h << 16))
+    val edts =
+      if (java.lang.Math.floorMod(id, 3L) == 0L)
+        Some(box("edts",
+          box("elst", u32s(0, 1, dur + Mp4ElstPadMs, 0, 0x00010000))))
+      else None
+    val mdhd = box("mdhd", u32s(0, 0, 0, 1000, 0), u32s(0x55c40000))
+    val hdlr = box("hdlr", u32s(0, 0), fcc("vide"), u32s(0, 0, 0),
+      "GraftVideo".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = box("vmhd", u32s(1, 0, 0))
+    val dinf = box("dinf", box("dref", u32s(0, 1), box("url ", u32s(1))))
+    val sampleEntry = box("jpeg", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1),
+      u32s(0, 0, 0, 0), u32s((w << 16) | h, 0x00480000, 0x00480000, 0),
+      u32s(1 << 16), new Array[Byte](30), u32s((24 << 16) | 0xffff))
+    val stsd = box("stsd", u32s(0, 1), sampleEntry)
+    val stbl = box("stbl", stsd, box("stts", u32s(0, 0)),
+      box("stsc", u32s(0, 0)), box("stsz", u32s(0, 0, 0)),
+      box("stco", u32s(0, 0)))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", Seq(tkhd) ++ edts ++ Seq(mdia): _*)
+    val mehd = box("mehd", u32s(0, dur))
+    val trex = box("trex", u32s(0, 1, 1, 0, 0, 0))
+    val moov = box("moov", mvhd, trak, box("mvex", mehd, trex))
+    val frags = frames.grouped(2).zipWithIndex.map { case (fs, fi) =>
+      val s0 = fi * 2
+      val mfhd = box("mfhd", u32s(0, fi + 1))
+      val tfhd = box("tfhd", u32s(0x00020000, 1)) // default-base-is-moof
+      val tfdt = box("tfdt", u32s(0, s0 * 100))
+      // per-sample (duration, size, flags) triples
+      val entries = fs.zipWithIndex.flatMap { case (f, j) =>
+        val flags =
+          if ((s0 + j) % 3 == 0) 0x02000000 // I-frame: depends-on-none
+          else 0x01010000 // depends-on-one + non-sync bit
+        Seq(100, f.length, flags)
+      }
+      // data_offset is moof-box-relative: the first sample starts right
+      // after this moof's 8-byte mdat header
+      val trunSize = 8 + 12 + 12 * fs.length
+      val moofSize = 8 + mfhd.length +
+        (8 + tfhd.length + tfdt.length + trunSize)
+      val trun = box("trun",
+        u32s(Seq(0x00000701, fs.length, moofSize + 8) ++ entries: _*))
+      val moof = box("moof", mfhd, box("traf", tfhd, tfdt, trun))
+      moof ++ box("mdat", fs.flatten.toArray)
+    }
+    ftyp ++ moov ++ frags.flatten
+  }
+
   /** Synthetic MP4-payload table: one ISO-BMFF/JPEG video per document
     * id (the MP4 twin of [[aviPayloads]]). Map-only typed generation.
     */
@@ -1099,6 +1194,13 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id").cast("long"))
       .as[Long].map(id => (id, mp4Bytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** Synthetic fragmented-MP4 payload table (the q213 corpus). */
+  def mp4FragPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, mp4FragBytes(id))).toDF("doc_id", "payload")
   }
 
   /** One REALLY-decoded sampled MP4 keyframe from [[sampleMp4Keyframes]]. */
@@ -1110,24 +1212,39 @@ object Multimodal {
   /** REAL ISO-BMFF (MP4) parse + KEYFRAME-only decode — a hand-written
     * box walker over the production container family AVI's RIFF is not:
     * big-endian `size|fourcc` boxes (64-bit `largesize` and
-    * to-end-of-file sizes handled), top-level walk to the TRAILING
-    * `moov` (non-faststart layout — the parser random-accesses back
-    * into `mdat`), recursive descent `moov → trak → mdia → minf → stbl`
+    * to-end-of-file sizes handled), top-level walk to the `moov`
+    * (leading OR trailing — the parser random-accesses into `mdat`
+    * either way), recursive descent `moov → trak → mdia → minf → stbl`
     * selecting the first `hdlr = vide` track, then the full sample-table
-    * machinery: `stsd` (codec fourcc), `mdhd` (v0/v1 timescale +
-    * duration → `duration_ms`), `stsz` (sample sizes), `stsc` run
-    * expansion (samples-per-chunk map), `stco`/`co64` (chunk offsets),
-    * and `stss` (sync table). Only SYNC samples are decoded — ≤ `perDoc`
-    * evenly spaced over the keyframe list, each one seeked via
-    * stsc/stco/stsz offset arithmetic and fed to the real
-    * `javax.imageio` JPEG decoder. Sampling keyframes (not arbitrary
-    * frames) is the production contract: in a predictive codec only
-    * sync samples decode standalone, so a 100 TB frame-sampling scan
-    * reads exactly the stss-listed byte ranges and nothing else.
+    * machinery: `stsd` (codec fourcc), `stsz` (sample sizes), `stsc`
+    * run expansion (samples-per-chunk map), `stco`/`co64` (chunk
+    * offsets), and `stss` (sync table).
+    *
+    * FRAGMENTED movies (fMP4 — `moov` declares zero samples) are
+    * walked through their `moof` fragments instead: `traf` matched to
+    * the video track's `tkhd`/`trex` id, `tfhd` per-fragment defaults
+    * (base-data-offset or default-base-is-moof), and `trun` runs
+    * yielding per-sample offset/size/sync (the `0x10000`
+    * non-sync-sample flag bit replaces `stss`). Durations resolve in
+    * presentation order: `edts`/`elst` edit-list total (movie
+    * timescale) when present, else `mdhd` media duration, else the
+    * `mvex`/`mehd` fragment duration a live recorder leaves behind.
+    *
+    * Only SYNC samples are decoded — ≤ `perDoc` evenly spaced over the
+    * sync list, each one seeked via the offset arithmetic above and fed
+    * to the real `javax.imageio` JPEG decoder. Sampling keyframes (not
+    * arbitrary frames) is the production contract: in a predictive
+    * codec only sync samples decode standalone, so a 100 TB
+    * frame-sampling scan reads exactly the sync-listed byte ranges and
+    * nothing else.
     *
     * Quarantine contract ([[sampleAviFrames]]): wrong magic, truncated
     * boxes, a sample table pointing outside the payload, or corrupt
     * JPEG bytes yield ONE `decode_ok = false` row, never an exception.
+    * Every declared table count is validated against its box extent
+    * (and total samples against the payload length) BEFORE any
+    * count-sized allocation, so a hostile count can never OOM past the
+    * Exception quarantine.
     *
     * Scale shape: per-partition typed flatMap, one box walk + ≤ perDoc
     * bounded decodes per payload, no shuffle.
@@ -1168,6 +1285,18 @@ object Multimodal {
         }
         def child(kids: List[(String, (Int, Int))], typ: String): Option[(Int, Int)] =
           kids.collectFirst { case (`typ`, span) => span }
+        // declared entry count at `at + skip`, validated against the box
+        // extent BEFORE anything count-sized materializes (a hostile
+        // count would otherwise allocate an Error past the quarantine)
+        def countAt(b: Array[Byte], span: (Int, Int), skip: Int,
+            per: Int): Option[Int] = {
+          val (at, end) = span
+          if (at + skip + 4 > end) None
+          else {
+            val n = u32(b, at + skip)
+            if (at + skip + 4 + n * per.toLong > end) None else Some(n.toInt)
+          }
+        }
         it.flatMap { case (id, bytes) =>
           val decoded: Option[Seq[Mp4Frames]] =
             try {
@@ -1175,18 +1304,23 @@ object Multimodal {
               if (child(top, "ftyp").isEmpty) None
               else child(top, "moov").flatMap { case (mAt, mEnd) =>
                 val moov = walk(bytes, mAt, mEnd)
+                // movie timescale: elst segment durations and mehd are
+                // expressed in it (mdhd's media timescale is per-track)
+                val movieTs = child(moov, "mvhd").map { case (at, _) =>
+                  if (bytes(at) == 1) u32(bytes, at + 20) else u32(bytes, at + 12)
+                }.getOrElse(1000L)
                 // first video track: hdlr handler_type == 'vide'
-                val stblOpt = moov.collect { case ("trak", (tAt, tEnd)) =>
+                val trakOpt = moov.collect { case ("trak", (tAt, tEnd)) =>
                   val trak = walk(bytes, tAt, tEnd)
-                  child(trak, "mdia").map(m => (m, walk(bytes, m._1, m._2)))
+                  child(trak, "mdia").map(m => (trak, walk(bytes, m._1, m._2)))
                 }.flatten.collectFirst {
-                  case ((_, _), mdia)
+                  case (trak, mdia)
                       if child(mdia, "hdlr").exists(h => fcc(bytes, h._1 + 8) == "vide") =>
-                    (mdia, child(mdia, "minf").map(m => walk(bytes, m._1, m._2)))
+                    (trak, mdia)
                 }
-                stblOpt.flatMap { case (mdia, minfKids) =>
-                  val stbl = minfKids.flatMap(child(_, "stbl"))
-                    .map(s => walk(bytes, s._1, s._2))
+                trakOpt.flatMap { case (trak, mdia) =>
+                  val stbl = child(mdia, "minf").map(m => walk(bytes, m._1, m._2))
+                    .flatMap(child(_, "stbl")).map(s => walk(bytes, s._1, s._2))
                   val mdhd = child(mdia, "mdhd")
                   if (stbl.isEmpty || mdhd.isEmpty) None
                   else {
@@ -1194,57 +1328,214 @@ object Multimodal {
                     val hAt = mdhd.get._1
                     val v1 = bytes(hAt) == 1
                     val timescale = u32(bytes, hAt + (if (v1) 20 else 12))
-                    val duration = if (v1) u64(bytes, hAt + 24) else u32(bytes, hAt + 16)
-                    val durMs = duration * 1000L / math.max(timescale, 1L)
+                    val mediaDur = if (v1) u64(bytes, hAt + 24) else u32(bytes, hAt + 16)
                     val codec = child(kids, "stsd")
                       .map(s => fcc(bytes, s._1 + 8 + 4)).getOrElse("")
-                    val szAt = child(kids, "stsz").get._1
-                    val fixedSz = u32(bytes, szAt + 4)
-                    val n = u32(bytes, szAt + 8).toInt
-                    val sizes = (0 until n).map(i =>
-                      if (fixedSz != 0L) fixedSz else u32(bytes, szAt + 12 + 4 * i))
-                    // chunk offsets: stco (u32) or co64 (u64)
-                    val offs: IndexedSeq[Long] =
-                      child(kids, "stco").map { case (at, _) =>
-                        (0 until u32(bytes, at + 4).toInt)
-                          .map(i => u32(bytes, at + 8 + 4 * i))
-                      }.orElse(child(kids, "co64").map { case (at, _) =>
-                        (0 until u32(bytes, at + 4).toInt)
-                          .map(i => u64(bytes, at + 8 + 8 * i))
-                      }).get
-                    // stsc run expansion → absolute byte offset per sample
-                    val scAt = child(kids, "stsc").get._1
-                    val runs = (0 until u32(bytes, scAt + 4).toInt).map { i =>
-                      (u32(bytes, scAt + 8 + 12 * i).toInt, // first_chunk, 1-based
-                        u32(bytes, scAt + 12 + 12 * i).toInt) // samples_per_chunk
-                    }
-                    val sampleOffsets = new Array[Long](n)
-                    var s = 0
-                    var c = 0 // 0-based chunk
-                    while (s < n && c < offs.length) {
-                      val spc = runs.lastIndexWhere(_._1 <= c + 1) match {
-                        case -1 => 1
-                        case i => runs(i)._2
+
+                    // ---- progressive samples: the stbl machinery
+                    def stblSamples(): Option[(IndexedSeq[Long], IndexedSeq[Long], IndexedSeq[Int])] = {
+                      val szSpan = child(kids, "stsz")
+                      val scSpan = child(kids, "stsc")
+                      if (szSpan.isEmpty || scSpan.isEmpty) None
+                      else {
+                        val (szAt, szEnd) = szSpan.get
+                        val fixedSz = u32(bytes, szAt + 4)
+                        val nDecl = u32(bytes, szAt + 8)
+                        // variable sizes must fit the box; fixed-size
+                        // counts are still payload-bounded
+                        val nOk =
+                          if (fixedSz == 0L) szAt + 12 + nDecl * 4L <= szEnd
+                          else nDecl >= 0L && nDecl <= bytes.length / 4
+                        if (!nOk) None
+                        else {
+                          val n = nDecl.toInt
+                          val sizes = (0 until n).map(i =>
+                            if (fixedSz != 0L) fixedSz else u32(bytes, szAt + 12 + 4 * i))
+                          // chunk offsets: stco (u32) or co64 (u64)
+                          val offs: Option[IndexedSeq[Long]] =
+                            child(kids, "stco").flatMap { span =>
+                              countAt(bytes, span, 4, 4).map(c =>
+                                (0 until c).map(i => u32(bytes, span._1 + 8 + 4 * i)))
+                            }.orElse(child(kids, "co64").flatMap { span =>
+                              countAt(bytes, span, 4, 8).map(c =>
+                                (0 until c).map(i => u64(bytes, span._1 + 8 + 8 * i)))
+                            })
+                          val runsOpt = countAt(bytes, scSpan.get, 4, 12).map { c =>
+                            (0 until c).map { i =>
+                              (u32(bytes, scSpan.get._1 + 8 + 12 * i).toInt, // first_chunk, 1-based
+                                u32(bytes, scSpan.get._1 + 12 + 12 * i).toInt) // samples_per_chunk
+                            }
+                          }
+                          if (offs.isEmpty || runsOpt.isEmpty) None
+                          else {
+                            val runs = runsOpt.get
+                            val sampleOffsets = new Array[Long](n)
+                            var s = 0
+                            var c = 0 // 0-based chunk
+                            while (s < n && c < offs.get.length) {
+                              val spc = runs.lastIndexWhere(_._1 <= c + 1) match {
+                                case -1 => 1
+                                case i => runs(i)._2
+                              }
+                              var within = 0
+                              var at = offs.get(c)
+                              while (within < spc && s < n) {
+                                sampleOffsets(s) = at
+                                at += sizes(s)
+                                s += 1
+                                within += 1
+                              }
+                              c += 1
+                            }
+                            if (s < n) None
+                            else {
+                              val sync = child(kids, "stss").flatMap(span =>
+                                countAt(bytes, span, 4, 4).map(c =>
+                                  (0 until c).map(i =>
+                                    u32(bytes, span._1 + 8 + 4 * i).toInt - 1)))
+                                .getOrElse(0 until n) // no stss → all sync
+                              Some((sampleOffsets.toIndexedSeq, sizes, sync.toIndexedSeq))
+                            }
+                          }
+                        }
                       }
-                      var within = 0
-                      var at = offs(c)
-                      while (within < spc && s < n) {
-                        sampleOffsets(s) = at
-                        at += sizes(s)
-                        s += 1
-                        within += 1
-                      }
-                      c += 1
                     }
-                    if (s < n) None
-                    else {
-                      val sync = child(kids, "stss").map { case (at, _) =>
-                        (0 until u32(bytes, at + 4).toInt)
-                          .map(i => u32(bytes, at + 8 + 4 * i).toInt - 1)
-                      }.getOrElse(0 until n) // no stss → every sample is sync
+
+                    // ---- fragmented samples: moof/traf/trun runs
+                    def fragSamples(): Option[(IndexedSeq[Long], IndexedSeq[Long], IndexedSeq[Int])] = {
+                      val tkhd = child(trak, "tkhd")
+                      if (tkhd.isEmpty) None
+                      else {
+                        val tAt = tkhd.get._1
+                        val trackId =
+                          if (bytes(tAt) == 1) u32(bytes, tAt + 20)
+                          else u32(bytes, tAt + 12)
+                        val mvex = child(moov, "mvex")
+                          .map(m => walk(bytes, m._1, m._2)).getOrElse(Nil)
+                        val trex = mvex.collect { case ("trex", s) => s }
+                          .find { case (at, _) => u32(bytes, at + 4) == trackId }
+                        val defSize = trex.map { case (at, _) => u32(bytes, at + 16) }.getOrElse(0L)
+                        val defFlags = trex.map { case (at, _) => u32(bytes, at + 20) }.getOrElse(0L)
+                        val sampleCap = bytes.length / 4 // total-sample bound
+                        val offB = IndexedSeq.newBuilder[Long]
+                        val szB = IndexedSeq.newBuilder[Long]
+                        val syB = IndexedSeq.newBuilder[Int]
+                        var idx = 0
+                        var bad = false
+                        top.collect { case ("moof", s) => s }.foreach { case (fAt, fEnd) =>
+                          if (!bad) {
+                            // moof BOX start (walk spans are payload spans)
+                            val moofStart =
+                              if (fAt >= 16 && u32(bytes, fAt - 16) == 1L &&
+                                fcc(bytes, fAt - 12) == "moof") fAt - 16L
+                              else fAt - 8L
+                            walk(bytes, fAt, fEnd).collect { case ("traf", s) => s }
+                              .foreach { case (aAt, aEnd) =>
+                                val tk = walk(bytes, aAt, aEnd)
+                                val tfhd = child(tk, "tfhd")
+                                val tid = tfhd.map(h => u32(bytes, h._1 + 4)).getOrElse(-1L)
+                                if (!bad && tfhd.isDefined && tid == trackId) {
+                                  val hAt2 = tfhd.get._1
+                                  val tfFlags = u32(bytes, hAt2) & 0xffffffL
+                                  var p = hAt2 + 8
+                                  val baseOff =
+                                    if ((tfFlags & 0x1L) != 0) { val v = u64(bytes, p); p += 8; v }
+                                    else moofStart
+                                  if ((tfFlags & 0x2L) != 0) p += 4 // sample_description_index
+                                  if ((tfFlags & 0x8L) != 0) p += 4 // default_sample_duration
+                                  val tfDefSize =
+                                    if ((tfFlags & 0x10L) != 0) { val v = u32(bytes, p); p += 4; v }
+                                    else defSize
+                                  val tfDefFlags =
+                                    if ((tfFlags & 0x20L) != 0) { val v = u32(bytes, p); p += 4; v }
+                                    else defFlags
+                                  tk.collect { case ("trun", s) => s }.foreach { case (rAt, rEnd) =>
+                                    if (!bad) {
+                                      val rFlags = u32(bytes, rAt) & 0xffffffL
+                                      val cnt = u32(bytes, rAt + 4)
+                                      val per = (if ((rFlags & 0x100L) != 0) 4 else 0) +
+                                        (if ((rFlags & 0x200L) != 0) 4 else 0) +
+                                        (if ((rFlags & 0x400L) != 0) 4 else 0) +
+                                        (if ((rFlags & 0x800L) != 0) 4 else 0)
+                                      val fixed = 8 + (if ((rFlags & 0x1L) != 0) 4 else 0) +
+                                        (if ((rFlags & 0x4L) != 0) 4 else 0)
+                                      if (rAt + fixed + cnt * per.toLong > rEnd ||
+                                        idx + cnt > sampleCap) bad = true
+                                      else {
+                                        var q = rAt + 8
+                                        val dataOff =
+                                          if ((rFlags & 0x1L) != 0) { val v = u32(bytes, q).toInt; q += 4; v.toLong }
+                                          else 0L
+                                        val firstFlags =
+                                          if ((rFlags & 0x4L) != 0) { val v = u32(bytes, q); q += 4; Some(v) }
+                                          else None
+                                        var at = baseOff + dataOff
+                                        var s2 = 0
+                                        while (s2 < cnt.toInt) {
+                                          if ((rFlags & 0x100L) != 0) q += 4 // duration
+                                          val sz =
+                                            if ((rFlags & 0x200L) != 0) { val v = u32(bytes, q); q += 4; v }
+                                            else tfDefSize
+                                          val sFlags =
+                                            if ((rFlags & 0x400L) != 0) { val v = u32(bytes, q); q += 4; v }
+                                            else if (s2 == 0 && firstFlags.isDefined) firstFlags.get
+                                            else tfDefFlags
+                                          if ((rFlags & 0x800L) != 0) q += 4 // composition offset
+                                          offB += at
+                                          szB += sz
+                                          if ((sFlags & 0x10000L) == 0L) syB += idx
+                                          at += sz
+                                          idx += 1
+                                          s2 += 1
+                                        }
+                                      }
+                                    }
+                                  }
+                                }
+                              }
+                          }
+                        }
+                        if (bad || idx == 0) None
+                        else Some((offB.result(), szB.result(), syB.result()))
+                      }
+                    }
+
+                    val samples = stblSamples() match {
+                      case Some((o, z, y)) if o.nonEmpty => Some((o, z, y))
+                      case Some(_) => fragSamples() // empty stbl → fMP4
+                      case None => None
+                    }
+                    samples.map { case (sampleOffsets, sizes, sync) =>
+                      val n = sampleOffsets.length
+                      // duration precedence: elst edit-list total (movie
+                      // ts) > mdhd media duration > mehd fragment
+                      // duration (movie ts)
+                      val elstDur: Option[Long] = child(trak, "edts")
+                        .map(e => walk(bytes, e._1, e._2))
+                        .flatMap(child(_, "elst")).flatMap { span =>
+                          val v1e = bytes(span._1) == 1
+                          val per = if (v1e) 20 else 12
+                          countAt(bytes, span, 4, per).map { c =>
+                            (0 until c).map { i =>
+                              if (v1e) u64(bytes, span._1 + 8 + 20 * i)
+                              else u32(bytes, span._1 + 8 + 12 * i)
+                            }.sum
+                          }
+                        }
+                      val mehdDur: Long = child(moov, "mvex")
+                        .map(m => walk(bytes, m._1, m._2))
+                        .flatMap(child(_, "mehd")).map { case (at, _) =>
+                          if (bytes(at) == 1) u64(bytes, at + 4) else u32(bytes, at + 4)
+                        }.getOrElse(0L)
+                      val durMs = elstDur match {
+                        case Some(d) => d * 1000L / math.max(movieTs, 1L)
+                        case None if mediaDur > 0 =>
+                          mediaDur * 1000L / math.max(timescale, 1L)
+                        case None => mehdDur * 1000L / math.max(movieTs, 1L)
+                      }
                       val take = math.min(perDoc, sync.length)
-                      Some((0 until take).map { i =>
-                        val kf = sync((i * sync.length / take).toInt)
+                      (0 until take).map { i =>
+                        val kf = sync(i * sync.length / take)
                         val off = sampleOffsets(kf)
                         val len = sizes(kf).toInt
                         val im = javax.imageio.ImageIO.read(
@@ -1270,7 +1561,7 @@ object Multimodal {
                         }
                         Mp4Frames(id, kf, n, sync.length, w, h, durMs, codec,
                           decode_ok = true, sumLuma, cks)
-                      })
+                      }
                     }
                   }
                 }

@@ -1073,6 +1073,84 @@ object TextAnalysis {
   /** q203 interpolation weight on the bigram MLE term. */
   val LmLambda = 0.75
 
+  /** q203/q209 head sizes for the scoring-join discipline (conf-tunable
+    * so specs and the ScaleSmoke Zipf arm can force both paths): the
+    * top-V unigrams / top-B bigrams BY COUNT are broadcast — true model
+    * constants — and only transitions the heads cannot resolve ride a
+    * shuffle join, whose keys are rare by construction (a token outside
+    * the top-V head has count below the head floor, so no reducer can
+    * own more than that many probe rows per key).
+    */
+  val LmHeadVConf = "spark.graft.lm.headV"
+  val LmHeadVDefault = 32768
+  val LmHeadBConf = "spark.graft.lm.headB"
+  val LmHeadBDefault = 262144
+
+  /** Shared q203/q209 scoring-join kernel: annotate the corpus-scale
+    * transition relation `docBi(doc_id, x, y)` with `c_xy`, `c_x`,
+    * `c_y` from the (possibly Heaps-law-large) count tables WITHOUT
+    * ever shuffling a hot token key.
+    *
+    * Discipline: broadcast the top-B bigrams and top-V unigrams (by
+    * count, token tie-break — deterministic, and routing-only: any
+    * head choice yields the same values). Probe all three heads
+    * map-side; transitions fully resolved by the heads — the vast
+    * majority of transition MASS, since frequent bigrams are by
+    * definition where the occurrences are — never reach an exchange.
+    * The unresolved remainder shuffle-joins the full tables: its
+    * bigram keys are sub-head-rare, and a cold row whose UNIGRAM was
+    * already head-resolved (e.g. "the" followed by a rare word — the
+    * Zipf straggler key) probes with a doc-salted sentinel key that
+    * cannot match and spreads over the shuffle instead of stacking on
+    * one reducer. Count tables are localCheckpointed (model-scale
+    * state, the q140/q197 pattern) so their corpus-scale aggregates
+    * run once; the transition relation itself is recomputed by the
+    * hot and cold branches — two map-only corpus passes, no
+    * corpus-scale state. Callers pass uni/biCnt ALREADY
+    * localCheckpointed (they also feed the totals row).
+    */
+  private def lmScoredCounts(docBi: DataFrame, uni: DataFrame,
+      biCnt: DataFrame): DataFrame = {
+    val spark = docBi.sparkSession
+    val headV = spark.conf.get(LmHeadVConf, LmHeadVDefault.toString).toInt
+    val headB = spark.conf.get(LmHeadBConf, LmHeadBDefault.toString).toInt
+    val uniHead = uni.orderBy(col("c").desc, col("t")).limit(headV)
+    val biHead = biCnt.orderBy(col("c_xy").desc, col("x"), col("y"))
+      .limit(headB)
+    val probed = docBi
+      .join(broadcast(biHead.withColumnRenamed("c_xy", "c_xy_h")),
+        Seq("x", "y"), "left")
+      .join(broadcast(uniHead.select(col("t").as("x"), col("c").as("c_x_h"))),
+        Seq("x"), "left")
+      .join(broadcast(uniHead.select(col("t").as("y"), col("c").as("c_y_h"))),
+        Seq("y"), "left")
+    val hotPred = col("c_xy_h").isNotNull && col("c_x_h").isNotNull &&
+      col("c_y_h").isNotNull
+    val hot = probed.filter(hotPred).select(col("doc_id"),
+      col("c_xy_h").as("c_xy"), col("c_x_h").as("c_x"), col("c_y_h").as("c_y"))
+    // sentinel probe key for head-resolved columns: " <salt>" is no
+    // real token (tokens are \w+/punct), so it never matches; the salt
+    // spreads the no-op rows across the exchange
+    val salt = pmod(xxhash64(col("doc_id"), col("x"), col("y")), lit(64))
+      .cast("string")
+    def tailKey(headVal: Column, k: Column): Column =
+      when(headVal.isNull, k).otherwise(concat(lit(" "), salt))
+    val biT = biCnt.select(col("x").as("bx"), col("y").as("by"),
+      col("c_xy").as("c_xy_t"))
+    val uxT = uni.select(col("t").as("tx"), col("c").as("c_x_t"))
+    val uyT = uni.select(col("t").as("ty"), col("c").as("c_y_t"))
+    val cold = probed.filter(!hotPred)
+      .join(biT, tailKey(col("c_xy_h"), col("x")) === col("bx") &&
+        col("y") === col("by"), "left")
+      .join(uxT, tailKey(col("c_x_h"), col("x")) === col("tx"), "left")
+      .join(uyT, tailKey(col("c_y_h"), col("y")) === col("ty"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c_xy_h"), col("c_xy_t")).as("c_xy"),
+        coalesce(col("c_x_h"), col("c_x_t")).as("c_x"),
+        coalesce(col("c_y_h"), col("c_y_t")).as("c_y"))
+    hot.unionByName(cold)
+  }
+
   /** q203 — INTERPOLATED BIGRAM LM scoring (the conditional-probability
     * step up from q57's unigram perplexity): train unigram + pruned
     * bigram tables on the corpus, then score every document's token
@@ -1090,13 +1168,17 @@ object TextAnalysis {
     * absorbed by round 6 on the per-doc mean.
     *
     * Scale shape: bigram extraction is one explode pass (map work); the
-    * count tables are combine-heavy aggregates bounded by vocabulary²
-    * (observed, [[BigramMin]]-pruned) — model relations, not corpus
-    * relations; scoring joins the doc-transition relation to the three
-    * count tables on their keys (broadcast-able at production vocab
-    * sizes) and the per-doc rollup rides one doc-keyed aggregate. Docs
-    * with fewer than 2 tokens have no transitions and are absent, like
-    * every LM scorer.
+    * count tables are combine-heavy aggregates over the observed,
+    * [[BigramMin]]-pruned vocabulary — which under Heaps' law still
+    * grows with the corpus (billions of observed bigrams for web text),
+    * so scoring does NOT assume they broadcast whole. Instead the
+    * [[lmScoredCounts]] discipline broadcasts only the top-V/top-B
+    * HEADS (true model constants carrying the vast majority of
+    * transition mass) and shuffle-joins the residual on keys that are
+    * rare by construction — no Zipf-hot token ever keys an exchange.
+    * The per-doc rollup rides one doc-keyed aggregate. Docs with fewer
+    * than 2 tokens have no transitions and are absent, like every LM
+    * scorer.
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmFrom(Tables.documents(spark, dir))
@@ -1106,6 +1188,7 @@ object TextAnalysis {
     val tk = docs.select(col("doc_id"), w.as("w"))
     val uni = tk.select(explode(col("w")).as("t")).filter(col("t") =!= "")
       .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = uni.agg(sum("c").as("n_total"))
     val docBi = tk.filter(size(col("w")) >= 2)
       .select(col("doc_id"),
@@ -1115,12 +1198,10 @@ object TextAnalysis {
       .filter(col("x") =!= "" && col("y") =!= "")
     val biCnt = docBi.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= BigramMin)
+      .localCheckpoint()
     val p = lit(LmLambda) * coalesce(col("c_xy"), lit(0L)) / col("c_x") +
       lit(1.0 - LmLambda) * col("c_y") / col("n_total")
-    docBi
-      .join(biCnt, Seq("x", "y"), "left")
-      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
-      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+    lmScoredCounts(docBi, uni, biCnt)
       .crossJoin(broadcast(total))
       .select(col("doc_id"), (-log(p)).as("nll"))
       .groupBy("doc_id")
@@ -1147,8 +1228,9 @@ object TextAnalysis {
     * fixed left-associative chain mirrored token-for-token, ln/exp
     * absorbed by round 6 on the per-doc mean.
     *
-    * Scale shape: q203's — count tables are train-bounded model
-    * relations, scoring joins key on token/bigram, one doc-keyed
+    * Scale shape: q203's — count tables are train-side aggregates
+    * (Heaps-law-growing, so scoring rides the same [[lmScoredCounts]]
+    * head-broadcast / rare-tail-shuffle discipline), one doc-keyed
     * rollup; the split filter is a map-side predicate on both passes.
     */
   def heldoutPpl(spark: SparkSession, dir: String): DataFrame =
@@ -1168,12 +1250,13 @@ object TextAnalysis {
       .select(col("doc_id"), element_at(col("w"), col("i")).as("x"),
         element_at(col("w"), col("i") + 1).as("y"))
       .filter(col("x") =!= "" && col("y") =!= "")
-    val uni = uniOf(train)
+    val uni = uniOf(train).localCheckpoint()
     val stats = uni.agg(sum("c").as("n_total"),
       count(lit(1)).as("v_size"))
     val biCnt = biOf(train.filter(size(w) >= 2))
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= BigramMin)
+      .localCheckpoint()
     val docBi = biOf(valDocs.filter(size(w) >= 2))
     // unseen context (c_x null) nulls the bigram term → coalesce to 0;
     // the Laplace floor keeps every probability positive
@@ -1182,10 +1265,7 @@ object TextAnalysis {
       lit(0.0)) +
       lit(1.0 - LmLambda) * (coalesce(col("c_y"), lit(0L)) + 1L) /
         (col("n_total") + col("v_size"))
-    docBi
-      .join(biCnt, Seq("x", "y"), "left")
-      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"), "left")
-      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"), "left")
+    lmScoredCounts(docBi, uni, biCnt)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (-log(p)).as("nll"))
       .groupBy("doc_id")

@@ -848,5 +848,24 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
         s"the one-row totals must broadcast:\n$p")
     }
+
+    it("q203/q209 ride the head-broadcast + rare-tail-shuffle discipline even when " +
+        "the count tables exceed the broadcast threshold") {
+      // threshold -1 models the 100 TB shape: Heaps-law count tables
+      // never auto-broadcast. The HEADS must still broadcast (explicit
+      // hints), and only the cold-branch tail joins may shuffle.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try Seq("q203_bigram_lm", "q209_heldout_ppl").foreach { q =>
+        val p = plan(q)
+        val bhj = p.split("BroadcastHashJoin").length - 1
+        // hot + cold branches each probe the 3 broadcast heads
+        assert(bhj >= 6, s"$q: head probes must stay broadcast (got $bhj):\n$p")
+        val smj = p.split("SortMergeJoin").length - 1
+        assert(smj <= 3, s"$q: only the 3 cold tail lookups may shuffle-join " +
+          s"(got $smj):\n$p")
+        assert(p.contains("Union"), s"$q: hot/cold branches must union:\n$p")
+        assert(!p.contains("CartesianProduct"))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 }

@@ -563,6 +563,28 @@ class TextAnalysisSpec extends AnyFunSpec {
         assert(x.getAs[Double]("ppl") >= 1.0)
       }
     }
+
+    it("head/tail routing is value-invariant: tiny heads force the cold path, same rows") {
+      // default heads resolve the whole fixture vocabulary map-side;
+      // headV=2/headB=1 push almost every transition through the tail
+      // shuffle joins (incl. sentinel-keyed rows whose unigram WAS
+      // head-resolved) — the scores must not move for q203 or q209
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      val lmDefault = canon(TextAnalysis.bigramLm(spark, graft.TestSpark.Sf))
+      val hoDefault = canon(TextAnalysis.heldoutPpl(spark, graft.TestSpark.Sf))
+      spark.conf.set(TextAnalysis.LmHeadVConf, "2")
+      spark.conf.set(TextAnalysis.LmHeadBConf, "1")
+      try {
+        assert(canon(TextAnalysis.bigramLm(spark, graft.TestSpark.Sf)) ==
+          lmDefault)
+        assert(canon(TextAnalysis.heldoutPpl(spark, graft.TestSpark.Sf)) ==
+          hoDefault)
+      } finally {
+        spark.conf.unset(TextAnalysis.LmHeadVConf)
+        spark.conf.unset(TextAnalysis.LmHeadBConf)
+      }
+    }
   }
 
   describe("heldoutPpl (q209)") {
