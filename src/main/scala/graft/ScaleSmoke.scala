@@ -306,6 +306,15 @@ object ScaleSmoke {
         .map(id => (id, Multimodal.mp4Bytes(id))).toDF("doc_id", "payload")
       Multimodal.sampleMp4Keyframes(payloads, Multimodal.Mp4PerDoc).count()
     }
+    // round-11: the fragmented layout pays the same bounded map work —
+    // one moof walk per payload, only sync-flagged trun samples decode
+    t("mp4_frag_keyframes") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.mp4FragBytes(id))).toDF("doc_id", "payload")
+      Multimodal.sampleMp4Keyframes(payloads, Multimodal.Mp4PerDoc).count()
+    }
     // round-10: tokenizer application runs on the (lang, word) vocab
     // grain — replicas share the vocabulary, so the merge-chain cost is
     // flat in corpus size; only the word-count pass scales with rows

@@ -1584,6 +1584,20 @@ object Multimodal {
     sampleMp4Keyframes(mp4Payloads(spark, dir), Mp4PerDoc).toDF()
       .orderBy("doc_id", "sample_idx")
 
+  /** q213 — FRAGMENTED-MP4 keyframe audit: the q199 contract over the
+    * fMP4/DASH layout ([[mp4FragBytes]]) — samples discovered through
+    * `moof`/`traf`/`trun` walks (no stbl rows, no stss; sync = trun
+    * sample-flag bit), durations resolved from `elst` edit lists
+    * (id % 3 == 0 files) or the `mvex`/`mehd` fragment duration.
+    * Decode values are gated against the SAME analytic closed form as
+    * q199 (identical JPEG samples), with the elst files' duration
+    * extended by [[Mp4ElstPadMs]]. Map-only until the presentation
+    * sort.
+    */
+  def mp4Fragmented(spark: SparkSession, dir: String): DataFrame =
+    sampleMp4Keyframes(mp4FragPayloads(spark, dir), Mp4PerDoc).toDF()
+      .orderBy("doc_id", "sample_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
     "q154_audio_audit" -> (audioAudit _),
@@ -1591,7 +1605,8 @@ object Multimodal {
     "q196_avi_frames" -> (aviFrames _),
     "q197_video_neardup" -> (videoNearDup _),
     "q199_mp4_keyframes" -> (mp4Keyframes _),
-    "q208_audio_energy" -> (audioEnergy _))
+    "q208_audio_energy" -> (audioEnergy _),
+    "q213_mp4_fragmented" -> (mp4Fragmented _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -1670,6 +1685,39 @@ object Multimodal {
          |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height)
          |SELECT doc_id, sample_idx, n_frames, n_sync, width, height,
          |  CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+         |  'jpeg' AS codec, TRUE AS decode_ok,
+         |  CAST(sum(v) AS BIGINT) AS sum_luma,
+         |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
+         |FROM px GROUP BY 1, 2, 3, 4, 5, 6
+         |ORDER BY doc_id, sample_idx""".stripMargin,
+    // the q199 closed form over the fragmented layout: identical JPEG
+    // samples (so identical luma/checksum), sync cadence from trun
+    // flags instead of stss, duration from elst (id%3==0: +500 ms pad)
+    // or mehd
+    "q213_mp4_fragmented" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(3 + doc_id % 5 AS INTEGER) AS n_frames,
+         |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS width,
+         |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS height,
+         |    CAST((5 + doc_id % 5) // 3 AS INTEGER) AS n_sync
+         |  FROM documents),
+         |fr AS (
+         |  SELECT doc_id, n_frames, n_sync, width, height,
+         |    CAST((t.i * n_sync // least($Mp4PerDoc, n_sync)) * 3
+         |      AS INTEGER) AS sample_idx
+         |  FROM f JOIN range(0, $Mp4PerDoc) t(i)
+         |    ON t.i < least($Mp4PerDoc, n_sync)),
+         |px AS (
+         |  SELECT fr.doc_id, fr.sample_idx, fr.n_frames, fr.n_sync,
+         |    fr.width, fr.height, p.p AS p,
+         |    ((fr.doc_id % 48) * 29 + fr.sample_idx * 13
+         |      + (((p.p // fr.width) // 8) * (fr.width // 8)
+         |        + (p.p % fr.width) // 8) * 7) % 256 AS v
+         |  FROM fr JOIN range(0, 384) p(p) ON p.p < fr.width * fr.height)
+         |SELECT doc_id, sample_idx, n_frames, n_sync, width, height,
+         |  CAST(n_frames * 100 + CASE WHEN doc_id % 3 = 0
+         |    THEN $Mp4ElstPadMs ELSE 0 END AS BIGINT) AS duration_ms,
          |  'jpeg' AS codec, TRUE AS decode_ok,
          |  CAST(sum(v) AS BIGINT) AS sum_luma,
          |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum

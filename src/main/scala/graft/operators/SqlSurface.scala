@@ -116,6 +116,13 @@ object SqlSurface {
         "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the parser or the decoder)"),
+    "q213_mp4_fragmented" ->
+      ("real fragmented-MP4 (fMP4) parse — moof/traf/trun sample runs, " +
+        "tfhd base-offset arithmetic, elst/mehd duration resolution — " +
+        "plus javax.imageio JPEG decode of the sync samples — a codec " +
+        "call, not a SQL expression; use Multimodal.mp4Fragmented (the " +
+        "oracle regenerates the sampled keyframes analytically, which " +
+        "would not exercise the fragment walker or the decoder)"),
     "q208_audio_energy" ->
       ("real javax.sound.sampled decode cut into analysis windows — a " +
         "codec call, not a SQL expression; use Multimodal.windowAudio " +

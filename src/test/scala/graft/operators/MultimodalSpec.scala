@@ -470,6 +470,119 @@ class MultimodalSpec extends AnyFunSpec {
       rows.foreach(r => assert(r.decode_ok || r.sample_idx == -1))
     }
 
+    it("q213: fragmented-MP4 trun walk + keyframe decode agrees with the closed form") {
+      // same JPEG samples as q199, so the same luma/checksum closed
+      // form; sync cadence now comes from trun sample flags and the
+      // duration from elst (+500 ms on id%3==0) or mehd
+      def expected(id: Long, perDoc: Int): Seq[(Int, Int, Int, Int, Int, Long, Long, Long)] = {
+        val n = (3 + java.lang.Math.floorMod(id, 5L)).toInt
+        val w = 8 * (1 + java.lang.Math.floorMod(id, 2L)).toInt
+        val h = 8 * (1 + java.lang.Math.floorMod(id, 3L)).toInt
+        val sync = 0 until n by 3
+        val take = math.min(perDoc, sync.length)
+        val dur = n * 100L +
+          (if (java.lang.Math.floorMod(id, 3L) == 0L) Multimodal.Mp4ElstPadMs else 0L)
+        (0 until take).map { i =>
+          val kf = sync(i * sync.length / take)
+          val vs = (0 until w * h).map { p =>
+            val b = ((p / w) / 8) * (w / 8) + (p % w) / 8
+            java.lang.Math.floorMod(
+              java.lang.Math.floorMod(id, 48L) * 29L + kf * 13L + b * 7L, 256L)
+          }
+          (kf, n, sync.length, w, h, dur, vs.sum,
+            vs.zipWithIndex.map { case (v, p) => (p + 1).toLong * v }.sum)
+        }
+      }
+      val ids = Seq(0L, 1L, 3L, 4L, 7L, 29L, 123L, 500L)
+      val rows = Multimodal.sampleMp4Keyframes(
+          ids.map(id => (id, Multimodal.mp4FragBytes(id))).toDF("doc_id", "payload"),
+          Multimodal.Mp4PerDoc)
+        .collect().groupBy(_.doc_id)
+      ids.foreach { id =>
+        assert(rows(id).forall(f => f.decode_ok && f.codec == "jpeg"), s"doc $id")
+        val got = rows(id).sortBy(_.sample_idx)
+          .map(f => (f.sample_idx, f.n_frames, f.n_sync, f.width, f.height,
+            f.duration_ms, f.sum_luma, f.checksum))
+        assert(got.toSeq == expected(id, Multimodal.Mp4PerDoc),
+          s"doc $id: trun-seeked keyframe decode must match the closed form")
+      }
+      // the elst-shifted file reads its duration from the edit list,
+      // the moof-only file from mehd
+      assert(rows(3L).head.duration_ms == 6 * 100L + Multimodal.Mp4ElstPadMs)
+      assert(rows(4L).head.duration_ms == 7 * 100L)
+    }
+
+    it("q213: quarantines poisoned fragments: hostile counts, out-of-range offsets, truncation") {
+      val good = Multimodal.mp4FragBytes(6L)
+      // locate the FIRST trun box: [size][trun][verflags][count][data_offset]...
+      val trunAt = good.indices.find(i =>
+        i + 4 < good.length && good(i) == 't' && good(i + 1) == 'r' &&
+          good(i + 2) == 'u' && good(i + 3) == 'n').get
+      def withU32(base: Array[Byte], at: Int, v: Long): Array[Byte] = {
+        val b = base.clone()
+        b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
+        b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+        b
+      }
+      val poisoned = Seq(
+        // sample_count far beyond any structural bound: must be
+        // REJECTED before anything count-sized allocates
+        1L -> withU32(good, trunAt + 8, 0x7fffffffL),
+        // data_offset pointing far outside the payload
+        2L -> withU32(good, trunAt + 12, 0x7ffffff0L),
+        // truncated mid-moov: no sample tables at all
+        3L -> good.take(200),
+        5L -> good)
+      val f = Multimodal.sampleMp4Keyframes(
+          poisoned.toDF("doc_id", "payload"), Multimodal.Mp4PerDoc)
+        .collect().groupBy(_.doc_id)
+      Seq(1L, 2L, 3L).foreach { id =>
+        assert(f(id).length == 1 && !f(id).head.decode_ok, s"doc $id")
+        assert(f(id).head.sample_idx == -1 && f(id).head.checksum == 0L)
+      }
+      assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
+    }
+
+    it("q213: a cleanly-cut trailing fragment leaves a decodable prefix (streaming semantics)") {
+      // id 4 → n = 7 samples, 4 fragments {01}{23}{45}{6}, syncs
+      // {0,3,6}; cutting the LAST moof+mdat leaves 6 samples whose
+      // remaining syncs {0,3} still decode — the progressive-playback
+      // property fMP4 exists for
+      val good = Multimodal.mp4FragBytes(4L)
+      val lastMoof = good.indices.reverse.find(i =>
+        i + 4 < good.length && good(i) == 'm' && good(i + 1) == 'o' &&
+          good(i + 2) == 'o' && good(i + 3) == 'f').get
+      val prefix = good.take(lastMoof - 4)
+      val rows = Multimodal.sampleMp4Keyframes(
+          Seq((1L, prefix)).toDF("doc_id", "payload"), Multimodal.Mp4PerDoc)
+        .collect().sortBy(_.sample_idx)
+      assert(rows.forall(_.decode_ok))
+      assert(rows.map(_.sample_idx).toSeq == Seq(0, 3))
+      assert(rows.forall(f => f.n_frames == 6 && f.n_sync == 2))
+    }
+
+    it("q213: survives byte-mutation fuzzing over the fragmented layout") {
+      var seed = 0xf4a6L
+      def nextInt(bound: Int): Int = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (((seed >>> 33) % bound + bound) % bound).toInt
+      }
+      val base = Multimodal.mp4FragBytes(9L)
+      val mutants = (0 until 64).map { i =>
+        val b = base.clone()
+        (0 until 1 + nextInt(8)).foreach { _ =>
+          b(nextInt(b.length)) = nextInt(256).toByte
+        }
+        (i.toLong, b)
+      } ++ Seq((64L, base.take(nextInt(base.length))), (65L, base))
+      val rows = Multimodal.sampleMp4Keyframes(
+          mutants.toDF("doc_id", "payload"), Multimodal.Mp4PerDoc)
+        .collect()
+      assert(rows.map(_.doc_id).distinct.length == mutants.length)
+      assert(rows.filter(_.doc_id == 65L).forall(_.decode_ok))
+      rows.foreach(r => assert(r.decode_ok || r.sample_idx == -1))
+    }
+
     it("q208: window sums match the closed form, crossings stay within windows") {
       val ids = Seq(0L, 3L, 12L, 123L)
       val rows = Multimodal.windowAudio(
