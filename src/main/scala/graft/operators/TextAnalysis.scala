@@ -854,11 +854,36 @@ object TextAnalysis {
       .orderBy("merge_round")
   }
 
+  /** Memoized merge tables per (session, corpus content fingerprint):
+    * q198 trains and q200 re-applies the SAME table in one session, so
+    * a hit replaces the full [[BpeMerges]]-round training loop with one
+    * fingerprint aggregate. Content-keyed (count + xxhash64/length
+    * sums — the [[graft.sources.Materialize.stampOf]] staleness
+    * discipline at DataFrame grain), so a regenerated corpus at the
+    * same path misses instead of serving stale merges.
+    */
+  private val bpeMergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, String, String, Long)]]()
+
   /** The trained merge table as a driver-side list (model-scale —
     * [[BpeMerges]] rows): the q198 loop factored out so q200 can APPLY
-    * the same merges without re-spelling the training.
+    * the same merges without re-spelling the training. Memoized via
+    * [[bpeMergeCache]].
     */
   def bpeMergesOf(docs: DataFrame): Seq[(Int, String, String, Long)] = {
+    val spark = docs.sparkSession
+    // DECIMAL(38,0) accumulator: a Long sum of 2^63-range hashes
+    // overflows under ANSI mode
+    val fp = docs
+      .agg(count(lit(1)).cast("string"),
+        coalesce(sum(xxhash64(col("text")).cast("decimal(38,0)")), lit(0L))
+          .cast("string"),
+        coalesce(sum(length(col("text")).cast("long")), lit(0L)).cast("string"))
+      .collect()(0).toSeq.mkString("|")
+    bpeMergeCache.computeIfAbsent((spark, fp), _ => bpeMergesTrain(docs))
+  }
+
+  private def bpeMergesTrain(docs: DataFrame): Seq[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val pairRe = lit("<[^>]*><[^>]*>")

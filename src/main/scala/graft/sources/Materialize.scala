@@ -23,7 +23,15 @@ object Materialize {
   /** Root for materialized layouts: tmpfs, like the bench warehouse. */
   val Root = "/dev/shm/graft-partitioned"
 
-  private val landed = scala.collection.mutable.Set[String]()
+  private val landed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-path build locks: independent layouts (events partitioning vs
+    * the ORC mirror, different corpora) build concurrently; only
+    * same-path callers serialize.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Fingerprint of a source file or directory (name/size/mtime per
     * entry) — the staleness component of the layout cache key.
@@ -54,7 +62,7 @@ object Materialize {
       .digest(s"$dir|$stamp".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
     val path = s"$Root/$key/$name"
-    landed.synchronized {
+    locks.computeIfAbsent(path, _ => new Object).synchronized {
       if (!landed.contains(path)) {
         val dst = java.nio.file.Paths.get(path)
         val marker = dst.resolve("_SUCCESS")
@@ -87,7 +95,7 @@ object Materialize {
             }
           } else deleteRecursively(tmp) // concurrent JVM won; identical bytes
         }
-        landed += path
+        landed.add(path)
       }
     }
     path

@@ -683,6 +683,24 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(u.getAs[Double]("entropy_nats") == r6(math.log(4.0)))
     }
 
+    it("splits on CODE POINTS, not UTF-16 units: surrogate-pair chars count once") {
+      // pins the engine-parity contract for astral text: Spark's
+      // split(text, '') and DuckDB's regexp_split_to_array(text, '')
+      // both split per code point (verified: both yield ['a','😀','b']),
+      // so 😀 (U+1F600, a surrogate pair in UTF-16) is ONE character
+      val r = TextAnalysis.charEntropyFrom(docs((1L, "a😀b")))
+        .collect()(0)
+      assert(r.getAs[Long]("n_chars") == 3L)
+      assert(r.getAs[Long]("n_distinct_chars") == 3L)
+      assert(r.getAs[Double]("entropy_nats") == r6(math.log(3.0)))
+      val rep = TextAnalysis.charEntropyFrom(
+          docs((1L, "😀😀😀😀")))
+        .collect()(0)
+      assert(rep.getAs[Long]("n_chars") == 4L)
+      assert(rep.getAs[Long]("n_distinct_chars") == 1L)
+      assert(rep.getAs[Double]("entropy_nats") == 0.0)
+    }
+
     it("counts spaces as characters and stays within the ln(charset) bound") {
       val r = TextAnalysis.charEntropyFrom(docs((1L, "ab ab"))).collect()(0)
       assert(r.getAs[Long]("n_chars") == 5L) // 'a','b',' ','a','b'
