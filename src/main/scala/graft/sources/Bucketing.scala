@@ -18,8 +18,21 @@ object Bucketing {
     * Drops any prior table AND its orphaned managed location first — a
     * fresh in-memory catalog over an old warehouse dir would otherwise
     * refuse the name (LOCATION_ALREADY_EXISTS).
+    *
+    * A Parquet BLOOM FILTER is written for the bucket key: the bucket
+    * hash routes a probe to one file and the per-bucket sort gives
+    * min/max pruning, but a point lookup INSIDE a row group's min/max
+    * range (the common case for a hash-valued key like the winnow
+    * `fp`, whose values are uniform) still decodes the whole group on
+    * stats alone — the bloom filter is what lets the reader skip row
+    * groups the bucket hash and zone maps cannot
+    * (`BucketingSpec` proves a skipped row group with parquet-mr's
+    * filtered reader). `bloomNdv` sizes the filter (expected distinct
+    * keys per FILE — overshooting only costs bytes, undershooting
+    * costs false positives).
     */
-  def bucketize(df: DataFrame, key: String, buckets: Int, table: String): Unit = {
+  def bucketize(df: DataFrame, key: String, buckets: Int, table: String,
+      bloomNdv: Long = 1L << 20): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -28,6 +41,8 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .format("parquet")
+      .option(s"parquet.bloom.filter.enabled#$key", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$key", bloomNdv.toString)
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)

@@ -56,6 +56,54 @@ class BucketingSpec extends AnyFunSpec {
       assert(diff.collect().toSeq == plain)
     }
 
+    it("the fp index carries a parquet bloom filter that skips row groups stats cannot") {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      import org.apache.parquet.filter2.compat.FilterCompat
+      import org.apache.parquet.filter2.predicate.FilterApi
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val tbl = graft.operators.TextAnalysis.winnowIndexFor(spark, sf)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val inputFile = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(tbl.inputFiles.head), conf)
+      // 1. the footer advertises a bloom filter on the fp column chunk
+      locally {
+        val r = ParquetFileReader.open(inputFile)
+        try {
+          val fpCol = r.getFooter.getBlocks.get(0).getColumns.asScala
+            .find(_.getPath.toDotString == "fp").get
+          assert(fpCol.getBloomFilterOffset > 0,
+            "the fp column must carry a written bloom filter")
+        } finally r.close()
+      }
+      // 2. a probe value INSIDE the file's min/max but absent: the
+      // uniform-hash case where zone maps keep the row group and only
+      // the bloom filter can skip it
+      val fps = spark.read.parquet(tbl.inputFiles.head)
+        .select("fp").as[Long].collect().toSet
+      assert(fps.size >= 2)
+      val absent = Iterator.iterate(fps.min + 1)(_ + 1)
+        .find(v => !fps.contains(v)).get
+      assert(absent < fps.max)
+      val pred = FilterApi.eq(FilterApi.longColumn("fp"),
+        java.lang.Long.valueOf(absent))
+      def filteredRows(useBloom: Boolean): Long = {
+        val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+          .withRecordFilter(FilterCompat.get(pred))
+          .useBloomFilter(useBloom)
+          .useStatsFilter(true)
+          .useDictionaryFilter(false) // isolate bloom vs zone maps
+          .build()
+        val r = ParquetFileReader.open(inputFile, opts)
+        try r.getFilteredRecordCount finally r.close()
+      }
+      assert(filteredRows(useBloom = false) > 0,
+        "zone maps alone must retain the row group (probe sits inside min/max)")
+      assert(filteredRows(useBloom = true) == 0L,
+        "the bloom filter must skip every row group for the absent key")
+    }
+
     it("q85 over the materialized winnow index: parity, one winnow pass, no fp exchange") {
       import graft.operators.{Dedup, TextAnalysis}
       val viaIndex = Dedup.containmentPairsOfFps(
