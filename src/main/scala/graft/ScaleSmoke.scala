@@ -337,6 +337,27 @@ object ScaleSmoke {
     // streaming HLL twin is state-bounded by construction: 64 ints per
     // type, the HllAggSpec drain-equality gate)
     t("oof_encoding") { Events.oofEncodingFrom(events).count() }
+    // round-11: DP release is one map+agg pass, noise is |sources|-row
+    // scalar work
+    t("dp_release") { Curation.dpReleaseFrom(docs).count() }
+    // round-11: both pair relations dup-mass-bounded (pipeline order:
+    // exact-dedup first, the q22 discipline), agreement join keys on
+    // the pair id
+    t("dedup_agreement") {
+      val canonical = docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+      Dedup.dedupAgreementFrom(canonical, emb).count()
+    }
+    // round-11: the four delta-join terms each shuffle only their
+    // slice; replicas shift both orderkeys so the join fan-out stays 1:1
+    t("ivm_join") {
+      val reps = spark.range(mult).select(col("id").as("__rep"))
+      val shift = lit(100000000L) * col("__rep")
+      val o = Tables.orders(spark, sf).crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + shift).drop("__rep")
+      val l = Tables.lineitem(spark, sf).crossJoin(reps)
+        .withColumn("l_orderkey", col("l_orderkey") + shift).drop("__rep")
+      graft.operators.SupplierPerf.ivmJoinFrom(o, l).count()
+    }
     // round-10: the ORC format write→read roundtrip at 10× corpus
     t("orc_roundtrip") {
       docs.write.mode("overwrite").option("compression", "zlib")

@@ -1612,7 +1612,73 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** q214 total privacy budget ε, split evenly over the two releases. */
+  val DpEpsilon = 1.0
+
+  /** q214 per-document token clip: the SENSITIVITY of the token-sum
+    * release — one document can move the clipped true sum by at most
+    * this, which is what calibrates the Laplace scale (an unclipped sum
+    * has unbounded sensitivity and no finite-noise DP release).
+    */
+  val DpClip = 1000L
+
+  /** q214 — DIFFERENTIALLY-PRIVATE per-source releases: the dataset-card
+    * numbers (doc count, clipped token mass) published under an ε=1
+    * Laplace mechanism — the privacy-vs-utility step a compliance team
+    * runs when corpus composition itself is sensitive (competitive
+    * crawl mixes, medical/user sources). Completes the compliance
+    * family (q162 deletion cascade, q173 k-anonymity, q192 subject
+    * access) with the RELEASE side: q71 publishes true counts, this
+    * publishes noised ones with the ε ledger and clip constant beside
+    * them, so an auditor can verify the mechanism, not trust it.
+    *
+    * Mechanism: per released statistic, Laplace noise of scale
+    * `b = sensitivity / (ε/2)` (docs: sensitivity 1 → b = 2; tokens:
+    * sensitivity [[DpClip]] → b = 2·[[DpClip]]); the uniform draw is
+    * hash-seeded per (source, statistic) — `hash60("dp|"+source+"|"+tag)
+    * mod 2^20`, the q45 no-rand discipline, so the release is
+    * deterministic under the gate while still being a faithful inverse-
+    * CDF Laplace transform `−b·sign(u−½)·ln(1−2|u−½|)`.
+    *
+    * Determinism: u = (k+½)/2^20 is EXACT in binary doubles (and never
+    * exactly ½), every arithmetic step before the ln is exact, and the
+    * single libm ln rides the established round-6 absorption; counts
+    * and clipped sums are integers.
+    *
+    * Scale shape: one map pass (token count + clip) into a
+    * source-keyed combine-heavy aggregate; noise is a scalar expression
+    * on the |sources|-row result. Nothing user-keyed crosses the wire.
+    */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame =
+    dpReleaseFrom(Tables.documents(spark, dir))
+
+  def dpReleaseFrom(docs: DataFrame): DataFrame = {
+    val epsHalf = DpEpsilon / 2.0
+    def lap(tag: String, b: Double): Column = {
+      val u = (pmod(TextFns.hash60(
+        concat(lit("dp|"), col("source"), lit("|" + tag))),
+        lit(1048576L)).cast("double") + lit(0.5)) / lit(1048576.0)
+      -lit(b) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    }
+    val tok = size(filter(TextFns.toks(col("text")), t => t =!= ""))
+      .cast("long")
+    docs.select(col("source"), tok.as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nd"),
+        sum(least(col("tok"), lit(DpClip))).as("nt"))
+      .select(col("source"),
+        lit(DpEpsilon).as("epsilon"),
+        lit(DpClip).as("clip"),
+        round(col("nd").cast("double") + lap("docs", 1.0 / epsHalf), 6)
+          .as("noised_docs"),
+        round(col("nt").cast("double") + lap("tokens", DpClip / epsHalf), 6)
+          .as("noised_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_dp_release" -> (dpRelease _),
     "q202_orc_mirror" -> (orcMirror _),
     "q204_rendezvous_shards" -> (rendezvousShards _),
     "q45_hash_split" -> (hashSplit _),
@@ -1683,6 +1749,29 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // hash-seeded inverse-CDF Laplace, the exact token-for-token chain
+    // of dpReleaseFrom (u exact in binary, single ln under round 6)
+    "q214_dp_release" -> {
+      def lap(tag: String, b: String): String = {
+        val u = s"((CAST(${TextFns.sql.hash60(s"'dp|' || source || '|$tag'")} " +
+          "% 1048576 AS DOUBLE) + 0.5) / 1048576.0)"
+        s"(-($b) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+      }
+      s"""WITH d AS (SELECT source,
+         |    least(len(list_filter(${TextFns.sql.toks}, t -> t <> '')),
+         |      $DpClip) AS tok
+         |  FROM documents),
+         |g AS (SELECT source, count(*) AS nd,
+         |    CAST(sum(tok) AS BIGINT) AS nt FROM d GROUP BY 1)
+         |SELECT source, CAST($DpEpsilon AS DOUBLE) AS epsilon,
+         |  CAST($DpClip AS BIGINT) AS clip,
+         |  round(CAST(nd AS DOUBLE) + ${lap("docs",
+             (1.0 / (DpEpsilon / 2.0)).toString)}, 6) AS noised_docs,
+         |  round(CAST(nt AS DOUBLE) + ${lap("tokens",
+             (DpClip / (DpEpsilon / 2.0)).toString)}, 6)
+         |    AS noised_tokens
+         |FROM g ORDER BY source""".stripMargin
+    },
     // the oracle reads the ORIGINAL parquet; the Spark side reads
     // through the ORC mirror — hash equality gates the format roundtrip
     "q202_orc_mirror" ->

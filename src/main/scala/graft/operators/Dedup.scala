@@ -720,6 +720,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q215 — DEDUP-METHOD AGREEMENT audit: the q24 token-level verified
+    * near-dups and the q38 embedding-cosine near-dups joined on the
+    * pair key (the fixture's `vec_id ≡ doc_id` alignment, the q170
+    * convention) and classified `both` / `text_only` /
+    * `embedding_only`, with each class's pair count and mean
+    * jaccard/cosine. This is the calibration table a curation team
+    * reads before picking a dedup stack: `text_only` mass = lexical
+    * copies the embedding space smooths over (templates with swapped
+    * entities), `embedding_only` mass = paraphrase-level near-dups
+    * shingle Jaccard cannot see, `both` = the high-confidence core.
+    *
+    * Determinism: both input relations are the gated q24/q38 outputs
+    * (round-9 similarity values); the rollup is integer counts + one
+    * round-6 avg per class (absent classes are absent rows in both
+    * engines).
+    *
+    * Scale shape: both pair relations are dup-mass-bounded by their
+    * own LSH bucketing (never corpus²); the agreement join keys on the
+    * pair id — a full-outer hash join of two bounded relations — and
+    * the rollup is a ≤3-row aggregate.
+    */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame =
+    dedupAgreementFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  def dedupAgreementFrom(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val t = ngramJaccardFrom(docs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val e = Similarity.embeddingNearDupFrom(embeddings)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cosine"))
+    t.join(e, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(col("jaccard").isNotNull && col("cosine").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("embedding_only").as("method"),
+        col("jaccard"), col("cosine"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("mean_jaccard"),
+        round(avg("cosine"), 6).as("mean_cosine"))
+      .orderBy("method")
+  }
+
   /** q54 — duplicate-cluster resolution: connected components over the
     * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
     * component-minimum doc_id as `cluster_id`, the component size, and
@@ -1333,6 +1376,7 @@ object Dedup {
     "q130_dedup_savings" -> (dedupSavings _),
     "q135_incremental_clusters" -> (incrementalClusters _),
     "q137_incremental_containment" -> (incrementalContainment _),
+    "q215_dedup_agreement" -> (dedupAgreement _),
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q184_dedup_sensitivity" -> (dedupSensitivity _),
@@ -1516,6 +1560,27 @@ object Dedup {
          |$jaccardSql
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin,
+    // the q24 verified pairs full-outer-joined to the q38 embedding
+    // pairs (nested WITH reuses the q38 oracle verbatim; vec_id ≡
+    // doc_id is the fixture alignment), classified and rolled up
+    "q215_dedup_agreement" ->
+      s"""WITH $bandsSql,
+         |$candidatePairsSql,
+         |$jaccardSql,
+         |tp AS (SELECT doc_a, doc_b, jaccard FROM jac
+         |  WHERE jaccard >= $JaccardMin),
+         |ep AS (${Similarity.oracle("q38_embedding_neardup")}),
+         |u AS (SELECT CASE
+         |      WHEN tp.jaccard IS NOT NULL AND ep.cosine IS NOT NULL THEN 'both'
+         |      WHEN tp.jaccard IS NOT NULL THEN 'text_only'
+         |      ELSE 'embedding_only' END AS method,
+         |    tp.jaccard, ep.cosine
+         |  FROM tp FULL JOIN ep
+         |    ON ep.vec_a = tp.doc_a AND ep.vec_b = tp.doc_b)
+         |SELECT method, count(*) AS n_pairs,
+         |  round(avg(jaccard), 6) AS mean_jaccard,
+         |  round(avg(cosine), 6) AS mean_cosine
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_dedup_clusters" -> fullClustersSql,
     // embeds the q54 closure; cosines round 9 dp into DECIMAL(38,12)
     // partials (order-independent), argmax fully tie-broken
@@ -1857,7 +1922,37 @@ object Dedup {
            |      nullif(sz_a + sz_b - n_common, 0), 9) AS jaccard
            |  FROM j)
            |SELECT doc_a, doc_b, jaccard FROM jac
-           |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin)
+           |WHERE jaccard >= $JaccardMin ORDER BY doc_a, doc_b""".stripMargin,
+      // q24's verified pairs composed with q38's Spark text (nested
+      // WITH) — the same shape as the oracle composition
+      "q215_dedup_agreement" ->
+        s"""WITH $bandsCte,
+           |sh0 AS (SELECT doc_id, sorted_shingle_hashes(text) AS sh FROM documents),
+           |sh AS (SELECT * FROM sh0 WHERE size(sh) > 0),
+           |j AS (SELECT doc_a, doc_b,
+           |    sorted_intersect_count(x.sh, y.sh) AS n_common,
+           |    CAST(size(x.sh) AS BIGINT) AS sz_a,
+           |    CAST(size(y.sh) AS BIGINT) AS sz_b
+           |  FROM pairs JOIN sh x ON x.doc_id = doc_a
+           |             JOIN sh y ON y.doc_id = doc_b),
+           |tp AS (SELECT doc_a, doc_b,
+           |    round(CAST(n_common AS DOUBLE) /
+           |      nullif(sz_a + sz_b - n_common, 0), 9) AS jaccard
+           |  FROM j
+           |  WHERE round(CAST(n_common AS DOUBLE) /
+           |      nullif(sz_a + sz_b - n_common, 0), 9) >= $JaccardMin),
+           |ep AS (${SqlDialect.toSpark(Similarity.oracle("q38_embedding_neardup"))}),
+           |u AS (SELECT CASE
+           |      WHEN tp.jaccard IS NOT NULL AND ep.cosine IS NOT NULL THEN 'both'
+           |      WHEN tp.jaccard IS NOT NULL THEN 'text_only'
+           |      ELSE 'embedding_only' END AS method,
+           |    tp.jaccard, ep.cosine
+           |  FROM tp FULL JOIN ep
+           |    ON ep.vec_a = tp.doc_a AND ep.vec_b = tp.doc_b)
+           |SELECT method, count(*) AS n_pairs,
+           |  round(avg(jaccard), 6) AS mean_jaccard,
+           |  round(avg(cosine), 6) AS mean_cosine
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
   /** Shared q24/q54/q77 oracle fragment: `jac` = per-candidate-pair

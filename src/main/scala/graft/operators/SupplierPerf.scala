@@ -277,7 +277,75 @@ object SupplierPerf {
       .orderBy(desc("risk_score"), asc("s_suppkey"))
       .limit(10)
 
+  /** q216 delta cut points: orders arriving / lines shipping on or
+    * after these dates form the ΔO / ΔL slices (both nonempty at every
+    * fixture sf — orders run to 2001-08, lineitems to 2001-11).
+    */
+  val IvmOrderCut = "2001-06-01"
+  val IvmShipCut = "2001-08-01"
+
+  /** q216 — DELTA-JOIN view maintenance: the JOIN half of the IVM story
+    * q96's aggregate half started. q96 maintains an aggregate when ONE
+    * input grows; a JOIN view whose BOTH inputs grow needs the delta
+    * decomposition `(A+ΔA)⋈(B+ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB` — the
+    * classic incremental-view algebra. Here the revenue-per-priority
+    * view over orders⋈lineitem is maintained through the four terms
+    * (new orders ΔO, late-shipping lines ΔL), each term aggregated to
+    * exact mergeable partials and merged; per-term line counts ride
+    * along as the audit columns showing what each delta contributed.
+    * The oracle computes the view DIRECTLY over the full join — hash
+    * equality is the incremental-equals-full proof.
+    *
+    * Scale shape: on a maintenance run only the three delta terms are
+    * scanned (ΔA⋈B joins a day slice against the base — at 100 TB the
+    * base side enters through its orderkey-bucketed layout so the
+    * delta probe shuffles only the delta); here all four terms
+    * recompute from the shared scans so the driver gate covers the
+    * whole decomposition. Revenue partials are exact DECIMAL(18,2)
+    * products summed per term and merged — bit-identical to the direct
+    * aggregation regardless of term boundaries.
+    */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame =
+    ivmJoinFrom(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  def ivmJoinFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val cutO = to_date(lit(IvmOrderCut))
+    val cutL = to_date(lit(IvmShipCut))
+    val ob = o.filter(col("o_orderdate") < cutO)
+    val od = o.filter(col("o_orderdate") >= cutO)
+    val lb = l.filter(col("l_shipdate") < cutL)
+    val ld = l.filter(col("l_shipdate") >= cutL)
+    def term(os: DataFrame, ls: DataFrame, tag: String): DataFrame =
+      os.join(ls, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice")) *
+            (lit(1) - frac(col("l_discount")))).as("rev"))
+        .withColumn("term", lit(tag))
+    term(ob, lb, "base")
+      .unionByName(term(od, lb, "delta_orders"))
+      .unionByName(term(ob, ld, "delta_lines"))
+      .unionByName(term(od, ld, "delta_both"))
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_lines"),
+        sum("rev").cast("double").as("revenue"),
+        sum(when(col("term") === "base", col("n")).otherwise(0L)).as("n_base"),
+        sum(when(col("term") === "delta_orders", col("n")).otherwise(0L))
+          .as("n_delta_orders"),
+        sum(when(col("term") === "delta_lines", col("n")).otherwise(0L))
+          .as("n_delta_lines"),
+        sum(when(col("term") === "delta_both", col("n")).otherwise(0L))
+          .as("n_delta_both"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_ivm_join" -> (ivmJoin _),
     "q04_supplier_kpis" -> (kpis _),
     "q05_bottom5_on_time" -> ((spark, dir) => bottom5OnTimeFrom(kpis(spark, dir))),
     "q06_top5_delay" -> ((spark, dir) => top5DelayFrom(kpis(spark, dir))),
@@ -286,6 +354,28 @@ object SupplierPerf {
     "q96_incremental_kpis" -> (kpisIncremental _))
 
   val oracle: Map[String, String] = Map(
+    // the DIRECT full-join view with per-term CASE counts: hash
+    // equality with the four merged delta terms is the
+    // incremental-equals-full proof for the JOIN decomposition
+    "q216_ivm_join" ->
+      s"""WITH j AS (
+         |  SELECT o.o_orderpriority,
+         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+         |      (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS net_rev,
+         |    CASE WHEN o.o_orderdate >= DATE '$IvmOrderCut' THEN 1 ELSE 0 END AS dor,
+         |    CASE WHEN l.l_shipdate >= DATE '$IvmShipCut' THEN 1 ELSE 0 END AS dln
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+         |SELECT o_orderpriority, count(*) AS n_lines,
+         |  CAST(sum(net_rev) AS DOUBLE) AS revenue,
+         |  CAST(sum(CASE WHEN dor = 0 AND dln = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_base,
+         |  CAST(sum(CASE WHEN dor = 1 AND dln = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta_orders,
+         |  CAST(sum(CASE WHEN dor = 0 AND dln = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta_lines,
+         |  CAST(sum(CASE WHEN dor = 1 AND dln = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta_both
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q04_supplier_kpis" ->
       s"$kpisSql SELECT * FROM kpis ORDER BY s_suppkey",
     "q05_bottom5_on_time" ->

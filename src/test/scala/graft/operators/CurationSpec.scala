@@ -104,6 +104,54 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("dpRelease (q214)") {
+    // independent re-derivation of the hash-seeded Laplace mechanism
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def lap(source: String, tag: String, b: Double): Double = {
+      val k = java.lang.Long.parseLong(md5hex(s"dp|$source|$tag").take(15), 16) %
+        1048576L
+      val u = (k.toDouble + 0.5) / 1048576.0
+      -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    it("releases Laplace-noised counts matching the inverse-CDF closed form") {
+      val r = Curation.dpReleaseFrom(docs(
+          (1L, "a b c", "en", "s1", 5L), (2L, "d e", "en", "s1", 3L),
+          (3L, "x", "en", "s2", 1L)))
+        .collect().map(x => x.getAs[String]("source") -> x).toMap
+      assert(r("s1").getAs[Double]("epsilon") == 1.0)
+      assert(r("s1").getAs[Long]("clip") == 1000L)
+      assert(r("s1").getAs[Double]("noised_docs") ==
+        r6(2.0 + lap("s1", "docs", 2.0)))
+      assert(r("s1").getAs[Double]("noised_tokens") ==
+        r6(5.0 + lap("s1", "tokens", 2000.0)))
+      assert(r("s2").getAs[Double]("noised_docs") ==
+        r6(1.0 + lap("s2", "docs", 2.0)))
+    }
+
+    it("clips each document's token contribution at the sensitivity bound") {
+      val big = ("tok " * 3000).trim // 3000 tokens, clipped to 1000
+      val r = Curation.dpReleaseFrom(docs((1L, big, "en", "s1", 1L)))
+        .collect()(0)
+      assert(r.getAs[Double]("noised_tokens") ==
+        r6(1000.0 + lap("s1", "tokens", 2000.0)))
+    }
+
+    it("noise is per-(source, statistic) and stable across runs") {
+      val d = docs((1L, "a", "en", "s1", 1L), (2L, "a", "en", "s2", 1L))
+      val one = Curation.dpReleaseFrom(d).collect().map(_.toSeq).toSeq
+      val two = Curation.dpReleaseFrom(d).collect().map(_.toSeq).toSeq
+      assert(one == two)
+      // equal true counts, different sources → different noise draws
+      val byS = one.map(r => r.head -> (r(3), r(4))).toMap
+      assert(byS("s1") != byS("s2"))
+    }
+  }
+
   describe("cdcMerge (q167)") {
     it("applies deletes-over-updates and the checksum matches a from-scratch replay") {
       // independent md5 reimplementation of hash32/hash60 and the whole

@@ -638,4 +638,27 @@ class DedupSpec extends AnyFunSpec {
       assert(r(0).getAs[Double]("mean_cos") == 1.0)
     }
   }
+
+  describe("dedupAgreement (q215)") {
+    it("classes reconcile with the q24/q38 pair relations and respect both thresholds") {
+      val r = Dedup.dedupAgreement(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      val classes = r.map(_.getAs[String]("method")).toSet
+      assert(classes.subsetOf(Set("both", "text_only", "embedding_only")))
+      val byM = r.map(x => x.getAs[String]("method") -> x).toMap
+      byM.get("both").foreach { b =>
+        assert(b.getAs[Double]("mean_jaccard") >= Dedup.JaccardMin)
+        assert(b.getAs[Double]("mean_cosine") >= Similarity.NearDupMin)
+      }
+      byM.get("text_only").foreach(b => assert(b.isNullAt(b.fieldIndex("mean_cosine"))))
+      byM.get("embedding_only").foreach(b => assert(b.isNullAt(b.fieldIndex("mean_jaccard"))))
+      // marginals: text classes sum to the q24 pair count, embedding
+      // classes to the q38 pair count
+      def n(m: String) = byM.get(m).map(_.getAs[Long]("n_pairs")).getOrElse(0L)
+      val nText = Dedup.ngramJaccard(spark, graft.TestSpark.Sf).count()
+      val nEmb = Similarity.embeddingNearDup(spark, graft.TestSpark.Sf).count()
+      assert(n("both") + n("text_only") == nText)
+      assert(n("both") + n("embedding_only") == nEmb)
+    }
+  }
 }

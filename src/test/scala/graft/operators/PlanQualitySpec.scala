@@ -849,6 +849,30 @@ class PlanQualitySpec extends AnyFunSpec {
         s"the one-row totals must broadcast:\n$p")
     }
 
+    it("q214 is one source-keyed aggregate: no joins, noise is scalar map work") {
+      val p = plan("q214_dp_release")
+      assert(!p.contains("Join"), s"q214 must not join:\n$p")
+      assert(p.split("Exchange").length - 1 <= 2,
+        s"q214 shuffles only the source rollup:\n$p")
+    }
+
+    it("q215 joins two dup-mass-bounded pair relations without a cartesian") {
+      val p = plan("q215_dedup_agreement")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("FullOuter"), s"agreement join must be full outer:\n$p")
+    }
+
+    it("q216 pushes both delta-slice predicates down to the scans") {
+      val p = plan("q216_ivm_join")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("LessThan(l_shipdate"),
+        s"lineitem delta/base predicates must reach the scan:\n$p")
+      assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+        p.contains("LessThan(o_orderdate"),
+        s"orders delta/base predicates must reach the scan:\n$p")
+    }
+
     it("q203/q209 ride the head-broadcast + rare-tail-shuffle discipline even when " +
         "the count tables exceed the broadcast threshold") {
       // threshold -1 models the 100 TB shape: Heaps-law count tables

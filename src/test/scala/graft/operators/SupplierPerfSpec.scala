@@ -161,4 +161,58 @@ class SupplierPerfSpec extends AnyFunSpec {
         })
     }
   }
+
+  describe("ivmJoin (q216)") {
+    // orders/lineitem spanning the two delta cuts: o1 base order, o2
+    // delta order; l rows split base/late by ship date
+    def fixture = (
+      Seq((1L, ts("2000-01-01 00:00:00"), "1-URGENT"),
+        (2L, ts("2001-07-01 00:00:00"), "1-URGENT"),
+        (3L, ts("1999-03-01 00:00:00"), "2-HIGH"))
+        .toDF("o_orderkey", "o_orderdate", "o_orderpriority"),
+      Seq((1L, ts("2000-02-01 00:00:00"), 100.0, 0.0), // base x base
+        (1L, ts("2001-09-01 00:00:00"), 200.0, 0.5), // base order, late line
+        (2L, ts("2001-07-15 00:00:00"), 50.0, 0.0), // delta order, base line
+        (2L, ts("2001-10-01 00:00:00"), 80.0, 0.25), // delta x delta
+        (3L, ts("1999-04-01 00:00:00"), 10.0, 0.0))
+        .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"))
+
+    it("the four delta terms merge to the direct join view, hand-checked") {
+      val (o, l) = fixture
+      val r = SupplierPerf.ivmJoinFrom(o, l)
+        .collect().map(x => x.getAs[String]("o_orderpriority") -> x).toMap
+      val u = r("1-URGENT")
+      assert(u.getAs[Long]("n_lines") == 4L)
+      // 100 + 200*0.5 + 50 + 80*0.75 = 310
+      assert(u.getAs[Double]("revenue") == 310.0)
+      assert(u.getAs[Long]("n_base") == 1L)
+      assert(u.getAs[Long]("n_delta_orders") == 1L)
+      assert(u.getAs[Long]("n_delta_lines") == 1L)
+      assert(u.getAs[Long]("n_delta_both") == 1L)
+      val h = r("2-HIGH")
+      assert(h.getAs[Long]("n_lines") == 1L && h.getAs[Long]("n_base") == 1L)
+      assert(h.getAs[Double]("revenue") == 10.0)
+    }
+
+    it("incremental equals full on the fixture, term counts partition n_lines") {
+      val r = SupplierPerf.ivmJoin(spark, sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Long]("n_base") + x.getAs[Long]("n_delta_orders") +
+          x.getAs[Long]("n_delta_lines") + x.getAs[Long]("n_delta_both") ==
+          x.getAs[Long]("n_lines"))
+      }
+      // the direct (non-decomposed) view: same rows
+      val direct = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_lines"))
+        .collect().map(x => x.getAs[String]("o_orderpriority") ->
+          x.getAs[Long]("n_lines")).toMap
+      r.foreach(x => assert(direct(x.getAs[String]("o_orderpriority")) ==
+        x.getAs[Long]("n_lines")))
+    }
+  }
 }
