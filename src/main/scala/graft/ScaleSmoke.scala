@@ -340,6 +340,19 @@ object ScaleSmoke {
     // round-11: DP release is one map+agg pass, noise is |sources|-row
     // scalar work
     t("dp_release") { Curation.dpReleaseFrom(docs).count() }
+    // round-11: logistic inference is pure map work
+    t("quality_model") { TextAnalysis.qualityModelFrom(docs).count() }
+    // round-11: rank tables at the VALUE grain (distinct metric values),
+    // moments one all-combining pass
+    t("spearman_corr") { Analytics.spearmanCorrFrom(events).count() }
+    // round-11: Goertzel probes are O(bins·W) per window, map-only
+    t("audio_tones") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.wavBytes(id))).toDF("doc_id", "payload")
+      Multimodal.toneWindows(payloads, Multimodal.AudioWin).count()
+    }
     // round-11: both pair relations dup-mass-bounded (pipeline order:
     // exact-dedup first, the q22 discipline), agreement join keys on
     // the pair id

@@ -1051,6 +1051,61 @@ object Analytics {
       round(num / nullIfZero(sqrt(dx) * sqrt(dy)), 9).as("pearson_r"))
   }
 
+  /** q219 — SPEARMAN rank correlation between the q149 user metrics:
+    * Pearson's r measures LINEARITY — one whale account drags it
+    * wherever its spend sits — while the rank correlation is the
+    * monotonicity audit, invariant to outliers and to any monotone
+    * rescaling of either metric (the robustness check a metrics team
+    * runs next to q149 before trusting one metric as a proxy).
+    *
+    * Determinism: ties take the textbook AVERAGE rank, kept exact by
+    * DOUBLING — d = rank_min + rank_max = 2·avg_rank is always an
+    * integer, and scaling both rank vectors by 2 leaves the
+    * correlation untouched — so every moment is an exact integer in
+    * q149's DECIMAL(38,0)/HUGEINT discipline and the only float ops
+    * are two sqrts and one closing round-9 division.
+    *
+    * Scale shape: the per-user fold is one combine-heavy aggregate;
+    * ranks compute at the VALUE grain (distinct metric values + one
+    * cumulative window over that model-scale relation — the q165/q178
+    * precedent, never a window over users) and join back to users on
+    * the metric value; moments are one all-combining pass.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    spearmanCorrFrom(Tables.events(spark, dir))
+
+  def spearmanCorrFrom(events: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val per = events.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    // doubled mid-ranks at the value grain: d = 2·rank_min + cnt − 1
+    def doubled(c: String, out: String): DataFrame = {
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .select(col(c),
+          (lit(2L) * (sum(col("cnt")).over(w) - col("cnt") + lit(1L)) +
+            col("cnt") - lit(1L)).as(out))
+    }
+    val j = per
+      .join(doubled("x", "dx"), Seq("x"))
+      .join(doubled("y", "dy"), Seq("y"))
+    val s = j.agg(count(lit(1)).as("n"),
+      sum(col("dx").cast(dec0)).cast(dec0).as("sx"),
+      sum(col("dy").cast(dec0)).cast(dec0).as("sy"),
+      sum(col("dx").cast(dec0) * col("dy").cast(dec0)).cast(dec0).as("sxy"),
+      sum(col("dx").cast(dec0) * col("dx").cast(dec0)).cast(dec0).as("sxx"),
+      sum(col("dy").cast(dec0) * col("dy").cast(dec0)).cast(dec0).as("syy"))
+    val nD = col("n").cast(dec0)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("n").as("n_users"),
+      round(num / nullIfZero(sqrt(dx) * sqrt(dy)), 9).as("spearman_rho"))
+  }
+
   /** q150 — Benford first-digit expectations log10(1 + 1/k), k = 1..9,
     * as shortest-round-trip double literals (identical parse on both
     * engines), and the total-variation flag threshold.
@@ -1864,6 +1919,7 @@ object Analytics {
     "q147_conversion_z" -> (conversionZ _),
     "q148_quantile_rollup" -> (quantileRollup _),
     "q149_metric_corr" -> (metricCorr _),
+    "q219_spearman_corr" -> (spearmanCorr _),
     "q150_benford_audit" -> (benfordAudit _),
     "q161_decayed_popularity" -> (decayedPopularity _),
     "q177_rec_hit_rate" -> (recHitRate _),
@@ -1943,6 +1999,36 @@ object Analytics {
     },
     // 128-bit moments: DECIMAL(38,0) here, HUGEINT in the oracle —
     // same exact integers, same closing doubles
+    // q149's moment discipline over DOUBLED mid-ranks (exact integers)
+    "q219_spearman_corr" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |vx AS (SELECT x, count(*) AS cnt FROM per GROUP BY 1),
+         |rx AS (SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1)
+         |    + cnt - 1 AS dx FROM vx),
+         |vy AS (SELECT y, count(*) AS cnt FROM per GROUP BY 1),
+         |ry AS (SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1)
+         |    + cnt - 1 AS dy FROM vy),
+         |j AS (SELECT per.user_id, rx.dx, ry.dy
+         |  FROM per JOIN rx ON rx.x = per.x JOIN ry ON ry.y = per.y),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(CAST(dx AS DECIMAL(38,0)) * CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(CAST(dy AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+         |  FROM j)
+         |SELECT n AS n_users,
+         |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         |    / NULLIF(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)), 0), 9) AS spearman_rho
+         |FROM s""".stripMargin,
     "q149_metric_corr" ->
       s"""WITH per AS (
          |  SELECT user_id,
@@ -2262,6 +2348,36 @@ object Analytics {
     // five exact integer moments in HUGEINT (the engine's native
     // 128-bit), two sqrts and one division at the close; NULLIF guards
     // a zero-variance metric
+    // q149's moment discipline over DOUBLED mid-ranks (exact integers)
+    "q219_spearman_corr" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |vx AS (SELECT x, count(*) AS cnt FROM per GROUP BY 1),
+         |rx AS (SELECT x, 2 * (sum(cnt) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1)
+         |    + cnt - 1 AS dx FROM vx),
+         |vy AS (SELECT y, count(*) AS cnt FROM per GROUP BY 1),
+         |ry AS (SELECT y, 2 * (sum(cnt) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1)
+         |    + cnt - 1 AS dy FROM vy),
+         |j AS (SELECT per.user_id, rx.dx, ry.dy
+         |  FROM per JOIN rx ON rx.x = per.x JOIN ry ON ry.y = per.y),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS HUGEINT) AS syy
+         |  FROM j)
+         |SELECT n AS n_users,
+         |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |    / NULLIF(sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 0), 9) AS spearman_rho
+         |FROM s""".stripMargin,
     "q149_metric_corr" ->
       s"""WITH per AS (
          |  SELECT user_id,

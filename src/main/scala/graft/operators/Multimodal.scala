@@ -548,6 +548,138 @@ object Multimodal {
       }
   }
 
+  /** q217 Goertzel probe bins over an [[AudioWin]]-sample window: bin k
+    * probes k·[[WavRate]]/[[AudioWin]] Hz (= k·40 Hz). Three spread
+    * probes — the DTMF-style fixed-frequency detection shape.
+    */
+  val GoertzelBins: Seq[Int] = Seq(8, 16, 32)
+
+  /** The Goertzel coefficients 2·cos(2πk/W), computed ONCE here and
+    * shared as double literals by the Scala recursion and the oracle
+    * text (Double.toString round-trips, so both engines hold the same
+    * bits — the cross-engine contract the recursion's determinism
+    * rests on).
+    */
+  val GoertzelC: Seq[Double] =
+    GoertzelBins.map(k => 2.0 * math.cos(2.0 * math.Pi * k / AudioWin))
+
+  /** W² — the q217 power normalizer (see [[audioTones]]). */
+  val WinSq: Double = AudioWin.toDouble * AudioWin
+
+  /** One tone-probe row of [[toneWindows]]. */
+  final case class ToneWindows(
+      doc_id: Long, win_idx: Int, decode_ok: Boolean, n_frames: Long,
+      p_bin8: Double, p_bin16: Double, p_bin32: Double,
+      dominant_bin: Int, dominant_hz: Int)
+
+  /** q217 — GOERTZEL tone detection over the real audio decode: the
+    * frequency-domain step past q208's time-domain energy features.
+    * Each FULL [[AudioWin]]-sample window runs the Goertzel recursion
+    * `s = x + c·s1 − s2` once per probe bin (the O(W) single-bin DFT —
+    * what a telephony pipeline runs for DTMF/dial-tone detection
+    * instead of a full FFT) and reports the three probe powers
+    * `s1² + s2² − c·s1·s2` plus the dominant bin/Hz (argmax, ties to
+    * the lowest bin). The fixture sawtooths have real harmonic
+    * structure, so dominance varies with the id-derived period.
+    *
+    * Determinism: the recursion is a fixed-order IEEE chain
+    * `((x + (c·s1)) − s2)` over exact integer-derived samples with the
+    * SHARED [[GoertzelC]] literals; the oracle replays the identical
+    * chain over the analytically-regenerated samples (recursive CTE,
+    * one row per (doc, window) per step), so pre-round values are
+    * bit-equal and round 6 is belt-and-braces. Partial trailing
+    * windows are skipped (a 120-sample window's bin-k frequency is not
+    * the full window's — the production contract is fixed-length
+    * analysis frames).
+    *
+    * Scale shape: per-partition decode + O(bins·W) arithmetic per
+    * window, no shuffle before the presentation sort. Not
+    * SQL-expressible (codec call — the oracle regenerates, which would
+    * not exercise the decoder).
+    */
+  def audioTones(spark: SparkSession, dir: String): DataFrame =
+    toneWindows(wavPayloads(spark, dir), AudioWin).toDF()
+      // rounding happens HERE, engine-side: Spark round ↔ DuckDB round
+      // is the proven cross-engine pair; the typed rows carry the raw
+      // bit-exact recursion outputs
+      // powers normalized by W²: the raw |DFT|² runs to ~6·10⁷, where
+      // 6 dp exceeds the double mantissa and the engines' round
+      // algorithms can disagree on the last grain; the normalized
+      // magnitude stays ≤ ~4·10³ (10 significant digits, safe)
+      .select(col("doc_id"), col("win_idx"), col("decode_ok"),
+        col("n_frames"),
+        round(col("p_bin8") / lit(WinSq), 6).as("p_bin8"),
+        round(col("p_bin16") / lit(WinSq), 6).as("p_bin16"),
+        round(col("p_bin32") / lit(WinSq), 6).as("p_bin32"),
+        col("dominant_bin"), col("dominant_hz"))
+      .orderBy("doc_id", "win_idx")
+
+  def toneWindows(payloads: DataFrame, win: Int): Dataset[ToneWindows] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val cs = GoertzelC.toArray
+    val bins = GoertzelBins.toArray
+    val rate = WavRate
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val decoded: Option[Seq[ToneWindows]] =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = in.getFormat
+              if (fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+                fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) None
+              else {
+                val data = in.readAllBytes()
+                val out = Seq.newBuilder[ToneWindows]
+                var start = 0
+                var w = 0
+                while (start + win <= data.length) { // full windows only
+                  val p = new Array[Double](cs.length)
+                  var b = 0
+                  while (b < cs.length) {
+                    val c = cs(b)
+                    var s1 = 0.0
+                    var s2 = 0.0
+                    var i = start
+                    while (i < start + win) {
+                      val x = ((data(i) & 0xff) - 128).toDouble
+                      val s = (x + (c * s1)) - s2
+                      s2 = s1
+                      s1 = s
+                      i += 1
+                    }
+                    // clamp: |DFT|² is ≥ 0 mathematically; float noise
+                    // near zero must not leak a −0.000000 into the gate
+                    p(b) = math.max(((s1 * s1) + (s2 * s2)) - ((c * s1) * s2),
+                      0.0)
+                    b += 1
+                  }
+                  // argmax, ties to the lowest bin
+                  var best = 0
+                  var bi = 1
+                  while (bi < p.length) {
+                    if (p(bi) > p(best)) best = bi
+                    bi += 1
+                  }
+                  out += ToneWindows(id, w, decode_ok = true, win.toLong,
+                    p(0), p(1), p(2),
+                    bins(best), bins(best) * rate / win)
+                  start += win
+                  w += 1
+                }
+                Some(out.result())
+              }
+            } catch { case _: Exception => None }
+          decoded.getOrElse(Seq(
+            ToneWindows(id, -1, decode_ok = false, 0L, 0.0, 0.0, 0.0, 0, 0)))
+        }
+      }
+  }
+
   /** Frames sampled per video payload by q172 (evenly spaced over the
     * container's frame count, the [[sampleFrames]] spacing rule).
     */
@@ -1606,7 +1738,8 @@ object Multimodal {
     "q197_video_neardup" -> (videoNearDup _),
     "q199_mp4_keyframes" -> (mp4Keyframes _),
     "q208_audio_energy" -> (audioEnergy _),
-    "q213_mp4_fragmented" -> (mp4Fragmented _))
+    "q213_mp4_fragmented" -> (mp4Fragmented _),
+    "q217_audio_tones" -> (audioTones _))
 
   /** Spark-SQL form for [[SqlSurface]] (not a dialect rewrite: DuckDB
     * spells the binary length/hash as `encode`/`sha256`, Spark as a
@@ -1690,6 +1823,52 @@ object Multimodal {
          |  CAST(sum((p + 1) * v) AS BIGINT) AS checksum
          |FROM px GROUP BY 1, 2, 3, 4, 5, 6
          |ORDER BY doc_id, sample_idx""".stripMargin,
+    // DuckDB REPLAYS the Goertzel recursion bit-for-bit over the
+    // analytically-regenerated samples: one recursive-CTE row per
+    // (doc, full window) per step, the SAME fixed-order IEEE chain
+    // ((x + (c·s1)) − s2) with the SHARED GoertzelC literals; powers
+    // clamped at 0 (|DFT|² float noise must not leak −0.000000),
+    // argmax replicated with the first-wins tie rule
+    "q217_audio_tones" -> {
+      val Seq(c0, c1, c2) = GoertzelC
+      s"""WITH RECURSIVE f AS (SELECT doc_id,
+         |    CAST(800 + (doc_id * 37) % 1600 AS BIGINT) AS n,
+         |    CAST(1 + doc_id % 13 AS BIGINT) AS step,
+         |    CAST(doc_id * 31 AS BIGINT) AS base
+         |  FROM documents),
+         |w AS (SELECT doc_id, step, base, CAST(t.i AS INT) AS win_idx
+         |  FROM f JOIN range(0, 12) t(i) ON t.i < n // $AudioWin),
+         |rec(doc_id, step, base, win_idx, i, s1a, s2a, s1b, s2b, s1c, s2c) AS (
+         |  SELECT doc_id, step, base, win_idx, 0,
+         |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM w
+         |  UNION ALL
+         |  SELECT doc_id, step, base, win_idx, i + 1,
+         |    ((x + ($c0 * s1a)) - s2a), s1a,
+         |    ((x + ($c1 * s1b)) - s2b), s1b,
+         |    ((x + ($c2 * s1c)) - s2c), s1c
+         |  FROM (SELECT *,
+         |      CAST((128 + step * (win_idx * $AudioWin + i) + base) % 256
+         |        AS DOUBLE) - 128 AS x
+         |    FROM rec WHERE i < $AudioWin)),
+         |p AS (SELECT doc_id, win_idx,
+         |    greatest(((s1a*s1a) + (s2a*s2a)) - (($c0 * s1a) * s2a), 0.0) AS pa,
+         |    greatest(((s1b*s1b) + (s2b*s2b)) - (($c1 * s1b) * s2b), 0.0) AS pb,
+         |    greatest(((s1c*s1c) + (s2c*s2c)) - (($c2 * s1c) * s2c), 0.0) AS pc
+         |  FROM rec WHERE i = $AudioWin)
+         |SELECT doc_id, win_idx, TRUE AS decode_ok,
+         |  CAST($AudioWin AS BIGINT) AS n_frames,
+         |  round(pa / $WinSq, 6) AS p_bin8, round(pb / $WinSq, 6) AS p_bin16,
+         |  round(pc / $WinSq, 6) AS p_bin32,
+         |  CAST(CASE WHEN pc > greatest(pa, pb) THEN ${GoertzelBins(2)}
+         |    WHEN pb > pa THEN ${GoertzelBins(1)}
+         |    ELSE ${GoertzelBins(0)} END AS INT) AS dominant_bin,
+         |  CAST(CASE WHEN pc > greatest(pa, pb) THEN ${GoertzelBins(2)}
+         |    WHEN pb > pa THEN ${GoertzelBins(1)}
+         |    ELSE ${GoertzelBins(0)} END * ($WavRate / $AudioWin) AS INT)
+         |    AS dominant_hz
+         |FROM p ORDER BY doc_id, win_idx""".stripMargin
+    },
     // the q199 closed form over the fragmented layout: identical JPEG
     // samples (so identical luma/checksum), sync cadence from trun
     // flags instead of stss, duration from elst (id%3==0: +500 ms pad)

@@ -123,6 +123,12 @@ object SqlSurface {
         "call, not a SQL expression; use Multimodal.mp4Fragmented (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the fragment walker or the decoder)"),
+    "q217_audio_tones" ->
+      ("real javax.sound.sampled decode feeding the per-window Goertzel " +
+        "recursion — a codec call plus a length-200 sequential float " +
+        "recursion, not a SQL expression; use Multimodal.audioTones " +
+        "(the oracle replays the recursion over analytically-" +
+        "regenerated samples, which would not exercise the decoder)"),
     "q208_audio_energy" ->
       ("real javax.sound.sampled decode cut into analysis windows — a " +
         "codec call, not a SQL expression; use Multimodal.windowAudio " +

@@ -84,6 +84,57 @@ object TextAnalysis {
           .as("quality_score")): _*)
   }
 
+  /** q218 fixed logistic-model parameters: bias + weights over
+    * ln(1+tokens), stopword ratio, and mean nonspace chars per token —
+    * a tiny "trained" quality classifier whose inference path is the
+    * point (the weights of a real model are data; the OPERATOR is the
+    * linear-model scoring pass).
+    */
+  val QmBias = -2.0
+  val QmWLen = 0.35
+  val QmWStop = 6.0
+  val QmWTok = -0.15
+
+  /** q218 — MODEL-BASED quality scoring: logistic-regression inference
+    * over the q18 feature kernel — the DCLM/fastText-classifier-style
+    * filtering step that replaced pure heuristics in modern curation
+    * stacks (q18 is the hand-tuned heuristic; this is the
+    * trained-model inference path: z = w·f + b, score = σ(z),
+    * keep = z ≥ 0). Weights are fixed model constants ([[QmBias]]…);
+    * swapping in a real trained vector changes literals, not the plan.
+    *
+    * Determinism: features are exact integers from the shared q18
+    * expressions; z is a fixed left-associative chain whose only libm
+    * ops (one ln, one exp) ride round 6 on the score; `keep` compares
+    * the PRE-sigmoid z against 0 (monotone-equivalent to score ≥ ½,
+    * without the exp in the compare). Whitespace-only docs carry the
+    * q18 kernel's single empty token and score at the bias-dominated
+    * floor.
+    *
+    * Scale shape: pure map work — scan → project → sort; column
+    * pruning reaches the scan.
+    */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModelFrom(Tables.documents(spark, dir))
+
+  def qualityModelFrom(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("nt"),
+        size(TextFns.keepIn(col("w"), Stopwords)).cast("long").as("stop"),
+        col("nonspace"))
+      .filter(col("nt") > 0)
+    val z = lit(QmBias) +
+      lit(QmWLen) * log(lit(1.0) + col("nt").cast("double")) +
+      lit(QmWStop) * (col("stop").cast("double") / col("nt")) +
+      lit(QmWTok) * (col("nonspace").cast("double") / col("nt"))
+    d.select(col("doc_id"), col("nt").as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z >= lit(0.0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q19 — language ID: stopword-marker hit counts per candidate
     * language, argmax with fixed priority tie-break.
     */
@@ -1600,6 +1651,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
+    "q218_quality_model" -> (qualityModel _),
     "q165_score_bias_auc" -> (scoreBiasAuc _),
     "q88_filter_funnel" -> (filterFunnel _),
     "q19_lang_id" -> (langId _),
@@ -1835,6 +1887,24 @@ object TextAnalysis {
          |CROSS JOIN tot
          |WHERE cb.c_xy >= $CollocMin
          |ORDER BY lift DESC, cb.x, cb.y LIMIT $CollocTopK""".stripMargin,
+    // the q18 feature integers through the fixed-weight logistic chain;
+    // keep compares the pre-sigmoid z (no exp in the compare)
+    "q218_quality_model" ->
+      s"""$toksCte, feat AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+         |    CAST(len(${TextFns.sql.keepIn("w", Stopwords)}) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonspace
+         |  FROM toks),
+         |zz AS (SELECT doc_id, nt,
+         |    $QmBias + $QmWLen * ln(1.0 + CAST(nt AS DOUBLE))
+         |      + $QmWStop * (CAST(stop AS DOUBLE) / nt)
+         |      + $QmWTok * (CAST(nonspace AS DOUBLE) / nt) AS z
+         |  FROM feat WHERE nt > 0)
+         |SELECT doc_id, nt AS n_tokens,
+         |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |  z >= 0.0 AS keep
+         |FROM zz ORDER BY doc_id""".stripMargin,
     "q18_quality_score" ->
       s"""$toksCte, feat AS (
          |  SELECT doc_id, len(w) AS n_tokens,

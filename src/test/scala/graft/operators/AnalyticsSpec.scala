@@ -937,4 +937,49 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(r.isEmpty, "no eval users -> no k-arm rows")
     }
   }
+
+  describe("spearmanCorr (q219)") {
+    def t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, u: Long, typ: String, v: Double) =
+      (id, t0, u, typ, v, "{}")
+
+    it("perfectly monotone metrics score rho = 1, reversed score -1") {
+      // users 1..3: clicks 1/2/3, spend 10/20/30 cents -> monotone
+      val up = Analytics.spearmanCorrFrom(events(
+          ev(1, 1, "click", 0), ev(2, 2, "click", 0), ev(3, 2, "click", 0),
+          ev(4, 3, "click", 0), ev(5, 3, "click", 0), ev(6, 3, "click", 0),
+          ev(7, 1, "purchase", 0.10), ev(8, 2, "purchase", 0.20),
+          ev(9, 3, "purchase", 0.30))).collect()(0)
+      assert(up.getAs[Long]("n_users") == 3L)
+      assert(up.getAs[Double]("spearman_rho") == 1.0)
+      val down = Analytics.spearmanCorrFrom(events(
+          ev(1, 1, "click", 0), ev(2, 2, "click", 0), ev(3, 2, "click", 0),
+          ev(4, 3, "click", 0), ev(5, 3, "click", 0), ev(6, 3, "click", 0),
+          ev(7, 1, "purchase", 0.30), ev(8, 2, "purchase", 0.20),
+          ev(9, 3, "purchase", 0.10))).collect()(0)
+      assert(down.getAs[Double]("spearman_rho") == -1.0)
+    }
+
+    it("ties take average ranks (doubled to stay integer), hand-checked") {
+      // clicks: u1=1, u2=1, u3=2 -> doubled ranks 3,3,6
+      // spend:  u1=10, u2=20, u3=30 -> doubled ranks 2,4,6
+      // sxy = 6+12+36 = 54; rho = (3*54 - 144) / (sqrt(3*54-144)*
+      // sqrt(3*56-144)) = 18/sqrt(18*24) = sqrt(3)/2
+      val r = Analytics.spearmanCorrFrom(events(
+          ev(1, 1, "click", 0), ev(2, 2, "click", 0),
+          ev(3, 3, "click", 0), ev(4, 3, "click", 0),
+          ev(5, 1, "purchase", 0.10), ev(6, 2, "purchase", 0.20),
+          ev(7, 3, "purchase", 0.30))).collect()(0)
+      def r9(v: Double) =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("spearman_rho") ==
+        r9(18.0 / (math.sqrt(18.0) * math.sqrt(24.0))))
+    }
+
+    it("is outlier-robust where q149's Pearson is not (fixture sanity)") {
+      val rho = Analytics.spearmanCorr(spark, graft.TestSpark.Sf)
+        .collect()(0).getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 && rho <= 1.0 && !rho.isNaN)
+    }
+  }
 }

@@ -583,6 +583,62 @@ class MultimodalSpec extends AnyFunSpec {
       rows.foreach(r => assert(r.decode_ok || r.sample_idx == -1))
     }
 
+    it("q217: Goertzel probe powers match an independent recursion over the closed form") {
+      // independent reimplementation: sawtooth samples from the wavBytes
+      // closed form, recursion replayed with the shared coefficients
+      def expected(id: Long): Seq[(Int, Seq[Double], Int)] = {
+        val n = (800L + java.lang.Math.floorMod(id * 37L, 1600L)).toInt
+        val step = 1L + java.lang.Math.floorMod(id, 13L)
+        val base = id * 31L
+        (0 until n / Multimodal.AudioWin).map { w =>
+          val ps = Multimodal.GoertzelC.map { c =>
+            var s1 = 0.0; var s2 = 0.0
+            (0 until Multimodal.AudioWin).foreach { i =>
+              val j = w * Multimodal.AudioWin + i
+              val x = (java.lang.Math.floorMod(128L + step * j + base, 256L) -
+                128L).toDouble
+              val s = (x + (c * s1)) - s2
+              s2 = s1; s1 = s
+            }
+            math.max(((s1 * s1) + (s2 * s2)) - ((c * s1) * s2), 0.0)
+          }
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val best = ps.zipWithIndex.reduceLeft((a, b) =>
+            if (b._1 > a._1) b else a)._2
+          (w, ps.map(v => r6(v / Multimodal.WinSq)),
+            Multimodal.GoertzelBins(best) * 40)
+        }
+      }
+      val ids = Seq(0L, 1L, 7L, 12L, 123L)
+      val rows = Multimodal.toneWindows(
+          ids.map(id => (id, Multimodal.wavBytes(id))).toDF("doc_id", "payload"),
+          Multimodal.AudioWin)
+        .collect().groupBy(_.doc_id)
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ids.foreach { id =>
+        val got = rows(id).sortBy(_.win_idx).map(f =>
+          (f.win_idx, Seq(r6(f.p_bin8 / Multimodal.WinSq),
+            r6(f.p_bin16 / Multimodal.WinSq),
+            r6(f.p_bin32 / Multimodal.WinSq)), f.dominant_hz))
+        assert(got.toSeq == expected(id), s"doc $id")
+        assert(rows(id).forall(f => f.decode_ok && f.n_frames == 200L))
+      }
+      // partial trailing windows are skipped: id 0 → n = 800 → 4 windows
+      assert(rows(0L).length == 4)
+    }
+
+    it("q217: quarantines undecodable audio payloads") {
+      val rows = Multimodal.toneWindows(
+          Seq((1L, "not audio".getBytes("UTF-8")),
+            (2L, Multimodal.wavBytes(2L))).toDF("doc_id", "payload"),
+          Multimodal.AudioWin)
+        .collect().groupBy(_.doc_id)
+      assert(rows(1L).length == 1 && !rows(1L).head.decode_ok)
+      assert(rows(2L).forall(_.decode_ok) && rows(2L).nonEmpty)
+    }
+
     it("q208: window sums match the closed form, crossings stay within windows") {
       val ids = Seq(0L, 3L, 12L, 123L)
       val rows = Multimodal.windowAudio(

@@ -632,6 +632,40 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("qualityModel (q218)") {
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def zOf(nt: Long, stop: Long, nonspace: Long): Double =
+      TextAnalysis.QmBias +
+        TextAnalysis.QmWLen * math.log(1.0 + nt.toDouble) +
+        TextAnalysis.QmWStop * (stop.toDouble / nt) +
+        TextAnalysis.QmWTok * (nonspace.toDouble / nt)
+
+    it("scores the logistic chain over the q18 feature integers, hand-checked") {
+      // "the cat sat" → 3 tokens, 1 stopword, 9 nonspace chars
+      val z = zOf(3L, 1L, 9L)
+      val r = TextAnalysis.qualityModelFrom(docs((1L, "the cat sat")))
+        .collect()(0)
+      assert(r.getAs[Long]("n_tokens") == 3L)
+      assert(r.getAs[Double]("score") == r6(1.0 / (1.0 + math.exp(-z))))
+      assert(r.getAs[Boolean]("keep") == (z >= 0.0))
+    }
+
+    it("stopword-rich natural text outranks symbol soup; keep matches the z sign") {
+      val r = TextAnalysis.qualityModelFrom(docs(
+          (1L, "the cat is on the mat and the dog is in the house of a friend"),
+          (2L, "x9 zq1 7b kk3 p0q m2m r77 jx8 w4 v5n")))
+        .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+      assert(r(1L).getAs[Double]("score") > r(2L).getAs[Double]("score"))
+      assert(r(1L).getAs[Boolean]("keep"))
+      // whitespace-only docs carry the q18 kernel's single empty token
+      // (nt = 1, all ratios 0) and score at the bias-dominated floor
+      val ws = TextAnalysis.qualityModelFrom(docs((3L, "   "))).collect()
+      assert(ws.length == 1 && ws(0).getAs[Long]("n_tokens") == 1L)
+      assert(!ws(0).getAs[Boolean]("keep"))
+    }
+  }
+
   describe("zipfSlope (q205)") {
     it("fits the least-squares slope over ranked token frequencies, hand-checked") {
       // counts a:4 b:2 c:1 → ranks 1,2,3
