@@ -118,21 +118,30 @@ object TextAnalysis {
     qualityModelFrom(Tables.documents(spark, dir))
 
   def qualityModelFrom(docs: DataFrame): DataFrame = {
+    val d = qualityZ(docs, Seq("doc_id"))
+    d.select(col("doc_id"), col("nt").as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+        (col("z") >= lit(0.0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared q218/q220 pre-sigmoid margin: caller-kept columns plus
+    * `nt` and `z` — ONE definition of the model chain, so the batch
+    * scorer and the streaming monitor cannot drift.
+    */
+  def qualityZ(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val d = docs
-      .select(col("doc_id"), TextFns.toks(col("text")).as("w"),
-        length(regexp_replace(col("text"), "\\s", "")).as("nonspace"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("nt"),
+      .select(keep.map(col) ++ Seq(TextFns.toks(col("text")).as("w"),
+        length(regexp_replace(col("text"), "\\s", "")).as("nonspace")): _*)
+      .select(keep.map(col) ++ Seq(size(col("w")).cast("long").as("nt"),
         size(TextFns.keepIn(col("w"), Stopwords)).cast("long").as("stop"),
-        col("nonspace"))
+        col("nonspace")): _*)
       .filter(col("nt") > 0)
     val z = lit(QmBias) +
       lit(QmWLen) * log(lit(1.0) + col("nt").cast("double")) +
       lit(QmWStop) * (col("stop").cast("double") / col("nt")) +
       lit(QmWTok) * (col("nonspace").cast("double") / col("nt"))
-    d.select(col("doc_id"), col("nt").as("n_tokens"),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
-        (z >= lit(0.0)).as("keep"))
-      .orderBy("doc_id")
+    d.select(keep.map(col) ++ Seq(col("nt"), z.as("z")): _*)
   }
 
   /** q19 — language ID: stopword-marker hit counts per candidate

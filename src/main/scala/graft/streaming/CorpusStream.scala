@@ -49,10 +49,63 @@ object CorpusStream {
     TextAnalysis.funnelReport(spark.table("graft_q90_sink"))
   }
 
+  /** q220 — the q218 quality MODEL as a STREAMING ingest monitor: the
+    * per-source keep-rate dashboard a model-filtered drop-folder ingest
+    * feeds. Every document is scored map-side with the shared
+    * [[TextAnalysis.qualityZ]] chain (one definition — the stream and
+    * the batch scorer cannot drift) and a complete-mode per-source
+    * counter aggregate tracks docs seen / docs kept; the closing
+    * keep-rate division happens on the drained sink. A drained
+    * AvailableNow run equals the batch rollup exactly — the oracle
+    * computes the same table directly over the documents parquet.
+    *
+    * Scale shape: state is one (n, kept) counter row per SOURCE
+    * (model-scale) regardless of stream volume; flags are map work,
+    * the aggregate combines partially per micro-batch; no watermark —
+    * the counters are global and monotone (the q90 discipline).
+    */
+  def streamedQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val agg = TextAnalysis.qualityZ(source(spark, dir), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 0.0, 1L).otherwise(0L)).as("n_keep"))
+    EventStream.drain(agg, "graft_q220_sink", OutputMode.Complete)
+    spark.table("graft_q220_sink")
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q90_stream_funnel" -> (streamedFunnel _))
+    "q90_stream_funnel" -> (streamedFunnel _),
+    "q220_stream_quality" -> (streamedQuality _))
 
   /** The drained stream equals batch q88, so the oracle IS q88's. */
   val oracle: Map[String, String] = Map(
-    "q90_stream_funnel" -> TextAnalysis.oracle("q88_filter_funnel"))
+    "q90_stream_funnel" -> TextAnalysis.oracle("q88_filter_funnel"),
+    // the q218 z chain rolled to per-source keep counters, computed
+    // directly over the documents parquet — drained ≡ batch
+    "q220_stream_quality" ->
+      s"""WITH toks AS (SELECT source,
+         |    ${graft.functions.TextFns.sql.toks} AS w, text FROM documents),
+         |feat AS (
+         |  SELECT source, CAST(len(w) AS BIGINT) AS nt,
+         |    CAST(len(${graft.functions.TextFns.sql.keepIn("w",
+             TextAnalysis.Stopwords)}) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonspace
+         |  FROM toks),
+         |zz AS (SELECT source,
+         |    ${TextAnalysis.QmBias} + ${TextAnalysis.QmWLen} *
+         |      ln(1.0 + CAST(nt AS DOUBLE))
+         |      + ${TextAnalysis.QmWStop} * (CAST(stop AS DOUBLE) / nt)
+         |      + ${TextAnalysis.QmWTok} * (CAST(nonspace AS DOUBLE) / nt) AS z
+         |  FROM feat WHERE nt > 0)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS keep_rate
+         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin)
 }

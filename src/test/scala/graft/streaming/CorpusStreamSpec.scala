@@ -21,4 +21,29 @@ class CorpusStreamSpec extends AnyFunSpec {
       assert(again == batch)
     }
   }
+
+  describe("streamedQuality (q220)") {
+    it("a drained complete-mode run equals the batch q218 per-source rollup") {
+      import org.apache.spark.sql.functions._
+      val streamed = CorpusStream.streamedQuality(spark, sf).collect().toSeq
+      // batch twin over the same shared z chain
+      val batch = graft.operators.TextAnalysis.qualityZ(
+          graft.sources.Tables.documents(spark, sf), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") >= 0.0, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("source"), col("n_docs"), col("n_keep"),
+          round(col("n_keep").cast("double") / col("n_docs"), 6)
+            .as("keep_rate"))
+        .orderBy("source").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        "streaming per-source keep counters must equal the batch rollup")
+      streamed.foreach { r =>
+        assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+        val rate = r.getAs[Double]("keep_rate")
+        assert(rate >= 0.0 && rate <= 1.0)
+      }
+    }
+  }
 }
