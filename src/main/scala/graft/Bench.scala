@@ -148,6 +148,11 @@ object Bench {
       case (name, fn) => if (!stagedBelow.contains(name)) run(name) { fn(spark, sfDir) }
     }
     run("q21_exact_dedup") { Dedup.exactDedup(spark, sfDir) }
+    // r11: the agreement audit re-derives both pair relations
+    // (self-contained SparkEntry form — the costed path a fresh session
+    // pays); q216 is SupplierPerf-staged like q96
+    run("q215_dedup_agreement") { Dedup.dedupAgreement(spark, sfDir) }
+    run("q216_ivm_join") { SupplierPerf.ivmJoin(spark, sfDir) }
     run("q179_soft_dedup_weights") { Dedup.softDedupWeights(spark, sfDir) }
     run("q190_dup_geography") { Dedup.dupGeography(spark, sfDir) }
     run("q191_dup_size_histogram") { Dedup.dupSizeHistogram(spark, sfDir) }

@@ -1324,25 +1324,31 @@ object TextAnalysis {
   def heldoutPplFrom(docs: DataFrame): DataFrame = {
     val bucket = TextFns.hash32(
       concat(lit("split|"), col("doc_id").cast("string"))) % 100
-    val train = docs.filter(bucket < Curation.TrainPct)
-    val valDocs = docs.filter(bucket >= Curation.TrainPct &&
-      bucket < Curation.ValPct)
-    val w = TextFns.toks(col("text"))
-    def uniOf(d: DataFrame) = d.select(explode(w).as("t"))
+    // the q203 tk discipline: materialize the token array ONCE per doc
+    // before any size/explode/element_at consumer — a fresh toks
+    // expression inside each filter re-runs the regex tokenizer per
+    // consumer (measured 4× on this query's one-file scan stage)
+    def tkOf(d: DataFrame) = d.select(col("doc_id"),
+      TextFns.toks(col("text")).as("w"))
+    val trainTk = tkOf(docs.filter(bucket < Curation.TrainPct))
+    val valTk = tkOf(docs.filter(bucket >= Curation.TrainPct &&
+      bucket < Curation.ValPct))
+    def uniOf(tk: DataFrame) = tk.select(explode(col("w")).as("t"))
       .filter(col("t") =!= "").groupBy("t").agg(count(lit(1)).as("c"))
-    def biOf(d: DataFrame) = d.select(col("doc_id"),
-        explode(sequence(lit(1), size(w) - 1)).as("i"), w.as("w"))
+    def biOf(tk: DataFrame) = tk.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
       .select(col("doc_id"), element_at(col("w"), col("i")).as("x"),
         element_at(col("w"), col("i") + 1).as("y"))
       .filter(col("x") =!= "" && col("y") =!= "")
-    val uni = uniOf(train).localCheckpoint()
+    val uni = uniOf(trainTk).localCheckpoint()
     val stats = uni.agg(sum("c").as("n_total"),
       count(lit(1)).as("v_size"))
-    val biCnt = biOf(train.filter(size(w) >= 2))
+    val biCnt = biOf(trainTk)
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= BigramMin)
       .localCheckpoint()
-    val docBi = biOf(valDocs.filter(size(w) >= 2))
+    val docBi = biOf(valTk)
     // unseen context (c_x null) nulls the bigram term → coalesce to 0;
     // the Laplace floor keeps every probability positive
     val p = coalesce(
