@@ -340,6 +340,14 @@ object ScaleSmoke {
     // round-11: DP release is one map+agg pass, noise is |sources|-row
     // scalar work
     t("dp_release") { Curation.dpReleaseFrom(docs).count() }
+    // round-11: evolved-layout merged read + time-travel publishes are
+    // metadata + source-keyed aggregates
+    t("schema_evolution") {
+      Curation.schemaEvolution(spark, "/root/testdata/sf0.1").count()
+    }
+    t("time_travel") {
+      Curation.timeTravel(spark, "/root/testdata/sf0.1").count()
+    }
     // round-11: logistic inference is pure map work
     t("quality_model") { TextAnalysis.qualityModelFrom(docs).count() }
     // round-11: rank tables at the VALUE grain (distinct metric values),

@@ -1612,6 +1612,78 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** q221 — SCHEMA-EVOLUTION read gate: the per-source rollup computed
+    * THROUGH the mixed-vintage layout ([[graft.sources.Evolved]] —
+    * legacy files whose parquet footers genuinely lack `lang`/`n_chars`
+    * next to evolved files that carry them, merged with `mergeSchema`).
+    * Legacy rows surface the evolved columns as NULL and the rollup
+    * backfills chars from the text itself (`coalesce(n_chars,
+    * length(text))`) — the add-columns-without-rewriting-history
+    * contract a 100 TB warehouse depends on. The oracle computes the
+    * identical view from the ORIGINAL single-schema parquet using the
+    * deterministic vintage rule (`doc_id % 2`), so hash equality gates
+    * the merged-footer read path end to end.
+    *
+    * Scale shape: footer merge is metadata work; the rollup is one
+    * combine-heavy source-keyed aggregate over the scan.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Evolved.documentsFor(spark, dir)
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(when(col("lang").isNotNull, 1L).otherwise(0L)).as("n_evolved"),
+        count(col("lang")).as("n_lang_known"),
+        sum(coalesce(col("n_chars"), length(col("text")).cast("long")))
+          .as("backfilled_chars"))
+      .orderBy("source")
+  }
+
+  /** q222 — TIME-TRAVEL snapshot diff over the atomic warehouse: two
+    * publishes of the per-source doc-count table (yesterday's snapshot
+    * = the legacy `doc_id % 2 = 0` half, today's = the full corpus)
+    * land through [[graft.sources.AtomicWarehouse.overwrite]]'s
+    * snapshot-pointer flips, then the CURRENT read is joined to the
+    * `VERSION AS OF`-style [[graft.sources.AtomicWarehouse.readVersion]]
+    * read one generation back — the "what changed since the last
+    * publish" audit that version-retaining table formats exist for
+    * (and the reason the layout retains the previous generation at
+    * all: in-flight readers + diffability). Version names are
+    * Lamport-bumped so two publishes inside one millisecond still
+    * order by name.
+    *
+    * Determinism: both snapshots are integer count tables derived by
+    * the fixed vintage rule; the oracle computes the same diff
+    * directly from the parquet. Scale shape: two source-keyed
+    * aggregates + a |sources|-row join; the publishes are the CTAS
+    * writes a real pipeline pays anyway.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AtomicWarehouse
+    val root = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/graft_tt"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+    val table = s"q222_counts_$key"
+    val d = Tables.documents(spark, dir)
+    def counts(df: DataFrame) =
+      df.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    AtomicWarehouse.overwrite(counts(d.filter(col("doc_id") % 2 === 0)),
+      root, table)
+    AtomicWarehouse.overwrite(counts(d), root, table)
+    val now = AtomicWarehouse.read(spark, root, table)
+      .select(col("source"), col("n_docs").as("n_docs_now"))
+    val prev = AtomicWarehouse.readVersion(spark, root, table, 1)
+      .select(col("source"), col("n_docs").as("n_docs_prev"))
+    now.join(prev, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_now"), lit(0L)).as("n_docs_now"),
+        coalesce(col("n_docs_prev"), lit(0L)).as("n_docs_prev"),
+        (coalesce(col("n_docs_now"), lit(0L)) -
+          coalesce(col("n_docs_prev"), lit(0L))).as("n_added"))
+      .orderBy("source")
+  }
+
   /** q214 total privacy budget ε, split evenly over the two releases. */
   val DpEpsilon = 1.0
 
@@ -1679,6 +1751,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_dp_release" -> (dpRelease _),
+    "q221_schema_evolution" -> (schemaEvolution _),
+    "q222_time_travel" -> (timeTravel _),
     "q202_orc_mirror" -> (orcMirror _),
     "q204_rendezvous_shards" -> (rendezvousShards _),
     "q45_hash_split" -> (hashSplit _),
@@ -1749,6 +1823,33 @@ object Curation {
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the snapshot diff recomputed directly: "previous" is the legacy
+    // vintage half, "now" the full corpus
+    "q222_time_travel" ->
+      s"""SELECT source, count(*) AS n_docs_now,
+         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_prev,
+         |  count(*) - CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_added
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merged-vintage view recomputed from the ORIGINAL parquet via
+    // the deterministic doc_id % 2 vintage rule: even rows are legacy
+    // (lang/n_chars absent -> NULL), odd rows evolved
+    "q221_schema_evolution" ->
+      s"""WITH v AS (SELECT source,
+         |    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+         |    CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+         |    text
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_legacy,
+         |  CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_evolved,
+         |  count(lang) AS n_lang_known,
+         |  CAST(sum(coalesce(n_chars, CAST(length(text) AS BIGINT)))
+         |    AS BIGINT) AS backfilled_chars
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // hash-seeded inverse-CDF Laplace, the exact token-for-token chain
     // of dpReleaseFrom (u exact in binary, single ln under round 6)
     "q214_dp_release" -> {

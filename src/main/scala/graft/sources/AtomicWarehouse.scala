@@ -44,8 +44,16 @@ object AtomicWarehouse {
     val dir = tableDir(root, table)
     dir.mkdirs()
     // millis prefix makes version names lexicographically time-ordered;
-    // salt disambiguates same-millis writes
-    val version = f"v-${System.currentTimeMillis()}%013d-${scala.util.Random.alphanumeric.take(6).mkString}"
+    // salt disambiguates same-millis writes. The clock is LAMPORT-bumped
+    // past the newest existing version so two publishes inside one
+    // millisecond still order by name — [[readVersion]]'s time-travel
+    // walk depends on name order matching publish order.
+    val now = System.currentTimeMillis()
+    val floor = versionsOf(dir).sorted(Ordering[String].reverse).headOption
+      .flatMap(v => scala.util.Try(v.slice(2, 15).toLong).toOption)
+      .getOrElse(0L)
+    val millis = math.max(now, floor + 1)
+    val version = f"v-$millis%013d-${scala.util.Random.alphanumeric.take(6).mkString}"
     df.write.mode("overwrite").parquet(new File(dir, version).toString)
 
     val tmp = new File(dir, s"._CURRENT.$version")
@@ -66,6 +74,25 @@ object AtomicWarehouse {
     */
   def read(spark: SparkSession, root: String, table: String): DataFrame =
     spark.read.parquet(currentPath(root, table))
+
+  /** TIME-TRAVEL read: the version `stepsBack` generations behind the
+    * current pointer (0 = current, 1 = the previous snapshot an
+    * in-flight reader may still be scanning). The snapshot-pointer
+    * layout retains the newest two generations (plus a GC grace
+    * window), so `stepsBack = 1` is always resolvable right after an
+    * overwrite — the "what did this table say before today's publish"
+    * read that production table formats expose as VERSION AS OF.
+    */
+  def readVersion(spark: SparkSession, root: String, table: String,
+      stepsBack: Int): DataFrame = {
+    val dir = tableDir(root, table)
+    val cur = Files.readString(new File(dir, "_CURRENT").toPath).trim
+    val vs = versionsOf(dir).sorted(Ordering[String].reverse)
+    val idx = vs.indexOf(cur)
+    require(idx >= 0 && idx + stepsBack < vs.length,
+      s"no version $stepsBack generations behind $cur (have ${vs.length})")
+    spark.read.parquet(new File(dir, vs(idx + stepsBack)).toString)
+  }
 
   def currentPath(root: String, table: String): String = {
     val dir = tableDir(root, table)

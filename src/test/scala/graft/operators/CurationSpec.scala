@@ -152,6 +152,79 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("schemaEvolution (q221)") {
+    it("legacy parquet footers genuinely lack the evolved columns") {
+      import scala.jdk.CollectionConverters._
+      val rel = graft.sources.Evolved.documentsFor(spark, graft.TestSpark.Sf)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val schemas = rel.inputFiles.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      }
+      assert(schemas.exists(s => !s.contains("lang")),
+        "some files must predate the lang column")
+      assert(schemas.exists(_.contains("lang")),
+        "some files must carry the evolved schema")
+    }
+
+    it("the merged read backfills legacy rows as NULL, rollup matches direct") {
+      val rel = graft.sources.Evolved.documentsFor(spark, graft.TestSpark.Sf)
+      import org.apache.spark.sql.functions._
+      // every even doc_id is legacy → lang null; odd carries lang
+      val probe = rel.select(col("doc_id"), col("lang")).collect()
+      probe.foreach { r =>
+        val even = r.getLong(0) % 2 == 0
+        assert(r.isNullAt(1) == even, s"doc ${r.getLong(0)}")
+      }
+      val got = Curation.schemaEvolution(spark, graft.TestSpark.Sf).collect()
+      got.foreach { r =>
+        assert(r.getAs[Long]("n_legacy") + r.getAs[Long]("n_evolved") ==
+          r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("n_lang_known") == r.getAs[Long]("n_evolved"))
+      }
+    }
+  }
+
+  describe("timeTravel (q222)") {
+    it("the previous-generation read returns the pre-publish snapshot") {
+      val r = Curation.timeTravel(spark, graft.TestSpark.Sf).collect()
+      assert(r.nonEmpty)
+      r.foreach { x =>
+        assert(x.getAs[Long]("n_docs_now") ==
+          x.getAs[Long]("n_docs_prev") + x.getAs[Long]("n_added"))
+        assert(x.getAs[Long]("n_added") >= 0L)
+      }
+      // re-running republishes two more generations; the diff is stable
+      val again = Curation.timeTravel(spark, graft.TestSpark.Sf).collect()
+      assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+    }
+
+    it("readVersion walks generations; too-far stepsBack is refused") {
+      import graft.sources.AtomicWarehouse
+      import org.apache.spark.sql.functions._
+      val root = "/dev/shm/graft-test-tt-spec"
+      graft.sources.Materialize.deleteRecursively(
+        java.nio.file.Paths.get(root))
+      val one = Seq((1L, "a")).toDF("k", "v")
+      val two = Seq((2L, "b")).toDF("k", "v")
+      AtomicWarehouse.overwrite(one, root, "t")
+      AtomicWarehouse.overwrite(two, root, "t") // same millis: Lamport bump
+      assert(AtomicWarehouse.read(spark, root, "t")
+        .collect()(0).getLong(0) == 2L)
+      assert(AtomicWarehouse.readVersion(spark, root, "t", 0)
+        .collect()(0).getLong(0) == 2L)
+      assert(AtomicWarehouse.readVersion(spark, root, "t", 1)
+        .collect()(0).getLong(0) == 1L)
+      intercept[IllegalArgumentException] {
+        AtomicWarehouse.readVersion(spark, root, "t", 9)
+      }
+    }
+  }
+
   describe("cdcMerge (q167)") {
     it("applies deletes-over-updates and the checksum matches a from-scratch replay") {
       // independent md5 reimplementation of hash32/hash60 and the whole
