@@ -348,6 +348,8 @@ object ScaleSmoke {
     t("time_travel") {
       Curation.timeTravel(spark, "/root/testdata/sf0.1").count()
     }
+    // round-11: one q57-shaped scoring pass + |sources|-row algebra
+    t("mixture_reweight") { Curation.mixtureReweightFrom(docs).count() }
     // round-11: logistic inference is pure map work
     t("quality_model") { TextAnalysis.qualityModelFrom(docs).count() }
     // round-11: rank tables at the VALUE grain (distinct metric values),

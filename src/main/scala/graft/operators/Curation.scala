@@ -1639,6 +1639,59 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q223 mirror-descent step size on the per-source loss. */
+  val RwEta = 1.0
+
+  /** q223 — DoReMi-style mixture REWEIGHTING step: the OPTIMIZATION
+    * member of the mixture family (q48 allocates by mass, q152 caps,
+    * q157 temperature-flattens — all static rules; this moves the
+    * weights BY the data). One multiplicative-weights / mirror-descent
+    * step: each source's proxy loss is its mean q57 unigram-LM NLL
+    * (high-perplexity sources are under-modeled), and
+    * `w' ∝ w₀ · exp(η · loss)` upweights them — the Xie et al. DoReMi
+    * update with the domain weights seeded from token mass. Output per
+    * source: doc/token mass, the loss, and the before/after weights —
+    * the table a data-mixing run feeds back into q52's sampler.
+    *
+    * Determinism: the loss is the round-6 mean of q57's (already
+    * round-6) per-doc NLLs; `exp` runs on those identical doubles;
+    * the normalizer sums the scores through the DECIMAL(38,12)
+    * accumulator (order-free), and the closing division lands under
+    * round 6. Token masses are exact integers.
+    *
+    * Scale shape: one corpus scoring pass (q57's shape — broadcast
+    * top-V vocab), one token-count pass, then everything lives on the
+    * |sources|-row relation (single-partition windows over model-scale
+    * rows, the q48 precedent).
+    */
+  def mixtureReweight(spark: SparkSession, dir: String): DataFrame =
+    mixtureReweightFrom(Tables.documents(spark, dir))
+
+  def mixtureReweightFrom(docs: DataFrame): DataFrame = {
+    val all = Window.partitionBy()
+    val perDoc = TextAnalysis.lmScoreFrom(docs)
+      .select(col("doc_id"), col("nll"))
+    val bySrc = perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("nll"), 6).as("loss"))
+    val tok = docs.select(col("source"),
+        size(filter(TextFns.toks(col("text")), t => t =!= ""))
+          .cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+    bySrc.join(tok, Seq("source"))
+      .withColumn("w0", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("sc", col("w0") * exp(lit(RwEta) * col("loss")))
+      .withColumn("dn",
+        sum(col("sc").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .over(all).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("loss"),
+        round(col("w0"), 6).as("w_before"),
+        round(col("sc") / col("dn"), 6).as("w_after"))
+      .orderBy("source")
+  }
+
   /** q222 — TIME-TRAVEL snapshot diff over the atomic warehouse: two
     * publishes of the per-source doc-count table (yesterday's snapshot
     * = the legacy `doc_id % 2 = 0` half, today's = the full corpus)
@@ -1753,6 +1806,7 @@ object Curation {
     "q214_dp_release" -> (dpRelease _),
     "q221_schema_evolution" -> (schemaEvolution _),
     "q222_time_travel" -> (timeTravel _),
+    "q223_mixture_reweight" -> (mixtureReweight _),
     "q202_orc_mirror" -> (orcMirror _),
     "q204_rendezvous_shards" -> (rendezvousShards _),
     "q45_hash_split" -> (hashSplit _),
@@ -1822,7 +1876,32 @@ object Curation {
        |  SELECT doc_id, text AS t_new FROM documents
        |  WHERE ${TextFns.sql.hash32("'new|' || CAST(doc_id AS VARCHAR)")} % $SnapKeepMod < ${SnapKeepMod - 1})""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // lazy: q223's text embeds TextAnalysis.oracle("q57_lm_score"), and
+  // TextAnalysis's own init references Curation constants — a strict
+  // val here would deadlock the object-initialization cycle
+  lazy val oracle: Map[String, String] = Map(
+    // one mirror-descent step over the q57 per-source mean NLL; the
+    // normalizer sums through the DECIMAL(38,12) accumulator
+    "q223_mixture_reweight" -> {
+      s"""WITH q57 AS (${TextAnalysis.oracle("q57_lm_score")}),
+         |ls AS (SELECT d.source, count(*) AS n_docs,
+         |    round(avg(q57.nll), 6) AS loss
+         |  FROM q57 JOIN documents d ON d.doc_id = q57.doc_id GROUP BY 1),
+         |tk AS (SELECT source,
+         |    CAST(sum(len(list_filter(${TextFns.sql.toks}, t -> t <> '')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |j AS (SELECT ls.source, n_docs, n_tokens, loss,
+         |    CAST(n_tokens AS DOUBLE) /
+         |      (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM tk) AS w0
+         |  FROM ls JOIN tk USING (source)),
+         |sc AS (SELECT *, w0 * exp($RwEta * loss) AS s FROM j),
+         |den AS (SELECT CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) AS dn
+         |  FROM sc)
+         |SELECT source, n_docs, n_tokens, loss,
+         |  round(w0, 6) AS w_before, round(s / dn, 6) AS w_after
+         |FROM sc CROSS JOIN den ORDER BY source""".stripMargin
+    },
     // the snapshot diff recomputed directly: "previous" is the legacy
     // vintage half, "now" the full corpus
     "q222_time_travel" ->

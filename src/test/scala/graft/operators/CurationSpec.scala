@@ -225,6 +225,36 @@ class CurationSpec extends AnyFunSpec {
     }
   }
 
+  describe("mixtureReweight (q223)") {
+    it("one mirror-descent step upweights the under-modeled source, weights renormalize") {
+      val r = Curation.mixtureReweight(spark, graft.TestSpark.Sf)
+        .collect()
+      assert(r.nonEmpty)
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // both weight columns are distributions (round-6 tolerance)
+      assert(math.abs(r.map(_.getAs[Double]("w_before")).sum - 1.0) < 1e-4)
+      assert(math.abs(r.map(_.getAs[Double]("w_after")).sum - 1.0) < 1e-4)
+      // the DoReMi property: relative weight moves WITH the loss —
+      // the max-loss source gains relative mass, the min-loss one loses
+      val hi = r.maxBy(_.getAs[Double]("loss"))
+      val lo = r.minBy(_.getAs[Double]("loss"))
+      assert(hi.getAs[Double]("w_after") >= hi.getAs[Double]("w_before") ||
+        hi.getAs[Double]("loss") == lo.getAs[Double]("loss"))
+      assert(lo.getAs[Double]("w_after") <= lo.getAs[Double]("w_before") ||
+        hi.getAs[Double]("loss") == lo.getAs[Double]("loss"))
+      // the update algebra, re-derived from the row's own columns:
+      // w_after = w0·exp(η·loss) / Σ — recompute the normalizer
+      val scores = r.map(x => x.getAs[Double]("w_before") *
+        math.exp(Curation.RwEta * x.getAs[Double]("loss")))
+      val dn = scores.sum
+      r.zip(scores).foreach { case (x, s) =>
+        assert(math.abs(x.getAs[Double]("w_after") - r6(s / dn)) <= 2e-6,
+          x.getAs[String]("source"))
+      }
+    }
+  }
+
   describe("cdcMerge (q167)") {
     it("applies deletes-over-updates and the checksum matches a from-scratch replay") {
       // independent md5 reimplementation of hash32/hash60 and the whole
