@@ -340,13 +340,17 @@ object ScaleSmoke {
     // round-11: DP release is one map+agg pass, noise is |sources|-row
     // scalar work
     t("dp_release") { Curation.dpReleaseFrom(docs).count() }
-    // round-11: evolved-layout merged read + time-travel publishes are
-    // metadata + source-keyed aggregates
+    // round-11 (r12: legs now DRIVE the replicated corpus — hardcoding
+    // the sf dir measured constant-size work and made the bounded-at-
+    // scale claim vacuous): evolved-layout vintage writes + merged read
+    // scale with the corpus; time-travel's publishes are source-keyed
+    // aggregates over it
     t("schema_evolution") {
-      Curation.schemaEvolution(spark, "/root/testdata/sf0.1").count()
+      Curation.schemaEvolutionOf(
+        graft.sources.Evolved.writeAndRead(docs, s"$wh/evolved")).count()
     }
     t("time_travel") {
-      Curation.timeTravel(spark, "/root/testdata/sf0.1").count()
+      Curation.timeTravelOf(docs, s"$wh/ttwh", "tt_smoke").count()
     }
     // round-11: one q57-shaped scoring pass + |sources|-row algebra
     t("mixture_reweight") { Curation.mixtureReweightFrom(docs).count() }

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only contract probe (not part of the driver contract): smoke the
-  * flagship entry and check queries↔oracleSql key parity. Referenced by
-  * .claude/skills/verify — keep this shape stable.
+  * flagship entry and check queries↔oracleSql key parity. The verify
+  * workflow invokes this — keep this shape stable.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {

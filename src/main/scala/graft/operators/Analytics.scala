@@ -88,10 +88,12 @@ object Analytics {
     * accumulate as longs — no float ever sums.
     *
     * Scale shape: the corpus reduces to one per-VALUE aggregate (the
-    * 2-decimal value domain is bounded, so this relation is
-    * domain-cardinality — the histogram trick that makes exact global
-    * ranking scale); the rank window runs over that metadata-scale
-    * relation, and one final single-row aggregate closes it.
+    * histogram trick that makes exact global ranking scale), and the
+    * rank starts come from [[Prefix.cumSums]]'s two-phase distributed
+    * prefix — NOT a global window, because a money column's distinct
+    * cents approach row cardinality at warehouse scale, so the
+    * "bounded domain" assumption doesn't survive 100×. One final
+    * single-row aggregate closes it.
     */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame =
     mannWhitneyFrom(Tables.events(spark, dir))
@@ -102,10 +104,12 @@ object Analytics {
     val byV = sub.groupBy("value").agg(
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
       count(lit(1)).as("cv"))
-    val before = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byV.withColumn("st",
-      coalesce(sum("cv").over(before), lit(0L)) + 1)
+    // rank start = exclusive running count + 1, via the distributed
+    // two-phase prefix (cent key is monotone in value) — never a
+    // single-partition global window over the money grain
+    val ranked = Prefix.cumSums(byV, "value",
+        round(col("value") * 100), Seq("cv"), Seq("cum_cv"))
+      .withColumn("st", col("cum_cv") - col("cv") + 1)
     val u2 = col("r2a") - col("na") * (col("na") + 1)
     ranked.agg(
         sum(col("ca") * (lit(2L) * col("st") + col("cv") - 1)).as("r2a"),
@@ -124,8 +128,10 @@ object Analytics {
     * stochastic dominance; D measures worst-case CDF gap, the quantity
     * drift alarms threshold).
     *
-    * Scale shape: identical to q132 — domain-cardinality histogram,
-    * metadata-scale cumulative window, one closing aggregate.
+    * Scale shape: identical to q132 — per-value histogram, both CDF
+    * running counts through one [[Prefix.cumSums]] two-phase pass
+    * (shared buckets, two counters), broadcast totals, one closing
+    * aggregate. No global window anywhere on the money grain.
     */
   def ksTest(spark: SparkSession, dir: String): DataFrame =
     ksTestFrom(Tables.events(spark, dir))
@@ -135,15 +141,13 @@ object Analytics {
       .groupBy("value").agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
-    val cum = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    byV
-      .withColumn("cuma", sum("ca").over(cum))
-      .withColumn("cumb", sum("cb").over(cum))
-      .withColumn("na", sum("ca").over(all))
-      .withColumn("nb", sum("cb").over(all))
+    // both CDF numerators ride one distributed two-phase prefix pass
+    // (shared fine buckets, two counters); the group totals are a
+    // broadcast single-row aggregate, not a whole-relation window
+    val tot = byV.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    Prefix.cumSums(byV, "value", round(col("value") * 100),
+        Seq("ca", "cb"), Seq("cuma", "cumb"))
+      .crossJoin(broadcast(tot))
       .agg(max("na").as("na"), max("nb").as("nb"),
         max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
       .select(lit("click_vs_purchase").as("test"), col("na"), col("nb"),
@@ -1066,10 +1070,12 @@ object Analytics {
     * are two sqrts and one closing round-9 division.
     *
     * Scale shape: the per-user fold is one combine-heavy aggregate;
-    * ranks compute at the VALUE grain (distinct metric values + one
-    * cumulative window over that model-scale relation — the q165/q178
-    * precedent, never a window over users) and join back to users on
-    * the metric value; moments are one all-combining pass.
+    * ranks compute at the VALUE grain and the running counts ride
+    * [[Prefix.cumSums]]'s two-phase distributed prefix — for the
+    * money metric, distinct values approach USER cardinality, so a
+    * global rank window would serialize a users-sized sort through
+    * one task. Rank vectors join back to users on the metric value;
+    * moments are one all-combining pass.
     */
   def spearmanCorr(spark: SparkSession, dir: String): DataFrame =
     spearmanCorrFrom(Tables.events(spark, dir))
@@ -1080,15 +1086,17 @@ object Analytics {
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
       sum(when(col("event_type") === "purchase",
         round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
-    // doubled mid-ranks at the value grain: d = 2·rank_min + cnt − 1
-    def doubled(c: String, out: String): DataFrame = {
-      val w = Window.orderBy(c)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per.groupBy(c).agg(count(lit(1)).as("cnt"))
+    // doubled mid-ranks at the value grain: d = 2·rank_min + cnt − 1,
+    // the running count via the distributed two-phase prefix (the
+    // metric IS the key) — the money grain's value cardinality
+    // approaches user cardinality at warehouse scale, so a global
+    // window here would serialize a users-sized sort through one task
+    def doubled(c: String, out: String): DataFrame =
+      Prefix.cumSums(per.groupBy(c).agg(count(lit(1)).as("cnt")),
+          c, col(c), Seq("cnt"), Seq("cum"))
         .select(col(c),
-          (lit(2L) * (sum(col("cnt")).over(w) - col("cnt") + lit(1L)) +
+          (lit(2L) * (col("cum") - col("cnt") + lit(1L)) +
             col("cnt") - lit(1L)).as(out))
-    }
     val j = per
       .join(doubled("x", "dx"), Seq("x"))
       .join(doubled("y", "dy"), Seq("y"))

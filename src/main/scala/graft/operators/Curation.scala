@@ -1627,8 +1627,11 @@ object Curation {
     * Scale shape: footer merge is metadata work; the rollup is one
     * combine-heavy source-keyed aggregate over the scan.
     */
-  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.sources.Evolved.documentsFor(spark, dir)
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    schemaEvolutionOf(graft.sources.Evolved.documentsFor(spark, dir))
+
+  /** The merged-vintage audit over an explicit evolved read. */
+  def schemaEvolutionOf(d: DataFrame): DataFrame = {
     d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
@@ -1712,13 +1715,23 @@ object Curation {
     * writes a real pipeline pays anyway.
     */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.AtomicWarehouse
     val root = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:") + "/graft_tt"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-    val table = s"q222_counts_$key"
-    val d = Tables.documents(spark, dir)
+    // per-process nonce in the table key: two JVMs sharing a warehouse
+    // (Bench + ScaleSmoke on the same /dev/shm root) must not race each
+    // other's _CURRENT pointer between this run's publishes and reads
+    timeTravelOf(Tables.documents(spark, dir), root,
+      s"q222_counts_${key}_p${ProcessHandle.current().pid()}")
+  }
+
+  /** The publish→publish→diff cycle over an explicit corpus (the
+    * ScaleSmoke arm drives this with the replicated relation).
+    */
+  def timeTravelOf(d: DataFrame, root: String, table: String): DataFrame = {
+    import graft.sources.AtomicWarehouse
+    val spark = d.sparkSession
     def counts(df: DataFrame) =
       df.groupBy("source").agg(count(lit(1)).as("n_docs"))
     AtomicWarehouse.overwrite(counts(d.filter(col("doc_id") % 2 === 0)),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Det.nullIfZero
 import graft.functions.{TextCore, TextFns}
@@ -53,6 +54,20 @@ object Dedup {
 
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** The [[replicaPlanted]] corpus as oracle CTEs (`reps` + `corpus`). */
+  private def repsSql =
+    s"""reps AS (
+       |  SELECT doc_id + $RepShift AS doc_id,
+       |    CASE WHEN ${TextFns.sql.hash32(
+             s"'repsrc|' || CAST(doc_id + $RepShift AS VARCHAR)")} % 2 = 0
+       |      THEN source ELSE 'mirror-' || source END AS source, text
+       |  FROM documents
+       |  WHERE ${TextFns.sql.hash32(
+             "'rep|' || CAST(doc_id AS VARCHAR)")} % $RepMod = 0),
+       |corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT * FROM reps)""".stripMargin
 
   /** q21 — exact dedup summary: docs grouped by normalized-text md5. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -339,8 +354,37 @@ object Dedup {
     * it back onto the (source, fp) copy counts — both relations are
     * fingerprint-bounded; output is sources-sized.
     */
+  /** q190/q191 replica planting: the sf fixtures' planted duplicates
+    * are NEAR-dups, so the exact-fingerprint geography/histogram gates
+    * passed vacuously on zero rows (the one weak gate in r11's
+    * correctness sweep). Ride the q67 replica discipline: 1 in
+    * [[RepMod]] docs gains an exact text copy under a
+    * [[RepShift]]-shifted id — kept in the SAME source (internal
+    * duplication) or moved to a `mirror-` source (cross-source
+    * syndication) by a second hash pick — so both gates prove the
+    * histogram/geography math on real exact-dup clusters. Constants
+    * mirror q67's, declared locally: Dedup↔Curation object init must
+    * stay acyclic.
+    */
+  val RepMod = 5
+  val RepShift = 100000L
+
+  def replicaPlanted(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val reps = base
+      .filter(TextFns.hash32(
+        concat(lit("rep|"), col("doc_id").cast("string"))) % RepMod === 0)
+      .select((col("doc_id") + RepShift).as("doc_id"),
+        when(TextFns.hash32(concat(lit("repsrc|"),
+            (col("doc_id") + RepShift).cast("string"))) % 2 === 0,
+          col("source"))
+          .otherwise(concat(lit("mirror-"), col("source"))).as("source"),
+        col("text"))
+    base.unionByName(reps)
+  }
+
   def dupGeography(spark: SparkSession, dir: String): DataFrame =
-    dupGeographyFrom(Tables.documents(spark, dir))
+    dupGeographyFrom(replicaPlanted(Tables.documents(spark, dir)))
 
   def dupGeographyFrom(docs: DataFrame): DataFrame = {
     val d = Tables.widened(docs, col("doc_id"))
@@ -374,7 +418,7 @@ object Dedup {
     * distinct-sizes-sized.
     */
   def dupSizeHistogram(spark: SparkSession, dir: String): DataFrame =
-    dupSizeHistogramFrom(Tables.documents(spark, dir))
+    dupSizeHistogramFrom(replicaPlanted(Tables.documents(spark, dir)))
 
   def dupSizeHistogramFrom(docs: DataFrame): DataFrame = {
     val d = Tables.widened(docs, col("doc_id"))
@@ -757,9 +801,14 @@ object Dedup {
           .otherwise("embedding_only").as("method"),
         col("jaccard"), col("cosine"))
       .groupBy("method")
+      // means through DECIMAL(38,12) partials (the q54 discipline):
+      // a double avg's partial-sum order varies with partitioning, so
+      // a last-ulp drift at the round-6 boundary could flip the hash
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg("jaccard"), 6).as("mean_jaccard"),
-        round(avg("cosine"), 6).as("mean_cosine"))
+        round(sum(col("jaccard").cast(DecimalType(38, 12))).cast("double") /
+          nullIfZero(count(col("jaccard"))), 6).as("mean_jaccard"),
+        round(sum(col("cosine").cast(DecimalType(38, 12))).cast("double") /
+          nullIfZero(count(col("cosine"))), 6).as("mean_cosine"))
       .orderBy("method")
   }
 
@@ -1484,7 +1533,8 @@ object Dedup {
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     // fp cluster profile joined back onto per-(source, fp) copy counts
     "q190_dup_geography" ->
-      s"""WITH d AS (SELECT source, md5($normSql) AS fp FROM documents),
+      s"""WITH $repsSql,
+         |d AS (SELECT source, md5($normSql) AS fp FROM corpus),
          |sf AS (SELECT source, fp, count(*) AS c FROM d GROUP BY 1, 2),
          |f AS (SELECT fp, CAST(sum(c) AS BIGINT) AS copies,
          |    count(*) AS n_sources FROM sf GROUP BY 1)
@@ -1502,7 +1552,8 @@ object Dedup {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // cluster sizes ≥ 2 rolled to a size histogram
     "q191_dup_size_histogram" ->
-      s"""WITH d AS (SELECT md5($normSql) AS fp FROM documents),
+      s"""WITH $repsSql,
+         |d AS (SELECT md5($normSql) AS fp FROM corpus),
          |tot AS (SELECT count(*) AS n_all FROM d),
          |g AS (SELECT fp, count(*) AS sz FROM d GROUP BY 1)
          |SELECT sz AS cluster_size, count(*) AS n_clusters,
@@ -1578,8 +1629,10 @@ object Dedup {
          |  FROM tp FULL JOIN ep
          |    ON ep.vec_a = tp.doc_a AND ep.vec_b = tp.doc_b)
          |SELECT method, count(*) AS n_pairs,
-         |  round(avg(jaccard), 6) AS mean_jaccard,
-         |  round(avg(cosine), 6) AS mean_cosine
+         |  round(CAST(sum(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE) /
+         |    NULLIF(count(jaccard), 0), 6) AS mean_jaccard,
+         |  round(CAST(sum(CAST(cosine AS DECIMAL(38,12))) AS DOUBLE) /
+         |    NULLIF(count(cosine), 0), 6) AS mean_cosine
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_dedup_clusters" -> fullClustersSql,
     // embeds the q54 closure; cosines round 9 dp into DECIMAL(38,12)
@@ -1950,8 +2003,10 @@ object Dedup {
            |  FROM tp FULL JOIN ep
            |    ON ep.vec_a = tp.doc_a AND ep.vec_b = tp.doc_b)
            |SELECT method, count(*) AS n_pairs,
-           |  round(avg(jaccard), 6) AS mean_jaccard,
-           |  round(avg(cosine), 6) AS mean_cosine
+           |  round(CAST(sum(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE) /
+           |    NULLIF(count(jaccard), 0), 6) AS mean_jaccard,
+           |  round(CAST(sum(CAST(cosine AS DECIMAL(38,12))) AS DOUBLE) /
+           |    NULLIF(count(cosine), 0), 6) AS mean_cosine
            |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 

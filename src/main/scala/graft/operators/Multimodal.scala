@@ -1572,7 +1572,18 @@ object Multimodal {
                                   var p = hAt2 + 8
                                   val baseOff =
                                     if ((tfFlags & 0x1L) != 0) { val v = u64(bytes, p); p += 8; v }
-                                    else moofStart
+                                    else if ((tfFlags & 0x20000L) != 0) moofStart
+                                    else {
+                                      // ISO 14496-12 §8.8.7: with neither
+                                      // base-data-offset nor
+                                      // default-base-is-moof, the base is
+                                      // the END of the previous traf's
+                                      // data — not tracked here, so a
+                                      // conformant multi-traf fragment
+                                      // would mis-seek; quarantine rather
+                                      // than emit silently wrong offsets
+                                      bad = true; moofStart
+                                    }
                                   if ((tfFlags & 0x2L) != 0) p += 4 // sample_description_index
                                   if ((tfFlags & 0x8L) != 0) p += 4 // default_sample_duration
                                   val tfDefSize =

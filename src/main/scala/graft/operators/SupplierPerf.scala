@@ -296,41 +296,72 @@ object SupplierPerf {
     * The oracle computes the view DIRECTLY over the full join — hash
     * equality is the incremental-equals-full proof.
     *
-    * Scale shape: on a maintenance run only the three delta terms are
-    * scanned (ΔA⋈B joins a day slice against the base — at 100 TB the
-    * base side enters through its orderkey-bucketed layout so the
-    * delta probe shuffles only the delta); here all four terms
-    * recompute from the shared scans so the driver gate covers the
-    * whole decomposition. Revenue partials are exact DECIMAL(18,2)
-    * products summed per term and merged — bit-identical to the direct
-    * aggregation regardless of term boundaries.
+    * Scale shape: the base term A⋈B — the 100 TB bulk — is NEVER
+    * recomputed on a maintenance run: [[ivmJoinStaged]] reads its
+    * aggregate partials from a STORED priority-cardinality table (the
+    * q96 mergeable-partials discipline) and computes only the three
+    * delta terms live (ΔA⋈B probes the base side sized by the delta —
+    * at 100 TB the base enters through its orderkey-bucketed layout so
+    * the probe shuffles only the delta; ΔA⋈ΔB is delta²). Revenue
+    * partials are exact DECIMAL products summed per term and merged —
+    * bit-identical to the direct aggregation regardless of term
+    * boundaries, so staged ≡ fresh ≡ direct under one hash gate.
     */
   def ivmJoin(spark: SparkSession, dir: String): DataFrame =
     ivmJoinFrom(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
 
-  def ivmJoinFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val o = orders
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val l = lineitem
-      .select(col("l_orderkey"), col("l_shipdate"),
-        col("l_extendedprice"), col("l_discount"))
+  /** Self-contained form: derives the base partials live then folds the
+    * deltas — the path a fresh session (and the driver gate) pays.
+    */
+  def ivmJoinFrom(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    ivmJoinStaged(ivmBasePartials(orders, lineitem), orders, lineitem)
+
+  private def ivmOrders(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"))
+
+  private def ivmLines(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"),
+      col("l_extendedprice"), col("l_discount"))
+
+  /** One decomposition term: the (priority, n, rev) aggregate of one
+    * slice pair — exact DECIMAL partials, mergeable across terms.
+    */
+  private def ivmTerm(os: DataFrame, ls: DataFrame): DataFrame =
+    os.join(ls, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_extendedprice")) *
+          (lit(1) - frac(col("l_discount")))).as("rev"))
+
+  /** The base-term partials (o_orderpriority, n, rev) over the
+    * below-cutoff slices — the table a production IVM keeps STORED
+    * between runs. Building it is the initial view materialization,
+    * paid once; every maintenance run reads it back (the bench writes
+    * it pre-pass, like the q135 cluster state).
+    */
+  def ivmBasePartials(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    ivmTerm(
+      ivmOrders(orders).filter(col("o_orderdate") < to_date(lit(IvmOrderCut))),
+      ivmLines(lineitem).filter(col("l_shipdate") < to_date(lit(IvmShipCut))))
+
+  /** The maintenance fold over the STORED base term: only the three
+    * delta terms compute live; the full base⋈base join never reruns.
+    */
+  def ivmJoinStaged(basePartials: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val o = ivmOrders(orders)
+    val l = ivmLines(lineitem)
     val cutO = to_date(lit(IvmOrderCut))
     val cutL = to_date(lit(IvmShipCut))
     val ob = o.filter(col("o_orderdate") < cutO)
     val od = o.filter(col("o_orderdate") >= cutO)
     val lb = l.filter(col("l_shipdate") < cutL)
     val ld = l.filter(col("l_shipdate") >= cutL)
-    def term(os: DataFrame, ls: DataFrame, tag: String): DataFrame =
-      os.join(ls, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(money(col("l_extendedprice")) *
-            (lit(1) - frac(col("l_discount")))).as("rev"))
-        .withColumn("term", lit(tag))
-    term(ob, lb, "base")
-      .unionByName(term(od, lb, "delta_orders"))
-      .unionByName(term(ob, ld, "delta_lines"))
-      .unionByName(term(od, ld, "delta_both"))
+    basePartials.withColumn("term", lit("base"))
+      .unionByName(ivmTerm(od, lb).withColumn("term", lit("delta_orders")))
+      .unionByName(ivmTerm(ob, ld).withColumn("term", lit("delta_lines")))
+      .unionByName(ivmTerm(od, ld).withColumn("term", lit("delta_both")))
       .groupBy("o_orderpriority")
       .agg(sum("n").as("n_lines"),
         sum("rev").cast("double").as("revenue"),

@@ -27,20 +27,32 @@ object Evolved {
   def documentsFor(spark: SparkSession, dir: String): DataFrame = {
     val path = Materialize.once(dir, "documents-evolved",
       s"$dir/documents.parquet") { tmp =>
-      val d = Tables.documents(spark, dir)
-      // legacy vintage: the footer must NOT contain lang/n_chars
-      d.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("text"), col("source"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(tmp)
-      // evolved vintage: full schema appended into the same directory
-      d.filter(col("doc_id") % 2 =!= 0)
-        .select(col("doc_id"), col("text"), col("source"),
-          col("lang"), col("n_chars"))
-        .repartition(4)
-        .write.mode("append").parquet(tmp)
+      writeVintages(Tables.documents(spark, dir), tmp)
     }
     relCache.computeIfAbsent((spark, path), _ =>
       spark.read.option("mergeSchema", "true").parquet(path))
+  }
+
+  private def writeVintages(d: DataFrame, path: String): Unit = {
+    // legacy vintage: the footer must NOT contain lang/n_chars
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(path)
+    // evolved vintage: full schema appended into the same directory
+    d.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"),
+        col("lang"), col("n_chars"))
+      .repartition(4)
+      .write.mode("append").parquet(path)
+  }
+
+  /** The evolved layout of an EXPLICIT relation at an explicit path —
+    * the ScaleSmoke arm's entry, so the 10× leg writes and merges a
+    * replicated corpus instead of re-measuring the fixture constant.
+    */
+  def writeAndRead(docs: DataFrame, path: String): DataFrame = {
+    writeVintages(docs, path)
+    docs.sparkSession.read.option("mergeSchema", "true").parquet(path)
   }
 }
