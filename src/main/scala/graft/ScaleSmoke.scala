@@ -359,6 +359,16 @@ object ScaleSmoke {
     // round-11: rank tables at the VALUE grain (distinct metric values),
     // moments one all-combining pass
     t("spearman_corr") { Analytics.spearmanCorrFrom(events).count() }
+    // r12: NEAR-CONTINUOUS metric domain — every event carries a
+    // distinct cent value, so per-user sums are near-unique and the
+    // rank relation's cardinality approaches user cardinality. This is
+    // the shape that serialized the old global rank window through one
+    // task; the two-phase prefix scan must hold it distributed.
+    t("spearman_continuous") {
+      Analytics.spearmanCorrFrom(events.withColumn("value",
+        col("value") + (col("event_id") % 1000000L).cast("double") / 100.0))
+        .count()
+    }
     // round-11: Goertzel probes are O(bins·W) per window, map-only
     t("audio_tones") {
       val sp = docs.sparkSession

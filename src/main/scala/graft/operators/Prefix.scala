@@ -64,6 +64,8 @@ object Prefix {
       }
     val lo = mm.getLong(0)
     val hi = mm.getLong(1)
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"key span [$lo, $hi] overflows the fine-bucket arithmetic")
     val p = math.max(1L, spark.sparkContext.defaultParallelism.toLong)
     val fineN = p * FineBucketsPerCore
     val width = math.max(1L, (hi - lo) / fineN + 1L) // ceil span+1 / fineN

@@ -59,7 +59,11 @@ class ClusterShapeSpec extends AnyFunSpec {
     "q04_supplier_kpis", "q22_minhash_candidates", "q27_event_windows",
     "q39_kmv_distinct", "q45_hash_split", "q54_dedup_clusters",
     "q63_pack_sequences", "q82_dup_spans", "q103_item_pagerank",
-    "q140_label_communities", "q203_bigram_lm", "q209_heldout_ppl")
+    "q140_label_communities", "q203_bigram_lm", "q209_heldout_ppl",
+    // r12: the Prefix.cumSums consumers (fine buckets must not move
+    // rows under 200 partitions) and the DECIMAL-mean agreement audit
+    "q132_mann_whitney", "q133_ks_test", "q219_spearman_corr",
+    "q215_dedup_agreement")
 
   describe("cluster-shaped parallelism (200 shuffle partitions + dim-join fallback)") {
     gated.foreach { q =>

@@ -122,6 +122,26 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("replicaPlanted (q190/q191 gate substrate)") {
+    it("plants exact copies so both gates prove math on non-trivial rows") {
+      val sf = TestSpark.Sf
+      val d = graft.sources.Tables.documents(spark, sf)
+      val n = d.count()
+      val planted = Dedup.replicaPlanted(d).count() - n
+      assert(planted > 0L, "replica pick must be non-empty on the fixture")
+      assert(planted <= n / 2, "replica pick must stay a minority slice")
+      val hist = Dedup.dupSizeHistogram(spark, sf).collect()
+      assert(hist.nonEmpty, "q191 must gate on non-trivial clusters now")
+      assert(hist.map(_.getAs[Long]("n_docs")).sum >= 2 * planted,
+        "every planted replica forms a cluster with its original")
+      val geo = Dedup.dupGeography(spark, sf).collect()
+      assert(geo.map(r => r.getAs[Long]("dup_internal") +
+        r.getAs[Long]("dup_cross")).sum > 0L, "q190 must see dup mass")
+      assert(geo.exists(_.getAs[String]("source").startsWith("mirror-")),
+        "cross-source replicas must appear as mirror- sources")
+    }
+  }
+
   describe("dedupSensitivity (q184)") {
     it("arms keep exactly the pairs their cross-multiplied test admits") {
       // A and C identical (J=1.0); B differs in the last token of 10 →

@@ -892,4 +892,39 @@ class PlanQualitySpec extends AnyFunSpec {
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  describe("round-12: distributed prefix discipline (q132/q133/q219)") {
+    it("every rank window partitions by the fine range bucket, never globally") {
+      Seq("q132_mann_whitney", "q133_ks_test", "q219_spearman_corr")
+        .foreach { q =>
+          val p = plan(q)
+          val wins = p.linesIterator
+            .filter(_.contains("windowspecdefinition")).toSeq
+          assert(wins.nonEmpty, s"$q lost its prefix window:\n$p")
+          wins.foreach(l => assert(l.contains("__fine"),
+            s"$q has a window not partitioned by the fine bucket: $l"))
+          assert(p.contains("BroadcastExchange"),
+            s"$q: the bucket-offset join must broadcast:\n$p")
+        }
+    }
+
+    it("q216 staged form joins the stored base partials without rescanning the base slices") {
+      val base = SupplierPerf.ivmBasePartials(
+        graft.sources.Tables.orders(spark, sf),
+        graft.sources.Tables.lineitem(spark, sf))
+      val staged = SupplierPerf.ivmJoinStaged(base,
+        graft.sources.Tables.orders(spark, sf),
+        graft.sources.Tables.lineitem(spark, sf))
+      val p = staged.queryExecution.executedPlan.toString
+      // the only base×base join is inside the partials input; the
+      // staged plan's live joins are the three delta terms
+      assert(!p.contains("CartesianProduct"))
+      // base slice of BOTH tables appears at most once each among the
+      // live scans: od⋈lb + ob⋈ld + od⋈ld = 2 orders-side scans of
+      // the delta slice, 1 of the base slice (and mirrored for lines)
+      val orderScans = p.linesIterator.count(l =>
+        l.contains("FileScan") && l.contains("orders.parquet"))
+      assert(orderScans <= 4, s"staged form rescans orders too often:\n$p")
+    }
+  }
 }

@@ -194,6 +194,16 @@ class SupplierPerfSpec extends AnyFunSpec {
       assert(h.getAs[Double]("revenue") == 10.0)
     }
 
+    it("staged fold over parquet round-tripped base partials equals fresh") {
+      val (o, l) = fixture
+      val dir = java.nio.file.Files.createTempDirectory("ivmbase").toString
+      SupplierPerf.ivmBasePartials(o, l).write.mode("overwrite").parquet(dir)
+      val staged = SupplierPerf
+        .ivmJoinStaged(spark.read.parquet(dir), o, l).collect().toSeq
+      val fresh = SupplierPerf.ivmJoinFrom(o, l).collect().toSeq
+      assert(staged == fresh)
+    }
+
     it("incremental equals full on the fixture, term counts partition n_lines") {
       val r = SupplierPerf.ivmJoin(spark, sf).collect()
       assert(r.nonEmpty)
