@@ -324,6 +324,14 @@ object Bench {
           gcShare(name) = dg
         }
         System.err.println(f"[bench] pass $pass $name $dt%.2f s")
+        // Heap discipline (r12): orphaned localCheckpoint blocks from
+        // the finished query (CC rounds, LM count tables, BPE vocab)
+        // otherwise accumulate until the JVM happens to GC the RDD
+        // handles — r11's peak heap grew 9.7→15.1 GB across the sweep.
+        // Nothing checkpointed outlives its query (module caches hold
+        // plain parquet reads), so the drop is safe and untimed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
       passSec(pass - 1) = (System.nanoTime() - p0) / 1e9
       passGc(pass - 1) = (gcMs - pg0) / 1e3
@@ -348,6 +356,8 @@ object Bench {
         val dt = (System.nanoTime() - s0) / 1e9
         coreSamples(name) = coreSamples.getOrElse(name, Vector.empty) :+ dt
         System.err.println(f"[bench] core pass $pass $name $dt%.2f s")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val coreMin = coreSamples.values.map(_.min).sum

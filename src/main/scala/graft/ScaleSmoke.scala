@@ -306,6 +306,15 @@ object ScaleSmoke {
         .map(id => (id, Multimodal.mp4Bytes(id))).toDF("doc_id", "payload")
       Multimodal.sampleMp4Keyframes(payloads, Multimodal.Mp4PerDoc).count()
     }
+    // r12: H.264 metadata is per-payload bounded bit parsing (avcC +
+    // SPS/PPS Exp-Golomb + sample NAL scan), pure map, no decode
+    t("h264_meta") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.mp4AvcBytes(id))).toDF("doc_id", "payload")
+      Multimodal.h264MetaOf(payloads).count()
+    }
     // round-11: the fragmented layout pays the same bounded map work —
     // one moof walk per payload, only sync-flagged trun samples decode
     t("mp4_frag_keyframes") {
@@ -368,6 +377,18 @@ object ScaleSmoke {
       Analytics.spearmanCorrFrom(events.withColumn("value",
         col("value") + (col("event_id") % 1000000L).cast("double") / 100.0))
         .count()
+    }
+    // r12: the quantile family rides the same histogram + distributed
+    // prefix — per-type value grains, bucket-parallel windows, no
+    // per-group sort or value buffer anywhere
+    t("exact_quantiles") { Analytics.exactQuantilesFrom(events).count() }
+    t("psi_drift") { Analytics.psiDriftFrom(events).count() }
+    t("robust_outliers") { Analytics.robustOutliersFrom(events).count() }
+    // r12: both vintage writes + the merged read scale with the corpus
+    t("partition_evolution") {
+      graft.sources.PartitionEvolved.writeVintages(events, s"$wh/pevo")
+      Curation.partitionEvolutionOf(graft.sources.PartitionEvolved
+        .read(events.sparkSession, s"$wh/pevo")).count()
     }
     // round-11: Goertzel probes are O(bins·W) per window, map-only
     t("audio_tones") {

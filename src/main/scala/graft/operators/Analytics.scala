@@ -1114,6 +1114,177 @@ object Analytics {
       round(num / nullIfZero(sqrt(dx) * sqrt(dy)), 9).as("spearman_rho"))
   }
 
+  /** q225 — EXACT per-group quantiles at corpus scale: the p50/p90/p99
+    * a data-quality SLA pins, computed without ever sorting raw rows.
+    * q34's built-in `percentile` is exact but materializes every
+    * group's values in one aggregation buffer — a per-group collect
+    * that dies on a 100 TB group. This is the scale path: reduce to
+    * the (group, value) histogram, run [[Prefix.cumSumsBy]]'s
+    * two-phase distributed prefix per group, and each quantile is the
+    * SMALLEST value whose running count clears the cross-multiplied
+    * integer test `cum·den ≥ num·n` — the DISCRETE quantile
+    * (quantile_disc), chosen over interpolation because it never
+    * leaves integer arithmetic, so the gate is exact by construction.
+    *
+    * Scale shape: one combine-heavy histogram aggregate, one
+    * metadata-scale bucket collect, bucket-parallel windows, one
+    * closing per-group aggregate. No sort, no per-group buffer.
+    */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    exactQuantilesFrom(Tables.events(spark, dir))
+
+  def exactQuantilesFrom(events: DataFrame): DataFrame = {
+    val byV = events.groupBy("event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    val tot = byV.groupBy("event_type").agg(sum("c").as("n_events"))
+    Prefix.cumSumsBy(byV, Seq("event_type"), "value",
+        round(col("value") * 100), Seq("c"), Seq("cum"))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n_events").as("n_events"),
+        min(when(col("cum") * 2 >= col("n_events"), col("value"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n_events") * 9, col("value")))
+          .as("p90"),
+        min(when(col("cum") * 100 >= col("n_events") * 99, col("value")))
+          .as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** q226 reference/current split point and the textbook alert level
+    * (PSI > 0.2 = "significant population shift").
+    */
+  val PsiCutTs = "2024-01-16 00:00:00"
+  val PsiAlert = 0.2
+
+  /** q226 — POPULATION STABILITY INDEX: the drift gauge every model
+    * and data-quality monitor runs between a reference window and the
+    * current one — `PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur)` over
+    * decile bins OF THE REFERENCE half, the industry-standard
+    * complement to q133's KS (KS is the worst single CDF gap; PSI
+    * weights the whole reallocation of mass). Deciles come from the
+    * reference half through the same [[Prefix.cumSumsBy]] integer
+    * machinery as q225; bins are densified (types × 10, add-one
+    * smoothed) so empty current-side bins contribute their full
+    * penalty instead of vanishing.
+    *
+    * Determinism: bin populations are exact integers; shares are one
+    * double division each; each bin's term rounds to 9 dp and the
+    * 10-term sum rides the DECIMAL(38,12) accumulator (order-free);
+    * the closing PSI rounds to 6 dp. The only libm call is `ln` on
+    * bit-identical inputs.
+    *
+    * Scale shape: two histogram aggregates (reference deciles, then
+    * (type, bin) populations via a broadcast 9-cut join), everything
+    * after lives on the types×10 relation.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftFrom(Tables.events(spark, dir))
+
+  def psiDriftFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val cut = to_timestamp(lit(PsiCutTs))
+    val rows = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      (col("ts") < cut).as("is_ref"))
+    val byV = rows.filter(col("is_ref"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val tot = byV.groupBy("event_type").agg(sum("c").as("n"))
+    val cuts = Prefix.cumSumsBy(byV, Seq("event_type"), "cents",
+        col("cents"), Seq("c"), Seq("cum"))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 10 >= col("n") * 1, col("cents"))).as("d1"),
+        (2 to 9).map(k =>
+          min(when(col("cum") * 10 >= col("n") * k, col("cents")))
+            .as(s"d$k")): _*)
+    val binned = rows.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("bin", (1 to 9).map(k =>
+        when(col("cents") > col(s"d$k"), 1).otherwise(0))
+        .reduce(_ + _))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+    // densify to types × 10 so an empty current-side bin still pays
+    val grid = cuts.select("event_type")
+      .crossJoin(spark.range(10).select(col("id").cast("int").as("bin")))
+    val dense = grid.join(binned, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val halves = dense.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 10)
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + 10)
+    dense.join(broadcast(halves), Seq("event_type"))
+      .select(col("event_type"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 9).as("term"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        round(sum(col("term").cast(DecimalType(38, 12))).cast("double"), 6)
+          .as("psi"))
+      .withColumn("drift_alert", col("psi") > PsiAlert)
+      .orderBy("event_type")
+  }
+
+  /** q227 robust-z cut, integer form: |dev|·10⁴ > 44478·MAD encodes
+    * |dev| > 3·1.4826·MAD (the MAD-to-σ consistency constant for
+    * normal data, 3σ rule) without a float comparison.
+    */
+  val RobustCut10k = 44478L
+
+  /** q227 — MEDIAN/MAD robust outlier audit: the outlier gauge q73's
+    * mean/stddev z-score cannot give on heavy-tailed money columns
+    * (one whale inflates σ until nothing is an outlier — the masking
+    * effect; the median and the median-absolute-deviation have 50%
+    * breakdown). Median and MAD both ride the q225 histogram +
+    * distributed-prefix machinery (MAD is a SECOND prefix pass over
+    * the |x − median| histogram); the 3σ-equivalent cut stays the
+    * exact integer cross-multiplication [[RobustCut10k]].
+    *
+    * Scale shape: two histogram aggregates + two metadata-scale
+    * prefix passes + one broadcast-join scoring pass. No sort, no
+    * per-group value buffer, no float until the two closing /100
+    * presentations and the rate division.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame =
+    robustOutliersFrom(Tables.events(spark, dir))
+
+  def robustOutliersFrom(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val byV = cents.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val tot = byV.groupBy("event_type").agg(sum("c").as("n"))
+    val med = Prefix.cumSumsBy(byV, Seq("event_type"), "cents",
+        col("cents"), Seq("c"), Seq("cum"))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("med_cents"))
+    val dev = cents.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"))
+    val byD = dev.groupBy("event_type", "dev").agg(count(lit(1)).as("c"))
+    val mad = Prefix.cumSumsBy(byD, Seq("event_type"), "dev",
+        col("dev"), Seq("c"), Seq("cum"))
+      .join(broadcast(med.select("event_type", "n")), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 2 >= col("n"), col("dev"))).as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("dev") * 10000 > col("mad_cents") * RobustCut10k, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        (col("med_cents").cast("double") / 100.0).as("median_value"),
+        (col("mad_cents").cast("double") / 100.0).as("mad_value"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / nullIfZero(col("n_events")))
+          .as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
   /** q150 — Benford first-digit expectations log10(1 + 1/k), k = 1..9,
     * as shortest-round-trip double literals (identical parse on both
     * engines), and the total-variation flag threshold.
@@ -1919,6 +2090,9 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_exact_quantiles" -> (exactQuantiles _),
+    "q226_psi_drift" -> (psiDrift _),
+    "q227_robust_outliers" -> (robustOutliers _),
     "q128_trend_mk" -> (trendAudit _),
     "q138_sketch_rollup" -> (sketchRollup _),
     "q155_heavy_hitters" -> (heavyHitters _),
@@ -2095,6 +2269,119 @@ object Analytics {
        |  WHERE rn <= $PairUserCap)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // discrete quantiles as smallest-value-clearing-the-integer-test:
+    // the window here mirrors Spark's DISTRIBUTED prefix bit-exactly
+    // (all integer arithmetic)
+    "q225_exact_quantiles" ->
+      """WITH b AS (SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |cu AS (SELECT event_type, value,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM b)
+        |SELECT cu.event_type, max(t.n) AS n_events,
+        |  min(CASE WHEN cum * 2 >= t.n THEN value END) AS p50,
+        |  min(CASE WHEN cum * 10 >= t.n * 9 THEN value END) AS p90,
+        |  min(CASE WHEN cum * 100 >= t.n * 99 THEN value END) AS p99
+        |FROM cu JOIN t ON t.event_type = cu.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // reference-decile bins densified to types × 10 (the UNION-ALL
+    // arm list, the q184 pattern); per-bin terms round 9 then sum
+    // through the DECIMAL accumulator — order-free
+    "q226_psi_drift" -> {
+      val binArms = (0 to 9).map(b => s"SELECT $b AS bin")
+        .mkString(" UNION ALL ")
+      val pa = "(CAST(ca + 1 AS DOUBLE) / (na + 10))"
+      val pb = "(CAST(cb + 1 AS DOUBLE) / (nb + 10))"
+      s"""WITH r AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    ts < TIMESTAMP '$PsiCutTs' AS is_ref FROM events),
+         |b AS (SELECT event_type, cents, count(*) AS c
+         |  FROM r WHERE is_ref GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+         |  FROM b GROUP BY 1),
+         |cu AS (SELECT event_type, cents,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM b),
+         |cuts AS (SELECT cu.event_type,
+         |    ${(1 to 9).map(k =>
+              s"min(CASE WHEN cum * 10 >= t.n * $k THEN cents END) AS d$k")
+              .mkString(",\n         |    ")}
+         |  FROM cu JOIN t ON t.event_type = cu.event_type GROUP BY 1),
+         |bb AS (SELECT r.event_type,
+         |    ${(1 to 9).map(k =>
+              s"(CASE WHEN cents > d$k THEN 1 ELSE 0 END)")
+              .mkString(" + ")} AS bin,
+         |    is_ref
+         |  FROM r JOIN cuts ON cuts.event_type = r.event_type),
+         |binned AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM bb GROUP BY 1, 2),
+         |grid AS (SELECT c.event_type, bins.bin
+         |  FROM cuts c CROSS JOIN ($binArms) bins),
+         |dense AS (SELECT g.event_type, g.bin,
+         |    coalesce(bn.ca, 0) AS ca, coalesce(bn.cb, 0) AS cb
+         |  FROM grid g LEFT JOIN binned bn
+         |    ON bn.event_type = g.event_type AND bn.bin = g.bin),
+         |h AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM dense GROUP BY 1),
+         |terms AS (SELECT d.event_type, h.na, h.nb,
+         |    round(($pa - $pb) * ln($pa / $pb), 9) AS term
+         |  FROM dense d JOIN h ON h.event_type = d.event_type)
+         |SELECT event_type, max(na) AS n_ref, max(nb) AS n_cur,
+         |  round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |    AS psi,
+         |  round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         |    > $PsiAlert AS drift_alert
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // median and MAD each a smallest-value-clearing-cum·2≥n probe;
+    // the 3·1.4826·MAD cut stays an integer cross-multiplication
+    "q227_robust_outliers" ->
+      s"""WITH cts AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT event_type, cents, count(*) AS c
+         |  FROM cts GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+         |  FROM b GROUP BY 1),
+         |cu AS (SELECT event_type, cents,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM b),
+         |med AS (SELECT cu.event_type, max(t.n) AS n,
+         |    min(CASE WHEN cum * 2 >= t.n THEN cents END) AS med_cents
+         |  FROM cu JOIN t ON t.event_type = cu.event_type GROUP BY 1),
+         |dv AS (SELECT c.event_type, m.med_cents,
+         |    abs(c.cents - m.med_cents) AS dev
+         |  FROM cts c JOIN med m ON m.event_type = c.event_type),
+         |bd AS (SELECT event_type, dev, count(*) AS c
+         |  FROM dv GROUP BY 1, 2),
+         |cud AS (SELECT event_type, dev,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dev
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM bd),
+         |mad AS (SELECT cud.event_type,
+         |    min(CASE WHEN cum * 2 >= m.n THEN dev END) AS mad_cents
+         |  FROM cud JOIN med m ON m.event_type = cud.event_type GROUP BY 1)
+         |SELECT dv.event_type, count(*) AS n_events,
+         |  CAST(max(dv.med_cents) AS DOUBLE) / 100.0 AS median_value,
+         |  CAST(max(mad.mad_cents) AS DOUBLE) / 100.0 AS mad_value,
+         |  CAST(sum(CASE WHEN dv.dev * 10000 > mad.mad_cents * $RobustCut10k
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(sum(CASE WHEN dv.dev * 10000 > mad.mad_cents * $RobustCut10k
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(count(*), 0)
+         |    AS outlier_rate
+         |FROM dv JOIN mad ON mad.event_type = dv.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // first occurrences one item-keyed min; cumulative rides the weeks
     // relation; Monday-aligned date_trunc on both engines
     "q193_item_novelty" ->

@@ -1642,6 +1642,33 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q228 — PARTITION-SPEC evolution audit: the events table through
+    * [[graft.sources.PartitionEvolved]]'s mixed layout (history under
+    * month directories, post-migration data under day directories —
+    * the spec change a growing fact table makes without rewriting
+    * history), rolled up per (vintage, day) with exact cent sums. The
+    * oracle recomputes the merged view from the ORIGINAL parquet via
+    * the deterministic migration instant, so the gate proves the
+    * two-vintage union loses and duplicates nothing. Completes the
+    * evolution family: q221 evolves the SCHEMA, q222 time-travels
+    * SNAPSHOTS, this evolves the PARTITION SPEC.
+    *
+    * Scale shape: two partition-discovering scans + one combine-heavy
+    * (vintage, day)-keyed aggregate; day predicates prune the daily
+    * vintage at planning time (plan-gated in PlanQualitySpec) and fall
+    * back to month-pruned row filters over history — the honest
+    * pre-evolution cost.
+    */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame =
+    partitionEvolutionOf(
+      graft.sources.PartitionEvolved.eventsFor(spark, dir))
+
+  def partitionEvolutionOf(e: DataFrame): DataFrame =
+    e.groupBy("vintage", "event_date")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("vintage", "event_date")
+
   /** q223 mirror-descent step size on the per-source loss. */
   val RwEta = 1.0
 
@@ -1819,6 +1846,7 @@ object Curation {
     "q214_dp_release" -> (dpRelease _),
     "q221_schema_evolution" -> (schemaEvolution _),
     "q222_time_travel" -> (timeTravel _),
+    "q228_partition_evolution" -> (partitionEvolution _),
     "q223_mixture_reweight" -> (mixtureReweight _),
     "q202_orc_mirror" -> (orcMirror _),
     "q204_rendezvous_shards" -> (rendezvousShards _),
@@ -1942,6 +1970,16 @@ object Curation {
          |  CAST(sum(coalesce(n_chars, CAST(length(text) AS BIGINT)))
          |    AS BIGINT) AS backfilled_chars
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merged two-vintage view recomputed from the ORIGINAL parquet
+    // via the deterministic migration instant
+    "q228_partition_evolution" ->
+      s"""SELECT CASE WHEN ts < TIMESTAMP '${graft.sources.PartitionEvolved.MigrateTs}'
+         |    THEN 'monthly' ELSE 'daily' END AS vintage,
+         |  CAST(ts AS DATE) AS event_date,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // hash-seeded inverse-CDF Laplace, the exact token-for-token chain
     // of dpReleaseFrom (u exact in binary, single ln under round 6)
     "q214_dp_release" -> {

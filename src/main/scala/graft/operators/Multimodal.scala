@@ -1741,8 +1741,435 @@ object Multimodal {
     sampleMp4Keyframes(mp4FragPayloads(spark, dir), Mp4PerDoc).toDF()
       .orderBy("doc_id", "sample_idx")
 
+  // ---------------------------------------------------------------------
+  // q224 — H.264 stream metadata (avc1/avcC + SPS/PPS parse)
+  // ---------------------------------------------------------------------
+
+  /** MSB-first bit writer with Exp-Golomb, for the synthetic SPS/PPS. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit(((v >> i) & 1L).toInt))
+    def ue(v: Long): Unit = { // Exp-Golomb: M zeros, then (v+1) in M+1 bits
+      val code = v + 1
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(code)
+      bits(0L, m); bits(code, m + 1)
+    }
+    /** rbsp_stop_one_bit + byte-align, returns the RBSP. */
+    def rbsp(): Array[Byte] = {
+      bit(1); while (nbits != 0) bit(0); buf.toArray
+    }
+  }
+
+  /** Emulation-prevention escape: 00 00 {00,01,02,03} → 00 00 03 xx —
+    * the byte-stream rule every real H.264 RBSP is wrapped in.
+    */
+  private def epbEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** q224 fixture closed forms (the oracle mirrors these in SQL). */
+  private def avcParams(id: Long) = {
+    val m = (v: Long, n: Long) => java.lang.Math.floorMod(v, n).toInt
+    (Seq(66, 77, 100)(m(id, 3)), // profile_idc (Baseline/Main/High)
+      30 + 10 * m(id, 2), // level_idc (3.0 / 4.0)
+      4 + m(id, 4), // mb width
+      3 + m(id, 3), // mb height
+      m(id, 2), // crop (right+bottom, 2-px units under 4:2:0)
+      2 + m(id, 4), // n samples, IDR at k % 3 == 0
+      m(id, 2) == 1) // CABAC
+  }
+
+  /** A REAL Sequence Parameter Set NAL for the id's closed-form
+    * geometry: profile/level header, Exp-Golomb syntax (High-profile
+    * chroma block when profile = 100), mb dimensions, frame cropping,
+    * stop bit, emulation-prevention escaped. The q224 parser must
+    * decode this the way a decoder does — nothing is echoed.
+    */
+  def avcSpsNal(id: Long): Array[Byte] = {
+    val (profile, level, mbW, mbH, crop, _, _) = avcParams(id)
+    val w = new BitWriter
+    w.bits(profile, 8); w.bits(0, 8); w.bits(level, 8)
+    w.ue(0) // seq_parameter_set_id
+    if (profile == 100) {
+      w.ue(1); w.ue(0); w.ue(0) // chroma 4:2:0, 8-bit luma/chroma
+      w.bit(0); w.bit(0) // transform bypass, scaling matrix absent
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0) // pic_order_cnt_type = 0
+    w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1) // max_num_ref_frames
+    w.bit(0) // gaps_in_frame_num_value_allowed
+    w.ue(mbW - 1); w.ue(mbH - 1)
+    w.bit(1) // frame_mbs_only_flag
+    w.bit(1) // direct_8x8_inference
+    if (crop > 0) { w.bit(1); w.ue(0); w.ue(crop); w.ue(0); w.ue(crop) }
+    else w.bit(0) // frame_cropping_flag
+    w.bit(0) // vui_parameters_present
+    0x67.toByte +: epbEscape(w.rbsp()) // nal_ref_idc 3, type 7
+  }
+
+  /** A minimal real PPS NAL: ids 0/0, the entropy mode bit (CABAC for
+    * odd ids), then deterministic-zero tail fields.
+    */
+  def avcPpsNal(id: Long): Array[Byte] = {
+    val (_, _, _, _, _, _, cabac) = avcParams(id)
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.bit(if (cabac) 1 else 0) // entropy_coding_mode_flag
+    w.bit(0) // bottom_field_pic_order_in_frame_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0); w.ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.bit(0); w.bits(0, 2) // weighted_pred, weighted_bipred_idc
+    w.ue(0); w.ue(0); w.ue(0) // init_qp/qs_minus26 (se 0 == ue 0), chroma_qp
+    w.bit(1); w.bit(0); w.bit(0) // deblocking present, constrained intra, redundant
+    0x68.toByte +: epbEscape(w.rbsp()) // nal_ref_idc 3, type 8
+  }
+
+  /** Deterministic H.264-in-MP4 payload for `doc_id`: the [[mp4Bytes]]
+    * box layout with an `avc1` VisualSampleEntry carrying a real
+    * `avcC` AVCDecoderConfigurationRecord (the [[avcSpsNal]] SPS + the
+    * [[avcPpsNal]] PPS, 4-byte NAL lengths), and `2 + id mod 4`
+    * length-prefixed NAL samples — IDR samples (every 3rd, mirrored by
+    * `stss`) carry an SEI NAL before the type-5 slice, non-IDR samples
+    * a single type-1 slice, so a sample scanner must skip non-VCL NALs
+    * to classify. Frame DECODE stays the documented boundary (no JDK
+    * H.264 decoder); this payload family exists so production H.264
+    * files yield gated METADATA rows instead of quarantine.
+    */
+  def mp4AvcBytes(id: Long): Array[Byte] = {
+    val (profile, level, mbW, mbH, crop, n, _) = avcParams(id)
+    val w = 16 * mbW - 2 * crop
+    val h = 16 * mbH - 2 * crop
+    def box(typ: String, parts: Array[Byte]*) = mp4Box(typ, parts: _*)
+    def u32s(vs: Int*) = mp4U32s(vs: _*)
+    def fcc(s: String) = mp4Fcc(s)
+    def u16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def nalSample(k: Int): Array[Byte] = {
+      val isIdr = k % 3 == 0
+      def nal(hdr: Int, len: Int): Array[Byte] =
+        u32s(1 + len) ++ (hdr.toByte +: Array.tabulate(len)(j =>
+          (java.lang.Math.floorMod(id * 31 + k * 7 + j * 3, 251L) + 1).toByte))
+      if (isIdr) nal(0x06, 2 + k % 3) ++ nal(0x65, 3 + k % 4) // SEI + IDR
+      else nal(0x41, 3 + k % 4) // non-IDR slice
+    }
+    val samples = (0 until n).map(nalSample)
+    val ftyp = box("ftyp", fcc("isom"), u32s(0x200), fcc("isom"), fcc("avc1"))
+    val offsets = samples.scanLeft(ftyp.length + 8)(_ + _.length).init
+    val mdat = box("mdat", samples.flatten.toArray)
+    val dur = n * 100
+    val syncs = (0 until n by 3).map(_ + 1)
+    val mvhd = box("mvhd", u32s(0, 0, 0, 1000, dur, 0x00010000),
+      u32s(0x01000000, 0, 0),
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      u32s(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = box("tkhd", u32s(0x00000007, 0, 0, 1, 0, dur, 0, 0, 0, 0),
+      u32s(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+      u32s(w << 16, h << 16))
+    val mdhd = box("mdhd", u32s(0, 0, 0, 1000, dur), u32s(0x55c40000))
+    val hdlr = box("hdlr", u32s(0, 0), fcc("vide"), u32s(0, 0, 0),
+      "GraftVideo".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = box("vmhd", u32s(1, 0, 0))
+    val dinf = box("dinf", box("dref", u32s(0, 1), box("url ", u32s(1))))
+    val sps = avcSpsNal(id)
+    val pps = avcPpsNal(id)
+    val avcC = box("avcC",
+      Array[Byte](1, sps(1), sps(2), sps(3), 0xff.toByte, 0xe1.toByte),
+      u16(sps.length), sps, Array[Byte](1), u16(pps.length), pps)
+    val sampleEntry = box("avc1", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1),
+      u32s(0, 0, 0, 0), u32s((w << 16) | h, 0x00480000, 0x00480000, 0),
+      u32s(1 << 16), new Array[Byte](30), u32s((24 << 16) | 0xffff), avcC)
+    val stsd = box("stsd", u32s(0, 1), sampleEntry)
+    val stts = box("stts", u32s(0, 1, n, 100))
+    val stss = box("stss", u32s(0 +: syncs.length +: syncs: _*))
+    val stsc = box("stsc", u32s(0, 1, 1, 1, 1))
+    val stsz = box("stsz", u32s(0 +: 0 +: n +: samples.map(_.length): _*))
+    val stco = box("stco", u32s(0 +: n +: offsets: _*))
+    val stbl = box("stbl", stsd, stts, stss, stsc, stsz, stco)
+    val moov = box("moov", mvhd,
+      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", vmhd, dinf, stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Synthetic H.264-MP4 payload table (the q224 corpus). */
+  def mp4AvcPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, mp4AvcBytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** One H.264 stream-metadata row from [[h264MetaOf]]. */
+  final case class H264Meta(
+      doc_id: Long, codec: String, profile_idc: Int, level_idc: Int,
+      entropy: String, width: Int, height: Int, mb_width: Int,
+      mb_height: Int, n_samples: Int, n_keyframes: Int, n_idr: Int,
+      stss_consistent: Boolean, geometry_consistent: Boolean,
+      parse_ok: Boolean)
+
+  /** REAL H.264 metadata extraction — the leg that turns production
+    * AVC files from quarantine into gated rows: box-tree walk to the
+    * `avc1` sample entry, `avcC` record parse, emulation-prevention
+    * strip, bit-exact Exp-Golomb SPS decode (profile/level, mb grid,
+    * frame-cropping arithmetic incl. the 4:2:0 crop units), PPS
+    * entropy-mode bit, RFC 6381 codec string, and a NAL-type scan of
+    * every sample (stsc/stco/stsz-resolved offsets) cross-checked
+    * against the `stss` sync table. Frame decode stays the documented
+    * boundary; everything a catalog needs short of pixels is here.
+    *
+    * Scale shape: pure per-payload map work (one pass per video, no
+    * shuffle until the presentation sort) — identical to q199's.
+    */
+  def h264MetaOf(payloads: DataFrame): Dataset[H264Meta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def u32(b: Array[Byte], at: Int): Long =
+          (b(at) & 0xffL) << 24 | (b(at + 1) & 0xffL) << 16 |
+            (b(at + 2) & 0xffL) << 8 | (b(at + 3) & 0xffL)
+        def u16(b: Array[Byte], at: Int): Int =
+          (b(at) & 0xff) << 8 | (b(at + 1) & 0xff)
+        def fcc(b: Array[Byte], at: Int): String =
+          new String(b, at, 4, "US-ASCII")
+        def walk(b: Array[Byte], from: Int, until: Int): List[(String, (Int, Int))] = {
+          var pos = from
+          var bad = false
+          val out = List.newBuilder[(String, (Int, Int))]
+          while (!bad && pos + 8 <= until) {
+            val sz0 = u32(b, pos)
+            val typ = fcc(b, pos + 4)
+            val (hdr, sz) =
+              if (sz0 == 0L) (8, (until - pos).toLong)
+              else (8, sz0)
+            if (sz < hdr || pos + sz > until) bad = true
+            else { out += typ -> (pos + hdr, pos + sz.toInt); pos += sz.toInt }
+          }
+          out.result()
+        }
+        def child(kids: List[(String, (Int, Int))], typ: String) =
+          kids.collectFirst { case (`typ`, span) => span }
+        def countAt(b: Array[Byte], span: (Int, Int), skip: Int,
+            per: Int): Option[Int] = {
+          val (at, end) = span
+          if (at + skip + 4 > end) None
+          else {
+            val n = u32(b, at + skip)
+            if (at + skip + 4 + n * per.toLong > end) None else Some(n.toInt)
+          }
+        }
+        // strip 00 00 03 emulation-prevention bytes from an RBSP slice
+        def epbStrip(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          var zeros = 0
+          var i = from
+          while (i < until) {
+            val v = b(i)
+            if (zeros >= 2 && v == 3) zeros = 0 // the escape byte itself
+            else { out += v; zeros = if (v == 0) zeros + 1 else 0 }
+            i += 1
+          }
+          out.toArray
+        }
+        final class BitReader(b: Array[Byte]) {
+          private var pos = 0
+          def bit(): Int = {
+            val v = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+            pos += 1; v
+          }
+          def bits(n: Int): Long = {
+            var v = 0L; var i = 0
+            while (i < n) { v = (v << 1) | bit(); i += 1 }
+            v
+          }
+          def ue(): Long = {
+            var m = 0
+            while (bit() == 0) { m += 1; require(m < 32, "ue overflow") }
+            (1L << m) - 1 + bits(m)
+          }
+          def se(): Long = { val k = ue(); if (k % 2 == 1) (k + 1) / 2 else -(k / 2) }
+        }
+        // (profile, level, mbW, mbHeightUnits·interlace, width, height)
+        def parseSps(nal: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] =
+          try {
+            val r = epbStrip(nal, 1, nal.length)
+            val profile = r(0) & 0xff
+            val level = r(2) & 0xff
+            val br = new BitReader(r.drop(3))
+            br.ue() // sps id
+            val chroma =
+              if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile)) {
+                val c = br.ue()
+                if (c == 3) br.bit() // separate_colour_plane
+                br.ue(); br.ue() // bit depths
+                br.bit() // transform bypass
+                if (br.bit() == 1) return None // scaling matrices unsupported
+                c.toInt
+              } else 1 // absent → 4:2:0
+            br.ue() // log2_max_frame_num_minus4
+            br.ue() match {
+              case 0 => br.ue()
+              case 1 =>
+                br.bit(); br.se(); br.se()
+                (0L until br.ue()).foreach(_ => br.se())
+              case _ => ()
+            }
+            br.ue() // max_num_ref_frames
+            br.bit() // gaps allowed
+            val mbW = br.ue().toInt + 1
+            val mapH = br.ue().toInt + 1
+            val frameMbsOnly = br.bit()
+            if (frameMbsOnly == 0) br.bit() // mb_adaptive
+            br.bit() // direct_8x8
+            val mbH = (2 - frameMbsOnly) * mapH
+            val (cux, cuy) = chroma match {
+              case 0 => (1, 2 - frameMbsOnly)
+              case 1 => (2, 2 * (2 - frameMbsOnly))
+              case 2 => (2, 2 - frameMbsOnly)
+              case _ => (1, 2 - frameMbsOnly)
+            }
+            val (cl, cr, ct, cb) =
+              if (br.bit() == 1) (br.ue(), br.ue(), br.ue(), br.ue())
+              else (0L, 0L, 0L, 0L)
+            Some((profile, level, mbW, mbH,
+              16 * mbW - (cux * (cl + cr)).toInt,
+              16 * mbH - (cuy * (ct + cb)).toInt))
+          } catch { case _: RuntimeException => None }
+        def parsePps(nal: Array[Byte]): Option[Boolean] =
+          try {
+            val br = new BitReader(epbStrip(nal, 1, nal.length))
+            br.ue(); br.ue()
+            Some(br.bit() == 1)
+          } catch { case _: RuntimeException => None }
+        def quarantine(id: Long) = H264Meta(id, "", 0, 0, "", 0, 0, 0, 0,
+          0, 0, 0, stss_consistent = false, geometry_consistent = false,
+          parse_ok = false)
+        it.map { case (id, bytes) =>
+          val parsed: Option[H264Meta] =
+            try {
+              val top = walk(bytes, 0, bytes.length)
+              if (child(top, "ftyp").isEmpty) None
+              else for {
+                moovS <- child(top, "moov")
+                trak <- walk(bytes, moovS._1, moovS._2)
+                  .collectFirst { case ("trak", s) => walk(bytes, s._1, s._2) }
+                tkhd <- child(trak, "tkhd")
+                mdia <- child(trak, "mdia").map(s => walk(bytes, s._1, s._2))
+                minf <- child(mdia, "minf").map(s => walk(bytes, s._1, s._2))
+                stbl <- child(minf, "stbl").map(s => walk(bytes, s._1, s._2))
+                stsd <- child(stbl, "stsd")
+                entry <- walk(bytes, stsd._1 + 8, stsd._2).headOption
+                if entry._1 == "avc1"
+                avcC <- child(walk(bytes, entry._2._1 + 78, entry._2._2), "avcC")
+                nSps = u32(bytes, avcC._1 + 5) & 0x1f
+                if nSps >= 1
+                spsLen = u16(bytes, avcC._1 + 6)
+                sps <- parseSps(java.util.Arrays.copyOfRange(
+                  bytes, avcC._1 + 8, avcC._1 + 8 + spsLen))
+                cabac <- {
+                  val ppsAt = avcC._1 + 8 + spsLen
+                  val ppsLen = u16(bytes, ppsAt + 1)
+                  parsePps(java.util.Arrays.copyOfRange(
+                    bytes, ppsAt + 3, ppsAt + 3 + ppsLen))
+                }
+                nalLenSize = ((bytes(avcC._1 + 4) & 0x3) + 1)
+                stszN <- countAt(bytes, child(stbl, "stsz").get, 8, 4)
+                sizes = (0 until stszN).map(i =>
+                  u32(bytes, child(stbl, "stsz").get._1 + 12 + 4 * i).toInt)
+                stcoS <- child(stbl, "stco")
+                stcoN <- countAt(bytes, stcoS, 4, 4)
+                stscS <- child(stbl, "stsc")
+                stscN <- countAt(bytes, stscS, 4, 12)
+                syncs <- child(stbl, "stss").flatMap(s =>
+                  countAt(bytes, s, 4, 4).map(n => (0 until n)
+                    .map(i => u32(bytes, s._1 + 8 + 4 * i).toInt).toSet))
+              } yield {
+                // chunk → samples-per-chunk from stsc run-length rows
+                val stscRows = (0 until stscN).map { i =>
+                  (u32(bytes, stscS._1 + 8 + 12 * i).toInt, // first chunk
+                    u32(bytes, stscS._1 + 12 + 12 * i).toInt) // samples/chunk
+                }
+                val sampleOffsets = {
+                  val offs = IndexedSeq.newBuilder[Long]
+                  var sample = 0
+                  var chunk = 1
+                  while (sample < stszN && chunk <= stcoN) {
+                    val spc = stscRows.takeWhile(_._1 <= chunk).lastOption
+                      .map(_._2).getOrElse(1)
+                    var at = u32(bytes, stcoS._1 + 8 + 4 * (chunk - 1))
+                    var k = 0
+                    while (k < spc && sample < stszN) {
+                      offs += at; at += sizes(sample); sample += 1; k += 1
+                    }
+                    chunk += 1
+                  }
+                  offs.result()
+                }
+                // NAL-type scan of every sample: IDR iff any type-5 NAL
+                var nIdr = 0
+                val idrSet = scala.collection.mutable.Set.empty[Int]
+                sampleOffsets.zipWithIndex.foreach { case (off0, si) =>
+                  var off = off0
+                  val end = off0 + sizes(si)
+                  var idr = false
+                  while (off + nalLenSize < end) {
+                    val len =
+                      if (nalLenSize == 4) u32(bytes, off.toInt)
+                      else (0 until nalLenSize).foldLeft(0L)((a, i) =>
+                        (a << 8) | (bytes(off.toInt + i) & 0xffL))
+                    val t = bytes(off.toInt + nalLenSize) & 0x1f
+                    if (t == 5) idr = true
+                    off += nalLenSize + len
+                  }
+                  if (idr) { nIdr += 1; idrSet += si + 1 }
+                }
+                val (profile, level, mbW, mbH, wSps, hSps) = sps
+                val entryW = u16(bytes, entry._2._1 + 24)
+                val entryH = u16(bytes, entry._2._1 + 26)
+                val tkW = (u32(bytes, tkhd._1 + 76) >> 16).toInt
+                val tkH = (u32(bytes, tkhd._1 + 80) >> 16).toInt
+                H264Meta(id,
+                  f"avc1.$profile%02X${bytes(avcC._1 + 2) & 0xff}%02X$level%02X",
+                  profile, level, if (cabac) "cabac" else "cavlc",
+                  wSps, hSps, mbW, mbH, stszN, syncs.size, nIdr,
+                  stss_consistent = syncs == idrSet.toSet,
+                  geometry_consistent =
+                    wSps == entryW && hSps == entryH &&
+                      wSps == tkW && hSps == tkH,
+                  parse_ok = true)
+              }
+            } catch { case _: RuntimeException => None }
+          parsed.getOrElse(quarantine(id))
+        }
+      }
+  }
+
+  /** q224 — H.264 METADATA audit over the synthetic AVC corpus: see
+    * [[h264MetaOf]]; gated against DuckDB's analytic regeneration of
+    * the [[avcParams]] closed forms (profile/level/entropy, crop-
+    * adjusted geometry, sample/keyframe counts, both consistency
+    * flags) — every gated value must survive the real avcC + SPS/PPS
+    * bit parse and the full sample NAL scan.
+    */
+  def h264Meta(spark: SparkSession, dir: String): DataFrame =
+    h264MetaOf(mp4AvcPayloads(spark, dir)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
+    "q224_h264_meta" -> (h264Meta _),
     "q154_audio_audit" -> (audioAudit _),
     "q172_video_frames" -> (videoFrames _),
     "q196_avi_frames" -> (aviFrames _),
@@ -1799,6 +2226,35 @@ object Multimodal {
        |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regenerates the avcParams closed forms; every value must
+    // survive the Spark side's REAL avcC walk + EPB strip + Exp-Golomb
+    // SPS/PPS decode + full sample NAL scan (nothing is echoed)
+    "q224_h264_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS profile_idc,
+        |    CAST(30 + 10 * (doc_id % 2) AS INTEGER) AS level_idc,
+        |    CAST(4 + doc_id % 4 AS INTEGER) AS mb_width,
+        |    CAST(3 + doc_id % 3 AS INTEGER) AS mb_height,
+        |    CAST(doc_id % 2 AS INTEGER) AS crop,
+        |    CAST(2 + doc_id % 4 AS INTEGER) AS n_samples
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'avc1.' ||
+        |    CASE profile_idc WHEN 66 THEN '42' WHEN 77 THEN '4D'
+        |      ELSE '64' END ||
+        |    '00' || CASE level_idc WHEN 30 THEN '1E' ELSE '28' END AS codec,
+        |  profile_idc, level_idc,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'cabac' ELSE 'cavlc' END AS entropy,
+        |  CAST(16 * mb_width - 2 * crop AS INTEGER) AS width,
+        |  CAST(16 * mb_height - 2 * crop AS INTEGER) AS height,
+        |  mb_width, mb_height, n_samples,
+        |  CAST((n_samples + 2) // 3 AS INTEGER) AS n_keyframes,
+        |  CAST((n_samples + 2) // 3 AS INTEGER) AS n_idr,
+        |  TRUE AS stss_consistent, TRUE AS geometry_consistent,
+        |  TRUE AS parse_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
     // DuckDB REGENERATES every sampled keyframe analytically (the
     // mp4Bytes closed form: n = 3+id%5 samples, sync at 0,3,6 → n_sync
     // = (n+2)//3, ≤ Mp4PerDoc evenly spaced over the SYNC LIST, block

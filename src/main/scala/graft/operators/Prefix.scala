@@ -52,7 +52,17 @@ object Prefix {
     * per distinct value).
     */
   def cumSums(byV: DataFrame, orderCol: String, key: Column,
-      cntCols: Seq[String], outCols: Seq[String]): DataFrame = {
+      cntCols: Seq[String], outCols: Seq[String]): DataFrame =
+    cumSumsBy(byV, Nil, orderCol, key, cntCols, outCols)
+
+  /** [[cumSums]] with an independent running sum per GROUP — the
+    * per-group exact-quantile / per-group CDF form. Fine buckets span
+    * the global key range; offsets and windows key on
+    * (group…, bucket), so the collected relation is
+    * O(groups × 64·p) — metadata-scale for model-scale group counts.
+    */
+  def cumSumsBy(byV: DataFrame, groupCols: Seq[String], orderCol: String,
+      key: Column, cntCols: Seq[String], outCols: Seq[String]): DataFrame = {
     require(cntCols.length == outCols.length && cntCols.nonEmpty,
       "cntCols/outCols must align")
     val spark = byV.sparkSession
@@ -70,25 +80,32 @@ object Prefix {
     val fineN = p * FineBucketsPerCore
     val width = math.max(1L, (hi - lo) / fineN + 1L) // ceil span+1 / fineN
     val fined = keyed.withColumn("__fine", expr(s"(__pk - $lo) div $width"))
-    // one metadata-scale collect: per-bucket totals for every counter
-    val stats = fined.groupBy("__fine")
+    val gN = groupCols.length
+    // one metadata-scale collect: per-(group, bucket) counter totals
+    val stats = fined.groupBy((groupCols :+ "__fine").map(col): _*)
       .agg(sum(col(cntCols.head)).as(cntCols.head),
         cntCols.tail.map(c => sum(col(c)).as(c)): _*)
-      .collect().sortBy(_.getLong(0))
-    // driver prefix over the sorted buckets → exclusive offsets
-    val acc = Array.fill(cntCols.length)(0L)
-    val offRows = stats.map { r =>
-      val row = Row.fromSeq(r.getLong(0) +: acc.toSeq)
-      cntCols.indices.foreach(i => acc(i) += r.getLong(i + 1))
-      row
-    }
-    val offSchema = StructType(StructField("__fine", LongType, false) +:
-      outCols.map(o => StructField(s"__off_$o", LongType, false)))
+      .collect()
+    // driver prefix per group over its sorted buckets → excl. offsets
+    val offRows = stats.groupBy(r => (0 until gN).map(r.get(_))).toSeq
+      .flatMap { case (_, rows) =>
+        val acc = Array.fill(cntCols.length)(0L)
+        rows.sortBy(_.getLong(gN)).map { r =>
+          val row = Row.fromSeq(
+            (0 until gN).map(r.get(_)) ++ (r.getLong(gN) +: acc.toSeq))
+          cntCols.indices.foreach(i => acc(i) += r.getLong(gN + 1 + i))
+          row
+        }
+      }
+    val offSchema = StructType(groupCols.map(g => byV.schema(g)) ++
+      (StructField("__fine", LongType, false) +:
+        outCols.map(o => StructField(s"__off_$o", LongType, false))))
     val offs = spark.createDataFrame(offRows.toList.asJava, offSchema)
-    val w = Window.partitionBy("__fine").orderBy(orderCol)
+    val w = Window.partitionBy((groupCols :+ "__fine").map(col): _*)
+      .orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cummed = cntCols.zip(outCols).foldLeft(
-      fined.join(broadcast(offs), Seq("__fine"))) {
+      fined.join(broadcast(offs), groupCols :+ "__fine")) {
       case (df, (c, o)) =>
         df.withColumn(o, col(s"__off_$o") + sum(col(c)).over(w))
     }

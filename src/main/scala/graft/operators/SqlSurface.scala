@@ -116,6 +116,13 @@ object SqlSurface {
         "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the parser or the decoder)"),
+    "q224_h264_meta" ->
+      ("real avcC record walk + emulation-prevention strip + Exp-Golomb " +
+        "bit decode of the H.264 SPS/PPS (profile/level, mb grid, " +
+        "frame-cropping arithmetic, entropy-mode bit) plus a NAL-type " +
+        "scan of every sample — bitstream work, not a SQL expression; " +
+        "use Multimodal.h264Meta (the oracle regenerates the closed " +
+        "forms analytically, which would not exercise the parser)"),
     "q213_mp4_fragmented" ->
       ("real fragmented-MP4 (fMP4) parse — moof/traf/trun sample runs, " +
         "tfhd base-offset arithmetic, elst/mehd duration resolution — " +

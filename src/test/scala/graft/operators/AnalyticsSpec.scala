@@ -982,4 +982,93 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(rho >= -1.0 && rho <= 1.0 && !rho.isNaN)
     }
   }
+
+  describe("exactQuantiles (q225)") {
+    it("each quantile is the smallest value clearing the integer test") {
+      // 10 click values 1.00..10.00: p50 = 5th (cum·2 ≥ 10 first at
+      // 5.0), p90 = 9th, p99 = 10th (ceil semantics)
+      val ev = events((1L to 10L).map(i =>
+        (i, ts("2024-01-02 00:00:00"), i, "click", i.toDouble, "{}")): _*)
+      val r = Analytics.exactQuantilesFrom(ev).collect()
+      assert(r.length == 1)
+      assert(r.head.getAs[Long]("n_events") == 10L)
+      assert(r.head.getAs[Double]("p50") == 5.0)
+      assert(r.head.getAs[Double]("p90") == 9.0)
+      assert(r.head.getAs[Double]("p99") == 10.0)
+    }
+
+    it("satisfies the defining property on the fixture: smallest value with cum ≥ q·n") {
+      val ev = graft.sources.Tables.events(spark, TestSpark.Sf)
+      val got = Analytics.exactQuantilesFrom(ev).collect()
+        .map(r => r.getAs[String]("event_type") -> r).toMap
+      // brute-force check per type against the raw rows: count(≤ p) ≥
+      // q·n, count(< p) < q·n, and p is an actual data value
+      val raw = ev.select("event_type", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      got.foreach { case (t, r) =>
+        val vs = raw(t)
+        val n = vs.length
+        assert(r.getAs[Long]("n_events") == n.toLong)
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)).foreach {
+          case (cname, num, den) =>
+            val p = r.getAs[Double](cname)
+            assert(vs.contains(p), s"$t $cname must be a data value")
+            assert(vs.count(_ <= p).toLong * den >= num.toLong * n,
+              s"$t $cname cum")
+            assert(vs.count(_ < p).toLong * den < num.toLong * n,
+              s"$t $cname minimality")
+        }
+        assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90") &&
+          r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+      }
+    }
+  }
+
+  describe("psiDrift (q226)") {
+    it("identical halves score ~zero PSI; a shifted half alarms") {
+      // same 20 values in both halves → only smoothing noise
+      def half(refDay: String, base: Long, shift: Double) =
+        (1L to 20L).map(i => (base + i, ts(s"$refDay 00:00:00"), i,
+          "click", i.toDouble + shift, "{}"))
+      val same = Analytics.psiDriftFrom(events(
+        (half("2024-01-02", 0, 0.0) ++ half("2024-01-20", 100, 0.0)): _*))
+        .collect().head
+      assert(same.getAs[Long]("n_ref") == 20L && same.getAs[Long]("n_cur") == 20L)
+      assert(math.abs(same.getAs[Double]("psi")) < 0.01)
+      assert(!same.getAs[Boolean]("drift_alert"))
+      val shifted = Analytics.psiDriftFrom(events(
+        (half("2024-01-02", 0, 0.0) ++ half("2024-01-20", 100, 100.0)): _*))
+        .collect().head
+      assert(shifted.getAs[Double]("psi") > 0.2)
+      assert(shifted.getAs[Boolean]("drift_alert"))
+    }
+  }
+
+  describe("robustOutliers (q227)") {
+    it("median/MAD flag the whale the mean/stddev z would mask") {
+      // 9 values at 10.00±ε and one 10000.00 whale: med = 10.00,
+      // MAD = small, whale dev ≫ 4.4478·MAD
+      val vals = Seq(9.98, 9.99, 10.0, 10.0, 10.0, 10.01, 10.01,
+        10.02, 10.02, 10000.0)
+      val ev = events(vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, ts("2024-01-02 00:00:00"), i.toLong, "click", v, "{}")
+      }: _*)
+      val r = Analytics.robustOutliersFrom(ev).collect().head
+      assert(r.getAs[Double]("median_value") == 10.0)
+      assert(r.getAs[Double]("mad_value") == 0.01)
+      assert(r.getAs[Long]("n_outliers") == 1L)
+      assert(r.getAs[Double]("outlier_rate") == 0.1)
+    }
+
+    it("a constant column has MAD 0 and every off-median row flags") {
+      val ev = events((1L to 5L).map(i =>
+        (i, ts("2024-01-02 00:00:00"), i, "view",
+          if (i == 5L) 7.0 else 3.0, "{}")): _*)
+      val r = Analytics.robustOutliersFrom(ev).collect().head
+      assert(r.getAs[Double]("median_value") == 3.0)
+      assert(r.getAs[Double]("mad_value") == 0.0)
+      assert(r.getAs[Long]("n_outliers") == 1L)
+    }
+  }
 }

@@ -1082,4 +1082,26 @@ class CurationSpec extends AnyFunSpec {
       assert(r.map(_.getAs[Int]("shard")).toSeq == (0 until Curation.HrwOld))
     }
   }
+
+  describe("partitionEvolution (q228)") {
+    it("the two vintages tile the corpus without loss or duplication") {
+      val sf = TestSpark.Sf
+      val raw = graft.sources.Tables.events(spark, sf)
+      val r = Curation.partitionEvolution(spark, sf).collect()
+      assert(r.map(_.getAs[Long]("n_events")).sum == raw.count())
+      assert(r.map(_.getAs[String]("vintage")).distinct.sorted.toSeq ==
+        Seq("daily", "monthly"))
+      // vintage membership follows the migration instant exactly
+      r.foreach { x =>
+        val d = x.get(x.fieldIndex("event_date")).toString // ISO yyyy-MM-dd
+        if (x.getAs[String]("vintage") == "monthly")
+          assert(d < "2024-01-16", s"monthly row on $d")
+        else assert(d >= "2024-01-16", s"daily row on $d")
+      }
+      // no (vintage, day) appears twice: the union deduplicates nothing
+      val keys = r.map(x => (x.getAs[String]("vintage"),
+        x.get(x.fieldIndex("event_date")).toString))
+      assert(keys.distinct.length == keys.length)
+    }
+  }
 }

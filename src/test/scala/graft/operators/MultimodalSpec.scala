@@ -705,4 +705,54 @@ class MultimodalSpec extends AnyFunSpec {
       assert(f(5L).forall(_.decode_ok) && f(5L).nonEmpty)
     }
   }
+
+  describe("h264MetaOf (q224, REAL avcC + SPS/PPS bit parse)") {
+    def metaOf(payloads: (Long, Array[Byte])*): Map[Long, Multimodal.H264Meta] =
+      Multimodal.h264MetaOf(payloads.toSeq.toDF("doc_id", "payload"))
+        .collect().map(m => m.doc_id -> m).toMap
+
+    it("decodes profile, level, entropy, and crop-adjusted geometry from the bits") {
+      val m = metaOf((0L to 6L).map(id => id -> Multimodal.mp4AvcBytes(id)): _*)
+      (0L to 6L).foreach { id =>
+        val r = m(id)
+        assert(r.parse_ok, s"id=$id must parse")
+        assert(r.profile_idc == Seq(66, 77, 100)((id % 3).toInt))
+        assert(r.level_idc == 30 + 10 * (id % 2).toInt)
+        assert(r.entropy == (if (id % 2 == 1) "cabac" else "cavlc"))
+        val crop = (id % 2).toInt
+        assert(r.width == 16 * (4 + (id % 4).toInt) - 2 * crop)
+        assert(r.height == 16 * (3 + (id % 3).toInt) - 2 * crop)
+        assert(r.geometry_consistent && r.stss_consistent)
+        assert(r.n_idr == (r.n_samples + 2) / 3)
+      }
+      // RFC 6381 codec strings: High@3.0 for id=2, Baseline@3.0 for id=0
+      assert(m(0L).codec == "avc1.42001E")
+      assert(m(2L).codec == "avc1.64001E")
+      assert(m(1L).codec == "avc1.4D0028")
+    }
+
+    it("flags a sync table that disagrees with the sample NAL types") {
+      // id=2 has 4 samples, IDR at {1, 4}: point stss at the non-IDR
+      // sample 2 — the NAL scan must catch the lie
+      val b = Multimodal.mp4AvcBytes(2L)
+      val at = b.indexOfSlice("stss".getBytes("US-ASCII"))
+      assert(at > 0)
+      val tampered = b.clone()
+      tampered(at + 12 + 3) = 2 // first 1-based sync entry: 1 → 2
+      val r = metaOf(2L -> tampered)(2L)
+      assert(r.parse_ok && !r.stss_consistent)
+      assert(r.n_keyframes == 2 && r.n_idr == 2)
+    }
+
+    it("quarantines a truncated payload instead of guessing") {
+      val b = Multimodal.mp4AvcBytes(3L)
+      val r = metaOf(3L -> b.take(b.length / 2))(3L)
+      assert(!r.parse_ok)
+    }
+
+    it("quarantines a non-AVC sample entry (the q199 JPEG corpus)") {
+      val r = metaOf(4L -> Multimodal.mp4Bytes(4L))(4L)
+      assert(!r.parse_ok)
+    }
+  }
 }

@@ -908,6 +908,19 @@ class PlanQualitySpec extends AnyFunSpec {
         }
     }
 
+    it("q228's daily vintage prunes day predicates at planning time") {
+      val e = graft.sources.PartitionEvolved.eventsFor(spark, sf)
+      val p = e.filter("event_date = DATE'2024-01-20'")
+        .queryExecution.executedPlan.toString
+      // the post-migration vintage prunes directories; the monthly
+      // vintage's derived event_date filters post-scan (documented)
+      val pf = p.linesIterator.filter(_.contains("PartitionFilters: ["))
+        .toSeq
+      assert(pf.exists(l => l.contains("event_date") &&
+        !l.contains("PartitionFilters: []")),
+        s"daily vintage must carry a real partition filter:\n$p")
+    }
+
     it("q216 staged form joins the stored base partials without rescanning the base slices") {
       val base = SupplierPerf.ivmBasePartials(
         graft.sources.Tables.orders(spark, sf),
