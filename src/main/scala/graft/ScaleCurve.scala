@@ -40,14 +40,17 @@ object ScaleCurve {
     * session merge — the map-only r10b ops are covered by ScaleSmoke),
     * plus the round-11 non-join heavy legs: q198 (BPE training — the
     * 8 driver-coordinated rounds must stay vocab-bounded as the corpus
-    * grows) and q202 (the ORC write path).
+    * grows) and q202 (the ORC write path), plus the round-12 grouped
+    * distributed-prefix family representative q227 (two histogram +
+    * prefix passes — the curve proves the value-grain reduction, not
+    * the raw rows, carries the growth).
     */
   val Heavy: Seq[String] = Seq(
     "q103_item_pagerank", "q136_ann_pq_trained", "q140_label_communities",
     "q79_stream_dedup", "q93_stream_left_join", "q110_item_triangles",
     "q135_incremental_clusters", "q100_ann_pq", "q82_dup_spans",
     "q50_stream_range_join", "q203_bigram_lm", "q207_native_sessions",
-    "q198_bpe_train", "q202_orc_mirror")
+    "q198_bpe_train", "q202_orc_mirror", "q227_robust_outliers")
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()

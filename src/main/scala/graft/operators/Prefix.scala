@@ -66,7 +66,13 @@ object Prefix {
     require(cntCols.length == outCols.length && cntCols.nonEmpty,
       "cntCols/outCols must align")
     val spark = byV.sparkSession
-    val keyed = byV.withColumn("__pk", key.cast("long"))
+    // materialize the value-grain relation ONCE: the two driver
+    // collects (span, bucket totals) and the windowed output would
+    // otherwise each re-run the full upstream lineage — for a
+    // histogram over a corpus that is 3+ corpus scans instead of 1
+    // (the relation itself is model-scale by this operator's
+    // contract, so the checkpoint is cheap)
+    val keyed = byV.withColumn("__pk", key.cast("long")).localCheckpoint()
     val mm = keyed.agg(min("__pk"), max("__pk")).collect()(0)
     if (mm.isNullAt(0)) // empty relation: same schema, zeroed sums
       return cntCols.zip(outCols).foldLeft(byV) {
