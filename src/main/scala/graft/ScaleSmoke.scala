@@ -341,6 +341,8 @@ object ScaleSmoke {
     // round-10: model-bounded reduce sides (|sources|·vocab / charset)
     t("zipf_slope") { TextAnalysis.zipfSlopeFrom(docs).count() }
     t("char_entropy") { TextAnalysis.charEntropyFrom(docs).count() }
+    // r12: NFC check + one regex, pure map into a sources-sized agg
+    t("nfc_audit") { TextAnalysis.nfcAuditFrom(docs).count() }
     // round-10: OOF encoding folds to a |types|·5 model relation —
     // one combine-heavy pass regardless of event volume (q211's
     // streaming HLL twin is state-bounded by construction: 64 ints per

@@ -279,4 +279,18 @@ object TextCore {
     if (runStart >= 0) { out(cnt) = (runStart.toLong << 32) | prev.toLong; cnt += 1 }
     new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
   }
+  /** NFC normalization (the `nfc_normalize` expression's kernel):
+    * returns the INPUT object untouched on the already-normalized fast
+    * path (the overwhelmingly common case — `Normalizer.isNormalized`
+    * is a cheap quick-check scan for ASCII/latin text), else the
+    * composed form. Canonical composition only — NFC never changes
+    * meaning, unlike NFKC's compatibility folding.
+    */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -175,6 +175,7 @@ object SqlDialect {
     // function renames (word-bounded)
     val renames = Seq(
       "regexp_split_to_array" -> "split",
+      "regexp_matches" -> "regexp_like",
       "list_filter" -> "filter",
       "list_transform" -> "transform",
       "list_min" -> "array_min",

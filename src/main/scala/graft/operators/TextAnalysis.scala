@@ -1663,7 +1663,67 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** q229 planting: the fixture corpus is ASCII-clean, so without
+    * planted anomalies the Unicode-hygiene gate would pass vacuously
+    * (the q190/q191 lesson). 1 in [[NfcMod]] docs gains a DECOMPOSED
+    * suffix (e + U+0301 combining acute — same rendered text as é,
+    * different bytes), the next arm a MIXED-SCRIPT confusable token
+    * (Cyrillic а inside a Latin word) — the two shapes real crawls
+    * carry. Both are hash-armed and mirrored in the oracle.
+    */
+  val NfcMod = 6
+  // explicit escapes: the decomposed suffix MUST stay e + U+0301 (an
+  // editor auto-composing a literal would silently kill the arm)
+  private[graft] val NfcSuffix = " nfce\u0301"
+  private[graft] val MixedSuffix = " p\u0430ypal" // Cyrillic a
+  private[graft] val MixedRe =
+    "[A-Za-z][\u0400-\u04ff]|[\u0400-\u04ff][A-Za-z]"
+
+  /** q229 — UNICODE HYGIENE audit: per source, how many documents are
+    * not in NFC canonical form and how many carry mixed-script
+    * (Latin⇄Cyrillic adjacent) confusable tokens. Decomposed sequences
+    * make byte-level dedup MISS (same rendered text, different bytes —
+    * q21's md5 fingerprint treats é and e+U+0301 as distinct docs) and
+    * inflate codepoint-based length features; confusables are the
+    * classic spam/phishing/SEO-cloaking signal a curation pipeline
+    * screens before training. The NFC check runs through the native
+    * `nfc_normalize` Catalyst expression (codegen, input returned
+    * untouched on the already-normalized fast path) — DuckDB's
+    * built-in `nfc_normalize` is the oracle's mirror, so the gate
+    * cross-checks two independent NFC implementations (ICU vs JDK).
+    *
+    * Scale shape: one map pass (normalize + one regex) into a
+    * source-keyed combine-heavy aggregate; output is sources-sized.
+    */
+  def nfcAudit(spark: SparkSession, dir: String): DataFrame =
+    nfcAuditFrom(Tables.documents(spark, dir))
+
+  def nfcAuditFrom(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val arm = TextFns.hash32(
+      concat(lit("nfc|"), col("doc_id").cast("string"))) % NfcMod
+    val planted = docs.select(col("source"),
+      when(arm === 0, concat(col("text"), lit(NfcSuffix)))
+        .when(arm === 1, concat(col("text"), lit(MixedSuffix)))
+        .otherwise(col("text")).as("text"))
+    planted.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text") =!=
+          call_function("nfc_normalize", col("text")), 1L).otherwise(0L))
+          .as("n_non_nfc"),
+        sum(when(col("text").rlike(MixedRe), 1L).otherwise(0L))
+          .as("n_mixed_script"))
+      .select(col("source"), col("n_docs"), col("n_non_nfc"),
+        col("n_mixed_script"),
+        round(col("n_non_nfc").cast("double") / nullIfZero(col("n_docs")), 6)
+          .as("non_nfc_rate"),
+        round(col("n_mixed_script").cast("double") /
+          nullIfZero(col("n_docs")), 6).as("mixed_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_nfc_audit" -> (nfcAudit _),
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q218_quality_model" -> (qualityModel _),
@@ -1795,6 +1855,30 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // the planted arms mirrored verbatim; DuckDB's built-in
+    // nfc_normalize (ICU) cross-checks the Spark-side JDK Normalizer —
+    // two independent NFC implementations must agree on every doc
+    "q229_nfc_audit" -> {
+      val arm = s"${TextFns.sql.hash32(
+        "'nfc|' || CAST(doc_id AS VARCHAR)")} % $NfcMod"
+      s"""WITH planted AS (SELECT source,
+         |    CASE WHEN $arm = 0 THEN text || '$NfcSuffix'
+         |         WHEN $arm = 1 THEN text || '$MixedSuffix'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_non_nfc,
+         |  CAST(sum(CASE WHEN regexp_matches(text, '$MixedRe') THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_mixed_script,
+         |  round(CAST(sum(CASE WHEN text <> nfc_normalize(text) THEN 1
+         |    ELSE 0 END) AS DOUBLE) / NULLIF(count(*), 0), 6)
+         |    AS non_nfc_rate,
+         |  round(CAST(sum(CASE WHEN regexp_matches(text, '$MixedRe')
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(count(*), 0), 6)
+         |    AS mixed_rate
+         |FROM planted GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // mid-rank percentiles as exact rationals at the score level; the
     // keep test cross-multiplies integers; window sums CAST back from
     // HUGEINT (the q165 discipline)

@@ -158,6 +158,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => SortedShingleHashes(e(0))),
     ("simhash32", classOf[SimHash32],
       (e: Seq[Expression]) => SimHash32(e(0))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      (e: Seq[Expression]) => NfcNormalize(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],

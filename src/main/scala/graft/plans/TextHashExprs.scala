@@ -102,6 +102,30 @@ case class SortedShingleHashes(child: Expression)
     copy(child = c)
 }
 
+/** `nfc_normalize(text)` → the Unicode canonical-composition (NFC)
+  * form — the normalization audit's kernel (q229). Already-normalized
+  * strings return the input object (no copy); codegen is one static
+  * call, so the audit predicate `text <> nfc_normalize(text)` stays
+  * inside whole-stage codegen.
+  */
+case class NfcNormalize(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextCore.nfc($t)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** `simhash32(text)` → BIGINT 32-bit SimHash of the token stream. */
 case class SimHash32(child: Expression)
   extends UnaryExpression with TextInputCheck {

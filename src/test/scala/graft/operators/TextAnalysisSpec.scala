@@ -920,4 +920,45 @@ class TextAnalysisSpec extends AnyFunSpec {
         Seq(1L, 2L, 3L, 4L, 5L))
     }
   }
+
+  describe("nfcAudit (q229) + the nfc_normalize expression") {
+    it("the native expression composes decomposed sequences and no-ops NFC text") {
+      graft.plans.GraftFunctions.register(spark)
+      val r = Seq(("e\u0301", "caf\u00e9", "ascii only"))
+        .toDF("dec", "comp", "plain")
+        .selectExpr("nfc_normalize(dec) AS d", "nfc_normalize(comp) AS c",
+          "nfc_normalize(plain) AS p")
+        .collect()(0)
+      assert(r.getString(0) == "\u00e9") // e + U+0301 composes to one char
+      assert(r.getString(1) == "caf\u00e9")
+      assert(r.getString(2) == "ascii only")
+    }
+
+    it("counts planted decomposed and mixed-script docs, hand-checked rates") {
+      val planted = TextAnalysis.nfcAuditFrom(
+        docs((1L to 60L).map(id => (id, s"clean ascii doc $id")): _*))
+        .collect()(0)
+      // base text is pure ASCII: n_non_nfc counts exactly the arm-0
+      // plants, n_mixed_script exactly the arm-1 plants
+      assert(planted.getAs[Long]("n_docs") == 60L)
+      assert(planted.getAs[Long]("n_non_nfc") > 0L,
+        "arm 0 must plant at least one decomposed doc in 60")
+      assert(planted.getAs[Long]("n_mixed_script") > 0L,
+        "arm 1 must plant at least one confusable doc in 60")
+      assert(planted.getAs[Long]("n_non_nfc") +
+        planted.getAs[Long]("n_mixed_script") < 60L)
+      assert(planted.getAs[Double]("non_nfc_rate") ==
+        BigDecimal(planted.getAs[Long]("n_non_nfc").toDouble / 60L)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    it("a composed e-acute does not flag, the decomposed twin does") {
+      graft.plans.GraftFunctions.register(spark)
+      val flags = Seq(("caf\u00e9", 1L), ("cafe\u0301", 2L))
+        .toDF("text", "doc_id")
+        .selectExpr("doc_id", "text <> nfc_normalize(text) AS non_nfc")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!flags(1L) && flags(2L))
+    }
+  }
 }
