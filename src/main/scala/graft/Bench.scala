@@ -155,6 +155,9 @@ object Bench {
     // timed work is the three delta terms only — the operator's whole
     // point is that the 100 TB base term never rescans per batch.
     run("q215_dedup_agreement") { Dedup.dedupAgreement(spark, sfDir) }
+    // r12: exact prefix-filter similarity join — self-contained (its
+    // candidate generation IS the operator; nothing to stage)
+    run("q230_ppjoin_pairs") { Dedup.ppjoinPairs(spark, sfDir) }
     run("q216_ivm_join") {
       SupplierPerf.ivmJoinStaged(spark.read.parquet(s"$wh/ivmbase"),
         Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))

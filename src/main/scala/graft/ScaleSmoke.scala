@@ -343,6 +343,15 @@ object ScaleSmoke {
     t("char_entropy") { TextAnalysis.charEntropyFrom(docs).count() }
     // r12: NFC check + one regex, pure map into a sources-sized agg
     t("nfc_audit") { TextAnalysis.nfcAuditFrom(docs).count() }
+    // r12: prefix-filter exact similarity join — candidates key on
+    // globally-rarest tokens, run in pipeline order (exact-dedup
+    // first, the q22 replica discipline: identical sets would
+    // otherwise make every prefix token a clique key)
+    t("dedup_then_ppjoin") {
+      val canonical = docs.withColumn("fp", md5(col("text")))
+        .dropDuplicates("fp")
+      Dedup.ppjoinPairsFrom(canonical).count()
+    }
     // round-10: OOF encoding folds to a |types|·5 model relation —
     // one combine-heavy pass regardless of event volume (q211's
     // streaming HLL twin is state-bounded by construction: 64 ints per

@@ -812,6 +812,86 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** q230 exact token-set Jaccard threshold, as a rational (num/den)
+    * so every test in the pipeline stays integer-cross-multiplied.
+    */
+  val PpNum = 7
+  val PpDen = 10
+
+  /** q230 — EXACT set-similarity join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All
+    * Pairs Similarity Search", WWW 2007): every pair whose DISTINCT
+    * token sets have Jaccard ≥ [[PpNum]]/[[PpDen]], with NO false
+    * negatives — the exact complement to q22's MinHash-LSH (which
+    * trades recall for candidate sparsity; this keeps recall = 1 and
+    * gets sparsity from mathematics instead). Each doc's tokens are
+    * ranked by ascending GLOBAL document frequency (rarest first,
+    * ties by token) and only the first `s − ⌈t·s⌉ + 1` tokens form its
+    * prefix: two sets with Jaccard ≥ t MUST share a prefix token
+    * (pigeonhole on the overlap bound), so joining on prefix tokens
+    * alone is candidate-complete. Candidates verify with an exact
+    * intersection count and the cross-multiplied keep test.
+    *
+    * Scale shape: the df rank is one token-keyed aggregate + a
+    * per-doc (doc-length-bounded) window; the candidate self-join
+    * keys on the globally-RAREST tokens by construction, so per-token
+    * fan-out is small where MinHash's band buckets can be hot; the
+    * verification join is candidate-bounded. The prefix-length test
+    * stays integer (`num·s ≤ den·(s − rn + 1)` ⇔ rn within prefix).
+    * PPJoin's positional refinement would shrink candidates further;
+    * the prefix filter alone is already all-pairs-complete. The gated
+    * OUTPUT is the bounded Jaccard-decile histogram (+ affected-doc
+    * counts): pair lists are quadratic in template-family size, and
+    * the histogram proves the identical pipeline at any corpus size.
+    */
+  def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairsFrom(Tables.documents(spark, dir))
+
+  def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
+    val tk = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.toks(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "token")
+    val pfx = tk.join(dfx, "token").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(lit(PpNum) * col("s") <=
+        lit(PpDen) * (col("s") - col("rn") + 1))
+      .select(col("token"), col("doc_id"))
+    val cand = pfx.alias("a")
+      .join(pfx.alias("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("token")),
+        Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val kept = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sz_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sz_b")), "doc_b")
+      .filter(col("n_common") * PpDen >=
+        lit(PpNum) * (col("sz_a") + col("sz_b") - col("n_common")))
+      .withColumn("bin",
+        expr("(10 * n_common) div (sz_a + sz_b - n_common)"))
+    // the PAIR LIST is quadratic in template-family size (the fixture
+    // carries ~50k qualifying pairs at sf0.01 already) — the gated
+    // deliverable is the bounded decile histogram + affected-doc
+    // counts, which proves the identical pipeline at any corpus size
+    val p = kept.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val dd = kept
+      .select(col("bin"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("bin").agg(countDistinct(col("doc")).as("n_docs"))
+    p.join(dd, Seq("bin"))
+      .select(col("bin"),
+        (col("bin").cast("double") / 10.0).as("jaccard_lo"),
+        col("n_pairs"), col("n_docs"))
+      .orderBy("bin")
+  }
+
   /** q54 — duplicate-cluster resolution: connected components over the
     * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
     * component-minimum doc_id as `cluster_id`, the component size, and
@@ -1426,6 +1506,7 @@ object Dedup {
     "q135_incremental_clusters" -> (incrementalClusters _),
     "q137_incremental_containment" -> (incrementalContainment _),
     "q215_dedup_agreement" -> (dedupAgreement _),
+    "q230_ppjoin_pairs" -> (ppjoinPairs _),
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q184_dedup_sensitivity" -> (dedupSensitivity _),
@@ -1634,6 +1715,45 @@ object Dedup {
          |  round(CAST(sum(CAST(cosine AS DECIMAL(38,12))) AS DOUBLE) /
          |    NULLIF(count(cosine), 0), 6) AS mean_cosine
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full prefix-filter pipeline replayed: df-ascending ranks,
+    // integer prefix test, prefix self-join, exact intersection join,
+    // cross-multiplied keep — row_number ties broken by (df, token)
+    // are unique within a doc, so the replay is deterministic
+    "q230_ppjoin_pairs" ->
+      s"""WITH tok0 AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM tok0),
+         |tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+         |szs AS (SELECT doc_id, count(*) AS s FROM tk2 GROUP BY 1),
+         |dfx AS (SELECT token, count(*) AS df FROM tk2 GROUP BY 1),
+         |rk AS (SELECT t.doc_id, t.token,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY d.df, t.token) AS rn, z.s
+         |  FROM tk2 t JOIN dfx d USING (token) JOIN szs z USING (doc_id)),
+         |pfx AS (SELECT doc_id, token FROM rk
+         |  WHERE $PpNum * s <= $PpDen * (s - rn + 1)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN pfx b
+         |    ON b.token = a.token AND b.doc_id > a.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN tk2 x ON x.doc_id = c.doc_a
+         |  JOIN tk2 y ON y.doc_id = c.doc_b AND y.token = x.token
+         |  GROUP BY 1, 2),
+         |kept AS (SELECT i.doc_a, i.doc_b,
+         |    (10 * i.n_common) // (sa.s + sb.s - i.n_common) AS bin
+         |  FROM inter i
+         |  JOIN szs sa ON sa.doc_id = i.doc_a
+         |  JOIN szs sb ON sb.doc_id = i.doc_b
+         |  WHERE i.n_common * $PpDen >= $PpNum * (sa.s + sb.s - i.n_common)),
+         |p AS (SELECT bin, count(*) AS n_pairs FROM kept GROUP BY 1),
+         |dd AS (SELECT bin, count(DISTINCT doc) AS n_docs FROM (
+         |    SELECT bin, doc_a AS doc FROM kept
+         |    UNION ALL SELECT bin, doc_b AS doc FROM kept)
+         |  GROUP BY 1)
+         |SELECT p.bin, CAST(p.bin AS DOUBLE) / 10.0 AS jaccard_lo,
+         |  p.n_pairs, dd.n_docs
+         |FROM p JOIN dd ON dd.bin = p.bin
+         |ORDER BY 1""".stripMargin,
     "q54_dedup_clusters" -> fullClustersSql,
     // embeds the q54 closure; cosines round 9 dp into DECIMAL(38,12)
     // partials (order-independent), argmax fully tie-broken

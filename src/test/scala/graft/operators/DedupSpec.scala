@@ -122,6 +122,36 @@ class DedupSpec extends AnyFunSpec {
     }
   }
 
+  describe("ppjoinPairs (q230)") {
+    it("prefix filtering loses no pair: histogram equals brute force") {
+      val texts = Seq(
+        1L -> "alpha beta gamma delta epsilon",
+        2L -> "alpha beta gamma delta zeta",
+        3L -> "alpha beta gamma delta epsilon", // exact dup of 1
+        4L -> "omega psi chi phi upsilon",
+        5L -> "alpha beta gamma delta epsilon zeta eta",
+        6L -> "completely different words here now")
+      val got = Dedup.ppjoinPairsFrom(docs(texts: _*)).collect()
+        .map(r => r.getAs[Long]("bin") ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
+      val sets = texts.toMap.view.mapValues(_.split(" ").toSet).toMap
+      val ids = texts.map(_._1)
+      val pairs = for {
+        a <- ids; b <- ids if a < b
+        inter = sets(a).intersect(sets(b)).size
+        uni = sets(a).union(sets(b)).size
+        if inter * Dedup.PpDen >= Dedup.PpNum * uni
+      } yield (a, b, 10L * inter / uni)
+      val want = pairs.groupBy(_._3).map { case (bin, ps) =>
+        bin -> (ps.size.toLong,
+          ps.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+      }
+      assert(got == want)
+      assert(got.contains(10L), "the exact-dup pair must land in bin 10")
+      assert(got.contains(7L), "the 5/7-overlap pairs must land in bin 7")
+    }
+  }
+
   describe("replicaPlanted (q190/q191 gate substrate)") {
     it("plants exact copies so both gates prove math on non-trivial rows") {
       val sf = TestSpark.Sf
