@@ -2170,6 +2170,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> (mediaMeta _),
     "q224_h264_meta" -> (h264Meta _),
+    "q231_warc_ingest" -> (graft.sources.Warc.warcIngest _),
     "q154_audio_audit" -> (audioAudit _),
     "q172_video_frames" -> (videoFrames _),
     "q196_avi_frames" -> (aviFrames _),
@@ -2226,6 +2227,28 @@ object Multimodal {
        |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regenerates the Warc fixture closed forms (URI, status,
+    // the doc text as the 200 body, the 404 stub, the gzip arm flag);
+    // every value must survive the Spark side's REAL gzip-member
+    // inflate + Content-Length record walk + HTTP split + SHA-256
+    // digest (nothing is echoed)
+    "q231_warc_ingest" ->
+      """SELECT doc_id,
+        |  doc_id % 2 = 1 AS compressed,
+        |  CAST(3 AS INTEGER) AS n_records,
+        |  CAST(1 AS INTEGER) AS n_request,
+        |  CAST(1 AS INTEGER) AS n_response,
+        |  'https://site-' || CAST(doc_id % 97 AS VARCHAR) ||
+        |    '.example.org/page/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+        |    AS INTEGER) AS http_status,
+        |  'text/plain; charset=utf-8' AS content_type,
+        |  CAST(CASE WHEN doc_id % 13 = 0 THEN 10
+        |    ELSE length(text) END AS BIGINT) AS payload_len,
+        |  sha256(CASE WHEN doc_id % 13 = 0 THEN 'not found' || chr(10)
+        |    ELSE text END) AS payload_sha256,
+        |  TRUE AS parse_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // DuckDB regenerates the avcParams closed forms; every value must
     // survive the Spark side's REAL avcC walk + EPB strip + Exp-Golomb
     // SPS/PPS decode + full sample NAL scan (nothing is echoed)

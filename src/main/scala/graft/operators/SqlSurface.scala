@@ -116,6 +116,13 @@ object SqlSurface {
         "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the parser or the decoder)"),
+    "q231_warc_ingest" ->
+      ("real WARC/1.0 archive walk — multi-member gzip inflate, " +
+        "Content-Length record framing, stored-HTTP-message split, " +
+        "SHA-256 payload digest — byte-stream work, not a SQL " +
+        "expression; use Warc.warcIngest (the oracle regenerates the " +
+        "fixture closed forms analytically, which would not exercise " +
+        "the reader)"),
     "q224_h264_meta" ->
       ("real avcC record walk + emulation-prevention strip + Exp-Golomb " +
         "bit decode of the H.264 SPS/PPS (profile/level, mb grid, " +
