@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Html, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     Integrity.queries ++ SupplierPerf.queries ++ Dashboard.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Events.queries ++ Multimodal.queries ++ Analytics.queries ++
-      Curation.queries ++ graft.streaming.EventStream.queries ++
+      Curation.queries ++ Html.queries ++
+      graft.streaming.EventStream.queries ++
       graft.streaming.CorpusStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +35,7 @@ object SparkEntry {
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
-      Curation.oracle ++ graft.streaming.EventStream.oracle ++
+      Curation.oracle ++ Html.oracle ++
+      graft.streaming.EventStream.oracle ++
       graft.streaming.CorpusStream.oracle
 }

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q232 — HTML main-content extraction (boilerplate removal): the step
+  * every web-scale text pipeline runs between the archive reader
+  * (q231) and the first token of analysis — crawled pages are page
+  * chrome (navigation, footers, link farms) wrapped around a small
+  * content core, and training on the chrome is how "Home About
+  * Contact" becomes the most duplicated sentence in a corpus.
+  *
+  * The extractor is the link-density family (the heuristic core of
+  * jusText / Boilerpipe / trafilatura, Kohlschütter et al., WSDM
+  * 2010): tokenize the markup, segment character data into BLOCKS at
+  * block-level elements, then keep a block iff
+  *
+  *  - it has no `nav`/`footer` ancestor (structural chrome),
+  *  - its anchor-text share satisfies `2·link_chars < total_chars`
+  *    (integer cross-multiplication, never a float ratio) — link
+  *    lists index content, they are not content.
+  *
+  * `script`/`style` payloads and comments are skipped outright (their
+  * text would poison every downstream token statistic; a '<p>' inside
+  * a script literal or comment must NOT open a block). Tag names are
+  * case-normalized, attributes tolerated, the basic five character
+  * entities decoded, and unclosed elements finalized at EOF — crawl
+  * HTML is never well-formed.
+  *
+  * Scale shape: pure per-document map work — one pass over the
+  * markup, no shuffle until the presentation sort; at 100 TB the
+  * extractor rides the same executors as the archive reader with only
+  * audit-grain rows moving.
+  *
+  * The fixture wraps each document's text in closed-form page chrome
+  * (title, nav, a linky paragraph, footer; armed arms: UPPERCASE tags
+  * on id%3, attributes on id%5, a comment carrying a fake block tag on
+  * id%7, a void `<br>` on id%11). The DuckDB oracle regenerates the
+  * expected title, block census, and the SHA-256 of the extracted
+  * main text analytically — every gated value must survive the real
+  * tokenizer, the ancestor tracking, and the density rule.
+  */
+object Html {
+
+  /** Closed-form synthetic page for doc `id` (the oracle mirrors the
+    * expected EXTRACTION analytically; the page itself is only ever
+    * seen by the extractor).
+    */
+  def htmlOf(id: Long, text: String, source: String): String = {
+    val up = id % 3 == 0
+    def t(s: String) = if (up) s.toUpperCase else s
+    val attr = if (id % 5 == 0) s""" class="c$id"""" else ""
+    val ghost =
+      if (id % 7 == 0) "<!-- <p>ghost block, never extracted</p> -->" else ""
+    val br = if (id % 11 == 0) "<br>" else ""
+    s"""<!DOCTYPE html>
+       |<html><head><title>Doc $id - $source</title>
+       |<script>if (1 < 2) { var x = $id; } // <p>not a block</p></script>
+       |<style>.m { color: red; } /* <li>nor this</li> */</style>
+       |</head>
+       |<body>
+       |<nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li><li><a href="/contact">Contact</a></li></ul></nav>
+       |$ghost
+       |<div id="main">
+       |<${t("h1")}$attr>Doc $id</${t("h1")}>
+       |<${t("p")}$attr>$br$text</${t("p")}>
+       |<${t("p")}>Read more <a href="/next">here</a> and <a href="/prev">there</a>.</${t("p")}>
+       |<${t("p")}><a href="/x">click</a> <a href="/y">now</a></${t("p")}>
+       |</div>
+       |<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>
+       |</body></html>""".stripMargin
+  }
+
+  /** One segmented block: element name, whether a nav/footer ancestor
+    * makes it structural chrome, its character data, and how much of
+    * that character data sits inside anchors.
+    */
+  final case class Block(tag: String, chrome: Boolean, text: String,
+      linkChars: Int)
+
+  private val BlockTags = Set("p", "h1", "h2", "h3", "h4", "li", "td", "blockquote")
+
+  private val Entities = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
+    "quot" -> '"', "apos" -> '\'', "#39" -> '\'')
+
+  /** Tokenize `html` into (title, blocks). Tolerant by construction:
+    * unknown tags pass through, unclosed blocks finalize at EOF,
+    * comments and script/style payloads are skipped, tag names are
+    * case-insensitive, attributes ignored.
+    */
+  def extract(html: String): (String, List[Block]) = {
+    val n = html.length
+    val lower = html.toLowerCase
+    val out = List.newBuilder[Block]
+    val title = new StringBuilder
+    var inTitle = false
+    var navD = 0
+    var footD = 0
+    var aD = 0
+    var cur: StringBuilder = null
+    var curTag = ""
+    var curChrome = false
+    var curLink = 0
+    def closeBlock(): Unit = if (cur != null) {
+      out += Block(curTag, curChrome, cur.toString, curLink)
+      cur = null; curTag = ""; curChrome = false; curLink = 0
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val ns = j
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          val name = lower.substring(ns, j)
+          val gt = html.indexOf('>', j)
+          i = if (gt < 0) n else gt + 1
+          if (name.isEmpty) { /* stray '<' — swallow to '>' */ }
+          else if (!closing && (name == "script" || name == "style")) {
+            val stop = lower.indexOf("</" + name, i)
+            i = if (stop < 0) n
+            else { val g = html.indexOf('>', stop); if (g < 0) n else g + 1 }
+          } else name match {
+            case "nav" => navD = math.max(0, navD + (if (closing) -1 else 1))
+            case "footer" => footD = math.max(0, footD + (if (closing) -1 else 1))
+            case "a" => aD = math.max(0, aD + (if (closing) -1 else 1))
+            case "title" => inTitle = !closing
+            case b if BlockTags(b) =>
+              if (closing) closeBlock()
+              else {
+                closeBlock() // crawl HTML: a new block implies the old one ended
+                cur = new StringBuilder
+                curTag = b
+                curChrome = navD > 0 || footD > 0
+              }
+            case _ => // structural/inline tag with no block role
+          }
+        }
+      } else {
+        var ch = c
+        var adv = 1
+        if (c == '&') {
+          val sc = html.indexOf(';', i + 1)
+          if (sc > i && sc - i <= 6) {
+            Entities.get(lower.substring(i + 1, sc)) match {
+              case Some(d) => ch = d; adv = sc - i + 1
+              case None => // literal ampersand
+            }
+          }
+        }
+        if (inTitle) title.append(ch)
+        else if (cur != null) {
+          cur.append(ch)
+          if (aD > 0) curLink += 1
+        }
+        i += adv
+      }
+    }
+    closeBlock()
+    (title.toString, out.result())
+  }
+
+  /** One extracted page (the q232 gate row). */
+  final case class HtmlAudit(doc_id: Long, title: String, n_blocks: Int,
+      n_kept: Int, n_chrome: Int, n_linky: Int, kept_chars: Long,
+      main_sha256: String, parse_ok: Boolean)
+
+  /** Apply the keep rule to one page's markup. */
+  def auditOne(id: Long, html: String): HtmlAudit = {
+    val (title, blocks) = extract(html)
+    val nonChrome = blocks.filterNot(_.chrome)
+    val kept = nonChrome.filter(b =>
+      b.text.nonEmpty && 2L * b.linkChars < b.text.length)
+    val main = kept.map(_.text).mkString("\n")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(main.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    HtmlAudit(id, title, blocks.size, kept.size, blocks.count(_.chrome),
+      nonChrome.size - kept.size, kept.map(_.text.length.toLong).sum, sha,
+      parse_ok = true)
+  }
+
+  /** q232 over an explicit (doc_id, html) relation. */
+  def htmlExtractOf(pages: DataFrame): Dataset[HtmlAudit] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, String)]
+      .map { case (id, h) => auditOne(id, h) }
+  }
+
+  /** Synthetic page table (the q232 corpus). */
+  def pages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, t, s) => (id, htmlOf(id, t, s)) }
+      .toDF("doc_id", "html")
+  }
+
+  /** q232 — HTML main-content extraction over the synthetic pages. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlExtractOf(pages(spark, dir)).toDF().orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_html_extract" -> (htmlExtract _))
+
+  // the oracle regenerates the EXPECTED extraction analytically: the
+  // title closed form, the 7-block census (3 nav li chrome + h1 + 3 p),
+  // the density-dropped link paragraph, and the SHA-256 of the joined
+  // main text — the Spark side must recover all of it from real markup
+  val oracle: Map[String, String] = Map(
+    "q232_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+        |  CAST(7 AS INTEGER) AS n_blocks,
+        |  CAST(3 AS INTEGER) AS n_kept,
+        |  CAST(3 AS INTEGER) AS n_chrome,
+        |  CAST(1 AS INTEGER) AS n_linky,
+        |  CAST(length('Doc ' || CAST(doc_id AS VARCHAR)) + length(text)
+        |    + length('Read more here and there.') AS BIGINT) AS kept_chars,
+        |  sha256('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text ||
+        |    chr(10) || 'Read more here and there.') AS main_sha256,
+        |  TRUE AS parse_ok
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

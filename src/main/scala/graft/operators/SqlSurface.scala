@@ -116,6 +116,13 @@ object SqlSurface {
         "not a SQL expression; use Multimodal.sampleMp4Keyframes (the " +
         "oracle regenerates the sampled keyframes analytically, which " +
         "would not exercise the parser or the decoder)"),
+    "q232_html_extract" ->
+      ("real HTML tokenization — comment/script/style skipping, " +
+        "ancestor (nav/footer) tracking, block segmentation, entity " +
+        "decode, anchor-density keep rule — a stateful markup walk, " +
+        "not a SQL expression; use Html.htmlExtract (the oracle " +
+        "regenerates the expected extraction analytically, which " +
+        "would not exercise the tokenizer)"),
     "q231_warc_ingest" ->
       ("real WARC/1.0 archive walk — multi-member gzip inflate, " +
         "Content-Length record framing, stored-HTTP-message split, " +
@@ -170,7 +177,8 @@ object SqlSurface {
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Events.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
-      Curation.oracle ++ graft.streaming.EventStream.oracle ++
+      Curation.oracle ++ Html.oracle ++
+      graft.streaming.EventStream.oracle ++
       graft.streaming.CorpusStream.oracle
 
   /** Spark-SQL text of every SQL-expressible catalog query, keyed like
