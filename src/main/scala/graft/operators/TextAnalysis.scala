@@ -1722,8 +1722,83 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** 1 in [[BlArmMod]] docs gains a planted blocklist phrase (arm 0:
+    * promo, 1: scam, 2: tracking; phrase picked by doc_id residue) —
+    * the q229/q190 non-vacuous-gate discipline: the ASCII-clean corpus
+    * would otherwise score zero hits and the oracle would prove
+    * nothing about the matcher.
+    */
+  val BlArmMod = 5
+
+  /** q233 — multi-pattern BLOCKLIST content screen (the C4-style "bad
+    * phrase" filter): per source, the documents carrying any
+    * blocklisted phrase, per-class hit mass, and the dominant phrase.
+    * Matching is ONE Aho-Corasick pass per document through the native
+    * `blocklist_hits` kernel ([[graft.functions.Blocklist]]) — all
+    * phrases simultaneously, O(|text| + hits), inside whole-stage
+    * codegen — where a per-phrase scan would pay |phrases| corpus
+    * passes at 100 TB.
+    *
+    * Scale shape: kernel + class sums are map-side; the per-source
+    * rollup is sources-bounded and the per-(source, phrase) relation
+    * behind the dominant-phrase pick is sources×|blocklist| with
+    * map-side combine. The oracle counts occurrences independently
+    * per phrase with DuckDB's `replace` census (exact because the
+    * phrases have no self-border — see Blocklist's scaladoc), so the
+    * automaton's goto/fail/output walk is what's being gated.
+    */
+  def blocklistScreen(spark: SparkSession, dir: String): DataFrame =
+    blocklistScreenFrom(Tables.documents(spark, dir))
+
+  def blocklistScreenFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.Blocklist
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val arm = TextFns.hash32(
+      concat(lit("bl|"), col("doc_id").cast("string"))) % BlArmMod
+    def pick(c: String): Column = {
+      val ps = Blocklist.Patterns.filter(_._1 == c).map(_._2)
+      concat(lit(" "), element_at(array(ps.map(lit): _*),
+        (col("doc_id") % ps.size).cast("int") + 1))
+    }
+    val planted = docs.select(col("source"),
+      concat(col("text"),
+        when(arm === 0, pick("promo"))
+          .when(arm === 1, pick("scam"))
+          .when(arm === 2, pick("tracking"))
+          .otherwise(lit(""))).as("text"))
+    val hits = planted.withColumn("hits",
+      call_function("blocklist_hits", col("text")))
+    def classSum(c: String): Column = {
+      val (_, from, len) = Blocklist.ClassRanges.find(_._1 == c).get
+      expr(s"aggregate(slice(hits, ${from + 1}, $len), 0L, (a, x) -> a + x)")
+    }
+    val doc = hits.select(col("source"), col("hits"),
+      classSum("promo").as("promo"), classSum("scam").as("scam"),
+      classSum("tracking").as("tracking"))
+    val perSource = doc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("promo") + col("scam") + col("tracking") > 0, 1L)
+        .otherwise(0L)).as("n_flagged"),
+      sum("promo").as("promo_hits"),
+      sum("scam").as("scam_hits"),
+      sum("tracking").as("tracking_hits"))
+    val names = Blocklist.Patterns.map { case (c, p) => s"$c:$p" }
+    val perPattern = doc
+      .select(col("source"), posexplode(col("hits")).as(Seq("pos", "n")))
+      .groupBy("source", "pos").agg(sum("n").as("sn"))
+    val w = Window.partitionBy("source").orderBy(desc("sn"), asc("pos"))
+    val top = perPattern.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"),
+        element_at(array(names.map(lit): _*), col("pos").cast("int") + 1)
+          .as("top_pattern"),
+        col("sn").as("top_hits"))
+    perSource.join(top, Seq("source")).orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_nfc_audit" -> (nfcAudit _),
+    "q233_blocklist_screen" -> (blocklistScreen _),
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q218_quality_model" -> (qualityModel _),
@@ -1855,6 +1930,53 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // DuckDB counts each phrase independently with the replace census
+    // (exact vs the automaton because no phrase self-borders); the
+    // Spark side's Aho-Corasick goto/fail/output walk must agree on
+    // every count, class rollup, and dominant-phrase pick
+    "q233_blocklist_screen" -> {
+      import graft.functions.Blocklist
+      val pats = Blocklist.Patterns.zipWithIndex
+        .map { case ((c, p), i) => s"($i, '$c', '$p')" }.mkString(", ")
+      def pickSql(c: String): String = {
+        val ps = Blocklist.Patterns.filter(_._1 == c).map(_._2)
+        val whens = ps.zipWithIndex
+          .map { case (p, i) => s"WHEN $i THEN ' $p'" }.mkString(" ")
+        s"(CASE CAST(doc_id % ${ps.size} AS INTEGER) $whens END)"
+      }
+      val arm = s"${TextFns.sql.hash32("'bl|' || CAST(doc_id AS VARCHAR)")} % $BlArmMod"
+      s"""WITH pat(i, cls, p) AS (SELECT * FROM (VALUES $pats) v(i, cls, p)),
+         |planted AS (SELECT doc_id, source, text ||
+         |    CASE WHEN $arm = 0 THEN ${pickSql("promo")}
+         |         WHEN $arm = 1 THEN ${pickSql("scam")}
+         |         WHEN $arm = 2 THEN ${pickSql("tracking")}
+         |         ELSE '' END AS t2
+         |  FROM documents),
+         |h AS (SELECT d.doc_id, d.source, p.i, p.cls, p.p,
+         |    (length(d.t2) - length(replace(d.t2, p.p, ''))) // length(p.p) AS n
+         |  FROM planted d CROSS JOIN pat p),
+         |doc AS (SELECT doc_id, source,
+         |    CAST(sum(n) AS BIGINT) AS tot,
+         |    CAST(sum(CASE WHEN cls = 'promo' THEN n ELSE 0 END) AS BIGINT) AS promo,
+         |    CAST(sum(CASE WHEN cls = 'scam' THEN n ELSE 0 END) AS BIGINT) AS scam,
+         |    CAST(sum(CASE WHEN cls = 'tracking' THEN n ELSE 0 END) AS BIGINT) AS tracking
+         |  FROM h GROUP BY 1, 2),
+         |src AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |    CAST(sum(promo) AS BIGINT) AS promo_hits,
+         |    CAST(sum(scam) AS BIGINT) AS scam_hits,
+         |    CAST(sum(tracking) AS BIGINT) AS tracking_hits
+         |  FROM doc GROUP BY 1),
+         |ps AS (SELECT source, i, cls, p, CAST(sum(n) AS BIGINT) AS sn
+         |  FROM h GROUP BY 1, 2, 3, 4),
+         |top AS (SELECT source, cls || ':' || p AS top_pattern, sn AS top_hits,
+         |    row_number() OVER (PARTITION BY source ORDER BY sn DESC, i) AS rn
+         |  FROM ps)
+         |SELECT s.source, s.n_docs, s.n_flagged, s.promo_hits, s.scam_hits,
+         |  s.tracking_hits, t.top_pattern, t.top_hits
+         |FROM src s JOIN top t ON t.source = s.source AND t.rn = 1
+         |ORDER BY 1""".stripMargin
+    },
     // the planted arms mirrored verbatim; DuckDB's built-in
     // nfc_normalize (ICU) cross-checks the Spark-side JDK Normalizer —
     // two independent NFC implementations must agree on every doc

@@ -160,6 +160,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => SimHash32(e(0))),
     ("nfc_normalize", classOf[NfcNormalize],
       (e: Seq[Expression]) => NfcNormalize(e(0))),
+    ("blocklist_hits", classOf[BlocklistHits],
+      (e: Seq[Expression]) => BlocklistHits(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],

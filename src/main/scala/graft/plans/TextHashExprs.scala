@@ -126,6 +126,31 @@ case class NfcNormalize(child: Expression)
     copy(child = c)
 }
 
+/** `blocklist_hits(text)` → ARRAY<BIGINT> of per-phrase occurrence
+  * counts under the engine blocklist ([[graft.functions.Blocklist]]):
+  * one Aho-Corasick pass finds every phrase simultaneously, and the
+  * generated row evaluation is a single static call, so the content
+  * screen (q233) stays inside whole-stage codegen with no per-phrase
+  * `contains` loop.
+  */
+case class BlocklistHits(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "blocklist_hits"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.Blocklist.hitCounts(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.Blocklist.hitCounts($t)")
+
+  override protected def withNewChildInternal(c: Expression): BlocklistHits =
+    copy(child = c)
+}
+
 /** `simhash32(text)` → BIGINT 32-bit SimHash of the token stream. */
 case class SimHash32(child: Expression)
   extends UnaryExpression with TextInputCheck {
