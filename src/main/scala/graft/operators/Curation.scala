@@ -1842,7 +1842,78 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q234 hashed-feature bucket count (the DSIR paper uses 10k; the
+    * fixture vocabulary saturates 64) and the add-one smoothing mass.
+    */
+  val DsirBuckets = 64
+
+  /** q234 — DSIR-style importance weighting (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how much more likely its
+    * hashed-unigram features are under a TARGET corpus model than
+    * under the raw-corpus model, then select the docs the target
+    * distribution over-weights. The declared-English slice stands in
+    * as the target; the gated deliverable is the per-source selection
+    * profile (mean log importance weight, positive-weight share) — the
+    * knob a pipeline turns to re-balance a crawl toward a target
+    * domain without training a classifier (q218 is the trained-model
+    * alternative; this is the importance-sampling one).
+    *
+    * Exactness discipline: bucket models are integer counts; each
+    * bucket's log-ratio collapses to ONE ln difference of exact
+    * integer products, rounded to 9 dp and fixed in DECIMAL(20,9);
+    * per-doc weights are exact DECIMAL dot products of token counts
+    * with those constants, so the sign test and every sum is
+    * order-independent — only the two presentation roundings are
+    * float.
+    *
+    * Scale shape: one token pass → a [[DsirBuckets]]-row bucket-model
+    * aggregate (map-side combine, broadcast back as a 64-row join) →
+    * one (doc, bucket)-grain count with map-side combine → doc- then
+    * source-grain rollups. No driver collect, nothing corpus².
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(Tables.documents(spark, dir))
+
+  def dsirWeightsFrom(docs: DataFrame): DataFrame = {
+    val B = DsirBuckets
+    val tk = docs.select(col("doc_id"), col("source"), col("lang"),
+        explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("b",
+        TextFns.hash32(concat(lit("dsir|"), col("token"))) % B)
+    val bc = tk.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+    val tot = bc.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lam = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        // DECIMAL(12,9): |λ| < 10³ always (it is a log of count
+        // ratios), and the narrow type keeps the c·λ product at scale
+        // 9 EXACTLY — a wider operand would trip Spark's
+        // precision-loss scale reduction and round the dot product
+        round(log((col("ct") + 1) * (col("nr") + B)) -
+          log((col("cr") + 1) * (col("nt") + B)), 9)
+          .cast("decimal(12,9)").as("lam"))
+    val dc = tk.groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("c"))
+    val dw = dc.join(broadcast(lam), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c").cast("decimal(10,0)") * col("lam")).as("w"))
+    dw.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum("w").as("sw"))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        round(col("sw").cast("double") / col("n_docs"), 6)
+          .as("mean_weight"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6)
+          .as("pos_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_dsir_weights" -> (dsirWeights _),
     "q214_dp_release" -> (dpRelease _),
     "q221_schema_evolution" -> (schemaEvolution _),
     "q222_time_travel" -> (timeTravel _),
@@ -1921,6 +1992,39 @@ object Curation {
   // TextAnalysis's own init references Curation constants — a strict
   // val here would deadlock the object-initialization cycle
   lazy val oracle: Map[String, String] = Map(
+    // the full DSIR pipeline replayed: hashed-unigram bucket models,
+    // one exact-integer ln-difference per bucket (rounded 9 dp into
+    // DECIMAL(20,9)), exact DECIMAL doc dot products — the sign test
+    // and both sums are order-free, so the gate is engine-exact
+    "q234_dsir_weights" -> {
+      val b = DsirBuckets
+      s"""WITH tk AS (SELECT doc_id, source, lang, token,
+         |    ${TextFns.sql.hash32("'dsir|' || token")} % $b AS b
+         |  FROM (SELECT doc_id, source, lang,
+         |      unnest(${TextFns.sql.toks}) AS token FROM documents)
+         |  WHERE token <> ''),
+         |bc AS (SELECT b,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |  FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+         |lam AS (SELECT b,
+         |    CAST(round(ln((ct + 1) * (nr + $b)) - ln((cr + 1) * (nt + $b)), 9)
+         |      AS DECIMAL(12,9)) AS lam
+         |  FROM bc, tot),
+         |dc AS (SELECT doc_id, source, b, count(*) AS c
+         |  FROM tk GROUP BY 1, 2, 3),
+         |dw AS (SELECT doc_id, source,
+         |    sum(CAST(c AS DECIMAL(10,0)) * lam) AS w
+         |  FROM dc JOIN lam USING (b) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_weight,
+         |  round(CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS pos_rate
+         |FROM dw GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // one mirror-descent step over the q57 per-source mean NLL; the
     // normalizer sums through the DECIMAL(38,12) accumulator
     "q223_mixture_reweight" -> {
