@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -209,14 +209,143 @@ object Html {
   def htmlExtract(spark: SparkSession, dir: String): DataFrame =
     htmlExtractOf(pages(spark, dir)).toDF().orderBy("doc_id")
 
+  // ------------------------------------------------------------------
+  // q235 — URL canonicalization + duplicate-URL audit. The other half
+  // of web ingestion next to q232's content extraction: a crawl sees
+  // the same page under uppercase hosts, explicit default ports,
+  // tracking parameters, shuffled query order, fragments, and trailing
+  // slashes — URL-level dedup (the cheapest dedup there is: no text
+  // touched) only works after the URL is normalized to one spelling.
+  // ------------------------------------------------------------------
+
+  /** The messy fixture URL (closed form): base identity is
+    * (scheme, host, path, q) residues; the mess arms are uppercase
+    * scheme+host on odd ids, explicit default port on id%5, tracking
+    * params on id%4, reversed param order on id%3, fragment on id%6,
+    * trailing slash on id%7. The canonicalizer sees ONLY the string.
+    */
+  def rawUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 9 === 0, lit("http")).otherwise(lit("https"))
+    val schemeHost = concat(scheme, lit("://www.site"),
+      (id % 40).cast("string"), lit(".com"))
+    val cased = when(id % 2 === 1, upper(schemeHost)).otherwise(schemeHost)
+    val port = when(id % 5 === 0,
+      when(id % 9 === 0, lit(":80")).otherwise(lit(":443"))).otherwise(lit(""))
+    val path = concat(lit("/a/"), (id % 20).cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")))
+    val q = concat(lit("q="), (id % 5).cast("string"))
+    val params = when(id % 3 === 0, concat(lit("r=2&"), q))
+      .otherwise(concat(q, lit("&r=2")))
+    val utm = when(id % 4 === 0,
+      concat(lit("&utm_source=feed&utm_campaign=c"), (id % 3).cast("string")))
+      .otherwise(lit(""))
+    val frag = when(id % 6 === 0,
+      concat(lit("#sec"), (id % 4).cast("string"))).otherwise(lit(""))
+    concat(cased, port, path, lit("?"), params, utm, frag)
+  }
+
+  /** REAL canonicalization of an arbitrary URL string — lowercase
+    * scheme and authority, strip the scheme-default port, drop the
+    * fragment, drop tracking parameters (utm_*, fbclid, gclid), sort
+    * the surviving query params, strip a trailing path slash. Pure
+    * built-in column functions (parse_url + array combinators), so the
+    * whole normalization stays inside the scan projection — no UDF, no
+    * extra pass.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val proto = lower(parse_url(u, lit("PROTOCOL")))
+    val auth = lower(parse_url(u, lit("AUTHORITY")))
+    val host = when(proto === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(regexp_replace(auth, ":80$", ""))
+    val path0 = parse_url(u, lit("PATH"))
+    val path = when(path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val kept = array_join(array_sort(filter(
+      split(coalesce(parse_url(u, lit("QUERY")), lit("")), "&"),
+      x => x =!= "" && !x.startsWith("utm_") &&
+        !x.startsWith("fbclid=") && !x.startsWith("gclid="))), "&")
+    concat(proto, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** q235 — per-source URL dedup audit: raw-vs-canonical distinct
+    * counts and the share of docs whose canonical URL is shared
+    * (corpus-wide) with another doc. Scale shape: canonicalization is
+    * projection work; the cluster-size join keys on the canonical URL
+    * and reuses the groupBy exchange; rollup is sources-bounded.
+    */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame =
+    urlCanonicalFrom(Tables.documents(spark, dir))
+
+  def urlCanonicalFrom(docs: DataFrame): DataFrame = {
+    val u = docs.select(col("doc_id"), col("source"), rawUrl.as("url"))
+      .withColumn("canon", canonicalUrl(col("url")))
+    val clusters = u.groupBy("canon").agg(count(lit(1)).as("csz"))
+    u.join(clusters, "canon")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("url").as("n_raw"),
+        countDistinct("canon").as("n_canon"),
+        sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_raw"), col("n_canon"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q232_html_extract" -> (htmlExtract _))
+    "q232_html_extract" -> (htmlExtract _),
+    "q235_url_canonical" -> (urlCanonical _))
 
   // the oracle regenerates the EXPECTED extraction analytically: the
   // title closed form, the 7-block census (3 nav li chrome + h1 + 3 p),
   // the density-dropped link paragraph, and the SHA-256 of the joined
   // main text — the Spark side must recover all of it from real markup
   val oracle: Map[String, String] = Map(
+    // DuckDB mirrors the messy fixture closed form verbatim for the
+    // raw-distinct census and regenerates the CANONICAL form
+    // analytically (never by string surgery on the raw URL) — the
+    // Spark side must reach the same spelling through real parse_url
+    // component extraction, port/fragment/tracking stripping, and
+    // param sorting
+    "q235_url_canonical" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  (CASE WHEN doc_id % 2 = 1
+        |     THEN upper((CASE WHEN doc_id % 9 = 0 THEN 'http' ELSE 'https' END)
+        |       || '://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com')
+        |     ELSE (CASE WHEN doc_id % 9 = 0 THEN 'http' ELSE 'https' END)
+        |       || '://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END)
+        |  || (CASE WHEN doc_id % 5 = 0
+        |        THEN (CASE WHEN doc_id % 9 = 0 THEN ':80' ELSE ':443' END)
+        |        ELSE '' END)
+        |  || '/a/' || CAST(doc_id % 20 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |  || '?' || (CASE WHEN doc_id % 3 = 0
+        |        THEN 'r=2&q=' || CAST(doc_id % 5 AS VARCHAR)
+        |        ELSE 'q=' || CAST(doc_id % 5 AS VARCHAR) || '&r=2' END)
+        |  || (CASE WHEN doc_id % 4 = 0
+        |        THEN '&utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+        |        ELSE '' END)
+        |  || (CASE WHEN doc_id % 6 = 0
+        |        THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+        |  AS url,
+        |  (CASE WHEN doc_id % 9 = 0 THEN 'http' ELSE 'https' END)
+        |    || '://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.com/a/'
+        |    || CAST(doc_id % 20 AS VARCHAR) || '?q='
+        |    || CAST(doc_id % 5 AS VARCHAR) || '&r=2' AS canon
+        |  FROM documents),
+        |cl AS (SELECT canon, count(*) AS csz FROM u GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT u.canon) AS BIGINT) AS n_canon,
+        |  CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate
+        |FROM u JOIN cl ON cl.canon = u.canon
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q232_html_extract" ->
       """SELECT doc_id,
         |  'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
