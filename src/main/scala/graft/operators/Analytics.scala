@@ -2090,6 +2090,9 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // implemented in Similarity (see ivfRecall's scaladoc for why the
+    // registration lives here: its texts compose the q25/q75 texts)
+    "q236_ivf_recall" -> (Similarity.ivfRecall _),
     "q225_exact_quantiles" -> (exactQuantiles _),
     "q226_psi_drift" -> (psiDrift _),
     "q227_robust_outliers" -> (robustOutliers _),
@@ -2137,7 +2140,10 @@ object Analytics {
     * DuckDB has no HLL++/KLL twin — the Spark SQL form computes the
     * real sketches and bounds, exactly like the DataFrame form).
     */
-  val sparkSql: Map[String, String] = Map(
+  lazy val sparkSql: Map[String, String] = Map(
+    // the q75 override's probe pipeline plus the q25 brute scan,
+    // through the same native kernels (handwritten in Similarity)
+    "q236_ivf_recall" -> Similarity.ivfRecallSparkSql,
     // the dialect-derived form would keep the oracle's list_filter
     // lambda, which Spark project-collapses into re-computing the md5
     // once PER THRESHOLD (9× the dominant work — the materialized-hash
@@ -2268,7 +2274,10 @@ object Analytics {
        |    FROM ui0 JOIN uic ON uic.item = ui0.item) capped
        |  WHERE rn <= $PairUserCap)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
+    // ground truth and index answer regenerated by the already-gated
+    // q25/q75 oracle pipelines; only the recall algebra is new
+    "q236_ivf_recall" -> Similarity.ivfRecallOracleSql,
     // discrete quantiles as smallest-value-clearing-the-integer-test:
     // the window here mirrors Spark's DISTRIBUTED prefix bit-exactly
     // (all integer arithmetic)

@@ -1523,7 +1523,7 @@ object Dedup {
     "q87_containment_dedup" -> (containmentDedup _),
     "q89_keep_ledger" -> (keepLedger _))
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q124_record_linkage" ->
       s"""WITH dirty AS (
          |  SELECT s_suppkey AS true_key,
@@ -2063,7 +2063,7 @@ object Dedup {
     * single-threaded oracle uses — bit-equality with the DataFrame form
     * is by construction, and `SqlSurfaceSpec` asserts it.
     */
-  val sparkSql: Map[String, String] = {
+  lazy val sparkSql: Map[String, String] = {
     val bandsCte =
       """b AS (
         |  SELECT doc_id, band_id, band_key FROM documents

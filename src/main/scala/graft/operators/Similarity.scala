@@ -1713,6 +1713,121 @@ object Similarity {
     semanticDedupFrom(e, codebookOpt = Some(trainCentroids(e)))
   }
 
+  /** q236 — ANN RECALL audit: measured recall@[[K]] of the trained-IVF
+    * index (q75, nprobe=[[NumProbes]]) against the exact brute-force
+    * ground truth (q25), per query — the QUALITY gauge for the whole
+    * approximate-retrieval stack. q189 audits the index's SHAPE (cell
+    * occupancy/load); this audits what the user actually loses: which
+    * true neighbors fall outside the probed cells, how many candidates
+    * the probes even produced (`n_ivf` < K means the probe set ran
+    * dry), and the weakest-returned-cosine gap between the exact and
+    * approximate answer. The recall–nprobe trade-off is THE tuning
+    * decision for IVF at scale; this is its measurement.
+    *
+    * Scale shape: both inputs are the existing q25/q75 plans (broadcast
+    * query set, map-side scoring, WindowGroupLimit top-k); everything
+    * after them is |queries|·K-grain — model-sized. Registered under
+    * [[Analytics]] so its oracle/SQL texts can compose the q25/q75
+    * texts without a self-referential map initialization.
+    */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallFrom(Tables.embeddings(spark, dir))
+
+  def ivfRecallFrom(embeddings: DataFrame): DataFrame = {
+    val brute = knnBruteFrom(embeddings)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val ivf = annIvfFrom(embeddings, Some(trainCentroids(embeddings)))
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("ivf_cosine"))
+    val common = brute
+      .join(ivf.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    val bk = brute.groupBy("query_id").agg(min("cosine").as("kth_brute"))
+    val ik = ivf.groupBy("query_id").agg(
+      count(lit(1)).as("n_ivf"), min("ivf_cosine").as("kth_ivf"))
+    bk.join(ik, Seq("query_id"), "left")
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") / K, 6)
+          .as("recall"),
+        col("kth_brute"), col("kth_ivf"),
+        round(col("kth_brute") - col("kth_ivf"), 9).as("cosine_gap"))
+      .orderBy("query_id")
+  }
+
+  /** q236 DuckDB oracle: the q25 and q75 oracle pipelines embedded
+    * verbatim as CTEs (the q215 cross-module composition pattern), so
+    * the ground truth and the index answer are regenerated by the
+    * already-gated texts and only the recall algebra is new.
+    */
+  private[operators] lazy val ivfRecallOracleSql: String =
+    s"""WITH br AS (${oracle("q25_knn_bruteforce")}),
+       |iv AS (${oracle("q75_ann_ivf_trained")}),
+       |cm AS (SELECT br.query_id, count(*) AS n_common
+       |  FROM br JOIN iv ON iv.query_id = br.query_id
+       |    AND iv.neighbor_id = br.neighbor_id
+       |  GROUP BY br.query_id),
+       |bk AS (SELECT query_id, min(cosine) AS kth_brute FROM br GROUP BY 1),
+       |ik AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ivf,
+       |    min(cosine) AS kth_ivf FROM iv GROUP BY 1)
+       |SELECT bk.query_id,
+       |  COALESCE(ik.n_ivf, CAST(0 AS BIGINT)) AS n_ivf,
+       |  COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS n_common,
+       |  round(CAST(COALESCE(cm.n_common, CAST(0 AS BIGINT)) AS DOUBLE) / $K, 6)
+       |    AS recall,
+       |  bk.kth_brute, ik.kth_ivf,
+       |  round(bk.kth_brute - ik.kth_ivf, 9) AS cosine_gap
+       |FROM bk LEFT JOIN ik ON ik.query_id = bk.query_id
+       |LEFT JOIN cm ON cm.query_id = bk.query_id
+       |ORDER BY bk.query_id""".stripMargin
+
+  /** q236 Spark-SQL form: the q75 override's probe pipeline plus the
+    * q25 brute scan, through the same native kernels.
+    */
+  private[operators] lazy val ivfRecallSparkSql: String =
+    s"""WITH $eSparkCte,
+       |${lloydSparkSql(KmIters)},
+       |${ecellSparkSql(KmIters)},
+       |qp AS (SELECT vec_id AS query_id, emb AS q_emb, c, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY score DESC, c) AS prn
+       |  FROM scs WHERE vec_id < $NumQueries),
+       |qprobes AS (SELECT query_id, q_emb, c AS probe_cell FROM qp WHERE prn <= $NumProbes),
+       |iscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+       |    round(cosine_similarity(q_emb, emb), 9) AS cosine
+       |  FROM ecell e JOIN qprobes q
+       |    ON e.cell = q.probe_cell AND e.vec_id <> q.query_id),
+       |iv AS (SELECT query_id, neighbor_id, cosine FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM iscored) WHERE rank <= $K),
+       |bq AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+       |  WHERE vec_id < $NumQueries),
+       |bscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+       |    round(cosine_similarity(q_emb, emb), 9) AS cosine
+       |  FROM e CROSS JOIN bq WHERE e.vec_id <> bq.query_id),
+       |br AS (SELECT query_id, neighbor_id, cosine FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM bscored) WHERE rank <= $K),
+       |cm AS (SELECT br.query_id, count(1) AS n_common
+       |  FROM br JOIN iv ON iv.query_id = br.query_id
+       |    AND iv.neighbor_id = br.neighbor_id
+       |  GROUP BY br.query_id),
+       |bk AS (SELECT query_id, min(cosine) AS kth_brute FROM br GROUP BY query_id),
+       |ik AS (SELECT query_id, count(1) AS n_ivf, min(cosine) AS kth_ivf
+       |  FROM iv GROUP BY query_id)
+       |SELECT bk.query_id,
+       |  COALESCE(ik.n_ivf, 0L) AS n_ivf,
+       |  COALESCE(cm.n_common, 0L) AS n_common,
+       |  round(CAST(COALESCE(cm.n_common, 0L) AS DOUBLE) / $K, 6) AS recall,
+       |  bk.kth_brute, ik.kth_ivf,
+       |  round(bk.kth_brute - ik.kth_ivf, 9) AS cosine_gap
+       |FROM bk LEFT JOIN ik ON ik.query_id = bk.query_id
+       |LEFT JOIN cm ON cm.query_id = bk.query_id
+       |ORDER BY bk.query_id""".stripMargin
+
   /** q136 — PQ-ADC ANN against TRAINED sub-codebooks: the q75 pattern
     * applied to the last vector-family member still searching seeded
     * codebooks — [[trainPqCodebooks]]'s per-subspace Euclidean Lloyd
@@ -1936,7 +2051,7 @@ object Similarity {
     * registered native kernels so the SQL user runs the same plan
     * family as the DataFrame API (`SqlSurfaceSpec` gates bit-equality).
     */
-  val sparkSql: Map[String, String] = Map(
+  lazy val sparkSql: Map[String, String] = Map(
     // handwritten (not a dialect rewrite): the LUT arrays need an
     // ordered list aggregate — DuckDB `list(adc ORDER BY k)`, Spark
     // `transform(array_sort(collect_list(struct(k, adc))), s -> s.adc)`
@@ -2315,7 +2430,7 @@ object Similarity {
        |$iters""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     "q100_ann_pq" -> {
       val codeCols = (0 until PqM)
         .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")

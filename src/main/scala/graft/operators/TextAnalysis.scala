@@ -1929,7 +1929,7 @@ object TextAnalysis {
        |${(1 to BpeMerges).map(roundCte).mkString(",\n")}""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = Map(
     // DuckDB counts each phrase independently with the replace census
     // (exact vs the automaton because no phrase self-borders); the
     // Spark side's Aho-Corasick goto/fail/output walk must agree on
