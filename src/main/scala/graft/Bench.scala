@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
+import graft.operators.{Analytics, Curation, Dashboard, Dedup, Events, Html, Integrity, Multimodal, Similarity, SupplierPerf, TextAnalysis}
 import graft.sources.Tables
 
 /** Benchmark main — mirrors the reference's 4-stage architecture
@@ -143,6 +143,7 @@ object Bench {
     val stagedBelow = Set("q115_dedup_search", "q114_stream_enrich")
     (TextAnalysis.queries ++ Similarity.queries ++ Events.queries ++
       Multimodal.queries ++ Analytics.queries ++ Curation.queries ++
+      Html.queries ++
       graft.streaming.EventStream.queries ++
       graft.streaming.CorpusStream.queries).toSeq.sortBy(_._1).foreach {
       case (name, fn) => if (!stagedBelow.contains(name)) run(name) { fn(spark, sfDir) }
