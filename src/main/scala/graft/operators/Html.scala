@@ -295,15 +295,109 @@ object Html {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------------
+  // q237 — robots.txt (RFC 9309) crawl-policy audit: before a fetched
+  // page may enter the corpus at all, the crawler must ask the host's
+  // policy. Group selection, longest-match, wildcard/$ patterns, and
+  // prefix semantics are exactly the parts naive filters get wrong —
+  // see graft.functions.Robots.
+  // ------------------------------------------------------------------
+
+  /** Hosts in the fixture web (shared with q235's URL space). */
+  val NumHosts = 40
+
+  /** Closed-form robots.txt for host `h` (www.site<h>.com): a graftbot
+    * group with a literal prefix disallow (`/a/<h%5>`), a wildcard
+    * disallow (`*.json$` under the root, h%4 arm), an allow-pair arm,
+    * a crawl-delay,
+    * and a catch-all `*` group that disallows EVERYTHING — so group
+    * selection is load-bearing: obeying the wrong group inverts the
+    * gate.
+    */
+  def robotsTxtOf(h: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"# robots for www.site$h.com\n")
+    sb.append("User-agent: graftbot\n")
+    sb.append("Disallow: /private/\n")
+    if (h % 3 == 0) sb.append("Allow: /private/open/\n")
+    sb.append(s"Disallow: /a/${h % 5}\n")
+    if (h % 4 == 0) sb.append("Disallow: /*.json$\n")
+    sb.append(s"Crawl-delay: ${1 + h % 7}\n")
+    sb.append("\n")
+    sb.append("User-agent: *\n")
+    sb.append("Disallow: /\n")
+    sb.toString
+  }
+
+  /** The fetched path for doc `id` (host = id%[[NumHosts]]). */
+  def fetchPathOf(id: Long): String =
+    s"/a/${id % 20}" + (if (id % 11 == 0) ".json" else "")
+
+  /** q237 — per-source crawl-policy audit for agent `graftbot`: docs
+    * blocked by their host's policy and the mean crawl-delay budget.
+    * The host policy table is parsed ONCE (host-cardinality metadata,
+    * shipped with the task closure like a codebook); evaluation is a
+    * per-doc map. The oracle regenerates the block decision from the
+    * closed forms — including the string-PREFIX subtlety (`/a/1`
+    * blocks `/a/12`) — so the real parser + matcher is what's gated.
+    */
+  def robotsAudit(spark: SparkSession, dir: String): DataFrame =
+    robotsAuditFrom(Tables.documents(spark, dir))
+
+  def robotsAuditFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.Robots
+    val policies: Map[Long, Robots.Policy] =
+      (0L until NumHosts).map(h => h -> Robots.parse(robotsTxtOf(h), "graftbot")).toMap
+    val perDoc = docs.select(col("doc_id").cast("long"), col("source"))
+      .as[(Long, String)]
+      .map { case (id, src) =>
+        val pol = policies(id % NumHosts)
+        val blocked = !Robots.allowed(pol, fetchPathOf(id))
+        (src, if (blocked) 1L else 0L, pol.crawlDelay.getOrElse(0).toLong)
+      }
+      .toDF("source", "blocked", "delay")
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("blocked").as("n_blocked"),
+        sum("delay").as("delay_sum"))
+      .select(col("source"), col("n_docs"), col("n_blocked"),
+        round(col("n_blocked").cast("double") / col("n_docs"), 6)
+          .as("block_rate"),
+        round(col("delay_sum").cast("double") / col("n_docs"), 6)
+          .as("mean_delay"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_html_extract" -> (htmlExtract _),
-    "q235_url_canonical" -> (urlCanonical _))
+    "q235_url_canonical" -> (urlCanonical _),
+    "q237_robots_audit" -> (robotsAudit _))
 
   // the oracle regenerates the EXPECTED extraction analytically: the
   // title closed form, the 7-block census (3 nav li chrome + h1 + 3 p),
   // the density-dropped link paragraph, and the SHA-256 of the joined
   // main text — the Spark side must recover all of it from real markup
   val oracle: Map[String, String] = Map(
+    // DuckDB regenerates the block decision from the fixture closed
+    // forms — including the string-PREFIX subtlety ('/a/1' blocks
+    // '/a/10'..'/a/19' and '/a/1.json') and the wildcard arm — while
+    // the Spark side must reach it through the real RFC 9309 group
+    // selection, longest-match, and wildcard matcher
+    "q237_robots_audit" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE WHEN (doc_id % 20 = doc_id % 5)
+        |        OR (doc_id % 5 = 1 AND doc_id % 20 >= 10)
+        |        OR (doc_id % 4 = 0 AND doc_id % 11 = 0)
+        |    THEN 1 ELSE 0 END AS blocked,
+        |  1 + (doc_id % 40) % 7 AS delay
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(blocked) AS BIGINT) AS n_blocked,
+        |  round(CAST(sum(blocked) AS DOUBLE) / count(*), 6) AS block_rate,
+        |  round(CAST(sum(delay) AS DOUBLE) / count(*), 6) AS mean_delay
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB mirrors the messy fixture closed form verbatim for the
     // raw-distinct census and regenerates the CANONICAL form
     // analytically (never by string surgery on the raw URL) — the

@@ -123,6 +123,13 @@ object SqlSurface {
         "not a SQL expression; use Html.htmlExtract (the oracle " +
         "regenerates the expected extraction analytically, which " +
         "would not exercise the tokenizer)"),
+    "q237_robots_audit" ->
+      ("real RFC 9309 policy evaluation — robots.txt group parse, " +
+        "group selection, longest-match rule resolution, */$ wildcard " +
+        "matching — a stateful parse over host metadata, not a SQL " +
+        "expression; use Html.robotsAudit (the oracle regenerates the " +
+        "block decisions analytically, which would not exercise the " +
+        "parser or matcher)"),
     "q231_warc_ingest" ->
       ("real WARC/1.0 archive walk — multi-member gzip inflate, " +
         "Content-Length record framing, stored-HTTP-message split, " +
