@@ -55,6 +55,24 @@ object Dedup {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Shared q23/q238 oracle fragment over `rel(doc_id, text)`: the
+    * per-bit majority-vote SimHash as CTEs ending in `shx(doc_id, sh)`.
+    */
+  private def simhashCtes(rel: String): String = {
+    val votes = (0 until SimBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
+    val sig = (0 until SimBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM $rel),
+       |th AS (SELECT doc_id, ${TextFns.sql.hash32("tok")} AS h
+       |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
+       |agg AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |shx AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM agg)""".stripMargin
+  }
+
   /** The [[replicaPlanted]] corpus as oracle CTEs (`reps` + `corpus`). */
   private def repsSql =
     s"""reps AS (
@@ -892,6 +910,60 @@ object Dedup {
       .orderBy("bin")
   }
 
+  /** q238 Hamming radius and the pigeonhole slice count (r+1 slices of
+    * 32/[[HamSlices]] bits over the 32-bit SimHash).
+    */
+  val HamRadius = 3
+  val HamSlices = 4
+
+  /** q238 — EXACT Hamming-radius near-dup join over SimHash signatures
+    * via the multi-index pigeonhole (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — the
+    * production simhash dedup shape): every doc pair whose 32-bit
+    * signatures differ in ≤ [[HamRadius]] bits, with NO false
+    * negatives — two signatures within distance r MUST agree exactly
+    * on at least one of r+1 disjoint bit slices, so a self-join keyed
+    * on (slice index, slice value) is candidate-complete and the
+    * `bit_count(xor)` verify is exact. The bit-space complement to
+    * q230's token-space prefix filter and q22's probabilistic LSH.
+    *
+    * Scale shape: candidates are Σ slice-bucket², corpus²/2^sliceBits
+    * per slice — the geometry dial at 100 TB is a 64-bit signature cut
+    * into r+1 slices of 16 bits (2^16 buckets), exactly this plan with
+    * wider constants. Everything is equi-joins + hash aggregates; the
+    * gated output is the bounded distance histogram (q230 discipline —
+    * pair lists are quadratic in replica mass). Gated over the
+    * [[replicaPlanted]] corpus so distance-0 clusters provably exist
+    * (the q190/q191 non-vacuous-gate lesson).
+    */
+  def hammingPairs(spark: SparkSession, dir: String): DataFrame =
+    hammingPairsFrom(replicaPlanted(Tables.documents(spark, dir)))
+
+  def hammingPairsFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val sh = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("simhash32", col("text")).as("sh"))
+    val sl = sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(HamSlices - 1))).as("s"))
+      .withColumn("v", expr("(sh >> (8 * s)) & 255"))
+    val cand = sl.alias("a").join(sl.alias("b"),
+        col("a.s") === col("b.s") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+    val kept = cand
+      .withColumn("dist", expr("CAST(bit_count(sha ^ shb) AS INT)"))
+      .filter(col("dist") <= HamRadius)
+    val p = kept.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val dd = kept
+      .select(col("dist"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("dist").agg(countDistinct(col("doc")).as("n_docs"))
+    p.join(dd, Seq("dist")).orderBy("dist")
+  }
+
   /** q54 — duplicate-cluster resolution: connected components over the
     * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
     * component-minimum doc_id as `cluster_id`, the component size, and
@@ -1507,6 +1579,7 @@ object Dedup {
     "q137_incremental_containment" -> (incrementalContainment _),
     "q215_dedup_agreement" -> (dedupAgreement _),
     "q230_ppjoin_pairs" -> (ppjoinPairs _),
+    "q238_hamming_pairs" -> (hammingPairs _),
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q184_dedup_sensitivity" -> (dedupSensitivity _),
@@ -1672,20 +1745,34 @@ object Dedup {
          |FROM arms LEFT JOIN p ON p.num = arms.num AND p.den = arms.den
          |LEFT JOIN dd ON dd.num = arms.num AND dd.den = arms.den
          |CROSS JOIN tot ORDER BY threshold""".stripMargin,
-    "q23_simhash" -> {
-      val votes = (0 until SimBits).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n    ")
-      val sig = (0 until SimBits)
-        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
-         |th AS (SELECT doc_id, ${TextFns.sql.hash32("tok")} AS h
-         |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks)),
-         |agg AS (SELECT doc_id,
-         |    $votes
-         |  FROM th GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM agg ORDER BY doc_id""".stripMargin
-    },
+    "q23_simhash" ->
+      s"""WITH ${simhashCtes("documents")}
+         |SELECT doc_id, sh AS simhash32 FROM shx ORDER BY doc_id""".stripMargin,
+    // the q23 pipeline over the replica-planted corpus, then the exact
+    // pigeonhole machinery replayed: 4 byte-slices, slice-collision
+    // candidates, bit_count verify, bounded distance histogram
+    "q238_hamming_pairs" ->
+      s"""WITH $repsSql,
+         |${simhashCtes("corpus")},
+         |sl AS (${(0 until HamSlices).map(s =>
+             s"SELECT doc_id, sh, $s AS s, (sh >> ${8 * s}) & 255 AS v FROM shx")
+             .mkString("\n  UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM sl a JOIN sl b
+         |    ON b.s = a.s AND b.v = a.v AND b.doc_id > a.doc_id),
+         |kept AS (SELECT doc_a, doc_b,
+         |    CAST(bit_count(xor(sha, shb)) AS INTEGER) AS dist
+         |  FROM cand
+         |  WHERE bit_count(xor(sha, shb)) <= $HamRadius),
+         |p AS (SELECT dist, count(*) AS n_pairs FROM kept GROUP BY 1),
+         |dd AS (SELECT dist, count(DISTINCT doc) AS n_docs FROM (
+         |    SELECT dist, doc_a AS doc FROM kept
+         |    UNION ALL SELECT dist, doc_b AS doc FROM kept)
+         |  GROUP BY 1)
+         |SELECT p.dist, p.n_pairs, dd.n_docs
+         |FROM p JOIN dd ON dd.dist = p.dist
+         |ORDER BY 1""".stripMargin,
     "q24_ngram_jaccard" ->
       s"""WITH $bandsSql,
          |$candidatePairsSql,
