@@ -178,7 +178,7 @@ object SqlSurface {
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++
-      Multimodal.sparkSql ++ Analytics.sparkSql
+      Multimodal.sparkSql ++ Analytics.sparkSql ++ TextAnalysis.sparkSql
 
   private val allOracle: Map[String, String] =
     Integrity.oracle ++ SupplierPerf.oracle ++ Dashboard.oracle ++

@@ -1796,9 +1796,70 @@ object TextAnalysis {
     perSource.join(top, Seq("source")).orderBy("source")
   }
 
+  /** 2 in [[LuhnMod]] docs gain a planted card-shaped run (arm 0: a
+    * Luhn-VALID PAN, arm 1: the same PAN with its check digit bumped —
+    * pattern-identical, checksum-broken), so the gate proves the
+    * checksum separates the arms, not just the regex shape.
+    */
+  val LuhnMod = 6
+
+  /** 10 deterministic Luhn-valid test PANs (body digits are a closed
+    * form of the index; the check digit is computed by the real
+    * algorithm at class init) and their checksum-broken twins.
+    */
+  private[graft] val Pans: IndexedSeq[String] =
+    (0 until 10).map { k =>
+      val body = (0 until 15).map(i => ((k + 1) * (i + 7)) % 10)
+      (body :+ graft.functions.Luhn.checkDigit(body)).mkString
+    }
+  private[graft] val BrokenPans: IndexedSeq[String] =
+    Pans.map(p => p.dropRight(1) + (((p.last - '0') + 5) % 10).toString)
+
+  /** q239 — Luhn-validated PAN audit: per source, the documents
+    * carrying card-SHAPED digit runs vs the runs that actually pass
+    * the ISO 7812 mod-10 checksum — the precision layer every DLP
+    * engine puts over q62's bare pattern match (a random 16-digit run
+    * passes the regex but fails the checksum 90% of the time; acting
+    * on shape alone floods the redaction queue). One native
+    * `luhn_counts` kernel pass per doc; rollup is sources-bounded.
+    *
+    * The oracle regenerates the verdicts from the planted-arm closed
+    * forms (valid plant / checksum-broken twin / clean), so the
+    * Spark side's maximal-run scan + right-to-left doubled-fold sum
+    * must separate two strings that differ in ONE digit.
+    */
+  def luhnAudit(spark: SparkSession, dir: String): DataFrame =
+    luhnAuditFrom(Tables.documents(spark, dir))
+
+  def luhnAuditFrom(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val arm = TextFns.hash32(
+      concat(lit("luhn|"), col("doc_id").cast("string"))) % LuhnMod
+    def pick(ps: IndexedSeq[String]): Column =
+      concat(lit(" card "),
+        element_at(array(ps.map(lit): _*), (col("doc_id") % 10).cast("int") + 1))
+    val planted = docs.select(col("source"),
+      concat(col("text"),
+        when(arm === 0, pick(Pans))
+          .when(arm === 1, pick(BrokenPans))
+          .otherwise(lit(""))).as("text"))
+    planted
+      .withColumn("lc", call_function("luhn_counts", col("text")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(element_at(col("lc"), 1)).as("n_pan_shaped"),
+        sum(element_at(col("lc"), 2)).as("n_luhn_valid"))
+      .select(col("source"), col("n_docs"), col("n_pan_shaped"),
+        col("n_luhn_valid"),
+        round(col("n_luhn_valid").cast("double") /
+          nullIfZero(col("n_pan_shaped")), 6).as("valid_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_nfc_audit" -> (nfcAudit _),
     "q233_blocklist_screen" -> (blocklistScreen _),
+    "q239_luhn_audit" -> (luhnAudit _),
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q218_quality_model" -> (qualityModel _),
@@ -1929,7 +1990,52 @@ object TextAnalysis {
        |${(1 to BpeMerges).map(roundCte).mkString(",\n")}""".stripMargin
   }
 
+  /** Spark-SQL forms for [[SqlSurface]] that are NOT dialect rewrites:
+    * q239's SQL form runs the real `luhn_counts` kernel over the same
+    * planted corpus (the oracle replays the ARM closed forms instead —
+    * validity is pinned by construction, so the kernel is what's
+    * being gated).
+    */
+  lazy val sparkSql: Map[String, String] = Map(
+    "q239_luhn_audit" -> {
+      val arm = "CAST(conv(substring(md5('luhn|' || CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+        s" % $LuhnMod"
+      def caseOf(ps: IndexedSeq[String]): String =
+        s"CASE CAST(doc_id % 10 AS INT) " +
+          ps.zipWithIndex.map { case (p, i) => s"WHEN $i THEN ' card $p'" }
+            .mkString(" ") + " END"
+      s"""WITH planted AS (SELECT source, text ||
+         |    CASE WHEN $arm = 0 THEN ${caseOf(Pans)}
+         |         WHEN $arm = 1 THEN ${caseOf(BrokenPans)}
+         |         ELSE '' END AS t2
+         |  FROM documents),
+         |h AS (SELECT source, luhn_counts(t2) AS lc FROM planted)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(element_at(lc, 1)) AS n_pan_shaped,
+         |  sum(element_at(lc, 2)) AS n_luhn_valid,
+         |  round(CAST(sum(element_at(lc, 2)) AS DOUBLE) /
+         |    nullif(sum(element_at(lc, 1)), 0), 6) AS valid_rate
+         |FROM h GROUP BY source ORDER BY source""".stripMargin
+    })
+
   lazy val oracle: Map[String, String] = Map(
+    // validity is pinned by the planted-arm closed forms (a real PAN
+    // on arm 0, its one-digit-bumped checksum-broken twin on arm 1),
+    // so the Spark side's maximal-run scan + mod-10 fold is what the
+    // hash gate proves
+    "q239_luhn_audit" -> {
+      val arm = s"${TextFns.sql.hash32("'luhn|' || CAST(doc_id AS VARCHAR)")} % $LuhnMod"
+      s"""WITH d AS (SELECT source,
+         |    CASE WHEN $arm IN (0, 1) THEN 1 ELSE 0 END AS shaped,
+         |    CASE WHEN $arm = 0 THEN 1 ELSE 0 END AS valid
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(shaped) AS BIGINT) AS n_pan_shaped,
+         |  CAST(sum(valid) AS BIGINT) AS n_luhn_valid,
+         |  round(CAST(sum(valid) AS DOUBLE) / NULLIF(sum(shaped), 0), 6)
+         |    AS valid_rate
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // DuckDB counts each phrase independently with the replace census
     // (exact vs the automaton because no phrase self-borders); the
     // Spark side's Aho-Corasick goto/fail/output walk must agree on

@@ -162,6 +162,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => NfcNormalize(e(0))),
     ("blocklist_hits", classOf[BlocklistHits],
       (e: Seq[Expression]) => BlocklistHits(e(0))),
+    ("luhn_counts", classOf[LuhnCounts],
+      (e: Seq[Expression]) => LuhnCounts(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],

@@ -151,6 +151,28 @@ case class BlocklistHits(child: Expression)
     copy(child = c)
 }
 
+/** `luhn_counts(text)` → ARRAY<BIGINT> `[n_pan_shaped, n_luhn_valid]`:
+  * maximal 16-digit runs and how many pass the mod-10 checksum
+  * ([[graft.functions.Luhn]]) — the q239 kernel, one static call per
+  * row inside whole-stage codegen.
+  */
+case class LuhnCounts(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "luhn_counts"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.Luhn.counts(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Luhn.counts($t)")
+
+  override protected def withNewChildInternal(c: Expression): LuhnCounts =
+    copy(child = c)
+}
+
 /** `simhash32(text)` → BIGINT 32-bit SimHash of the token stream. */
 case class SimHash32(child: Expression)
   extends UnaryExpression with TextInputCheck {
