@@ -1912,7 +1912,75 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q240 tree geometry: leaf buckets and the fold fanout
+    * (64 → 16 → 4 → 1).
+    */
+  val MerkleBuckets = 64
+  val MerkleFanout = 4
+  val MerkleLevels = 4
+
+  /** The q240 fixture mirror: the corpus with planted divergence — 1
+    * in 101 rows DROPPED, 1 in 97 rows MUTATED — the two failure
+    * modes a replication audit must localize.
+    */
+  def mutatedMirror(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")).as("text"))
+
+  /** q240 — MERKLE-TREE table diff (the Dynamo/Cassandra anti-entropy
+    * pattern): prove two copies of a table equal — or localize WHERE
+    * they differ — without shipping either copy. Each side reads its
+    * rows ONCE into per-bucket digests (order-free `bit_xor` of keyed
+    * row hashes, so partitioning can never flip a digest), then folds
+    * digests up a [[MerkleFanout]]-ary tree; equal roots prove equal
+    * content, and a mismatching root localizes to the differing leaf
+    * buckets in log(fanout) probes. At 100 TB the comparison ships
+    * [[MerkleBuckets]] digests across the wire, not rows — that is
+    * the entire point.
+    *
+    * The gated output is the full (level, node) grid with both
+    * digests, both row counts, and the match flag, over a mirror with
+    * planted drops (id%101) and mutations (id%97) — the oracle
+    * regenerates both sides analytically, so the digest algebra must
+    * localize exactly the planted damage.
+    */
+  def merkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    merkleDiffFrom(docs, mutatedMirror(docs))
+  }
+
+  def merkleDiffFrom(left: DataFrame, right: DataFrame): DataFrame = {
+    def tree(df: DataFrame): DataFrame = {
+      val l0 = df.select(
+          (col("doc_id") % MerkleBuckets).cast("int").as("node"),
+          TextFns.hash32(concat(lit("mk|"), col("doc_id").cast("string"),
+            lit("|"), col("text"))).as("h"))
+        .groupBy("node")
+        .agg(expr("bit_xor(h)").as("dg"), count(lit(1)).as("n"))
+      (0 until MerkleLevels).map { k =>
+        val div = math.pow(MerkleFanout, k).toInt
+        l0.groupBy(expr(s"CAST(node div $div AS INT)").as("node"))
+          .agg(expr("bit_xor(dg)").as("dg"), sum("n").as("n"))
+          .select(lit(k).as("level"), col("node"), col("dg"), col("n"))
+      }.reduce(_ unionByName _)
+    }
+    tree(left).alias("l")
+      .join(tree(right).alias("r"), Seq("level", "node"), "full")
+      .select(col("level"), col("node"),
+        coalesce(col("l.dg"), lit(0L)).as("left_digest"),
+        coalesce(col("r.dg"), lit(0L)).as("right_digest"),
+        coalesce(col("l.n"), lit(0L)).as("n_left"),
+        coalesce(col("r.n"), lit(0L)).as("n_right"),
+        (coalesce(col("l.dg"), lit(0L)) === coalesce(col("r.dg"), lit(0L)) &&
+          coalesce(col("l.n"), lit(0L)) === coalesce(col("r.n"), lit(0L)))
+          .as("is_match"))
+      .orderBy("level", "node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_merkle_diff" -> (merkleDiff _),
     "q234_dsir_weights" -> (dsirWeights _),
     "q214_dp_release" -> (dpRelease _),
     "q221_schema_evolution" -> (schemaEvolution _),
@@ -1992,6 +2060,43 @@ object Curation {
   // TextAnalysis's own init references Curation constants — a strict
   // val here would deadlock the object-initialization cycle
   lazy val oracle: Map[String, String] = Map(
+    // both sides' digest trees regenerated analytically (the planted
+    // drop/mutate mirror is a closed form); xor-of-xors associativity
+    // makes every level derivable from the leaf grid
+    "q240_merkle_diff" -> {
+      val h = TextFns.sql.hash32(
+        "'mk|' || CAST(doc_id AS VARCHAR) || '|' || text")
+      def lvl(side: String): String = (0 until MerkleLevels).map { k =>
+        val div = math.pow(MerkleFanout, k).toInt
+        s"""SELECT $k AS level, CAST(node // $div AS INTEGER) AS node,
+           |    bit_xor(dg) AS dg, CAST(sum(n) AS BIGINT) AS n
+           |  FROM l0$side GROUP BY 2""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH lh AS (SELECT CAST(doc_id % $MerkleBuckets AS INTEGER) AS node,
+         |    $h AS h FROM documents),
+         |rh AS (SELECT CAST(doc_id % $MerkleBuckets AS INTEGER) AS node,
+         |    $h AS h
+         |  FROM (SELECT doc_id,
+         |      CASE WHEN doc_id % 97 = 0 THEN text || '!' ELSE text END AS text
+         |    FROM documents WHERE doc_id % 101 <> 0)),
+         |l0L AS (SELECT node, bit_xor(h) AS dg, count(*) AS n
+         |  FROM lh GROUP BY 1),
+         |l0R AS (SELECT node, bit_xor(h) AS dg, count(*) AS n
+         |  FROM rh GROUP BY 1),
+         |lt AS (${lvl("L")}),
+         |rt AS (${lvl("R")})
+         |SELECT COALESCE(lt.level, rt.level) AS level,
+         |  COALESCE(lt.node, rt.node) AS node,
+         |  CAST(COALESCE(lt.dg, 0) AS BIGINT) AS left_digest,
+         |  CAST(COALESCE(rt.dg, 0) AS BIGINT) AS right_digest,
+         |  COALESCE(lt.n, CAST(0 AS BIGINT)) AS n_left,
+         |  COALESCE(rt.n, CAST(0 AS BIGINT)) AS n_right,
+         |  (COALESCE(lt.dg, 0) = COALESCE(rt.dg, 0)
+         |    AND COALESCE(lt.n, 0) = COALESCE(rt.n, 0)) AS is_match
+         |FROM lt FULL JOIN rt
+         |  ON rt.level = lt.level AND rt.node = lt.node
+         |ORDER BY 1, 2""".stripMargin
+    },
     // the full DSIR pipeline replayed: hashed-unigram bucket models,
     // one exact-integer ln-difference per bucket (rounded 9 dp into
     // DECIMAL(20,9)), exact DECIMAL doc dot products — the sign test
