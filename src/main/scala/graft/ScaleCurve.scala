@@ -50,7 +50,13 @@ object ScaleCurve {
     "q79_stream_dedup", "q93_stream_left_join", "q110_item_triangles",
     "q135_incremental_clusters", "q100_ann_pq", "q82_dup_spans",
     "q50_stream_range_join", "q203_bigram_lm", "q207_native_sessions",
-    "q198_bpe_train", "q202_orc_mirror", "q227_robust_outliers")
+    "q198_bpe_train", "q202_orc_mirror", "q227_robust_outliers",
+    // round-12 candidate-join additions: the growth axes to prove are
+    // q230's prefix-token fan-out and q238's slice-bucket fan-out —
+    // the replica-salted disjoint vocabularies keep per-replica
+    // candidate neighborhoods local, so the curve measures the plan,
+    // not quadratic dup growth
+    "q230_ppjoin_pairs", "q238_hamming_pairs")
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()

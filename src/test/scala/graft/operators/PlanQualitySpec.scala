@@ -940,4 +940,63 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(orderScans <= 4, s"staged form rescans orders too often:\n$p")
     }
   }
+
+  describe("round-12 operator plan shapes") {
+    it("q231/q232/q237 are map-only: no hash shuffle before the presentation sort") {
+      Seq("q231_warc_ingest", "q232_html_extract", "q237_robots_audit")
+        .foreach { q =>
+          val p = plan(q)
+          assert(!p.contains("CartesianProduct"), q)
+          assert(!p.contains("Exchange hashpartitioning") ||
+            q == "q237_robots_audit", // its source rollup is one agg exchange
+            s"$q: codec/parse work must not shuffle rows:\n$p")
+        }
+    }
+
+    it("q233 runs the automaton kernel once, joins only source-grain relations") {
+      val p = plan("q233_blocklist_screen")
+      assert(p.contains("blocklist_hits"), "the native kernel must be in the plan")
+      assert(!p.contains("CartesianProduct"))
+    }
+
+    it("q234 broadcasts the 64-row bucket model back onto the doc counts") {
+      val p = plan("q234_dsir_weights")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the lambda table must broadcast:\n$p")
+      // the only nested-loop is the documented 1-row totals cross join
+      assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1)
+      assert(!p.contains("CartesianProduct"))
+    }
+
+    it("q238's candidate join is an equi join on (slice, value), never nested-loop") {
+      val p = Dedup.hammingPairsFrom(
+        Dedup.replicaPlanted(graft.sources.Tables.documents(spark, sf)))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"pigeonhole candidates must come from an equi join:\n$p")
+      assert(p.contains("simhash32"), "the native signature kernel must be in the plan")
+    }
+
+    it("q239 is one kernel pass + one aggregate: no join at all") {
+      val p = plan("q239_luhn_audit")
+      assert(p.contains("luhn_counts"))
+      assert(!p.contains("Join"), s"q239 must not join:\n$p")
+    }
+
+    it("q240 digests fold through aggregates only — no windows, no nested loops") {
+      val p = plan("q240_merkle_diff")
+      assert(!p.contains("windowspecdefinition"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("bit_xor"), "digests must be order-free xor folds")
+    }
+
+    it("q236's exact and probed legs both keep the top-k map-side") {
+      val p = plan("q236_ivf_recall")
+      assert(p.contains("WindowGroupLimit"),
+        s"top-k must push below the rank exchange:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
 }
