@@ -964,6 +964,48 @@ object Dedup {
     p.join(dd, Seq("dist")).orderBy("dist")
   }
 
+  /** q241 — CONTENT-DEFINED CHUNKING dedup audit (the rsync/LBFS/
+    * FastCDC primitive): boundaries fall where a sliding window's
+    * content hash clears a divisor, so edits shift only the chunks
+    * they touch and every chunk after the next content boundary
+    * re-aligns — the alignment property q58's fixed token grid lacks
+    * (one insertion there re-keys the whole tail). Per source: chunk
+    * census, distinct-chunk census, dup-chunk rate, mean chunk
+    * length — the storage-dedup / dataset-versioning savings estimate.
+    *
+    * Scale shape: chunking is ONE native kernel pass per doc
+    * ([[graft.functions.Cdc]]); the only shuffle carries (source,
+    * chunk-hash) with map-side combine into a two-phase distinct
+    * count; rollup is sources-bounded. Gated over the
+    * [[replicaPlanted]] corpus so exact-copy chunk duplication
+    * provably exists; the oracle replays the boundary rule with a
+    * position spine + lag window — every boundary decision and chunk
+    * hash must agree.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksFrom(replicaPlanted(Tables.documents(spark, dir)))
+
+  def cdcChunksFrom(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val base = Tables.widened(docs, col("doc_id"))
+      .select(col("source"), col("text"))
+    val ex = base.select(col("source"),
+        explode(call_function("cdc_chunks", col("text"))).as("h"))
+    val src = ex.groupBy("source").agg(
+      count(lit(1)).as("n_chunks"), countDistinct("h").as("n_distinct"))
+    val dl = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).as("total_len"))
+    dl.join(src, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct"),
+        round((col("n_chunks") - col("n_distinct")).cast("double") /
+          col("n_chunks"), 6).as("dup_rate"),
+        round(col("total_len").cast("double") / col("n_chunks"), 6)
+          .as("mean_chunk_len"))
+      .orderBy("source")
+  }
+
   /** q54 — duplicate-cluster resolution: connected components over the
     * Jaccard-verified near-dup pairs (q24). Every clustered doc gets its
     * component-minimum doc_id as `cluster_id`, the component size, and
@@ -1580,6 +1622,7 @@ object Dedup {
     "q215_dedup_agreement" -> (dedupAgreement _),
     "q230_ppjoin_pairs" -> (ppjoinPairs _),
     "q238_hamming_pairs" -> (hammingPairs _),
+    "q241_cdc_chunks" -> (cdcChunks _),
     "q21_exact_dedup" -> (exactDedup _),
     "q179_soft_dedup_weights" -> (softDedupWeights _),
     "q184_dedup_sensitivity" -> (dedupSensitivity _),
@@ -1748,6 +1791,43 @@ object Dedup {
     "q23_simhash" ->
       s"""WITH ${simhashCtes("documents")}
          |SELECT doc_id, sh AS simhash32 FROM shx ORDER BY doc_id""".stripMargin,
+    // the stateless windowed boundary rule replayed on a position
+    // spine: every interior window hashed, boundaries lag-chained into
+    // chunk extents, chunk hashes re-derived — kernel and spine must
+    // agree on every boundary decision
+    "q241_cdc_chunks" -> {
+      import graft.functions.Cdc
+      val w = Cdc.Window
+      val hWin = TextFns.sql.hash32(s"substr(text, i + 1, $w)")
+      val hChunk = TextFns.sql.hash32(
+        "'ch|' || substr(s.text, c.prev + 1, c.b - c.prev)")
+      s"""WITH $repsSql,
+         |ps AS (SELECT doc_id, text, unnest(range(length(text) - $w)) AS i
+         |  FROM corpus),
+         |bs AS (SELECT doc_id, i + $w AS b FROM ps
+         |  WHERE $hWin % ${Cdc.Divisor} = 0),
+         |sb AS (SELECT doc_id, b FROM bs
+         |  UNION ALL SELECT doc_id, length(text) AS b FROM corpus),
+         |chx AS (SELECT doc_id, b,
+         |    lag(b, 1, 0) OVER (PARTITION BY doc_id ORDER BY b) AS prev
+         |  FROM sb),
+         |cw AS (SELECT c.doc_id, s.source, $hChunk AS h
+         |  FROM chx c JOIN corpus s ON s.doc_id = c.doc_id
+         |  WHERE c.b > c.prev),
+         |src AS (SELECT source, count(*) AS n_chunks,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+         |  FROM cw GROUP BY 1),
+         |dl AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(length(text)) AS BIGINT) AS total_len
+         |  FROM corpus GROUP BY 1)
+         |SELECT dl.source, dl.n_docs, src.n_chunks, src.n_distinct,
+         |  round(CAST(src.n_chunks - src.n_distinct AS DOUBLE)
+         |    / src.n_chunks, 6) AS dup_rate,
+         |  round(CAST(dl.total_len AS DOUBLE) / src.n_chunks, 6)
+         |    AS mean_chunk_len
+         |FROM dl JOIN src ON src.source = dl.source
+         |ORDER BY 1""".stripMargin
+    },
     // the q23 pipeline over the replica-planted corpus, then the exact
     // pigeonhole machinery replayed: 4 byte-slices, slice-collision
     // candidates, bit_count verify, bounded distance histogram

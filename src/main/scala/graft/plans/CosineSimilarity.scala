@@ -164,6 +164,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => BlocklistHits(e(0))),
     ("luhn_counts", classOf[LuhnCounts],
       (e: Seq[Expression]) => LuhnCounts(e(0))),
+    ("cdc_chunks", classOf[CdcChunks],
+      (e: Seq[Expression]) => CdcChunks(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],

@@ -173,6 +173,28 @@ case class LuhnCounts(child: Expression)
     copy(child = c)
 }
 
+/** `cdc_chunks(text)` → ARRAY<BIGINT> of content-defined chunk hashes
+  * ([[graft.functions.Cdc]]): windowed boundary rule + per-chunk
+  * md5-prefix hash, one pass per row from generated code — the q241
+  * kernel.
+  */
+case class CdcChunks(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(t: Any): Any =
+    graft.functions.Cdc.chunkHashes(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.Cdc.chunkHashes($t)")
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** `simhash32(text)` → BIGINT 32-bit SimHash of the token stream. */
 case class SimHash32(child: Expression)
   extends UnaryExpression with TextInputCheck {
