@@ -130,18 +130,89 @@ object TextAnalysis {
     * scorer and the streaming monitor cannot drift.
     */
   def qualityZ(docs: DataFrame, keep: Seq[String]): DataFrame = {
-    val d = docs
+    val d = rawQualityFeatures(docs, keep)
+    d.select(keep.map(col) ++ Seq(col("nt"),
+      zCol(col("nt"), col("stop"), col("nonspace")).as("z")): _*)
+  }
+
+  /** Raw integer quality features (`nt`, `stop`, `nonspace`) with
+    * caller keys, zero-token docs dropped — ONE extraction shared by
+    * [[qualityZ]] (q218/q220) and the q242 calibration audit.
+    */
+  private def rawQualityFeatures(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs
       .select(keep.map(col) ++ Seq(TextFns.toks(col("text")).as("w"),
         length(regexp_replace(col("text"), "\\s", "")).as("nonspace")): _*)
       .select(keep.map(col) ++ Seq(size(col("w")).cast("long").as("nt"),
         size(TextFns.keepIn(col("w"), Stopwords)).cast("long").as("stop"),
         col("nonspace")): _*)
       .filter(col("nt") > 0)
-    val z = lit(QmBias) +
-      lit(QmWLen) * log(lit(1.0) + col("nt").cast("double")) +
-      lit(QmWStop) * (col("stop").cast("double") / col("nt")) +
-      lit(QmWTok) * (col("nonspace").cast("double") / col("nt"))
-    d.select(keep.map(col) ++ Seq(col("nt"), z.as("z")): _*)
+
+  /** The q218 pre-sigmoid chain over raw feature columns. */
+  private def zCol(nt: Column, stop: Column, nonspace: Column): Column =
+    lit(QmBias) +
+      lit(QmWLen) * log(lit(1.0) + nt.cast("double")) +
+      lit(QmWStop) * (stop.cast("double") / nt) +
+      lit(QmWTok) * (nonspace.cast("double") / nt)
+
+  /** The q18 heuristic score over raw feature columns (the same value
+    * path as [[qualityFeatures]]'s `quality_score`).
+    */
+  private def q18ScoreCol(nt: Column, stop: Column, nonspace: Column): Column = {
+    val stopRatio = stop.cast("double") / nullIfZero(nt)
+    val meanTok = nonspace.cast("double") / nullIfZero(nt)
+    round(
+      lit(0.25) * least(lit(1.0), nt.cast("double") / 100.0) +
+        lit(0.25) * least(lit(1.0), meanTok / 8.0) +
+        lit(0.5) * (lit(1.0) - least(lit(1.0), stopRatio * 4.0)), 6)
+  }
+
+  /** q242 — model-vs-heuristic CALIBRATION audit (reliability bins):
+    * bucket the q218 model's keep-probability into deciles and compare
+    * each bin's mean predicted score against the fraction of its docs
+    * the q18 legacy heuristic actually keeps — the standard audit when
+    * a trained filter replaces a hand-tuned one and there are no human
+    * labels: where the gap is large, the two filters disagree
+    * SYSTEMATICALLY (not doc-by-doc noise), and the weighted gaps sum
+    * to the expected-calibration-error-style headline.
+    *
+    * Determinism: scores are the shared 6-dp-rounded chains (the exact
+    * q218/q18 definitions via [[zCol]]/[[q18ScoreCol]] — the audit can
+    * never drift from what it audits); bin ids floor the rounded score
+    * (both engines floor the same IEEE double); bin means sum round-6
+    * doubles through DECIMAL(38,12) (order-free).
+    *
+    * Scale shape: one map pass, one 10-bin aggregate with map-side
+    * combine, one broadcast 1-row total. Nothing doc-grain shuffles.
+    */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    scoreCalibrationFrom(Tables.documents(spark, dir))
+
+  def scoreCalibrationFrom(docs: DataFrame): DataFrame = {
+    val f = rawQualityFeatures(docs, Nil)
+    val scored = f.select(
+      round(lit(1.0) / (lit(1.0) +
+        exp(-zCol(col("nt"), col("stop"), col("nonspace")))), 6).as("score"),
+      (q18ScoreCol(col("nt"), col("stop"), col("nonspace")) >= 0.5).as("y"))
+    val b = scored.select(
+      floor(least(col("score") * 10, lit(9.0))).cast("int").as("bin"),
+      col("score"), col("y"))
+    val g = b.groupBy("bin").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("score").cast("decimal(38,12)")).as("ss"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = b.agg(count(lit(1)).as("n_all"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("ss").cast("double") / col("n_docs"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        col("n_all"))
+      .withColumn("gap", round(abs(col("mean_score") - col("pos_rate")), 6))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("mean_score"),
+        col("pos_rate"), col("gap"),
+        round(col("gap") * col("n_docs").cast("double") / col("n_all"), 9)
+          .as("w_gap"))
+      .orderBy("bin")
   }
 
   /** q19 — language ID: stopword-marker hit counts per candidate
@@ -1860,6 +1931,7 @@ object TextAnalysis {
     "q229_nfc_audit" -> (nfcAudit _),
     "q233_blocklist_screen" -> (blocklistScreen _),
     "q239_luhn_audit" -> (luhnAudit _),
+    "q242_score_calibration" -> (scoreCalibration _),
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q218_quality_model" -> (qualityModel _),
@@ -2019,6 +2091,41 @@ object TextAnalysis {
     })
 
   lazy val oracle: Map[String, String] = Map(
+    // both scoring chains mirrored verbatim from the q218/q18 oracle
+    // texts; bin means through DECIMAL(38,12) (order-free), bin ids
+    // floor the shared rounded score
+    "q242_score_calibration" ->
+      s"""$toksCte, feat AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+         |    CAST(len(${TextFns.sql.keepIn("w", Stopwords)}) AS BIGINT) AS stop,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS nonspace
+         |  FROM toks),
+         |sc AS (SELECT
+         |    round(1.0 / (1.0 + exp(-($QmBias
+         |      + $QmWLen * ln(1.0 + CAST(nt AS DOUBLE))
+         |      + $QmWStop * (CAST(stop AS DOUBLE) / nt)
+         |      + $QmWTok * (CAST(nonspace AS DOUBLE) / nt)))), 6) AS score,
+         |    round(0.25 * least(1.0, CAST(nt AS DOUBLE) / 100.0)
+         |      + 0.25 * least(1.0, (CAST(nonspace AS DOUBLE) / NULLIF(nt, 0)) / 8.0)
+         |      + 0.5 * (1.0 - least(1.0, (CAST(stop AS DOUBLE) / NULLIF(nt, 0)) * 4.0)),
+         |      6) >= 0.5 AS y
+         |  FROM feat WHERE nt > 0),
+         |b AS (SELECT CAST(floor(least(score * 10, 9.0)) AS INTEGER) AS bin,
+         |    score, y FROM sc),
+         |g AS (SELECT bin, count(*) AS n_docs,
+         |    CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE) AS ssd,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT count(*) AS n_all FROM b),
+         |p AS (SELECT bin, n_docs, n_pos,
+         |    round(ssd / n_docs, 6) AS mean_score,
+         |    round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate
+         |  FROM g),
+         |pg AS (SELECT *, round(abs(mean_score - pos_rate), 6) AS gap FROM p)
+         |SELECT bin, n_docs, n_pos, mean_score, pos_rate, gap,
+         |  round(gap * CAST(n_docs AS DOUBLE) / t.n_all, 9) AS w_gap
+         |FROM pg, t ORDER BY 1""".stripMargin,
     // validity is pinned by the planted-arm closed forms (a real PAN
     // on arm 0, its one-digit-bumped checksum-broken twin on arm 1),
     // so the Spark side's maximal-run scan + mod-10 fold is what the
