@@ -78,12 +78,54 @@ object CorpusStream {
       .orderBy("source")
   }
 
+  /** q243 — STREAMING integrity digests: q240's Merkle LEAF level
+    * maintained incrementally over the document stream — the shape of
+    * a replication pipeline that keeps per-bucket content digests
+    * current as batches land, so an anti-entropy comparison (q240)
+    * never rescans the table. The xor digest is ORDER-FREE and
+    * self-inverse, which is exactly what makes it streaming-safe:
+    * micro-batch boundaries cannot change any bucket's digest, and a
+    * complete-mode aggregate keeps one (digest, count) row per bucket
+    * — [[graft.operators.Curation.MerkleBuckets]] rows of state
+    * regardless of stream volume. A drained AvailableNow run equals
+    * the batch leaf table exactly (the oracle computes it directly
+    * over the documents parquet).
+    */
+  def streamedDigests(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val agg = source(spark, dir)
+      .select(
+        (col("doc_id") % graft.operators.Curation.MerkleBuckets)
+          .cast("int").as("node"),
+        TextFns.hash32(concat(lit("mk|"), col("doc_id").cast("string"),
+          lit("|"), col("text"))).as("h"))
+      .groupBy("node")
+      .agg(expr("bit_xor(h)").as("digest"), count(lit(1)).as("n_rows"))
+    EventStream.drain(agg, "graft_q243_sink", OutputMode.Complete)
+    spark.table("graft_q243_sink").orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_stream_funnel" -> (streamedFunnel _),
-    "q220_stream_quality" -> (streamedQuality _))
+    "q220_stream_quality" -> (streamedQuality _),
+    "q243_stream_digests" -> (streamedDigests _))
 
   /** The drained stream equals batch q88, so the oracle IS q88's. */
   val oracle: Map[String, String] = Map(
+    // the q240 leaf-digest table computed directly over the parquet —
+    // drained ≡ batch because the xor fold is order-free
+    "q243_stream_digests" -> {
+      val h = graft.functions.TextFns.sql.hash32(
+        "'mk|' || CAST(doc_id AS VARCHAR) || '|' || text")
+      s"""WITH lh AS (SELECT
+         |    CAST(doc_id % ${graft.operators.Curation.MerkleBuckets}
+         |      AS INTEGER) AS node,
+         |    $h AS h
+         |  FROM documents)
+         |SELECT node, bit_xor(h) AS digest, count(*) AS n_rows
+         |FROM lh GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q90_stream_funnel" -> TextAnalysis.oracle("q88_filter_funnel"),
     // the q218 z chain rolled to per-source keep counters, computed
     // directly over the documents parquet — drained ≡ batch
