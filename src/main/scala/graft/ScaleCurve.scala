@@ -63,6 +63,10 @@ object ScaleCurve {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // the q238 wide-signature dial: the 32-bit gate geometry
+      // saturates its 256-bucket slices around 10^5 docs; the curve's
+      // arms run the documented scale path (60-bit / 15-bit slices)
+      .config(graft.operators.Dedup.HamBitsConf, "60")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-scratch")
       .config("spark.sql.warehouse.dir", "/dev/shm/graft-wh")
@@ -103,11 +107,19 @@ object ScaleCurve {
 
     val docs = Tables.documents(spark, sf).crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + shift)
-      // replica-salted token rewrite: disjoint vocabularies keep the
-      // dup RATE constant as the corpus grows (see the scaladoc)
+      // replica-salted token rewrite: disjoint PER-REPLICA vocabulary
+      // namespaces (w<rep>x<id>) keep the dup RATE constant as the
+      // corpus grows. The namespace prefix is load-bearing: without it
+      // (the pre-r12 form) every replica's tokens collapsed into one
+      // shared 100k-token space, so document frequency grew ∝ replicas
+      // and the prefix-filter / slice-bucket candidate joins (q230,
+      // q238) exploded super-linearly BY FIXTURE CONSTRUCTION — the
+      // 100× arm measured vocabulary saturation, not the plan (it
+      // OOM'd a 128 GB heap on a corpus whose real-world Zipf df never
+      // densifies that way).
       .withColumn("text", when(col("__rep") === 0, col("text")).otherwise(
         concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(lit("w"),
+          t => concat(lit("w"), col("__rep"), lit("x"),
             pmod(xxhash64(t, col("__rep")), lit(100000L)))))))
       .drop("__rep")
     docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")

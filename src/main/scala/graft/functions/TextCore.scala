@@ -210,6 +210,37 @@ object TextCore {
     sig
   }
 
+  /** SimHash over 60-bit token hashes — the WIDE-signature dial of the
+    * q238 Hamming join's scale story: at 32 bits the r+1 pigeonhole
+    * slices are 8-bit (256 buckets) and slice-bucket occupancy — hence
+    * candidate fan-out — grows with corpus size past ~10⁵ docs; 60
+    * bits give 15-bit slices (32k buckets), pushing the same geometry
+    * two orders of magnitude further. Same per-bit majority vote as
+    * [[simhash32]], over [[take60]] token hashes.
+    */
+  def simhash60(text: UTF8String, useICU: Boolean): Long = {
+    val w = tokens(text, useICU)
+    val md = mdLocal.get()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < w.length) {
+      val h = take60(md.digest(w(i).getBytes("UTF-8")))
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Count of matching element pairs between two sorted long arrays,
     * multiset-style: a value occurring `ca` times in `a` and `cb` times
     * in `b` contributes `ca * cb` — exactly the row count an equi-join

@@ -939,14 +939,26 @@ object Dedup {
   def hammingPairs(spark: SparkSession, dir: String): DataFrame =
     hammingPairsFrom(replicaPlanted(Tables.documents(spark, dir)))
 
+  /** q238 signature-width dial: 32 (the gate default — 8-bit slices,
+    * 256 buckets) or 60 (15-bit slices, 32k buckets). Slice-bucket
+    * occupancy is corpus/2^sliceBits per slice, so the 32-bit geometry
+    * saturates around 10⁵ docs and the wide signature carries the same
+    * plan two orders of magnitude further — ScaleCurve's arms run 60.
+    */
+  val HamBitsConf = "spark.graft.hamming.bits"
+
   def hammingPairsFrom(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val bits = docs.sparkSession.conf.get(HamBitsConf, "32").toInt
+    require(bits == 32 || bits == 60, s"$HamBitsConf must be 32 or 60")
+    val (fn, sliceBits) = if (bits == 60) ("simhash60", 15) else ("simhash32", 8)
+    val mask = (1 << sliceBits) - 1
     val sh = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"),
-        call_function("simhash32", col("text")).as("sh"))
+        call_function(fn, col("text")).as("sh"))
     val sl = sh.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(HamSlices - 1))).as("s"))
-      .withColumn("v", expr("(sh >> (8 * s)) & 255"))
+      .withColumn("v", expr(s"(sh >> ($sliceBits * s)) & $mask"))
     val cand = sl.alias("a").join(sl.alias("b"),
         col("a.s") === col("b.s") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))

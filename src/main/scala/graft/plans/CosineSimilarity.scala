@@ -158,6 +158,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => SortedShingleHashes(e(0))),
     ("simhash32", classOf[SimHash32],
       (e: Seq[Expression]) => SimHash32(e(0))),
+    ("simhash60", classOf[SimHash60],
+      (e: Seq[Expression]) => SimHash60(e(0))),
     ("nfc_normalize", classOf[NfcNormalize],
       (e: Seq[Expression]) => NfcNormalize(e(0))),
     ("blocklist_hits", classOf[BlocklistHits],

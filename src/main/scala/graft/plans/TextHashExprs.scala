@@ -213,6 +213,27 @@ case class SimHash32(child: Expression)
     copy(child = c)
 }
 
+/** `simhash60(text)` → BIGINT 60-bit SimHash — the q238 Hamming join's
+  * wide-signature scale dial (15-bit pigeonhole slices; see
+  * TextCore.simhash60).
+  */
+case class SimHash60(child: Expression)
+  extends UnaryExpression with TextInputCheck {
+  override def textChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkText(prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(t: Any): Any =
+    TextCore.simhash60(t.asInstanceOf[UTF8String], useICU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextCore.simhash60($t, $useICU)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
 /** `sorted_intersect_count(a, b)` → BIGINT match count between two
   * sorted ARRAY<BIGINT>s with join-equivalent multiset semantics.
   */
