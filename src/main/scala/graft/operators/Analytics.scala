@@ -2089,7 +2089,83 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q244 — CUPED variance-reduced experiment readout (Deng et al.,
+    * "Improving the Sensitivity of Online Controlled Experiments",
+    * WSDM 2013 — the industry-standard A/B variance-reduction):
+    * adjust each unit's experiment-period metric by its own
+    * PRE-period baseline, y' = y − θ(x − x̄), with θ = cov(x,y)/var(x)
+    * fitted pooled — the regression that soaks up stable per-user
+    * spend levels so the cohort delta needs far fewer users to reach
+    * significance; `var_reduction` IS the sample-size saving. The
+    * pre/post cutoff is the observed time-range midpoint; cohorts are
+    * the q147 hash split.
+    *
+    * Determinism: per-user sums are exact cents; all five pooled
+    * moments accumulate in DECIMAL(38,0) (q149's discipline — wraps
+    * loudly, never silently, past ~1e38); θ rounds 9 before use, so
+    * the adjusted means and the variance-reduction identity
+    * Vy' = Vy − 2θC + θ²Vx are fixed-order double chains mirrored
+    * verbatim in the oracle.
+    *
+    * Scale shape: one broadcast 1-row time-bound, one combine-heavy
+    * per-user fold, one 2-row cohort aggregate × one broadcast pooled
+    * row. Nothing user-grain shuffles twice.
+    */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedFrom(Tables.events(spark, dir))
+
+  def cupedFrom(events: DataFrame): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx"))
+    val per = events.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(mn + mx) div 2"))
+      .groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= col("mid"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) > col("mid"),
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      .withColumn("cohort",
+        (TextFns.hash32(concat(lit("cuped|"), col("user_id").cast("string")))
+          % 2).cast("int"))
+    val nD = col("n").cast(dec0)
+    val pooled = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec0)).cast(dec0).as("sx"),
+        sum(col("y").cast(dec0)).cast(dec0).as("sy"),
+        sum(col("x").cast(dec0) * col("y").cast(dec0)).cast(dec0).as("sxy"),
+        sum(col("x").cast(dec0) * col("x").cast(dec0)).cast(dec0).as("sxx"),
+        sum(col("y").cast(dec0) * col("y").cast(dec0)).cast(dec0).as("syy"))
+      .select(col("n"), col("sx"), col("sy"),
+        round((nD * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullIfZero((nD * col("sxx") - col("sx") * col("sx")).cast("double")),
+          9).as("theta"),
+        (nD * col("sxy") - col("sx") * col("sy")).cast("double").as("cxy"),
+        (nD * col("sxx") - col("sx") * col("sx")).cast("double").as("vx"),
+        (nD * col("syy") - col("sy") * col("sy")).cast("double").as("vy"))
+    val coh = per.groupBy("cohort").agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x").cast(dec0)).cast(dec0).as("sxc"),
+      sum(col("y").cast(dec0)).cast(dec0).as("syc"))
+    coh.crossJoin(broadcast(pooled))
+      .select(col("cohort"), col("n_users"),
+        round(col("syc").cast("double") / col("n_users") / 100.0, 6)
+          .as("mean_y"),
+        round((col("syc").cast("double") / col("n_users") -
+          col("theta") * (col("sxc").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n"))) / 100.0, 6)
+          .as("adj_mean_y"),
+        col("theta"),
+        round(lit(1.0) - (col("vy") - lit(2.0) * col("theta") * col("cxy") +
+          col("theta") * col("theta") * col("vx")) / nullIfZero(col("vy")), 6)
+          .as("var_reduction"))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_cuped_readout" -> (cupedReadout _),
     // implemented in Similarity (see ivfRecall's scaladoc for why the
     // registration lives here: its texts compose the q25/q75 texts)
     "q236_ivf_recall" -> (Similarity.ivfRecall _),
@@ -2275,6 +2351,52 @@ object Analytics {
        |  WHERE rn <= $PairUserCap)""".stripMargin
 
   lazy val oracle: Map[String, String] = Map(
+    // q149's exact-moment discipline: per-user cents, HUGEINT pooled
+    // moments, theta rounded 9 before the fixed-order double chains
+    "q244_cuped_readout" -> {
+      val arm = TextFns.sql.hash32("'cuped|' || CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+         |    AS mid FROM events),
+         |per AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        AND epoch_us(ts) <= b.mid
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |        AND epoch_us(ts) > b.mid
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y,
+         |    CAST($arm % 2 AS INTEGER) AS cohort
+         |  FROM events, b GROUP BY user_id),
+         |pooled AS (SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+         |  FROM per),
+         |pp AS (SELECT n, sx, sy,
+         |    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+         |      NULLIF(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 0),
+         |      9) AS theta,
+         |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cxy,
+         |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+         |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy
+         |  FROM pooled),
+         |coh AS (SELECT cohort, count(*) AS n_users,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sxc,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS syc
+         |  FROM per GROUP BY 1)
+         |SELECT cohort, n_users,
+         |  round(CAST(syc AS DOUBLE) / n_users / 100.0, 6) AS mean_y,
+         |  round((CAST(syc AS DOUBLE) / n_users -
+         |    theta * (CAST(sxc AS DOUBLE) / n_users -
+         |      CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS adj_mean_y,
+         |  theta,
+         |  round(1.0 - (vy - 2.0 * theta * cxy + theta * theta * vx)
+         |    / NULLIF(vy, 0), 6) AS var_reduction
+         |FROM coh, pp ORDER BY cohort""".stripMargin
+    },
     // ground truth and index answer regenerated by the already-gated
     // q25/q75 oracle pipelines; only the recall algebra is new
     "q236_ivf_recall" -> Similarity.ivfRecallOracleSql,
