@@ -839,7 +839,8 @@ object Dedup {
   /** q230 — EXACT set-similarity join via PREFIX FILTERING (the
     * AllPairs/PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All
     * Pairs Similarity Search", WWW 2007): every pair whose DISTINCT
-    * token sets have Jaccard ≥ [[PpNum]]/[[PpDen]], with NO false
+    * word-[[PpGram]]-gram SHINGLE sets have Jaccard ≥
+    * [[PpNum]]/[[PpDen]], with NO false
     * negatives — the exact complement to q22's MinHash-LSH (which
     * trades recall for candidate sparsity; this keeps recall = 1 and
     * gets sparsity from mathematics instead). Each doc's tokens are
@@ -862,14 +863,32 @@ object Dedup {
     * counts): pair lists are quadratic in template-family size, and
     * the histogram proves the identical pipeline at any corpus size.
     */
+  /** The q230 set elements are word TRIGRAM shingles, not unigrams —
+    * a scale decision, not a cosmetic one: prefix filtering gets its
+    * sparsity from rare set elements, and the fixture corpus has a
+    * 31-word vocabulary, so every unigram is corpus-frequent (df ≈
+    * N/31) and the "rarest-token" prefix join degenerates to ~N²/31
+    * candidates (132M at sf0.1 — measured; the r12 growth curve OOM'd
+    * on it). Trigram shingles lift the element space to |vocab|³
+    * (27k distinct at sf0.1, candidate Σdf² = 500k) and are the
+    * textbook AllPairs dedup representation anyway. Real Zipf corpora
+    * get the same effect from their vocabulary tail; the fixture needs
+    * the shingle lift to expose it.
+    */
+  val PpGram = 3
+
   def ppjoinPairs(spark: SparkSession, dir: String): DataFrame =
-    ppjoinPairsFrom(Tables.documents(spark, dir))
+    ppjoinPairsFrom(replicaPlanted(Tables.documents(spark, dir)))
 
   def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
     val tk = Tables.widened(docs, col("doc_id"))
+      .select(col("doc_id"), TextFns.toks(col("text")).as("w"))
+      .filter(size(col("w")) >= PpGram)
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.toks(col("text")))).as("token"))
-      .filter(col("token") =!= "")
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("w")) - PpGram),
+          i => array_join(slice(col("w"), i + 1, lit(PpGram)), " "))))
+          .as("token"))
     val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("s"))
     val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "token")
@@ -895,8 +914,8 @@ object Dedup {
         lit(PpNum) * (col("sz_a") + col("sz_b") - col("n_common")))
       .withColumn("bin",
         expr("(10 * n_common) div (sz_a + sz_b - n_common)"))
-    // the PAIR LIST is quadratic in template-family size (the fixture
-    // carries ~50k qualifying pairs at sf0.01 already) — the gated
+    // the PAIR LIST is quadratic in replica/template-family size —
+    // the gated
     // deliverable is the bounded decile histogram + affected-doc
     // counts, which proves the identical pipeline at any corpus size
     val p = kept.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
@@ -1899,9 +1918,13 @@ object Dedup {
     // cross-multiplied keep — row_number ties broken by (df, token)
     // are unique within a doc, so the replay is deterministic
     "q230_ppjoin_pairs" ->
-      s"""WITH tok0 AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM documents),
-         |tk AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM tok0),
-         |tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+      s"""WITH $repsSql,
+         |tok0 AS (SELECT doc_id, ${TextFns.sql.toks} AS w FROM corpus),
+         |pos AS (SELECT doc_id, w, unnest(range(len(w) - ${PpGram - 1})) AS i
+         |  FROM tok0 WHERE len(w) >= $PpGram),
+         |tk2 AS (SELECT DISTINCT doc_id,
+         |    w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS token
+         |  FROM pos),
          |szs AS (SELECT doc_id, count(*) AS s FROM tk2 GROUP BY 1),
          |dfx AS (SELECT token, count(*) AS df FROM tk2 GROUP BY 1),
          |rk AS (SELECT t.doc_id, t.token,

@@ -129,12 +129,15 @@ class DedupSpec extends AnyFunSpec {
         2L -> "alpha beta gamma delta zeta",
         3L -> "alpha beta gamma delta epsilon", // exact dup of 1
         4L -> "omega psi chi phi upsilon",
-        5L -> "alpha beta gamma delta epsilon zeta eta",
+        5L -> "alpha beta gamma delta epsilon zeta", // 3 of 4 shingles with 1
         6L -> "completely different words here now")
       val got = Dedup.ppjoinPairsFrom(docs(texts: _*)).collect()
         .map(r => r.getAs[Long]("bin") ->
           (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"))).toMap
-      val sets = texts.toMap.view.mapValues(_.split(" ").toSet).toMap
+      // brute force over the same word-trigram shingle sets
+      def shingles(t: String): Set[String] =
+        t.split(" ").sliding(Dedup.PpGram).map(_.mkString(" ")).toSet
+      val sets = texts.toMap.view.mapValues(shingles).toMap
       val ids = texts.map(_._1)
       val pairs = for {
         a <- ids; b <- ids if a < b
@@ -148,7 +151,7 @@ class DedupSpec extends AnyFunSpec {
       }
       assert(got == want)
       assert(got.contains(10L), "the exact-dup pair must land in bin 10")
-      assert(got.contains(7L), "the 5/7-overlap pairs must land in bin 7")
+      assert(got.contains(7L), "the 3-of-4-shingle pairs must land in bin 7")
     }
   }
 
