@@ -868,8 +868,8 @@ object Dedup {
     * sparsity from rare set elements, and the fixture corpus has a
     * 31-word vocabulary, so every unigram is corpus-frequent (df ≈
     * N/31) and the "rarest-token" prefix join degenerates to ~N²/31
-    * candidates (132M at sf0.1 — measured; the r12 growth curve OOM'd
-    * on it). Trigram shingles lift the element space to |vocab|³
+    * candidates (132M at sf0.1 — measured; the r12 growth curve
+    * OOM'd its 8 GB heap on it). Trigram shingles lift the element space to |vocab|³
     * (27k distinct at sf0.1, candidate Σdf² = 500k) and are the
     * textbook AllPairs dedup representation anyway. Real Zipf corpora
     * get the same effect from their vocabulary tail; the fixture needs
