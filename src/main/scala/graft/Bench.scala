@@ -159,6 +159,9 @@ object Bench {
     // r12: exact prefix-filter similarity join — self-contained (its
     // candidate generation IS the operator; nothing to stage)
     run("q230_ppjoin_pairs") { Dedup.ppjoinPairs(spark, sfDir) }
+    // r12: the other exact near-dup joins — also self-contained
+    run("q238_hamming_pairs") { Dedup.hammingPairs(spark, sfDir) }
+    run("q241_cdc_chunks") { Dedup.cdcChunks(spark, sfDir) }
     run("q216_ivm_join") {
       SupplierPerf.ivmJoinStaged(spark.read.parquet(s"$wh/ivmbase"),
         Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
