@@ -896,10 +896,23 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(lit(PpNum) * col("s") <=
         lit(PpDen) * (col("s") - col("rn") + 1))
-      .select(col("token"), col("doc_id"))
+      .select(col("token"), col("doc_id"), col("rn"), col("s"))
+    // PPJoin's LENGTH and POSITIONAL filters (Xiao et al., WWW 2008)
+    // prune collisions BEFORE the distinct: J ≥ t needs
+    // t·max(s) ≤ min(s), and a collision at prefix ranks (ra, rb) can
+    // witness at most 1 + min(sa−ra, sb−rb) overlapping elements,
+    // which must reach α = ⌈t/(1+t)·(sa+sb)⌉ — both tests integer
+    // cross-multiplied. No false negatives (the brute-equality spec
+    // gates recall 1); on the template-dense fixture the positional
+    // test drops most same-template collisions whose sizes can't
+    // reach the threshold.
     val cand = pfx.alias("a")
       .join(pfx.alias("b"), col("a.token") === col("b.token") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(PpNum) * col("a.s") <= lit(PpDen) * col("b.s") &&
+        lit(PpNum) * col("b.s") <= lit(PpDen) * col("a.s") &&
+        (lit(1) + least(col("a.s") - col("a.rn"), col("b.s") - col("b.rn"))) *
+          (PpNum + PpDen) >= lit(PpNum) * (col("a.s") + col("b.s")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cand
@@ -1931,11 +1944,15 @@ object Dedup {
          |    row_number() OVER (PARTITION BY t.doc_id
          |      ORDER BY d.df, t.token) AS rn, z.s
          |  FROM tk2 t JOIN dfx d USING (token) JOIN szs z USING (doc_id)),
-         |pfx AS (SELECT doc_id, token FROM rk
+         |pfx AS (SELECT doc_id, token, rn, s FROM rk
          |  WHERE $PpNum * s <= $PpDen * (s - rn + 1)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM pfx a JOIN pfx b
-         |    ON b.token = a.token AND b.doc_id > a.doc_id),
+         |    ON b.token = a.token AND b.doc_id > a.doc_id
+         |    AND $PpNum * a.s <= $PpDen * b.s
+         |    AND $PpNum * b.s <= $PpDen * a.s
+         |    AND (1 + least(a.s - a.rn, b.s - b.rn)) * ${PpNum + PpDen}
+         |      >= $PpNum * (a.s + b.s)),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
          |  FROM cand c
          |  JOIN tk2 x ON x.doc_id = c.doc_a
