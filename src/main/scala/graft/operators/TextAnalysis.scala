@@ -872,6 +872,70 @@ object TextAnalysis {
       .limit(Bm25TopK)
   }
 
+  /** q245 rank-discount weights: round(1/log2(i+1), 9) as fixed
+    * DECIMAL(12,9) literals — the discounts are CONSTANTS of the rank,
+    * so baking them keeps the whole DCG sum exact decimal arithmetic
+    * with no runtime ln anywhere near the gate.
+    */
+  private[operators] val NdcgW: IndexedSeq[java.math.BigDecimal] =
+    (1 to Bm25TopK).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+
+  /** q245 — retrieval-quality eval of the q55 BM25 ranker: nDCG@k
+    * against occurrence-graded relevance (rel(d) = total query-term
+    * occurrences in d — the exact quantity BM25's saturation+idf
+    * deliberately re-weights, so the metric measures what the ranker
+    * CHANGES about raw frequency ordering) plus the overlap between
+    * the returned and ideal top-k sets. The eval harness every ranking
+    * change ships with: q55 produces the list, this scores it.
+    *
+    * Determinism: relevance grades are exact integers; rank discounts
+    * are fixed DECIMAL(12,9) literals ([[NdcgW]]), so DCG and IDCG are
+    * exact decimal dot products; the one division rounds 6. MRR is
+    * omitted deliberately — q55 only returns docs containing a query
+    * term, so first-relevant-rank is identically 1 (a vacuous column,
+    * the q191 lesson).
+    *
+    * Scale shape: relevance is the q55 map-side array-filter pass;
+    * both top-k lists lower to TakeOrderedAndProject; everything after
+    * is k-row algebra (the rank windows order ≤k-row relations).
+    */
+  def bm25Ndcg(spark: SparkSession, dir: String): DataFrame =
+    bm25NdcgFrom(Tables.documents(spark, dir))
+
+  def bm25NdcgFrom(docs: DataFrame): DataFrame = {
+    val w = TextFns.toks(col("text"))
+    val rel = docs.select(col("doc_id"),
+      Bm25Query.map(t => size(filter(w, x => x === t)))
+        .reduce(_ + _).cast("long").as("rel"))
+    val wCol = element_at(
+      array(NdcgW.map(d => lit(d).cast("decimal(12,9)")): _*), col("rank"))
+    val ret = bm25SearchFrom(docs)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))).cast("int").as("rank"))
+    val retScored = ret.join(rel, "doc_id")
+      .agg(sum(col("rel").cast("decimal(10,0)") * wCol).as("dcg_d"),
+        count(lit(1)).as("n_returned"))
+    val ideal = rel.filter(col("rel") > 0)
+      .orderBy(desc("rel"), asc("doc_id")).limit(Bm25TopK)
+      .select(col("doc_id"), col("rel"), row_number().over(
+        Window.orderBy(desc("rel"), asc("doc_id"))).cast("int").as("rank"))
+    val idealScored = ideal
+      .agg(sum(col("rel").cast("decimal(10,0)") * wCol).as("idcg_d"))
+    val overlap = ret.join(ideal.select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    retScored.crossJoin(broadcast(idealScored))
+      .crossJoin(broadcast(overlap))
+      .select(lit(Bm25TopK).as("k"), col("n_returned"),
+        round(col("dcg_d").cast("double"), 6).as("dcg"),
+        round(col("idcg_d").cast("double"), 6).as("idcg"),
+        round(col("dcg_d").cast("double") /
+          nullIfZero(col("idcg_d").cast("double")), 6).as("ndcg"),
+        col("n_overlap"))
+  }
+
   /** Vocabulary size for the q68 distribution audit (top tokens by
     * corpus count; everything else is the OOV bucket).
     */
@@ -1932,6 +1996,7 @@ object TextAnalysis {
     "q233_blocklist_screen" -> (blocklistScreen _),
     "q239_luhn_audit" -> (luhnAudit _),
     "q242_score_calibration" -> (scoreCalibration _),
+    "q245_bm25_ndcg" -> (bm25Ndcg _),
     "q17_token_stats" -> (tokenStats _),
     "q18_quality_score" -> (qualityScore _),
     "q218_quality_model" -> (qualityModel _),
@@ -2091,6 +2156,40 @@ object TextAnalysis {
     })
 
   lazy val oracle: Map[String, String] = Map(
+    // the q55 pipeline re-ranked and scored: occurrence-graded
+    // relevance from the same tf columns, fixed DECIMAL(12,9) rank
+    // discounts, exact decimal dot products, one closing division
+    "q245_bm25_ndcg" -> {
+      val wt = "CAST(CASE rank " + NdcgW.zipWithIndex.map {
+        case (d, i) => s"WHEN ${i + 1} THEN ${d.toPlainString}"
+      }.mkString(" ") + " END AS DECIMAL(12,9))"
+      val relSum = Bm25Query.indices.map(i => s"tf$i").mkString(" + ")
+      s"""$toksCte,
+         |$bm25CtesSql,
+         |relv AS (SELECT doc_id, CAST($relSum AS BIGINT) AS rel FROM perdoc),
+         |ret0 AS (SELECT doc_id, round(sc, 9) AS bm25 FROM scored
+         |  WHERE n_terms > 0 ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+         |ret AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank FROM ret0),
+         |ideal0 AS (SELECT doc_id, rel FROM relv WHERE rel > 0
+         |  ORDER BY rel DESC, doc_id LIMIT $Bm25TopK),
+         |ideal AS (SELECT doc_id, rel, CAST(row_number() OVER
+         |    (ORDER BY rel DESC, doc_id) AS INTEGER) AS rank FROM ideal0),
+         |d AS (SELECT sum(CAST(relv.rel AS DECIMAL(10,0)) * $wt) AS dcg_d,
+         |    count(*) AS n_returned
+         |  FROM ret JOIN relv USING (doc_id)),
+         |i2 AS (SELECT sum(CAST(rel AS DECIMAL(10,0)) * $wt) AS idcg_d
+         |  FROM ideal),
+         |ov AS (SELECT count(*) AS n_overlap
+         |  FROM ret JOIN ideal USING (doc_id))
+         |SELECT CAST($Bm25TopK AS INTEGER) AS k, n_returned,
+         |  round(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg_d AS DOUBLE), 6) AS idcg,
+         |  round(CAST(dcg_d AS DOUBLE) / NULLIF(CAST(idcg_d AS DOUBLE), 0), 6)
+         |    AS ndcg,
+         |  n_overlap
+         |FROM d, i2, ov""".stripMargin
+    },
     // both scoring chains mirrored verbatim from the q218/q18 oracle
     // texts; bin means through DECIMAL(38,12) (order-free), bin ids
     // floor the shared rounded score
