@@ -118,6 +118,9 @@ object Bench {
     // incremental KPI maintenance recomputes from the base tables by
     // design (base+delta partials + merge), so it is not staged on kpisT
     run("q96_incremental_kpis") { SupplierPerf.kpisIncremental(spark, sfDir) }
+    // r12c: grid-pruned skyline — self-contained (its supplier-grain
+    // objective aggregate is the operator's own first phase)
+    run("q246_pareto_suppliers") { SupplierPerf.paretoSuppliers(spark, sfDir) }
 
     // stage 4: dashboard reads over the materialized risk table. Names are
     // a static list — calling queriesFromRisk(riskT) here would resolve the

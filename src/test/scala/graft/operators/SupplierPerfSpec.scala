@@ -225,4 +225,47 @@ class SupplierPerfSpec extends AnyFunSpec {
         x.getAs[Long]("n_lines")))
     }
   }
+
+  describe("paretoSuppliers (q246)") {
+    // one line per supplier so the objective vector is hand-computable:
+    // late = delay > 30d, ret = returnflag R, rev_u = price × 10⁴
+    val s = supplierDf((1L, "s1", 0, 0.0), (2L, "s2", 0, 0.0),
+      (3L, "s3", 0, 0.0), (4L, "s4", 0, 0.0), (5L, "s5", 0, 0.0))
+    val o = ordersDf((1 to 5).map(k => (k.toLong, ts("2024-01-01 00:00:00"))): _*)
+    def onTime = ts("2024-01-11 00:00:00")
+    def late = ts("2024-02-15 00:00:00")
+    val l = lineDf(
+      (1L, 1L, 1.0, 100.0, 0.0, "N", onTime), // (0,0,100)   frontier
+      (2L, 2L, 1.0, 1000.0, 0.0, "N", late), // (1,0,1000)  frontier
+      (3L, 3L, 1.0, 500.0, 0.0, "N", late), // (1,0,500)   dominated by s2
+      (4L, 4L, 1.0, 2000.0, 0.0, "R", onTime), // (0,1,2000)  frontier
+      (5L, 5L, 1.0, 100.0, 0.0, "N", onTime)) // ≡ s1 — kept (no strict dom)
+
+    it("keeps exactly the non-dominated set, duplicates included") {
+      val r = SupplierPerf.paretoFrom(s, l, o)
+      assert(r.select("s_suppkey").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 4L, 5L))
+      val s2 = r.filter(col("s_suppkey") === 2L).collect()(0)
+      assert(s2.getAs[Long]("late_lines") == 1L)
+      assert(s2.getAs[Long]("ret_lines") == 0L)
+      assert(s2.getAs[Long]("rev_u") == 10000000L)
+      assert(s2.getAs[Double]("revenue") == 1000.0)
+    }
+
+    it("grid pruning returns exactly the single-cell brute skyline on the fixture") {
+      def withGrid(g: Int): Seq[String] = {
+        spark.conf.set("spark.graft.skyline.grid", g.toString)
+        try SupplierPerf.paretoSuppliers(spark, sf).collect()
+          .map(_.mkString("|")).toSeq
+        finally spark.conf.unset("spark.graft.skyline.grid")
+      }
+      // g=1 puts every point in one cell: phase 1 IS the brute-force
+      // dominance filter; g=8 must reach the identical set through the
+      // cell prune + candidate join
+      val brute = withGrid(1)
+      val grid = withGrid(8)
+      assert(brute.nonEmpty)
+      assert(grid == brute)
+    }
+  }
 }
