@@ -1075,7 +1075,91 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q247 routing/policy dim: (dotted net, prefix len, label) — nested
+    * prefixes (quad → /8 → /11 → /18) so longest-prefix-match genuinely
+    * resolves overlaps; (len, key) pairs unique by construction, so
+    * no LPM ties exist. A catch-all /0 guarantees every address
+    * classifies. Shared constant: the Spark literal dim and the oracle
+    * VALUES rows are both generated from this Seq.
+    */
+  val CidrDim: Seq[(String, Int, String)] = Seq(
+    ("0.0.0.0", 0, "default"),
+    ("0.0.0.0", 2, "quad-0"),
+    ("64.0.0.0", 2, "quad-1"),
+    ("128.0.0.0", 2, "quad-2"),
+    ("192.0.0.0", 2, "quad-3"),
+    ("224.0.0.0", 4, "multicast"),
+    ("10.0.0.0", 8, "private-a"),
+    ("10.32.0.0", 11, "dc-east"),
+    ("10.32.64.0", 18, "dc-east-pods"),
+    ("100.64.0.0", 10, "cgnat"),
+    ("172.16.0.0", 12, "private-b"),
+    ("192.168.0.0", 16, "private-c"),
+    ("192.168.128.0", 17, "office"),
+    ("203.0.113.0", 24, "blocklist"))
+
+  private def ipv4Long(dotted: String): Long =
+    dotted.split('.').foldLeft(0L)((acc, o) => (acc << 8) | o.toLong)
+
+  /** q247 — CIDR longest-prefix-match enrichment: classify each event's
+    * (synthetic, hash-derived) client IPv4 against a routing/policy
+    * table with NESTED prefixes and roll up traffic per winning policy
+    * — the geo/ASN/policy-enrichment join every web/event pipeline runs
+    * at ingest, and a join class Spark has no native operator for
+    * (equality can't express "longest matching prefix").
+    *
+    * The join: a prefix table keys candidates by (len, net >> (32−len)).
+    * The probe side expands each address once per DISTINCT prefix
+    * length in the table (≤33, collected from the dim's metadata — a
+    * routing table has few distinct lengths even at 1M routes), meets
+    * the dim in a broadcast hash EQUI-join on (len, shifted key) —
+    * never a range or nested-loop join — and LPM resolves as
+    * max(struct(len, label)): all integer, tie-free because (len, key)
+    * is unique in the dim.
+    *
+    * Scale shape: candidates ≈ matched-lengths × events arise map-side
+    * (the explode and the broadcast join never shuffle); the per-event
+    * argmax partially aggregates MAP-SIDE (each event's candidates are
+    * co-located by construction — one map task emits one row per
+    * event), so the only full-width exchange carries the winner grain,
+    * and the final rollup is label-cardinality. At 1000 executors the
+    * dim broadcasts once per executor, the corpus streams.
+    */
+  def lpmEnrich(spark: SparkSession, dir: String): DataFrame =
+    lpmEnrichFrom(Tables.events(spark, dir))
+
+  def lpmEnrichFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dim = CidrDim.map { case (net, len, label) =>
+      (len, ipv4Long(net) >>> (32 - len), label)
+    }.toDF("len", "net_key", "label")
+    val lens = CidrDim.map(_._2).distinct.sorted
+    val probe = events
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        graft.functions.TextFns.hash32(
+          concat(lit("ip|"), col("event_id").cast("string"))).as("ip"))
+      .withColumn("len", explode(array(lens.map(lit(_)): _*)))
+      .withColumn("key", expr("shiftright(ip, 32 - len)"))
+    val best = probe
+      .join(broadcast(dim),
+        probe("len") === dim("len") && col("key") === col("net_key"))
+      .groupBy(probe("event_id"), col("event_type"), col("user_id"),
+        col("cents"))
+      .agg(max(struct(dim("len"), col("label"))).as("m"))
+    best
+      .select(col("event_type"), col("user_id"), col("cents"),
+        col("m.len").as("prefix_len"), col("m.label").as("policy"))
+      .groupBy("policy", "prefix_len")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("cents").as("cents"))
+      .orderBy(desc("prefix_len"), asc("policy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_lpm_enrich" -> (lpmEnrich _),
     "q201_hll_distinct" -> (hllDistinct _),
     "q207_native_sessions" -> (nativeSessions _),
     "q210_oof_encoding" -> (oofEncoding _),
@@ -1104,6 +1188,31 @@ object Events {
     "q72_value_windows" -> (valueWindows _))
 
   val oracle: Map[String, String] = Map(
+    // the dim VALUES rows carry the same precomputed (len, shifted
+    // net key) integers the Spark literal dim does; LPM = rank by len
+    // DESC (tie-free: (len, key) unique in the dim)
+    "q247_lpm_enrich" -> {
+      val dimRows = CidrDim.map { case (net, len, label) =>
+        s"(${ipv4Long(net) >>> (32 - len)}, $len, '$label')"
+      }.mkString(",\n|    ")
+      s"""WITH dim(net_key, len, label) AS (VALUES
+         |    $dimRows),
+         |ev AS (SELECT event_id, event_type, user_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CAST(${graft.functions.TextFns.sql.hash32(
+               "'ip|' || CAST(event_id AS VARCHAR)")} AS BIGINT) AS ip
+         |  FROM events),
+         |cand AS (SELECT ev.*, d.len, d.label
+         |  FROM ev JOIN dim d ON (ev.ip >> (32 - d.len)) = d.net_key),
+         |best AS (SELECT *, row_number() OVER
+         |    (PARTITION BY event_id ORDER BY len DESC) AS rn FROM cand)
+         |SELECT label AS policy, len AS prefix_len,
+         |  count(*) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS cents
+         |FROM best WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY prefix_len DESC, policy""".stripMargin
+    },
     // DuckDB rebuilds every HLL register exactly (same md5-60bit hash,
     // same bucket/rank split), merges the ALL row register-wise, and
     // divides the identical HllNum literal by the same exact integer

@@ -698,4 +698,43 @@ class EventsSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("lpmEnrich (q247)") {
+    // independent reimplementation: per-event md5-derived IP classified
+    // by a driver-side scan of the full dim, longest prefix wins
+    def md5Ip(e: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ip|$e".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def ipv4(d: String): Long =
+      d.split('.').foldLeft(0L)((a, o) => (a << 8) | o.toLong)
+    val dim = Events.CidrDim.map { case (n, l, lab) =>
+      (l, ipv4(n) >>> (32 - l), lab)
+    }
+
+    it("matches a brute-force longest-prefix classification") {
+      val n = 400
+      val events = (1L to n.toLong).map(i =>
+        (i, s"t${i % 3}", i % 50, (i % 97) / 10.0))
+        .toDF("event_id", "event_type", "user_id", "value")
+      val expected = (1L to n.toLong).map { i =>
+        val ip = md5Ip(i)
+        val (len, _, lab) = dim
+          .filter { case (l, k, _) => (ip >> (32 - l)) == k }
+          .maxBy { case (l, _, lab) => (l, lab) }
+        ((lab, len), (i % 50, math.round((i % 97) / 10.0 * 100)))
+      }.groupBy(_._1).map { case ((lab, len), xs) =>
+        (lab, len, xs.size.toLong, xs.map(_._2._1).distinct.size.toLong,
+          xs.map(_._2._2).sum)
+      }.toSeq.sortBy(x => (-x._2, x._1))
+      val got = Events.lpmEnrichFrom(events).collect().map(r =>
+        (r.getAs[String]("policy"), r.getAs[Int]("prefix_len"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("cents"))).toSeq
+      assert(got == expected)
+      assert(got.map(_._3).sum == n) // catch-all /0: every event lands
+    }
+  }
 }
