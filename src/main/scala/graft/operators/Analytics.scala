@@ -1150,6 +1150,64 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q248 — SPLIT-CONFORMAL coverage audit (Vovk's inductive conformal
+    * prediction, the Lei et al. split formulation — the
+    * distribution-free uncertainty wrapper production ML ships because
+    * it needs no model internals): a hash-split calibration half fits
+    * a per-type predictor (the exact rational calibration mean) and
+    * the (1−α) conformal quantile q̂ of the nonconformity scores; the
+    * disjoint test half then audits empirical coverage — the
+    * finite-sample guarantee says P(score ≤ q̂) ≥ 1−α, and this query
+    * is the audit that certifies it on THIS corpus.
+    *
+    * Determinism: scores are the n_cal-SCALED integers
+    * |cents·n_cal − Σcents| (the shared scaling cancels in every
+    * comparison, so coverage matches the textbook |value − mean|
+    * formulation while staying all-integer — no float-at-threshold
+    * hazard); q̂ is the ⌈(1−α)(n_cal+1)⌉-th smallest calibration score
+    * via the integer test `10·cum ≥ 9·(n_cal+1)`; the split is the
+    * q45 no-rand() hash rule, so arms survive re-runs and growth.
+    *
+    * Scale shape: one corpus pass into the (type, score) value-grain
+    * relation; the order statistic rides [[Prefix.cumSumsBy]] (score
+    * cardinality ≈ row cardinality for money-derived scores — the
+    * q219 lesson, never a single-partition window); the test-side
+    * audit is one broadcast-q̂ join + a types-sized aggregate.
+    */
+  def conformalCoverage(spark: SparkSession, dir: String): DataFrame =
+    conformalFrom(Tables.events(spark, dir))
+
+  def conformalFrom(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      (TextFns.hash32(concat(lit("conf|"), col("event_id").cast("string")))
+        % 2).cast("int").as("arm"))
+    val pred = ev.filter(col("arm") === 0).groupBy("event_type")
+      .agg(sum("cents").as("s_cal"), count(lit(1)).as("n_cal"))
+    val scored = ev.join(broadcast(pred), Seq("event_type"))
+      .withColumn("score", abs(col("cents") * col("n_cal") - col("s_cal")))
+    val byS = scored.filter(col("arm") === 0)
+      .groupBy("event_type", "score").agg(count(lit(1)).as("c"))
+    val qhat = Prefix.cumSumsBy(byS, Seq("event_type"), "score",
+        col("score"), Seq("c"), Seq("cum"))
+      .join(broadcast(pred.select("event_type", "n_cal")), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 10 >= (col("n_cal") + 1) * 9, col("score")))
+        .as("qhat"))
+    scored.filter(col("arm") === 1)
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("score") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_cov"),
+        first(col("qhat")).as("qh"))
+      .join(broadcast(pred.select("event_type", "n_cal")), Seq("event_type"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        (col("qh").cast("double") / col("n_cal") / 100.0).as("qhat_w"),
+        round(col("n_cov").cast("double") / col("n_test"), 6).as("coverage"))
+      .orderBy("event_type")
+  }
+
   /** q226 reference/current split point and the textbook alert level
     * (PSI > 0.2 = "significant population shift").
     */
@@ -2166,6 +2224,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_cuped_readout" -> (cupedReadout _),
+    "q248_conformal_coverage" -> (conformalCoverage _),
     // implemented in Similarity (see ivfRecall's scaladoc for why the
     // registration lives here: its texts compose the q25/q75 texts)
     "q236_ivf_recall" -> (Similarity.ivfRecall _),
@@ -2351,6 +2410,40 @@ object Analytics {
        |  WHERE rn <= $PairUserCap)""".stripMargin
 
   lazy val oracle: Map[String, String] = Map(
+    // scaled-integer scores both sides; the window cum mirrors the
+    // Prefix two-phase bit-exactly (distinct scores per type, so the
+    // RANGE default frame ≡ ROWS)
+    "q248_conformal_coverage" -> {
+      val arm = TextFns.sql.hash32("'conf|' || CAST(event_id AS VARCHAR)")
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CAST($arm % 2 AS INTEGER) AS arm
+         |  FROM events),
+         |pred AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s_cal,
+         |    count(*) AS n_cal
+         |  FROM ev WHERE arm = 0 GROUP BY 1),
+         |sc AS (SELECT ev.event_type, arm,
+         |    abs(cents * n_cal - s_cal) AS score
+         |  FROM ev JOIN pred USING (event_type)),
+         |cal AS (SELECT event_type, score, count(*) AS c
+         |  FROM sc WHERE arm = 0 GROUP BY 1, 2),
+         |cum AS (SELECT event_type, score,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY score)
+         |      AS BIGINT) AS cum
+         |  FROM cal),
+         |qh AS (SELECT cum.event_type,
+         |    min(CASE WHEN cum * 10 >= (n_cal + 1) * 9 THEN score END)
+         |      AS qhat
+         |  FROM cum JOIN pred USING (event_type) GROUP BY 1)
+         |SELECT sc.event_type, max(p.n_cal) AS n_cal,
+         |  count(*) AS n_test,
+         |  CAST(max(q.qhat) AS DOUBLE) / max(p.n_cal) / 100.0 AS qhat_w,
+         |  round(CAST(sum(CASE WHEN q.qhat IS NULL OR sc.score <= q.qhat
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+         |FROM sc JOIN qh q ON q.event_type = sc.event_type
+         |JOIN pred p ON p.event_type = sc.event_type
+         |WHERE arm = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // q149's exact-moment discipline: per-user cents, HUGEINT pooled
     // moments, theta rounded 9 before the fixed-order double chains
     "q244_cuped_readout" -> {

@@ -1071,4 +1071,48 @@ class AnalyticsSpec extends AnyFunSpec {
       assert(r.getAs[Long]("n_outliers") == 1L)
     }
   }
+
+  describe("conformalCoverage (q248)") {
+    // independent driver-side reimplementation of the split-conformal
+    // pipeline (same md5 split, |v − mean| scores, ⌈(1−α)(n+1)⌉-th
+    // smallest threshold) over a synthetic corpus
+    it("matches a brute-force conformal audit") {
+      def arm(e: Long): Int = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"conf|$e".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex.take(8), 16) % 2).toInt
+      }
+      val n = 600
+      val rows = (1L to n.toLong).map(i =>
+        (i, s"t${i % 2}", (i % 83) / 4.0))
+      val events = rows.toDF("event_id", "event_type", "value")
+      val expected = rows.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (tpe, xs) =>
+          val withArm = xs.map(x =>
+            (arm(x._1), math.round(x._3 * 100)))
+          val cal = withArm.filter(_._1 == 0).map(_._2)
+          val test = withArm.filter(_._1 == 1).map(_._2)
+          val s = cal.sum
+          val nc = cal.size.toLong
+          val scores = cal.map(c => (c * nc - s).abs).sorted
+          val k = ((nc + 1) * 9 + 9) / 10 // ⌈0.9(n+1)⌉
+          val qhat = if (k <= nc) Some(scores(k.toInt - 1)) else None
+          val cov = test.count(c =>
+            qhat.forall((c * nc - s).abs <= _))
+          (tpe, nc, test.size.toLong,
+            qhat.map(_.toDouble / nc / 100.0),
+            BigDecimal(cov.toDouble / test.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val got = Analytics.conformalFrom(events).collect().map(r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("n_cal"),
+          r.getAs[Long]("n_test"),
+          Option(r.getAs[java.lang.Double]("qhat_w")).map(_.toDouble),
+          r.getAs[Double]("coverage"))).toSeq
+      assert(got == expected)
+      // the audited guarantee itself: empirical coverage near 1−α
+      got.foreach(x => assert(x._5 >= 0.8 && x._5 <= 1.0))
+    }
+  }
 }
