@@ -1845,7 +1845,110 @@ object Similarity {
     annPqFrom(e, Some(trainPqCodebooks(e)))
   }
 
+  /** q249 candidate pool (per query), picks, and the relevance weight.
+    * λ = 0.7 and its complement are SEPARATE literals — `1 − 0.7`
+    * computed in doubles is 0.30000000000000004, which would desync
+    * the two engines' score arithmetic.
+    */
+  val MmrCand = 20
+  val MmrSelect = 10
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+
+  /** q249 — MMR-diversified retrieval (Carbonell & Goldstein, SIGIR
+    * 1998 — maximal marginal relevance, the standard diversity
+    * re-ranker in RAG stacks): from each query's top-[[MmrCand]]
+    * cosine pool, greedily select [[MmrSelect]] docs maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance against the
+    * query, penalized by redundancy against what is ALREADY selected,
+    * so near-duplicate hits stop crowding out coverage (the
+    * result-list counterpart of q60's corpus-level SemDeDup).
+    *
+    * Determinism: rel and pairwise sims are 9-dp-rounded kernel
+    * cosines — EXACT decimals — so each MMR score `0.7·rel − 0.3·red`
+    * is computed as an exact scale-10 DECIMAL (a double formulation
+    * re-rounded to 9 dp hit a half-boundary at sf0.1 and split the
+    * engines); greedy argmax orders by that exact decimal with doc-id
+    * tie-breaks; the oracle unrolls the [[MmrSelect]] selection
+    * rounds as generated CTE stages over the same decimal algebra.
+    *
+    * Scale shape: ONE q25-shaped corpus pass (broadcast query set,
+    * map-side fused-kernel scoring, WindowGroupLimit top-k) + one
+    * broadcast-candidate corpus probe for candidate vectors; the
+    * pairwise sim self-join and the greedy fold run on
+    * |queries|·C(·C) rows — model-scale, the only rows that reach the
+    * driver (the q61 contract: the iterative selection is inherently
+    * sequential in k, so it folds over ≤|queries|·C² collected rows
+    * instead of paying k tiny cluster jobs).
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrFrom(Tables.embeddings(spark, dir))
+
+  def mmrFrom(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embDouble(embeddings)
+    val q = queriesOf(e)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb")), 9).as("cosine"))
+    val cand = topK(scored, MmrCand)
+      .select("query_id", "neighbor_id", "cosine").localCheckpoint()
+    val candV = e.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("emb"))
+      .localCheckpoint()
+    val sims = candV.alias("a").join(candV.alias("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id"), col("a.neighbor_id").as("i"),
+        col("b.neighbor_id").as("j"),
+        round(cosine(col("a.emb"), col("b.emb")), 9).as("s"))
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    // exact-decimal MMR score: rel/red are 9-dp decimals, so
+    // 0.7·rel − 0.3·red is EXACT at scale 10 — no second rounding, no
+    // cross-engine half-boundary (the double formulation diverged at
+    // sf0.1 on a …5-at-9dp score). Ordered via the scale-10 unscaled
+    // long.
+    val lam = new java.math.BigDecimal("0.7")
+    val mu = new java.math.BigDecimal("0.3")
+    def score(rel: Double, red: Double): java.math.BigDecimal =
+      lam.multiply(java.math.BigDecimal.valueOf(rel))
+        .subtract(mu.multiply(java.math.BigDecimal.valueOf(red)))
+        .setScale(10)
+    val out = candRows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, xs) =>
+        val pool = scala.collection.mutable.LinkedHashMap(
+          xs.sortBy(x => (-x._3, x._2)).map(x => x._2 -> x._3): _*)
+        val sel = scala.collection.mutable.ArrayBuffer[Long]()
+        (1 to MmrSelect).flatMap { k =>
+          if (pool.isEmpty) None
+          else {
+            val (d, rel, red, mmr) = pool.iterator.map { case (d, rel) =>
+              val red =
+                if (sel.isEmpty) 0.0
+                else sel.iterator.map(s => simMap((qid, d, s))).max
+              (d, rel, red, score(rel, red))
+            }.toSeq
+              .sortBy(x => (-x._4.unscaledValue().longValueExact(), x._1))
+              .head
+            pool.remove(d)
+            sel += d
+            Some((qid, k, d, rel, red, mmr.doubleValue))
+          }
+        }
+    }
+    out.toDF("query_id", "sel_rank", "doc_id", "relevance", "redundancy",
+        "mmr")
+      .orderBy("query_id", "sel_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_mmr_rerank" -> (mmrRerank _),
     "q25_knn_bruteforce" -> (knnBrute _),
     "q119_matryoshka_recall" -> (matryoshkaRecall _),
     "q26_ann_lsh" -> (annLsh _),
@@ -2431,6 +2534,74 @@ object Similarity {
   }
 
   lazy val oracle: Map[String, String] = Map(
+    // the greedy selection unrolled as one generated CTE stage per
+    // pick: stage k ranks the unselected pool by the identical
+    // round(0.7·rel − 0.3·red, 9) chain with doc-id tie-breaks
+    "q249_mmr_rerank" -> {
+      val stages = (1 to MmrSelect).map { k =>
+        if (k == 1)
+          s"""s1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel,
+             |    CAST(0.0 AS DOUBLE) AS red, 1 AS sel_rank FROM (
+             |  SELECT query_id, neighbor_id, rel, row_number() OVER
+             |      (PARTITION BY query_id
+             |       ORDER BY ($MmrLambda * CAST(rel AS DECIMAL(12,9)) -
+             |           $MmrMu * CAST(0.0 AS DECIMAL(12,9)))
+             |         DESC, neighbor_id) AS rn
+             |  FROM cand) WHERE rn = 1)""".stripMargin
+        else {
+          val prev = (1 until k)
+            .map(i => s"SELECT query_id, neighbor_id FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""s$k AS MATERIALIZED (SELECT query_id, neighbor_id, rel, red,
+             |    $k AS sel_rank FROM (
+             |  SELECT c.query_id, c.neighbor_id, c.rel,
+             |    coalesce(r.red, 0.0) AS red,
+             |    row_number() OVER (PARTITION BY c.query_id
+             |      ORDER BY ($MmrLambda * CAST(c.rel AS DECIMAL(12,9)) -
+             |          $MmrMu * CAST(coalesce(r.red, 0.0) AS DECIMAL(12,9)))
+             |        DESC, c.neighbor_id) AS rn
+             |  FROM cand c
+             |  LEFT JOIN (SELECT m.query_id, m.i AS neighbor_id,
+             |      max(m.s) AS red
+             |    FROM sims m JOIN ($prev) p
+             |      ON p.query_id = m.query_id AND p.neighbor_id = m.j
+             |    GROUP BY 1, 2) r
+             |    ON r.query_id = c.query_id
+             |      AND r.neighbor_id = c.neighbor_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM ($prev) p2
+             |    WHERE p2.query_id = c.query_id
+             |      AND p2.neighbor_id = c.neighbor_id)
+             |  ) WHERE rn = 1)""".stripMargin
+        }
+      }.mkString(",\n")
+      val union = (1 to MmrSelect).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |  FROM e WHERE vec_id < $NumQueries),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_inner_product(q_emb, emb) / (q_nrm * nrm), 9) AS rel
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS crn FROM sc)
+         |  WHERE crn <= $MmrCand),
+         |cv AS (SELECT c.query_id, c.neighbor_id, e.emb, e.nrm
+         |  FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+         |sims AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS i,
+         |    b.neighbor_id AS j,
+         |    round(list_inner_product(a.emb, b.emb) / (a.nrm * b.nrm), 9)
+         |      AS s
+         |  FROM cv a JOIN cv b ON a.query_id = b.query_id
+         |    AND a.neighbor_id <> b.neighbor_id),
+         |$stages
+         |SELECT query_id, sel_rank, neighbor_id AS doc_id,
+         |  rel AS relevance, red AS redundancy,
+         |  CAST($MmrLambda * CAST(rel AS DECIMAL(12,9)) -
+         |    $MmrMu * CAST(red AS DECIMAL(12,9)) AS DOUBLE) AS mmr
+         |FROM ($union)
+         |ORDER BY query_id, sel_rank""".stripMargin
+    },
     "q100_ann_pq" -> {
       val codeCols = (0 until PqM)
         .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS code$m").mkString(",\n    ")

@@ -817,4 +817,42 @@ class SimilaritySpec extends AnyFunSpec {
       assert(r(5).getAs[Long]("n_flagged") == 1L)
     }
   }
+
+  describe("mmrRerank (q249)") {
+    // two tight clusters flanking the query: A (ids 10–14) at +10°,
+    // B (ids 20–24) at −14° — A is more relevant, so pure relevance
+    // ranks all of A first; MMR's redundancy penalty must pull a B
+    // doc into the top picks
+    val a = math.toRadians(10)
+    val b = math.toRadians(14)
+    def clusterVec(ang: Double, i: Int): Array[Float] =
+      Array(math.cos(ang).toFloat,
+        (math.sin(ang) * (1.0 + i * 1e-4)).toFloat, 0f, 0f)
+    val corpus2 = emb(
+      Seq((0L, Array(1f, 0f, 0f, 0f))) ++
+        (0 until 5).map(i => (10L + i, clusterVec(a, i))) ++
+        (0 until 5).map(i => (20L + i, clusterVec(-b, i))): _*)
+
+    it("diversifies: both clusters appear in the top 2 picks") {
+      val r = Similarity.mmrFrom(corpus2)
+        .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+        .collect()
+      val picks = r.sortBy(_.getAs[Int]("sel_rank"))
+        .map(_.getAs[Long]("doc_id")).toSeq
+      // pure relevance would put all five A docs first
+      val relOrder = r.sortBy(x => (-x.getAs[Double]("relevance"),
+        x.getAs[Long]("doc_id"))).map(_.getAs[Long]("doc_id")).take(5)
+      assert(relOrder.forall(_ < 20L))
+      assert(picks.head < 20L) // first pick = most relevant (A)
+      assert(picks(1) >= 20L, s"second pick should diversify: $picks")
+      // every candidate eventually selected exactly once
+      assert(picks.distinct.size == picks.size)
+    }
+
+    it("is deterministic across runs") {
+      val r1 = Similarity.mmrFrom(corpus2).collect().map(_.toString).toSeq
+      val r2 = Similarity.mmrFrom(corpus2).collect().map(_.toString).toSeq
+      assert(r1 == r2)
+    }
+  }
 }
