@@ -2167,7 +2167,212 @@ object Multimodal {
   def h264Meta(spark: SparkSession, dir: String): DataFrame =
     h264MetaOf(mp4AvcPayloads(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Deterministic JPEG-with-Exif payload for `doc_id`: SOI + APP1
+    * ("Exif\0\0" + a real TIFF structure) + EOI. The TIFF carries BOTH
+    * byte orders (id-even → "II" little-endian, odd → "MM" big-endian
+    * — a parser that silently assumes one is the classic EXIF bug),
+    * IFD0 with Make/Model/Orientation/DateTime and an Exif-IFD
+    * pointer, and the sub-IFD with ISO and pixel dimensions; ASCII
+    * values live in the data area behind real value offsets, SHORTs
+    * and LONGs inline left-justified per TIFF 6.0. Every field derives
+    * from id arithmetic, so the oracle regenerates the expected
+    * metadata analytically. Hostile arms (precedence order, the q232
+    * id-mod discipline): id%17 → TIFF truncated mid-IFD, id%19 → the
+    * declared entry count (0xFFFF) overruns the segment (the
+    * extent-bound-BEFORE-allocation window), id%23 → an ASCII value
+    * offset beyond the TIFF extent.
+    */
+  def exifJpegBytes(id: Long): Array[Byte] = {
+    def m(n: Long): Long = java.lang.Math.floorMod(id, n)
+    val little = m(2) == 0
+    val armTrunc = m(17) == 0
+    val armCount = !armTrunc && m(19) == 0
+    val armOffset = !armTrunc && !armCount && m(23) == 0
+    val make = s"cam${m(7)}"
+    val model = s"mod${m(13)}"
+    val dt = f"2024:${1 + m(12)}%02d:${1 + m(28)}%02d ${m(24)}%02d:00:00"
+    val mLen = make.length + 1
+    val moLen = model.length + 1
+    val ifd0Off = 8
+    val exifOff = ifd0Off + 2 + 5 * 12 + 4 // 74
+    val dataOff = exifOff + 2 + 3 * 12 + 4 // 116
+    val makeOff = dataOff
+    val modelOff = makeOff + mLen
+    val dtOff = modelOff + moLen
+    val tiffLen = dtOff + 20
+    val bb = java.nio.ByteBuffer.allocate(tiffLen).order(
+      if (little) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (little) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(ifd0Off)
+    def entry(tag: Int, typ: Int, cnt: Long, inlineShort: Int = -1,
+        inlineLong: Long = -1L): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt.toInt)
+      if (inlineShort >= 0) bb.putShort(inlineShort.toShort).putShort(0)
+      else bb.putInt(inlineLong.toInt)
+    }
+    bb.putShort(if (armCount) 0xFFFF.toShort else 5)
+    entry(0x010F, 2, mLen,
+      inlineLong = if (armOffset) tiffLen + 1000L else makeOff.toLong)
+    entry(0x0110, 2, moLen, inlineLong = modelOff.toLong)
+    entry(0x0112, 3, 1, inlineShort = (1 + m(8)).toInt)
+    entry(0x0132, 2, 20, inlineLong = dtOff.toLong)
+    entry(0x8769, 4, 1, inlineLong = exifOff.toLong)
+    bb.putInt(0) // next IFD
+    bb.putShort(3)
+    entry(0x8827, 3, 1, inlineShort = (100 * (1 + m(5))).toInt)
+    entry(0xA002, 4, 1, inlineLong = 8L * (1 + m(4)))
+    entry(0xA003, 4, 1, inlineLong = 8L * (1 + m(3)))
+    bb.putInt(0)
+    bb.put((make + " ").getBytes("US-ASCII"))
+      .put((model + " ").getBytes("US-ASCII"))
+      .put((dt + " ").getBytes("US-ASCII"))
+    val tiff =
+      if (armTrunc) java.util.Arrays.copyOfRange(bb.array(), 0, 9)
+      else bb.array()
+    val payload = "Exif  ".getBytes("US-ASCII") ++ tiff
+    val out = java.nio.ByteBuffer.allocate(2 + 4 + payload.length + 2)
+    out.put(0xFF.toByte).put(0xD8.toByte) // SOI
+      .put(0xFF.toByte).put(0xE1.toByte) // APP1
+      .putShort((payload.length + 2).toShort).put(payload)
+      .put(0xFF.toByte).put(0xD9.toByte) // EOI
+    out.array()
+  }
+
+  /** Synthetic EXIF-photo table (the q154/q196 fixture discipline). */
+  def exifPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .as[Long].map(id => (id, exifJpegBytes(id))).toDF("doc_id", "payload")
+  }
+
+  /** One parsed EXIF record; quarantined payloads report
+    * `exif_ok = false` with empty/zero fields.
+    */
+  final case class ExifMeta(
+      doc_id: Long, exif_ok: Boolean, byte_order: String, n_entries: Int,
+      make: String, model: String, orientation: Int, taken_at: String,
+      px_w: Long, px_h: Long, iso: Int)
+
+  /** REAL EXIF/TIFF walk: JPEG segment scan → APP1 "Exif\0\0" → TIFF
+    * header (either byte order, magic 42) → IFD0 entries → Exif
+    * sub-IFD, with EVERY declared count and value offset
+    * extent-checked against the segment BEFORE any read (the fMP4
+    * lesson: a lying count must quarantine, not allocate); ASCII
+    * values resolve inline-or-offset per TIFF 6.0 left-justification.
+    * Pure per-doc map — the metadata-extraction step of an image
+    * ingest pipeline, shuffle-free until the presentation sort.
+    */
+  private def parseExifJpeg(id: Long, b: Array[Byte]): ExifMeta = {
+    val fail = ExifMeta(id, exif_ok = false, "", 0, "", "", 0, "", 0L, 0L, 0)
+    try {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return fail
+      var p = 2
+      var tiff: Array[Byte] = null
+      var guard = 0
+      while (tiff == null && p + 4 <= b.length && guard < 64) {
+        guard += 1
+        if ((b(p) & 0xff) != 0xff) return fail
+        val marker = b(p + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return fail
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length) return fail
+        if (marker == 0xe1 && len >= 8 &&
+            new String(b, p + 4, 6, "US-ASCII") == "Exif  ")
+          tiff = java.util.Arrays.copyOfRange(b, p + 10, p + 2 + len)
+        p += 2 + len
+      }
+      if (tiff == null) return fail
+      val n = tiff.length
+      if (n < 8) return fail
+      val little = tiff(0) == 'I' && tiff(1) == 'I'
+      if (!little && !(tiff(0) == 'M' && tiff(1) == 'M')) return fail
+      def u16(at: Long): Int = {
+        if (at < 0 || at + 2 > n) return -1
+        val a = at.toInt
+        if (little) (tiff(a) & 0xff) | ((tiff(a + 1) & 0xff) << 8)
+        else ((tiff(a) & 0xff) << 8) | (tiff(a + 1) & 0xff)
+      }
+      def u32(at: Long): Long = {
+        if (at < 0 || at + 4 > n) return -1L
+        val a = at.toInt
+        if (little)
+          (tiff(a) & 0xffL) | ((tiff(a + 1) & 0xffL) << 8) |
+            ((tiff(a + 2) & 0xffL) << 16) | ((tiff(a + 3) & 0xffL) << 24)
+        else
+          ((tiff(a) & 0xffL) << 24) | ((tiff(a + 1) & 0xffL) << 16) |
+            ((tiff(a + 2) & 0xffL) << 8) | (tiff(a + 3) & 0xffL)
+      }
+      if (u16(2) != 42) return fail
+      var make, model, dt = null: String
+      var orient, iso = -1
+      var xw, yh, exifPtr = -1L
+      var entries = 0
+      def ascii(e: Long, cnt: Long): String = {
+        if (cnt < 1 || cnt > n) return null
+        val src = if (cnt <= 4) e + 8 else u32(e + 8)
+        if (src < 0 || src + cnt > n) return null
+        val raw = new String(tiff, src.toInt, cnt.toInt, "US-ASCII")
+        if (raw.nonEmpty && raw.last == ' ') raw.dropRight(1) else raw
+      }
+      def walkIfd(off: Long, sub: Boolean): Boolean = {
+        val cnt = u16(off)
+        // the extent bound BEFORE iteration: a declared count whose
+        // entry table overruns the segment is hostile, not sparse
+        if (cnt < 0 || off + 2 + cnt.toLong * 12 + 4 > n) return false
+        var i = 0
+        while (i < cnt) {
+          val e = off + 2 + i * 12L
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          val c = u32(e + 4)
+          (tag, typ) match {
+            case (0x010F, 2) => make = ascii(e, c); if (make == null) return false
+            case (0x0110, 2) => model = ascii(e, c); if (model == null) return false
+            case (0x0132, 2) => dt = ascii(e, c); if (dt == null) return false
+            case (0x0112, 3) => orient = u16(e + 8)
+            case (0x8769, 4) => exifPtr = u32(e + 8)
+            case (0x8827, 3) => iso = u16(e + 8)
+            case (0xA002, 4) => xw = u32(e + 8)
+            case (0xA003, 4) => yh = u32(e + 8)
+            case _ => // unknown tags skip (forward compatibility)
+          }
+          entries += 1
+          i += 1
+        }
+        if (!sub && exifPtr >= 0) walkIfd(exifPtr, sub = true) else true
+      }
+      if (!walkIfd(u32(4), sub = false)) return fail
+      if (make == null || model == null || dt == null || orient < 0 ||
+        iso < 0 || xw < 0 || yh < 0) return fail
+      ExifMeta(id, exif_ok = true, if (little) "II" else "MM", entries,
+        make, model, orient, dt, xw, yh, iso)
+    } catch { case _: Exception => fail }
+  }
+
+  /** q250 — EXIF metadata audit over the synthetic photo corpus: the
+    * REAL TIFF/IFD walk per payload ([[parseExifJpeg]]) gated against
+    * DuckDB's analytic regeneration of every field from the id
+    * arithmetic. Map-only until the presentation sort; quarantine
+    * arms (truncation, count overrun, offset overrun) report
+    * `exif_ok = false`, never throw.
+    */
+  def exifMeta(spark: SparkSession, dir: String): DataFrame =
+    exifMetaFrom(exifPayloads(spark, dir))
+
+  def exifMetaFrom(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, b) => parseExifJpeg(id, b) })
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_exif_meta" -> (exifMeta _),
     "q30_media_meta" -> (mediaMeta _),
     "q224_h264_meta" -> (h264Meta _),
     "q231_warc_ingest" -> (graft.sources.Warc.warcIngest _),
@@ -2227,6 +2432,37 @@ object Multimodal {
        |  FROM px GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regenerates every EXIF field from the id arithmetic; the
+    // Spark side must recover them through the REAL two-byte-order
+    // TIFF/IFD walk (nothing echoed); the three hostile arms must
+    // quarantine exactly
+    "q250_exif_meta" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (doc_id % 17 = 0 OR doc_id % 19 = 0 OR doc_id % 23 = 0) AS bad
+        |  FROM documents)
+        |SELECT doc_id, NOT bad AS exif_ok,
+        |  CASE WHEN bad THEN ''
+        |    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(CASE WHEN bad THEN 0 ELSE 8 END AS INTEGER) AS n_entries,
+        |  CASE WHEN bad THEN ''
+        |    ELSE 'cam' || CAST(doc_id % 7 AS VARCHAR) END AS make,
+        |  CASE WHEN bad THEN ''
+        |    ELSE 'mod' || CAST(doc_id % 13 AS VARCHAR) END AS model,
+        |  CAST(CASE WHEN bad THEN 0 ELSE 1 + doc_id % 8 END AS INTEGER)
+        |    AS orientation,
+        |  CASE WHEN bad THEN '' ELSE '2024:' ||
+        |    lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+        |    lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00'
+        |    END AS taken_at,
+        |  CAST(CASE WHEN bad THEN 0 ELSE 8 * (1 + doc_id % 4) END AS BIGINT)
+        |    AS px_w,
+        |  CAST(CASE WHEN bad THEN 0 ELSE 8 * (1 + doc_id % 3) END AS BIGINT)
+        |    AS px_h,
+        |  CAST(CASE WHEN bad THEN 0 ELSE 100 * (1 + doc_id % 5) END
+        |    AS INTEGER) AS iso
+        |FROM f ORDER BY doc_id""".stripMargin,
     // DuckDB regenerates the Warc fixture closed forms (URI, status,
     // the doc text as the 200 body, the 404 stub, the gzip arm flag);
     // every value must survive the Spark side's REAL gzip-member

@@ -755,4 +755,57 @@ class MultimodalSpec extends AnyFunSpec {
       assert(!r.parse_ok)
     }
   }
+
+  describe("exifMeta (q250)") {
+    it("decodes both byte orders with field-exact values") {
+      val even = Multimodal.exifJpegBytes(2L) // II
+      val odd = Multimodal.exifJpegBytes(1L) // MM
+      val df = Seq((2L, even), (1L, odd)).toDF("doc_id", "payload")
+      val got = Multimodal.exifMetaFrom(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val e = got(2L)
+      assert(e.getAs[Boolean]("exif_ok"))
+      assert(e.getAs[String]("byte_order") == "II")
+      assert(e.getAs[String]("make") == "cam2")
+      assert(e.getAs[String]("model") == "mod2")
+      assert(e.getAs[Int]("orientation") == 3)
+      assert(e.getAs[String]("taken_at") == "2024:03:03 02:00:00")
+      assert(e.getAs[Long]("px_w") == 24L)
+      assert(e.getAs[Long]("px_h") == 24L)
+      assert(e.getAs[Int]("iso") == 300)
+      val o = got(1L)
+      assert(o.getAs[Boolean]("exif_ok"))
+      assert(o.getAs[String]("byte_order") == "MM")
+      assert(o.getAs[Int]("n_entries") == 8)
+    }
+
+    it("quarantines the three hostile arms and tampered magics") {
+      val ids = Seq(17L, 19L, 23L) // truncation, count overrun, bad offset
+      val rows = ids.map(i => (i, Multimodal.exifJpegBytes(i))) ++ Seq(
+        (100L, { // tampered TIFF magic
+          val b = Multimodal.exifJpegBytes(100L)
+          // APP1 payload starts at 4; TIFF at 4+6; magic at +2
+          b(4 + 6 + 2) = 0x13.toByte; b
+        }),
+        (101L, Array[Byte](1, 2, 3)), // not a JPEG
+        (102L, Multimodal.exifJpegBytes(102L).take(20))) // truncated segment
+      val got = Multimodal.exifMetaFrom(rows.toDF("doc_id", "payload"))
+        .collect()
+      got.foreach(r => assert(!r.getAs[Boolean]("exif_ok"),
+        s"doc ${r.getAs[Long]("doc_id")} should quarantine"))
+    }
+
+    it("never throws under byte-flip fuzzing") {
+      val rnd = new scala.util.Random(250)
+      val rows = (0 until 60).map { i =>
+        val b = Multimodal.exifJpegBytes(i.toLong + 1)
+        val k = rnd.nextInt(b.length)
+        b(k) = (b(k) ^ (1 << rnd.nextInt(8))).toByte
+        (1000L + i, b)
+      }
+      val got = Multimodal.exifMetaFrom(rows.toDF("doc_id", "payload"))
+        .collect()
+      assert(got.length == 60) // every row lands, ok or quarantined
+    }
+  }
 }
