@@ -370,7 +370,210 @@ object Html {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------------
+  // q251 — outlink/anchor link-graph audit. The signal web search and
+  // crawl prioritization run on: who links to whom, with what anchor
+  // text (the original IR relevance side-channel), and how much of a
+  // host's link mass is navigational self-reference.
+
+  /** Hosts in the synthetic web (site0..site19.example). */
+  val LinkHosts = 20
+
+  /** q232's page plus a closed-form "related links" section: 4
+    * ABSOLUTE outlinks per doc (`https://site<(7id+13k+1)%20>.example/
+    * page<(id+3k)%50>` with anchor `ref<(id+k)%4>`) appended inside
+    * the main div. The 9 relative chrome hrefs (/home, /terms, …)
+    * stay — the extractor must keep only host-resolving links.
+    */
+  def linkPageOf(id: Long, text: String, source: String): String = {
+    val rel = (0 until 4).map { k =>
+      val dst = (id * 7 + 13 * k + 1) % LinkHosts
+      val page = (id + 3 * k) % 50
+      val anchor = s"ref${(id + k) % 4}"
+      s"""<a href="https://site$dst.example/page$page">$anchor</a>"""
+    }.mkString(" ")
+    htmlOf(id, text, source)
+      .replace("<footer>", s"""<p class="rel">$rel</p>\n<footer>""")
+  }
+
+  /** REAL attribute-aware link extraction: a tolerant scan that skips
+    * comments and script/style payloads (an `<a>` inside a script
+    * literal is not a link), case-normalizes tag/attribute names,
+    * reads quoted or bare `href` values, decodes the basic entities
+    * in anchor text, strips nested markup inside the anchor, and
+    * finalizes an unclosed `<a>` at EOF. Returns (href, anchor) in
+    * document order.
+    */
+  def extractLinks(html: String): List[(String, String)] = {
+    val n = html.length
+    val out = List.newBuilder[(String, String)]
+    var skip = "" // inside <script>/<style>
+    var href: String = null
+    var anchor: StringBuilder = null
+    def closeA(): Unit = if (href != null) {
+      out += ((href, anchor.toString.trim))
+      href = null; anchor = null
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val ns = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(ns, j).toLowerCase
+          if (skip.nonEmpty) {
+            // only the matching close tag leaves a raw-text element
+            if (closing && name == skip) skip = ""
+            val e = html.indexOf('>', j)
+            i = if (e < 0) n else e + 1
+          } else {
+            var h: String = null
+            // attribute scan to the tag end
+            while (j < n && html.charAt(j) != '>') {
+              if (html.charAt(j).isLetter) {
+                val as = j
+                while (j < n && (html.charAt(j).isLetterOrDigit ||
+                  html.charAt(j) == '-')) j += 1
+                val aname = html.substring(as, j).toLowerCase
+                while (j < n && html.charAt(j).isWhitespace) j += 1
+                var av: String = null
+                if (j < n && html.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && html.charAt(j).isWhitespace) j += 1
+                  if (j < n && (html.charAt(j) == '"' ||
+                      html.charAt(j) == '\'')) {
+                    val qc = html.charAt(j)
+                    val ve = html.indexOf(qc, j + 1)
+                    av = html.substring(j + 1, if (ve < 0) n else ve)
+                    j = if (ve < 0) n else ve + 1
+                  } else {
+                    val vs = j
+                    while (j < n && !html.charAt(j).isWhitespace &&
+                      html.charAt(j) != '>') j += 1
+                    av = html.substring(vs, j)
+                  }
+                }
+                if (aname == "href") h = av
+              } else j += 1
+            }
+            if (name == "a") {
+              if (closing) closeA()
+              else { closeA(); href = h; anchor = new StringBuilder }
+            } else if (name == "script" || name == "style") {
+              if (!closing) skip = name
+            }
+            i = j + 1
+            // avoid re-entering the loop without progress on '>'-less EOF
+            if (j >= n) i = n
+          }
+          if (i <= j) i = j + 1
+        }
+      } else if (skip.isEmpty) {
+        if (c == '&') {
+          val e = html.indexOf(';', i + 1)
+          val ent = if (e > 0 && e - i <= 6) html.substring(i + 1, e) else ""
+          Entities.get(ent) match {
+            case Some(ch) =>
+              if (anchor != null) anchor.append(ch)
+              i = e + 1
+            case None =>
+              if (anchor != null) anchor.append(c)
+              i += 1
+          }
+        } else {
+          if (anchor != null) anchor.append(c)
+          i += 1
+        }
+      } else i += 1
+    }
+    closeA() // unclosed <a> finalizes at EOF
+    out.result()
+  }
+
+  /** Synthetic linked-page table: (doc_id, url, html). */
+  def linkPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, t, s) =>
+        (id, s"https://site${id % LinkHosts}.example/doc$id",
+          linkPageOf(id, t, s))
+      }
+      .toDF("doc_id", "url", "html")
+  }
+
+  /** q251 — host link-graph audit over the synthetic web: per host,
+    * its doc count, outlink mass, split in/self inbound mass, and the
+    * dominant inbound anchor text. Links come from the REAL
+    * attribute-aware extraction ([[extractLinks]]) and resolve hosts
+    * through Spark's native `parse_url` — relative chrome hrefs
+    * resolve no host and drop; the oracle regenerates the 4-per-doc
+    * absolute link relation from the id arithmetic, so every gated
+    * count must survive the markup scan + URL parse.
+    *
+    * Scale shape: per-doc map extraction (no shuffle), then every
+    * aggregate lives at host or (host, anchor) cardinality — the
+    * rank-1 anchor window partitions by host over a bounded domain.
+    */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame =
+    linkGraphOf(linkPages(spark, dir))
+
+  def linkGraphOf(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val links = pages.select(col("doc_id").cast("long"), col("url"),
+        col("html"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, url, h) =>
+        extractLinks(h).map { case (href, a) => (id, url, href, a) }
+      }
+      .toDF("doc_id", "url", "href", "anchor")
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("src_host"),
+        parse_url(col("href"), lit("HOST")).as("dst_host"),
+        col("anchor"))
+      .filter(col("dst_host").isNotNull)
+    val hostDocs = pages
+      .select(parse_url(col("url"), lit("HOST")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val outs = links.groupBy(col("src_host").as("host"))
+      .agg(count(lit(1)).as("out_links"))
+    val ins = links.groupBy(col("dst_host").as("host"))
+      .agg(
+        sum(when(col("src_host") =!= col("dst_host"), 1L).otherwise(0L))
+          .as("in_links"),
+        sum(when(col("src_host") === col("dst_host"), 1L).otherwise(0L))
+          .as("self_links"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst_host").orderBy(desc("c"), asc("anchor"))
+    val topAnchor = links.groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dst_host").as("host"), col("anchor").as("top_anchor"),
+        col("c").as("top_anchor_n"))
+    hostDocs
+      .join(outs, Seq("host"), "left")
+      .join(ins, Seq("host"), "left")
+      .join(topAnchor, Seq("host"), "left")
+      .select(col("host"), col("n_docs"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"),
+        coalesce(col("self_links"), lit(0L)).as("self_links"),
+        col("top_anchor"),
+        coalesce(col("top_anchor_n"), lit(0L)).as("top_anchor_n"))
+      .orderBy("host")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_link_graph" -> (linkGraph _),
     "q232_html_extract" -> (htmlExtract _),
     "q235_url_canonical" -> (urlCanonical _),
     "q237_robots_audit" -> (robotsAudit _))
@@ -380,6 +583,43 @@ object Html {
   // the density-dropped link paragraph, and the SHA-256 of the joined
   // main text — the Spark side must recover all of it from real markup
   val oracle: Map[String, String] = Map(
+    // DuckDB regenerates the 4-per-doc absolute link relation from the
+    // id arithmetic; the Spark side must reach the same graph through
+    // the real attribute scan + parse_url host resolution (the 9
+    // relative chrome hrefs must drop)
+    "q251_link_graph" ->
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |    'site' || CAST(doc_id % $LinkHosts AS VARCHAR) || '.example'
+         |      AS src,
+         |    'site' || CAST((doc_id * 7 + 13 * t.k + 1) % $LinkHosts
+         |      AS VARCHAR) || '.example' AS dst,
+         |    'ref' || CAST((doc_id + t.k) % 4 AS VARCHAR) AS anchor
+         |  FROM documents, range(0, 4) t(k)),
+         |d AS (SELECT 'site' || CAST(doc_id % $LinkHosts AS VARCHAR) ||
+         |    '.example' AS host, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |o AS (SELECT src AS host, count(*) AS out_links FROM l GROUP BY 1),
+         |i AS (SELECT dst AS host,
+         |    CAST(sum(CASE WHEN src <> dst THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS in_links,
+         |    CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS self_links
+         |  FROM l GROUP BY 1),
+         |ta AS (SELECT dst AS host, anchor AS top_anchor,
+         |    c AS top_anchor_n FROM (
+         |  SELECT dst, anchor, count(*) AS c, row_number() OVER
+         |      (PARTITION BY dst ORDER BY count(*) DESC, anchor) AS rn
+         |    FROM l GROUP BY dst, anchor) WHERE rn = 1)
+         |SELECT d.host, d.n_docs,
+         |  coalesce(o.out_links, 0) AS out_links,
+         |  coalesce(i.in_links, 0) AS in_links,
+         |  coalesce(i.self_links, 0) AS self_links,
+         |  ta.top_anchor,
+         |  coalesce(ta.top_anchor_n, 0) AS top_anchor_n
+         |FROM d LEFT JOIN o USING (host) LEFT JOIN i USING (host)
+         |LEFT JOIN ta USING (host)
+         |ORDER BY d.host""".stripMargin,
     // DuckDB regenerates the block decision from the fixture closed
     // forms — including the string-PREFIX subtlety ('/a/1' blocks
     // '/a/10'..'/a/19' and '/a/1.json') and the wildcard arm — while

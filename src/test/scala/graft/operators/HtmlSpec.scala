@@ -80,4 +80,40 @@ class HtmlSpec extends AnyFunSpec {
       }
     }
   }
+
+  describe("extractLinks (q251)") {
+    it("finds every href on the fixture page: 9 relative + 4 absolute") {
+      val links = Html.extractLinks(Html.linkPageOf(12L, "body text", "s"))
+      assert(links.size == 13)
+      assert(links.count(_._1.startsWith("https://")) == 4)
+      // closed-form targets for id=12: dst = (84 + 13k + 1) % 20
+      val abs = links.filter(_._1.startsWith("https://"))
+      assert(abs.map(_._1) == List(
+        "https://site5.example/page12", "https://site18.example/page15",
+        "https://site11.example/page18", "https://site4.example/page21"))
+      assert(abs.map(_._2) == List("ref0", "ref1", "ref2", "ref3"))
+    }
+
+    it("skips anchors inside script/style and comments") {
+      val html = """<html><script>var a = '<a href="/x">no</a>';</script>
+        |<!-- <a href="/y">ghost</a> -->
+        |<style>.a { }</style><p><a href="/real">yes</a></p></html>"""
+        .stripMargin
+      assert(Html.extractLinks(html) == List(("/real", "yes")))
+    }
+
+    it("reads single-quoted, bare, and entity-bearing values") {
+      val html = "<a href='/sq'>one</a><a href=/bare>two</a>" +
+        "<a href=\"/e\">A &amp; B</a>"
+      assert(Html.extractLinks(html) == List(
+        ("/sq", "one"), ("/bare", "two"), ("/e", "A & B")))
+    }
+
+    it("finalizes an unclosed anchor at EOF and strips nested markup") {
+      assert(Html.extractLinks("<a href=\"/u\">tail <b>bold</b> text") ==
+        List(("/u", "tail bold text")))
+      assert(Html.extractLinks("<A HREF=\"/up\">CASE</A>") ==
+        List(("/up", "CASE")))
+    }
+  }
 }
