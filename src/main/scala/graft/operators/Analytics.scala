@@ -1150,6 +1150,89 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q252 churn horizon in HOURS: a user whose last activity is more
+    * than this far before the corpus end is a churn EVENT; later
+    * activity right-censors instead (we can't observe a churn that
+    * hasn't happened by end-of-data). Hours, not days: the fixture's
+    * users average an event every ~2 h, so a day-scale horizon never
+    * fires and the gate would be vacuous (the q191 lesson) — at this
+    * horizon both the churned and censored paths carry real mass at
+    * every sf.
+    */
+  val KmChurnHours = 2L
+
+  /** q252 — KAPLAN-MEIER user-retention curve with right-censoring
+    * (Kaplan & Meier 1958 — the survival-analysis member of the
+    * statistics family next to q94's cohort grid): per lifetime-HOUR t,
+    * the at-risk count, churn events, censorings, hazard dₜ/nₜ (the raw
+    * double quotient — one division, identical on both engines, no
+    * rounding to straddle) and the product-limit survival estimate S(t) = Π(1 − dₛ/nₛ). The
+    * censoring distinction is the whole point — q94's raw retention
+    * undercounts survival because users who simply haven't been
+    * observed long enough get read as churned; KM charges each user
+    * only for the time they were actually watchable.
+    *
+    * Determinism: lifetimes are integer epoch-hour spans; dₜ/cₜ/nₜ are
+    * exact integers (nₜ = an inclusive DESCENDING cumulative sum);
+    * hazard is one double division; the survival chain is a stepwise
+    * fold in 10^12 fixed point — S ← ⌊(S·(n−d) + n/2)/n⌋, one exact
+    * integer multiply-divide per step, mirrored by the oracle's
+    * recursive CTE row-for-row (a cumulative product has no window
+    * form; exp∘Σ∘ln would put two libm calls across the gate, and a
+    * 12-dp double chain diverged at a shortest-repr half boundary —
+    * found under the gate at sf0.01).
+    *
+    * Scale shape: ONE user-grain aggregate (min/max day per user —
+    * combine-heavy, the only corpus shuffle), then everything lives on
+    * the lifetime-day grain — bounded by the observation window, the
+    * documented bounded-domain window class — and the survival fold
+    * runs driver-side over those ≤span rows (the q61 model-scale
+    * contract).
+    */
+  def kmRetention(spark: SparkSession, dir: String): DataFrame =
+    kmRetentionFrom(Tables.events(spark, dir))
+
+  def kmRetentionFrom(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hour = expr("unix_micros(ts) div 3600000000")
+    val users = events.select(col("user_id"), hour.as("h"))
+      .groupBy("user_id").agg(min("h").as("f"), max("h").as("l"))
+    val m = users.agg(max("l").as("m"))
+    val lifetimes = users.crossJoin(broadcast(m))
+      .select(
+        when(col("l") <= col("m") - KmChurnHours, col("l") - col("f"))
+          .otherwise(col("m") - col("f")).as("t"),
+        when(col("l") <= col("m") - KmChurnHours, 1L).otherwise(0L).as("ev"))
+    val grain = lifetimes.groupBy("t")
+      .agg(sum("ev").as("n_churned"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    val wDesc = Window.orderBy(desc("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = grain
+      .withColumn("n_at_risk",
+        sum(col("n_churned") + col("n_censored")).over(wDesc))
+      .select("t", "n_at_risk", "n_churned", "n_censored")
+      .collect().sortBy(_.getAs[Long]("t"))
+    // the product-limit chain in scaled INTEGERS (10^12 fixed point):
+    // S ← ⌊(S·(n−d) + n/2) / n⌋ — one exact integer multiply-divide
+    // per step, bit-identical on both engines (a double chain rounded
+    // to 12 dp diverged at a shortest-repr-vs-binary half boundary)
+    var s = BigInt("1000000000000")
+    val out = withRisk.map { r =>
+      val t = r.getAs[Long]("t")
+      val n = r.getAs[Long]("n_at_risk")
+      val d = r.getAs[Long]("n_churned")
+      val h = d.toDouble / n
+      s = (s * BigInt(n - d) + BigInt(n / 2)) / BigInt(n)
+      (t, n, d, r.getAs[Long]("n_censored"), h,
+        s.toDouble / 1000000000000.0)
+    }.toSeq
+    out.toDF("t", "n_at_risk", "n_churned", "n_censored", "hazard",
+        "survival")
+      .orderBy("t")
+  }
+
   /** q248 — SPLIT-CONFORMAL coverage audit (Vovk's inductive conformal
     * prediction, the Lei et al. split formulation — the
     * distribution-free uncertainty wrapper production ML ships because
@@ -2225,6 +2308,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_cuped_readout" -> (cupedReadout _),
     "q248_conformal_coverage" -> (conformalCoverage _),
+    "q252_km_retention" -> (kmRetention _),
     // implemented in Similarity (see ivfRecall's scaladoc for why the
     // registration lives here: its texts compose the q25/q75 texts)
     "q236_ivf_recall" -> (Similarity.ivfRecall _),
@@ -2410,6 +2494,42 @@ object Analytics {
        |  WHERE rn <= $PairUserCap)""".stripMargin
 
   lazy val oracle: Map[String, String] = Map(
+    // the survival chain has no window form: the recursive CTE steps
+    // S ← round(S·(1−h), 12) row-for-row with the driver fold;
+    // hazards are raw double quotients (identical division both
+    // engines, nothing rounded across the gate)
+    "q252_km_retention" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT user_id,
+         |    min(epoch_us(ts) // 3600000000) AS f,
+         |    max(epoch_us(ts) // 3600000000) AS l
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT max(l) AS m FROM u),
+         |lt AS (SELECT
+         |    CASE WHEN l <= m - $KmChurnHours THEN l - f ELSE m - f END AS t,
+         |    CASE WHEN l <= m - $KmChurnHours THEN 1 ELSE 0 END AS ev
+         |  FROM u, b),
+         |g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         |    CAST(sum(1 - ev) AS BIGINT) AS c
+         |  FROM lt GROUP BY 1),
+         |r AS (SELECT t, d, c,
+         |    CAST(sum(d + c) OVER (ORDER BY t DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS n,
+         |    row_number() OVER (ORDER BY t) AS rn
+         |  FROM g),
+         |km AS (
+         |  SELECT rn, t, n, d, c, CAST(d AS DOUBLE) / n AS h,
+         |    (CAST(1000000000000 AS HUGEINT) * (n - d) + n // 2) // n AS s
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.rn, r.t, r.n, r.d, r.c, CAST(r.d AS DOUBLE) / r.n,
+         |    (km.s * (r.n - r.d) + r.n // 2) // r.n
+         |  FROM km JOIN r ON r.rn = km.rn + 1)
+         |SELECT t, n AS n_at_risk, d AS n_churned, c AS n_censored,
+         |  h AS hazard,
+         |  CAST(s AS DOUBLE) / 1000000000000.0 AS survival
+         |FROM km ORDER BY t""".stripMargin,
     // scaled-integer scores both sides; the window cum mirrors the
     // Prefix two-phase bit-exactly (distinct scores per type, so the
     // RANGE default frame ≡ ROWS)

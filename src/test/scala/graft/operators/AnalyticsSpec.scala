@@ -1072,6 +1072,43 @@ class AnalyticsSpec extends AnyFunSpec {
     }
   }
 
+  describe("kmRetention (q252)") {
+    it("computes the product-limit curve on a hand corpus") {
+      def ts(hour: Long) = new java.sql.Timestamp(hour * 3600L * 1000L)
+      // u1/u4 churn at t=10; u3 censored at 95; u2 censored at 100
+      val events = Seq(
+        (1L, ts(0)), (1L, ts(10)),
+        (2L, ts(0)), (2L, ts(100)),
+        (3L, ts(5)), (3L, ts(99)),
+        (4L, ts(0)), (4L, ts(10)))
+        .toDF("user_id", "ts")
+      val r = Analytics.kmRetentionFrom(events).collect()
+      assert(r.map(_.getAs[Long]("t")).toSeq == Seq(10L, 95L, 100L))
+      val t10 = r(0)
+      assert(t10.getAs[Long]("n_at_risk") == 4L)
+      assert(t10.getAs[Long]("n_churned") == 2L)
+      assert(t10.getAs[Double]("hazard") == 0.5)
+      assert(t10.getAs[Double]("survival") == 0.5)
+      val t95 = r(1)
+      assert(t95.getAs[Long]("n_at_risk") == 2L)
+      assert(t95.getAs[Long]("n_censored") == 1L)
+      assert(t95.getAs[Double]("survival") == 0.5) // censoring: no drop
+      assert(r(2).getAs[Long]("n_at_risk") == 1L)
+      assert(r(2).getAs[Double]("survival") == 0.5)
+    }
+
+    it("reports survival 1.0 when nobody churns") {
+      def ts(hour: Long) = new java.sql.Timestamp(hour * 3600L * 1000L)
+      val events = Seq((1L, ts(0)), (1L, ts(50)), (2L, ts(10)), (2L, ts(50)))
+        .toDF("user_id", "ts")
+      val r = Analytics.kmRetentionFrom(events).collect()
+      r.foreach { x =>
+        assert(x.getAs[Double]("survival") == 1.0)
+        assert(x.getAs[Long]("n_churned") == 0L)
+      }
+    }
+  }
+
   describe("conformalCoverage (q248)") {
     // independent driver-side reimplementation of the split-conformal
     // pipeline (same md5 split, |v − mean| scores, ⌈(1−α)(n+1)⌉-th
