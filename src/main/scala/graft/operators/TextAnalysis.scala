@@ -1991,7 +1991,62 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q253 — vocabulary-richness estimation per source: Good-Turing
+    * unseen mass and the bias-corrected Chao1 richness estimator —
+    * the "how much MORE is out there" question a corpus-collection
+    * effort asks before paying for another crawl (q183 plots observed
+    * growth; this estimates the asymptote from ONE snapshot's
+    * frequency-of-frequencies). Types are word TRIGRAMS: the fixture's
+    * 31-word unigram vocabulary has no singletons, so unigram N1 ≡ 0
+    * and the gate would be vacuous (the q230/q191 lesson applied at
+    * design time) — trigram types are also what productive-phrase
+    * coverage actually measures.
+    *
+    *  - `gt_unseen_mass` = N1/N (Good 1953): the probability the NEXT
+    *    trigram drawn is unseen — the Laplace-vs-GT smoothing mass
+    *    q203's LM family allocates;
+    *  - `chao1` = V + N1(N1−1)/(2(N2+1)) (Chao 1984, bias-corrected):
+    *    the abundance-based floor on true type richness;
+    *  - `coverage` = 1 − N1/N (Turing coverage of the observed set).
+    *
+    * Determinism: N/V/N1/N2 are exact integers off one (source, type)
+    * aggregate; the three derived columns are raw double quotients in
+    * a fixed operation order — nothing rounds across the gate.
+    *
+    * Scale shape: the corpus reduces to the (source, type) count
+    * relation (combine-heavy, vocab-bounded per source), then a
+    * sources-sized rollup; no other shuffle.
+    */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    vocabRichnessFrom(Tables.documents(spark, dir))
+
+  def vocabRichnessFrom(docs: DataFrame): DataFrame = {
+    val tk = Tables.widened(docs, col("doc_id"))
+      .select(col("source"), TextFns.toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(col("w")) - 3),
+          i => array_join(slice(col("w"), i + 1, lit(3)), " ")))
+          .as("token"))
+    val counts = tk.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("source").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        (col("n1").cast("double") / col("n_tokens")).as("gt_unseen_mass"),
+        (lit(1.0) - col("n1").cast("double") / col("n_tokens"))
+          .as("coverage"),
+        (col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2L) * (col("n2") + 1)).cast("double")).as("chao1"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_vocab_richness" -> (vocabRichness _),
     "q229_nfc_audit" -> (nfcAudit _),
     "q233_blocklist_screen" -> (blocklistScreen _),
     "q239_luhn_audit" -> (luhnAudit _),
@@ -2156,6 +2211,33 @@ object TextAnalysis {
     })
 
   lazy val oracle: Map[String, String] = Map(
+    // frequency-of-frequencies on the same trigram stream (multiset,
+    // not per-doc distinct); the derived columns are raw quotients in
+    // the same fixed operation order — nothing rounds across the gate
+    "q253_vocab_richness" ->
+      s"""WITH tok0 AS (SELECT source, ${TextFns.sql.toks} AS w
+         |  FROM documents),
+         |pos AS (SELECT source, w, unnest(range(len(w) - 2)) AS i
+         |  FROM tok0 WHERE len(w) >= 3),
+         |tk AS (SELECT source,
+         |    w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS token
+         |  FROM pos),
+         |c AS (SELECT source, token, count(*) AS cnt
+         |  FROM tk GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  count(*) AS vocab,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(cnt) AS BIGINT) AS gt_unseen_mass,
+         |  1.0 - CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(cnt) AS BIGINT) AS coverage,
+         |  CAST(count(*) AS DOUBLE) +
+         |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) *
+         |      (sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE) /
+         |    CAST(2 * (sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1)
+         |      AS DOUBLE) AS chao1
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q55 pipeline re-ranked and scored: occurrence-graded
     // relevance from the same tf columns, fixed DECIMAL(12,9) rank
     // discounts, exact decimal dot products, one closing division

@@ -961,4 +961,33 @@ class TextAnalysisSpec extends AnyFunSpec {
       assert(!flags(1L) && flags(2L))
     }
   }
+
+  describe("vocabRichness (q253)") {
+    it("computes exact frequency-of-frequencies and Chao1 on a hand corpus") {
+      // doc: "a b c a b c a b d" → trigrams: "a b c","b c a","c a b",
+      // "a b c","b c a","c a b","a b d" → counts: abc=2, bca=2, cab=2,
+      // abd=1 → N=7 V=4 N1=1 N2=3
+      val docs = Seq((1L, "a b c a b c a b d", "s1"))
+        .toDF("doc_id", "text", "source")
+      val row = TextAnalysis.vocabRichnessFrom(docs).collect()(0)
+      assert(row.getAs[Long]("n_tokens") == 7L)
+      assert(row.getAs[Long]("vocab") == 4L)
+      assert(row.getAs[Long]("n1") == 1L)
+      assert(row.getAs[Long]("n2") == 3L)
+      assert(row.getAs[Double]("gt_unseen_mass") == 1.0 / 7)
+      assert(row.getAs[Double]("coverage") == 1.0 - 1.0 / 7)
+      // chao1 = V + N1(N1−1)/(2(N2+1)) = 4 + 0 = 4
+      assert(row.getAs[Double]("chao1") == 4.0)
+    }
+
+    it("drops docs shorter than the trigram window") {
+      val docs = Seq((1L, "a b", "s1"), (2L, "x y z", "s1"))
+        .toDF("doc_id", "text", "source")
+      val row = TextAnalysis.vocabRichnessFrom(docs).collect()(0)
+      assert(row.getAs[Long]("n_tokens") == 1L) // only "x y z"
+      assert(row.getAs[Long]("n1") == 1L)
+      // singleton-only corpus: chao1 = 1 + 1·0/(2·1) = 1
+      assert(row.getAs[Double]("chao1") == 1.0)
+    }
+  }
 }
