@@ -395,6 +395,50 @@ object ScaleSmoke {
     t("exact_quantiles") { Analytics.exactQuantilesFrom(events).count() }
     t("psi_drift") { Analytics.psiDriftFrom(events).count() }
     t("robust_outliers") { Analytics.robustOutliersFrom(events).count() }
+    // r12c: conformal's order statistic rides the same Prefix engine;
+    // KM's corpus work is one user-grain aggregate; LPM is map-side
+    // broadcast equi-joins; richness is a vocab-bounded aggregate
+    t("conformal_coverage") { Analytics.conformalFrom(events).count() }
+    t("km_retention") { Analytics.kmRetentionFrom(events).count() }
+    t("lpm_enrich") { Events.lpmEnrichFrom(events).count() }
+    t("vocab_richness") { TextAnalysis.vocabRichnessFrom(docs).count() }
+    // r12c: the skyline's supplier-grain relation grows with the
+    // replicas (all three star keys shifted in lockstep)
+    t("pareto_suppliers") {
+      val reps = spark.range(mult).select(col("id").as("__rep"))
+      val shift = lit(100000000L) * col("__rep")
+      val s = Tables.supplier(spark, sf).crossJoin(reps)
+        .withColumn("s_suppkey", col("s_suppkey") + shift).drop("__rep")
+      val o = Tables.orders(spark, sf).crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + shift).drop("__rep")
+      val l = Tables.lineitem(spark, sf).crossJoin(reps)
+        .withColumn("l_orderkey", col("l_orderkey") + shift)
+        .withColumn("l_suppkey", col("l_suppkey") + shift).drop("__rep")
+      graft.operators.SupplierPerf.paretoFrom(s, l, o).count()
+    }
+    // r12c: MMR's corpus passes scale; the greedy fold stays |q|·C²
+    t("mmr_rerank") { Similarity.mmrFrom(emb).count() }
+    // r12c: link extraction is per-doc map work over replicated pages
+    t("link_graph") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val pages = docs
+        .select(col("doc_id").cast("long"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, tx, so) =>
+          (id, s"https://site${id % graft.operators.Html.LinkHosts}" +
+            s".example/doc$id", graft.operators.Html.linkPageOf(id, tx, so))
+        }.toDF("doc_id", "url", "html")
+      graft.operators.Html.linkGraphOf(pages).count()
+    }
+    // r12c: the TIFF walk is per-doc map work
+    t("exif_meta") {
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val payloads = docs.select(col("doc_id").cast("long")).as[Long]
+        .map(id => (id, Multimodal.exifJpegBytes(id))).toDF("doc_id", "payload")
+      Multimodal.exifMetaFrom(payloads).count()
+    }
     // r12: both vintage writes + the merged read scale with the corpus
     t("partition_evolution") {
       graft.sources.PartitionEvolved.writeVintages(events, s"$wh/pevo")

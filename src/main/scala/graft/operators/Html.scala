@@ -595,7 +595,7 @@ object Html {
          |    'site' || CAST((doc_id * 7 + 13 * t.k + 1) % $LinkHosts
          |      AS VARCHAR) || '.example' AS dst,
          |    'ref' || CAST((doc_id + t.k) % 4 AS VARCHAR) AS anchor
-         |  FROM documents, range(0, 4) t(k)),
+         |  FROM documents, range(4) t(k)),
          |d AS (SELECT 'site' || CAST(doc_id % $LinkHosts AS VARCHAR) ||
          |    '.example' AS host, count(*) AS n_docs
          |  FROM documents GROUP BY 1),

@@ -174,7 +174,35 @@ object SqlSurface {
       ("applies q198's trained merges, embedding the same iterative " +
         "argmax-dependent rounds (the merge literals are DATA, collected " +
         "by the training loop) — a static SQL text cannot contain them; " +
-        "use TextAnalysis.bpeTokenize"))
+        "use TextAnalysis.bpeTokenize"),
+    "q251_link_graph" ->
+      ("real attribute-aware href extraction (comment/script-literal " +
+        "skipping, quoted/bare values, entity decode, unclosed-anchor " +
+        "finalization) over the page markup — a stateful markup walk, " +
+        "not a SQL expression; use Html.linkGraph (the oracle " +
+        "regenerates the link relation analytically, which would not " +
+        "exercise the extractor)"),
+    "q249_mmr_rerank" ->
+      ("iterative argmax-dependent selection: each MMR round's pick " +
+        "conditions every later round's redundancy term, so the " +
+        "unrolled CTE chain re-references each round's state and " +
+        "needs CTE materialization to stay linear — DuckDB has AS " +
+        "MATERIALIZED (the oracle uses it), Spark SQL does not; the " +
+        "greedy fold over the collected model-scale candidate/sim " +
+        "relations is the linear form — use Similarity.mmrRerank"),
+    "q250_exif_meta" ->
+      ("real JPEG segment scan + TIFF/IFD walk of binary payloads " +
+        "(dual byte orders, extent-bounded counts and value offsets) " +
+        "— byte-stream work, not a SQL expression; use " +
+        "Multimodal.exifMeta (the oracle regenerates the fields " +
+        "analytically, which would not exercise the walker)"),
+    "q252_km_retention" ->
+      ("the product-limit survival chain is a sequential recursion " +
+        "(S depends on the previous lifetime-day's S) — the oracle " +
+        "uses DuckDB's WITH RECURSIVE, which Spark SQL does not " +
+        "accept in a single statement here; the driver fold over the " +
+        "bounded lifetime-hour grain is the linear form — use " +
+        "Analytics.kmRetention"))
 
   private val overrides: Map[String, String] =
     Dedup.sparkSql ++ Similarity.sparkSql ++

@@ -999,4 +999,51 @@ class PlanQualitySpec extends AnyFunSpec {
       assert(!p.contains("CartesianProduct"))
     }
   }
+
+  describe("round-12c operator plan shapes") {
+    it("q246's skyline never goes quadratic: equi local phase, broadcast-bounded resolution") {
+      val p = plan("q246_pareto_suppliers")
+      assert(!p.contains("CartesianProduct"), s"unbounded all-pairs in:\n$p")
+      // the within-cell phase must be an EQUI join on the cell id
+      // (the point-level dominance runs only inside cell-hash buckets)
+      assert("(SortMergeJoin|BroadcastHashJoin) \\[c1#".r
+        .findFirstIn(p).isDefined,
+        s"local skyline lost its cell equi-join:\n$p")
+      // every nested-loop site must be a broadcast build (the 1-row
+      // bounds, the ≤G³ cell metadata, the candidate resolution) —
+      // the plan TEXT repeats shared subtrees, so a count would lie
+      assert(!p.contains("CartesianProduct") &&
+        p.linesIterator.filter(_.contains("NestedLoopJoin"))
+          .forall(_.contains("BroadcastNestedLoopJoin")),
+        s"non-broadcast nested loop in:\n$p")
+    }
+
+    it("q247's LPM is broadcast equi-joined, never range or nested-loop") {
+      val p = plan("q247_lpm_enrich")
+      assert(p.contains("BroadcastHashJoin"),
+        s"the routing dim must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"LPM candidates must meet in a hash equi-join:\n$p")
+    }
+
+    it("q251's link aggregates never cartesian and keep the anchor rank windowed by host") {
+      val p = plan("q251_link_graph")
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("windowspecdefinition(dst_host"),
+        s"anchor rank must partition by host:\n$p")
+    }
+
+    it("q252/q253 stay join-free on the corpus side") {
+      Seq("q253_vocab_richness").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("SortMergeJoin"), s"$q:\n$p")
+      }
+      // q252's only windows ride the bounded lifetime-hour grain; the
+      // corpus contributes one user-keyed aggregate
+      val p252 = plan("q252_km_retention")
+      assert(!p252.contains("CartesianProduct"))
+    }
+  }
 }
