@@ -2045,7 +2045,58 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q254 — Yule's K lexical-diversity audit (Yule 1944, the
+    * "characteristic" K = 10⁴·(Σc² − N)/N²): the length-invariant
+    * repetitiousness gauge — boilerplate- and template-heavy text
+    * scores high K, diverse prose low — measured both POOLED per
+    * source (the distribution of the source's whole token stream) and
+    * as the per-doc min/max spread (which single documents are
+    * degenerate). Complements q47's bigram repetition (within-doc
+    * adjacency) and q253's richness estimators (how much vocabulary
+    * exists vs how evenly it is used).
+    *
+    * Determinism: N and Σc² are exact integers off (doc,token)- and
+    * (source,token)-grain aggregates; each K is ONE fixed-order
+    * unrounded double chain `10⁴·(s2−n)/(n·n)` — identical on both
+    * engines, nothing rounds across the gate (the r12c rounding
+    * rule); min/max of exact doubles are order-free.
+    *
+    * Scale shape: two vocab-bounded count aggregates (map-side
+    * combine), then doc- and source-grain algebra; no joins beyond
+    * the source-cardinality rollup merge.
+    */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    yuleKFrom(Tables.documents(spark, dir))
+
+  def yuleKFrom(docs: DataFrame): DataFrame = {
+    val tok = Tables.widened(docs, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        explode(TextFns.toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    def kOf(s2: Column, n: Column): Column =
+      lit(10000.0) * (s2 - n).cast("double") /
+        (n.cast("double") * n.cast("double"))
+    val perDoc = tok.groupBy("source", "doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source", "doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"))
+      .withColumn("k", kOf(col("s2"), col("n")))
+    val docStats = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      min("k").as("min_doc_k"), max("k").as("max_doc_k"))
+    val pooled = tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("c")).as("s2"))
+    docStats.join(pooled, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("s2").as("pooled_s2"),
+        kOf(col("s2"), col("n_tokens")).as("yule_k"),
+        col("min_doc_k"), col("max_doc_k"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_yule_k" -> (yuleK _),
     "q253_vocab_richness" -> (vocabRichness _),
     "q229_nfc_audit" -> (nfcAudit _),
     "q233_blocklist_screen" -> (blocklistScreen _),
@@ -2211,6 +2262,32 @@ object TextAnalysis {
     })
 
   lazy val oracle: Map[String, String] = Map(
+    // exact integer moments both grains; every K is the same
+    // fixed-order unrounded double chain — nothing rounds
+    "q254_yule_k" ->
+      s"""WITH t0 AS (SELECT source, doc_id,
+         |    unnest(${TextFns.sql.toks}) AS token FROM documents),
+         |t AS (SELECT * FROM t0 WHERE token <> ''),
+         |pd AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c * c) AS BIGINT) AS s2 FROM (
+         |  SELECT source, doc_id, token, count(*) AS c
+         |    FROM t GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |pk AS (SELECT source,
+         |    10000.0 * CAST(s2 - n AS DOUBLE) /
+         |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS k
+         |  FROM pd),
+         |d AS (SELECT source, count(*) AS n_docs, min(k) AS min_doc_k,
+         |    max(k) AS max_doc_k FROM pk GROUP BY 1),
+         |pool AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * c) AS BIGINT) AS s2 FROM (
+         |  SELECT source, token, count(*) AS c
+         |    FROM t GROUP BY 1, 2) GROUP BY 1)
+         |SELECT p.source, d.n_docs, p.n_tokens, p.s2 AS pooled_s2,
+         |  10000.0 * CAST(p.s2 - p.n_tokens AS DOUBLE) /
+         |    (CAST(p.n_tokens AS DOUBLE) * CAST(p.n_tokens AS DOUBLE))
+         |    AS yule_k,
+         |  d.min_doc_k, d.max_doc_k
+         |FROM pool p JOIN d USING (source) ORDER BY p.source""".stripMargin,
     // frequency-of-frequencies on the same trigram stream (multiset,
     // not per-doc distinct); the derived columns are raw quotients in
     // the same fixed operation order — nothing rounds across the gate

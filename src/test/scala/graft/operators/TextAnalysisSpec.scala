@@ -962,6 +962,35 @@ class TextAnalysisSpec extends AnyFunSpec {
     }
   }
 
+  describe("yuleK (q254)") {
+    it("computes exact moments and the fixed-order K chain") {
+      // doc1 "a a b": N=3, Σc²=5, K = 10⁴·2/9
+      // doc2 "a b c d": N=4, Σc²=4, K = 0 (all hapax — maximally diverse)
+      // pooled: a=3,b=2,c=1,d=1 → N=7, Σc²=15, K = 10⁴·8/49
+      val d = Seq((1L, "a a b", "s"), (2L, "a b c d", "s"))
+        .toDF("doc_id", "text", "source")
+      val r = TextAnalysis.yuleKFrom(d).collect()(0)
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("n_tokens") == 7L)
+      assert(r.getAs[Long]("pooled_s2") == 15L)
+      assert(r.getAs[Double]("yule_k") == 10000.0 * 8.0 / (7.0 * 7.0))
+      assert(r.getAs[Double]("min_doc_k") == 0.0)
+      assert(r.getAs[Double]("max_doc_k") == 10000.0 * 2.0 / (3.0 * 3.0))
+    }
+
+    it("ranks repetitious text above diverse text") {
+      val d = Seq(
+        (1L, Seq.fill(30)("spam").mkString(" "), "boiler"),
+        (2L, (1 to 30).map(i => s"w$i").mkString(" "), "prose"))
+        .toDF("doc_id", "text", "source")
+      val k = TextAnalysis.yuleKFrom(d).collect()
+        .map(x => x.getAs[String]("source") -> x.getAs[Double]("yule_k"))
+        .toMap
+      assert(k("boiler") > k("prose"))
+      assert(k("prose") == 0.0)
+    }
+  }
+
   describe("vocabRichness (q253)") {
     it("computes exact frequency-of-frequencies and Chao1 on a hand corpus") {
       // doc: "a b c a b c a b d" → trigrams: "a b c","b c a","c a b",
