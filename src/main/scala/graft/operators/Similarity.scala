@@ -1845,6 +1845,103 @@ object Similarity {
     annPqFrom(e, Some(trainPqCodebooks(e)))
   }
 
+  /** q255 delta share: vectors whose maintenance hash lands in bucket 0
+    * of [[IvfDeltaMod]] form the arriving DELTA batch (~10%); the rest
+    * are the stored base index. The q45 no-rand() rule, so the split
+    * survives re-runs and growth.
+    */
+  val IvfDeltaMod = 10
+
+  /** Shared q255 assignment relation: every vector scored against the
+    * seeded codebook (one fused-kernel pass), winner cell by
+    * max-score/first-index (the q36 tie order), maintenance arm from
+    * the hash split. `score` is the winning dot product rounded 9 dp —
+    * the kernel-output rounding class.
+    */
+  private def ivfAssigned(embeddings: DataFrame): DataFrame = {
+    val codebook: Seq[Seq[Double]] = embeddings
+      .filter(col("vec_id") >= SeedBase &&
+        col("vec_id") < SeedBase + NumCells)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    embDouble(embeddings)
+      .withColumn("scores", codebookScores(col("emb"), codebook))
+      .withColumn("cell",
+        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .withColumn("score", round(expr("array_max(scores)"), 9))
+      .withColumn("arm",
+        (TextFns.hash32(concat(lit("ivfd|"), col("vec_id").cast("string")))
+          % IvfDeltaMod).cast("int"))
+      .select("vec_id", "cell", "score", "arm")
+  }
+
+  /** The STORED per-cell index statistics a production vector store
+    * keeps beside its centroids: occupancy and the DECIMAL sum of
+    * assignment scores over the base corpus. Building it is the index
+    * construction, paid once; every maintenance run reads it back
+    * (the q216/q135 stored-partials discipline).
+    */
+  def ivfBaseStats(embeddings: DataFrame): DataFrame =
+    ivfAssigned(embeddings).filter(col("arm") =!= 0)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"),
+        sum(col("score").cast(DecimalType(38, 12))).as("s_base"))
+
+  /** q255 — incremental IVF index maintenance: assign ONLY the
+    * arriving delta batch against the stored centroids and fold it
+    * into the STORED per-cell stats, reporting the drift signals a
+    * vector store's rebuild policy reads — per cell: base/delta
+    * occupancy, growth ratio, mean assignment score of each arm and
+    * their drift (a falling delta mean = new data far from the old
+    * centroids = the codebook is stale), and a hot flag when a cell
+    * absorbs >2× its fair share of the delta. The vector-side member
+    * of the staged-incremental family (q135 clusters, q137
+    * containment, q216 join IVM): at 100 TB the base corpus is NEVER
+    * rescanned on a maintenance run — only the 16-row stored stats
+    * and the delta slice pay.
+    *
+    * Determinism: occupancies integer; scores are 9-dp kernel outputs
+    * summed through DECIMAL(38,12) (order-free); means/growth/drift
+    * are raw fixed-order double chains; the hot flag is integer
+    * cross-multiplied. Fresh ≡ staged by construction
+    * ([[ivfDelta]] = [[ivfDeltaStaged]] ∘ [[ivfBaseStats]]); the
+    * oracle is the direct both-arms computation, so the gate proves
+    * the merge identity.
+    */
+  def ivfDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    ivfDeltaStaged(ivfBaseStats(e), e)
+  }
+
+  /** The maintenance fold over the STORED base stats: only the delta
+    * slice is assigned live.
+    */
+  def ivfDeltaStaged(baseStats: DataFrame, embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val delta = ivfAssigned(embeddings).filter(col("arm") === 0)
+      .groupBy("cell").agg(count(lit(1)).as("n_delta"),
+        sum(col("score").cast(DecimalType(38, 12))).as("s_delta"))
+    val spine = spark.range(NumCells).select(col("id").cast("int").as("cell"))
+    val all = Window.partitionBy()
+    spine
+      .join(baseStats, Seq("cell"), "left")
+      .join(delta, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .withColumn("total_delta", sum("n_delta").over(all))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        (col("n_delta").cast("double") / nullIfZero(col("n_base")))
+          .as("growth"),
+        (col("s_base").cast("double") / nullIfZero(col("n_base")))
+          .as("mean_score_base"),
+        (col("s_delta").cast("double") / nullIfZero(col("n_delta")))
+          .as("mean_score_delta"),
+        (col("s_delta").cast("double") / nullIfZero(col("n_delta")) -
+          col("s_base").cast("double") / nullIfZero(col("n_base")))
+          .as("drift"),
+        (col("n_delta") * NumCells > col("total_delta") * 2).as("hot"))
+      .orderBy("cell")
+  }
+
   /** q249 candidate pool (per query), picks, and the relevance weight.
     * λ = 0.7 and its complement are SEPARATE literals — `1 − 0.7`
     * computed in doubles is 0.30000000000000004, which would desync
@@ -1948,6 +2045,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_ivf_delta" -> (ivfDelta _),
     "q249_mmr_rerank" -> (mmrRerank _),
     "q25_knn_bruteforce" -> (knnBrute _),
     "q119_matryoshka_recall" -> (matryoshkaRecall _),
@@ -2534,6 +2632,48 @@ object Similarity {
   }
 
   lazy val oracle: Map[String, String] = Map(
+    // the DIRECT both-arms computation: hash equality with the
+    // staged base-stats + delta fold is the merge-identity proof
+    // (the q96/q216 pattern applied to the vector index)
+    "q255_ivf_delta" -> {
+      val arm = graft.functions.TextFns.sql.hash32(
+        "'ivfd|' || CAST(vec_id AS VARCHAR)")
+      s"""WITH $eCte,
+         |cent AS (SELECT CAST(vec_id - $SeedBase AS INT) AS c, emb AS c_emb
+         |  FROM e WHERE vec_id >= $SeedBase
+         |    AND vec_id < ${SeedBase + NumCells}),
+         |scs AS (SELECT e.vec_id, c,
+         |    list_inner_product(e.emb, c_emb) AS score
+         |  FROM e CROSS JOIN cent),
+         |asg AS (SELECT vec_id, c AS cell, score, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM scs),
+         |a AS (SELECT vec_id, cell, round(score, 9) AS score,
+         |    CAST($arm % $IvfDeltaMod AS INT) AS arm
+         |  FROM asg WHERE rn = 1),
+         |b AS (SELECT cell, count(*) AS n_base,
+         |    sum(CAST(score AS DECIMAL(38,12))) AS s_base
+         |  FROM a WHERE arm <> 0 GROUP BY 1),
+         |d AS (SELECT cell, count(*) AS n_delta,
+         |    sum(CAST(score AS DECIMAL(38,12))) AS s_delta
+         |  FROM a WHERE arm = 0 GROUP BY 1),
+         |t AS (SELECT CAST(coalesce(sum(n_delta), 0) AS BIGINT)
+         |    AS total_delta FROM d),
+         |sp AS (SELECT CAST(unnest(range($NumCells)) AS INT) AS cell)
+         |SELECT sp.cell,
+         |  CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+         |  CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,
+         |  CAST(coalesce(d.n_delta, 0) AS DOUBLE) /
+         |    NULLIF(coalesce(b.n_base, 0), 0) AS growth,
+         |  CAST(b.s_base AS DOUBLE) / NULLIF(b.n_base, 0)
+         |    AS mean_score_base,
+         |  CAST(d.s_delta AS DOUBLE) / NULLIF(d.n_delta, 0)
+         |    AS mean_score_delta,
+         |  CAST(d.s_delta AS DOUBLE) / NULLIF(d.n_delta, 0) -
+         |    CAST(b.s_base AS DOUBLE) / NULLIF(b.n_base, 0) AS drift,
+         |  coalesce(d.n_delta, 0) * $NumCells > t.total_delta * 2 AS hot
+         |FROM sp LEFT JOIN b USING (cell) LEFT JOIN d USING (cell), t
+         |ORDER BY sp.cell""".stripMargin
+    },
     // the greedy selection unrolled as one generated CTE stage per
     // pick: stage k ranks the unselected pool by the identical
     // round(0.7·rel − 0.3·red, 9) chain with doc-id tie-breaks

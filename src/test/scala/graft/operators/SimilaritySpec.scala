@@ -818,6 +818,33 @@ class SimilaritySpec extends AnyFunSpec {
     }
   }
 
+  describe("ivfDelta (q255)") {
+    it("staged over stored parquet base stats equals the fresh fold") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val dir = java.nio.file.Files
+        .createTempDirectory("ivfdelta").toString
+      Similarity.ivfBaseStats(e).write.mode("overwrite").parquet(dir)
+      val staged = Similarity
+        .ivfDeltaStaged(spark.read.parquet(dir), e)
+        .collect().map(_.toString).toSeq
+      val fresh = Similarity.ivfDelta(spark, TestSpark.Sf)
+        .collect().map(_.toString).toSeq
+      assert(staged == fresh)
+      assert(staged.nonEmpty)
+    }
+
+    it("accounts every vector exactly once across base and delta") {
+      val e = graft.sources.Tables.embeddings(spark, TestSpark.Sf)
+      val r = Similarity.ivfDelta(spark, TestSpark.Sf).collect()
+      val total = r.map(x =>
+        x.getAs[Long]("n_base") + x.getAs[Long]("n_delta")).sum
+      assert(total == e.count())
+      // the hash split puts ~10% in the delta arm
+      val deltaShare = r.map(_.getAs[Long]("n_delta")).sum.toDouble / total
+      assert(deltaShare > 0.05 && deltaShare < 0.15)
+    }
+  }
+
   describe("mmrRerank (q249)") {
     // two tight clusters flanking the query: A (ids 10–14) at +10°,
     // B (ids 20–24) at −14° — A is more relevant, so pure relevance
