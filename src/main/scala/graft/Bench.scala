@@ -121,6 +121,8 @@ object Bench {
     // r12c: grid-pruned skyline — self-contained (its supplier-grain
     // objective aggregate is the operator's own first phase)
     run("q246_pareto_suppliers") { SupplierPerf.paretoSuppliers(spark, sfDir) }
+    run("q256_geo_rollup") { SupplierPerf.geoRollup(spark, sfDir) }
+    run("q257_part_margins") { SupplierPerf.partMargins(spark, sfDir) }
 
     // stage 4: dashboard reads over the materialized risk table. Names are
     // a static list — calling queriesFromRisk(riskT) here would resolve the

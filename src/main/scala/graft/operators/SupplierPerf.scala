@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Det._
 import graft.sources.Tables
@@ -481,7 +483,121 @@ object SupplierPerf {
       .orderBy("s_suppkey")
   }
 
+  /** q256 — geographic revenue ROLLUP (region → nation → total): the
+    * hierarchical drill-down report over the star's geography
+    * dimension — and the catalog's first consumer of the `region` and
+    * `nation` tables beyond row counts/viewers. ROLLUP, not CUBE
+    * (q42): geography is a strict hierarchy, so the nation-without-
+    * region grouping set would be noise. Revenue through the exact
+    * DECIMAL accumulator; grouping level = `grouping_id` (bit-equal to
+    * DuckDB's GROUPING over the same column order); NULLS FIRST
+    * ordering pinned on both engines.
+    *
+    * Scale shape: nation/region are tiny dims — two broadcast joins
+    * onto the supplier side before the lineitem fact join (supplier
+    * itself broadcast, the q04 shape); the corpus pre-aggregates to
+    * SUPPLIER grain before the rollup (a supplier maps to exactly one
+    * geography, so count(*) at every level IS the distinct supplier
+    * count); the three levels are explicit aggregates over the
+    * checkpointed supplier-grain relation — no Expand replication at
+    * all (and Spark 4.1's native rollup trips its ambiguous-self-join
+    * detector on any joined input — probed and documented in the
+    * method body).
+    */
+  def geoRollup(spark: SparkSession, dir: String): DataFrame =
+    geoRollupFrom(Tables.supplier(spark, dir), Tables.nation(spark, dir),
+      Tables.region(spark, dir), Tables.lineitem(spark, dir))
+
+  def geoRollupFrom(supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, lineitem: DataFrame): DataFrame = {
+    val grain = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(lineitem, col("s_suppkey") === col("l_suppkey"))
+      .select(col("r_name"), col("n_name"), col("s_suppkey"),
+        (money(col("l_extendedprice")) *
+          (lit(1) - frac(col("l_discount")))).as("net_rev"))
+      .groupBy("r_name", "n_name", "s_suppkey")
+      .agg(count(lit(1)).as("n"), sum("net_rev").as("rev"))
+      .localCheckpoint()
+    // the three grouping sets as an explicit union over the TINY
+    // supplier-grain pre-aggregate (a supplier maps to exactly one
+    // geography, so count(*) at every level IS the distinct supplier
+    // count). Spark's native `.rollup` after a multi-table join trips
+    // the analyzer's ambiguous-self-join detector in 4.1 (the Expand
+    // duplicates dataset-id-tagged grouping attributes — probed:
+    // single-table cube q42 is fine, ANY joined input fails), and the
+    // union form is the better plan regardless: no Expand replication,
+    // each level aggregates supplier-cardinality rows. gid values
+    // match GROUPING(r_name, n_name): 0, 1 (n rolled), 3 (both).
+    def lvl(gcols: Seq[String], gid: Int)(g: DataFrame): DataFrame = {
+      val agged = (if (gcols.isEmpty) g.groupBy() else
+        g.groupBy(gcols.map(col): _*))
+        .agg(sum("n").as("n_lines"), count(lit(1)).as("n_suppliers"),
+          sum("rev").cast("double").as("revenue"))
+        .withColumn("gid", lit(gid))
+      Seq("r_name", "n_name").foldLeft(agged) { (df, c) =>
+        if (gcols.contains(c)) df
+        else df.withColumn(c, lit(null).cast("string"))
+      }.select("r_name", "n_name", "gid", "n_lines", "n_suppliers",
+        "revenue")
+    }
+    lvl(Seq("r_name", "n_name"), 0)(grain)
+      .unionByName(lvl(Seq("r_name"), 1)(grain))
+      .unionByName(lvl(Nil, 3)(grain))
+      .orderBy(asc("gid"), asc_nulls_first("r_name"),
+        asc_nulls_first("n_name"))
+  }
+
+  /** q257 — part-margin grid: per part brand, volume, realized revenue
+    * (discounted extended price) vs LIST value (retail price ×
+    * quantity), the realized-to-list ratio (discount depth), and the
+    * brand's top part type by revenue — the merchandising view, and
+    * the catalog's first consumer of the `part` table. List value is
+    * an exact DECIMAL product of the 2-dp retail price and the
+    * integer-valued quantity; the ratio is one raw double division.
+    *
+    * Scale shape: `part` is a dimension — broadcast onto the lineitem
+    * fact scan; two combine-heavy aggregates at (brand) and
+    * (brand, type) grain; the per-brand top type is a rank-1 window
+    * over the bounded brand domain.
+    */
+  def partMargins(spark: SparkSession, dir: String): DataFrame =
+    partMarginsFrom(Tables.part(spark, dir), Tables.lineitem(spark, dir))
+
+  def partMarginsFrom(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val f = lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"),
+        col("l_quantity"),
+        (money(col("l_extendedprice")) *
+          (lit(1) - frac(col("l_discount")))).as("net_rev"),
+        (money(col("p_retailprice")) *
+          col("l_quantity").cast(DecimalType(12, 0))).as("list_val"))
+    val byBrand = f.groupBy("p_brand").agg(
+      count(lit(1)).as("n_lines"),
+      sum("l_quantity").as("total_qty"),
+      sum("net_rev").cast("double").as("revenue"),
+      sum("list_val").cast("double").as("list_value"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("t_rev"), asc("p_type"))
+    val topType = f.groupBy("p_brand", "p_type")
+      .agg(sum("net_rev").cast("double").as("t_rev"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_brand"), col("p_type").as("top_type"),
+        col("t_rev").as("top_type_revenue"))
+    byBrand.join(topType, Seq("p_brand"))
+      .select(col("p_brand"), col("n_lines"), col("total_qty"),
+        col("revenue"), col("list_value"),
+        (col("revenue") / col("list_value")).as("realized_ratio"),
+        col("top_type"), col("top_type_revenue"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_geo_rollup" -> (geoRollup _),
+    "q257_part_margins" -> (partMargins _),
     "q246_pareto_suppliers" -> (paretoSuppliers _),
     "q216_ivm_join" -> (ivmJoin _),
     "q04_supplier_kpis" -> (kpis _),
@@ -492,6 +608,47 @@ object SupplierPerf {
     "q96_incremental_kpis" -> (kpisIncremental _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB GROUPING over the same column order = Spark grouping_id;
+    // NULLS FIRST pinned on both engines
+    "q256_geo_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+        |  COUNT(*) AS n_lines,
+        |  CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(net_rev) AS DOUBLE) AS revenue
+        |FROM (SELECT r.r_name, n.n_name, s.s_suppkey,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS net_rev
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey)
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    // list value = exact DECIMAL retail × integer-valued quantity;
+    // the ratio is one raw double division
+    "q257_part_margins" ->
+      """WITH f AS (SELECT p.p_brand, p.p_type, l.l_quantity,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS net_rev,
+        |    CAST(p.p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l.l_quantity AS DECIMAL(12,0)) AS list_val
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |b AS (SELECT p_brand, count(*) AS n_lines,
+        |    sum(l_quantity) AS total_qty,
+        |    CAST(sum(net_rev) AS DOUBLE) AS revenue,
+        |    CAST(sum(list_val) AS DOUBLE) AS list_value
+        |  FROM f GROUP BY 1),
+        |tt AS (SELECT p_brand, p_type AS top_type,
+        |    t_rev AS top_type_revenue FROM (
+        |  SELECT p_brand, p_type, CAST(sum(net_rev) AS DOUBLE) AS t_rev,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(sum(net_rev) AS DOUBLE) DESC, p_type) AS rn
+        |  FROM f GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT b.p_brand, n_lines, total_qty, revenue, list_value,
+        |  revenue / list_value AS realized_ratio,
+        |  top_type, top_type_revenue
+        |FROM b JOIN tt USING (p_brand) ORDER BY b.p_brand""".stripMargin,
     // the textbook quadratic NOT-EXISTS dominance test over the
     // supplier-grain objective relation — supplier-cardinality² is
     // oracle-fine at sf; the Spark side must reach the same set

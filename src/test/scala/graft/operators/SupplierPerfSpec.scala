@@ -226,6 +226,66 @@ class SupplierPerfSpec extends AnyFunSpec {
     }
   }
 
+  describe("geoRollup (q256)") {
+    it("emits consistent nation, region, and grand-total levels") {
+      val sup = supplierDf((1L, "s1", 0, 0.0), (2L, "s2", 0, 0.0),
+        (3L, "s3", 1, 0.0))
+      val nat = Seq((0, "GERMANY", 0), (1, "FRANCE", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      val reg = Seq((0, "EUROPE")).toDF("r_regionkey", "r_name")
+      val l = lineDf(
+        (1L, 1L, 1.0, 100.0, 0.0, "N", ts("2024-01-05 00:00:00")),
+        (2L, 2L, 1.0, 50.0, 0.0, "N", ts("2024-01-05 00:00:00")),
+        (3L, 3L, 1.0, 25.0, 0.0, "N", ts("2024-01-05 00:00:00")))
+      val r = SupplierPerf.geoRollupFrom(sup, nat, reg, l).collect()
+      val byGid = r.groupBy(_.getAs[Int]("gid"))
+      assert(byGid(0).length == 2) // (EUROPE, FRANCE), (EUROPE, GERMANY)
+      assert(byGid(1).length == 1) // (EUROPE, null)
+      assert(byGid(3).length == 1) // (null, null)
+      val eur = byGid(1).head
+      assert(eur.getAs[Long]("n_lines") == 3L)
+      assert(eur.getAs[Long]("n_suppliers") == 3L)
+      assert(eur.getAs[Double]("revenue") == 175.0)
+      val tot = byGid(3).head
+      assert(tot.isNullAt(tot.fieldIndex("r_name")))
+      assert(tot.getAs[Double]("revenue") == 175.0)
+      val ger = r.find(x => x.getAs[Int]("gid") == 0 &&
+        x.getAs[String]("n_name") == "GERMANY").get
+      assert(ger.getAs[Long]("n_suppliers") == 2L)
+      assert(ger.getAs[Double]("revenue") == 150.0)
+    }
+  }
+
+  describe("partMargins (q257)") {
+    it("computes realized vs list value and the top type per brand") {
+      val part = Seq(
+        (10L, "pn1", "B1", "tA", 1, 20.0),
+        (11L, "pn2", "B1", "tB", 1, 10.0),
+        (12L, "pn3", "B2", "tC", 1, 5.0))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+          "p_retailprice")
+      // lineDf has no partkey column — build lineitem directly
+      val l = Seq(
+        (1L, 10L, 2.0, 30.0, 0.0), // B1/tA: rev 30, list 40
+        (2L, 11L, 1.0, 9.0, 0.0), // B1/tB: rev 9, list 10
+        (3L, 12L, 4.0, 18.0, 0.5)) // B2/tC: rev 9, list 20
+        .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+      val r = SupplierPerf.partMarginsFrom(part, l).collect()
+        .map(x => x.getAs[String]("p_brand") -> x).toMap
+      val b1 = r("B1")
+      assert(b1.getAs[Long]("n_lines") == 2L)
+      assert(b1.getAs[Double]("revenue") == 39.0)
+      assert(b1.getAs[Double]("list_value") == 50.0)
+      assert(b1.getAs[Double]("realized_ratio") == 39.0 / 50.0)
+      assert(b1.getAs[String]("top_type") == "tA")
+      assert(b1.getAs[Double]("top_type_revenue") == 30.0)
+      val b2 = r("B2")
+      assert(b2.getAs[Double]("revenue") == 9.0)
+      assert(b2.getAs[Double]("list_value") == 20.0)
+    }
+  }
+
   describe("paretoSuppliers (q246)") {
     // one line per supplier so the objective vector is hand-computable:
     // late = delay > 30d, ret = returnflag R, rev_u = price × 10⁴
