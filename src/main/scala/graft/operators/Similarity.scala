@@ -2658,7 +2658,8 @@ object Similarity {
          |  FROM a WHERE arm = 0 GROUP BY 1),
          |t AS (SELECT CAST(coalesce(sum(n_delta), 0) AS BIGINT)
          |    AS total_delta FROM d),
-         |sp AS (SELECT CAST(unnest(range($NumCells)) AS INT) AS cell)
+         |sp AS (SELECT CAST(cell0 AS INT) AS cell FROM
+         |  (SELECT unnest(range($NumCells)) AS cell0))
          |SELECT sp.cell,
          |  CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
          |  CAST(coalesce(d.n_delta, 0) AS BIGINT) AS n_delta,

@@ -573,12 +573,12 @@ object SupplierPerf {
         (money(col("l_extendedprice")) *
           (lit(1) - frac(col("l_discount")))).as("net_rev"),
         (money(col("p_retailprice")) *
-          col("l_quantity").cast(DecimalType(12, 0))).as("list_val"))
+          col("l_quantity").cast(DecimalType(12, 0))).as("retail_val"))
     val byBrand = f.groupBy("p_brand").agg(
       count(lit(1)).as("n_lines"),
       sum("l_quantity").as("total_qty"),
       sum("net_rev").cast("double").as("revenue"),
-      sum("list_val").cast("double").as("list_value"))
+      sum("retail_val").cast("double").as("retail_value"))
     val w = Window.partitionBy("p_brand")
       .orderBy(desc("t_rev"), asc("p_type"))
     val topType = f.groupBy("p_brand", "p_type")
@@ -589,8 +589,8 @@ object SupplierPerf {
         col("t_rev").as("top_type_revenue"))
     byBrand.join(topType, Seq("p_brand"))
       .select(col("p_brand"), col("n_lines"), col("total_qty"),
-        col("revenue"), col("list_value"),
-        (col("revenue") / col("list_value")).as("realized_ratio"),
+        col("revenue"), col("retail_value"),
+        (col("revenue") / col("retail_value")).as("realized_ratio"),
         col("top_type"), col("top_type_revenue"))
       .orderBy("p_brand")
   }
@@ -632,12 +632,12 @@ object SupplierPerf {
         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
         |      (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS net_rev,
         |    CAST(p.p_retailprice AS DECIMAL(18,2)) *
-        |      CAST(l.l_quantity AS DECIMAL(12,0)) AS list_val
+        |      CAST(l.l_quantity AS DECIMAL(12,0)) AS retail_val
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
         |b AS (SELECT p_brand, count(*) AS n_lines,
         |    sum(l_quantity) AS total_qty,
         |    CAST(sum(net_rev) AS DOUBLE) AS revenue,
-        |    CAST(sum(list_val) AS DOUBLE) AS list_value
+        |    CAST(sum(retail_val) AS DOUBLE) AS retail_value
         |  FROM f GROUP BY 1),
         |tt AS (SELECT p_brand, p_type AS top_type,
         |    t_rev AS top_type_revenue FROM (
@@ -645,8 +645,8 @@ object SupplierPerf {
         |    row_number() OVER (PARTITION BY p_brand
         |      ORDER BY CAST(sum(net_rev) AS DOUBLE) DESC, p_type) AS rn
         |  FROM f GROUP BY 1, 2) WHERE rn = 1)
-        |SELECT b.p_brand, n_lines, total_qty, revenue, list_value,
-        |  revenue / list_value AS realized_ratio,
+        |SELECT b.p_brand, n_lines, total_qty, revenue, retail_value,
+        |  revenue / retail_value AS realized_ratio,
         |  top_type, top_type_revenue
         |FROM b JOIN tt USING (p_brand) ORDER BY b.p_brand""".stripMargin,
     // the textbook quadratic NOT-EXISTS dominance test over the

@@ -276,13 +276,13 @@ class SupplierPerfSpec extends AnyFunSpec {
       val b1 = r("B1")
       assert(b1.getAs[Long]("n_lines") == 2L)
       assert(b1.getAs[Double]("revenue") == 39.0)
-      assert(b1.getAs[Double]("list_value") == 50.0)
+      assert(b1.getAs[Double]("retail_value") == 50.0)
       assert(b1.getAs[Double]("realized_ratio") == 39.0 / 50.0)
       assert(b1.getAs[String]("top_type") == "tA")
       assert(b1.getAs[Double]("top_type_revenue") == 30.0)
       val b2 = r("B2")
       assert(b2.getAs[Double]("revenue") == 9.0)
-      assert(b2.getAs[Double]("list_value") == 20.0)
+      assert(b2.getAs[Double]("retail_value") == 20.0)
     }
   }
 
