@@ -401,6 +401,65 @@ object Dedup {
     base.unionByName(reps)
   }
 
+  /** q258 — dedup-method scorecard against PLANTED ground truth: the
+    * evaluation every dedup-stack decision should rest on and rarely
+    * does — with [[replicaPlanted]]'s exact-copy pairs as labeled
+    * truth (the original fixture is dup-free, so truth is closed-form),
+    * score each candidate generator on how completely it RECOVERS the
+    * true duplicates (recall — a pipeline that misses real dups ships
+    * them into training) and at what candidate overhead (precision —
+    * every extra candidate pays a verification kernel): `exact` (md5
+    * fingerprint clusters), `minhash_lsh` (q22's band-collision
+    * candidates), `simhash_ham` (q238's Hamming-radius pairs).
+    * Near-dup generators legitimately surface non-identical template
+    * pairs, so their precision against EXACT-dup truth reads as
+    * candidate overhead, not error — the scorecard's point.
+    *
+    * Determinism: all counts integer; precision/recall are raw
+    * NULLIF-guarded double quotients. Scale: every pair relation is
+    * its method's own bounded shape (fp clusters, band buckets,
+    * signature slices); truth is corpus/[[RepMod]]-sized; scoring
+    * joins key on the pair id; the final rows are 3 × 1-row
+    * broadcast-merged aggregates.
+    */
+  def dedupPrf(spark: SparkSession, dir: String): DataFrame =
+    dedupPrfFrom(Tables.documents(spark, dir))
+
+  def dedupPrfFrom(docs: DataFrame): DataFrame = {
+    val planted = replicaPlanted(docs)
+    val truth = docs
+      .filter(TextFns.hash32(
+        concat(lit("rep|"), col("doc_id").cast("string"))) % RepMod === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + RepShift).as("doc_b"))
+      .localCheckpoint()
+    val fp = Tables.widened(planted, col("doc_id"))
+      .select(col("doc_id"), md5(normText).as("fp"))
+    val exact = fp.alias("a").join(fp.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val minhash = candidatePairsFrom(bandsFrom(planted))
+      .select("doc_a", "doc_b")
+    val simham = hammingKeptFrom(planted).select("doc_a", "doc_b")
+    def score(name: String, pred: DataFrame): DataFrame = {
+      val p = pred.distinct()
+      val tp = p.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      p.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("tp"))))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(name).as("method"), col("n_pred"), col("n_truth"),
+          col("tp"),
+          (col("tp").cast("double") / nullIfZero(col("n_pred")))
+            .as("pair_precision"),
+          (col("tp").cast("double") / nullIfZero(col("n_truth")))
+            .as("pair_recall"))
+    }
+    score("exact", exact)
+      .unionByName(score("minhash_lsh", minhash))
+      .unionByName(score("simhash_ham", simham))
+      .orderBy("method")
+  }
+
   def dupGeography(spark: SparkSession, dir: String): DataFrame =
     dupGeographyFrom(replicaPlanted(Tables.documents(spark, dir)))
 
@@ -979,7 +1038,10 @@ object Dedup {
     */
   val HamBitsConf = "spark.graft.hamming.bits"
 
-  def hammingPairsFrom(docs: DataFrame): DataFrame = {
+  /** The radius-kept pair relation (doc_a, doc_b, dist) behind q238's
+    * histogram — also the simhash arm of q258's scorecard.
+    */
+  private[operators] def hammingKeptFrom(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val bits = docs.sparkSession.conf.get(HamBitsConf, "32").toInt
     require(bits == 32 || bits == 60, s"$HamBitsConf must be 32 or 60")
@@ -997,9 +1059,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .distinct()
-    val kept = cand
+    cand
       .withColumn("dist", expr("CAST(bit_count(sha ^ shb) AS INT)"))
       .filter(col("dist") <= HamRadius)
+      .select("doc_a", "doc_b", "dist")
+  }
+
+  def hammingPairsFrom(docs: DataFrame): DataFrame = {
+    val kept = hammingKeptFrom(docs)
     val p = kept.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     val dd = kept
       .select(col("dist"),
@@ -1665,6 +1732,7 @@ object Dedup {
     "q137_incremental_containment" -> (incrementalContainment _),
     "q215_dedup_agreement" -> (dedupAgreement _),
     "q230_ppjoin_pairs" -> (ppjoinPairs _),
+    "q258_dedup_prf" -> (dedupPrf _),
     "q238_hamming_pairs" -> (hammingPairs _),
     "q241_cdc_chunks" -> (cdcChunks _),
     "q21_exact_dedup" -> (exactDedup _),
@@ -1875,6 +1943,53 @@ object Dedup {
     // the q23 pipeline over the replica-planted corpus, then the exact
     // pigeonhole machinery replayed: 4 byte-slices, slice-collision
     // candidates, bit_count verify, bounded distance histogram
+    // three generators recomputed over the planted corpus and scored
+    // against the closed-form truth pairs; bands carry the mb_ prefix
+    // so the minhash CTEs coexist with simhash's fixed names
+    "q258_dedup_prf" -> {
+      val slices = (0 until HamSlices).map(s =>
+        s"SELECT doc_id, sh, $s AS s, (sh >> ${8 * s}) & 255 AS v FROM shx")
+        .mkString("\n  UNION ALL ")
+      val arm = TextFns.sql.hash32("'rep|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $repsSql,
+         |truth AS (SELECT doc_id AS doc_a, doc_id + $RepShift AS doc_b
+         |  FROM documents WHERE $arm % $RepMod = 0),
+         |fp AS (SELECT doc_id, md5($normSql) AS fp FROM corpus),
+         |exq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b
+         |    ON a.fp = b.fp AND b.doc_id > a.doc_id),
+         |${bandsSqlOver("corpus", "text", "mb_")},
+         |mhq AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mb_bands a JOIN mb_bands b
+         |    ON b.band_id = a.band_id AND b.band_key = a.band_key
+         |      AND b.doc_id > a.doc_id),
+         |${simhashCtes("corpus")},
+         |sl AS ($slices),
+         |shc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM sl a JOIN sl b
+         |    ON b.s = a.s AND b.v = a.v AND b.doc_id > a.doc_id),
+         |shq AS (SELECT doc_a, doc_b FROM shc
+         |  WHERE bit_count(xor(sha, shb)) <= $HamRadius),
+         |tn AS (SELECT count(*) AS n_truth FROM truth),
+         |rows0 AS (
+         |  SELECT 'exact' AS method,
+         |    (SELECT count(*) FROM exq) AS n_pred,
+         |    (SELECT count(*) FROM exq JOIN truth
+         |       USING (doc_a, doc_b)) AS tp
+         |  UNION ALL SELECT 'minhash_lsh',
+         |    (SELECT count(*) FROM mhq),
+         |    (SELECT count(*) FROM mhq JOIN truth USING (doc_a, doc_b))
+         |  UNION ALL SELECT 'simhash_ham',
+         |    (SELECT count(*) FROM shq),
+         |    (SELECT count(*) FROM shq JOIN truth USING (doc_a, doc_b)))
+         |SELECT method, CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(tn.n_truth AS BIGINT) AS n_truth,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(tp AS DOUBLE) / NULLIF(n_pred, 0) AS pair_precision,
+         |  CAST(tp AS DOUBLE) / NULLIF(tn.n_truth, 0) AS pair_recall
+         |FROM rows0, tn ORDER BY method""".stripMargin
+    },
     "q238_hamming_pairs" ->
       s"""WITH $repsSql,
          |${simhashCtes("corpus")},

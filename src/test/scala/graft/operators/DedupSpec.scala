@@ -714,4 +714,27 @@ class DedupSpec extends AnyFunSpec {
       assert(n("both") + n("embedding_only") == nEmb)
     }
   }
+
+  describe("dedupPrf (q258)") {
+    it("every generator recovers all planted exact duplicates on the fixture") {
+      val r = Dedup.dedupPrf(spark, graft.TestSpark.Sf).collect()
+        .map(x => x.getAs[String]("method") -> x).toMap
+      assert(r.keySet == Set("exact", "minhash_lsh", "simhash_ham"))
+      // exact copies collide in every method by construction →
+      // recall must be 1.0 everywhere; exact is also precision-1
+      // (the original corpus is dup-free)
+      r.values.foreach { x =>
+        assert(x.getAs[Long]("n_truth") > 0)
+        assert(x.getAs[Double]("pair_recall") == 1.0,
+          x.getAs[String]("method"))
+      }
+      assert(r("exact").getAs[Double]("pair_precision") == 1.0)
+      assert(r("exact").getAs[Long]("n_pred") ==
+        r("exact").getAs[Long]("n_truth"))
+      // near-dup generators carry candidate overhead on the
+      // template-dense fixture
+      assert(r("minhash_lsh").getAs[Long]("n_pred") >=
+        r("minhash_lsh").getAs[Long]("tp"))
+    }
+  }
 }
