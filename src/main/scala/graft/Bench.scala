@@ -168,6 +168,9 @@ object Bench {
     // r12: the other exact near-dup joins — also self-contained
     run("q238_hamming_pairs") { Dedup.hammingPairs(spark, sfDir) }
     run("q241_cdc_chunks") { Dedup.cdcChunks(spark, sfDir) }
+    // r12c: precision/recall scorecard over the planted-truth corpus —
+    // self-contained (it re-derives each method's candidate relation)
+    run("q258_dedup_prf") { Dedup.dedupPrf(spark, sfDir) }
     run("q216_ivm_join") {
       SupplierPerf.ivmJoinStaged(spark.read.parquet(s"$wh/ivmbase"),
         Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
