@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-query profiler for the optimization rounds (guide §1):
+  * mirrors Bench's session config, times each named query in isolation
+  * through the noop sink (so the computation is measured, not the
+  * sink), labels jobs, and optionally dumps `explain("formatted")` to
+  * `plans/r12/<name>_<tag>.txt`.
+  *
+  * Usage: runMain graft.QProf q230_ppjoin_pairs,q140_label_communities [tag]
+  *   SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench;
+  *   tag != "-" writes plan files under plans/r12/.
+  *   SPARK_GRAFT_QPROF_RUNS (default 2) timed noop runs per query.
+  */
+object QProf {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q230_ppjoin_pairs").split(',').toSeq
+    val tag = if (args.length > 1) args(1) else "-"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_QPROF_RUNS", "2").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-scratch")
+      .config("spark.sql.warehouse.dir", "/dev/shm/graft-wh")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set(graft.streaming.EventStream.StateProviderConf,
+      graft.streaming.EventStream.HdfsStateProvider)
+    spark.conf.set(graft.streaming.EventStream.StatePartitionsConf, "2")
+
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (tag != "-") {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.createDirectories(Paths.get("plans/r12"))
+        Files.writeString(Paths.get(s"plans/r12/${name}_$tag.txt"), txt)
+      }
+      (1 to runs).foreach { i =>
+        spark.sparkContext.setJobDescription(s"$name run $i")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[qprof] $name run$i $dt%.2f s")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1261,16 +1261,26 @@ object Analytics {
     conformalFrom(Tables.events(spark, dir))
 
   def conformalFrom(events: DataFrame): DataFrame = {
-    val ev = events.select(col("event_type"),
-      round(col("value") * 100).cast("long").as("cents"),
-      (TextFns.hash32(concat(lit("conf|"), col("event_id").cast("string")))
-        % 2).cast("int").as("arm"))
-    val pred = ev.filter(col("arm") === 0).groupBy("event_type")
-      .agg(sum("cents").as("s_cal"), count(lit(1)).as("n_cal"))
-    val scored = ev.join(broadcast(pred), Seq("event_type"))
+    // ONE corpus pass: the (type, cents, arm) value histogram carries
+    // everything downstream — calibration moments, the score grain
+    // (score is a function of the distinct cent value, so it lives on
+    // the histogram, not the rows), and the covered-count census (each
+    // distinct value contributes its count `c`, an exact integer
+    // regroup of the original per-row count). The r12-opt rewrite of
+    // the original 3-corpus-scan form (guide §2.3: aggregate before
+    // you shuffle; everything after the histogram is value-scale).
+    val h = events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (TextFns.hash32(concat(lit("conf|"), col("event_id").cast("string")))
+          % 2).cast("int").as("arm"))
+      .groupBy("event_type", "cents", "arm").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val pred = h.filter(col("arm") === 0).groupBy("event_type")
+      .agg(sum(col("cents") * col("c")).as("s_cal"), sum("c").as("n_cal"))
+    val scored = h.join(broadcast(pred), Seq("event_type"))
       .withColumn("score", abs(col("cents") * col("n_cal") - col("s_cal")))
     val byS = scored.filter(col("arm") === 0)
-      .groupBy("event_type", "score").agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "score").agg(sum("c").as("c"))
     val qhat = Prefix.cumSumsBy(byS, Seq("event_type"), "score",
         col("score"), Seq("c"), Seq("cum"))
       .join(broadcast(pred.select("event_type", "n_cal")), Seq("event_type"))
@@ -1280,9 +1290,9 @@ object Analytics {
     scored.filter(col("arm") === 1)
       .join(broadcast(qhat), Seq("event_type"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(col("qhat").isNull || col("score") <= col("qhat"), 1L)
-          .otherwise(0L)).as("n_cov"),
+      .agg(sum("c").as("n_test"),
+        sum(when(col("qhat").isNull || col("score") <= col("qhat"),
+          col("c")).otherwise(0L)).as("n_cov"),
         first(col("qhat")).as("qh"))
       .join(broadcast(pred.select("event_type", "n_cal")), Seq("event_type"))
       .select(col("event_type"), col("n_cal"), col("n_test"),
@@ -1324,11 +1334,18 @@ object Analytics {
   def psiDriftFrom(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     val cut = to_timestamp(lit(PsiCutTs))
-    val rows = events.select(col("event_type"),
-      round(col("value") * 100).cast("long").as("cents"),
-      (col("ts") < cut).as("is_ref"))
-    val byV = rows.filter(col("is_ref"))
-      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    // ONE corpus pass: the (type, cents, is_ref) value histogram
+    // carries both the reference-decile derivation and the binned
+    // populations (bin is a function of the distinct cent value, so
+    // binning is a regroup of the histogram — the r12-opt rewrite of
+    // the original 2-corpus-scan form, guide §2.3).
+    val hist = events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("ts") < cut).as("is_ref"))
+      .groupBy("event_type", "cents", "is_ref").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val byV = hist.filter(col("is_ref"))
+      .groupBy("event_type", "cents").agg(sum("c").as("c"))
     val tot = byV.groupBy("event_type").agg(sum("c").as("n"))
     val cuts = Prefix.cumSumsBy(byV, Seq("event_type"), "cents",
         col("cents"), Seq("c"), Seq("cum"))
@@ -1338,13 +1355,13 @@ object Analytics {
         (2 to 9).map(k =>
           min(when(col("cum") * 10 >= col("n") * k, col("cents")))
             .as(s"d$k")): _*)
-    val binned = rows.join(broadcast(cuts), Seq("event_type"))
+    val binned = hist.join(broadcast(cuts), Seq("event_type"))
       .withColumn("bin", (1 to 9).map(k =>
         when(col("cents") > col(s"d$k"), 1).otherwise(0))
         .reduce(_ + _))
       .groupBy("event_type", "bin")
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+      .agg(sum(when(col("is_ref"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), col("c")).otherwise(0L)).as("cb"))
     // densify to types × 10 so an empty current-side bin still pays
     val grid = cuts.select("event_type")
       .crossJoin(spark.range(10).select(col("id").cast("int").as("bin")))
@@ -1391,9 +1408,19 @@ object Analytics {
     robustOutliersFrom(Tables.events(spark, dir))
 
   def robustOutliersFrom(events: DataFrame): DataFrame = {
-    val cents = events.select(col("event_type"),
-      round(col("value") * 100).cast("long").as("cents"))
-    val byV = cents.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    // ONE corpus pass: everything after the (type, cents) value
+    // histogram is value-domain-scale. The deviation relation is a
+    // REGROUPING of the histogram (dev = |cents − med| with the counts
+    // summed), not a second corpus scan, and the outlier census rides
+    // the same regrouped histogram — the r12-opt rewrite of the
+    // original 3-scan form (guide §2.3/§2.4: aggregate once, derive
+    // downstream relations from the aggregate). Checkpointed because
+    // three consumers (median prefix pass, MAD regroup, census) would
+    // otherwise each re-run the corpus aggregate.
+    val byV = events.select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = byV.groupBy("event_type").agg(sum("c").as("n"))
     val med = Prefix.cumSumsBy(byV, Seq("event_type"), "cents",
         col("cents"), Seq("c"), Seq("cum"))
@@ -1401,22 +1428,25 @@ object Analytics {
       .groupBy("event_type")
       .agg(max("n").as("n"),
         min(when(col("cum") * 2 >= col("n"), col("cents"))).as("med_cents"))
-    val dev = cents.join(broadcast(med), Seq("event_type"))
+    val byD = byV.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), col("n"), col("med_cents"),
-        abs(col("cents") - col("med_cents")).as("dev"))
-    val byD = dev.groupBy("event_type", "dev").agg(count(lit(1)).as("c"))
+        abs(col("cents") - col("med_cents")).as("dev"), col("c"))
+      .groupBy("event_type", "dev").agg(sum("c").as("c"))
     val mad = Prefix.cumSumsBy(byD, Seq("event_type"), "dev",
         col("dev"), Seq("c"), Seq("cum"))
       .join(broadcast(med.select("event_type", "n")), Seq("event_type"))
       .groupBy("event_type")
       .agg(min(when(col("cum") * 2 >= col("n"), col("dev"))).as("mad_cents"))
-    dev.join(broadcast(mad), Seq("event_type"))
+    byV.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("med_cents"), col("mad_cents"),
+        abs(col("cents") - col("med_cents")).as("dev"), col("c"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum("c").as("n_events"),
         max("med_cents").as("med_cents"),
         max("mad_cents").as("mad_cents"),
-        sum(when(col("dev") * 10000 > col("mad_cents") * RobustCut10k, 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(when(col("dev") * 10000 > col("mad_cents") * RobustCut10k,
+          col("c")).otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n_events"),
         (col("med_cents").cast("double") / 100.0).as("median_value"),
         (col("mad_cents").cast("double") / 100.0).as("mad_value"),

@@ -940,6 +940,13 @@ object Dedup {
     ppjoinPairsFrom(replicaPlanted(Tables.documents(spark, dir)))
 
   def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
+    // The shingle relation feeds FIVE consumers (sizes, document
+    // frequencies, the prefix build, and both sides of the exact
+    // intersection count): checkpoint it once so the
+    // tokenize+shingle+explode chain — the expensive per-row kernel —
+    // runs one corpus pass instead of five (r12-opt; guide §2.4's
+    // share-one-computation discipline, the q103/q140 substrate
+    // pattern).
     val tk = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"), TextFns.toks(col("text")).as("w"))
       .filter(size(col("w")) >= PpGram)
@@ -948,14 +955,18 @@ object Dedup {
           sequence(lit(0), size(col("w")) - PpGram),
           i => array_join(slice(col("w"), i + 1, lit(PpGram)), " "))))
           .as("token"))
+      .localCheckpoint()
     val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("s"))
     val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "token")
+    // checkpointed: the candidate self-join reads the prefix relation
+    // twice, and its window chain would otherwise replay per side
     val pfx = tk.join(dfx, "token").join(sz, "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(lit(PpNum) * col("s") <=
         lit(PpDen) * (col("s") - col("rn") + 1))
       .select(col("token"), col("doc_id"), col("rn"), col("s"))
+      .localCheckpoint()
     // PPJoin's LENGTH and POSITIONAL filters (Xiao et al., WWW 2008)
     // prune collisions BEFORE the distinct: J ≥ t needs
     // t·max(s) ≤ min(s), and a collision at prefix ranks (ra, rb) can

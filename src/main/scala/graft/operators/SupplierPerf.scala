@@ -566,7 +566,13 @@ object SupplierPerf {
     partMarginsFrom(Tables.part(spark, dir), Tables.lineitem(spark, dir))
 
   def partMarginsFrom(part: DataFrame, lineitem: DataFrame): DataFrame = {
-    val f = lineitem
+    // ONE fact pass: aggregate at (brand, type) grain, then roll the
+    // brand totals up from the type grain (exact DECIMAL partial sums
+    // re-summed — associative, so bit-identical to the direct
+    // brand-level sums) instead of scanning the fact join twice (the
+    // r12-opt rewrite; guide §2.3/§2.4). The type grain is
+    // brand×type-bounded — model-scale at any corpus size.
+    val byType = lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"), col("p_type"),
         col("l_quantity"),
@@ -574,15 +580,21 @@ object SupplierPerf {
           (lit(1) - frac(col("l_discount")))).as("net_rev"),
         (money(col("p_retailprice")) *
           col("l_quantity").cast(DecimalType(12, 0))).as("retail_val"))
-    val byBrand = f.groupBy("p_brand").agg(
-      count(lit(1)).as("n_lines"),
-      sum("l_quantity").as("total_qty"),
-      sum("net_rev").cast("double").as("revenue"),
-      sum("retail_val").cast("double").as("retail_value"))
+      .groupBy("p_brand", "p_type")
+      .agg(count(lit(1)).as("n"),
+        sum("l_quantity").as("qty"),
+        sum("net_rev").as("rev"),
+        sum("retail_val").as("retail"))
+      .localCheckpoint()
+    val byBrand = byType.groupBy("p_brand").agg(
+      sum("n").as("n_lines"),
+      sum("qty").as("total_qty"),
+      sum("rev").cast("double").as("revenue"),
+      sum("retail").cast("double").as("retail_value"))
     val w = Window.partitionBy("p_brand")
       .orderBy(desc("t_rev"), asc("p_type"))
-    val topType = f.groupBy("p_brand", "p_type")
-      .agg(sum("net_rev").cast("double").as("t_rev"))
+    val topType = byType
+      .select(col("p_brand"), col("p_type"), col("rev").cast("double").as("t_rev"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_brand"), col("p_type").as("top_type"),
