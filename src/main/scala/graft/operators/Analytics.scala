@@ -562,11 +562,16 @@ object Analytics {
       .select(col("user_id"), item.as("item"), col("ts"), col("event_id"))
       .filter(col("item").isNotNull)
     val wu = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-    val ranked = ev.withColumn("rn", row_number().over(wu))
+    // checkpointed: the hold-out split is consumed by five downstream
+    // relations (item counts, the capped scoring history, the eval-user
+    // anti/semi joins, the seen-item anti-join) — without it the corpus
+    // window + distinct replays per consumer (r12-opt)
+    val ranked = ev.withColumn("rn", row_number().over(wu)).localCheckpoint()
     val last = ranked.filter(col("rn") === 1)
       .select(col("user_id"), col("item").as("target"))
     val hist = ranked.filter(col("rn") > 1)
       .select("user_id", "item").distinct()
+      .localCheckpoint()
     // the SCORING relations ride the PairUserCap prune (the q66
     // discipline — the support self-join and the per-user score fold
     // are the Σ basket² terms a bot history would blow up); the
@@ -1758,8 +1763,12 @@ object Analytics {
     // count + window chain per consumer
     val ui = itemBaskets(events).localCheckpoint()
     val pairs = itemPairsOf(ui)
+    // checkpointed: degree build, transition build and the closing
+    // degree join all consume the edge relation — without it the
+    // basket self-join replays up to six times per run (r12-opt)
     val edges = pairs.unionByName(
-      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+        pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint()
     val deg = edges.groupBy("u")
       .agg(sum("w").as("wu"), count(lit(1)).as("n_neighbors"))
     val items = ui.select(col("item")).distinct()
@@ -1815,7 +1824,10 @@ object Analytics {
     cooccurEdgesOf(itemBaskets(events).localCheckpoint())
 
   private def cooccurEdgesOf(ui: DataFrame): DataFrame = {
-    val pw = itemPairsOf(ui)
+    // checkpointed: the quantile probe and the filter both consume the
+    // pair relation — without it the basket self-join runs twice
+    // (r12-opt; the pair relation is the Σ basket²-bounded working set)
+    val pw = itemPairsOf(ui).localCheckpoint()
     val thr = pw.agg(percentile(col("w"), lit(LpEdgeQuantile)).as("t"))
     pw.crossJoin(broadcast(thr)).filter(col("w") > col("t"))
       .select("u", "v", "w")
@@ -1870,6 +1882,10 @@ object Analytics {
       labels = labels.join(pick, Seq("item"), "left")
         .select(col("item"), coalesce(col("newl"), col("label")).as("label"))
     }
+    // checkpointed: the size census and the closing join both read the
+    // final label relation — without it the whole 3-round join/window
+    // chain replays twice (r12-opt)
+    labels = labels.localCheckpoint()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(dimBroadcast(sizes), Seq("label"))
       .select(col("item"), col("label").as("community"), col("community_size"))
@@ -2019,9 +2035,13 @@ object Analytics {
     * and the exact triangle relation (a,b,c), a<b<c each once.
     */
   private def triangleParts(events: DataFrame): (DataFrame, DataFrame) = {
+    // checkpointed: degrees (two projections), the orientation join
+    // and the wedge-closing join all consume the supported edge set —
+    // without it the basket self-join replays four times (r12-opt)
     val edges = itemPairsOf(itemBaskets(events).localCheckpoint())
       .filter(col("w") >= TriMinSupport)
       .select("u", "v")
+      .localCheckpoint()
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))

@@ -74,12 +74,15 @@ class JobCountSpec extends AnyFunSpec {
   // count + the final rank/write chain (steady-state: the cold first
   // run pays one extra one-time job, absorbed by the warm-up)
   pin("q103_item_pagerank", 28)
-  // capped-basket stages + degree relation + wedge join + closing
-  // hash join, one pass
-  pin("q110_item_triangles", 13)
-  // capped-basket checkpoint + 3 LPA rounds over the checkpointed
-  // co-occurrence graph
-  pin("q140_label_communities", 28)
+  // capped-basket stages + supported-edge checkpoint (r12-opt: the
+  // edge set feeds degrees, orientation and the closing join — the
+  // checkpoint adds jobs but removes four basket self-join replays)
+  // + wedge join + closing hash join
+  pin("q110_item_triangles", 16)
+  // capped-basket checkpoint + pair-relation checkpoint (r12-opt: the
+  // quantile probe and filter share one pair build) + 3 LPA rounds +
+  // final-label checkpoint (size census + closing join share it)
+  pin("q140_label_communities", 30)
   // binned interval self-join + exact post-filter + DISTINCT
   pin("q109_session_overlap", 9)
 }

@@ -735,12 +735,18 @@ class PlanQualitySpec extends AnyFunSpec {
   }
 
   describe("round-9b operator plan shapes") {
-    it("q177 never goes quadratic over events; hold-out ranks are group-limited") {
+    it("q177 never goes quadratic over events; hold-out split materializes once") {
       val p = plan("q177_rec_hit_rate")
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop"),
         s"q177 must stay equi-join work:\n$p")
-      assert(p.contains("WindowGroupLimit"))
+      // r12-opt: the ranked hold-out split is localCheckpointed (five
+      // consumers — one full corpus window instead of a group-limited
+      // window for `last` PLUS a full one for `hist`), so the final
+      // plan reads the materialized split instead of carrying a
+      // WindowGroupLimit
+      assert(p.contains("ExistingRDD"),
+        s"q177's hold-out split must read the materialized relation:\n$p")
     }
 
     it("q178 exchanges only score-level relations, never documents") {
