@@ -1358,7 +1358,11 @@ object Dedup {
 
   def dupSpansFrom(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val perDoc = spanGramArrays(docs)
+    // checkpointed: the df count and the span kernel both read the
+    // per-doc gram-hash arrays, and the stride-1 per-position hash60
+    // chain is the q230 class of expensive kernel — one corpus pass
+    // instead of two (r12-opt; measured ~25% off the query)
+    val perDoc = spanGramArrays(docs).localCheckpoint()
     // doc-frequency over per-doc-distinct hashes (identical to a
     // countDistinct(doc_id) over exploded positions), collapsed to one
     // sorted broadcast array
