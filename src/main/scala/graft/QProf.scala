@@ -36,6 +36,9 @@ object QProf {
     spark.conf.set(graft.streaming.EventStream.StateProviderConf,
       graft.streaming.EventStream.HdfsStateProvider)
     spark.conf.set(graft.streaming.EventStream.StatePartitionsConf, "2")
+    // extra session confs: SPARK_GRAFT_QPROF_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_QPROF_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
