@@ -940,28 +940,41 @@ object Dedup {
     ppjoinPairsFrom(replicaPlanted(Tables.documents(spark, dir)))
 
   def ppjoinPairsFrom(docs: DataFrame): DataFrame = {
-    // The shingle relation feeds FIVE consumers (sizes, document
-    // frequencies, the prefix build, and both sides of the exact
-    // intersection count): checkpoint it once so the
-    // tokenize+shingle+explode chain — the expensive per-row kernel —
-    // runs one corpus pass instead of five (r12-opt; guide §2.4's
-    // share-one-computation discipline, the q103/q140 substrate
-    // pattern).
-    val tk = Tables.widened(docs, col("doc_id"))
+    GraftFunctions.register(docs.sparkSession)
+    // r12-opt, two steps past the original explode-everything form:
+    //  1. The per-doc relation is ONE sorted array of 60-bit shingle
+    //     hashes (the q24 representation) computed and checkpointed in
+    //     a single corpus pass — it serves the prefix build and BOTH
+    //     verification sides. Hashing the trigram strings narrows the
+    //     df/prefix/candidate shuffles from ~20-byte strings to longs
+    //     (guide §2.3 "narrower types").
+    //  2. Verification is the native `sorted_intersect_count` merge
+    //     kernel per candidate pair, replacing the exploded
+    //     (pair ⋈ shingle-stream) join whose intermediate is
+    //     Σ_pairs |A| rows — the q24 array-verify discipline.
+    // Values are unchanged: the gated histogram depends only on the
+    // exact-Jaccard-kept pairs, recall-1 of the prefix filter holds
+    // under ANY consistent global token order (df, then hash here,
+    // token string in the oracle), and hash60 counts equal string
+    // counts absent 60-bit collisions — the q24/jaccardSql contract
+    // the oracle already rides; re-proven against the unchanged
+    // oracle at both scales.
+    val arr = Tables.widened(docs, col("doc_id"))
       .select(col("doc_id"), TextFns.toks(col("text")).as("w"))
       .filter(size(col("w")) >= PpGram)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
+        array_sort(array_distinct(transform(
           sequence(lit(0), size(col("w")) - PpGram),
-          i => array_join(slice(col("w"), i + 1, lit(PpGram)), " "))))
-          .as("token"))
+          i => TextFns.hash60(array_join(slice(col("w"), i + 1, lit(PpGram)), " ")))))
+          .as("sh"))
+      .withColumn("s", size(col("sh")).cast("long"))
       .localCheckpoint()
-    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val tk = arr.select(col("doc_id"), col("s"), explode(col("sh")).as("token"))
     val dfx = tk.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy("df", "token")
     // checkpointed: the candidate self-join reads the prefix relation
     // twice, and its window chain would otherwise replay per side
-    val pfx = tk.join(dfx, "token").join(sz, "doc_id")
+    val pfx = tk.join(dfx, "token")
       .withColumn("rn", row_number().over(w))
       .filter(lit(PpNum) * col("s") <=
         lit(PpDen) * (col("s") - col("rn") + 1))
@@ -985,14 +998,15 @@ object Dedup {
           (PpNum + PpDen) >= lit(PpNum) * (col("a.s") + col("b.s")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("token")),
-        Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val kept = inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("s").as("sz_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("s").as("sz_b")), "doc_b")
+    val kept = cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("s").as("sz_a")), Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("s").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .as("n_common"),
+        col("sz_a"), col("sz_b"))
       .filter(col("n_common") * PpDen >=
         lit(PpNum) * (col("sz_a") + col("sz_b") - col("n_common")))
       .withColumn("bin",
