@@ -843,7 +843,12 @@ object TextAnalysis {
     val tfCols = Bm25Query.zipWithIndex.map { case (t, i) =>
       size(filter(w, x => x === t)).as(s"tf$i")
     }
+    // checkpointed (r12-opt): the corpus stats aggregate and the
+    // scoring pass both consume the per-doc tf relation — without it
+    // the tokenize+per-term filter kernel runs twice; the relation is
+    // (doc_id, dl, tf per query term), narrow at any corpus size
     val perDoc = docs.select(col("doc_id") +: size(w).as("dl") +: tfCols: _*)
+      .localCheckpoint()
     val dfAggs = Bm25Query.indices.map(i =>
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
