@@ -415,8 +415,30 @@ object Bench {
     // The degradation ladder (precision → extras → slowest-K map with
     // the pass/GC/heap trio always intact) lives in BenchLine so
     // BenchLineSpec can pin it at 200-query scale without a Spark run.
-    println(BenchLine.render(total, results.toSeq, sfName, startup, cpus,
-      wall, passSec.toSeq, passGc.toSeq, heapPeakMb, coreMin, coreMed))
+    val line = BenchLine.render(total, results.toSeq, sfName, startup, cpus,
+      wall, passSec.toSeq, passGc.toSeq, heapPeakMb, coreMin, coreMed)
+    println(line)
+    // Self-persist the FULL per-query map (r12 verdict item: the 1860-char
+    // stdout line sheds the fast tail via rest_n, so regressions in shed
+    // queries were only auditable when someone hand-copied bench logs).
+    // Appended by the run itself; best-effort (a read-only checkout must
+    // never fail the bench).
+    try {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG_DIR", "plans/r13"))
+      java.nio.file.Files.createDirectories(dir)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val block = new StringBuilder()
+      block ++= s"## bench $stamp sf=$sfName cpus=$cpus\n```\n$line\n"
+      block ++= s"""full_names ${jmap(results)}\n"""
+      block ++= s"""gc_sec ${jmap(gcShare)}\n```\n"""
+      java.nio.file.Files.writeString(dir.resolve("bench_runs.md"), block.toString,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_runs.md persist skipped: $e")
+    }
     spark.stop()
   }
 }

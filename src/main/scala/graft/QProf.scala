@@ -8,11 +8,11 @@ import org.apache.spark.sql.SparkSession
   * mirrors Bench's session config, times each named query in isolation
   * through the noop sink (so the computation is measured, not the
   * sink), labels jobs, and optionally dumps `explain("formatted")` to
-  * `plans/r12/<name>_<tag>.txt`.
+  * `plans/r13/<name>_<tag>.txt`.
   *
   * Usage: runMain graft.QProf q230_ppjoin_pairs,q140_label_communities [tag]
   *   SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench;
-  *   tag != "-" writes plan files under plans/r12/.
+  *   tag != "-" writes plan files under plans/r13/.
   *   SPARK_GRAFT_QPROF_RUNS (default 2) timed noop runs per query.
   */
 object QProf {
@@ -46,8 +46,8 @@ object QProf {
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.createDirectories(Paths.get("plans/r12"))
-        Files.writeString(Paths.get(s"plans/r12/${name}_$tag.txt"), txt)
+        Files.createDirectories(Paths.get("plans/r13"))
+        Files.writeString(Paths.get(s"plans/r13/${name}_$tag.txt"), txt)
       }
       (1 to runs).foreach { i =>
         spark.sparkContext.setJobDescription(s"$name run $i")

@@ -304,9 +304,7 @@ object Similarity {
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     val counts = embDouble(embeddings)
-      .withColumn("scores", codebookScores(col("emb"), codebook))
-      .withColumn("cell",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+      .withColumn("cell", assignedCell(col("emb"), codebook))
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     val spine = spark.range(NumCells)
       .select(col("id").cast("int").as("cell"))
@@ -513,11 +511,8 @@ object Similarity {
       }
     val qProbes = probeRows.toDF("query_id", "q_emb", "probe_cell")
     val e = embDouble(embeddings)
-    val scores = codebookScores(col("emb"), codebook)
     // first-max argmax: same tie order as the oracle's (score DESC, c ASC)
-    val ecell = e.withColumn("scores", scores)
-      .withColumn("cell",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+    val ecell = e.withColumn("cell", assignedCell(col("emb"), codebook))
     val scored = ecell.join(broadcast(qProbes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
@@ -592,39 +587,82 @@ object Similarity {
     var cents: IndexedSeq[IndexedSeq[Seq[Double]]] =
       (0 until PqM).map(m => seeds.map(_.slice(m * PqD, (m + 1) * PqD)))
     for (_ <- 0 until iters) {
-      val parts = (0 until PqM).map { m =>
-        val sub = slice(col("emb"), m * PqD + 1, PqD)
-        // codebook + self-dots as ONE nested-array literal each (data,
-        // not code): unrolling 16 per-centroid array literals × 8
-        // subspaces into the projection blew the generated method past
-        // the JVM's 64 KB limit, so the whole stage silently fell back
-        // to interpreted evaluation (measured ~2× on the training
-        // pass). transform over the literal keeps codegen small and
-        // the arithmetic — kernel dot, −2·d + cc, first-min argmin —
-        // bit-identical.
-        val cbLit = typedlit(cents(m).map(_.toSeq))
-        val ccLit = typedlit(cents(m).map(c => dotSeq(c, c)))
-        val scores = transform(sequence(lit(0), lit(PqK - 1)), k =>
-          lit(-2.0) * call_function("dot_product", sub,
-            element_at(cbLit, k + 1)) + element_at(ccLit, k + 1))
-        struct(lit(m).as("m"),
-          (array_position(scores, array_min(scores)) - 1).cast("int").as("cell"),
-          sub.as("v"))
-      }
-      val upd = e.select(explode(array(parts: _*)).as("x"))
-        .select(col("x.m"), col("x.cell"), col("x.v"))
-        .groupBy("m", "cell")
-        .agg(call_function("vector_sum_dec",
-            col("v").cast("array<decimal(38,12)>")).as("sumv"),
-          count(lit(1)).as("n"))
-        .select(col("m"), col("cell"),
-          transform(col("sumv"), x => x.cast("double") / col("n")).as("c"))
+      val upd = pqIterUpdate(e, cents)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
       cents = cents.indices.map(m =>
         cents(m).indices.map(k => upd.getOrElse((m, k), cents(m)(k))))
     }
     cents
+  }
+
+  /** One PQ Lloyd update as a DataFrame: (m, cell, new sub-centroid)
+    * for every non-empty sub-cell — ONE corpus pass covering all
+    * [[PqM]] subspaces.
+    */
+  private def pqIterUpdate(e: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame = {
+    val parts = (0 until PqM).map { m =>
+      val sub = slice(col("emb"), m * PqD + 1, PqD)
+      // codebook + self-dots as ONE nested-array literal each (data,
+      // not code), probed by ONE fused compiled pass (adc_argmin_cell:
+      // same sequential-fold dots, same (−2·d)+cc op order, same
+      // first-min comparator as the composed
+      // array_position/array_min chain — cell indices bit-identical).
+      // The kernel body lives in scalac-compiled VecKernels and the
+      // generated code only CALLS it: inlining 16 such loops pushed
+      // the stage's consume method past the JVM's 8,000-bytecode JIT
+      // limit and the whole stage ran in the bytecode interpreter
+      // (measured ~0.9 s/task vs ~0.2 s for 2,000 rows).
+      val cbLit = typedlit(cents(m).map(_.toSeq))
+      val ccLit = typedlit(cents(m).map(c => dotSeq(c, c)))
+      struct(lit(m).as("m"),
+        call_function("adc_argmin_cell", sub, cbLit, ccLit).as("cell"),
+        sub.as("v"))
+    }
+    e.select(explode(array(parts: _*)).as("x"))
+      .select(col("x.m"), col("x.cell"), col("x.v"))
+      .groupBy("m", "cell")
+      .agg(call_function("vector_sum_dec",
+          col("v").cast("array<decimal(38,12)>")).as("sumv"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("cell"),
+        transform(col("sumv"), x => x.cast("double") / col("n")).as("c"))
+  }
+
+  /** Dev-profiling hook (PqProfile): the iteration-update plan from the
+    * seed codebooks, so planning/execution can be timed separately.
+    * `aggMode` swaps the aggregate to isolate where the iteration's CPU
+    * goes: "full" = the real decimal-mean update; "count" = same
+    * kernel/explode/shuffle but a count-only aggregate (no decimal);
+    * "sumdouble" = plain double vector sum (decimal cast removed).
+    */
+  private[graft] def pqIterUpdateForProfiling(embeddings: DataFrame,
+      aggMode: String = "full"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embDouble(embeddings)
+    val seeds = e.filter(col("vec_id") >= SeedBase && col("vec_id") < SeedBase + PqK)
+      .orderBy("vec_id").select(col("emb"))
+      .collect().toIndexedSeq.map(_.getSeq[Double](0))
+    val cents = (0 until PqM).map(m => seeds.map(_.slice(m * PqD, (m + 1) * PqD)))
+    aggMode match {
+      case "full" => pqIterUpdate(e, cents)
+      case other =>
+        val parts = (0 until PqM).map { m =>
+          val sub = slice(col("emb"), m * PqD + 1, PqD)
+          val cbLit = typedlit(cents(m).map(_.toSeq))
+          val ccLit = typedlit(cents(m).map(c => dotSeq(c, c)))
+          struct(lit(m).as("m"),
+            call_function("adc_argmin_cell", sub, cbLit, ccLit).as("cell"),
+            sub.as("v"))
+        }
+        val x = e.select(explode(array(parts: _*)).as("x"))
+          .select(col("x.m"), col("x.cell"), col("x.v"))
+          .groupBy("m", "cell")
+        if (other == "count") x.agg(count(lit(1)).as("n"))
+        else x.agg(sum(aggregate(col("v"), lit(0.0), (a, b) => a + b)).as("s"),
+          count(lit(1)).as("n"))
+    }
   }
 
   def annPqFrom(embeddings: DataFrame,
@@ -674,12 +712,8 @@ object Similarity {
       val sub = slice(col("emb"), m * PqD + 1, PqD)
       val cbLit = typedlit(codebook(m).map(_.toSeq))
       val ccLit = typedlit(cc(m).toSeq)
-      val scores = transform(sequence(lit(0), lit(PqK - 1)), k =>
-        lit(-2.0) * call_function("dot_product", sub,
-          element_at(cbLit, k + 1)) + element_at(ccLit, k + 1))
-      df.withColumn(s"s$m", scores)
-        .withColumn(s"code$m",
-          (expr(s"array_position(s$m, array_min(s$m))") - 1).cast("int"))
+      df.withColumn(s"code$m",
+        call_function("adc_argmin_cell", sub, cbLit, ccLit))
     }
     val codes = enc.select(
       (col("vec_id") +: (0 until PqM).map(m => col(s"code$m"))): _*)
@@ -733,28 +767,38 @@ object Similarity {
     kmeansTrainFrom(Tables.embeddings(spark, dir))
 
   /** Per-cell kernel scores against a model-constant codebook, shipped
-    * as ONE nested-array literal probed via `transform` — the
+    * as ONE nested-array literal through the fused
+    * [[graft.plans.CodebookScores]] codegen kernel — the
     * 64 KB-codegen discipline (see [[trainPqCodebooks]]): unrolling a
     * literal array per centroid grows the generated method linearly in
     * cells × dims and silently de-compiles the stage past the JVM
-    * method limit. Values and evaluation order are identical.
+    * method limit, while the previous `transform`+`dot_product`
+    * composition is a higher-order function that never enters
+    * whole-stage codegen (every row walked K interpreted expression
+    * trees). Element k is the same sequential-fold dot in the same
+    * IEEE order, built in ascending k — values identical.
     */
-  private def codebookScores(v: Column, codebook: Seq[Seq[Double]]): Column = {
-    val cbLit = typedlit(codebook.map(_.toSeq))
-    transform(sequence(lit(0), lit(codebook.size - 1)), k =>
-      call_function("dot_product", v, element_at(cbLit, k + 1)))
-  }
+  private def codebookScores(v: Column, codebook: Seq[Seq[Double]]): Column =
+    call_function("codebook_scores", v, typedlit(codebook.map(_.toSeq)))
+
+  /** First-max argmax cell against a literal codebook, as ONE fused
+    * compiled pass ([[graft.plans.CodebookArgmaxCell]]) — same
+    * (score DESC, c ASC) tie order as the oracle's row_number window
+    * (q36 precedent) and as the composed
+    * `array_position(scores, array_max(scores)) - 1` chain it replaces
+    * (identical comparator, identical first-occurrence index). Pure map
+    * work; see [[codebookScores]]/[[graft.plans.VecKernels]] for the
+    * 8,000-bytecode-JIT-limit rationale.
+    */
+  private def assignedCell(v: Column, codebook: Seq[Seq[Double]]): Column =
+    call_function("codebook_argmax_cell", v, typedlit(codebook.map(_.toSeq)))
 
   /** First-max argmax assignment against a literal codebook — same
     * (score DESC, c ASC) tie order as the oracle's row_number window
     * (q36 precedent). Pure map work.
     */
-  private def assignedCells(e: DataFrame, cent: Seq[Seq[Double]]): DataFrame = {
-    val scores = codebookScores(col("emb"), cent)
-    e.withColumn("scores", scores)
-      .withColumn("cell",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-  }
+  private def assignedCells(e: DataFrame, cent: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cell", assignedCell(col("emb"), cent))
 
   /** One Lloyd update: exact per-dimension decimal means of each cell's
     * members (one two-phase `vector_sum_dec` aggregate).
@@ -927,11 +971,8 @@ object Similarity {
     val codebook: Seq[Seq[Double]] =
       codebookOpt.getOrElse(seedCodebook(embeddings, cells))
     val e = embDouble(embeddings)
-    val scores = codebookScores(col("emb"), codebook)
     // first-max argmax — same (score DESC, c ASC) tie order as the oracle
-    val ecell = e.withColumn("scores", scores)
-      .withColumn("cell",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+    val ecell = e.withColumn("cell", assignedCell(col("emb"), codebook))
       .select(col("vec_id"), col("cell"), col("emb"))
     val pairs = ecell.select(col("cell"), col("vec_id").as("va"), col("emb").as("ea"))
       .join(ecell.select(col("cell"), col("vec_id").as("vb"), col("emb").as("eb")),
@@ -1866,10 +1907,9 @@ object Similarity {
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     embDouble(embeddings)
-      .withColumn("scores", codebookScores(col("emb"), codebook))
-      .withColumn("cell",
-        (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
-      .withColumn("score", round(expr("array_max(scores)"), 9))
+      .withColumn("cell", assignedCell(col("emb"), codebook))
+      .withColumn("score",
+        round(array_max(codebookScores(col("emb"), codebook)), 9))
       .withColumn("arm",
         (TextFns.hash32(concat(lit("ivfd|"), col("vec_id").cast("string")))
           % IvfDeltaMod).cast("int"))

@@ -172,6 +172,14 @@ object GraftFunctions {
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("vector_sum_dec", classOf[VectorSumDec],
       (e: Seq[Expression]) => VectorSumDec(e(0))),
+    ("codebook_scores", classOf[CodebookScores],
+      (e: Seq[Expression]) => CodebookScores(e(0), e(1))),
+    ("adc_cell_scores", classOf[AdcCellScores],
+      (e: Seq[Expression]) => AdcCellScores(e(0), e(1), e(2))),
+    ("codebook_argmax_cell", classOf[CodebookArgmaxCell],
+      (e: Seq[Expression]) => CodebookArgmaxCell(e(0), e(1))),
+    ("adc_argmin_cell", classOf[AdcArgminCell],
+      (e: Seq[Expression]) => AdcArgminCell(e(0), e(1), e(2))),
     ("quantize_stats", classOf[QuantizeStats],
       (e: Seq[Expression]) => QuantizeStats(e(0))),
     ("winnow_positions", classOf[WinnowPositions],

@@ -248,7 +248,11 @@ class PlanQualitySpec extends AnyFunSpec {
       // by query_id); a vec_id-partitioned window = per-vector argmax
       // shuffling the whole corpus
       assert(!p.contains("windowspecdefinition(vec_id"), s"corpus window found:\n$p")
-      assert(p.contains("dot_product"))
+      // r13: assignment fused into ONE compiled argmax pass (the
+      // codebook_scores→array_position chain ran the K-dot kernel twice
+      // per row and kept the stage's consume method over the JVM's
+      // 8,000-bytecode JIT limit)
+      assert(p.contains("codebook_argmax_cell"), s"fused assignment missing:\n$p")
     }
 
     it("q39 KMV plans a TakeOrderedAndProject, never a global sort") {
