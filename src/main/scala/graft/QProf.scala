@@ -39,6 +39,26 @@ object QProf {
     // extra session confs: SPARK_GRAFT_QPROF_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_QPROF_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    // SPARK_GRAFT_QPROF_STAGES=1: per-stage wall/exec/cpu accounting so
+    // query time attributes to stages (r13 addition — the q136 JIT
+    // diagnosis needed it)
+    if (sys.env.get("SPARK_GRAFT_QPROF_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield (c - s) / 1e3).getOrElse(-1.0)
+            if (wall > 0.1)
+              println(f"[qstage] id=${si.stageId} tasks=${si.numTasks} " +
+                f"wall=$wall%.2f exec=${si.taskMetrics.executorRunTime / 1e3}%.2f " +
+                f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%.2f " +
+                f"details=${si.details.linesIterator.drop(1)
+                  .find(l => l.contains("graft") && !l.contains("QProf"))
+                  .getOrElse("").trim.take(80)}")
+          }
+        })
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -609,11 +609,20 @@ object Events {
       .join(binned.alias("b"),
         col("a.bin") === col("b.bin") &&
           col("a.user_id") < col("b.user_id") &&
-          col("a.st_us") < col("b.en_us") && col("b.st_us") < col("a.en_us"))
+          col("a.st_us") < col("b.en_us") && col("b.st_us") < col("a.en_us") &&
+          // canonical-bin rule (r13, §2 shuffle-fewer-bytes): a pair of
+          // sessions sharing k bins used to match k times and collapse
+          // in a 6-column DISTINCT exchange; counting the match ONLY in
+          // the bin holding the overlap start — greatest(a_st, b_st),
+          // which both sessions provably span (st ≤ overlap-start ≤ en
+          // on both sides for any overlapping pair) — yields each pair
+          // exactly once and the DISTINCT (one full pair-relation
+          // shuffle + two aggregates) disappears. Same pair set,
+          // bit-identical aggregates.
+          col("a.bin") === expr(s"greatest(a.st_us, b.st_us) div ${binUs}L"))
       .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
         col("a.st_us").as("a_st"), col("a.en_us").as("a_en"),
         col("b.st_us").as("b_st"), col("b.en_us").as("b_en"))
-      .distinct()
     p.groupBy("user_a", "user_b")
       .agg(count(lit(1)).as("n_overlaps"),
         round((sum(least(col("a_en"), col("b_en")) -

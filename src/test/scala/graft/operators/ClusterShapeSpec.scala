@@ -95,7 +95,7 @@ class ClusterShapeSpec extends AnyFunSpec {
       }
       // the JobCountSpec pins, re-asserted at 200 shuffle partitions
       val pins = Seq("q103_item_pagerank" -> 28, "q110_item_triangles" -> 16,
-        "q140_label_communities" -> 30, "q109_session_overlap" -> 9)
+        "q140_label_communities" -> 30, "q109_session_overlap" -> 8)
       withClusterShape(forceDimFallback = false) {
         pins.foreach { case (name, expected) =>
           def once(tag: String): Int = jobsOf(tag) {

@@ -83,6 +83,9 @@ class JobCountSpec extends AnyFunSpec {
   // quantile probe and filter share one pair build) + 3 LPA rounds +
   // final-label checkpoint (size census + closing join share it)
   pin("q140_label_communities", 30)
-  // binned interval self-join + exact post-filter + DISTINCT
-  pin("q109_session_overlap", 9)
+  // binned interval self-join + exact post-filter; r13: the DISTINCT
+  // (and its job) is gone — the canonical-bin join predicate emits each
+  // overlapping pair exactly once, so multi-bin double-matches never
+  // exist to collapse
+  pin("q109_session_overlap", 8)
 }
