@@ -78,11 +78,27 @@ object Tables {
     * input).
     */
   def widened(df: DataFrame, key: Column): DataFrame = {
-    val never = df.sparkSession.conf.get(WidenConf, "auto") == "never"
+    val conf = df.sparkSession.conf
+    val never = conf.get(WidenConf, "auto") == "never"
     if (never || df.rdd.getNumPartitions >=
         df.sparkSession.sparkContext.defaultParallelism) df
+    else if (conf.get(WidenPinConf, "true") == "true")
+      // pin the partition count: a bare repartition(key) is
+      // REPARTITION_BY_COL, which AQE's partition coalescer is free to
+      // collapse by BYTE size — measured r13: the q203 bigram kernel
+      // stage ran 2 tasks on 32 cores because ~10 MB of text "fits" in
+      // one advisory partition. Widening exists precisely for CPU-bound
+      // per-row kernels where cost tracks rows, not bytes, so the
+      // explicit count (user-specified ⇒ AQE keeps it) is the intent.
+      // The gate above still skips already-parallel production scans.
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
     else df.repartition(key)
   }
+
+  /** Conf gating the [[widened]] partition-count pin (default on);
+    * `false` restores the AQE-coalescible bare `repartition(key)`.
+    */
+  val WidenPinConf = "spark.graft.widenPinnedParallelism"
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
